@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [verifyOutDir]
+
+Reads oracle_sql.json + per-query parquet dumps written by graft.Verify,
+runs each oracle in DuckDB against the sf tables, and compares:
+column names (sorted), row count, and values (rows sorted, exact match;
+tiny float tolerance report for diagnosis).
+"""
+import duckdb, sys, glob, os, json
+import pandas as pd
+import numpy as np
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = []
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (int,)):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        o = con.sql(sql).df()
+    except Exception as e:
+        fails.append(name); print(f"FAIL {name}: oracle SQL error: {e}"); continue
+    d = f"{out}/{name}"
+    if not os.path.isdir(d):
+        fails.append(name); print(f"FAIL {name}: no spark output dir"); continue
+    s = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
+    o, s = canon(o), canon(s)
+    if list(o.columns) != list(s.columns):
+        fails.append(name)
+        print(f"FAIL {name}: columns oracle={list(o.columns)} spark={list(s.columns)}")
+        continue
+    if len(o) != len(s):
+        fails.append(name)
+        print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}")
+        continue
+    ok = True
+    for c in o.columns:
+        oc, sc = o[c].values, s[c].values
+        if np.issubdtype(o[c].dtype, np.floating):
+            same = np.array_equal(oc, sc, equal_nan=True)
+            if not same:
+                md = np.nanmax(np.abs(oc - sc)) if len(oc) else 0
+                print(f"FAIL {name}: col {c} float mismatch, max_abs_diff={md}")
+                ok = False
+        else:
+            eq = pd.Series(oc).fillna("\x00").eq(pd.Series(sc).fillna("\x00"))
+            if not eq.all():
+                i = int(np.argmin(eq.values))
+                print(f"FAIL {name}: col {c} differs at row {i}: oracle={oc[i]!r} spark={sc[i]!r}")
+                ok = False
+    if ok:
+        print(f"PASS {name} ({len(o)} rows)")
+    else:
+        fails.append(name)
+
+n = len(oracle)
+print(f"\n{n - len(fails)}/{n} PASS")
+sys.exit(1 if fails else 0)
