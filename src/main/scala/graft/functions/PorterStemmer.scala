@@ -1,0 +1,128 @@
+package graft.functions
+
+/** Porter stemmer — implemented from the published algorithm
+  * (M.F. Porter, "An algorithm for suffix stripping", Program 14(3), 1980).
+  *
+  * The reference pipeline stems every token before stopword filtering and
+  * LDA (reference: module/instagram/lda/index.js:39, via the `stem-porter`
+  * npm package). Spark has no builtin stemmer, so this is one of the few
+  * genuinely custom scalar functions in the engine (SURVEY.md §2.10).
+  *
+  * Pure function on lowercase ASCII words; non-alphabetic input is
+  * returned unchanged. Thread-safe (no shared state) → safe inside
+  * codegen'd UDF calls on executors.
+  */
+object PorterStemmer extends Serializable {
+
+  private def isVowelAt(w: String, i: Int): Boolean = w.charAt(i) match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' => true
+    case 'y' => i > 0 && !isVowelAt(w, i - 1)
+    case _ => false
+  }
+
+  /** m = number of VC sequences in the stem. */
+  private def measure(w: String): Int = {
+    var m = 0; var i = 0; val n = w.length
+    while (i < n && !isVowelAt(w, i)) i += 1 // skip initial consonants
+    while (i < n) {
+      while (i < n && isVowelAt(w, i)) i += 1
+      if (i < n) { m += 1; while (i < n && !isVowelAt(w, i)) i += 1 }
+    }
+    m
+  }
+
+  private def containsVowel(w: String): Boolean =
+    (0 until w.length).exists(isVowelAt(w, _))
+
+  private def endsDoubleConsonant(w: String): Boolean =
+    w.length >= 2 && w.charAt(w.length - 1) == w.charAt(w.length - 2) &&
+      !isVowelAt(w, w.length - 1)
+
+  /** *o — stem ends cvc where second c is not w, x or y. */
+  private def endsCvc(w: String): Boolean = {
+    val n = w.length
+    n >= 3 && !isVowelAt(w, n - 3) && isVowelAt(w, n - 2) && !isVowelAt(w, n - 1) &&
+      !"wxy".contains(w.charAt(n - 1))
+  }
+
+  private def replaceSuffix(w: String, suffix: String, repl: String, minM: Int): Option[String] =
+    if (w.endsWith(suffix)) {
+      val stem = w.substring(0, w.length - suffix.length)
+      if (measure(stem) > minM) Some(stem + repl) else Some(w)
+    } else None
+
+  def stem(word: String): String = {
+    if (word == null) return null
+    var w = word
+    if (w.length <= 2 || !w.forall(c => c >= 'a' && c <= 'z')) return w
+
+    // Step 1a
+    if (w.endsWith("sses")) w = w.dropRight(2)
+    else if (w.endsWith("ies")) w = w.dropRight(2)
+    else if (!w.endsWith("ss") && w.endsWith("s")) w = w.dropRight(1)
+
+    // Step 1b
+    var step1bFlag = false
+    if (w.endsWith("eed")) {
+      if (measure(w.dropRight(3)) > 0) w = w.dropRight(1)
+    } else if (w.endsWith("ed") && containsVowel(w.dropRight(2))) {
+      w = w.dropRight(2); step1bFlag = true
+    } else if (w.endsWith("ing") && containsVowel(w.dropRight(3))) {
+      w = w.dropRight(3); step1bFlag = true
+    }
+    if (step1bFlag) {
+      if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w += "e"
+      else if (endsDoubleConsonant(w) && !"lsz".contains(w.last)) w = w.dropRight(1)
+      else if (measure(w) == 1 && endsCvc(w)) w += "e"
+    }
+
+    // Step 1c
+    if (w.endsWith("y") && containsVowel(w.dropRight(1))) w = w.dropRight(1) + "i"
+
+    // Steps 2-4 use longest-suffix-match ("search for the longest among
+    // the suffixes" — Porter 1980); if the longest match's condition
+    // fails, no shorter suffix is tried.
+    def longest(m: Map[String, String], word: String): Option[(String, String)] =
+      m.filter { case (s, _) => word.endsWith(s) }
+        .reduceOption((a, b) => if (a._1.length >= b._1.length) a else b)
+
+    // Step 2 (m > 0 suffix mappings)
+    val step2 = Map(
+      "ational" -> "ate", "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
+      "izer" -> "ize", "abli" -> "able", "alli" -> "al", "entli" -> "ent",
+      "eli" -> "e", "ousli" -> "ous", "ization" -> "ize", "ation" -> "ate",
+      "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
+      "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
+    longest(step2, w).foreach { case (s, r) => replaceSuffix(w, s, r, 0).foreach(w = _) }
+
+    // Step 3
+    val step3 = Map(
+      "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
+      "ical" -> "ic", "ful" -> "", "ness" -> "")
+    longest(step3, w).foreach { case (s, r) => replaceSuffix(w, s, r, 0).foreach(w = _) }
+
+    // Step 4 (m > 1 suffix removal; "ion" additionally requires *S or *T stem)
+    val step4 = Map(
+      "al" -> "", "ance" -> "", "ence" -> "", "er" -> "", "ic" -> "",
+      "able" -> "", "ible" -> "", "ant" -> "", "ement" -> "", "ment" -> "",
+      "ent" -> "", "ion" -> "", "ou" -> "", "ism" -> "", "ate" -> "",
+      "iti" -> "", "ous" -> "", "ive" -> "", "ize" -> "")
+    longest(step4, w).foreach { case (s, _) =>
+      val stem = w.substring(0, w.length - s.length)
+      val ionOk = s != "ion" ||
+        (stem.nonEmpty && (stem.last == 's' || stem.last == 't'))
+      if (measure(stem) > 1 && ionOk) w = stem
+    }
+
+    // Step 5a
+    if (w.endsWith("e")) {
+      val stem = w.dropRight(1)
+      val m = measure(stem)
+      if (m > 1 || (m == 1 && !endsCvc(stem))) w = stem
+    }
+    // Step 5b
+    if (measure(w) > 1 && endsDoubleConsonant(w) && w.endsWith("l")) w = w.dropRight(1)
+
+    w
+  }
+}

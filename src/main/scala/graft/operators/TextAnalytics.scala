@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PorterStemmer
+
+/** Text-analysis operator pack over the `documents` table.
+  *
+  * Re-expresses the reference's caption→topics text chain (SURVEY.md §2.6:
+  * tokenize T3, normalize T4, stem T5, stopword-drop T6, word-frequency A1,
+  * top-k terms A4/T9, sentence split T2) and adds the training-data-pipeline
+  * text ops the engine generalizes to: language ID, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * Everything except stemming is pure builtin expressions (codegen'd,
+  * shuffle only at the aggregations), so plans scale linearly with input:
+  * per-document work is embarrassingly parallel, aggregations are hash
+  * aggs with map-side partial combine.
+  */
+object TextAnalytics extends graft.QueryPack {
+
+  /** Compact EN∪ES stopword set (reference merges English+Spanish lists,
+    * module/instagram/lda/index.js:23-28; we use a small representative
+    * union rather than the reference's 1,400-line verbatim lists). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for", "with",
+    "is", "are", "was", "be", "it", "this", "that", "as", "at", "by",
+    "from", "not", "no", "but", "if", "then", "than", "so", "too",
+    "el", "la", "los", "las", "un", "una", "y", "o", "de", "del", "que",
+    "en", "es", "por", "para", "con", "se", "su", "al", "lo", "como")
+
+  /** Marker words per language for the n-gram/marker language-ID heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "with", "fast", "slow"),
+    "es" -> Seq("el", "la", "de", "que", "es", "por", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "est", "pour", "une"),
+    "de" -> Seq("der", "die", "und", "ist", "mit", "ein", "nicht"))
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+  private def duckList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Tokens of lowercased, whitespace-split text (T3+T4 simplified to the
+    * testdata's already-clean text). */
+  private def tokens(c: Column): Column = split(lower(c), " ")
+
+  /** T6 keep-predicate applied to a token lambda variable. */
+  private def keepToken(t: Column): Column =
+    (length(t) > 1) && !t.startsWith("http") && !t.isInCollection(stopwords)
+
+  private val keepTokenSqlDuck: String =
+    s"length(t) > 1 AND NOT starts_with(t, 'http') AND t NOT IN ${sqlList(stopwords)}"
+
+  /** The stemmer as a scalar UDF (SURVEY.md §2.10; the only per-token
+    * black box — everything around it stays codegen'd). */
+  val stemUdf = udf((w: String) => PorterStemmer.stem(w))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1: corpus word-frequency (hash agg with partial combine).
+    "q_word_freq" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(100)
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish regex token count.
+    "q_token_stats" -> ((s, d) => {
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_re_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: stopword ratio, avg token length, length gate.
+    "q_quality_score" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+      val avgLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+      val stopRatio = nStop / nTok
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        stopRatio.as("stop_ratio"),
+        avgLen.as("avg_token_len"),
+        (when(size(toks).between(5, 2000), 1.0d).otherwise(0.5d) *
+          (lit(1.0d) - stopRatio)).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID: marker-word scoring, argmax with fixed tie order.
+    "q_lang_id" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      def score(lang: String): Column =
+        size(filter(toks, t => t.isInCollection(langMarkers(lang)))).cast("long")
+      val en = score("en"); val es = score("es"); val fr = score("fr"); val de = score("de")
+      Tables(s, d, "documents").select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("s_en"), es.as("s_es"), fr.as("s_fr"), de.as("s_de"),
+        when(en >= es && en >= fr && en >= de, "en")
+          .when(es >= fr && es >= de, "es")
+          .when(fr >= de, "fr").otherwise("de").as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: whole-doc hash + min word-5-gram shingle
+    // hash (rolling-hash-style content fingerprint).
+    "q_fingerprint" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nSh = greatest(size(toks) - 4, lit(1))
+      val shingles = transform(sequence(lit(1), nSh),
+        i => concat_ws(" ", slice(toks, i, lit(5))))
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("doc_hash"),
+        array_min(transform(shingles, sh => md5(sh))).as("min_shingle_hash"),
+        nSh.cast("long").as("n_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T6: stopword/short/url-token filtering.
+    "q_stopword_filter" -> ((s, d) => {
+      val kept = filter(tokens(col("text")), keepToken _)
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(kept).cast("long").as("n_kept"),
+        element_at(kept, 1).as("first_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T2: sentence splitting via regex extract-all.
+    "q_sentence_split" -> ((s, d) => {
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(concat(col("text"), lit(".")),
+          lit("[^.!?]+[.!?]+"), lit(0))).cast("long").as("n_sentences"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T9/A4: per-document top-3 terms with confidence = 100*tf (the
+    // reference's {confidence, name} topic-term shape, topics.js:37-47).
+    "q_tf_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(filter(tokens(col("text")), keepToken _)).as("term"))
+      val counts = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+      val wTotal = Window.partitionBy(col("doc_id"))
+      val wRank = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("term"))
+      counts
+        .withColumn("doc_total", sum(col("cnt")).over(wTotal))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term").as("name"),
+          (lit(100.0d) * col("cnt") / col("doc_total")).as("confidence"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // T5: Porter-stemmed corpus top-50 (no SQL oracle — custom stemmer;
+    // covered by PorterStemmerSpec unit tests instead).
+    "q_stem_topk" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(explode(filter(tokens(col("text")), keepToken _)).as("word"))
+        .select(stemUdf(col("word")).as("stem"))
+        .groupBy(col("stem")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("stem")).limit(50)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_word_freq" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, t -> t IN ${sqlList(stopwords)})) AS DOUBLE)
+         |    / len(toks) AS stop_ratio,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
+         |  (CASE WHEN len(toks) BETWEEN 5 AND 2000 THEN CAST(1.0 AS DOUBLE)
+         |        ELSE CAST(0.5 AS DOUBLE) END)
+         |    * (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(toks, t -> t IN ${sqlList(stopwords)})) AS DOUBLE)
+         |             / len(toks)) AS quality
+         |FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+         |      FROM documents) d
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang AS labeled_lang, s_en, s_es, s_fr, s_de,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+         |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang
+         |FROM (SELECT doc_id, lang,
+         |  CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("en"))})) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("es"))})) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("fr"))})) AS BIGINT) AS s_fr,
+         |  CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("de"))})) AS BIGINT) AS s_de
+         |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+         |        FROM documents) x) y
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS doc_hash,
+        |  list_min(list_transform(
+        |    list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+        |                   i -> array_to_string(toks[i:i+4], ' ')),
+        |    sh -> md5(sh))) AS min_shingle_hash,
+        |  CAST(greatest(len(toks) - 4, 1) AS BIGINT) AS n_shingles
+        |FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+        |      FROM documents) d
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_stopword_filter" ->
+      s"""SELECT doc_id,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  kept[1] AS first_kept
+         |FROM (SELECT doc_id,
+         |        list_filter(string_split(lower(text), ' '),
+         |                    t -> $keepTokenSqlDuck) AS kept
+         |      FROM documents) d
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sentence_split" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text || '.', '[^.!?]+[.!?]+')) AS BIGINT) AS n_sentences
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tf_topk" ->
+      s"""SELECT doc_id, rk, name, confidence FROM (
+         |  SELECT doc_id, term AS name,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, term) AS BIGINT) AS rk,
+         |    CAST(100 AS DOUBLE) * cnt / SUM(cnt) OVER (PARTITION BY doc_id) AS confidence
+         |  FROM (
+         |    SELECT doc_id, term, COUNT(*) AS cnt FROM (
+         |      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+         |                                        t -> $keepTokenSqlDuck)) AS term
+         |      FROM documents) x
+         |    GROUP BY doc_id, term) c) r
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+  )
+}
