@@ -16,7 +16,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.ingest(spark, "/root/testdata/sf0.001")
 
-  private val packs: Seq[QueryPack] = Seq(Relational, TextAnalytics)
+  private val packs: Seq[QueryPack] = Seq(Relational, TextAnalytics, Dedup, Similarity)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

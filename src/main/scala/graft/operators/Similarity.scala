@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *   - brute-force cosine top-k: the correctness baseline. Query side is
+  *     tiny → broadcast; the big side streams through one codegen'd
+  *     projection (no shuffle until the per-query top-k).
+  *   - hyperplane-LSH bucketed top-k: the scale path. 8 fixed random
+  *     hyperplanes → 256 buckets; candidate set = same-bucket rows, so
+  *     the cross product never materializes. At 100 TB the bucket id is
+  *     the shuffle/bucketing key and each query touches ~1/256 of data.
+  *   - embedding near-dup: all-pairs cosine ≥ threshold over a corpus
+  *     with derived perturbed copies (near-duplicate detection by
+  *     embedding, the "semantic dedup" op of training-data pipelines).
+  *
+  * All math is done in DOUBLE with a fixed evaluation order and results
+  * rounded to 9 decimals, so Spark and the DuckDB oracle agree bit-wise.
+  */
+object Similarity extends graft.QueryPack {
+
+  private val DIM = 64
+  private val N_PLANES = 8
+
+  /** Fixed ±1 hyperplane matrix (8×64), from java.util.Random(42) — the
+    * LCG sequence is specified by the JDK, so this is a stable constant;
+    * it is inlined as a literal into both the Spark and oracle SQL. */
+  val planes: Seq[Seq[Int]] = {
+    val rnd = new java.util.Random(42)
+    Seq.fill(N_PLANES)(Seq.fill(DIM)(if (rnd.nextBoolean()) 1 else -1))
+  }
+
+  private val planesSpark: String =
+    planes.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+  private val planesDuck: String =
+    planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** norm column (double, fixed left-to-right accumulation). */
+  private val normExpr =
+    s"sqrt(aggregate(sequence(1,$DIM), cast(0 as double), (acc, i) -> acc + cast(element_at(embedding, i) as double) * cast(element_at(embedding, i) as double)))"
+  private val normDuck =
+    s"sqrt(list_sum(list_transform(range(1,${DIM + 1}), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+
+  private def dotExpr(a: String, b: String) =
+    s"aggregate(sequence(1,$DIM), cast(0 as double), (acc, i) -> acc + cast(element_at($a, i) as double) * cast(element_at($b, i) as double))"
+  private def dotDuck(a: String, b: String) =
+    s"list_sum(list_transform(range(1,${DIM + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** 8-bit hyperplane bucket signature as a '0'/'1' string. */
+  private val bucketExpr =
+    s"""array_join(transform(sequence(1,$N_PLANES), j ->
+       |  CASE WHEN aggregate(sequence(1,$DIM), cast(0 as double), (acc, i) ->
+       |    acc + element_at(element_at($planesSpark, j), i) * cast(element_at(embedding, i) as double)) >= 0
+       |  THEN '1' ELSE '0' END), '')""".stripMargin
+  private val bucketDuck =
+    s"""array_to_string(list_transform(range(1,${N_PLANES + 1}), j ->
+       |  CASE WHEN list_sum(list_transform(range(1,${DIM + 1}), i ->
+       |    ($planesDuck)[j][i] * CAST(embedding[i] AS DOUBLE))) >= 0
+       |  THEN '1' ELSE '0' END), '')""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force cosine top-5 for 10 query vectors (baseline).
+    "q_ann_bruteforce" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, d, "embeddings").withColumn("nrm", expr(normExpr))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nnrm"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      cand.join(broadcast(q), col("qid") =!= col("nid"))
+        .withColumn("sim", round(expr(dotExpr("qv", "nv")) / (col("qnrm") * col("nnrm")), 9))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"), col("sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Hyperplane-LSH bucketed top-3 (scale path: join on bucket key).
+    "q_ann_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, d, "embeddings")
+        .withColumn("nrm", expr(normExpr))
+        .withColumn("bucket", expr(bucketExpr))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), col("bucket"))
+      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("nrm").as("nnrm"), col("bucket"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      cand.join(broadcast(q), Seq("bucket"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("sim", round(expr(dotExpr("qv", "nv")) / (col("qnrm") * col("nnrm")), 9))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("bucket"), col("rk"), col("nid"), col("sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Embedding-cosine near-dup over corpus ∪ perturbed copies.
+    "q_neardup_embedding" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val perturbed = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), expr(
+          s"""transform(sequence(1,$DIM), i ->
+             |  cast(element_at(embedding, i) as double) +
+             |  CASE WHEN i = 1 THEN cast(0.01 as double) ELSE cast(0 as double) END)""".stripMargin)
+          .as("embedding"))
+      val corpus = e.select(col("vec_id"), expr(
+        s"transform(sequence(1,$DIM), i -> cast(element_at(embedding, i) as double))")
+        .as("embedding"))
+        .unionByName(perturbed)
+        .withColumn("nrm", expr(normExpr))
+      val l = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+      val r = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+      l.crossJoin(r).filter(col("id_a") < col("id_b"))
+        .withColumn("sim", round(expr(dotExpr("va", "vb")) / (col("na") * col("nb")), 9))
+        .filter(col("sim") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+         |sims AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    round(${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 9) AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |SELECT qid, rk, nid, sim FROM (
+         |  SELECT qid, nid, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rk
+         |  FROM sims) t
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm,
+         |             $bucketDuck AS bucket
+         |           FROM embeddings),
+         |sims AS (
+         |  SELECT q.vec_id AS qid, q.bucket, c.vec_id AS nid,
+         |    round(${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 9) AS sim
+         |  FROM e q JOIN e c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |SELECT qid, bucket, rk, nid, sim FROM (
+         |  SELECT qid, bucket, nid, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rk
+         |  FROM sims) t
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    "q_neardup_embedding" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1,${DIM + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_transform(range(1,${DIM + 1}), i ->
+         |      CAST(embedding[i] AS DOUBLE) +
+         |      CASE WHEN i = 1 THEN CAST(0.01 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM corpus)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 9) AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 9) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}
