@@ -16,7 +16,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.ingest(spark, "/root/testdata/sf0.001")
 
-  private val packs: Seq[QueryPack] = Seq(Relational, TextAnalytics, Dedup, Similarity)
+  private val packs: Seq[QueryPack] =
+    Seq(Relational, TextAnalytics, Dedup, Similarity, Multimodal, Topics)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column operators (reference: image→Rekognition labels,
+  * module/instagram/labels.js:51-80 = SURVEY.md M1/M2; generalized to the
+  * opaque-binary-column pattern of training-data pipelines).
+  *
+  * Media is carried as an opaque `binary` column plus typed metadata.
+  * Decode / feature-extraction runs executor-side via `mapPartitions`
+  * over a typed Dataset in fixed-size batches — the exact plumbing a real
+  * decoder (image lib / model runtime) plugs into. The decode kernel
+  * itself is a STUB: the container has no image/audio libraries, so
+  * `decodeStub` computes deterministic fake features from the bytes
+  * (documented below) instead of a real JPEG parse. The schema,
+  * batching, partitioning and typed I/O are real and oracle-checked.
+  *
+  * Scale notes: binary payloads never pass through a shuffle here — the
+  * decode is a narrow map; only the small feature rows move on. Batch
+  * size 64 bounds per-task peak memory regardless of partition size.
+  */
+object Multimodal extends graft.QueryPack {
+
+  case class MediaRow(doc_id: Long, content: Array[Byte])
+  case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, magic: String,
+      fake_width: Long, fake_height: Long, frame_sum: Long)
+
+  /** STUB decoder — stands in for image decode / feature extraction.
+    * Deterministic fake: "header" fields from leading byte values and a
+    * every-16th-byte "frame sample" checksum. A real deployment replaces
+    * only this function; the Spark plumbing around it is unchanged. */
+  def decodeStub(m: MediaRow): MediaFeatures = {
+    val b = m.content
+    def at(i: Int): Long = if (i < b.length) b(i) & 0xffL else 0L
+    val frameSum = b.indices.by(16).map(i => b(i) & 0xffL).sum
+    MediaFeatures(
+      doc_id = m.doc_id,
+      n_bytes = b.length.toLong,
+      magic = new String(b.take(2), "UTF-8"),
+      fake_width = at(0) * 256 + at(1),
+      fake_height = at(2) * 256 + at(3),
+      frame_sum = frameSum)
+  }
+
+  /** Executor-side batched decode: partitions stream through in batches
+    * of 64 rows (the batch shape a vectorized decoder / model server
+    * call would use). */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.grouped(64).flatMap(_.map(decodeStub)))
+      .toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary media column → typed features via mapPartitions batches.
+    "q_multimodal_features" -> ((s, d) => {
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      extractFeatures(s, media)
+        .select(col("doc_id"), col("n_bytes"), col("magic"),
+          col("fake_width"), col("fake_height"), col("frame_sum"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // documents.text is ASCII, so byte values == ascii codes and the stub
+  // features are exactly expressible in SQL for the oracle.
+  def oracles: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  substring(text, 1, 2) AS magic,
+        |  CAST(ascii(substring(text, 1, 1)) * 256 + ascii(substring(text, 2, 1)) AS BIGINT) AS fake_width,
+        |  CAST(ascii(substring(text, 3, 1)) * 256 + ascii(substring(text, 4, 1)) AS BIGINT) AS fake_height,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1, 16),
+        |       i -> ascii(substring(text, i, 1)))) AS BIGINT) AS frame_sum
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

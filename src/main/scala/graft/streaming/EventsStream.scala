@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Relational
+
+/** Structured Streaming slice (SURVEY.md §2.9): the reference is a
+  * scheduled micro-batch incremental pipeline (cron → scrape → existence
+  * probe → upsert, main.js:35-51), which maps 1:1 onto Structured
+  * Streaming: trigger → source → dropDuplicates/anti-join state → merge
+  * sink. The reference has no event time; we generalize to event-time
+  * tumbling windows + watermark over the `events` table (the declared
+  * approach in BASELINE.json).
+  *
+  * Scale notes: watermark bounds the dedup/agg state (the reference's
+  * state is its whole database — unbounded); `foreachBatch` + MERGE
+  * gives exactly-once upsert semantics on any table format.
+  */
+object EventsStream {
+
+  /** Raw parquet schema of events (ts stored as INT64 nanos). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Replay the events table as a file micro-batch stream, normalized to
+    * the same shape as the batch `Tables(_, _, "events")`. */
+  def replay(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Event-time tumbling-window aggregation with a 2h watermark —
+    * streaming twin of Relational's q_window_time. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** ST5: streaming keyed dedup with watermark-bounded state (the
+    * reference's `Post.findOne({id})` existence probe, set-wise). */
+  def dedupByKey(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+
+  /** K1 as a streaming sink: exactly-once MERGE upsert per micro-batch
+    * into a parquet target (anti-join ∪ updates, then atomic swap). */
+  def mergeIntoParquet(spark: SparkSession, target: String, key: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val fs = new java.io.File(target)
+    val merged =
+      if (fs.exists()) Relational.merge(spark.read.parquet(target), batch, key)
+      else batch
+    val tmp = target + s"_tmp_$batchId"
+    merged.write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap (single-process test harness; a table format's
+    // transactional MERGE replaces this at cluster scale)
+    val old = new java.io.File(target)
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(delete)
+      f.delete()
+    }
+    if (old.exists()) delete(old)
+    new java.io.File(tmp).renameTo(old)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming windowed agg equals batch result (replay of events)") {
+    import spark.implicits._
+    val out = EventsStream.windowedAgg(EventsStream.replay(spark, TestSpark.sf))
+    val q = out.writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("winagg")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Relational
+      .queries("q_window_time")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming dropDuplicates removes cross-batch duplicate keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val df = ms.toDF().toDF("event_id", "ts", "value")
+    val q = EventsStream.dedupByKey(df)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    ms.addData((1L, t0, 1.0), (2L, t0, 2.0))
+    q.processAllAvailable()
+    ms.addData((1L, t0, 99.0), (3L, t0, 3.0)) // 1 is a duplicate key
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dedup").select("event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))) // first wins, no dup
+  }
+
+  test("foreachBatch merge sink upserts last-writer-wins per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "v").writeStream
+      .foreachBatch(EventsStream.mergeIntoParquet(spark, target, "id") _)
+      .outputMode("update").start()
+    ms.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+    ms.addData((1L, "a2"), (3L, "c")); q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(target).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+  }
+}
