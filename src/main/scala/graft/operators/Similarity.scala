@@ -38,41 +38,47 @@ object Similarity extends graft.QueryPack {
   private val planesDuck: String =
     planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
-  /** norm column (double, fixed left-to-right accumulation). */
-  private val normExpr =
-    s"sqrt(aggregate(sequence(1,$DIM), cast(0 as double), (acc, i) -> acc + cast(element_at(embedding, i) as double) * cast(element_at(embedding, i) as double)))"
+  /** Spark side uses the native codegen'd DotProduct expression
+    * (graft.plans.VectorExpressions) — a tight fused loop instead of
+    * interpreted higher-order functions; the DuckDB oracle mirrors the
+    * identical left-to-right double accumulation. */
+  private def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.dot(a, b)
+  private def norm(a: Column): Column = graft.plans.VectorExpressions.norm(a)
+
   private val normDuck =
     s"sqrt(list_sum(list_transform(range(1,${DIM + 1}), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
-
-  private def dotExpr(a: String, b: String) =
-    s"aggregate(sequence(1,$DIM), cast(0 as double), (acc, i) -> acc + cast(element_at($a, i) as double) * cast(element_at($b, i) as double))"
   private def dotDuck(a: String, b: String) =
     s"list_sum(list_transform(range(1,${DIM + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  /** 8-bit hyperplane bucket signature as a '0'/'1' string. */
-  private val bucketExpr =
-    s"""array_join(transform(sequence(1,$N_PLANES), j ->
-       |  CASE WHEN aggregate(sequence(1,$DIM), cast(0 as double), (acc, i) ->
-       |    acc + element_at(element_at($planesSpark, j), i) * cast(element_at(embedding, i) as double)) >= 0
-       |  THEN '1' ELSE '0' END), '')""".stripMargin
+  /** 8-bit hyperplane bucket: sign of dot with each fixed plane. Planes
+    * are Literal arrays (no per-row construction). */
+  private def bucketCol(emb: Column): Column =
+    concat(planes.map(p =>
+      when(dot(emb, typedlit(p.map(_.toDouble))) >= 0, "1").otherwise("0")): _*)
   private val bucketDuck =
     s"""array_to_string(list_transform(range(1,${N_PLANES + 1}), j ->
        |  CASE WHEN list_sum(list_transform(range(1,${DIM + 1}), i ->
        |    ($planesDuck)[j][i] * CAST(embedding[i] AS DOUBLE))) >= 0
        |  THEN '1' ELSE '0' END), '')""".stripMargin
 
+  /** embeddings with vectors widened to array<double> + precomputed norm. */
+  private def loadEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-5 for 10 query vectors (baseline).
     "q_ann_bruteforce" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables(s, d, "embeddings").withColumn("nrm", expr(normExpr))
+      val e = loadEmbeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
       val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nnrm"))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
       cand.join(broadcast(q), col("qid") =!= col("nid"))
-        .withColumn("sim", round(expr(dotExpr("qv", "nv")) / (col("qnrm") * col("nnrm")), 9))
+        .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
         .select(col("qid"), col("rk"), col("nid"), col("sim"))
@@ -82,9 +88,7 @@ object Similarity extends graft.QueryPack {
     // Hyperplane-LSH bucketed top-3 (scale path: join on bucket key).
     "q_ann_lsh" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables(s, d, "embeddings")
-        .withColumn("nrm", expr(normExpr))
-        .withColumn("bucket", expr(bucketExpr))
+      val e = loadEmbeddings(s, d).withColumn("bucket", bucketCol(col("embedding")))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("nrm").as("qnrm"), col("bucket"))
@@ -93,7 +97,7 @@ object Similarity extends graft.QueryPack {
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
       cand.join(broadcast(q), Seq("bucket"))
         .filter(col("qid") =!= col("nid"))
-        .withColumn("sim", round(expr(dotExpr("qv", "nv")) / (col("qnrm") * col("nnrm")), 9))
+        .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("bucket"), col("rk"), col("nid"), col("sim"))
@@ -109,15 +113,14 @@ object Similarity extends graft.QueryPack {
              |  cast(element_at(embedding, i) as double) +
              |  CASE WHEN i = 1 THEN cast(0.01 as double) ELSE cast(0 as double) END)""".stripMargin)
           .as("embedding"))
-      val corpus = e.select(col("vec_id"), expr(
-        s"transform(sequence(1,$DIM), i -> cast(element_at(embedding, i) as double))")
-        .as("embedding"))
+      val corpus = e
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
         .unionByName(perturbed)
-        .withColumn("nrm", expr(normExpr))
+        .withColumn("nrm", norm(col("embedding")))
       val l = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
       val r = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
       l.crossJoin(r).filter(col("id_a") < col("id_b"))
-        .withColumn("sim", round(expr(dotExpr("va", "vb")) / (col("na") * col("nb")), 9))
+        .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9))
         .filter(col("sim") >= 0.9)
         .select(col("id_a"), col("id_b"), col("sim"))
         .orderBy(col("id_a"), col("id_b"))

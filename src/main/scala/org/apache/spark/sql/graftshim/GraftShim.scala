@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to `private[sql]` Column↔Expression converters, so the
+  * engine's native Catalyst expressions (graft.plans) can be used from
+  * the public DataFrame API. This is the same access pattern Spark
+  * connector/extension libraries use; nothing here depends on
+  * implementation details beyond the two stable converters.
+  */
+object GraftShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
