@@ -16,11 +16,11 @@ object Bench {
     // one tiny job to absorb session/codegen/committer init so per-query
     // timings measure the queries, not JVM warm-up
     spark.range(1000000).selectExpr("sum(id)").collect()
-    var sinceGc = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s ${dt}%8.2f s  threads=${Thread.activeCount()}  heapMB=${(Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()) / 1024 / 1024}")
       // housekeeping between queries (outside the timers): drop any
       // persisted RDDs/caches a query left behind and give the
       // ContextCleaner a GC so accumulated broadcast/shuffle state is
@@ -29,8 +29,12 @@ object Bench {
       // magnitude (observed at sf0.1).
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      sinceGc += 1
-      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
+      // GC after EVERY query: the ContextCleaner only releases broadcast/
+      // shuffle state when references are collected, and letting it defer
+      // across many queries dumps thousands of blocking block-removal RPCs
+      // into whichever query runs next (observed as 10-30x stalls). Doing
+      // it here keeps cleanup in the untimed gaps.
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.plans.DotProduct
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql("... graft_dot(a, b) ...")`
+  * works in any session created with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      GraftExtensions.dotInfo,
+      GraftExtensions.dotBuilder))
+  }
+}
+
+object GraftExtensions {
+  private[graft] val dotInfo =
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
+  private[graft] val dotBuilder: Seq[Expression] => Expression =
+    children => DotProduct(children(0), children(1))
+
+  /** Same registration for an already-running session (extensions only
+    * apply at construction time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftshim.GraftShim.registerFunction(
+      spark, "graft_dot", dotInfo, dotBuilder)
+}

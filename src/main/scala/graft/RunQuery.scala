@@ -23,6 +23,7 @@ object RunQuery {
     name.split(",").foreach { nm =>
       val fn = SparkEntry.queries(nm)
       if (doExplain) fn(spark, sfDir).explain("formatted")
+      if (args.contains("show")) fn(spark, sfDir).show(5, false)
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()

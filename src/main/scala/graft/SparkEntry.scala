@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.ingest(spark, "/root/testdata/sf0.001")
 
   private val packs: Seq[QueryPack] =
-    Seq(Relational, TextAnalytics, Dedup, Similarity, Multimodal, Topics)
+    Seq(Relational, TextAnalytics, Dedup, Similarity, Multimodal, Topics,
+      Scalars, Analytic)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Analytic-window / OLAP operator pack — the query surface a user of
+  * the stored collections needs (SURVEY.md §2.5 notes the reference
+  * stores pre-aggregated metrics; computing them is our layer):
+  * lag/lead deltas, gap-based sessionization, ROLLUP hierarchies,
+  * exact order-statistics, nested array build/flatten (P2/P5 shapes),
+  * and the K1 upsert with Mongoose-timestamps semantics (preserve
+  * createdAt, refresh updatedAt — SURVEY.md §7.4).
+  */
+object Analytic extends graft.QueryPack {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // lag/delta + bounded moving sum per user over event time.
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wFrame = w.rowsBetween(-2, 0)
+      Tables(s, d, "events")
+        .withColumn("prev", lag(dec(col("value")), 1).over(w))
+        .select(
+          col("event_id"), col("user_id"),
+          (dec(col("value")) - coalesce(col("prev"), dec(lit(0))))
+            .cast("double").as("delta"),
+          sum(dec(col("value"))).over(wFrame).cast("double").as("moving_sum3"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Gap-based sessionization: new session when >30 min since the
+    // previous event; session id = running count of session starts.
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val newSession = when(
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
+          .over(w) > 30L * 60 * 1000000, 1L)
+        .otherwise(when(lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      Tables(s, d, "events")
+        .withColumn("new_s", newSession)
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ROLLUP hierarchy: revenue by region → nation → grand total.
+    "q_rollup" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem"); val o = Tables(s, d, "orders")
+      val c = Tables(s, d, "customer"); val n = Tables(s, d, "nation")
+      val r = Tables(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // Exact order statistics + variance from exact decimal sums (no
+    // order-dependent floating aggregation anywhere).
+    "q_stats_exact" -> ((s, d) => {
+      val v = dec(col("value"))
+      val sq = (col("value") * col("value")).cast(DecimalType(20, 4))
+      Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"),
+          sum(v).cast("double").as("vsum"),
+          (sum(v).cast("double") / count(lit(1))).as("vavg"),
+          ((sum(sq).cast("double") -
+            sum(v).cast("double") * sum(v).cast("double") / count(lit(1))) /
+            (count(lit(1)) - 1)).as("vvar"),
+          expr("percentile(value, 0.5)").as("vmedian"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Nested array-of-struct build (collect + sort) then flatten with
+    // position — the P2/P5 explode/flatten shape, both directions.
+    "q_nested_explode" -> ((s, d) => {
+      val items = Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").cast("long").as("ln"),
+          col("l_quantity").as("qty")))).as("items"))
+      items.select(col("l_orderkey"), posexplode(col("items")).as(Seq("pos", "item")))
+        .select(col("l_orderkey"), (col("pos") + 1).cast("long").as("pos"),
+          col("item.ln").as("ln"), col("item.qty").as("qty"))
+        .orderBy(col("l_orderkey"), col("pos"))
+    }),
+
+    // K1 with Mongoose-timestamps semantics: updates overwrite all
+    // projected columns and refresh updated_us, but createdAt survives
+    // from the target (SURVEY.md §7.4 "findOneAndUpdate is last-writer-
+    // wins ... except createdAt").
+    "q_merge_timestamps" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      // o_orderdate is TIMESTAMP_NTZ from parquet; unix_micros wants an
+      // instant — cast under the UTC session, matching epoch_us(naive).
+      val od = col("o_orderdate").cast("timestamp")
+      val target = o.select(col("o_orderkey"), col("o_orderstatus"),
+        unix_micros(od).as("created_us"),
+        unix_micros(od).as("updated_us"))
+      val updates = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          unix_micros(od + expr("INTERVAL 1 DAY")).as("updated_us"))
+      target.join(broadcast(updates.withColumnRenamed("o_orderstatus", "u_status")
+          .withColumnRenamed("updated_us", "u_updated")),
+          Seq("o_orderkey"), "left_outer")
+        .select(
+          col("o_orderkey"),
+          coalesce(col("u_status"), col("o_orderstatus")).as("o_orderstatus"),
+          col("created_us"),
+          coalesce(col("u_updated"), col("updated_us")).as("updated_us"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        |  CAST(CAST(value AS DECIMAL(12,2)) -
+        |       COALESCE(LAG(CAST(value AS DECIMAL(12,2))) OVER w, CAST(0 AS DECIMAL(12,2)))
+        |       AS DOUBLE) AS delta,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2)))
+        |       OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30 * 60 * 1000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_stats_exact" ->
+      """SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS vavg,
+        |  (CAST(SUM(CAST(value * value AS DECIMAL(20,4))) AS DOUBLE) -
+        |   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) *
+        |   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) /
+        |  (COUNT(*) - 1) AS vvar,
+        |  quantile_cont(value, 0.5) AS vmedian
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_nested_explode" ->
+      """WITH items AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list({'ln': CAST(l_linenumber AS BIGINT), 'qty': l_quantity})) AS items
+        |  FROM lineitem WHERE l_orderkey % 100 = 0
+        |  GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(generate_subscripts(items, 1) AS BIGINT) AS pos,
+        |  unnest(items).ln AS ln,
+        |  unnest(items).qty AS qty
+        |FROM items
+        |ORDER BY l_orderkey, pos""".stripMargin,
+
+    "q_merge_timestamps" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    epoch_us(o_orderdate) AS created_us, epoch_us(o_orderdate) AS updated_us
+        |  FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, 'U' AS u_status,
+        |    epoch_us(o_orderdate + INTERVAL 1 DAY) AS u_updated
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |SELECT t.o_orderkey,
+        |  COALESCE(u.u_status, t.o_orderstatus) AS o_orderstatus,
+        |  t.created_us,
+        |  COALESCE(u.u_updated, t.updated_us) AS updated_us
+        |FROM target t LEFT JOIN updates u ON t.o_orderkey = u.o_orderkey
+        |ORDER BY t.o_orderkey""".stripMargin
+  )
+}

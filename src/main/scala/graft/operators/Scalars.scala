@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Scalar-function surface (SURVEY.md §2.7) + the semi-structured
+  * ingestion patterns (S2/S6, §1.4): string/date/math builtins, URL
+  * parsing, haversine geo distance (P6's GeoJSON point, §7.3), HTML
+  * field extraction by regex (the reference's CSS-selector scans made
+  * declarative), and the two-dialect embedded-JSON dispatch
+  * (posts-from-hashtags.js:121-122 — `graphql` vs `data` shapes of the
+  * same logical record, unified with from_json + coalesce).
+  */
+object Scalars extends graft.QueryPack {
+
+  /** Dialect-A/B JSON payloads derived deterministically from orders —
+    * same construction in the oracle, so parsing is fully checked. */
+  private def jsonPayload = concat(
+    when(col("o_orderkey") % 2 === 0,
+      concat(lit("""{"graphql":{"post":{"id":"p"""), col("o_orderkey"),
+        lit("\",\"like_count\":"), col("o_custkey"), lit("}}}")))
+      .otherwise(
+        concat(lit("""{"data":{"media":{"pk":"p"""), col("o_orderkey"),
+          lit("\",\"likes\":"), col("o_custkey"), lit("}}}"))))
+
+  private val schemaA = StructType(Seq(StructField("graphql", StructType(Seq(
+    StructField("post", StructType(Seq(
+      StructField("id", StringType), StructField("like_count", LongType)))))))))
+  private val schemaB = StructType(Seq(StructField("data", StructType(Seq(
+    StructField("media", StructType(Seq(
+      StructField("pk", StringType), StructField("likes", LongType)))))))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.7 string/date/number builtins in one projection.
+    "q_scalar_funcs" -> ((s, d) => {
+      Tables(s, d, "orders").select(
+        col("o_orderkey"),
+        concat(lit("ORD-"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("order_code"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("prio_rank"),
+        replace(col("o_orderpriority"), lit("-"), lit("_")).as("prio_snake"),
+        upper(col("o_orderstatus")).as("status_u"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        datediff(col("o_orderdate"), lit("2020-01-01").cast("date")).cast("long").as("days_since"),
+        (col("o_orderkey") % 7).as("mod7"),
+        pow(lit(2), col("o_orderkey") % 10).as("pow2"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("floor_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // URL construction + parsing (S4's url building, parse_url).
+    "q_url_extract" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .withColumn("url", concat(lit("https://posts.example.com/p/"),
+          col("o_orderkey"), lit("?src="), lower(col("o_orderstatus"))))
+        .select(
+          col("o_orderkey"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("src")).as("src_param"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Haversine distance from a derived GeoJSON-style point to a fixed
+    // point (reference stores gps [lng, lat], models.js:21-24; it never
+    // queries geo, so the distance op is our generalization).
+    "q_geo_haversine" -> ((s, d) => {
+      val lat = (col("c_custkey") % 170).cast("double") - 85.0
+      val lng = (col("c_custkey") % 350).cast("double") - 175.0
+      val lat0 = radians(lit(19.4326)); val lng0 = radians(lit(-99.1332))
+      val rlat = radians(lat); val rlng = radians(lng)
+      val a = pow(sin((rlat - lat0) / 2), 2) +
+        cos(lat0) * cos(rlat) * pow(sin((rlng - lng0) / 2), 2)
+      val dist = lit(2 * 6371.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+      Tables(s, d, "customer").select(
+        col("c_custkey"), lat.as("lat"), lng.as("lng"),
+        round(dist, 6).as("dist_km"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // HTML field extraction via regex (S6/P8: .news--box scan + relative
+    // image URL absolutization, news/elimparcial.js:11-47).
+    "q_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("""<div class="news--box"><a title=""""), col("c_name"),
+        lit("""" href="/n/"""), col("c_custkey"), lit(""""><img src=""""),
+        when(col("c_custkey") % 2 === 0, lit("https://cdn.example.com/i.jpg"))
+          .otherwise(lit("/static/i.jpg")),
+        lit(""""></a></div>"""))
+      Tables(s, d, "customer")
+        .withColumn("html", html)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("html"), "title=\"([^\"]*)\"", 1).as("title"),
+          regexp_extract(col("html"), "href=\"([^\"]*)\"", 1).as("href"),
+          when(regexp_extract(col("html"), "src=\"([^\"]*)\"", 1).startsWith("http"),
+            regexp_extract(col("html"), "src=\"([^\"]*)\"", 1))
+            .otherwise(concat(lit("https://news.example.com"),
+              regexp_extract(col("html"), "src=\"([^\"]*)\"", 1))).as("image_abs"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Two-dialect embedded-JSON dispatch: from_json with both schemas,
+    // coalesce the projections (S2, §1.4).
+    "q_json_dialect" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .withColumn("js", jsonPayload)
+        .withColumn("a", from_json(col("js"), schemaA))
+        .withColumn("b", from_json(col("js"), schemaB))
+        .select(
+          col("o_orderkey"),
+          coalesce(col("a.graphql.post.id"), col("b.data.media.pk")).as("post_id"),
+          coalesce(col("a.graphql.post.like_count"), col("b.data.media.likes")).as("likes"),
+          when(col("a.graphql").isNotNull, "graphql").otherwise("data").as("dialect"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  'ORD-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS order_code,
+        |  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_rank,
+        |  replace(o_orderpriority, '-', '_') AS prio_snake,
+        |  upper(o_orderstatus) AS status_u,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(datediff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |  o_orderkey % 7 AS mod7,
+        |  pow(2, o_orderkey % 10) AS pow2,
+        |  greatest(o_totalprice, 50000.0) AS floor_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_url_extract" ->
+      """SELECT o_orderkey,
+        |  'https://posts.example.com/p/' || o_orderkey || '?src=' || lower(o_orderstatus) AS url,
+        |  'posts.example.com' AS host,
+        |  '/p/' || o_orderkey AS path,
+        |  lower(o_orderstatus) AS src_param
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_geo_haversine" ->
+      """SELECT c_custkey,
+        |  CAST(c_custkey % 170 AS DOUBLE) - 85.0 AS lat,
+        |  CAST(c_custkey % 350 AS DOUBLE) - 175.0 AS lng,
+        |  round(2 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)), 6) AS dist_km
+        |FROM (
+        |  SELECT c_custkey,
+        |    pow(sin((radians(CAST(c_custkey % 170 AS DOUBLE) - 85.0) - radians(19.4326)) / 2), 2) +
+        |    cos(radians(19.4326)) * cos(radians(CAST(c_custkey % 170 AS DOUBLE) - 85.0)) *
+        |    pow(sin((radians(CAST(c_custkey % 350 AS DOUBLE) - 175.0) - radians(-99.1332)) / 2), 2) AS a
+        |  FROM customer) t
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT c_custkey,
+        |    '<div class="news--box"><a title="' || c_name || '" href="/n/' || c_custkey ||
+        |    '"><img src="' ||
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'https://cdn.example.com/i.jpg'
+        |         ELSE '/static/i.jpg' END || '"></a></div>' AS html
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_extract(html, 'title="([^"]*)"', 1) AS title,
+        |  regexp_extract(html, 'href="([^"]*)"', 1) AS href,
+        |  CASE WHEN starts_with(regexp_extract(html, 'src="([^"]*)"', 1), 'http')
+        |       THEN regexp_extract(html, 'src="([^"]*)"', 1)
+        |       ELSE 'https://news.example.com' || regexp_extract(html, 'src="([^"]*)"', 1)
+        |  END AS image_abs
+        |FROM h ORDER BY c_custkey""".stripMargin,
+
+    "q_json_dialect" ->
+      """WITH j AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 2 = 0
+        |      THEN '{"graphql":{"post":{"id":"p' || o_orderkey || '","like_count":' || o_custkey || '}}}'
+        |      ELSE '{"data":{"media":{"pk":"p' || o_orderkey || '","likes":' || o_custkey || '}}}'
+        |    END AS js
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  COALESCE(json_extract_string(js, '$.graphql.post.id'),
+        |           json_extract_string(js, '$.data.media.pk')) AS post_id,
+        |  COALESCE(CAST(json_extract_string(js, '$.graphql.post.like_count') AS BIGINT),
+        |           CAST(json_extract_string(js, '$.data.media.likes') AS BIGINT)) AS likes,
+        |  CASE WHEN json_extract(js, '$.graphql') IS NOT NULL THEN 'graphql' ELSE 'data' END AS dialect
+        |FROM j ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -52,6 +52,33 @@ object EventsStream {
   def dedupByKey(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
+  /** Session state for gap-based sessionization (mapGroupsWithState). */
+  case class SessionState(sessionId: Long, lastTs: Long)
+  case class SessionEvent(user_id: Long, ts_us: Long)
+  case class SessionAssignment(user_id: Long, ts_us: Long, session_id: Long)
+
+  /** Custom keyed state: assign a session id per (user, 30-min gap) —
+    * arbitrary stateful processing via flatMapGroupsWithState
+    * (SURVEY.md §2.9 generalization; the reference's only state is "the
+    * database"). State survives micro-batches: a user's session numbering
+    * continues where the previous batch left off. Within a batch, events
+    * are processed in event-time order. */
+  def sessionizeGroup(
+      key: Long,
+      events: Iterator[SessionEvent],
+      state: org.apache.spark.sql.streaming.GroupState[SessionState])
+      : Iterator[SessionAssignment] = {
+    val GAP_US = 30L * 60 * 1000000
+    var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+    val out = events.toSeq.sortBy(e => (e.ts_us, e.user_id)).map { e =>
+      val fresh = st.lastTs == Long.MinValue || e.ts_us - st.lastTs > GAP_US
+      st = SessionState(if (fresh) st.sessionId + 1 else st.sessionId, e.ts_us)
+      SessionAssignment(e.user_id, e.ts_us, st.sessionId)
+    }
+    state.update(st)
+    out.iterator
+  }
+
   /** K1 as a streaming sink: exactly-once MERGE upsert per micro-batch
     * into a parquet target (anti-join ∪ updates, then atomic swap). */
   def mergeIntoParquet(spark: SparkSession, target: String, key: String)(

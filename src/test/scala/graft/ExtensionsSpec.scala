@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("graft_dot is callable from SQL after registration") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("graft_dot matches the interpreted HOF result on real embeddings") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val both = e.select(
+      graft.plans.VectorExpressions.dot(col("v"), col("v")).as("native"),
+      expr("aggregate(sequence(1, size(v)), cast(0 as double), (acc, i) -> acc + element_at(v, i) * element_at(v, i))").as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** Physical-plan assertions (SURVEY.md §4): the optimizations we rely on
+  * must actually appear in the executed plan — filters pushed to the
+  * parquet scan, columns pruned, small dims broadcast. These are the
+  * properties that keep the plans viable at 1000× the data. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def executedPlan(name: String): String =
+    Relational.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  test("ingest slice: status filter is pushed to the orders parquet scan") {
+    val plan = executedPlan("q_ingest_dedup")
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(o_orderstatus,F)"), plan.take(2000))
+  }
+
+  test("ingest slice: supplier dim joins as broadcast, dedup as anti-join") {
+    val plan = executedPlan("q_ingest_dedup")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("LeftAnti"))
+  }
+
+  test("column pruning: q1_agg scans only the aggregation columns") {
+    val plan = executedPlan("q1_agg")
+    val schemaLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schemaLine.contains("l_returnflag") && schemaLine.contains("l_quantity"))
+    assert(!schemaLine.contains("l_shipdate") && !schemaLine.contains("l_partkey"),
+      schemaLine)
+  }
+
+  test("multi-way enrichment: all three dims broadcast") {
+    val plan = executedPlan("q_inner_enrich")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(3000))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val plan = executedPlan("q_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+}
