@@ -103,6 +103,24 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("l_orderkey"), col("pos"))
     }),
 
+    // Skew-resistant two-phase aggregation: salt the hot key space,
+    // partial-aggregate per (key, salt), then combine per key. Result is
+    // provably identical to the direct groupBy (the oracle IS the direct
+    // form) because partials are exact decimals. At 100 TB this is the
+    // rewrite for skewed grouping keys; AQE handles skewed JOINS, but
+    // grouping skew needs the salt.
+    "q_salted_agg" -> ((s, d) => {
+      val partial = Tables(s, d, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("user_id"), col("salt"))
+        .agg(sum(dec(col("value"))).as("psum"), count(lit(1)).as("pn"))
+      partial
+        .groupBy(col("user_id"))
+        .agg(sum(col("psum")).cast("double").as("total"),
+          sum(col("pn")).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
     // K1 with Mongoose-timestamps semantics: updates overwrite all
     // projected columns and refresh updated_us, but createdAt survives
     // from the target (SURVEY.md §7.4 "findOneAndUpdate is last-writer-
@@ -196,6 +214,12 @@ object Analytic extends graft.QueryPack {
         |  unnest(items).qty AS qty
         |FROM items
         |ORDER BY l_orderkey, pos""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_merge_timestamps" ->
       """WITH target AS (
