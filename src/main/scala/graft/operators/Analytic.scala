@@ -103,6 +103,18 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("l_orderkey"), col("pos"))
     }),
 
+    // Exact distinct counting (the training-pipeline "how many unique
+    // users/documents" op). approx_count_distinct (HLL) is the scale
+    // path — compared against this exact form in ApproxSpec (sketch
+    // implementations differ across engines, so no SQL oracle for it).
+    "q_count_distinct" -> ((s, d) => {
+      Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("uniq_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // Skew-resistant two-phase aggregation: salt the hot key space,
     // partial-aggregate per (key, salt), then combine per key. Result is
     // provably identical to the direct groupBy (the oracle IS the direct
@@ -214,6 +226,10 @@ object Analytic extends graft.QueryPack {
         |  unnest(items).qty AS qty
         |FROM items
         |ORDER BY l_orderkey, pos""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT user_id,
