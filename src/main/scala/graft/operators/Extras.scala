@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Set operations, reshaping and temporal-join surface — operators the
+  * reference never needed (SURVEY.md §2.5: "no intersect/except
+  * anywhere") but a complete engine must offer. The as-of join uses the
+  * scalable union+window formulation (one shuffle on the join key, no
+  * range cross product) — preference order (a) of the builder brief:
+  * compose existing ops when semantics allow.
+  */
+object Extras extends graft.QueryPack {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // INTERSECT / EXCEPT (distinct set semantics, like SQL).
+    "q_setops" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val open = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      val both = urgent.intersect(open).withColumn("set_op", lit("intersect"))
+      val onlyUrgent = urgent.except(open).withColumn("set_op", lit("except"))
+      both.unionByName(onlyUrgent)
+        .select(col("set_op"), col("o_custkey"))
+        .orderBy(col("set_op"), col("o_custkey"))
+    }),
+
+    // Pivot: event counts per user_id bucket × event_type (fixed pivot
+    // columns → deterministic schema).
+    "q_pivot" -> ((s, d) => {
+      Tables(s, d, "events")
+        .withColumn("ubucket", col("user_id") % 10)
+        .groupBy(col("ubucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("ubucket"))
+    }),
+
+    // Ordered string aggregation per group.
+    "q_string_agg" -> ((s, d) => {
+      Tables(s, d, "customer")
+        .filter(col("c_custkey") < 50)
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(sort_array(collect_list(col("c_name"))), ",").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // CUBE over two dims (rollup's full-lattice sibling).
+    "q_cube" -> ((s, d) => {
+      Tables(s, d, "events")
+        .withColumn("ub", col("user_id") % 5)
+        .cube(col("event_type"), col("ub"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
+        .orderBy(col("event_type").asc_nulls_first, col("ub").asc_nulls_first)
+    }),
+
+    // As-of join: for every 'click' event, the most recent 'purchase'
+    // by the same user at or before it. Formulated as union + window
+    // (last purchase ts running over the merged, time-ordered stream):
+    // one shuffle on user_id, no range cross product — the layout that
+    // survives 100 TB (a per-key sort-merge, exactly how a native as-of
+    // physical operator would execute).
+    "q_asof_join" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("is_click"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("is_click"),
+        when(col("event_type") === "purchase", unix_micros(col("ts"))).as("p_ts"))
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("last_purchase_us", max(col("p_ts")).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("last_purchase_us"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_setops" ->
+      """SELECT 'intersect' AS set_op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') a
+        |UNION ALL
+        |SELECT 'except' AS set_op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') b
+        |ORDER BY set_op, o_custkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id % 10 AS ubucket,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view",
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  COUNT(*) AS n
+        |FROM customer WHERE c_custkey < 50
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_cube" ->
+      """SELECT event_type, user_id % 5 AS ub, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY CUBE(event_type, user_id % 5)
+        |ORDER BY event_type NULLS FIRST, ub NULLS FIRST""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH merged AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_id, user_id, ts_us, last_purchase_us FROM (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |    MAX(p_ts) OVER (PARTITION BY user_id
+        |                    ORDER BY ts_us, is_click, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS last_purchase_us
+        |  FROM merged) t
+        |WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin
+  )
+}
