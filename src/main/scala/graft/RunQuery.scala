@@ -28,6 +28,9 @@ object RunQuery {
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"[$nm] rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$n")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc() // same housekeeping as Bench — see Bench.scala
       }
     }
     spark.stop()

@@ -90,15 +90,21 @@ object Dedup extends graft.QueryPack {
   private val MOD = 1000000007L
   val minhashSigs = udf((sh: Seq[String]) => {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val xs = sh.map { s =>
+    val sigs = Array.fill(NUM_HASHES)(Long.MaxValue)
+    sh.foreach { s =>
       val d = md.digest(s.getBytes("UTF-8"))
-      val hex = d.map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(hex.substring(0, 12), 16),
-        java.lang.Long.parseLong(hex.substring(12, 24), 16))
+      // first 12 / next 12 hex chars = top 6 / next 6 bytes, as ints
+      var a = 0L; var b = 0L; var i = 0
+      while (i < 6) { a = (a << 8) | (d(i) & 0xffL); i += 1 }
+      while (i < 12) { b = (b << 8) | (d(i) & 0xffL); i += 1 }
+      var j = 0
+      while (j < NUM_HASHES) {
+        val h = (a + j * b) % MOD
+        if (h < sigs(j)) sigs(j) = h
+        j += 1
+      }
     }
-    Array.tabulate(NUM_HASHES) { j =>
-      if (xs.isEmpty) 0L else xs.map { case (a, b) => (a + j * b) % MOD }.min
-    }
+    if (sh.isEmpty) Array.fill(NUM_HASHES)(0L) else sigs
   })
 
   private def jaccard(a: Column, b: Column): Column =

@@ -36,7 +36,7 @@ object Topics extends graft.QueryPack {
     val cv = new CountVectorizer()
       .setInputCol("tokens").setOutputCol("features").fit(docs)
     val vectorized = cv.transform(docs)
-    val lda = new LDA().setK(K).setSeed(42L).setMaxIter(20)
+    val lda = new LDA().setK(K).setSeed(42L).setMaxIter(10)
     val model = lda.fit(vectorized)
     val vocab = cv.vocabulary
     import spark.implicits._
