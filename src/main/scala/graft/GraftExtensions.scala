@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       GraftExtensions.dotInfo,
       GraftExtensions.dotBuilder))
+    ext.injectOptimizerRule(_ => graft.plans.LargeInListToJoinRule())
   }
 }
 

@@ -104,6 +104,26 @@ object Scalars extends graft.QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // Dead-letter routing (F3/K5): rows whose payload fails to parse go
+    // to the 'dead' channel instead of poisoning the pipeline. Corrupt
+    // payloads derived deterministically (odd event_ids get trailing
+    // garbage).
+    "q_deadletter_json" -> ((s, d) => {
+      val kSchema = StructType(Seq(StructField("k", LongType)))
+      Tables(s, d, "events")
+        // truncation (not trailing garbage — Spark's Jackson tolerates
+        // that) so both engines agree the payload is invalid
+        .withColumn("js", when(col("event_id") % 2 === 1,
+          substring(col("props"), lit(1), length(col("props")) - 2))
+          .otherwise(col("props")))
+        .withColumn("parsed", from_json(col("js"), kSchema))
+        .select(col("event_id"),
+          when(col("parsed").isNotNull && col("parsed.k").isNotNull, "ok")
+            .otherwise("dead").as("channel"),
+          col("parsed.k").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
     // Two-dialect embedded-JSON dispatch: from_json with both schemas,
     // coalesce the projections (S2, §1.4).
     "q_json_dialect" -> ((s, d) => {
@@ -173,6 +193,19 @@ object Scalars extends graft.QueryPack {
         |       ELSE 'https://news.example.com' || regexp_extract(html, 'src="([^"]*)"', 1)
         |  END AS image_abs
         |FROM h ORDER BY c_custkey""".stripMargin,
+
+    "q_deadletter_json" ->
+      """WITH j AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 2 = 1 THEN substring(props, 1, length(props) - 2)
+        |         ELSE props END AS js
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN json_valid(js) AND json_extract_string(js, '$.k') IS NOT NULL
+        |       THEN 'ok' ELSE 'dead' END AS channel,
+        |  CASE WHEN json_valid(js)
+        |       THEN CAST(json_extract_string(js, '$.k') AS BIGINT) END AS k
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "q_json_dialect" ->
       """WITH j AS (

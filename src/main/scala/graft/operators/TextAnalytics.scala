@@ -164,6 +164,33 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // TF-IDF top terms per document — the classic quality/relevance
+    // scoring op. df table + corpus size via broadcast-able side aggs
+    // (no whole-table window), ln in both engines, round(9) absorbs
+    // libm ulp differences.
+    "q_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(filter(tokens(col("text")), keepToken _)).as("term"))
+      val counts = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+      val docTotals = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_total"))
+      val dfTable = counts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = counts.select(countDistinct(col("doc_id")).as("n_docs"))
+      val wRank = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      counts
+        .join(broadcast(docTotals), Seq("doc_id"))
+        .join(broadcast(dfTable), Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round(
+          (col("cnt").cast("double") / col("doc_total")) *
+            (log((col("n_docs").cast("double") + 1) / (col("df").cast("double") + 1)) + 1), 9))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // T5: Porter-stemmed corpus top-50 (no SQL oracle — custom stemmer;
     // covered by PorterStemmerSpec unit tests instead).
     "q_stem_topk" -> ((s, d) => {
@@ -237,6 +264,29 @@ object TextAnalytics extends graft.QueryPack {
          |                    t -> $keepTokenSqlDuck) AS kept
          |      FROM documents) d
          |ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+         |                                    t -> $keepTokenSqlDuck)) AS term
+         |  FROM documents),
+         |counts AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+         |totals AS (SELECT doc_id, COUNT(*) AS doc_total FROM tok GROUP BY 1),
+         |dft AS (SELECT term, COUNT(*) AS df FROM counts GROUP BY 1),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM counts)
+         |SELECT doc_id, rk, term, tfidf FROM (
+         |  SELECT c.doc_id, c.term,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY c.doc_id
+         |      ORDER BY round((CAST(c.cnt AS DOUBLE) / t.doc_total) *
+         |        (ln((CAST(n.n_docs AS DOUBLE) + 1) / (CAST(f.df AS DOUBLE) + 1)) + 1), 9) DESC,
+         |        c.term) AS BIGINT) AS rk,
+         |    round((CAST(c.cnt AS DOUBLE) / t.doc_total) *
+         |      (ln((CAST(n.n_docs AS DOUBLE) + 1) / (CAST(f.df AS DOUBLE) + 1)) + 1), 9) AS tfidf
+         |  FROM counts c
+         |  JOIN totals t ON c.doc_id = t.doc_id
+         |  JOIN dft f ON c.term = f.term
+         |  CROSS JOIN nd n) x
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "q_sentence_split" ->
       """SELECT doc_id,
