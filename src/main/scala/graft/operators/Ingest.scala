@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's semi-structured ingestion surface as library
+  * functions (SURVEY.md §1.4 input schemas → §1.2 storage shapes):
+  * dialect-dispatched TagPage parsing (P1/P2/P3), location detail with
+  * GeoJSON point assembly (P6), profile→follower projection with
+  * timeline media (P4/P5), Rekognition label reshaping (J5), and the
+  * topic-document assembly (T1). All pure `from_json` + builtin
+  * expressions — permissive parsing reproduces the reference's
+  * defensive null-guarding (F4), and every function is a narrow
+  * projection (no shuffle) that scales embarrassingly.
+  *
+  * Exercised against golden fixtures in src/test/resources/fixtures
+  * (IngestSpec) — the shapes documented in FIXTURES.md.
+  */
+object Ingest {
+
+  // ---- schemas (§1.4) --------------------------------------------------
+  private def s(fields: StructField*) = StructType(fields)
+  private def f(n: String, t: DataType) = StructField(n, t)
+
+  private val countStruct = s(f("count", LongType))
+  private val captionEdges =
+    s(f("edges", ArrayType(s(f("node", s(f("text", StringType)))))))
+
+  val tagPageGraphqlSchema: StructType = {
+    val node = s(
+      f("id", StringType), f("shortcode", StringType),
+      f("thumbnail_src", StringType), f("accessibility_caption", StringType),
+      f("__typename", StringType),
+      f("edge_media_preview_like", countStruct),
+      f("edge_media_to_comment", countStruct),
+      f("edge_media_to_caption", captionEdges))
+    s(f("graphql", s(f("hashtag", s(f("edge_hashtag_to_media",
+      s(f("edges", ArrayType(s(f("node", node)))))))))))
+  }
+
+  val tagPageDataSchema: StructType = {
+    val candidates = s(f("candidates", ArrayType(s(f("url", StringType)))))
+    val media = s(
+      f("id", StringType), f("code", StringType),
+      f("like_count", LongType), f("comment_count", LongType),
+      f("caption", s(f("text", StringType))),
+      f("image_versions2", candidates),
+      f("carousel_media", ArrayType(s(f("image_versions2", candidates)))))
+    val sections = ArrayType(s(f("layout_content",
+      s(f("medias", ArrayType(s(f("media", media))))))))
+    s(f("data", s(f("recent", s(f("sections", sections))))))
+  }
+
+  val locationDetailSchema: StructType = {
+    val loc = s(f("phone", StringType), f("primary_alias_on_fb", StringType),
+      f("website", StringType), f("blurb", StringType),
+      f("lat", DoubleType), f("lng", DoubleType))
+    s(f("graphql", s(f("location", loc))),
+      f("native_location_data", s(f("location_info", loc))))
+  }
+
+  val profilePageSchema: StructType = {
+    val mediaNode = s(
+      f("id", StringType), f("shortcode", StringType),
+      f("display_url", StringType), f("__typename", StringType),
+      f("accessibility_caption", StringType),
+      f("edge_liked_by", countStruct),
+      f("edge_media_to_comment", countStruct),
+      f("edge_media_to_caption", captionEdges))
+    val user = s(
+      f("biography", StringType), f("category_name", StringType),
+      f("business_category_name", StringType),
+      f("edge_follow", countStruct),
+      f("edge_followed_by", countStruct),
+      f("is_business_account", BooleanType),
+      f("is_professional_account", BooleanType),
+      f("is_verified", BooleanType),
+      f("edge_owner_to_timeline_media", s(f("count", LongType),
+        f("edges", ArrayType(s(f("node", mediaNode)))))))
+    s(f("graphql", s(f("user", user))))
+  }
+
+  val rekognitionSchema: StructType = s(f("Labels", ArrayType(s(
+    f("Confidence", DoubleType), f("Name", StringType)))))
+
+  // ---- projections ------------------------------------------------------
+
+  /** P1: GraphQL-dialect TagPage → flat Post rows
+    * (reference posts-from-hashtags.js:59-79). */
+  def postsFromGraphql(pages: DataFrame, source: String): DataFrame =
+    pages
+      .select(from_json(col("json"), tagPageGraphqlSchema).as("p"))
+      .select(explode(col("p.graphql.hashtag.edge_hashtag_to_media.edges")).as("e"))
+      .select(
+        col("e.node.id").as("id"),
+        col("e.node.shortcode").as("shortcode"),
+        concat(lit("https://www.instagram.com/p/"), col("e.node.shortcode"),
+          lit("/")).as("permalink"),
+        col("e.node.edge_media_preview_like.count").as("likeCount"),
+        col("e.node.edge_media_to_comment.count").as("commentsCount"),
+        try_element_at(col("e.node.edge_media_to_caption.edges"), lit(1))
+          .getField("node").getField("text").as("caption"),
+        col("e.node.thumbnail_src").as("mediaUrl"),
+        col("e.node.accessibility_caption").as("accessibility"),
+        lit(source).as("source"))
+
+  /** P2+P3: "data"-dialect TagPage → flat Post rows, caption defaulted to
+    * '' and image coalesced through the carousel fallback
+    * (posts-from-hashtags.js:18-57). */
+  def postsFromData(pages: DataFrame, source: String): DataFrame =
+    pages
+      .select(from_json(col("json"), tagPageDataSchema).as("p"))
+      .select(explode(col("p.data.recent.sections")).as("s"))
+      .select(explode(col("s.layout_content.medias")).as("m"))
+      .select(
+        col("m.media.id").as("id"),
+        col("m.media.code").as("shortcode"),
+        concat(lit("https://www.instagram.com/p/"), col("m.media.code"),
+          lit("/")).as("permalink"),
+        col("m.media.like_count").as("likeCount"),
+        col("m.media.comment_count").as("commentsCount"),
+        coalesce(col("m.media.caption.text"), lit("")).as("caption"),
+        coalesce(
+          try_element_at(col("m.media.image_versions2.candidates"), lit(1)).getField("url"),
+          try_element_at(try_element_at(col("m.media.carousel_media"), lit(1))
+            .getField("image_versions2").getField("candidates"), lit(1))
+            .getField("url")).as("mediaUrl"),
+        lit(null).cast(StringType).as("accessibility"),
+        lit(source).as("source"))
+
+  /** S2 dialect dispatch: a page matches exactly one dialect; parse both
+    * and union (posts-from-hashtags.js:121-122). */
+  def postsFromTagPage(pages: DataFrame, source: String): DataFrame =
+    postsFromGraphql(
+      pages.filter(get_json_object(col("json"), "$.graphql").isNotNull), source)
+      .unionByName(postsFromData(
+        pages.filter(get_json_object(col("json"), "$.data").isNotNull), source))
+
+  /** P6: location detail (either dialect) → Location row with GeoJSON
+    * point ([lng, lat]!) only when both coordinates present
+    * (posts-from-hashtags.js:131-141, 170-190). */
+  def locationFromDetail(pages: DataFrame, id: Column, name: Column): DataFrame =
+    pages
+      .select(id.as("id"), name.as("name"),
+        from_json(col("json"), locationDetailSchema).as("p"))
+      .withColumn("loc", coalesce(col("p.graphql.location"),
+        col("p.native_location_data.location_info")))
+      .select(
+        col("id"), col("name"),
+        col("loc.phone").as("phone"),
+        col("loc.primary_alias_on_fb").as("aliasOnFB"),
+        col("loc.website").as("website"),
+        col("loc.blurb").as("blurb"),
+        when(col("loc.lat").isNotNull && col("loc.lng").isNotNull,
+          struct(lit("Point").as("type"),
+            array(col("loc.lng"), col("loc.lat")).as("coordinates")))
+          .as("gps"))
+
+  /** P4+P5: ProfilePage → Follower row with nested timeline media
+    * (extend-followers.js:24-66); category falls back to the business
+    * category, media captions default to '', source is the literal
+    * 'followers'. */
+  def followerFromProfile(pages: DataFrame, id: Column, username: Column): DataFrame =
+    pages
+      .select(id.as("id"), username.as("username"),
+        from_json(col("json"), profilePageSchema).getField("graphql")
+          .getField("user").as("u"))
+      .select(
+        col("id"), col("username"),
+        col("u.biography").as("biography"),
+        coalesce(col("u.category_name"), col("u.business_category_name"))
+          .as("category_name"),
+        col("u.edge_follow.count").as("following"),
+        col("u.edge_followed_by.count").as("followers"),
+        col("u.edge_owner_to_timeline_media.count").as("posts"),
+        col("u.is_business_account").as("is_business_account"),
+        col("u.is_professional_account").as("is_professional_account"),
+        col("u.is_verified").as("is_verified"),
+        transform(col("u.edge_owner_to_timeline_media.edges"), e => struct(
+          e.getField("node").getField("id").as("id"),
+          e.getField("node").getField("shortcode").as("shortcode"),
+          concat(lit("https://www.instagram.com/p/"),
+            e.getField("node").getField("shortcode"), lit("/")).as("permalink"),
+          e.getField("node").getField("edge_liked_by").getField("count")
+            .as("likeCount"),
+          e.getField("node").getField("edge_media_to_comment").getField("count")
+            .as("commentsCount"),
+          coalesce(try_element_at(e.getField("node").getField("edge_media_to_caption")
+            .getField("edges"), lit(1)).getField("node").getField("text"), lit(""))
+            .as("caption"),
+          e.getField("node").getField("display_url").as("mediaUrl"),
+          lit("followers").as("source"))).as("media"))
+
+  /** J5: Rekognition response → [{confidence, name}] (labels.js:51-71,
+    * rename-projection posts-from-hashtags.js:327-333). */
+  def labelsFromRekognition(responses: DataFrame): DataFrame =
+    responses
+      .select(col("id"),
+        transform(from_json(col("json"), rekognitionSchema).getField("Labels"),
+          l => struct(l.getField("Confidence").as("confidence"),
+            l.getField("Name").as("name"))).as("labels"))
+
+  /** T1: topic-document assembly — [caption, accessibility?, fullName?,
+    * locationName + '.'?].join('.') with null parts dropped
+    * (topics.js:15-27). */
+  def topicDocument(caption: Column, accessibility: Column,
+      fullName: Column, locationName: Column): Column =
+    concat_ws(".", array_compact(array(
+      caption, accessibility, fullName,
+      when(locationName.isNotNull, concat(locationName, lit("."))))))
+}

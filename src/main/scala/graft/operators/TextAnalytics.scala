@@ -132,7 +132,7 @@ object TextAnalytics extends graft.QueryPack {
       Tables(s, d, "documents").select(
         col("doc_id"),
         size(kept).cast("long").as("n_kept"),
-        element_at(kept, 1).as("first_kept"))
+        try_element_at(kept, lit(1)).as("first_kept"))
         .orderBy(col("doc_id"))
     }),
 
