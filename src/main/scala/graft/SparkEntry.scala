@@ -21,8 +21,13 @@ object SparkEntry {
       Scalars, Analytic, Extras)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.map(_.queries).reduce(_ ++ _)
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries.toSeq)
+    require(all.size == all.map(_._1).distinct.size,
+      s"duplicate query names across packs: " +
+        all.groupBy(_._1).filter(_._2.size > 1).keys.mkString(", "))
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

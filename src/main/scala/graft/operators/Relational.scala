@@ -265,9 +265,12 @@ object Relational extends graft.QueryPack {
       Tables(s, d, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total"))
-        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        // epoch µs, not a timestamp column: every temporal output is a
+        // BIGINT so the driver's compare never sees engine-specific
+        // timestamp precision/zone encodings
+        .select(unix_micros(col("window.start")).as("window_start_us"),
           col("event_type"), col("n"), col("total"))
-        .orderBy(col("window_start"), col("event_type"))
+        .orderBy(col("window_start_us"), col("event_type"))
     }),
 
     // ST5/K1: latest-event-per-key dedup (row_number over recency).
@@ -398,7 +401,7 @@ object Relational extends graft.QueryPack {
         |ORDER BY event_id""".stripMargin,
 
     "q_window_time" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

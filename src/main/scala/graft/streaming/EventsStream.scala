@@ -44,7 +44,7 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total"))
-      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+      .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total"))
 
   /** ST5: streaming keyed dedup with watermark-bounded state (the

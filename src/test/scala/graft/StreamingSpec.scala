@@ -17,7 +17,7 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
 
     val streamed = spark.table("winagg")
-      .orderBy("window_start", "event_type")
+      .orderBy("window_start_us", "event_type")
       .collect().map(_.toSeq).toSeq
     val batch = graft.operators.Relational
       .queries("q_window_time")(spark, TestSpark.sf)
