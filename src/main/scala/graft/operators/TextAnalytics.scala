@@ -20,15 +20,15 @@ import graft.functions.PorterStemmer
   */
 object TextAnalytics extends graft.QueryPack {
 
-  /** Compact EN∪ES stopword set (reference merges English+Spanish lists,
-    * module/instagram/lda/index.js:23-28; we use a small representative
-    * union rather than the reference's 1,400-line verbatim lists). */
-  val stopwords: Seq[String] = Seq(
-    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for", "with",
-    "is", "are", "was", "be", "it", "this", "that", "as", "at", "by",
-    "from", "not", "no", "but", "if", "then", "than", "so", "too",
-    "el", "la", "los", "las", "un", "una", "y", "o", "de", "del", "que",
-    "en", "es", "por", "para", "con", "se", "su", "al", "lo", "como")
+  /** EN∪ES stopword union (reference merges English+Spanish lists,
+    * module/instagram/lda/index.js:23-28). Sourced from Spark ML's
+    * bundled default stopword resources (public Spark data files) rather
+    * than copying the reference's 1,400-line lists; deterministic order
+    * for stable SQL-literal generation. */
+  val stopwords: Seq[String] =
+    (org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english") ++
+      org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("spanish"))
+      .toSeq.distinct.sorted
 
   /** Marker words per language for the n-gram/marker language-ID heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(
@@ -38,9 +38,7 @@ object TextAnalytics extends graft.QueryPack {
     "de" -> Seq("der", "die", "und", "ist", "mit", "ein", "nicht"))
 
   private def sqlList(xs: Seq[String]): String =
-    xs.map(x => s"'$x'").mkString("(", ", ", ")")
-  private def duckList(xs: Seq[String]): String =
-    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+    xs.map(x => "'" + x.replace("'", "''") + "'").mkString("(", ", ", ")")
 
   /** Tokens of lowercased, whitespace-split text (T3+T4 simplified to the
     * testdata's already-clean text). */
