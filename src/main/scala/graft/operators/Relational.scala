@@ -273,6 +273,18 @@ object Relational extends graft.QueryPack {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    // Sliding event-time windows (2h window, 1h slide): each event lands
+    // in two windows; the oracle enumerates the same two candidate
+    // starts per event.
+    "q_window_sliding" -> ((s, d) => {
+      Tables(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
     // ST5/K1: latest-event-per-key dedup (row_number over recency).
     "q_latest_per_key" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -405,6 +417,17 @@ object Relational extends graft.QueryPack {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_sliding" ->
+      """SELECT epoch_us(ws) AS window_start_us, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT event_type, value,
+        |    unnest([date_trunc('hour', ts),
+        |            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+        |  FROM events) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_latest_per_key" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM (
