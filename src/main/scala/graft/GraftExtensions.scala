@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.dotInfo,
       GraftExtensions.dotBuilder))
     ext.injectOptimizerRule(_ => graft.plans.LargeInListToJoinRule())
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

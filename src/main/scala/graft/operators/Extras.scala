@@ -85,6 +85,28 @@ object Extras extends graft.QueryPack {
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("last_purchase_us"))
         .orderBy(col("event_id"))
+    }),
+
+    // The same as-of semantics through the NATIVE operator
+    // (graft.plans.AsOfJoinPlan → AsOfJoinExec: hash-cluster + per-key
+    // sort-merge, preference order (c) of the builder brief) — same
+    // oracle as q_asof_join, so the custom physical plan is held to the
+    // identical correctness gate. Unlike the window formulation it never
+    // buffers a key group and joins arbitrary PAYLOAD columns, not just
+    // the max timestamp.
+    "q_asof_join_native" -> ((s, d) => {
+      val clicks = Tables(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val purchases = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      graft.plans.AsOf.join(clicks, purchases,
+          keys = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("ts_us_r").as("last_purchase_us"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -124,6 +146,22 @@ object Extras extends graft.QueryPack {
         |ORDER BY event_type NULLS FIRST, ub NULLS FIRST""".stripMargin,
 
     "q_asof_join" ->
+      """WITH merged AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_id, user_id, ts_us, last_purchase_us FROM (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |    MAX(p_ts) OVER (PARTITION BY user_id
+        |                    ORDER BY ts_us, is_click, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS last_purchase_us
+        |  FROM merged) t
+        |WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+
+    // identical oracle text, different (native) Spark execution path
+    "q_asof_join_native" ->
       """WITH merged AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,

@@ -102,6 +102,7 @@ object Ingest {
         try_element_at(col("e.node.edge_media_to_caption.edges"), lit(1))
           .getField("node").getField("text").as("caption"),
         col("e.node.thumbnail_src").as("mediaUrl"),
+        col("e.node.__typename").as("mediaType"),
         col("e.node.accessibility_caption").as("accessibility"),
         lit(source).as("source"))
 
@@ -126,6 +127,9 @@ object Ingest {
           try_element_at(try_element_at(col("m.media.carousel_media"), lit(1))
             .getField("image_versions2").getField("candidates"), lit(1))
             .getField("url")).as("mediaUrl"),
+        // the data dialect carries no __typename; null keeps the union
+        // schema aligned with the GraphQL dialect
+        lit(null).cast(StringType).as("mediaType"),
         lit(null).cast(StringType).as("accessibility"),
         lit(source).as("source"))
 
@@ -152,7 +156,10 @@ object Ingest {
         col("loc.primary_alias_on_fb").as("aliasOnFB"),
         col("loc.website").as("website"),
         col("loc.blurb").as("blurb"),
-        when(col("loc.lat").isNotNull && col("loc.lng").isNotNull,
+        // JS truthiness (posts-from-hashtags.js:184): lat/lng of exactly 0
+        // yields no gps in the reference, so gate on non-null AND non-zero
+        when(col("loc.lat").isNotNull && col("loc.lng").isNotNull &&
+          col("loc.lat") =!= 0d && col("loc.lng") =!= 0d,
           struct(lit("Point").as("type"),
             array(col("loc.lng"), col("loc.lat")).as("coordinates")))
           .as("gps"))
@@ -190,6 +197,8 @@ object Ingest {
             .getField("edges"), lit(1)).getField("node").getField("text"), lit(""))
             .as("caption"),
           e.getField("node").getField("display_url").as("mediaUrl"),
+          e.getField("node").getField("__typename").as("mediaType"),
+          e.getField("node").getField("accessibility_caption").as("accessibility"),
           lit("followers").as("source"))).as("media"))
 
   /** J5: Rekognition response → [{confidence, name}] (labels.js:51-71,
@@ -206,7 +215,10 @@ object Ingest {
     * (topics.js:15-27). */
   def topicDocument(caption: Column, accessibility: Column,
       fullName: Column, locationName: Column): Column =
+    // the reference always seeds content with `caption || ''` (topics.js:15),
+    // so a null caption still contributes a leading empty segment
+    // ('.Photo of...'), while the optional parts are dropped when absent
     concat_ws(".", array_compact(array(
-      caption, accessibility, fullName,
+      coalesce(caption, lit("")), accessibility, fullName,
       when(locationName.isNotNull, concat(locationName, lit("."))))))
 }

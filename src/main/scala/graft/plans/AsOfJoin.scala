@@ -1,0 +1,194 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Native backward as-of join — the temporal operator the reference's
+  * "latest state at time t" lookups imply and Spark lacks as a first-class
+  * batch operator (SURVEY.md §2.4 notes the reference has only equi
+  * joins; the as-of generalization is the training-pipeline staple:
+  * enrich each fact row with the most recent dimension/state row at or
+  * before its timestamp).
+  *
+  * Semantics: for every left row, attach the right row with equal key
+  * and the greatest `rightTime <= leftTime` (ties: last in (key, time)
+  * sort order); left rows with no such match keep nulls (left-outer).
+  *
+  * Execution (AsOfJoinExec): both sides hash-clustered on the key and
+  * sorted by (key, time) — EnsureRequirements inserts the exchanges and
+  * sorts — then a single streaming merge pass per partition:
+  * O(|L| + |R|) per partition, O(1) state (one buffered match), no
+  * range cross-product, no per-key window buffer. This is the layout
+  * that survives 100 TB: one shuffle per side on a key that joins are
+  * already clustered by, and the merge never materializes a partition.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical sort-merge as-of join. Children are required to arrive
+  * hash-clustered on the join key and sorted by (key, time ascending);
+  * the merge is a single forward pass over both sorted streams.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+  extends BinaryExecNode {
+
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of join key types must match")
+  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+    "as-of join time expressions must be LongType (cast timestamps to epoch micros)")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // Hash-cluster both sides on the key; EnsureRequirements makes the
+  // partitionings compatible (same partition count) exactly as it does
+  // for sort-merge joins.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // (key, time) ascending on both sides → the merge below is a single pass.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  // As-of preserves the left side's partitioning and row identity.
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeysB = leftKeys.map(BindReferences.bindReference(_, leftOut))
+    val rKeysB = rightKeys.map(BindReferences.bindReference(_, rightOut))
+    val lTimeB = BindReferences.bindReference(leftTime, leftOut)
+    val rTimeB = BindReferences.bindReference(rightTime, rightOut)
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter0) =>
+      val lKeyProj = UnsafeProjection.create(lKeysB)
+      val rKeyProj = UnsafeProjection.create(rKeysB)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val outProj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val rIter = rIter0.buffered
+      // last right row whose key equals the current left key and whose
+      // time was <= the left time — the candidate match (copied: the
+      // child's UnsafeRow buffers are reused)
+      var matched: InternalRow = null
+      var matchedKey: UnsafeRow = null
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        // null-safe: a null left time matches nothing
+        val lt = lTimeB.eval(lRow) match {
+          case null => Long.MinValue
+          case v => v.asInstanceOf[Long]
+        }
+        if (matchedKey != null && keyOrd.compare(matchedKey, lKey) != 0) {
+          matched = null; matchedKey = null
+        }
+        var scan = true
+        while (scan && rIter.hasNext) {
+          val rKey = rKeyProj(rIter.head)
+          val c = keyOrd.compare(rKey, lKey)
+          if (c < 0) rIter.next() // right key before any remaining left key: discard
+          else if (c == 0) {
+            val rt = rTimeB.eval(rIter.head)
+            if (rt != null && rt.asInstanceOf[Long] <= lt) {
+              matched = rIter.next().copy()
+              if (matchedKey == null) matchedKey = lKey.copy()
+            } else if (rt == null) rIter.next() // null right time: unmatched, discard
+            else scan = false // right time beyond this left row; keep for later lefts
+          } else scan = false // right key beyond current left key
+        }
+        outProj(joined(lRow, if (matched != null) matched else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: AsOfJoinPlan → AsOfJoinExec. Injectable via
+  * `graft.GraftExtensions` (session construction) or added idempotently
+  * to `spark.experimental.extraStrategies` by [[AsOf.join]] (live
+  * sessions).
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public DataFrame-level API for the native as-of join. */
+object AsOf {
+  /** Backward as-of join: every `left` row gains the columns of the
+    * latest `right` row with equal `keys` and `rightTime <= leftTime`
+    * (nulls when none). Right-side columns are suffixed with
+    * `rightSuffix`. Time columns must be LongType (epoch micros).
+    *
+    * `left` and `right` must not share attribute lineage (read the
+    * table twice for a self as-of) — enforced below.
+    */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightSuffix: String = "_r"): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+    val lPlan = left.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    require(lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty,
+      "as-of join sides share attribute lineage; re-read the right side")
+    // fresh aliases on the right: disambiguates names in the joined output
+    val rPlan = Project(
+      rPlan0.output.map(a => Alias(a, a.name + rightSuffix)()), rPlan0)
+
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+
+    val node = AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)),
+      keys.map(k => attr(rPlan, k + rightSuffix)),
+      attr(lPlan, leftTime),
+      attr(rPlan, rightTime + rightSuffix))
+    org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, node)
+  }
+}

@@ -14,6 +14,15 @@ object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from a hand-built LogicalPlan (runs the full analyzer) —
+    * the construction path for graft's custom logical operators. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a function builder on a LIVE session's registry (the
     * SparkSessionExtensions path only applies at session construction). */
   def registerFunction(

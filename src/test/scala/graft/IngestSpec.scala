@@ -27,6 +27,7 @@ class IngestSpec extends AnyFunSuite {
     assert(r0.getAs[String]("permalink") == "https://www.instagram.com/p/CRx1/")
     assert(r0.getAs[Long]("likeCount") == 42L)
     assert(r0.getAs[String]("caption") == "Tacos!")
+    assert(r0.getAs[String]("mediaType") == "GraphImage") // __typename
     assert(r0.getAs[String]("source") == "tacos")
     // empty edge_media_to_caption.edges → caption null (undefined in ref)
     assert(rows(1).getAs[String]("caption") == null)
@@ -63,6 +64,11 @@ class IngestSpec extends AnyFunSuite {
     val noLat = Ingest.locationFromDetail(
       fixture("location_native_nolat.json"), lit("L2"), lit("X")).collect()(0)
     assert(noLat.isNullAt(noLat.fieldIndex("gps")))
+
+    // JS truthiness: lat=0/lng=0 is falsy in the reference → no gps
+    val zero = Ingest.locationFromDetail(
+      fixture("location_zero.json"), lit("L3"), lit("Null Island")).collect()(0)
+    assert(zero.isNullAt(zero.fieldIndex("gps")))
   }
 
   test("P4/P5: profile → follower with category fallback and media source") {
@@ -74,6 +80,8 @@ class IngestSpec extends AnyFunSuite {
     val media = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("media"))
     assert(media.length == 1)
     assert(media.head.getAs[String]("source") == "followers")
+    assert(media.head.getAs[String]("mediaType") == "GraphSidecar")
+    assert(media.head.isNullAt(media.head.fieldIndex("accessibility")))
     assert(media.head.getAs[String]("caption") == "") // empty caption edges
     assert(media.head.getAs[String]("permalink") == "https://www.instagram.com/p/CZz9/")
   }
@@ -91,13 +99,17 @@ class IngestSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq(
       ("Tacos!", "Photo of tacos", "Cafe Estrella", "Chicago, Illinois"),
-      ("Tacos!", null, null, null)
+      ("Tacos!", null, null, null),
+      (null, "Photo of tacos", null, null)
     ).toDF("caption", "acc", "fullName", "locName")
     val out = df.select(Ingest.topicDocument(
       col("caption"), col("acc"), col("fullName"), col("locName")).as("doc"))
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq(
       "Tacos!.Photo of tacos.Cafe Estrella.Chicago, Illinois.",
-      "Tacos!"))
+      "Tacos!",
+      // reference seeds content with caption||'' (topics.js:15): a null
+      // caption still yields a leading empty segment
+      ".Photo of tacos"))
   }
 }

@@ -54,6 +54,12 @@ for name in sorted(oracle):
         continue
     ok = True
     for c in o.columns:
+        # the driver's hash compare is dtype-sensitive (e.g. DuckDB HUGEINT
+        # vs Spark BIGINT) — flag mismatches the value compare would coerce
+        if o[c].dtype != s[c].dtype:
+            print(f"FAIL {name}: col {c} dtype mismatch oracle={o[c].dtype} spark={s[c].dtype}")
+            ok = False
+            continue
         oc, sc = o[c].values, s[c].values
         if np.issubdtype(o[c].dtype, np.floating):
             same = np.array_equal(oc, sc, equal_nan=True)
