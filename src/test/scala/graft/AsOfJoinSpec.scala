@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native as-of join (graft.plans.AsOfJoin): semantics on hand-built
+  * edge cases, invariance to input partitioning (the cluster-portability
+  * property), equivalence with the window formulation on real data, and
+  * the physical plan shape we depend on at scale — exactly one shuffle
+  * per side, merge runs inside AsOfJoinExec with no extra exchanges.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // left: (key, time, tag) / right: (key, time, payload)
+  private def leftDf = Seq(
+    ("a", 10L, "a10"), ("a", 20L, "a20"), ("a", 30L, "a30"),
+    ("b", 5L, "b5"), ("c", 50L, "c50")
+  ).toDF("k", "t", "tag")
+
+  private def rightDf = Seq(
+    ("a", 9L, "pay-a9"), ("a", 20L, "pay-a20"), ("a", 25L, "pay-a25"),
+    ("b", 6L, "pay-b6"), ("d", 1L, "pay-d1")
+  ).toDF("k", "t", "payload")
+
+  private def run(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame): Map[String, String] =
+    graft.plans.AsOf.join(l, r, keys = Seq("k"), leftTime = "t", rightTime = "t")
+      .select($"tag", $"payload_r")
+      .collect().map(row => row.getString(0) -> row.getString(1)).toMap
+
+  test("backward as-of: latest right at-or-before each left row; no match → null") {
+    val got = run(leftDf, rightDf)
+    assert(got == Map(
+      "a10" -> "pay-a9",   // strictly before
+      "a20" -> "pay-a20",  // tie at equal time is INCLUSIVE
+      "a30" -> "pay-a25",
+      "b5" -> null,        // right exists for key but only later (t=6)
+      "c50" -> null))      // key absent on the right entirely
+  }
+
+  test("null right times are ignored; null left time matches nothing") {
+    val l = Seq(("a", Option(10L), "a10"), ("a", Option.empty[Long], "anull"))
+      .toDF("k", "t", "tag")
+    val r = Seq(("a", Option(5L), "pay-a5"), ("a", Option.empty[Long], "pay-null"))
+      .toDF("k", "t", "payload")
+    val got = run(l, r)
+    assert(got == Map("a10" -> "pay-a5", "anull" -> null))
+  }
+
+  test("result is invariant to input partitioning") {
+    val base = run(leftDf, rightDf)
+    val repart = run(leftDf.repartition(7, $"tag"), rightDf.repartition(5))
+    assert(repart == base)
+    val single = run(leftDf.coalesce(1), rightDf.coalesce(1))
+    assert(single == base)
+  }
+
+  test("native operator matches the window formulation on events data") {
+    val native = operators.Extras.queries("q_asof_join_native")(spark, TestSpark.sf)
+    val window = operators.Extras.queries("q_asof_join")(spark, TestSpark.sf)
+    assert(native.schema.fieldNames.sameElements(window.schema.fieldNames))
+    val n = native.collect().map(_.toSeq)
+    val w = window.collect().map(_.toSeq)
+    assert(n.length == w.length && n.length > 0)
+    assert(n.sameElements(w))
+  }
+
+  test("plan shape: AsOfJoinExec with exactly one shuffle + sort per side") {
+    val df = graft.plans.AsOf.join(
+      leftDf, rightDf, keys = Seq("k"), leftTime = "t", rightTime = "t")
+    val plan = df.queryExecution.executedPlan.toString
+    // nodeName strips the Exec suffix: the physical operator prints "AsOfJoin"
+    assert(plan.contains("AsOfJoin ["), plan)
+    // one exchange per side — the merge itself introduces none
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+    assert("Sort \\[".r.findAllIn(plan).size == 2, plan)
+  }
+}
