@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       GraftExtensions.dotInfo,
       GraftExtensions.dotBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_stem"),
+      GraftExtensions.stemInfo,
+      GraftExtensions.stemBuilder))
     ext.injectOptimizerRule(_ => graft.plans.LargeInListToJoinRule())
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -28,9 +32,17 @@ object GraftExtensions {
   private[graft] val dotBuilder: Seq[Expression] => Expression =
     children => DotProduct(children(0), children(1))
 
+  private[graft] val stemInfo =
+    new ExpressionInfo(classOf[graft.functions.Stem].getName, "graft_stem")
+  private[graft] val stemBuilder: Seq[Expression] => Expression =
+    children => graft.functions.Stem(children.head)
+
   /** Same registration for an already-running session (extensions only
     * apply at construction time). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftshim.GraftShim.registerFunction(
       spark, "graft_dot", dotInfo, dotBuilder)
+    org.apache.spark.sql.graftshim.GraftShim.registerFunction(
+      spark, "graft_stem", stemInfo, stemBuilder)
+  }
 }

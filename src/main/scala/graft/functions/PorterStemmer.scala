@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.unsafe.types.UTF8String
+
 /** Porter stemmer — implemented from the published algorithm
   * (M.F. Porter, "An algorithm for suffix stripping", Program 14(3), 1980).
   *
@@ -125,4 +127,9 @@ object PorterStemmer extends Serializable {
 
     w
   }
+
+  /** UTF8String entry point for the codegen'd [[Stem]] expression (called
+    * as a static forwarder from generated Java). */
+  def stemUTF8(w: UTF8String): UTF8String =
+    if (w == null) null else UTF8String.fromString(stem(w.toString))
 }

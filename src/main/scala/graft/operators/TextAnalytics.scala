@@ -190,11 +190,13 @@ object TextAnalytics extends graft.QueryPack {
     }),
 
     // T5: Porter-stemmed corpus top-50 (no SQL oracle — custom stemmer;
-    // covered by PorterStemmerSpec unit tests instead).
+    // covered by PorterStemmerSpec unit tests instead). Stemming runs
+    // through the codegen'd Stem expression, not the UDF: the whole
+    // explode→stem→count pipeline stays in one fused codegen stage.
     "q_stem_topk" -> ((s, d) => {
       Tables(s, d, "documents")
         .select(explode(filter(tokens(col("text")), keepToken _)).as("word"))
-        .select(stemUdf(col("word")).as("stem"))
+        .select(graft.functions.StemExpression.stem(col("word")).as("stem"))
         .groupBy(col("stem")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("stem")).limit(50)
     })

@@ -13,6 +13,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("graft_stem is callable from SQL after registration") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT graft_stem('relational') AS s").collect()(0).getString(0)
+    assert(r == "relat")
+  }
+
   test("graft_dot matches the interpreted HOF result on real embeddings") {
     val spark = TestSpark.spark
     GraftExtensions.register(spark)

@@ -64,4 +64,30 @@ class PorterStemmerSpec extends AnyFunSuite {
   test("idempotent-ish on already-stemmed short words") {
     Seq("cat", "run", "spark", "tabl").foreach(w => assert(stem(w).nonEmpty))
   }
+
+  test("codegen Stem expression matches the UDF on every vector + nulls") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val words = vectors.map(_._1).map(Option(_)) :+ Option.empty[String]
+    val rows = words.toDF("w").select(
+      graft.functions.StemExpression.stem(col("w")).as("native"),
+      graft.operators.TextAnalytics.stemUdf(col("w")).as("viaUdf"))
+      .collect()
+    rows.foreach(r => assert(r.get(0) == r.get(1), r.toString))
+  }
+
+  test("Stem stays inside whole-stage codegen (no UDF boundary)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.{col, lower}
+    // a parquet-backed plan (a local Seq would be constant-folded away)
+    val df = Tables(spark, TestSpark.sf, "documents")
+      .select(graft.functions.StemExpression.stem(lower(col("lang"))).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(1)" prefix marks the whole-stage-codegen span: graft_stem
+    // projects inside it, fused with the scan
+    assert(plan.contains("*(1) Project [graft_stem"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(df.limit(1).collect()(0).getString(0).nonEmpty)
+  }
 }
