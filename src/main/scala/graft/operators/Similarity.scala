@@ -104,6 +104,51 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // IVF top-3 with nprobe=2: the third ANN strategy next to brute
+    // force and LSH. Coarse-quantize with K=16 DETERMINISTIC sampled
+    // centroids (the embeddings of vec_id 10..25 — IVF with sampled
+    // centroids instead of Lloyd iterations, which keeps the DuckDB
+    // oracle exact). The scale-critical part is HOW rows are assigned
+    // to inverted lists: centroids are collected driver-side (16 rows,
+    // like the LSH plane constants) and inlined as literals, so
+    // assignment is a pure map-side projection — array_max over 16
+    // codegen'd dot products, NO shuffle and NO join. At 100 TB the
+    // list id computed here is the bucketing/partition key; a query
+    // probes the nprobe nearest lists and scans ~nprobe/K of the data.
+    "q_ann_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = loadEmbeddings(s, d)
+      val cents = e.filter(col("vec_id").between(10, 25))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+        .sortBy(_._1)
+      // per-row (sim, -cid) vs every centroid; max struct = nearest
+      // centroid with lowest cid on ties
+      val simsArr = array(cents.map { case (cid, cv, cnrm) =>
+        struct(
+          round(dot(col("embedding"), typedlit(cv)) / (col("nrm") * lit(cnrm)), 9)
+            .as("sim"),
+          lit(-cid).as("negcid"))
+      }: _*)
+      val assigned = e.withColumn("arr", simsArr)
+        .withColumn("centroid_id", array_max(col("arr")).getField("negcid") * -1)
+      val cand = assigned.select(col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("nrm").as("nnrm"), col("centroid_id"))
+      val probes = assigned.filter(col("vec_id") < 10)
+        .withColumn("p", explode(slice(reverse(array_sort(col("arr"))), 1, 2)))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), (col("p.negcid") * -1).as("probe_cid"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      cand.join(broadcast(probes),
+          col("centroid_id") === col("probe_cid") && col("qid") =!= col("nid"))
+        .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), col("centroid_id"), col("sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Embedding-cosine near-dup over corpus ∪ perturbed copies.
     "q_neardup_embedding" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
@@ -152,6 +197,39 @@ object Similarity extends graft.QueryPack {
          |SELECT qid, bucket, rk, nid, sim FROM (
          |  SELECT qid, bucket, nid, sim,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rk
+         |  FROM sims) t
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // Oracle mirrors the IVF structure with plain SQL (cross join +
+    // row_number argmax — the oracle does not need the scale path).
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |          FROM e WHERE vec_id BETWEEN 10 AND 25),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+         |    round(${dotDuck("e.embedding", "c.cv")} / (e.nrm * c.cnrm), 9) AS csim
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cid AS centroid_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm, cid AS probe_cid
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 10) t WHERE rn <= 2),
+         |sims AS (
+         |  SELECT p.qid, a.centroid_id, a.vec_id AS nid,
+         |    round(${dotDuck("p.qv", "a.embedding")} / (p.qnrm * a.nrm), 9) AS sim
+         |  FROM assigned a JOIN probes p
+         |    ON a.centroid_id = p.probe_cid AND p.qid <> a.vec_id)
+         |SELECT qid, rk, nid, centroid_id, sim FROM (
+         |  SELECT qid, centroid_id, nid, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY sim DESC, nid) AS BIGINT) AS rk
          |  FROM sims) t
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
