@@ -133,6 +133,22 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Native session windows: the same 30-minute-gap sessionization as
+    // q_sessionize but through Spark's first-class session_window
+    // operator (one hash aggregate with runtime window merging) instead
+    // of the two-window gaps-and-islands formulation — one shuffle on
+    // user_id rather than window+window+groupBy, and the identical
+    // operator works under Structured Streaming with a watermark
+    // (StatefulStreamingSpec). Spark merges events strictly inside
+    // [start, prev+gap): a gap of exactly 30 min starts a new session,
+    // and the window end is last event + gap; the oracle mirrors both.
+    // Literally the same declaration as the streaming path: the
+    // watermark inside sessionWindowAgg is a no-op in batch execution.
+    "q_session_window" -> ((s, d) => {
+      graft.streaming.EventsStream.sessionWindowAgg(Tables(s, d, "events"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // K1 with Mongoose-timestamps semantics: updates overwrite all
     // projected columns and refresh updated_us, but createdAt survives
     // from the target (SURVEY.md §7.4 "findOneAndUpdate is last-writer-
@@ -190,6 +206,27 @@ object Analytic extends graft.QueryPack {
         |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+        |              >= 30 * 60 * 1000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  MIN(epoch_us(ts)) AS start_us,
+        |  MAX(epoch_us(ts)) + 30 * 60 * 1000000 AS end_us,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "q_rollup" ->
       """SELECT r_name, n_name,

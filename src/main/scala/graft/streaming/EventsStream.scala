@@ -47,6 +47,23 @@ object EventsStream {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total"))
 
+  /** Native session windows (30-min gap): the SAME declaration runs in
+    * batch (q_session_window, oracle-checked) and under Structured
+    * Streaming, where the watermark bounds per-key session state —
+    * sessions merge across micro-batches and emit (append mode) once
+    * the watermark passes their end. The declarative twin of the
+    * imperative [[sessionizeGroup]]. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+
   /** ST5: streaming keyed dedup with watermark-bounded state (the
     * reference's `Post.findOne({id})` existence probe, set-wise). */
   def dedupByKey(events: DataFrame): DataFrame =

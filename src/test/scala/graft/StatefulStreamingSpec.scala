@@ -35,4 +35,41 @@ class StatefulStreamingSpec extends AnyFunSuite {
       SessionAssignment(1, 45 * MIN, 2), SessionAssignment(1, 55 * MIN, 2),
       SessionAssignment(1, 175 * MIN, 3), SessionAssignment(2, 0, 1)))
   }
+
+  test("native session_window: sessions merge across micro-batches, emit on watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val MIN = 60L * 1000000
+    val ms = MemoryStream[SessionEvent]
+    val stream = ms.toDF().withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventsStream.sessionWindowAgg(stream)
+      .writeStream.format("memory").queryName("swagg").outputMode("append")
+      .start()
+    ms.addData(SessionEvent(1, 0), SessionEvent(1, 10 * MIN))
+    q.processAllAvailable()
+    // 10 min after the previous batch's last event → inside the gap:
+    // the open session's state merges across the micro-batch boundary
+    ms.addData(SessionEvent(1, 20 * MIN), SessionEvent(2, 15 * MIN))
+    q.processAllAvailable()
+    // advance the watermark (2h delay) far past both sessions → finalize
+    ms.addData(SessionEvent(9, 600 * MIN))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("swagg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, 50 * MIN, 3L),        // one session spanning both batches
+      (2L, 15 * MIN, 45 * MIN, 1L))) // user 9's session is still open
+
+    // the identical declaration in batch agrees on the finalized sessions
+    val batch = EventsStream.sessionWindowAgg(
+        Seq((1L, 0L), (1L, 10 * MIN), (1L, 20 * MIN), (2L, 15 * MIN), (9L, 600 * MIN))
+          .toDF("user_id", "ts_us")
+          .withColumn("ts", timestamp_micros(col("ts_us"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(batch == got :+ ((9L, 600 * MIN, 630 * MIN, 1L)))
+  }
 }

@@ -25,6 +25,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("Trigger.AvailableNow drains the backlog then stops on its own") {
+    // the cron-style run the reference schedules every 3h (main.js:35-39),
+    // Spark-first: process everything available, checkpoint, terminate —
+    // repeated invocations resume incrementally instead of re-scraping
+    import org.apache.spark.sql.streaming.Trigger
+    val out = EventsStream.windowedAgg(EventsStream.replay(spark, TestSpark.sf))
+    val q = out.writeStream.format("memory").queryName("avnow")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "query did not self-terminate")
+    assert(!q.isActive)
+    val streamed = spark.table("avnow")
+      .orderBy("window_start_us", "event_type").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Relational
+      .queries("q_window_time")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming dropDuplicates removes cross-batch duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
