@@ -87,6 +87,37 @@ object Extras extends graft.QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Range (interval) join via BINNING: match each click to every
+    // 2-hour promo window containing it. The naive plan for
+    // `ts BETWEEN start AND end` is a nested-loop join — O(|L|·|R|) and
+    // a broadcast requirement that dies at 100 TB. Instead both sides
+    // are keyed by a coarse time bin (bin width = max interval length,
+    // so an interval spans ≤ 2 bins): intervals replicate to the bins
+    // they overlap (explode(sequence(...)), ≤ 2 rows each), events land
+    // in exactly one bin, and the match becomes an EQUI-join on bin +
+    // residual range filter. Each (event, interval) pair meets exactly
+    // once — in the event's bin — so no dedup is needed, and the join
+    // shuffles/scales like any hash join.
+    "q_range_join" -> ((s, d) => {
+      val BIN_US = 2L * 3600 * 1000000 // 2h, = the promo window length
+      val ev = Tables(s, d, "events")
+      val promos = ev
+        .filter(col("event_type") === "purchase" && col("user_id") < 3)
+        .select(col("event_id").as("promo_id"),
+          unix_micros(col("ts")).as("start_us"))
+        .withColumn("end_us", col("start_us") + BIN_US)
+      val binnedPromos = promos.withColumn("bin",
+        explode(sequence(expr(s"start_us div $BIN_US"),
+          expr(s"(end_us - 1) div $BIN_US"))))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("bin", expr(s"ts_us div $BIN_US"))
+      clicks.join(binnedPromos, Seq("bin"))
+        .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+        .select(col("promo_id"), col("event_id"), col("ts_us"))
+        .orderBy(col("promo_id"), col("event_id"))
+    }),
+
     // The same as-of semantics through the NATIVE operator
     // (graft.plans.AsOfJoinPlan → AsOfJoinExec: hash-cluster + per-key
     // sort-merge, preference order (c) of the builder brief) — same
@@ -144,6 +175,20 @@ object Extras extends graft.QueryPack {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY CUBE(event_type, user_id % 5)
         |ORDER BY event_type NULLS FIRST, ub NULLS FIRST""".stripMargin,
+
+    // The oracle states the range join directly (DuckDB's IEJoin handles
+    // the inequality); the Spark side must produce the identical pairs
+    // through the binned equi-join.
+    "q_range_join" ->
+      """WITH promos AS (
+        |  SELECT event_id AS promo_id, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + 7200000000 AS end_us
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 3)
+        |SELECT p.promo_id, e.event_id, epoch_us(e.ts) AS ts_us
+        |FROM events e JOIN promos p
+        |  ON epoch_us(e.ts) >= p.start_us AND epoch_us(e.ts) < p.end_us
+        |WHERE e.event_type = 'click'
+        |ORDER BY p.promo_id, e.event_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH merged AS (

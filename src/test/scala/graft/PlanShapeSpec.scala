@@ -39,6 +39,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(3000))
   }
 
+  test("binned range join plans as an equi-join, not a nested loop") {
+    val plan = graft.operators.Extras.queries("q_range_join")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan.take(3000))
+    assert(plan.contains("Join") || plan.contains("HashJoin"), plan.take(3000))
+  }
+
   test("global top-k plans as TakeOrderedAndProject (no full sort)") {
     val plan = executedPlan("q_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
