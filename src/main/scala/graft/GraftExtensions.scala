@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_stem"),
       GraftExtensions.stemInfo,
       GraftExtensions.stemBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      GraftExtensions.winnowInfo,
+      GraftExtensions.winnowBuilder))
     ext.injectOptimizerRule(_ => graft.plans.LargeInListToJoinRule())
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -37,6 +41,11 @@ object GraftExtensions {
   private[graft] val stemBuilder: Seq[Expression] => Expression =
     children => graft.functions.Stem(children.head)
 
+  private[graft] val winnowInfo =
+    new ExpressionInfo(classOf[graft.functions.Winnow].getName, "graft_winnow")
+  private[graft] val winnowBuilder: Seq[Expression] => Expression =
+    children => graft.functions.Winnow(children.head)
+
   /** Same registration for an already-running session (extensions only
     * apply at construction time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -44,5 +53,7 @@ object GraftExtensions {
       spark, "graft_dot", dotInfo, dotBuilder)
     org.apache.spark.sql.graftshim.GraftShim.registerFunction(
       spark, "graft_stem", stemInfo, stemBuilder)
+    org.apache.spark.sql.graftshim.GraftShim.registerFunction(
+      spark, "graft_winnow", winnowInfo, winnowBuilder)
   }
 }

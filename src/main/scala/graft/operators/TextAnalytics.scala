@@ -124,6 +124,21 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing fingerprints (SIGMOD 2003 / MOSS): rolling K-gram
+    // Rabin-Karp hash + sliding-window minima through the codegen'd
+    // graft.functions.Winnow expression — O(n) per document inside
+    // whole-stage codegen, vs the O(n·K) per-gram recompute a SQL
+    // formulation (and the oracle) pays. One (doc_id, fp) row per
+    // distinct fingerprint: equal fp across docs = shared K-gram
+    // region = near-dup candidate pair, found by a plain groupBy on fp
+    // at any scale.
+    "q_fingerprint_winnow" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowExpression.winnow(col("text"))).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
     // T6: stopword/short/url-token filtering.
     "q_stopword_filter" -> ((s, d) => {
       val kept = filter(tokens(col("text")), keepToken _)
@@ -254,6 +269,29 @@ object TextAnalytics extends graft.QueryPack {
         |FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
         |      FROM documents) d
         |ORDER BY doc_id""".stripMargin,
+
+    // Direct per-position restatement of the winnow (the oracle pays
+    // O(n·K); congruent modular arithmetic makes the values identical).
+    "q_fingerprint_winnow" ->
+      """WITH positions AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+        |  FROM documents),
+        |hashes AS (
+        |  SELECT doc_id, i,
+        |    CAST(list_sum(list_transform(range(0, 8), j ->
+        |      ascii(substr(text, CAST(i + j AS INTEGER), 1)) *
+        |      ([27512614111, 887503681, 28629151, 923521,
+        |        29791, 961, 31, 1])[CAST(j + 1 AS INTEGER)])) AS BIGINT)
+        |      % 1048576 AS h
+        |  FROM positions),
+        |wins AS (
+        |  SELECT doc_id, i, h,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS nh
+        |  FROM hashes)
+        |SELECT DISTINCT doc_id, fp FROM wins WHERE i <= nh - 3
+        |ORDER BY doc_id, fp""".stripMargin,
 
     "q_stopword_filter" ->
       s"""SELECT doc_id,
