@@ -178,27 +178,72 @@ object Dedup extends graft.QueryPack {
     // the shingle, and pair work is proportional to shared shingles only
     // (the layout that survives 100×: candidate volume follows actual
     // overlap, not block size²).
-    "q_dedup_ngram_jaccard" -> ((s, d) => {
-      val c = corpus(Tables(s, d, "documents"))
-        .withColumn("sh", shingles(toks(col("text"))))
-        .withColumn("n", size(col("sh")))
-      val ex = c.select(col("source"), col("doc_id"), col("n"),
-        explode(col("sh")).as("s"))
-      val l = ex.select(col("source"), col("s"),
-        col("doc_id").as("id_a"), col("n").as("na"))
-      val r = ex.select(col("source"), col("s"),
-        col("doc_id").as("id_b"), col("n").as("nb"))
-      l.join(r, Seq("source", "s"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("c"))
-        .select(col("id_a"), col("id_b"),
-          round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 9)
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.6)
-        .orderBy(col("id_a"), col("id_b"))
+    "q_dedup_ngram_jaccard" -> ((s, d) =>
+      ngramPairs(s, d).orderBy(col("id_a"), col("id_b"))),
+
+    // Near-dup CLUSTER formation: connected components over the
+    // verified pair graph — the step after any pair generator
+    // (keep-one-per-cluster needs clusters, not pairs). Min-label
+    // propagation: every node starts labeled with its own id; each
+    // round pulls the minimum label across edges until fixpoint. The
+    // fixpoint is the component-minimum id — unique regardless of
+    // execution/iteration order, so the result is deterministic and a
+    // recursive-CTE oracle can restate it. Rounds = graph diameter
+    // (near-dup clusters are tiny cliques → 2-3 rounds); each round is
+    // one shuffle join on node id — the GraphX/Pregel layout without
+    // leaving the DataFrame API. The driver loop only coordinates
+    // (checks a changed-count), it never holds data.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = ngramPairs(s, d).select(col("id_a"), col("id_b"))
+      val edges = pairs.unionByName(
+          pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .toDF("src", "dst")
+        .persist()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .persist()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val prop = edges.join(labels, edges("dst") === labels("node"))
+          .select(edges("src").as("node"), col("label"))
+        val next = labels.unionByName(prop)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .persist()
+        converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).isEmpty
+        labels.unpersist(false)
+        labels = next
+        rounds += 1
+      }
+      edges.unpersist(false)
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Verified near-dup pairs via the inverted shingle index (see
+    * q_dedup_ngram_jaccard) — shared by the pair query and the cluster
+    * query. */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(Tables(s, d, "documents"))
+      .withColumn("sh", shingles(toks(col("text"))))
+      .withColumn("n", size(col("sh")))
+    val ex = c.select(col("source"), col("doc_id"), col("n"),
+      explode(col("sh")).as("s"))
+    val l = ex.select(col("source"), col("s"),
+      col("doc_id").as("id_a"), col("n").as("na"))
+    val r = ex.select(col("source"), col("s"),
+      col("doc_id").as("id_b"), col("n").as("nb"))
+    l.join(r, Seq("source", "s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 9)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+  }
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -255,6 +300,32 @@ object Dedup extends graft.QueryPack {
          |                THEN 1 ELSE -1 END)) >= 0
          |         THEN '1' ELSE '0' END), '') AS simhash
          |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    // Transitive closure over the same pair graph; cluster_id = MIN
+    // reachable id, the unique fixpoint the Spark label propagation
+    // converges to.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusSqlDuck,
+         |sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+         |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
+         |  FROM corpus),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |              len(list_distinct(a.sh || b.sh)), 9) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node)
+         |SELECT node AS doc_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH $corpusSqlDuck,
