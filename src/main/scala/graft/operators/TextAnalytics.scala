@@ -124,6 +124,64 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrubbing: redact emails/phone numbers before training-data
+    // release. The corpus text is synthetic word soup, so PII is
+    // DERIVED deterministically per doc (same derivation on the oracle
+    // side) — the regexes then do real work. Pure codegen'd
+    // regexp_replace/extract projections, no shuffle; the patterns are
+    // written to the common subset of Java regex and RE2 so both
+    // engines agree.
+    "q_scrub_pii" -> ((s, d) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+      val withPii = Tables(s, d, "documents").select(
+        col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      withPii.select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("clean"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition-based quality filter (the Gopher/MassiveText rules,
+    // Rae et al. 2021 §A1.1): distinct-token ratio and the fraction of
+    // all 2-grams taken by the most frequent 2-gram; documents failing
+    // either threshold are flagged. Per-doc 2-gram counting goes
+    // through explode + two doc_id-keyed aggregations (map-side
+    // partial agg; at scale the doc_id key is uniform so no skew).
+    "q_quality_repetition" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        // guard: a 1-token doc has no 2-grams (and Spark's sequence(1, 0)
+        // would descend); both sides restrict to >= 2 tokens
+        .filter(size(col("toks")) >= 2)
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("distinct_ratio",
+          round(size(array_distinct(col("toks"))).cast("double") /
+            col("n_tokens"), 9))
+      val grams = docs.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)))).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("c")).cast("double") / sum(col("c")), 9)
+          .as("top_bigram_frac"))
+      docs.join(grams, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
+          col("top_bigram_frac"),
+          (col("distinct_ratio") >= 0.3 && col("top_bigram_frac") <= 0.18)
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (SIGMOD 2003 / MOSS): rolling K-gram
     // Rabin-Karp hash + sliding-window minima through the codegen'd
     // graft.functions.Winnow expression — O(n) per document inside
@@ -269,6 +327,50 @@ object TextAnalytics extends graft.QueryPack {
         |FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
         |      FROM documents) d
         |ORDER BY doc_id""".stripMargin,
+
+    "q_scrub_pii" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.com or +1-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |                   '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+        |FROM withpii ORDER BY doc_id""".stripMargin,
+
+    "q_quality_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 9)
+        |      AS distinct_ratio,
+        |    toks
+        |  FROM docs),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[CAST(i AS INTEGER)] || ' ' ||
+        |           toks[CAST(i + 1 AS INTEGER)])) AS gram
+        |  FROM docs),
+        |gc AS (
+        |  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
+        |topfrac AS (
+        |  SELECT doc_id,
+        |    round(CAST(MAX(c) AS DOUBLE) / SUM(c), 9) AS top_bigram_frac
+        |  FROM gc GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.distinct_ratio, t.top_bigram_frac,
+        |  (b.distinct_ratio >= 0.3 AND t.top_bigram_frac <= 0.18) AS keep
+        |FROM base b JOIN topfrac t ON b.doc_id = t.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // Direct per-position restatement of the winnow (the oracle pays
     // O(n·K); congruent modular arithmetic makes the values identical).
