@@ -87,6 +87,27 @@ object Extras extends graft.QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of with tolerance through the native operator: the
+    // FIRST purchase at-or-after each click, but only within 2 hours —
+    // attribution joins ("did a purchase follow this click?") are this
+    // exact shape. Same single-pass merge; the forward scan peeks
+    // instead of buffering (one right row can serve many left rows).
+    "q_asof_join_fwd" -> ((s, d) => {
+      val clicks = Tables(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val purchases = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      graft.plans.AsOf.join(clicks, purchases,
+          keys = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us",
+          direction = "forward", toleranceUs = Some(7200000000L))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("ts_us_r").as("next_purchase_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range (interval) join via BINNING: match each click to every
     // 2-hour promo window containing it. The naive plan for
     // `ts BETWEEN start AND end` is a nested-loop join — O(|L|·|R|) and
@@ -175,6 +196,26 @@ object Extras extends graft.QueryPack {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY CUBE(event_type, user_id % 5)
         |ORDER BY event_type NULLS FIRST, ub NULLS FIRST""".stripMargin,
+
+    // Forward window: clicks sort before purchases at equal ts
+    // (is_click DESC) so a same-instant purchase is inside the
+    // CURRENT ROW..FOLLOWING frame — mirroring the inclusive rt >= lt.
+    "q_asof_join_fwd" ->
+      """WITH merged AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN np - ts_us <= 7200000000 THEN np END AS next_purchase_us
+        |FROM (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |    MIN(p_ts) OVER (PARTITION BY user_id
+        |                    ORDER BY ts_us, is_click DESC, event_id
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+        |  FROM merged) t
+        |WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
 
     // The oracle states the range join directly (DuckDB's IEJoin handles
     // the inequality); the Spark side must produce the identical pairs

@@ -9,16 +9,19 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.LongType
 
-/** Native backward as-of join — the temporal operator the reference's
+/** Native as-of join — the temporal operator the reference's
   * "latest state at time t" lookups imply and Spark lacks as a first-class
   * batch operator (SURVEY.md §2.4 notes the reference has only equi
   * joins; the as-of generalization is the training-pipeline staple:
   * enrich each fact row with the most recent dimension/state row at or
   * before its timestamp).
   *
-  * Semantics: for every left row, attach the right row with equal key
-  * and the greatest `rightTime <= leftTime` (ties: last in (key, time)
-  * sort order); left rows with no such match keep nulls (left-outer).
+  * Semantics (left-outer; unmatched left rows keep nulls):
+  *   - backward: the right row with equal key and the greatest
+  *     `rightTime <= leftTime` (ties: last in (key, time) sort order);
+  *   - forward: the right row with equal key and the smallest
+  *     `rightTime >= leftTime` (ties: first in sort order);
+  *   - toleranceUs: additionally require |rightTime - leftTime| <= tol.
   *
   * Execution (AsOfJoinExec): both sides hash-clustered on the key and
   * sorted by (key, time) — EnsureRequirements inserts the exchanges and
@@ -34,7 +37,9 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean = false,
+    toleranceUs: Option[Long] = None)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -55,7 +60,9 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean,
+    toleranceUs: Option[Long])
   extends BinaryExecNode {
 
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
@@ -90,6 +97,8 @@ case class AsOfJoinExec(
     val lTimeB = BindReferences.bindReference(leftTime, leftOut)
     val rTimeB = BindReferences.bindReference(rightTime, rightOut)
     val outAttrs = output
+    val fwd = forward
+    val tol = toleranceUs
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter0) =>
       val lKeyProj = UnsafeProjection.create(lKeysB)
@@ -99,37 +108,60 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.size)
       val rIter = rIter0.buffered
-      // last right row whose key equals the current left key and whose
-      // time was <= the left time — the candidate match (copied: the
-      // child's UnsafeRow buffers are reused)
+      // backward state: last right row with key == current left key and
+      // time <= the left time (copied: child UnsafeRow buffers are reused)
       var matched: InternalRow = null
+      var matchedTime: Long = 0L
       var matchedKey: UnsafeRow = null
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        // null-safe: a null left time matches nothing
-        val lt = lTimeB.eval(lRow) match {
-          case null => Long.MinValue
-          case v => v.asInstanceOf[Long]
+        val ltRaw = lTimeB.eval(lRow)
+        var m: InternalRow = null
+        if (ltRaw != null) {
+          val lt = ltRaw.asInstanceOf[Long]
+          if (fwd) {
+            // drop rights before (key, lt); the head is then the first
+            // candidate — peeked, not consumed (the same right row can
+            // serve later left rows too)
+            var scan = true
+            while (scan && rIter.hasNext) {
+              val rKey = rKeyProj(rIter.head)
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) rIter.next()
+              else if (c == 0) {
+                val rt = rTimeB.eval(rIter.head)
+                if (rt == null || rt.asInstanceOf[Long] < lt) rIter.next()
+                else scan = false
+              } else scan = false
+            }
+            if (rIter.hasNext && keyOrd.compare(rKeyProj(rIter.head), lKey) == 0) {
+              val rt = rTimeB.eval(rIter.head).asInstanceOf[Long]
+              if (tol.forall(rt - lt <= _)) m = rIter.head
+            }
+          } else {
+            if (matchedKey != null && keyOrd.compare(matchedKey, lKey) != 0) {
+              matched = null; matchedKey = null
+            }
+            var scan = true
+            while (scan && rIter.hasNext) {
+              val rKey = rKeyProj(rIter.head)
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) rIter.next() // right key before any remaining left key
+              else if (c == 0) {
+                val rt = rTimeB.eval(rIter.head)
+                if (rt != null && rt.asInstanceOf[Long] <= lt) {
+                  matchedTime = rt.asInstanceOf[Long]
+                  matched = rIter.next().copy()
+                  if (matchedKey == null) matchedKey = lKey.copy()
+                } else if (rt == null) rIter.next() // null right time: unmatched
+                else scan = false // beyond this left row; keep for later lefts
+              } else scan = false // right key beyond current left key
+            }
+            if (matched != null && tol.forall(lt - matchedTime <= _)) m = matched
+          }
         }
-        if (matchedKey != null && keyOrd.compare(matchedKey, lKey) != 0) {
-          matched = null; matchedKey = null
-        }
-        var scan = true
-        while (scan && rIter.hasNext) {
-          val rKey = rKeyProj(rIter.head)
-          val c = keyOrd.compare(rKey, lKey)
-          if (c < 0) rIter.next() // right key before any remaining left key: discard
-          else if (c == 0) {
-            val rt = rTimeB.eval(rIter.head)
-            if (rt != null && rt.asInstanceOf[Long] <= lt) {
-              matched = rIter.next().copy()
-              if (matchedKey == null) matchedKey = lKey.copy()
-            } else if (rt == null) rIter.next() // null right time: unmatched, discard
-            else scan = false // right time beyond this left row; keep for later lefts
-          } else scan = false // right key beyond current left key
-        }
-        outProj(joined(lRow, if (matched != null) matched else nullRight))
+        outProj(joined(lRow, if (m != null) m else nullRight))
       }
     }
   }
@@ -146,25 +178,31 @@ case class AsOfJoinExec(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
     case _ => Nil
   }
 }
 
 /** Public DataFrame-level API for the native as-of join. */
 object AsOf {
-  /** Backward as-of join: every `left` row gains the columns of the
-    * latest `right` row with equal `keys` and `rightTime <= leftTime`
-    * (nulls when none). Right-side columns are suffixed with
-    * `rightSuffix`. Time columns must be LongType (epoch micros).
+  /** As-of join: every `left` row gains the columns of the closest
+    * `right` row with equal `keys` — the latest `rightTime <= leftTime`
+    * (backward, default) or the earliest `rightTime >= leftTime`
+    * (`direction = "forward"`) — nulls when none (or none within
+    * `toleranceUs`). Right-side columns are suffixed with `rightSuffix`.
+    * Time columns must be LongType (epoch micros).
     *
     * `left` and `right` must not share attribute lineage (read the
     * table twice for a self as-of) — enforced below.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      rightSuffix: String = "_r"): DataFrame = {
+      rightSuffix: String = "_r",
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -188,7 +226,9 @@ object AsOf {
       keys.map(attr(lPlan, _)),
       keys.map(k => attr(rPlan, k + rightSuffix)),
       attr(lPlan, leftTime),
-      attr(rPlan, rightTime + rightSuffix))
+      attr(rPlan, rightTime + rightSuffix),
+      forward = direction == "forward",
+      toleranceUs = toleranceUs)
     org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, node)
   }
 }

@@ -49,6 +49,38 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Map("a10" -> "pay-a5", "anull" -> null))
   }
 
+  test("forward as-of: earliest right at-or-after; peeked rows serve many lefts") {
+    val got = graft.plans.AsOf.join(leftDf, rightDf,
+        keys = Seq("k"), leftTime = "t", rightTime = "t", direction = "forward")
+      .select($"tag", $"payload_r")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "a10" -> "pay-a20",  // rt=20 is the earliest >= 10
+      "a20" -> "pay-a20",  // tie at equal time is INCLUSIVE
+      "a30" -> null,       // no right at-or-after 30
+      "b5" -> "pay-b6",    // the same b6 row would serve further b lefts
+      "c50" -> null))
+  }
+
+  test("tolerance bounds the match distance in both directions") {
+    val back = graft.plans.AsOf.join(leftDf, rightDf,
+        keys = Seq("k"), leftTime = "t", rightTime = "t",
+        toleranceUs = Some(1L))
+      .select($"tag", $"payload_r")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // a10 matches rt=9 at distance 1 (inclusive); a30's best rt=25 is 5 away
+    assert(back == Map("a10" -> "pay-a9", "a20" -> "pay-a20",
+      "a30" -> null, "b5" -> null, "c50" -> null))
+    val fwd = graft.plans.AsOf.join(leftDf, rightDf,
+        keys = Seq("k"), leftTime = "t", rightTime = "t",
+        direction = "forward", toleranceUs = Some(1L))
+      .select($"tag", $"payload_r")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // a10's earliest following rt=20 is 10 away → out of tolerance
+    assert(fwd == Map("a10" -> null, "a20" -> "pay-a20",
+      "a30" -> null, "b5" -> "pay-b6", "c50" -> null))
+  }
+
   test("result is invariant to input partitioning") {
     val base = run(leftDf, rightDf)
     val repart = run(leftDf.repartition(7, $"tag"), rightDf.repartition(5))
