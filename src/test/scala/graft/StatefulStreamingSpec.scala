@@ -36,6 +36,41 @@ class StatefulStreamingSpec extends AnyFunSuite {
       SessionAssignment(1, 175 * MIN, 3), SessionAssignment(2, 0, 1)))
   }
 
+  test("RocksDB state store backs the same session_window query") {
+    // at 100 TB of keyed state the HDFS-backed in-memory store OOMs;
+    // RocksDB spills to local disk and is the production state backend.
+    // Same query, same results — only the provider conf changes.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val MIN = 60L * 1000000
+    val ms = MemoryStream[SessionEvent]
+    val stream = ms.toDF().withColumn("ts", timestamp_micros(col("ts_us")))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rocksdb").toString
+    // provider is captured at query start — set the conf first
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = EventsStream.sessionWindowAgg(stream)
+      .writeStream.format("memory").queryName("swrocks").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      ms.addData(SessionEvent(1, 0), SessionEvent(1, 10 * MIN))
+      q.processAllAvailable()
+      ms.addData(SessionEvent(1, 20 * MIN))
+      q.processAllAvailable()
+      ms.addData(SessionEvent(9, 600 * MIN))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val got = spark.table("swrocks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq((1L, 0L, 50 * MIN, 3L)))
+  }
+
   test("native session_window: sessions merge across micro-batches, emit on watermark") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
