@@ -199,9 +199,20 @@ object Dedup extends graft.QueryPack {
           pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         .toDF("src", "dst")
         .persist()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
+      // round 0 folded into initialization: label = min(self, neighbors)
+      // from one groupBy on the edge list (no join) — tiny star-shaped
+      // near-dup clusters converge here, leaving the loop a single
+      // fixpoint-confirming round
+      var labels = edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"), least(col("mn"), col("src")).as("label"))
         .persist()
+      // labels only ever decrease (next = min(old, neighbors)), so the
+      // fixpoint test is one cheap agg — sum unchanged ⟺ converged —
+      // instead of a per-round change-detection join.
+      def labelSum(): Long =
+        labels.agg(sum(col("label"))).collect()(0).getLong(0)
+      var prevSum = labelSum()
       var converged = false
       var rounds = 0
       while (!converged && rounds < 50) {
@@ -210,10 +221,11 @@ object Dedup extends graft.QueryPack {
         val next = labels.unionByName(prop)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
           .persist()
-        converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-          .filter(col("label") =!= col("old")).isEmpty
         labels.unpersist(false)
         labels = next
+        val s = labelSum()
+        converged = s == prevSum
+        prevSum = s
         rounds += 1
       }
       edges.unpersist(false)
