@@ -87,6 +87,25 @@ object Extras extends graft.QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Deterministic hash split assignment: the reproducible
+    // train/val/test partition every training pipeline needs. The
+    // split is a pure function of the STABLE key (first 16 bits of
+    // md5), so it is identical across engines, runs, cluster sizes and
+    // data orderings — unlike sample()/rand(seed), whose output depends
+    // on partitioning. 90/5/5 on 16-bit buckets; map-side only, no
+    // shuffle until the presentation sort.
+    "q_split_hash" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      Tables(s, d, "documents")
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 58982, "train")
+            .when(col("bucket") < 62259, "val")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Forward as-of with tolerance through the native operator: the
     // FIRST purchase at-or-after each click, but only within 2 hours —
     // attribution joins ("did a purchase follow this click?") are this
@@ -196,6 +215,17 @@ object Extras extends graft.QueryPack {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY CUBE(event_type, user_id % 5)
         |ORDER BY event_type NULLS FIRST, ub NULLS FIRST""".stripMargin,
+
+    "q_split_hash" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |       AS INTEGER) AS BIGINT) AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |            AS INTEGER) < 58982 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |            AS INTEGER) < 62259 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Forward window: clicks sort before purchases at equal ts
     // (is_click DESC) so a same-instant purchase is inside the
