@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_winnow"),
       GraftExtensions.winnowInfo,
       GraftExtensions.winnowBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_labels"),
+      GraftExtensions.labelsInfo,
+      GraftExtensions.labelsBuilder))
     ext.injectOptimizerRule(_ => graft.plans.LargeInListToJoinRule())
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -46,6 +50,11 @@ object GraftExtensions {
   private[graft] val winnowBuilder: Seq[Expression] => Expression =
     children => graft.functions.Winnow(children.head)
 
+  private[graft] val labelsInfo =
+    new ExpressionInfo(classOf[graft.functions.LabelGen].getName, "graft_labels")
+  private[graft] val labelsBuilder: Seq[Expression] => Expression =
+    children => graft.functions.LabelGen(children.head)
+
   /** Same registration for an already-running session (extensions only
     * apply at construction time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -55,5 +64,7 @@ object GraftExtensions {
       spark, "graft_stem", stemInfo, stemBuilder)
     org.apache.spark.sql.graftshim.GraftShim.registerFunction(
       spark, "graft_winnow", winnowInfo, winnowBuilder)
+    org.apache.spark.sql.graftshim.GraftShim.registerFunction(
+      spark, "graft_labels", labelsInfo, labelsBuilder)
   }
 }

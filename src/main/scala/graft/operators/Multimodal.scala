@@ -64,6 +64,17 @@ object Multimodal extends graft.QueryPack {
         .select(col("doc_id"), col("n_bytes"), col("magic"),
           col("fake_width"), col("fake_height"), col("frame_sum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // M1 as a Generator (UDTF): one label row per media item per label,
+    // via the custom graft_labels generator — planned as a Generate
+    // node exactly like explode (§2.10's "Generator variant to emit one
+    // label row per image").
+    "q_multimodal_labels" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .select(col("doc_id"), graft.functions.LabelGen.labels(col("content")))
+        .orderBy(col("doc_id"), col("label_rank"))
     })
   )
 
@@ -78,6 +89,18 @@ object Multimodal extends graft.QueryPack {
         |  CAST(ascii(substring(text, 3, 1)) * 256 + ascii(substring(text, 4, 1)) AS BIGINT) AS fake_height,
         |  CAST(list_sum(list_transform(range(1, length(text) + 1, 16),
         |       i -> ascii(substring(text, i, 1)))) AS BIGINT) AS frame_sum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_labels" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, length(text) + 1, 16),
+        |         i -> ascii(substring(text, i, 1)))) AS BIGINT) AS fs
+        |  FROM documents),
+        |l AS (SELECT doc_id, fs, unnest(range(0, 1 + fs % 3)) AS r FROM f)
+        |SELECT doc_id, r + 1 AS label_rank,
+        |  CAST(100.0 - 10.0 * r AS DOUBLE) AS confidence,
+        |  'label_' || CAST((fs + r) % 7 AS VARCHAR) AS name
+        |FROM l ORDER BY doc_id, label_rank""".stripMargin
   )
 }

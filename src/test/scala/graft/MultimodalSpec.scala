@@ -27,4 +27,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() == 200)
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == (1L to 200L))
   }
+
+  test("LabelGen UDTF plans as Generate and works from SQL LATERAL VIEW") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.register(spark)
+    val df = Tables(spark, TestSpark.sf, "documents").limit(10)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val viaCol = df.select(col("doc_id"), graft.functions.LabelGen.labels(col("content")))
+    // the analyzer wraps the generator in a Generate node, like explode
+    assert(viaCol.queryExecution.executedPlan.toString.contains("Generate"),
+      viaCol.queryExecution.executedPlan.toString.take(1000))
+    assert(viaCol.schema.fieldNames.toSeq ==
+      Seq("doc_id", "label_rank", "confidence", "name"))
+    df.createOrReplaceTempView("media_tmp")
+    val viaSql = spark.sql(
+      """SELECT doc_id, l.label_rank, l.confidence, l.name
+        |FROM media_tmp LATERAL VIEW graft_labels(content) l""".stripMargin)
+    assert(viaSql.collect().map(_.toSeq).toSet ==
+      viaCol.collect().map(_.toSeq).toSet)
+    // 1-3 labels per item, rank starts at 1, confidence descends from 100
+    val rows = viaCol.collect()
+    assert(rows.length >= 10 && rows.length <= 30)
+    assert(rows.filter(_.getLong(1) == 1L).forall(_.getDouble(2) == 100.0))
+  }
 }
