@@ -149,6 +149,26 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Per-label centroid (mean embedding) through the custom
+    // TypedImperativeAggregate graft_vec_sum — the aggregate tier of
+    // the Catalyst ladder, with map-side partials and elementwise
+    // merge like Spark's own sketches. Fixed-point Long accumulation
+    // makes the distributed mean EXACTLY order-independent (double
+    // sums are not associative), i.e. reproducible across
+    // partitionings/retries/cluster sizes — and oracle-exact.
+    "q_vec_centroid" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      e.groupBy(col("label"))
+        .agg(graft.functions.VecSum.vecSumScaled(col("v"), DIM).as("sums"),
+          count(lit(1)).as("n"))
+        .select(col("label"), posexplode(col("sums")).as(Seq("pos", "sv")), col("n"))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("sv").cast("double") / col("n") / lit(1000000.0), 9)
+            .as("centroid"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // Embedding-cosine near-dup over corpus ∪ perturbed copies.
     "q_neardup_embedding" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
@@ -232,6 +252,21 @@ object Similarity extends graft.QueryPack {
          |                            ORDER BY sim DESC, nid) AS BIGINT) AS rk
          |  FROM sims) t
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    "q_vec_centroid" ->
+      s"""WITH el AS (
+         |  SELECT label, unnest(range(1, ${DIM + 1})) AS dim, embedding
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT label, dim,
+         |    CAST(ROUND(CAST(embedding[CAST(dim AS INTEGER)] AS DOUBLE)
+         |               * 1000000) AS BIGINT) AS sv
+         |  FROM el),
+         |g AS (SELECT label, dim, SUM(sv) AS s, COUNT(*) AS n
+         |      FROM sc GROUP BY label, dim)
+         |SELECT label, dim,
+         |  round(CAST(s AS DOUBLE) / n / CAST(1000000 AS DOUBLE), 9) AS centroid
+         |FROM g ORDER BY label, dim""".stripMargin,
 
     "q_neardup_embedding" ->
       s"""WITH corpus AS (
