@@ -67,4 +67,32 @@ class StorageLayoutSpec extends AnyFunSuite {
     r.write.mode("append").parquet(dir)
     assert(spark.read.parquet(dir).count() == 2 * r.count())
   }
+
+  test("CSV round-trip with explicit schema and filter pushdown") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_csv").toString + "/t"
+    val n = Tables(spark, TestSpark.sf, "nation")
+    n.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(n.schema).csv(dir)
+    assert(back.schema == n.schema) // no type loss with an explicit schema
+    assert(back.count() == n.count())
+    val filtered = back.filter(col("n_regionkey") === 0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,0)]"),
+      plan.take(1500))
+  }
+
+  test("JSON lines round-trip preserves nested structs (S3/S4 payload shape)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_json").toString + "/t"
+    val nested = Tables(spark, TestSpark.sf, "nation")
+      .select(col("n_nationkey"),
+        struct(col("n_name").as("name"),
+          struct(col("n_regionkey").as("key")).as("region")).as("meta"))
+    nested.write.json(dir)
+    val back = spark.read.schema(nested.schema).json(dir)
+    assert(back.select("meta.region.key").distinct().count() ==
+      nested.select("meta.region.key").distinct().count())
+    assert(back.count() == nested.count())
+  }
 }
