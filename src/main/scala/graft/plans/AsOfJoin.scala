@@ -104,7 +104,11 @@ case class AsOfJoinExec(
       val lKeyProj = UnsafeProjection.create(lKeysB)
       val rKeyProj = UnsafeProjection.create(rKeysB)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val outProj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      // bind against the right side AS NULLABLE: unmatched left rows read
+      // from an all-null row, and a non-nullable BoundReference would
+      // silently return primitive defaults (0) instead of null
+      val outProj = UnsafeProjection.create(outAttrs,
+        leftOut ++ rightOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.size)
       val rIter = rIter0.buffered

@@ -96,6 +96,35 @@ object EventsStream {
     out.iterator
   }
 
+  /** Tagged event for streaming as-of enrichment (is_state = the side
+    * that carries state, e.g. purchases; facts are enriched). */
+  case class TaggedEvent(user_id: Long, ts_us: Long, is_state: Boolean)
+  case class EnrichedFact(user_id: Long, ts_us: Long, state_ts_us: java.lang.Long)
+
+  /** Streaming BACKWARD AS-OF: enrich each fact with the latest
+    * state-row time at-or-before it — the streaming twin of the native
+    * batch operator (graft.plans.AsOf). Both streams arrive unioned and
+    * tagged on one key; per-key state is O(1) (the last state time),
+    * carried across micro-batches by flatMapGroupsWithState. Within a
+    * batch, events are processed in event-time order (ties: state
+    * before fact, matching the batch operator's inclusive rt <= lt). */
+  def asOfEnrichGroup(
+      key: Long,
+      events: Iterator[TaggedEvent],
+      state: org.apache.spark.sql.streaming.GroupState[Long])
+      : Iterator[EnrichedFact] = {
+    var lastState = state.getOption.getOrElse(Long.MinValue)
+    val out = events.toSeq
+      .sortBy(e => (e.ts_us, !e.is_state)) // state first at equal ts
+      .flatMap { e =>
+        if (e.is_state) { lastState = e.ts_us; None }
+        else Some(EnrichedFact(e.user_id, e.ts_us,
+          if (lastState == Long.MinValue) null else java.lang.Long.valueOf(lastState)))
+      }
+    state.update(lastState)
+    out.iterator
+  }
+
   /** K1 as a streaming sink: exactly-once MERGE upsert per micro-batch
     * into a parquet target (anti-join ∪ updates, then atomic swap). */
   def mergeIntoParquet(spark: SparkSession, target: String, key: String)(

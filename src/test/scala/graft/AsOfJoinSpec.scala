@@ -81,6 +81,19 @@ class AsOfJoinSpec extends AnyFunSuite {
       "a30" -> null, "b5" -> "pay-b6", "c50" -> null))
   }
 
+  test("unmatched rows yield null even for non-nullable primitive right columns") {
+    // regression: the output projection must bind the right side as
+    // nullable, else an unmatched left row reads primitive defaults (0)
+    // from the null row instead of null
+    val l = Seq(("a", 10L, "a10")).toDF("k", "t", "tag")
+    val r = Seq(("a", 99L, 7L)).toDF("k", "t", "num") // only at t=99 > 10
+    val row = graft.plans.AsOf.join(l, r,
+        keys = Seq("k"), leftTime = "t", rightTime = "t")
+      .select($"tag", $"t_r", $"num_r").collect()(0)
+    assert(row.getString(0) == "a10")
+    assert(row.isNullAt(1) && row.isNullAt(2), row.toString)
+  }
+
   test("result is invariant to input partitioning") {
     val base = run(leftDf, rightDf)
     val repart = run(leftDf.repartition(7, $"tag"), rightDf.repartition(5))

@@ -36,6 +36,50 @@ class StatefulStreamingSpec extends AnyFunSuite {
       SessionAssignment(1, 175 * MIN, 3), SessionAssignment(2, 0, 1)))
   }
 
+  test("streaming as-of enrichment matches the native batch as-of join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventsStream.TaggedEvent
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TaggedEvent]
+    val q = ms.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        EventsStream.asOfEnrichGroup)
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    // batch 1: state at 10, facts at 5 (no state yet) and 15
+    ms.addData(TaggedEvent(1, 10, true), TaggedEvent(1, 5, false),
+      TaggedEvent(1, 15, false))
+    q.processAllAvailable()
+    // batch 2: fact at 20 sees state 10 CARRIED ACROSS batches; new
+    // state at 30; fact at 30 ties inclusively; user 2 independent
+    ms.addData(TaggedEvent(1, 20, false), TaggedEvent(1, 30, true),
+      TaggedEvent(1, 30, false), TaggedEvent(2, 7, false))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("asof_stream")
+      .select($"user_id", $"ts_us", $"state_ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == Seq(
+      (1L, 5L, null), (1L, 15L, 10L), (1L, 20L, 10L), (1L, 30L, 30L),
+      (2L, 7L, null)))
+
+    // the native BATCH operator over the same rows agrees
+    val facts = Seq((1L, 5L), (1L, 15L), (1L, 20L), (1L, 30L), (2L, 7L))
+      .toDF("user_id", "ts_us")
+    val stateRows = Seq((1L, 10L), (1L, 30L)).toDF("user_id", "ts_us")
+    val batch = graft.plans.AsOf.join(facts, stateRows,
+        keys = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us")
+      .select($"user_id", $"ts_us", $"ts_us_r")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(batch == streamed)
+  }
+
   test("RocksDB state store backs the same session_window query") {
     // at 100 TB of keyed state the HDFS-backed in-memory store OOMs;
     // RocksDB spills to local disk and is the production state backend.
