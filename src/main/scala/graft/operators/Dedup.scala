@@ -181,6 +181,37 @@ object Dedup extends graft.QueryPack {
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       ngramPairs(s, d).orderBy(col("id_a"), col("id_b"))),
 
+    // Decontamination: test-set leakage check. A derived "benchmark"
+    // slice (doc_id % 50 == 3) is screened against the rest of the
+    // corpus by word-trigram CONTAINMENT — max over corpus docs of
+    // |sh(b) ∩ sh(c)| / |sh(b)| — the asymmetric cousin of Jaccard
+    // (a benchmark item fully quoted inside a long document scores 1.0
+    // even though Jaccard is tiny). Same inverted-index layout as the
+    // pair query: work scales with shared shingles, not corpus².
+    "q_decontaminate" -> ((s, d) => {
+      val c = Tables(s, d, "documents")
+        .withColumn("sh", shingles(toks(col("text"))))
+        .withColumn("n", size(col("sh")))
+      val bench = c.filter(col("doc_id") % 50 === 3)
+      val corpus = c.filter(col("doc_id") % 50 =!= 3)
+      val bx = bench.select(col("doc_id").as("bench_id"), col("n").as("nb"),
+        explode(col("sh")).as("s"))
+      val cx = corpus.select(col("doc_id").as("corpus_id"),
+        explode(col("sh")).as("s"))
+      val best = bx.join(cx, Seq("s"))
+        .groupBy(col("bench_id"), col("corpus_id"), col("nb"))
+        .agg(count(lit(1)).as("common"))
+        .groupBy(col("bench_id"))
+        .agg(round(max(col("common")).cast("double") / first(col("nb")), 9)
+          .as("max_containment"))
+      bench.select(col("doc_id").as("bench_id"))
+        .join(best, Seq("bench_id"), "left_outer")
+        .select(col("bench_id"),
+          coalesce(col("max_containment"), lit(0d)).as("max_containment"),
+          (coalesce(col("max_containment"), lit(0d)) >= 0.8).as("contaminated"))
+        .orderBy(col("bench_id"))
+    }),
+
     // Near-dup CLUSTER formation: connected components over the
     // verified pair graph — the step after any pair generator
     // (keep-one-per-cluster needs clusters, not pairs). Min-label
@@ -312,6 +343,26 @@ object Dedup extends graft.QueryPack {
          |                THEN 1 ELSE -1 END)) >= 0
          |         THEN '1' ELSE '0' END), '') AS simhash
          |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+         |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
+         |  FROM documents),
+         |bench AS (SELECT doc_id AS bench_id, sh, len(sh) AS nb
+         |          FROM sh WHERE doc_id % 50 = 3),
+         |corpus AS (SELECT doc_id AS corpus_id, sh FROM sh WHERE doc_id % 50 <> 3),
+         |best AS (
+         |  SELECT b.bench_id,
+         |    round(CAST(MAX(len(list_intersect(b.sh, c.sh))) AS DOUBLE)
+         |          / ANY_VALUE(b.nb), 9) AS max_containment
+         |  FROM bench b CROSS JOIN corpus c
+         |  GROUP BY b.bench_id)
+         |SELECT bench_id, max_containment,
+         |  max_containment >= 0.8 AS contaminated
+         |FROM best ORDER BY bench_id""".stripMargin,
 
     // Transitive closure over the same pair graph; cluster_id = MIN
     // reachable id, the unique fixpoint the Spark label propagation

@@ -68,6 +68,24 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2 * r.count())
   }
 
+  test("schema evolution: mergeSchema unions drifted parquet batches") {
+    // at 100 TB ingest runs for months; late batches grow columns. The
+    // reader must union schemas and null-fill old batches, not fail.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    val r = Tables(spark, TestSpark.sf, "region")
+    r.select(col("r_regionkey"), col("r_name")).write.mode("append").parquet(dir)
+    r.select(col("r_regionkey"), col("r_name"),
+        lit("v2").as("ingest_version")) // new column in a later batch
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet ==
+      Set("r_regionkey", "r_name", "ingest_version"))
+    assert(merged.count() == 2 * r.count())
+    // old batch rows surface with nulls in the new column
+    assert(merged.filter(col("ingest_version").isNull).count() == r.count())
+  }
+
   test("CSV round-trip with explicit schema and filter pushdown") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_csv").toString + "/t"
