@@ -106,6 +106,24 @@ object Extras extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Weighted mixture sampling: per-source keep-fractions (the
+    // C4/Pile-style dataset-mixture step). Row-level keep decision is
+    // the same stable-key md5 bucket as q_split_hash — deterministic,
+    // engine-independent, partitioning-independent — with the fraction
+    // chosen per source tier. Map-side filter + one agg.
+    "q_mixture_sample" -> ((s, d) => {
+      val srcIdx = substring(col("source"), 4, 10).cast("int")
+      val frac = when(srcIdx < 5, 1.0).when(srcIdx < 10, 0.5)
+        .when(srcIdx < 15, 0.25).otherwise(0.1)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      Tables(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(bucket < frac * 65536, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // Forward as-of with tolerance through the native operator: the
     // FIRST purchase at-or-after each click, but only within 2 hours —
     // attribution joins ("did a purchase follow this click?") are this
@@ -215,6 +233,17 @@ object Extras extends graft.QueryPack {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY CUBE(event_type, user_id % 5)
         |ORDER BY event_type NULLS FIRST, ub NULLS FIRST""".stripMargin,
+
+    "q_mixture_sample" ->
+      """SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |                AS INTEGER)
+        |           < (CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 1.0
+        |                   WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 0.5
+        |                   WHEN CAST(substr(source, 4) AS INTEGER) < 15 THEN 0.25
+        |                   ELSE 0.1 END) * 65536
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_split_hash" ->
       """SELECT doc_id,
