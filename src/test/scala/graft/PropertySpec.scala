@@ -77,4 +77,68 @@ class PropertySpec extends AnyFunSuite {
       .collect()(0)
     assert(sigs.getSeq[Long](0) == sigs.getSeq[Long](1))
   }
+
+  // random (key, time) tables: the native single-pass merge must agree
+  // with an order-independent reference computed per left row
+  test("as-of join: native exec equals brute-force reference on random data") {
+    import spark.implicits._
+    val tableGen: Gen[List[(String, Long)]] =
+      Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(0L, 20L)))
+    cases(Gen.zip(tableGen, tableGen), 6).foreach { case (lRows, rRows) =>
+      val l = lRows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val r = rRows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "rid")
+      val got = graft.plans.AsOf.join(l, r,
+          keys = Seq("k"), leftTime = "t", rightTime = "t")
+        .select($"lid", $"t_r")
+        .collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      // reference: per left row, max right time <= left time for the key
+      val expected = lRows.zipWithIndex.map { case ((k, t), i) =>
+        i.toLong -> rRows.filter(p => p._1 == k && p._2 <= t)
+          .map(_._2).maxOption
+      }.toMap
+      assert(got == expected)
+
+      val fwd = graft.plans.AsOf.join(l, r,
+          keys = Seq("k"), leftTime = "t", rightTime = "t",
+          direction = "forward")
+        .select($"lid", $"t_r")
+        .collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      val expectedFwd = lRows.zipWithIndex.map { case ((k, t), i) =>
+        i.toLong -> rRows.filter(p => p._1 == k && p._2 >= t)
+          .map(_._2).minOption
+      }.toMap
+      assert(fwd == expectedFwd)
+    }
+  }
+
+  test("winnow kernel equals brute force on random ASCII strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.WinnowKernel.{B, K, M, W}
+    val strGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
+    cases(strGen, 40).foreach { s =>
+      val bytes = s.getBytes("UTF-8")
+      val nh = bytes.length - K + 1
+      val expected =
+        if (nh < W) Seq.empty
+        else {
+          val h = (0 until nh).map { i =>
+            (0 until K).foldLeft(0L)((acc, j) =>
+              (acc * B + (bytes(i + j) & 0xffL)) % M)
+          }
+          (0 to nh - W).map(i => h.slice(i, i + W).min).distinct.sorted
+        }
+      val got = graft.functions.WinnowKernel
+        .winnow(UTF8String.fromString(s)).toLongArray().toSeq
+      assert(got == expected, s"input=${s.take(40)}")
+    }
+  }
 }
