@@ -199,13 +199,17 @@ object Scalars extends graft.QueryPack {
         |  SELECT event_id,
         |    CASE WHEN event_id % 2 = 1 THEN substring(props, 1, length(props) - 2)
         |         ELSE props END AS js
-        |  FROM events)
+        |  FROM events),
+        |v AS (
+        |  -- null out invalid payloads BEFORE extraction: a json_valid
+        |  -- guard inside the same CASE does not stop DuckDB from
+        |  -- evaluating json_extract on the malformed rows
+        |  SELECT event_id, CASE WHEN json_valid(js) THEN js END AS vjs FROM j)
         |SELECT event_id,
-        |  CASE WHEN json_valid(js) AND json_extract_string(js, '$.k') IS NOT NULL
+        |  CASE WHEN json_extract_string(vjs, '$.k') IS NOT NULL
         |       THEN 'ok' ELSE 'dead' END AS channel,
-        |  CASE WHEN json_valid(js)
-        |       THEN CAST(json_extract_string(js, '$.k') AS BIGINT) END AS k
-        |FROM j ORDER BY event_id""".stripMargin,
+        |  CAST(json_extract_string(vjs, '$.k') AS BIGINT) AS k
+        |FROM v ORDER BY event_id""".stripMargin,
 
     "q_json_dialect" ->
       """WITH j AS (
