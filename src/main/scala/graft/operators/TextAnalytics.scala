@@ -124,6 +124,31 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing: assign documents to fixed token-budget packs
+    // (the batch-construction step before LLM training). Packing is a
+    // running prefix sum: a doc's pack is floor(tokens-before-it /
+    // BUDGET) — deterministic, one window pass, and deliberately scoped
+    // PER SOURCE SHARD: a global pack order would serialize the world
+    // through one partition, while per-shard packing parallelizes and
+    // is how packing actually runs at 100 TB (each shard packs
+    // independently). Boundary docs may straddle the budget (documented
+    // divergence from strict greedy repacking, which is inherently
+    // sequential).
+    "q_pack_sequences" -> ((s, d) => {
+      val BUDGET = 2000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("pack_no", floor(col("before") / BUDGET))
+        .groupBy(col("source"), col("pack_no"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy(col("source"), col("pack_no"))
+    }),
+
     // PII scrubbing: redact emails/phone numbers before training-data
     // release. The corpus text is synthetic word soup, so PII is
     // DERIVED deterministically per doc (same derivation on the oracle
@@ -327,6 +352,21 @@ object TextAnalytics extends graft.QueryPack {
         |FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
         |      FROM documents) d
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM t)
+        |SELECT source, CAST(FLOOR(bef / 2000) AS BIGINT) AS pack_no,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM p GROUP BY source, pack_no
+        |ORDER BY source, pack_no""".stripMargin,
 
     "q_scrub_pii" ->
       """WITH withpii AS (
