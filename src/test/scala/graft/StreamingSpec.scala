@@ -44,6 +44,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("AvailableNow + checkpoint: a restarted run processes only new files") {
+    // the reference's cron model: each run picks up where the store
+    // left off (ST4/ST5). Here the checkpoint carries the source state
+    // across process restarts: run 1 ingests f1, run 2 (same
+    // checkpoint) sees f1 already committed and ingests only f2.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("graft_incr_src").toString
+    val sink = Files.createTempDirectory("graft_incr_sink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_incr_ckpt").toString
+    val events = Paths.get(TestSpark.sf, "events.parquet")
+    Files.copy(events, Paths.get(src, "f1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    def runOnce(): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val q = spark.readStream.schema(EventsStream.rawSchema).parquet(src)
+        .select(col("event_id"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+
+    runOnce()
+    val n1 = spark.read.parquet(sink).count()
+    Files.copy(events, Paths.get(src, "f2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    runOnce()
+    val n2 = spark.read.parquet(sink).count()
+    assert(n1 > 0)
+    assert(n2 == 2 * n1, s"expected exactly one extra file's rows: n1=$n1 n2=$n2")
+  }
+
   test("streaming dropDuplicates removes cross-batch duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
