@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_labels"),
       GraftExtensions.labelsInfo,
       GraftExtensions.labelsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      GraftExtensions.simhashInfo,
+      GraftExtensions.simhashBuilder))
     ext.injectOptimizerRule(_ => graft.plans.LargeInListToJoinRule())
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -55,6 +59,11 @@ object GraftExtensions {
   private[graft] val labelsBuilder: Seq[Expression] => Expression =
     children => graft.functions.LabelGen(children.head)
 
+  private[graft] val simhashInfo =
+    new ExpressionInfo(classOf[graft.functions.SimHash].getName, "graft_simhash")
+  private[graft] val simhashBuilder: Seq[Expression] => Expression =
+    children => graft.functions.SimHash(children.head)
+
   /** Same registration for an already-running session (extensions only
     * apply at construction time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -66,5 +75,7 @@ object GraftExtensions {
       spark, "graft_winnow", winnowInfo, winnowBuilder)
     org.apache.spark.sql.graftshim.GraftShim.registerFunction(
       spark, "graft_labels", labelsInfo, labelsBuilder)
+    org.apache.spark.sql.graftshim.GraftShim.registerFunction(
+      spark, "graft_simhash", simhashInfo, simhashBuilder)
   }
 }

@@ -156,17 +156,15 @@ object Dedup extends graft.QueryPack {
     }),
 
     // SimHash: 32-bit majority fingerprint — bit i is the sign of the
-    // token-weighted sum of the top bit of md5 nibble i. Expressed as a
-    // single SQL expression (nested HOF lambdas with a dynamic-position
-    // instr, which the Scala functions API can't spell).
+    // token-weighted sum of the top bit of md5 nibble i. Runs through
+    // the codegen'd graft.functions.SimHash kernel: one digest per
+    // token (the equivalent nested-HOF SQL form — kept as the oracle —
+    // recomputes md5(token) 32 times per token through interpreted
+    // lambdas; SimHashSpec asserts the two agree).
     "q_dedup_simhash" -> ((s, d) => {
       corpus(Tables(s, d, "documents"))
-        .select(col("doc_id"), expr(
-          """array_join(transform(sequence(1, 32), i ->
-            |  CASE WHEN aggregate(split(lower(text), ' '), 0, (acc, w) ->
-            |    acc + CASE WHEN instr('0123456789abcdef', substring(md5(w), i, 1)) - 1 >= 8
-            |              THEN 1 ELSE -1 END) >= 0
-            |  THEN '1' ELSE '0' END), '')""".stripMargin).as("simhash"))
+        .select(col("doc_id"),
+          graft.functions.SimHashExpression.simhash(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
