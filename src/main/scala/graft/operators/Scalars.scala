@@ -65,6 +65,38 @@ object Scalars extends graft.QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // URL canonicalization: the web-pipeline normalization op (dedup by
+    // canonical URL). Derived messy URLs (mixed-case host, default
+    // port, tracking params, fragments, trailing slash) are normalized
+    // with regex steps written to the RE2∩Java-regex common subset; the
+    // query-param filter drops utm_* while preserving order. Pure
+    // codegen'd projections, no shuffle.
+    "q_url_canonical" -> ((s, d) => {
+      val url = concat(lit("HTTPS://Posts.Example.COM:443/p/"), col("o_orderkey"),
+        when(col("o_orderkey") % 2 === 0, "/").otherwise(""),
+        lit("?utm_source=ig&id="), col("o_custkey"), lit("&utm_campaign=x"),
+        when(col("o_orderkey") % 3 === 0, "#frag").otherwise(""))
+      Tables(s, d, "orders")
+        .withColumn("url", url)
+        .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("proto",
+          lower(regexp_extract(col("nofrag"), "^([a-zA-Z]+)://", 1)))
+        .withColumn("host", regexp_replace(
+          lower(regexp_extract(col("nofrag"), "^[a-zA-Z]+://([^/?#]+)", 1)),
+          ":443$", ""))
+        .withColumn("path", regexp_replace(
+          regexp_extract(col("nofrag"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
+          "/$", ""))
+        .withColumn("q", regexp_extract(col("nofrag"), "\\?(.*)$", 1))
+        .withColumn("kept", array_join(
+          filter(split(col("q"), "&"), p => !p.startsWith("utm_")), "&"))
+        .select(col("o_orderkey"), col("url"),
+          concat(col("proto"), lit("://"), col("host"), col("path"),
+            when(length(col("kept")) > 0, concat(lit("?"), col("kept")))
+              .otherwise(lit(""))).as("canonical"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Haversine distance from a derived GeoJSON-style point to a fixed
     // point (reference stores gps [lng, lat], models.js:21-24; it never
     // queries geo, so the distance op is our generalization).
@@ -163,6 +195,34 @@ object Scalars extends graft.QueryPack {
         |  '/p/' || o_orderkey AS path,
         |  lower(o_orderstatus) AS src_param
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_url_canonical" ->
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |    'HTTPS://Posts.Example.COM:443/p/' || o_orderkey ||
+        |    CASE WHEN o_orderkey % 2 = 0 THEN '/' ELSE '' END ||
+        |    '?utm_source=ig&id=' || o_custkey || '&utm_campaign=x' ||
+        |    CASE WHEN o_orderkey % 3 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM orders),
+        |n AS (SELECT o_orderkey, url,
+        |        regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |parts AS (
+        |  SELECT o_orderkey, url,
+        |    lower(regexp_extract(nofrag, '^([a-zA-Z]+)://', 1)) AS proto,
+        |    regexp_replace(lower(regexp_extract(nofrag,
+        |      '^[a-zA-Z]+://([^/?#]+)', 1)), ':443$', '') AS host,
+        |    regexp_replace(regexp_extract(nofrag,
+        |      '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
+        |    regexp_extract(nofrag, '\?(.*)$', 1) AS q
+        |  FROM n),
+        |k AS (
+        |  SELECT *, array_to_string(list_filter(string_split(q, '&'),
+        |    p -> NOT starts_with(p, 'utm_')), '&') AS kept
+        |  FROM parts)
+        |SELECT o_orderkey, url,
+        |  proto || '://' || host || path ||
+        |  CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END AS canonical
+        |FROM k ORDER BY o_orderkey""".stripMargin,
 
     "q_geo_haversine" ->
       """SELECT c_custkey,
