@@ -23,8 +23,10 @@ object SimHashKernel {
     val md = java.security.MessageDigest.getInstance("MD5")
     val acc = new Array[Int](32)
     // same tokenization as the SQL form: split(lower(text), ' ') keeping
-    // empty tokens (consecutive spaces hash the empty string too)
-    val toks = s.toString.toLowerCase.split(" ", -1)
+    // empty tokens (consecutive spaces hash the empty string too).
+    // Locale.ROOT: Spark's lower() is locale-independent; the default
+    // toLowerCase would diverge on tr/az/lt-locale executors ('I'→'ı')
+    val toks = s.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     var t = 0
     while (t < toks.length) {
       val d = md.digest(toks(t).getBytes("UTF-8"))

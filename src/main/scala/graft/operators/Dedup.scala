@@ -41,7 +41,8 @@ object Dedup extends graft.QueryPack {
     * runtime at sf0.1 (~0.5 ms/doc); this UDF is ~10× cheaper and keeps
     * the oracle definition unchanged. */
   val shingleUdf = udf((text: String) => {
-    val t = text.toLowerCase.split(" ", -1)
+    // Locale.ROOT matches Spark's locale-independent lower()
+    val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     val k = math.max(t.length - 2, 1)
     val out = new java.util.LinkedHashSet[String]
     var i = 0
@@ -56,7 +57,7 @@ object Dedup extends graft.QueryPack {
     out.toArray(new Array[String](out.size)): Seq[String]
   })
 
-  private def shingles(tokens: Column): Column = shingleUdf(col("text"))
+  private def shingles(text: Column): Column = shingleUdf(text)
 
   /** corpus: documents ∪ exact dups ∪ near dups (see object doc). */
   private def corpus(docs: DataFrame): DataFrame = {
@@ -125,7 +126,7 @@ object Dedup extends graft.QueryPack {
     // MinHash + LSH banding with exact-Jaccard candidate verification.
     "q_dedup_minhash" -> ((s, d) => {
       val c = corpus(Tables(s, d, "documents"))
-        .withColumn("sh", shingles(toks(col("text"))))
+        .withColumn("sh", shingles(col("text")))
         .withColumn("sigs", minhashSigs(col("sh")))
       // One pass: band-explode, group rows into their (band, bucket),
       // generate candidate pairs inside each bucket. The signature
@@ -188,7 +189,7 @@ object Dedup extends graft.QueryPack {
     // pair query: work scales with shared shingles, not corpus².
     "q_decontaminate" -> ((s, d) => {
       val c = Tables(s, d, "documents")
-        .withColumn("sh", shingles(toks(col("text"))))
+        .withColumn("sh", shingles(col("text")))
         .withColumn("n", size(col("sh")))
       val bench = c.filter(col("doc_id") % 50 === 3)
       val corpus = c.filter(col("doc_id") % 50 =!= 3)
@@ -238,11 +239,15 @@ object Dedup extends graft.QueryPack {
         .persist()
       // labels only ever decrease (next = min(old, neighbors)), so the
       // fixpoint test is one cheap agg — sum unchanged ⟺ converged —
-      // instead of a per-round change-detection join.
-      def labelSum(): Long =
-        labels.agg(sum(col("label"))).collect()(0).getLong(0)
+      // instead of a per-round change-detection join. The agg also
+      // MATERIALIZES the just-persisted frame (sum over an empty graph
+      // is NULL → 0).
+      def labelSum(): Long = {
+        val r = labels.agg(coalesce(sum(col("label")), lit(0L))).collect()(0)
+        r.getLong(0)
+      }
       var prevSum = labelSum()
-      var converged = false
+      var converged = edges.isEmpty // no pairs → nothing to propagate
       var rounds = 0
       while (!converged && rounds < 50) {
         val prop = edges.join(labels, edges("dst") === labels("node"))
@@ -250,9 +255,11 @@ object Dedup extends graft.QueryPack {
         val next = labels.unionByName(prop)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
           .persist()
-        labels.unpersist(false)
+        val old = labels
         labels = next
-        val s = labelSum()
+        val s = labelSum() // materializes `next` BEFORE the old frame is
+        old.unpersist(false) // dropped — else each round recomputes the
+        // whole lineage back to round 0 (O(d²) joins instead of O(d))
         converged = s == prevSum
         prevSum = s
         rounds += 1
@@ -268,7 +275,7 @@ object Dedup extends graft.QueryPack {
     * query. */
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val c = corpus(Tables(s, d, "documents"))
-      .withColumn("sh", shingles(toks(col("text"))))
+      .withColumn("sh", shingles(col("text")))
       .withColumn("n", size(col("sh")))
     val ex = c.select(col("source"), col("doc_id"), col("n"),
       explode(col("sh")).as("s"))

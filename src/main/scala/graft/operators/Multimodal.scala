@@ -94,8 +94,10 @@ object Multimodal extends graft.QueryPack {
     "q_multimodal_labels" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(1, length(text) + 1, 16),
-        |         i -> ascii(substring(text, i, 1)))) AS BIGINT) AS fs
+        |    -- COALESCE: list_sum([]) is NULL in DuckDB, but the kernel's
+        |    -- checksum over an empty payload is 0 (one label emitted)
+        |    CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1, 16),
+        |         i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS fs
         |  FROM documents),
         |l AS (SELECT doc_id, fs, unnest(range(0, 1 + fs % 3)) AS r FROM f)
         |SELECT doc_id, r + 1 AS label_rank,

@@ -414,6 +414,10 @@ object TextAnalytics extends graft.QueryPack {
 
     // Direct per-position restatement of the winnow (the oracle pays
     // O(n·K); congruent modular arithmetic makes the values identical).
+    // NOTE the oracle hashes code points (ascii/substr) while the kernel
+    // hashes UTF-8 bytes — identical ONLY on ASCII text, which TESTDATA
+    // guarantees (verified octet_length == length for every doc); a
+    // non-ASCII corpus needs a byte-level oracle.
     "q_fingerprint_winnow" ->
       """WITH positions AS (
         |  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
