@@ -199,6 +199,12 @@ object AsOf {
     *
     * `left` and `right` must not share attribute lineage (read the
     * table twice for a self as-of) — enforced below.
+    *
+    * Determinism: the matched TIME is always deterministic. When several
+    * right rows tie on (key, rightTime), the returned payload row is one
+    * of the tied rows but which one depends on the sort's input order —
+    * if payload determinism under ties matters, make `rightTime` a total
+    * order (e.g. ts*1e6 + id) before joining.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
