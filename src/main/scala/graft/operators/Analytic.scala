@@ -133,6 +133,18 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Fixed-width histogram per group — the data-profiling primitive
+    // (value distributions before training). Bin assignment is a pure
+    // projection (floor(value/width)); one partial-aggregated groupBy.
+    "q_histogram" -> ((s, d) => {
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          floor(col("value") / 10d).cast("long").as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
     // Native session windows: the same 30-minute-gap sessionization as
     // q_sessionize but through Spark's first-class session_window
     // operator (one hash aggregate with runtime window merging) instead
@@ -206,6 +218,12 @@ object Analytic extends graft.QueryPack {
         |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
 
     "q_session_window" ->
       """WITH flagged AS (
