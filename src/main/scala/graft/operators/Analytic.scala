@@ -133,6 +133,27 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Table profiling: per-column row count / null count / distinct
+    // count / min / max — the ANALYZE-style summary a curation pipeline
+    // runs before anything else. One aggregate pass PER COLUMN unioned
+    // long-format (at scale each is a single partial-aggregated job
+    // over a pruned single-column scan; min/max stringified in the
+    // native type first so ordering is numeric, not lexicographic).
+    "q_profile" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      def prof(c: String) = e.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_v"),
+        max(col(c)).cast("string").as("max_v"))
+        .select(lit(c).as("column"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+      prof("event_id").unionByName(prof("user_id"))
+        .unionByName(prof("event_type"))
+        .orderBy(col("column"))
+    }),
+
     // Fixed-width histogram per group — the data-profiling primitive
     // (value distributions before training). Bin assignment is a pure
     // projection (floor(value/width)); one partial-aggregated groupBy.
@@ -218,6 +239,27 @@ object Analytic extends graft.QueryPack {
         |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'event_id' AS "column", COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  COUNT(DISTINCT event_id) AS n_distinct,
+        |  CAST(MIN(event_id) AS VARCHAR) AS min_v,
+        |  CAST(MAX(event_id) AS VARCHAR) AS max_v
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', COUNT(*),
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT user_id),
+        |  CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', COUNT(*),
+        |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT event_type),
+        |  CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR)
+        |FROM events
+        |ORDER BY "column"""".stripMargin,
 
     "q_histogram" ->
       """SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin,
