@@ -133,6 +133,20 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Exact grouped quantiles (quartiles per event type) — continuous
+    // linear interpolation, rounded so Spark's percentile() and
+    // DuckDB's quantile_cont agree bit-for-bit.
+    "q_group_quantiles" -> ((s, d) => {
+      Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("qs"))
+        .select(col("event_type"),
+          round(element_at(col("qs"), 1), 6).as("p25"),
+          round(element_at(col("qs"), 2), 6).as("p50"),
+          round(element_at(col("qs"), 3), 6).as("p75"))
+        .orderBy(col("event_type"))
+    }),
+
     // Table profiling: per-column row count / null count / distinct
     // count / min / max — the ANALYZE-style summary a curation pipeline
     // runs before anything else. One aggregate pass PER COLUMN unioned
@@ -239,6 +253,13 @@ object Analytic extends graft.QueryPack {
         |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_group_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_profile" ->
       """SELECT 'event_id' AS "column", COUNT(*) AS n,
