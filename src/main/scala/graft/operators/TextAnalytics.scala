@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.PorterStemmer
 
@@ -121,6 +122,37 @@ object TextAnalytics extends graft.QueryPack {
         md5(col("text")).as("doc_hash"),
         array_min(transform(shingles, sh => md5(sh))).as("min_shingle_hash"),
         nSh.cast("long").as("n_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LM quality scoring (perplexity proxy): score each document by the
+    // mean log-probability of its word bigrams under the corpus's own
+    // bigram distribution — the CCNet/Gopher-style LM filter with the
+    // corpus itself as the model. Per-bigram log-probs are rounded at 9
+    // decimals and summed as exact DECIMAL (order-independent,
+    // partitioning-invariant — a raw double sum would not be); the mean
+    // is rounded at 6. Layout: one groupBy for the bigram model, one
+    // broadcast of the scalar total, one gram→model join keyed by the
+    // gram, one doc aggregation — every shuffle key is either the gram
+    // or doc_id, both uniform.
+    "q_lm_score" -> ((s, d) => {
+      val grams = Tables(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)))).as("gram"))
+      val model = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      val total = model.agg(sum(col("c")).as("n_total"))
+      val scored = model.crossJoin(broadcast(total))
+        .select(col("gram"),
+          round(log(col("c").cast("double") / col("n_total")), 9)
+            .cast(DecimalType(15, 9)).as("logp"))
+      grams.join(scored, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(round((sum(col("logp")).cast("double") / count(lit(1))), 6)
+          .as("mean_logp"), count(lit(1)).as("n_bigrams"))
         .orderBy(col("doc_id"))
     }),
 
@@ -352,6 +384,28 @@ object TextAnalytics extends graft.QueryPack {
         |FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
         |      FROM documents) d
         |ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[CAST(i AS INTEGER)] || ' ' ||
+        |         toks[CAST(i + 1 AS INTEGER)])) AS gram
+        |  FROM docs),
+        |m AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+        |t AS (SELECT SUM(c) AS n_total FROM m),
+        |sc AS (
+        |  SELECT gram,
+        |    CAST(round(ln(CAST(c AS DOUBLE) / n_total), 9)
+        |         AS DECIMAL(15,9)) AS logp
+        |  FROM m, t)
+        |SELECT doc_id,
+        |  round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS mean_logp,
+        |  COUNT(*) AS n_bigrams
+        |FROM g JOIN sc USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (
