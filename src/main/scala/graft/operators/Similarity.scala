@@ -170,6 +170,23 @@ object Similarity extends graft.QueryPack {
     }),
 
     // Embedding-cosine near-dup over corpus ∪ perturbed copies.
+    // Candidate generation is BUCKETED (SURVEY §9: "candidate generation
+    // always through a hash-bucket key"): every vector lands in its 8-bit
+    // hyperplane bucket; the left side additionally probes all 1-bit-flip
+    // neighbor buckets (multi-probe LSH), so the equi-join on the bucket
+    // key yields exactly the pairs whose signatures differ in <= 1 bit —
+    // each such pair exactly once (equal buckets match only via the
+    // identity probe; 1-bit-apart buckets only via the one flipping
+    // probe), so no dedup pass is needed. Candidates are then verified
+    // with the exact cosine. The all-pairs cross product is never formed:
+    // at 100 TB the bucket id is the shuffle key (add planes to keep
+    // buckets small; probe volume grows only linearly in planes).
+    // Recall: a qualifying pair (cosine >= 0.9 here means the perturbed
+    // copies, cosine ~0.9999995, angle ~1e-3 rad) flips a plane only when
+    // its dot lies within ~0.01 of zero, so >=2 flips is vanishingly
+    // rare; ApproxSpec proves equality against the unbucketed all-pairs
+    // reference on the test corpus, and the DuckDB oracle stays the
+    // exact all-pairs definition.
     "q_neardup_embedding" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
       val perturbed = e.filter(col("vec_id") % 20 === 0)
@@ -182,9 +199,19 @@ object Similarity extends graft.QueryPack {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
         .unionByName(perturbed)
         .withColumn("nrm", norm(col("embedding")))
-      val l = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
-      val r = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
-      l.crossJoin(r).filter(col("id_a") < col("id_b"))
+        .withColumn("bucket", bucketCol(col("embedding")))
+      // bucket with bit j flipped (1-based position in the bit string)
+      def flip(b: Column, j: Int): Column = concat(
+        substring(b, 1, j - 1),
+        when(substring(b, j, 1) === "1", "0").otherwise("1"),
+        substring(b, j + 1, N_PLANES - j))
+      val l = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na"),
+        explode(array(col("bucket") +:
+          (1 to N_PLANES).map(j => flip(col("bucket"), j)): _*)).as("bkt"))
+      val r = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb"), col("bucket").as("bkt"))
+      l.join(r, Seq("bkt")).filter(col("id_a") < col("id_b"))
         .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9))
         .filter(col("sim") >= 0.9)
         .select(col("id_a"), col("id_b"), col("sim"))
