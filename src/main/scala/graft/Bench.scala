@@ -68,11 +68,28 @@ object Bench {
       name -> best
     }
     val good = results.collect { case (k, Some(v)) => k -> v }
-    val qs = good.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // 3-decimal times keep the JSON small; ms precision is below the
+    // run-to-run noise floor anyway
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def qsJson(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (good.nonEmpty) good.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(good)},"failed":$failedJson,"sf":"$sfDir"}"""
+    // The harness stores only the LAST ~2000 chars of stdout: the full
+    // per-query line alone overflows that window and loses the total
+    // (r2/r3). So: full line first (and to bench_full.json for offline
+    // reads), then a compact, self-contained summary — total + the 8
+    // slowest queries — as the FINAL line, guaranteed to land intact
+    // inside the stored tail.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] bench_full.json: $e") }
+    println(full)
+    val slowest = good.toSeq.sortBy(-_._2).take(8)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(slowest)},"n_queries":${good.size},"failed":$failedJson,"sf":"$sfDir","detail":"bench_full.json"}""")
     spark.stop()
   }
 }

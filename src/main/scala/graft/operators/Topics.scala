@@ -53,11 +53,76 @@ object Topics extends graft.QueryPack {
       .orderBy(col("topic"), col("rk"))
   }
 
+  /** Collapsed-Gibbs smoothing prior on the topic-term distribution —
+    * reference default β = 0.01 (lda/index.js:58). */
+  val BETA = 0.01
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_lda_topics" -> ((s, d) => topTerms(s, d))
+    "q_lda_topics" -> ((s, d) => topTerms(s, d)),
+
+    // Per-document K=1 topic extraction — the reference's ACTUAL LDA
+    // shape: getTopics runs once per post with numberOfTopics=1
+    // (topics.js:30, invoked per post at posts-from-hashtags.js:335),
+    // so each document IS its own corpus and φ collapses to the
+    // smoothed relative term frequency
+    //   φ(w|doc) = (cnt(w) + β) / (n_tokens + V·β),  β = 0.01,
+    // V = distinct kept terms in the doc (lda/index.js: every token is
+    // assigned to the single topic, so the Gibbs fixpoint is exact and
+    // deterministic — no sampling left). That makes this the one LDA
+    // query with a REAL DuckDB oracle (SURVEY §7.4); TopicsSpec
+    // additionally asserts Spark ML's K=1 LDA ranks terms identically
+    // on a controlled corpus. Top-7 terms with the reference's 2% cut
+    // applied AFTER ranking (lda/index.js:86-88: take topTerms, skip
+    // prob < 2%); ties rank numerically by term asc (documented
+    // divergence from the reference's probability-string sort,
+    // SURVEY §7.4). Scale: one hash agg + one per-doc window — no
+    // model fit, no driver state; partitions by doc_id.
+    "q_topics_per_doc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(filter(TextAnalytics.tokens(col("text")),
+            TextAnalytics.keepToken _)).as("term"))
+      val counts = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val wRank = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("term"))
+      counts
+        .withColumn("n_tok", sum(col("cnt")).over(wDoc))
+        .withColumn("v", count(lit(1)).over(wDoc))
+        .withColumn("confidence", round(
+          lit(100.0d) * (col("cnt").cast("double") + lit(BETA)) /
+            (col("n_tok").cast("double") + col("v").cast("double") * lit(BETA)), 9))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        // cut constant written as the exact double 2.0 (not MIN_PROB*100,
+        // which rounds to 2.0000000000000004 and would disagree with the
+        // oracle's CAST(2 AS DOUBLE) on boundary rows)
+        .filter(col("rk") <= TOP_TERMS && col("confidence") >= lit(2.0d))
+        .select(col("doc_id"), col("rk"), col("term").as("name"), col("confidence"))
+        .orderBy(col("doc_id"), col("rk"))
+    })
   )
 
-  // Not SQL-expressible (iterative ML) — driver records rows-only check;
-  // distributional invariants are asserted in TopicsSpec.
-  def oracles: Map[String, String] = Map()
+  // q_lda_topics (K=3, iterative ML) is not SQL-expressible — driver
+  // records rows-only; invariants in TopicsSpec. q_topics_per_doc (K=1)
+  // IS exact — oracle below mirrors the smoothed-tf closed form.
+  def oracles: Map[String, String] = Map(
+    "q_topics_per_doc" ->
+      s"""SELECT doc_id, rk, name, confidence FROM (
+         |  SELECT doc_id, term AS name,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, term) AS BIGINT) AS rk,
+         |    round(CAST(100 AS DOUBLE) * (CAST(cnt AS DOUBLE) + CAST($BETA AS DOUBLE)) /
+         |      (CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) +
+         |       CAST(COUNT(*) OVER (PARTITION BY doc_id) AS DOUBLE) * CAST($BETA AS DOUBLE)), 9)
+         |      AS confidence
+         |  FROM (
+         |    SELECT doc_id, term, COUNT(*) AS cnt FROM (
+         |      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+         |                                        t -> ${TextAnalytics.keepTokenSqlDuck})) AS term
+         |      FROM documents) x
+         |    GROUP BY doc_id, term) c) r
+         |WHERE rk <= $TOP_TERMS AND confidence >= CAST(2 AS DOUBLE)
+         |ORDER BY doc_id, rk""".stripMargin
+  )
 }

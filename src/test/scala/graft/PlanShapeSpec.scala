@@ -50,4 +50,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = executedPlan("q_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
+
+  test("bucketed near-dup joins on the bucket key — never a cross product") {
+    val plan = graft.operators.Similarity.queries("q_neardup_embedding")(
+      spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
 }

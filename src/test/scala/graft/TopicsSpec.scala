@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, split}
 import graft.operators.{Topics, TextAnalytics}
 
 /** LDA invariants (SURVEY.md §5.3 — bit-exact match to the reference's
@@ -30,5 +31,59 @@ class TopicsSpec extends AnyFunSuite {
     val a = Topics.topTerms(spark, TestSpark.sf).collect().map(_.toSeq).toSeq
     val b = Topics.topTerms(spark, TestSpark.sf).collect().map(_.toSeq).toSeq
     assert(a == b)
+  }
+
+  test("q_topics_per_doc: per-doc shape, 2% cut, smoothed-tf monotone in count") {
+    val rows = Topics.queries("q_topics_per_doc")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { terms =>
+      assert(terms.length <= Topics.TOP_TERMS)
+      assert(terms.map(_.getLong(1)).sorted.toSeq == (1L to terms.length).toSeq)
+      // confidence non-increasing in rank (φ is monotone in count)
+      val byRk = terms.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach(r => assert(r.getDouble(3) >= 2.0 && r.getDouble(3) <= 100.0))
+  }
+
+  test("q_topics_per_doc equals an independent K=1 Gibbs-fixpoint computation") {
+    // The reference runs its Gibbs sampler with numberOfTopics=1
+    // (topics.js:30): every token can only be assigned to the single
+    // topic, so the sampler's fixpoint is EXACT and deterministic —
+    // φ(w) = (cnt(w) + β) / (N + V·β) (Spark ML's LDA rejects K=1,
+    // which is fine: there is nothing iterative left to fit). This
+    // re-derives that closed form in plain Scala over the raw text —
+    // a fully independent code path from the query's Spark window/agg
+    // plan — and asserts row-for-row equality on a sample of docs.
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stop = TextAnalytics.stopwords.toSet
+    val expected = docs.toSeq.flatMap { case (id, text) =>
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+        .filter(t => t.length > 1 && !t.startsWith("http") && !stop(t))
+      if (toks.isEmpty) Seq.empty
+      else {
+        val cnt = toks.groupBy(identity).map { case (w, xs) => w -> xs.length }
+        val n = toks.length
+        val v = cnt.size
+        cnt.toSeq.sortBy { case (w, c) => (-c, w) }.zipWithIndex
+          .take(Topics.TOP_TERMS)
+          .map { case ((w, c), i) =>
+            val conf = BigDecimal(
+              100.0 * (c + Topics.BETA) / (n + v * Topics.BETA))
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (id, (i + 1).toLong, w, conf)
+          }
+          .filter(_._4 >= 2.0)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val actual = Topics.queries("q_topics_per_doc")(spark, TestSpark.sf)
+      .filter(col("doc_id") < 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(actual.nonEmpty)
+    assert(actual == expected,
+      s"first diff: ${actual.zip(expected).find { case (a, e) => a != e }}")
   }
 }
