@@ -32,6 +32,22 @@ object Scalars extends graft.QueryPack {
     StructField("media", StructType(Seq(
       StructField("pk", StringType), StructField("likes", LongType)))))))))
 
+  /** Recursive selector fallback (S6, news/elimparcial.js:49-60
+    * `getContentFromSelectors`): try selectors in ORDER; the first one
+    * with >= 1 match wins and contributes ALL of its matches; later
+    * selectors are ignored even if they also match. Selectors are
+    * regexes with one capture group (the declarative stand-in for CSS
+    * selectors); evaluation is a pure per-row projection — codegen'd
+    * regexp_extract_all + coalesce, no UDF, no shuffle. */
+  def selectorFallback(html: org.apache.spark.sql.Column,
+      selectors: Seq[String]): org.apache.spark.sql.Column = {
+    val attempts = selectors.map { p =>
+      val m = regexp_extract_all(html, lit(p), lit(1))
+      when(size(m) > 0, m)
+    }
+    coalesce(attempts :+ array().cast("array<string>"): _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.7 string/date/number builtins in one projection.
@@ -136,6 +152,47 @@ object Scalars extends graft.QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // S6 recursive selector fallback (news/elimparcial.js:49-60): the
+    // general N-selector list, not just a 2-way coalesce. Derived HTML
+    // gives each row one of three shapes; rows with a headline ALSO
+    // carry a fallback paragraph, proving the priority order (an
+    // earlier selector's match suppresses later ones), and every third
+    // title row carries TWO title matches, proving the winning selector
+    // returns all its matches, not the first.
+    "q_selector_fallback" -> ((s, d) => {
+      val k = col("c_custkey")
+      val html = concat(lit("<body>"),
+        when(k % 3 === 0, concat(
+          lit("""<h1 class="title">T"""), k, lit("</h1>"),
+          when(k % 6 === 0,
+            concat(lit("""<h1 class="title">U"""), k, lit("</h1>")))
+            .otherwise(lit("")))).otherwise(lit("")),
+        when(k % 3 === 1, concat(
+          lit("""<div class="headline">H"""), k, lit("</div>"),
+          lit("""<p class="fallback">F"""), k, lit("</p>")))
+          .otherwise(lit("")),
+        when(k % 3 === 2,
+          concat(lit("""<p class="fallback">P"""), k, lit("</p>")))
+          .otherwise(lit("")),
+        lit("</body>"))
+      val sels = Seq(
+        """<h1 class="title">([^<]*)</h1>""",
+        """<div class="headline">([^<]*)</div>""",
+        """<p class="fallback">([^<]*)</p>""")
+      val m = selectorFallback(col("html"), sels)
+      val winner = sels.zipWithIndex.foldRight(lit(0L)) { case ((p, i), rest) =>
+        when(size(regexp_extract_all(col("html"), lit(p), lit(1))) > 0,
+          lit((i + 1).toLong)).otherwise(rest)
+      }
+      Tables(s, d, "customer")
+        .withColumn("html", html)
+        .select(col("c_custkey"),
+          winner.as("matched_selector"),
+          size(m).cast("long").as("n_matches"),
+          try_element_at(m, lit(1)).as("first_match"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Dead-letter routing (F3/K5): rows whose payload fails to parse go
     // to the 'dead' channel instead of poisoning the pipeline. Corrupt
     // payloads derived deterministically (odd event_ids get trailing
@@ -173,6 +230,46 @@ object Scalars extends graft.QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_selector_fallback" ->
+      """WITH h AS (
+        |  SELECT c_custkey,
+        |    '<body>' ||
+        |    CASE WHEN c_custkey % 3 = 0
+        |         THEN '<h1 class="title">T' || c_custkey || '</h1>' ||
+        |              CASE WHEN c_custkey % 6 = 0
+        |                   THEN '<h1 class="title">U' || c_custkey || '</h1>'
+        |                   ELSE '' END
+        |         ELSE '' END ||
+        |    CASE WHEN c_custkey % 3 = 1
+        |         THEN '<div class="headline">H' || c_custkey || '</div>' ||
+        |              '<p class="fallback">F' || c_custkey || '</p>'
+        |         ELSE '' END ||
+        |    CASE WHEN c_custkey % 3 = 2
+        |         THEN '<p class="fallback">P' || c_custkey || '</p>'
+        |         ELSE '' END ||
+        |    '</body>' AS html
+        |  FROM customer),
+        |m AS (
+        |  SELECT c_custkey,
+        |    regexp_extract_all(html, '<h1 class="title">([^<]*)</h1>', 1) AS m1,
+        |    regexp_extract_all(html, '<div class="headline">([^<]*)</div>', 1) AS m2,
+        |    regexp_extract_all(html, '<p class="fallback">([^<]*)</p>', 1) AS m3
+        |  FROM h),
+        |w AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN len(m1) > 0 THEN CAST(1 AS BIGINT)
+        |         WHEN len(m2) > 0 THEN CAST(2 AS BIGINT)
+        |         WHEN len(m3) > 0 THEN CAST(3 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS matched_selector,
+        |    CASE WHEN len(m1) > 0 THEN m1
+        |         WHEN len(m2) > 0 THEN m2
+        |         WHEN len(m3) > 0 THEN m3
+        |         ELSE CAST([] AS VARCHAR[]) END AS mm
+        |  FROM m)
+        |SELECT c_custkey, matched_selector,
+        |  CAST(len(mm) AS BIGINT) AS n_matches, mm[1] AS first_match
+        |FROM w ORDER BY c_custkey""".stripMargin,
+
     "q_scalar_funcs" ->
       """SELECT o_orderkey,
         |  'ORD-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS order_code,

@@ -21,15 +21,36 @@ import graft.functions.PorterStemmer
   */
 object TextAnalytics extends graft.QueryPack {
 
+  /** Load and merge stopword lists from one-word-per-line files —
+    * duplicates dropped, deterministic sorted order (the reference's
+    * EN∪ES concat+merge, module/instagram/lda/index.js:23-28, as a
+    * library function). */
+  def loadStopwords(paths: Seq[String]): Seq[String] =
+    paths.flatMap { p =>
+      val src = scala.io.Source.fromFile(p, "UTF-8")
+      try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+      finally src.close()
+    }.distinct.sorted
+
   /** EN∪ES stopword union (reference merges English+Spanish lists,
-    * module/instagram/lda/index.js:23-28). Sourced from Spark ML's
-    * bundled default stopword resources (public Spark data files) rather
-    * than copying the reference's 1,400-line lists; deterministic order
+    * module/instagram/lda/index.js:23-28). Default: Spark ML's bundled
+    * stopword resources (public Spark data files) rather than copying
+    * the reference's 1,400-line lists — a DOCUMENTED divergence.
+    * Reference-verbatim mode: set `graft.stopwords.files` (system
+    * property) or `GRAFT_STOPWORDS_FILES` (env) to a comma-separated
+    * list of one-word-per-line files — e.g. the reference's own
+    * stopwords_en/stopwords_es dumped to text — and every stopword-
+    * dependent operator (T6 filter, topics, tf/tf-idf, quality score)
+    * reproduces its exact semantics. Deterministic order either way,
     * for stable SQL-literal generation. */
   val stopwords: Seq[String] =
-    (org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english") ++
-      org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("spanish"))
-      .toSeq.distinct.sorted
+    sys.props.get("graft.stopwords.files")
+      .orElse(sys.env.get("GRAFT_STOPWORDS_FILES"))
+      .map(ps => loadStopwords(ps.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+      .getOrElse(
+        (org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english") ++
+          org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("spanish"))
+          .toSeq.distinct.sorted)
 
   /** Marker words per language for the n-gram/marker language-ID heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(

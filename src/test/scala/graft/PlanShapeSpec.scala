@@ -51,6 +51,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("etl pipeline: dims broadcast, no cartesian beyond the 1-row scalar joins") {
+    val df = graft.operators.Pipeline.queries("q_etl_pipeline")(
+      spark, TestSpark.sf)
+    df.count() // let AQE finalize the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // users + locations dims must come in as broadcast hash joins
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
   test("bucketed near-dup joins on the bucket key — never a cross product") {
     val plan = graft.operators.Similarity.queries("q_neardup_embedding")(
       spark, TestSpark.sf).queryExecution.executedPlan.toString

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalytics
+
+/** The switchable stopword-list mode: loadStopwords must reproduce the
+  * reference's list-merge semantics (concat EN+ES, dedup —
+  * lda/index.js:23-28) from external one-word-per-line files, so a user
+  * can point `graft.stopwords.files` at the reference's own lists for
+  * verbatim behavior without those lists living in this repo. */
+class StopwordsSpec extends AnyFunSuite {
+
+  test("loadStopwords merges files, trims, drops blanks and duplicates, sorts") {
+    val en = java.io.File.createTempFile("stop_en", ".txt")
+    val es = java.io.File.createTempFile("stop_es", ".txt")
+    try {
+      java.nio.file.Files.writeString(en.toPath, "the\nand\n  of \n\nthe\n")
+      java.nio.file.Files.writeString(es.toPath, "el\nla\nand\n")
+      val merged = TextAnalytics.loadStopwords(Seq(en.getPath, es.getPath))
+      assert(merged == Seq("and", "el", "la", "of", "the"))
+    } finally { en.delete(); es.delete() }
+  }
+
+  test("default list is the deterministic EN∪ES union (sorted, distinct)") {
+    val sw = TextAnalytics.stopwords
+    assert(sw == sw.distinct.sorted)
+    // both languages actually contributed
+    assert(sw.contains("the") && sw.contains("para"))
+  }
+}
