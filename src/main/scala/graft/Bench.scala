@@ -47,25 +47,28 @@ object Bench {
         housekeeping()
         if (ok) Some(dt) else None
       }
-      // A measurement far above any genuine query time at sf0.1 is almost
-      // always transient interference (co-scheduled processes, GC debt from
-      // an earlier query, a stray JVM): re-measure up to twice and report
-      // the minimum — the honest steady-state figure. A failure is also
-      // retried; the query counts as failed only when NO rep succeeds
-      // (a transient failure with a later good rep keeps its timing,
-      // keeping 'total' comparable across runs).
-      var best = once()
+      // A measurement far above the sub-second norm MAY be transient
+      // interference (co-scheduled processes, GC debt, a stray JVM) —
+      // or a genuinely slow query (the composed q_etl_pipeline runs
+      // ~7.7 s steady at sf0.1). Re-measure only until two reps agree
+      // within 25% — a steady-state query confirms in ONE extra rep
+      // and stops, while interference keeps shrinking and earns the
+      // third rep. Failures are also retried; the query counts as
+      // failed only when NO rep succeeds (a transient failure with a
+      // later good rep keeps its timing, so 'total' stays comparable
+      // across runs). Reported figure = min over reps.
+      val meas = scala.collection.mutable.ListBuffer[Double]()
+      once().foreach(meas += _)
+      def confirmed: Boolean = meas.toSeq.combinations(2).exists {
+        case Seq(a, b) => math.abs(a - b) <= 0.25 * math.min(a, b)
+      }
       var extra = 0
-      while ((best.isEmpty || best.get > 3.0) && extra < 2) {
-        val r = once()
-        best = (best, r) match {
-          case (Some(a), Some(b)) => Some(math.min(a, b))
-          case (a, b) => a.orElse(b)
-        }
+      while ((meas.isEmpty || (meas.min > 3.0 && !confirmed)) && extra < 2) {
+        once().foreach(meas += _)
         extra += 1
       }
-      if (best.isEmpty) failed += name
-      name -> best
+      if (meas.isEmpty) failed += name
+      name -> meas.minOption
     }
     val good = results.collect { case (k, Some(v)) => k -> v }
     // 3-decimal times keep the JSON small; ms precision is below the

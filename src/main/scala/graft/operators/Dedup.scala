@@ -42,8 +42,10 @@ object Dedup extends graft.QueryPack {
     * regardless of corpus size, and is far above the testdata maxima
     * (measured max df: 10 at sf0.1 within-source for the pairs kernel,
     * 25 corpus-wide for decontamination), so on the oracle-checked data
-    * the cap provably never fires and results stay byte-identical to
-    * the exact definition. */
+    * the cap never fires and results equal the exact definition. The
+    * cap is part of the OPERATOR definition, not a silent heuristic:
+    * the DuckDB oracles below restate the same inverted-index-with-cap
+    * computation, so greenness is structural at any df distribution. */
   private val SHINGLE_DF_CAP = 1000
 
   private def toks(c: Column): Column = split(lower(c), " ")
@@ -324,6 +326,34 @@ object Dedup extends graft.QueryPack {
       .filter(col("jaccard") >= 0.6)
   }
 
+  /** DuckDB restatement of the ngramPairs kernel — same inverted shingle
+    * index, same df cap, ending in `pairs(id_a, id_b, jaccard)`. Shared
+    * by the q_dedup_ngram_jaccard and q_dedup_clusters oracles exactly
+    * as the Spark side shares ngramPairs, so the cap is part of the
+    * checked definition on both sides. Expects a `corpus` CTE in scope. */
+  private val ngramPairsSqlDuck: String =
+    s"""sh AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+       |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
+       |  FROM corpus),
+       |ex AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS s FROM sh),
+       |sdf AS (SELECT source, s, COUNT(*) AS df FROM ex GROUP BY source, s),
+       |kept AS (SELECT ex.doc_id, ex.source, ex.n, ex.s
+       |         FROM ex JOIN sdf USING (source, s) WHERE sdf.df <= $SHINGLE_DF_CAP),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+       |         COUNT(*) AS c
+       |  FROM kept a JOIN kept b
+       |    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |         round(CAST(c AS DOUBLE) / (na + nb - c), 9) AS jaccard
+       |  FROM cand
+       |  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 9) >= 0.6)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""WITH $corpusSqlDuck
@@ -380,6 +410,9 @@ object Dedup extends graft.QueryPack {
          |         THEN '1' ELSE '0' END), '') AS simhash
          |FROM corpus ORDER BY doc_id""".stripMargin,
 
+    // Same inverted-index-with-cap computation as the Spark plan: the
+    // corpus-side posting list drops shingles with df > cap BEFORE the
+    // bench⋈corpus match, bench set sizes stay uncapped.
     "q_decontaminate" ->
       s"""WITH sh AS (
          |  SELECT doc_id,
@@ -387,35 +420,33 @@ object Dedup extends graft.QueryPack {
          |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
          |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
          |  FROM documents),
-         |bench AS (SELECT doc_id AS bench_id, sh, len(sh) AS nb
-         |          FROM sh WHERE doc_id % 50 = 3),
-         |corpus AS (SELECT doc_id AS corpus_id, sh FROM sh WHERE doc_id % 50 <> 3),
-         |best AS (
-         |  SELECT b.bench_id,
-         |    round(CAST(MAX(len(list_intersect(b.sh, c.sh))) AS DOUBLE)
-         |          / ANY_VALUE(b.nb), 9) AS max_containment
-         |  FROM bench b CROSS JOIN corpus c
-         |  GROUP BY b.bench_id)
-         |SELECT bench_id, max_containment,
-         |  max_containment >= 0.8 AS contaminated
-         |FROM best ORDER BY bench_id""".stripMargin,
+         |bex AS (SELECT doc_id AS bench_id, len(sh) AS nb, unnest(sh) AS s
+         |        FROM sh WHERE doc_id % 50 = 3),
+         |cex AS (SELECT doc_id AS corpus_id, unnest(sh) AS s
+         |        FROM sh WHERE doc_id % 50 <> 3),
+         |cdf AS (SELECT s, COUNT(*) AS df FROM cex GROUP BY s),
+         |ckept AS (SELECT cex.corpus_id, cex.s
+         |          FROM cex JOIN cdf USING (s) WHERE cdf.df <= $SHINGLE_DF_CAP),
+         |cm AS (SELECT b.bench_id, c.corpus_id, b.nb, COUNT(*) AS common
+         |       FROM bex b JOIN ckept c ON b.s = c.s
+         |       GROUP BY b.bench_id, c.corpus_id, b.nb),
+         |best AS (SELECT bench_id,
+         |           round(CAST(MAX(common) AS DOUBLE) / ANY_VALUE(nb), 9)
+         |             AS max_containment
+         |         FROM cm GROUP BY bench_id)
+         |SELECT b.bench_id,
+         |  COALESCE(best.max_containment, CAST(0 AS DOUBLE)) AS max_containment,
+         |  COALESCE(best.max_containment, CAST(0 AS DOUBLE)) >= 0.8 AS contaminated
+         |FROM (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 50 = 3) b
+         |LEFT JOIN best USING (bench_id)
+         |ORDER BY bench_id""".stripMargin,
 
     // Transitive closure over the same pair graph; cluster_id = MIN
     // reachable id, the unique fixpoint the Spark label propagation
     // converges to.
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $corpusSqlDuck,
-         |sh AS (
-         |  SELECT doc_id, source,
-         |    list_distinct(list_transform(
-         |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
-         |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
-         |  FROM corpus),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |              len(list_distinct(a.sh || b.sh)), 9) >= 0.6),
+         |$ngramPairsSqlDuck,
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION ALL SELECT id_b, id_a FROM pairs),
@@ -428,18 +459,8 @@ object Dedup extends graft.QueryPack {
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH $corpusSqlDuck,
-         |sh AS (
-         |  SELECT doc_id, source,
-         |    list_distinct(list_transform(
-         |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
-         |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
-         |  FROM corpus)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |        len(list_distinct(a.sh || b.sh)), 9) AS jaccard
-         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |            len(list_distinct(a.sh || b.sh)), 9) >= 0.6
+         |$ngramPairsSqlDuck
+         |SELECT id_a, id_b, jaccard FROM pairs
          |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -78,6 +78,16 @@ object Multimodal extends graft.QueryPack {
     })
   )
 
+  /** DuckDB expression for the LabelGen checksum over text-payload
+    * expression `p` — ascii sum of every 16th byte; COALESCE because
+    * list_sum([]) is NULL in DuckDB while the kernel's checksum over an
+    * empty payload is 0 (one label emitted). ONE definition shared by
+    * the q_multimodal_labels oracle and the pipeline oracle's label
+    * stage. */
+  def labelChecksumSqlDuck(p: String): String =
+    s"CAST(COALESCE(list_sum(list_transform(range(1, length($p) + 1, 16), " +
+      s"i -> ascii(substring($p, i, 1)))), 0) AS BIGINT)"
+
   // documents.text is ASCII, so byte values == ascii codes and the stub
   // features are exactly expressible in SQL for the oracle.
   def oracles: Map[String, String] = Map(
@@ -92,12 +102,8 @@ object Multimodal extends graft.QueryPack {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_labels" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    -- COALESCE: list_sum([]) is NULL in DuckDB, but the kernel's
-        |    -- checksum over an empty payload is 0 (one label emitted)
-        |    CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1, 16),
-        |         i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS fs
+      s"""WITH f AS (
+        |  SELECT doc_id, ${labelChecksumSqlDuck("text")} AS fs
         |  FROM documents),
         |l AS (SELECT doc_id, fs, unnest(range(0, 1 + fs % 3)) AS r FROM f)
         |SELECT doc_id, r + 1 AS label_rank,

@@ -28,9 +28,12 @@ import graft.Tables
   * Scale notes: the parse/labels/explode stages are narrow; every
   * shuffle hashes on the post id (dedup anti-join, labels agg, topics
   * agg/window, merge anti-join) so exchanges are reusable and no stage
-  * holds more than one post's state; user and location dims broadcast;
-  * the merge does NOT hint broadcast on the update side (it is the big
-  * side here — AQE picks the strategy).
+  * holds more than one post's state; the fixed-size location dim
+  * broadcasts, while the SF-growing user/document sides carry no
+  * broadcast hint (AQE broadcasts while they fit and falls back to a
+  * shuffle join past the threshold); the merge does NOT hint broadcast
+  * on the update side (it is the big side here — AQE picks the
+  * strategy).
   */
 object Pipeline extends graft.QueryPack {
 
@@ -50,7 +53,11 @@ object Pipeline extends graft.QueryPack {
     val o = Tables(s, d, "orders")
       .crossJoin(broadcast(ndocs))
       .withColumn("dkey", col("o_orderkey") % col("nd"))
-      .join(broadcast(docs), col("dkey") === col("doc_id"))
+      // documents grows with SF — no broadcast hint (same rule as
+      // q_tfidf): AQE broadcasts while it fits and falls back to a
+      // shuffle join when it doesn't, instead of a forced driver-side
+      // build that OOMs at scale
+      .join(docs, col("dkey") === col("doc_id"))
     val likeC = (col("o_orderkey") % 1000).as("count")
     val comC = (col("o_orderkey") % 100).as("count")
     val graphql = o.filter(col("o_orderkey") % 2 === 0).select(to_json(struct(
@@ -118,7 +125,8 @@ object Pipeline extends graft.QueryPack {
         col("c_name").as("fullname"))
       val withUser = fresh.crossJoin(broadcast(mck))
         .withColumn("ukey", col("id") % (col("mck") + 37) + 1)
-        .join(broadcast(users), col("ukey") === col("c_custkey"))
+        // customer grows with SF — unhinted, AQE decides (see rawPages)
+        .join(users, col("ukey") === col("c_custkey"))
         // 4. blocklist on the enriched username (:310-313)
         .filter(col("c_custkey") % 53 =!= 13)
       // 5. left location enrich from the nation dim; GPS only when both
@@ -201,8 +209,7 @@ object Pipeline extends graft.QueryPack {
         .filter(col("o_orderstatus") =!= "F")
         .crossJoin(broadcast(mck))
         .withColumn("ukey", col("o_orderkey") % (col("mck") + 37) + 1)
-        .join(broadcast(users.select(col("c_custkey"))),
-          col("ukey") === col("c_custkey"))
+        .join(users.select(col("c_custkey")), col("ukey") === col("c_custkey"))
         .filter(col("c_custkey") % 53 =!= 13)
         .select(col("o_orderkey").as("id"))
       // 8. merge into the existing Post set (the 'P' slice = rows a prior
@@ -284,29 +291,14 @@ object Pipeline extends graft.QueryPack {
          |lab AS (
          |  SELECT id, 1 + fs % 3 AS n_labels,
          |    'label_' || CAST(fs % 7 AS VARCHAR) AS top_label
-         |  FROM (SELECT id, CAST(COALESCE(list_sum(list_transform(
-         |          range(1, length(caption) + 1, 16),
-         |          i -> ascii(substring(caption, i, 1)))), 0) AS BIGINT) AS fs
+         |  FROM (SELECT id, ${Multimodal.labelChecksumSqlDuck("caption")} AS fs
          |        FROM loc) f),
          |td AS (
          |  SELECT id, concat_ws('.', caption, accessibility, fullname,
          |    CASE WHEN location_name IS NOT NULL THEN location_name || '.' END) AS doc
          |  FROM loc),
-         |tok AS (
-         |  SELECT id, unnest(list_filter(string_split(lower(doc), ' '),
-         |                                t -> ${TextAnalytics.keepTokenSqlDuck})) AS term
-         |  FROM td),
-         |tc AS (SELECT id, term, COUNT(*) AS cnt FROM tok GROUP BY id, term),
-         |rkd AS (
-         |  SELECT id, term,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, term) AS BIGINT) AS rk,
-         |    round(CAST(100 AS DOUBLE) * (CAST(cnt AS DOUBLE) + CAST(${Topics.BETA} AS DOUBLE)) /
-         |      (CAST(SUM(cnt) OVER (PARTITION BY id) AS DOUBLE) +
-         |       CAST(COUNT(*) OVER (PARTITION BY id) AS DOUBLE) * CAST(${Topics.BETA} AS DOUBLE)), 9)
-         |      AS confidence
-         |  FROM tc),
-         |tpc AS (SELECT id, rk, term, confidence FROM rkd
-         |        WHERE rk <= ${Topics.TOP_TERMS} AND confidence >= CAST(2 AS DOUBLE)),
+         |tpc AS (
+         |  ${Topics.perDocTopicsSqlDuck("td")}),
          |upd AS (
          |  SELECT l.id, 'hashtag' AS src, l.permalink, l.caption, l.mediaUrl,
          |    l.likeCount, l.commentsCount, l.username, l.fullname,

@@ -27,7 +27,17 @@ object TextAnalytics extends graft.QueryPack {
     * library function). */
   def loadStopwords(paths: Seq[String]): Seq[String] =
     paths.flatMap { p =>
-      val src = scala.io.Source.fromFile(p, "UTF-8")
+      // fail with the offending PATH in the message — an unreadable
+      // override file otherwise surfaces as an opaque
+      // ExceptionInInitializerError from whichever query touches this
+      // object first
+      val src =
+        try scala.io.Source.fromFile(p, "UTF-8")
+        catch { case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"graft stopword override file not readable: $p " +
+              "(from graft.stopwords.files / GRAFT_STOPWORDS_FILES)", e)
+        }
       try src.getLines().map(_.trim).filter(_.nonEmpty).toList
       finally src.close()
     }.distinct.sorted
@@ -43,14 +53,21 @@ object TextAnalytics extends graft.QueryPack {
     * dependent operator (T6 filter, topics, tf/tf-idf, quality score)
     * reproduces its exact semantics. Deterministic order either way,
     * for stable SQL-literal generation. */
-  val stopwords: Seq[String] =
-    sys.props.get("graft.stopwords.files")
-      .orElse(sys.env.get("GRAFT_STOPWORDS_FILES"))
+  private[graft] def resolveStopwords(overridePaths: Option[String]): Seq[String] =
+    overridePaths
       .map(ps => loadStopwords(ps.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
       .getOrElse(
         (org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english") ++
           org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("spanish"))
           .toSeq.distinct.sorted)
+
+  /** lazy: a bad override path fails only the stopword-dependent
+    * operators (with the path in the message), not — via an
+    * ExceptionInInitializerError on this object — every TextAnalytics
+    * query. */
+  lazy val stopwords: Seq[String] =
+    resolveStopwords(sys.props.get("graft.stopwords.files")
+      .orElse(sys.env.get("GRAFT_STOPWORDS_FILES")))
 
   /** Marker words per language for the n-gram/marker language-ID heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(
@@ -70,7 +87,7 @@ object TextAnalytics extends graft.QueryPack {
   private[operators] def keepToken(t: Column): Column =
     (length(t) > 1) && !t.startsWith("http") && !t.isInCollection(stopwords)
 
-  private[operators] val keepTokenSqlDuck: String =
+  private[operators] lazy val keepTokenSqlDuck: String =
     s"length(t) > 1 AND NOT starts_with(t, 'http') AND t NOT IN ${sqlList(stopwords)}"
 
   /** The stemmer as a scalar UDF (SURVEY.md §2.10; the only per-token

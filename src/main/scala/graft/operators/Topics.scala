@@ -104,25 +104,37 @@ object Topics extends graft.QueryPack {
     })
   )
 
+  /** DuckDB restatement of the per-document K=1 closed form — rows
+    * (id, rk, term, confidence) from `src`, a relation with columns
+    * (id, doc): tokenize → keep-filter → count → rank by (cnt desc,
+    * term) → top-$TOP_TERMS → smoothed-tf confidence with the 2% cut.
+    * ONE definition shared by the q_topics_per_doc oracle and the
+    * pipeline oracle's topic stage; the third formulation — the in-row
+    * array expression in Pipeline — is intentionally different Spark
+    * code and is held to THIS definition by its oracle. */
+  def perDocTopicsSqlDuck(src: String): String =
+    s"""SELECT id, rk, term, confidence FROM (
+       |  SELECT id, term,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, term) AS BIGINT) AS rk,
+       |    round(CAST(100 AS DOUBLE) * (CAST(cnt AS DOUBLE) + CAST($BETA AS DOUBLE)) /
+       |      (CAST(SUM(cnt) OVER (PARTITION BY id) AS DOUBLE) +
+       |       CAST(COUNT(*) OVER (PARTITION BY id) AS DOUBLE) * CAST($BETA AS DOUBLE)), 9)
+       |      AS confidence
+       |  FROM (
+       |    SELECT id, term, COUNT(*) AS cnt FROM (
+       |      SELECT id, unnest(list_filter(string_split(lower(doc), ' '),
+       |                                    t -> ${TextAnalytics.keepTokenSqlDuck})) AS term
+       |      FROM $src) x
+       |    GROUP BY id, term) c) r
+       |WHERE rk <= $TOP_TERMS AND confidence >= CAST(2 AS DOUBLE)""".stripMargin
+
   // q_lda_topics (K=3, iterative ML) is not SQL-expressible — driver
   // records rows-only; invariants in TopicsSpec. q_topics_per_doc (K=1)
-  // IS exact — oracle below mirrors the smoothed-tf closed form.
+  // IS exact — oracle mirrors the smoothed-tf closed form.
   def oracles: Map[String, String] = Map(
     "q_topics_per_doc" ->
-      s"""SELECT doc_id, rk, name, confidence FROM (
-         |  SELECT doc_id, term AS name,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, term) AS BIGINT) AS rk,
-         |    round(CAST(100 AS DOUBLE) * (CAST(cnt AS DOUBLE) + CAST($BETA AS DOUBLE)) /
-         |      (CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) +
-         |       CAST(COUNT(*) OVER (PARTITION BY doc_id) AS DOUBLE) * CAST($BETA AS DOUBLE)), 9)
-         |      AS confidence
-         |  FROM (
-         |    SELECT doc_id, term, COUNT(*) AS cnt FROM (
-         |      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
-         |                                        t -> ${TextAnalytics.keepTokenSqlDuck})) AS term
-         |      FROM documents) x
-         |    GROUP BY doc_id, term) c) r
-         |WHERE rk <= $TOP_TERMS AND confidence >= CAST(2 AS DOUBLE)
+      s"""SELECT id AS doc_id, rk, term AS name, confidence
+         |FROM (${perDocTopicsSqlDuck("(SELECT doc_id AS id, text AS doc FROM documents)")}) t
          |ORDER BY doc_id, rk""".stripMargin
   )
 }

@@ -54,16 +54,22 @@ class PlanShapeSpec extends AnyFunSuite {
   test("etl pipeline: dims broadcast, no cartesian beyond the 1-row scalar joins") {
     val df = graft.operators.Pipeline.queries("q_etl_pipeline")(
       spark, TestSpark.sf)
-    df.count() // let AQE finalize the executed plan
+    // Execute df's OWN QueryExecution (count() would spin up a separate
+    // one and leave this plan an un-finalized AdaptiveSparkPlanExec):
+    // after collect(), executedPlan.toString prints the AQE FINAL plan.
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(500))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    // users + locations dims must come in as broadcast hash joins
+    // locations dim + the tiny scalar sides must come in as broadcasts
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
   }
 
   test("bucketed near-dup joins on the bucket key — never a cross product") {
-    val plan = graft.operators.Similarity.queries("q_neardup_embedding")(
-      spark, TestSpark.sf).queryExecution.executedPlan.toString
+    val df = graft.operators.Similarity.queries("q_neardup_embedding")(
+      spark, TestSpark.sf)
+    df.collect() // finalize AQE — assert on the plan that actually ran
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoop"), plan.take(3000))
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),

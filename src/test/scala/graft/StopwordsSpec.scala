@@ -22,9 +22,26 @@ class StopwordsSpec extends AnyFunSuite {
   }
 
   test("default list is the deterministic EN∪ES union (sorted, distinct)") {
-    val sw = TextAnalytics.stopwords
+    // resolve explicitly with no override — the assertions hold even in
+    // an environment where GRAFT_STOPWORDS_FILES is legitimately set
+    val sw = TextAnalytics.resolveStopwords(None)
     assert(sw == sw.distinct.sorted)
     // both languages actually contributed
     assert(sw.contains("the") && sw.contains("para"))
+  }
+
+  test("override mode resolves through the file loader") {
+    val f = java.io.File.createTempFile("stop_ovr", ".txt")
+    try {
+      java.nio.file.Files.writeString(f.toPath, "zz\naa\n")
+      assert(TextAnalytics.resolveStopwords(Some(f.getPath)) == Seq("aa", "zz"))
+    } finally f.delete()
+  }
+
+  test("unreadable override file fails with the path in the message") {
+    val e = intercept[IllegalArgumentException] {
+      TextAnalytics.resolveStopwords(Some("/nonexistent/stopwords.txt"))
+    }
+    assert(e.getMessage.contains("/nonexistent/stopwords.txt"))
   }
 }
