@@ -203,38 +203,19 @@ object Dedup extends graft.QueryPack {
     // (a benchmark item fully quoted inside a long document scores 1.0
     // even though Jaccard is tiny). Same inverted-index layout as the
     // pair query: work scales with shared shingles, not corpus².
-    "q_decontaminate" -> ((s, d) => {
-      val c = Tables(s, d, "documents")
-        .withColumn("sh", shingles(col("text")))
-        .withColumn("n", size(col("sh")))
-      val bench = c.filter(col("doc_id") % 50 === 3)
-      val corpus = c.filter(col("doc_id") % 50 =!= 3)
-      val bx = bench.select(col("doc_id").as("bench_id"), col("n").as("nb"),
-        explode(col("sh")).as("s"))
-      val cx0 = corpus.select(col("doc_id").as("corpus_id"),
-        explode(col("sh")).as("s"))
-      // Hot-shingle guard (see SHINGLE_DF_CAP): shingles appearing in
-      // more than cap corpus documents are dropped from the index —
-      // they would fan each bench posting out df-fold, and a trigram
-      // shared by thousands of documents is boilerplate, not leakage
-      // signal. Testdata max corpus df is 25, so the oracle-checked
-      // result is unchanged.
-      val hot = cx0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > SHINGLE_DF_CAP).select(col("s"))
-      val cx = cx0.join(broadcast(hot), Seq("s"), "left_anti")
-      val best = bx.join(cx, Seq("s"))
-        .groupBy(col("bench_id"), col("corpus_id"), col("nb"))
-        .agg(count(lit(1)).as("common"))
-        .groupBy(col("bench_id"))
-        .agg(round(max(col("common")).cast("double") / first(col("nb")), 9)
-          .as("max_containment"))
-      bench.select(col("doc_id").as("bench_id"))
-        .join(best, Seq("bench_id"), "left_outer")
-        .select(col("bench_id"),
-          coalesce(col("max_containment"), lit(0d)).as("max_containment"),
-          (coalesce(col("max_containment"), lit(0d)) >= 0.8).as("contaminated"))
-        .orderBy(col("bench_id"))
-    }),
+    "q_decontaminate" -> ((s, d) => decontaminate(s, d, bloom = false)),
+
+    // Same operator with a broadcast BLOOM pre-filter on the corpus
+    // side — the runtime-filter / semi-join-reduction pattern that
+    // matters at 100 TB: the benchmark suite is the SMALL side (its
+    // distinct-shingle bloom fits executor memory at any corpus
+    // scale), so corpus postings that cannot match any bench shingle
+    // are dropped MAP-SIDE before the shuffle join ever moves them.
+    // Bloom false positives only let extra postings through; the
+    // exact equi-join then drops them, so the result — and the
+    // oracle — are identical to q_decontaminate (DedupSpec asserts
+    // the side-by-side equality).
+    "q_decontaminate_bloom" -> ((s, d) => decontaminate(s, d, bloom = true)),
 
     // Near-dup CLUSTER formation: connected components over the
     // verified pair graph — the step after any pair generator
@@ -295,6 +276,51 @@ object Dedup extends graft.QueryPack {
     })
   )
 
+  /** Shared body of q_decontaminate / q_decontaminate_bloom (identical
+    * semantics; `bloom` only inserts the map-side pre-filter). */
+  private def decontaminate(s: SparkSession, d: String, bloom: Boolean): DataFrame = {
+    val c = Tables(s, d, "documents")
+      .withColumn("sh", shingles(col("text")))
+      .withColumn("n", size(col("sh")))
+    val bench = c.filter(col("doc_id") % 50 === 3)
+    val corpus = c.filter(col("doc_id") % 50 =!= 3)
+    val bx = bench.select(col("doc_id").as("bench_id"), col("n").as("nb"),
+      explode(col("sh")).as("s"))
+    val cx0 = corpus.select(col("doc_id").as("corpus_id"),
+      explode(col("sh")).as("s"))
+    // Hot-shingle guard (see SHINGLE_DF_CAP): shingles appearing in
+    // more than cap corpus documents are dropped from the index —
+    // they would fan each bench posting out df-fold, and a trigram
+    // shared by thousands of documents is boilerplate, not leakage
+    // signal. Computed BEFORE any bloom pre-filter so both variants
+    // cap on the same document frequencies.
+    val hot = cx0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > SHINGLE_DF_CAP).select(col("s"))
+    val capped = cx0.join(broadcast(hot), Seq("s"), "left_anti")
+    val cx = if (!bloom) capped else {
+      // one pass over the small bench side builds the filter (the
+      // count only sizes it exactly); 1% fpp keeps it ~1.2 KB per
+      // thousand shingles
+      val bsh = bx.select(col("s")).distinct()
+      val bf = bsh.stat.bloomFilter("s", math.max(bsh.count(), 1L), 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightMatch = udf((x: String) => bfB.value.mightContain(x))
+      capped.filter(mightMatch(col("s")))
+    }
+    val best = bx.join(cx, Seq("s"))
+      .groupBy(col("bench_id"), col("corpus_id"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .groupBy(col("bench_id"))
+      .agg(round(max(col("common")).cast("double") / first(col("nb")), 9)
+        .as("max_containment"))
+    bench.select(col("doc_id").as("bench_id"))
+      .join(best, Seq("bench_id"), "left_outer")
+      .select(col("bench_id"),
+        coalesce(col("max_containment"), lit(0d)).as("max_containment"),
+        (coalesce(col("max_containment"), lit(0d)) >= 0.8).as("contaminated"))
+      .orderBy(col("bench_id"))
+  }
+
   /** Verified near-dup pairs via the inverted shingle index (see
     * q_dedup_ngram_jaccard) — shared by the pair query and the cluster
     * query. */
@@ -354,6 +380,36 @@ object Dedup extends graft.QueryPack {
        |  FROM cand
        |  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 9) >= 0.6)""".stripMargin
 
+  /** Inverted-index-with-cap decontamination in DuckDB — the shared
+    * oracle of q_decontaminate and q_decontaminate_bloom. */
+  private val decontaminateSqlDuck: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+       |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
+       |  FROM documents),
+       |bex AS (SELECT doc_id AS bench_id, len(sh) AS nb, unnest(sh) AS s
+       |        FROM sh WHERE doc_id % 50 = 3),
+       |cex AS (SELECT doc_id AS corpus_id, unnest(sh) AS s
+       |        FROM sh WHERE doc_id % 50 <> 3),
+       |cdf AS (SELECT s, COUNT(*) AS df FROM cex GROUP BY s),
+       |ckept AS (SELECT cex.corpus_id, cex.s
+       |          FROM cex JOIN cdf USING (s) WHERE cdf.df <= $SHINGLE_DF_CAP),
+       |cm AS (SELECT b.bench_id, c.corpus_id, b.nb, COUNT(*) AS common
+       |       FROM bex b JOIN ckept c ON b.s = c.s
+       |       GROUP BY b.bench_id, c.corpus_id, b.nb),
+       |best AS (SELECT bench_id,
+       |           round(CAST(MAX(common) AS DOUBLE) / ANY_VALUE(nb), 9)
+       |             AS max_containment
+       |         FROM cm GROUP BY bench_id)
+       |SELECT b.bench_id,
+       |  COALESCE(best.max_containment, CAST(0 AS DOUBLE)) AS max_containment,
+       |  COALESCE(best.max_containment, CAST(0 AS DOUBLE)) >= 0.8 AS contaminated
+       |FROM (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 50 = 3) b
+       |LEFT JOIN best USING (bench_id)
+       |ORDER BY bench_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""WITH $corpusSqlDuck
@@ -412,34 +468,11 @@ object Dedup extends graft.QueryPack {
 
     // Same inverted-index-with-cap computation as the Spark plan: the
     // corpus-side posting list drops shingles with df > cap BEFORE the
-    // bench⋈corpus match, bench set sizes stay uncapped.
-    "q_decontaminate" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(
-         |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
-         |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
-         |  FROM documents),
-         |bex AS (SELECT doc_id AS bench_id, len(sh) AS nb, unnest(sh) AS s
-         |        FROM sh WHERE doc_id % 50 = 3),
-         |cex AS (SELECT doc_id AS corpus_id, unnest(sh) AS s
-         |        FROM sh WHERE doc_id % 50 <> 3),
-         |cdf AS (SELECT s, COUNT(*) AS df FROM cex GROUP BY s),
-         |ckept AS (SELECT cex.corpus_id, cex.s
-         |          FROM cex JOIN cdf USING (s) WHERE cdf.df <= $SHINGLE_DF_CAP),
-         |cm AS (SELECT b.bench_id, c.corpus_id, b.nb, COUNT(*) AS common
-         |       FROM bex b JOIN ckept c ON b.s = c.s
-         |       GROUP BY b.bench_id, c.corpus_id, b.nb),
-         |best AS (SELECT bench_id,
-         |           round(CAST(MAX(common) AS DOUBLE) / ANY_VALUE(nb), 9)
-         |             AS max_containment
-         |         FROM cm GROUP BY bench_id)
-         |SELECT b.bench_id,
-         |  COALESCE(best.max_containment, CAST(0 AS DOUBLE)) AS max_containment,
-         |  COALESCE(best.max_containment, CAST(0 AS DOUBLE)) >= 0.8 AS contaminated
-         |FROM (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 50 = 3) b
-         |LEFT JOIN best USING (bench_id)
-         |ORDER BY bench_id""".stripMargin,
+    // bench⋈corpus match, bench set sizes stay uncapped. The bloom
+    // variant has the SAME oracle by construction — the pre-filter
+    // never removes a matching posting.
+    "q_decontaminate" -> decontaminateSqlDuck,
+    "q_decontaminate_bloom" -> decontaminateSqlDuck,
 
     // Transitive closure over the same pair graph; cluster_id = MIN
     // reachable id, the unique fixpoint the Spark label propagation

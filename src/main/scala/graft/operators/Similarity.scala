@@ -118,20 +118,8 @@ object Similarity extends graft.QueryPack {
     "q_ann_ivf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = loadEmbeddings(s, d)
-      val cents = e.filter(col("vec_id").between(10, 25))
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
-        .sortBy(_._1)
-      // per-row (sim, -cid) vs every centroid; max struct = nearest
-      // centroid with lowest cid on ties
-      val simsArr = array(cents.map { case (cid, cv, cnrm) =>
-        struct(
-          round(dot(col("embedding"), typedlit(cv)) / (col("nrm") * lit(cnrm)), 9)
-            .as("sim"),
-          lit(-cid).as("negcid"))
-      }: _*)
-      val assigned = e.withColumn("arr", simsArr)
+      val cents = sampledCentroids(s, d)
+      val assigned = e.withColumn("arr", centroidSimsArr(cents))
         .withColumn("centroid_id", array_max(col("arr")).getField("negcid") * -1)
       val cand = assigned.select(col("vec_id").as("nid"),
         col("embedding").as("nv"), col("nrm").as("nnrm"), col("centroid_id"))
@@ -216,8 +204,67 @@ object Similarity extends graft.QueryPack {
         .filter(col("sim") >= 0.9)
         .select(col("id_a"), col("id_b"), col("sim"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SemDedup — semantic dedup by embedding clusters (the published
+    // recipe: k-means the embeddings, then drop near-identical pairs
+    // WITHIN each cluster only). Coarse-cluster with the same K=16
+    // deterministic sampled centroids as q_ann_ivf (map-side literal
+    // assignment, no shuffle); candidate pairs come from a self
+    // equi-join on the cluster id, so the cross product never forms —
+    // at 100 TB, k grows with the corpus to bound cluster size and the
+    // cluster id is the shuffle/partition key. Keep-policy: the
+    // SMALLEST vec_id of every duplicate group survives — a row is
+    // dropped iff a smaller-id vector in its cluster has cosine ≥ 0.95
+    // with it (deterministic, order-independent). Output is a KEEP/DROP
+    // decision per corpus row — the shape a pipeline actually consumes.
+    "q_semdedup" -> ((s, d) => {
+      val cents = sampledCentroids(s, d)
+      val assigned = neardupCorpus(s, d)
+        .withColumn("centroid_id",
+          (array_max(centroidSimsArr(cents)).getField("negcid") * -1))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+      val l = assigned.select(col("centroid_id"), col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val r = assigned.select(col("centroid_id"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      val dropped = l.join(r, Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9)
+          >= 0.95)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      assigned.select(col("vec_id"), col("centroid_id"))
+        .join(dropped, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("centroid_id"),
+          coalesce(col("is_dup"), lit(false)).as("dropped"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** K=16 DETERMINISTIC sampled centroids (the embeddings of vec_id
+    * 10..25) — IVF-style coarse quantization with sampled centroids
+    * instead of Lloyd iterations, which keeps the DuckDB oracles exact.
+    * Collected driver-side (16 rows, like the LSH plane constants) for
+    * inlining as literals. */
+  private def sampledCentroids(s: SparkSession, d: String): Array[(Long, Seq[Double], Double)] =
+    loadEmbeddings(s, d).filter(col("vec_id").between(10, 25))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** Per-row (sim, -cid) struct vs every centroid, centroids inlined as
+    * literals — assignment is a pure map-side projection (array_max of
+    * codegen'd dot products, NO shuffle, NO join); max struct = nearest
+    * centroid with lowest cid on ties. Expects `embedding` + `nrm`. */
+  private def centroidSimsArr(cents: Array[(Long, Seq[Double], Double)]): Column =
+    array(cents.map { case (cid, cv, cnrm) =>
+      struct(
+        round(dot(col("embedding"), typedlit(cv)) / (col("nrm") * lit(cnrm)), 9)
+          .as("sim"),
+        lit(-cid).as("negcid"))
+    }: _*)
 
   /** Shared corpus for the near-dup queries: embeddings ∪ perturbed
     * copies (every 20th vector, +0.01 on dim 1), with norm and 8-bit
@@ -352,6 +399,43 @@ object Similarity extends graft.QueryPack {
          |       j -> substring(a.bkt, CAST(j AS INTEGER), 1)
          |            <> substring(b.bkt, CAST(j AS INTEGER), 1))) <= 1
          |WHERE round(${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 9) >= 0.9
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same corpus, same sampled-centroid assignment as the Spark side
+    // (nearest by rounded cosine, lowest cid on ties), dropped iff a
+    // smaller-id same-cluster vector matches at >= 0.95.
+    "q_semdedup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1,${DIM + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_transform(range(1,${DIM + 1}), i ->
+         |      CAST(embedding[i] AS DOUBLE) +
+         |      CASE WHEN i = 1 THEN CAST(0.01 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM corpus),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |          FROM e WHERE vec_id BETWEEN 10 AND 25),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+         |    round(${dotDuck("e.embedding", "c.cv")} / (e.nrm * c.cnrm), 9) AS csim
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cid AS centroid_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  WHERE round(${dotDuck("a.embedding", "b.embedding")}
+         |              / (a.nrm * b.nrm), 9) >= 0.95)
+         |SELECT a.vec_id, a.centroid_id,
+         |  (d.vec_id IS NOT NULL) AS dropped
+         |FROM assigned a LEFT JOIN dup d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
   )
 }

@@ -34,4 +34,19 @@ class NearDupSpec extends AnyFunSuite {
     assert(keys.forall { case (a, b) => a < b })
     assert(keys.distinct.length == keys.length, "duplicate pair emitted")
   }
+
+  test("semdedup: one row per corpus vector, duplicates found, cluster minimum never dropped") {
+    val rows = Similarity.queries("q_semdedup")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // decision surface covers the whole corpus exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // the planted perturbed copies (cosine ~1 to their originals) are found
+    assert(rows.exists(_._3), "no duplicate detected in a corpus with planted copies")
+    // keep-policy invariant: the smallest id in a cluster has no smaller
+    // same-cluster partner, so it can never be dropped
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val min = members.minBy(_._1)
+      assert(!min._3, s"cluster $c: minimum id ${min._1} was dropped")
+    }
+  }
 }
