@@ -196,10 +196,56 @@ object Extras extends graft.QueryPack {
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("ts_us_r").as("last_purchase_us"))
         .orderBy(col("event_id"))
+    }),
+
+    // SCD type-2 dimension reconstruction from a change log: collapse
+    // each user's event stream into attribute-version intervals —
+    // detect changes with lag(), keep change rows, close each interval
+    // with lead() (NULL valid_to = current). The lakehouse "history
+    // table from CDC" operator. Both windows partition on user_id with
+    // the same ordering, so the plan pays ONE shuffle + ONE sort; keys
+    // are uniform (per-user history), no skew. Versions are dense per
+    // user and deterministic (ties broken by event_id).
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val changes = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type").as("attr"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("prev", lag(col("attr"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("attr"))
+      changes
+        .withColumn("valid_from_us", col("ts_us"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("attr"), col("valid_from_us"),
+          col("valid_to_us"), col("version"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH log AS (
+        |  SELECT user_id, event_type AS attr, epoch_us(ts) AS ts_us, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, attr, ts_us, event_id FROM log
+        |  WHERE prev IS NULL OR prev <> attr)
+        |SELECT user_id, attr,
+        |  ts_us AS valid_from_us,
+        |  LEAD(ts_us) OVER (PARTITION BY user_id
+        |                    ORDER BY ts_us, event_id) AS valid_to_us,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                          ORDER BY ts_us, event_id) AS BIGINT) AS version,
+        |  LEAD(ts_us) OVER (PARTITION BY user_id
+        |                    ORDER BY ts_us, event_id) IS NULL AS is_current
+        |FROM changes
+        |ORDER BY user_id, version""".stripMargin,
+
     "q_setops" ->
       """SELECT 'intersect' AS set_op, o_custkey FROM (
         |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

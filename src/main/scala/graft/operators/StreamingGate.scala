@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventsStream
+
+/** Structured Streaming under the DuckDB oracle gate.
+  *
+  * The streaming slice (SURVEY.md §2.9) was previously spec-only: the
+  * batch/streaming parity proofs lived in StreamingSpec. These queries
+  * run a REAL streaming query end-to-end inside a `queries()` entry —
+  * replay source → transform → `Trigger.AvailableNow` drain → sink —
+  * and return the drained sink as a DataFrame, so the driver's DuckDB
+  * oracle hash-checks the streaming path exactly like any batch query.
+  * This is the reference's operating mode (a cron-scheduled incremental
+  * run, main.js:35-51): process everything available, persist, stop.
+  *
+  * Scale notes: both queries drain through `foreachBatch` into files —
+  * never a driver-side memory sink — so the sink path is the one a
+  * 1000-executor job would use (a transactional table MERGE replaces
+  * the parquet swap at cluster scale). Watermarks bound streaming
+  * state; `AvailableNow` makes reruns incremental from the checkpoint.
+  */
+object StreamingGate extends graft.QueryPack {
+
+  /** Run a streaming query to completion and read back its sink dir. */
+  private def drain(s: SparkSession, stream: DataFrame,
+      mode: String)(sink: (DataFrame, Long) => Unit): Unit = {
+    val q = stream.writeStream
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(sink)
+      .start()
+    q.awaitTermination()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ST1/ST4 + A1 shape: event-time tumbling-window aggregation run AS
+    // A STREAM (replay source, 2h watermark, complete mode) — the
+    // streaming twin of q_window_time, now hash-checked against the same
+    // oracle. foreachBatch overwrites the full result per micro-batch
+    // (complete mode = the whole agg state), so the final files ARE the
+    // drained aggregate.
+    "q_stream_window" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q_stream_window").toString + "/win"
+      drain(s, EventsStream.windowedAgg(EventsStream.replay(s, d)),
+        "complete") { (batch, _) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out).orderBy(col("window_start_us"), col("event_type"))
+    }),
+
+    // ST5/K1/J8: the reference's whole incremental loop — scrape batch →
+    // existence probe → upsert (posts-from-hashtags.js:358-379 sink side)
+    // — as a streaming foreachBatch MERGE keyed by user_id keeping the
+    // latest event. Each micro-batch reduces to one row per key (window
+    // rank inside the batch — allowed there, it's a plain DataFrame),
+    // then MERGEs into the parquet target last-writer-wins. The drained
+    // target must equal the batch latest-per-key query, which is exactly
+    // what the oracle asserts.
+    "q_stream_upsert" -> ((s, d) => {
+      val target = java.nio.file.Files
+        .createTempDirectory("graft_q_stream_upsert").toString + "/t"
+      val events = EventsStream.replay(s, d)
+        .withWatermark("ts", "2 hours")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+      drain(s, events, "append") { (batch, batchId) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val latest = batch.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1).drop("rk")
+        EventsStream.mergeIntoParquet(s, target, "user_id")(latest, batchId)
+      }
+      s.read.parquet(target)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // identical to q_window_time's oracle: streaming == batch.
+    "q_stream_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical to q_latest_per_key's oracle: the drained MERGE target
+    // is the batch latest-per-key result.
+    "q_stream_upsert" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events) t
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin
+  )
+}

@@ -108,4 +108,25 @@ class StreamingSpec extends AnyFunSuite {
       .collect().sortBy(_._1).toSeq
     assert(rows == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
   }
+
+  test("q_stream_window (oracle-gated streaming entry) equals batch twin") {
+    val streamed = graft.operators.StreamingGate
+      .queries("q_stream_window")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Relational
+      .queries("q_window_time")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("q_stream_upsert (streaming MERGE drain) equals batch latest-per-key") {
+    val streamed = graft.operators.StreamingGate
+      .queries("q_stream_upsert")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Relational
+      .queries("q_latest_per_key")(spark, TestSpark.sf)
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
 }
