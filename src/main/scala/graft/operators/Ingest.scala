@@ -86,11 +86,23 @@ object Ingest {
 
   // ---- projections ------------------------------------------------------
 
+  /** Both TagPage dialects in ONE schema (their top-level keys are
+    * disjoint), so the dialect dispatch pays a single `from_json` per
+    * page and branches on struct nullity — instead of re-scanning the
+    * raw JSON string per dialect probe (see [[postsFromTagPage]]). */
+  val tagPageCombinedSchema: StructType =
+    StructType(tagPageGraphqlSchema.fields ++ tagPageDataSchema.fields)
+
   /** P1: GraphQL-dialect TagPage → flat Post rows
     * (reference posts-from-hashtags.js:59-79). */
   def postsFromGraphql(pages: DataFrame, source: String): DataFrame =
-    pages
-      .select(from_json(col("json"), tagPageGraphqlSchema).as("p"))
+    projectGraphql(
+      pages.select(from_json(col("json"), tagPageGraphqlSchema).as("p")),
+      source)
+
+  /** The GraphQL projection over an already-parsed `p` struct. */
+  private def projectGraphql(parsed: DataFrame, source: String): DataFrame =
+    parsed
       .select(explode(col("p.graphql.hashtag.edge_hashtag_to_media.edges")).as("e"))
       .select(
         col("e.node.id").as("id"),
@@ -110,8 +122,12 @@ object Ingest {
     * '' and image coalesced through the carousel fallback
     * (posts-from-hashtags.js:18-57). */
   def postsFromData(pages: DataFrame, source: String): DataFrame =
-    pages
-      .select(from_json(col("json"), tagPageDataSchema).as("p"))
+    projectData(
+      pages.select(from_json(col("json"), tagPageDataSchema).as("p")), source)
+
+  /** The "data"-dialect projection over an already-parsed `p` struct. */
+  private def projectData(parsed: DataFrame, source: String): DataFrame =
+    parsed
       .select(explode(col("p.data.recent.sections")).as("s"))
       .select(explode(col("s.layout_content.medias")).as("m"))
       .select(
@@ -133,13 +149,17 @@ object Ingest {
         lit(null).cast(StringType).as("accessibility"),
         lit(source).as("source"))
 
-  /** S2 dialect dispatch: a page matches exactly one dialect; parse both
-    * and union (posts-from-hashtags.js:121-122). */
-  def postsFromTagPage(pages: DataFrame, source: String): DataFrame =
-    postsFromGraphql(
-      pages.filter(get_json_object(col("json"), "$.graphql").isNotNull), source)
-      .unionByName(postsFromData(
-        pages.filter(get_json_object(col("json"), "$.data").isNotNull), source))
+  /** S2 dialect dispatch: a page matches exactly one dialect; parse once
+    * with the combined schema, branch on which top-level struct is
+    * present, union (posts-from-hashtags.js:121-122). One full JSON
+    * scan per page — the previous get_json_object probes re-parsed
+    * every page string once per dialect before the real parse. */
+  def postsFromTagPage(pages: DataFrame, source: String): DataFrame = {
+    val parsed = pages.select(
+      from_json(col("json"), tagPageCombinedSchema).as("p"))
+    projectGraphql(parsed.filter(col("p.graphql").isNotNull), source)
+      .unionByName(projectData(parsed.filter(col("p.data").isNotNull), source))
+  }
 
   /** P6: location detail (either dialect) → Location row with GeoJSON
     * point ([lng, lat]!) only when both coordinates present

@@ -137,6 +137,56 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // ANN strategy #4: product quantization with asymmetric distance
+    // (ADC). Vectors are ENCODED once into M=4 one-byte codes (the
+    // nearest sampled codeword per 16-dim subspace — a pure map-side
+    // projection over literal codewords, like the IVF assignment); a
+    // query precomputes its M×K distance table ONCE (narrow, on the
+    // 10-row broadcast side) and each candidate costs M array lookups
+    // + M-1 adds instead of a 64-dim scan. That asymmetry is the PQ
+    // scale story: at 100 TB the engine scans 4-byte codes (64× less
+    // I/O than raw vectors) and never decodes. Per-cell distances are
+    // rounded and summed as DECIMAL so the lookup-sum is
+    // order-independent and oracle-exact; codes argmin on raw doubles
+    // with lowest-k tie-break (the struct-max trick, as in IVF).
+    "q_ann_pq" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cb = pqCodebook(s, d)
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      def sub(m: Int) = slice(col("embedding"), m * PQ_SUB + 1, PQ_SUB)
+      // ||sub - cw||² = (sub·sub + cw·cw) - sub·cw·2 — reuses the
+      // codegen'd dot kernel; identical association in the oracle SQL.
+      def d2(m: Int, k: Int): Column = {
+        val cw = typedlit(cb(m)(k))
+        (dot(sub(m), sub(m)) + dot(cw, cw)) - dot(sub(m), cw) * 2.0d
+      }
+      val withCodes = (0 until PQ_M).foldLeft(e) { (df, m) =>
+        df.withColumn(s"c$m",
+          array_max(array((0 until PQ_K).map(k =>
+            struct((d2(m, k) * -1.0d).as("negd"), lit(-k).as("negk"))): _*))
+            .getField("negk") * -1)
+      }
+      val cand = withCodes.select(
+        Seq(col("vec_id").as("nid")) ++ (0 until PQ_M).map(m => col(s"c$m")): _*)
+      val queries = withCodes.filter(col("vec_id") < 10).select(
+        Seq(col("vec_id").as("qid")) ++ (0 until PQ_M).map(m =>
+          array((0 until PQ_K).map(k =>
+            round(d2(m, k), 9).cast(org.apache.spark.sql.types.DecimalType(18, 9))): _*)
+            .as(s"dtab$m")): _*)
+      val approx = (0 until PQ_M).map(m =>
+        element_at(col(s"dtab$m"), (col(s"c$m") + 1).cast("int"))).reduce(_ + _)
+      val w = Window.partitionBy(col("qid")).orderBy(col("approx"), col("nid"))
+      cand.crossJoin(broadcast(queries))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("approx", approx)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"),
+          col("approx").cast("double").as("approx_d2"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Per-label centroid (mean embedding) through the custom
     // TypedImperativeAggregate graft_vec_sum — the aggregate tier of
     // the Catalyst ladder, with map-side partials and elementwise
@@ -241,6 +291,25 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("vec_id"))
     })
   )
+
+  // ---- product quantization (q_ann_pq) --------------------------------
+  private val PQ_M = 4              // subspaces
+  private val PQ_K = 4              // codewords per subspace
+  private val PQ_SUB = DIM / PQ_M   // dims per subspace
+
+  /** PQ codebook: codeword (m,k) = the m-th 16-dim slice of the
+    * embedding of vec_id 10+k — deterministic sampled codewords (same
+    * rationale as [[sampledCentroids]]: no Lloyd iterations, so the
+    * DuckDB oracle restates the codebook exactly). Collected
+    * driver-side (PQ_K rows) for literal inlining. */
+  private def pqCodebook(s: SparkSession, d: String): Array[Array[Seq[Double]]] = {
+    val rows = loadEmbeddings(s, d)
+      .filter(col("vec_id").between(10, 9 + PQ_K))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    Array.tabulate(PQ_M, PQ_K)((m, k) =>
+      rows(k)._2.slice(m * PQ_SUB, (m + 1) * PQ_SUB))
+  }
 
   /** K=16 DETERMINISTIC sampled centroids (the embeddings of vec_id
     * 10..25) — IVF-style coarse quantization with sampled centroids
@@ -357,6 +426,46 @@ object Similarity extends graft.QueryPack {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |                            ORDER BY sim DESC, nid) AS BIGINT) AS rk
          |  FROM sims) t
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // PQ/ADC: the m/k loops and the d2 formula mirror the Spark side
+    // exactly — same sampled codebook rows, same (ss_a + ss_b) - dot*2
+    // association, argmin by (d, k), per-cell round(9) → DECIMAL sum.
+    "q_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |cw AS (SELECT CAST(vec_id - 10 AS INTEGER) AS k, embedding
+         |       FROM embeddings WHERE vec_id BETWEEN 10 AND ${9 + PQ_K}),
+         |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
+         |d2 AS (
+         |  SELECT e.vec_id, ms.m, cw.k,
+         |    (list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       CAST(e.embedding[ms.m*$PQ_SUB+i] AS DOUBLE) *
+         |       CAST(e.embedding[ms.m*$PQ_SUB+i] AS DOUBLE)))
+         |     + list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       CAST(cw.embedding[ms.m*$PQ_SUB+i] AS DOUBLE) *
+         |       CAST(cw.embedding[ms.m*$PQ_SUB+i] AS DOUBLE)))
+         |     - list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       CAST(e.embedding[ms.m*$PQ_SUB+i] AS DOUBLE) *
+         |       CAST(cw.embedding[ms.m*$PQ_SUB+i] AS DOUBLE))) * 2) AS d
+         |  FROM e, ms, cw),
+         |codes AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT vec_id, m, k, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |                                            ORDER BY d, k) AS rn
+         |    FROM d2) t WHERE rn = 1),
+         |qtab AS (
+         |  SELECT vec_id AS qid, m, k, CAST(round(d, 9) AS DECIMAL(18,9)) AS dd
+         |  FROM d2 WHERE vec_id < 10),
+         |approx AS (
+         |  SELECT q.qid, c.vec_id AS nid, SUM(q.dd) AS approx
+         |  FROM codes c JOIN qtab q ON q.m = c.m AND q.k = c.code
+         |                          AND q.qid <> c.vec_id
+         |  GROUP BY q.qid, c.vec_id)
+         |SELECT qid, rk, nid, CAST(approx AS DOUBLE) AS approx_d2 FROM (
+         |  SELECT qid, nid, approx,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY approx, nid) AS BIGINT) AS rk
+         |  FROM approx) t
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
     "q_vec_centroid" ->

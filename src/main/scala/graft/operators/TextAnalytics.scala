@@ -329,6 +329,53 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 retrieval scoring (Robertson-Spärck Jones): rank the corpus
+    // against a fixed query — the retrieval primitive behind
+    // similarity-based data curation. Corpus stats (N, avgdl, per-term
+    // df) are ONE 1-row aggregate over exact integers — broadcast
+    // scalars, never corpus-sized broadcasts — and scoring is a narrow
+    // per-doc map ending in a TakeOrdered top-k, so the layout holds at
+    // 100 TB. Determinism: avgdl divides two exact longs; per-term
+    // contributions are rounded at 9 decimals and summed as DECIMAL in
+    // fixed term order (the q_lm_score technique), so Spark and DuckDB
+    // agree bit-for-bit.
+    "q_bm25" -> ((s, d) => {
+      val terms = Seq("dup", "vector", "query")
+      val K1 = 1.2d; val B = 0.75d
+      val toksE = tokens(col("text"))
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), toksE.as("toks"),
+          size(toksE).cast("long").as("dl"))
+      val statAggs =
+        count(lit(1)).cast("double").as("n_docs") +:
+          sum(col("dl")).cast("double").as("sum_dl") +:
+          terms.map(t => sum(when(array_contains(col("toks"), t), 1L)
+            .otherwise(0L)).cast("double").as(s"df_$t"))
+      val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+      val scored = docs.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      val tf = terms.map(t =>
+        size(filter(col("toks"), x => x === t)).cast("double").as(s"tf_$t"))
+      val withTf = scored.select(
+        Seq(col("doc_id"), col("dl"), col("n_docs"), col("avgdl")) ++
+          terms.map(t => col(s"df_$t")) ++ tf: _*)
+      def contrib(t: String) = {
+        val idf = log(lit(1.0d) +
+          (col("n_docs") - col(s"df_$t") + 0.5d) / (col(s"df_$t") + 0.5d))
+        // inner term folds to (0.25 + ((dl*0.75)/avgdl)) — identical
+        // association (and thus bits) to the oracle's SQL
+        val satur = col(s"tf_$t") * (K1 + 1.0d) /
+          (col(s"tf_$t") +
+            lit(K1) * (lit(1.0d - B) + col("dl").cast("double") * B / col("avgdl")))
+        round(idf * satur, 9).cast(DecimalType(15, 9))
+      }
+      withTf.select(
+        Seq(col("doc_id")) ++
+          terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
+          terms.map(contrib).reduce(_ + _).cast("double").as("score"): _*)
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    }),
+
     // Winnowing fingerprints (SIGMOD 2003 / MOSS): rolling K-gram
     // Rabin-Karp hash + sliding-window minima through the codegen'd
     // graft.functions.Winnow expression — O(n) per document inside
@@ -579,6 +626,52 @@ object TextAnalytics extends graft.QueryPack {
          |SELECT doc_id, n_tokens, n_stop, pred_lang, distinct_ratio,
          |  top_bigram_frac, reason IS NULL AS keep, reason
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |d2 AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+        |    CAST(SUM(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS df_dup,
+        |    CAST(SUM(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS df_vector,
+        |    CAST(SUM(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS df_query
+        |  FROM d2),
+        |scored AS (
+        |  SELECT doc_id, dl,
+        |    CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf_dup,
+        |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_vector,
+        |    CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf_query,
+        |    n_docs, sum_dl / n_docs AS avgdl, df_dup, df_vector, df_query
+        |  FROM d2, stats)
+        |SELECT doc_id,
+        |  CAST(tf_dup AS BIGINT) AS tf_dup,
+        |  CAST(tf_vector AS BIGINT) AS tf_vector,
+        |  CAST(tf_query AS BIGINT) AS tf_query,
+        |  CAST(
+        |    CAST(round(ln(CAST(1 AS DOUBLE) +
+        |        (n_docs - df_dup + CAST(0.5 AS DOUBLE)) / (df_dup + CAST(0.5 AS DOUBLE))) *
+        |      (tf_dup * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)) /
+        |       (tf_dup + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+        |        CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))), 9) AS DECIMAL(15,9)) +
+        |    CAST(round(ln(CAST(1 AS DOUBLE) +
+        |        (n_docs - df_vector + CAST(0.5 AS DOUBLE)) / (df_vector + CAST(0.5 AS DOUBLE))) *
+        |      (tf_vector * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)) /
+        |       (tf_vector + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+        |        CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))), 9) AS DECIMAL(15,9)) +
+        |    CAST(round(ln(CAST(1 AS DOUBLE) +
+        |        (n_docs - df_query + CAST(0.5 AS DOUBLE)) / (df_query + CAST(0.5 AS DOUBLE))) *
+        |      (tf_query * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)) /
+        |       (tf_query + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+        |        CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))), 9) AS DECIMAL(15,9))
+        |  AS DOUBLE) AS score
+        |FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_quality_repetition" ->
       """WITH docs AS (
