@@ -68,6 +68,65 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
+    // Ranking-window surface beyond row_number/lag: dense_rank,
+    // percent_rank, cume_dist, ntile — one shuffle on the partition
+    // key; rank ratios divide exact integers so both engines agree.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("drk", dense_rank().over(w).cast("long"))
+        .withColumn("prk", round(percent_rank().over(w), 9))
+        .withColumn("cd", round(cume_dist().over(w), 9))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Explicit GROUPING SETS (the general lattice rollup/cube are
+    // special cases of): (type,bucket), (type), () — with a grouping_id
+    // so total rows are distinguishable from NULL group keys.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables(s, d, "events")
+        .withColumn("ubucket", col("user_id") % 10)
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("ubucket")),
+            Seq(col("event_type")), Seq()),
+          col("event_type"), col("ubucket"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total"))
+        .orderBy(col("gid"), col("event_type").asc_nulls_first,
+          col("ubucket").asc_nulls_first)
+    }),
+
+    // Time-series gap filling: the dense hourly grid per event_type
+    // (missing hours = 0 rows in storage, explicit zeros for
+    // consumers). Grid bounds are a 1-row exact-integer broadcast; the
+    // grid itself is |types| × |hours| rows generated EXECUTOR-side by
+    // an explode (never a driver loop), left-joined with the hourly
+    // counts on a uniform composite key.
+    "q_gap_fill" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .select(col("event_type"),
+          // integer div, not floor(double /): epoch µs exceed 2^53 at
+          // double precision soon enough that the quotient could round
+          // across the hour boundary
+          (expr("unix_micros(ts) div 3600000000") * 3600000000L)
+            .as("hour_us"), col("value"))
+      val bounds = e.agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(3600000000L))).as("hour_us"))
+      val agg = e.groupBy(col("event_type"), col("hour_us"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
+      grid.join(agg, Seq("event_type", "hour_us"), "left_outer")
+        .select(col("event_type"), col("hour_us"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0.0d)).as("total"))
+        .orderBy(col("event_type"), col("hour_us"))
+    }),
+
     // Exact order statistics + variance from exact decimal sums (no
     // order-dependent floating aggregation anywhere).
     "q_stats_exact" -> ((s, d) => {
@@ -320,6 +379,45 @@ object Analytic extends graft.QueryPack {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+        |  round(PERCENT_RANK() OVER w, 9) AS prk,
+        |  round(CUME_DIST() OVER w, 9) AS cd,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT event_type, ubucket,
+        |  CAST(GROUPING(event_type, ubucket) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM (SELECT event_type, user_id % 10 AS ubucket, value FROM events) t
+        |GROUP BY GROUPING SETS ((event_type, ubucket), (event_type), ())
+        |ORDER BY gid, event_type NULLS FIRST, ubucket NULLS FIRST""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, value
+        |  FROM events),
+        |b AS (SELECT MIN(hour_us) AS lo, MAX(hour_us) AS hi FROM e),
+        |grid AS (
+        |  SELECT t.event_type,
+        |    unnest(generate_series(b.lo, b.hi, 3600000000)) AS hour_us
+        |  FROM (SELECT DISTINCT event_type FROM e) t, b),
+        |agg AS (
+        |  SELECT event_type, hour_us, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM e GROUP BY event_type, hour_us)
+        |SELECT g.event_type, g.hour_us,
+        |  COALESCE(a.n, 0) AS n,
+        |  COALESCE(a.total, CAST(0 AS DOUBLE)) AS total
+        |FROM grid g LEFT JOIN agg a USING (event_type, hour_us)
+        |ORDER BY g.event_type, g.hour_us""".stripMargin,
 
     "q_stats_exact" ->
       """SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax,

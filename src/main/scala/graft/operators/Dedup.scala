@@ -273,6 +273,66 @@ object Dedup extends graft.QueryPack {
       edges.unpersist(false)
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The composed dedup FUNNEL: the stages this pack proves in
+    // isolation, chained in the order a curation pipeline runs them,
+    // with a first-failing-stage `reason` per document (the dedup twin
+    // of q_quality_gate):
+    //   1. exact     — content-hash groups, smallest id survives
+    //   2. neardup   — a stage-1 survivor drops when any smaller-id
+    //                  stage-1 survivor is a verified n-gram-Jaccard
+    //                  partner (the pair-partner rule: deterministic
+    //                  and one-pass; transitive-closure keeping is the
+    //                  separate q_dedup_clusters operator)
+    //   3. benchmark — eval-set members leave the training corpus
+    //   4. contaminated — remaining docs containing ≥0.8 of any
+    //                  benchmark doc's trigrams (inverted index with
+    //                  the same df cap as q_decontaminate)
+    // Each stage consumes the previous stage's survivors, so drop sets
+    // are disjoint by construction. Shuffles: the hash group (uniform
+    // md5 key), the capped shingle self-join, and the final flag joins
+    // on doc_id — no stage holds more than the pair kernel does alone.
+    "q_dedup_pipeline" -> ((s, d) => {
+      val c = corpus(Tables(s, d, "documents"))
+        .withColumn("h", md5(col("text")))
+      val keepers = c.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+      val s1 = c.join(keepers, Seq("h"))
+        .withColumn("exact_dropped", col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"), col("source"), col("text"), col("exact_dropped"))
+      val surv1 = s1.filter(!col("exact_dropped"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val dropNear = ngramPairsOf(surv1)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("near_dropped", lit(true))
+      val isBench = col("doc_id") % 50 === 3 && col("doc_id") < 100000
+      val surv2 = surv1.join(dropNear, Seq("doc_id"), "left_anti")
+      val bench = Tables(s, d, "documents").filter(col("doc_id") % 50 === 3)
+        .withColumn("sh", shingles(col("text")))
+      val bx = bench.select(col("doc_id").as("bench_id"),
+        size(col("sh")).as("nb"), explode(col("sh")).as("s"))
+      val cx0 = surv2.filter(!isBench)
+        .select(col("doc_id").as("corpus_id"),
+          explode(shingles(col("text"))).as("s"))
+      val hot = cx0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > SHINGLE_DF_CAP).select(col("s"))
+      val cx = cx0.join(broadcast(hot), Seq("s"), "left_anti")
+      val contaminated = bx.join(cx, Seq("s"))
+        .groupBy(col("bench_id"), col("corpus_id"), col("nb"))
+        .agg(count(lit(1)).as("common"))
+        .groupBy(col("corpus_id"))
+        .agg(max(round(col("common").cast("double") / col("nb"), 9)).as("mc"))
+        .filter(col("mc") >= 0.8)
+        .select(col("corpus_id").as("doc_id"), lit(true).as("cont_dropped"))
+      s1.join(dropNear, Seq("doc_id"), "left_outer")
+        .join(contaminated, Seq("doc_id"), "left_outer")
+        .withColumn("reason",
+          when(col("exact_dropped"), "exact")
+            .when(col("near_dropped"), "neardup")
+            .when(isBench, "benchmark")
+            .when(col("cont_dropped"), "contaminated"))
+        .select(col("doc_id"), col("reason").isNull.as("keep"), col("reason"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -324,8 +384,13 @@ object Dedup extends graft.QueryPack {
   /** Verified near-dup pairs via the inverted shingle index (see
     * q_dedup_ngram_jaccard) — shared by the pair query and the cluster
     * query. */
-  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    val c = corpus(Tables(s, d, "documents"))
+  private def ngramPairs(s: SparkSession, d: String): DataFrame =
+    ngramPairsOf(corpus(Tables(s, d, "documents")))
+
+  /** The same kernel over any (doc_id, source, text) set — the funnel
+    * query runs it on stage-1 survivors instead of the full corpus. */
+  private def ngramPairsOf(docs: DataFrame): DataFrame = {
+    val c = docs
       .withColumn("sh", shingles(col("text")))
       .withColumn("n", size(col("sh")))
     val ex = c.select(col("source"), col("doc_id"), col("n"),
@@ -357,13 +422,17 @@ object Dedup extends graft.QueryPack {
     * by the q_dedup_ngram_jaccard and q_dedup_clusters oracles exactly
     * as the Spark side shares ngramPairs, so the cap is part of the
     * checked definition on both sides. Expects a `corpus` CTE in scope. */
-  private val ngramPairsSqlDuck: String =
+  private val ngramPairsSqlDuck: String = ngramPairsSqlDuckFrom("corpus")
+
+  /** The pair fragment over any (doc_id, source, text) CTE `src` — the
+    * funnel oracle runs it on `surv1`, mirroring [[ngramPairsOf]]. */
+  private def ngramPairsSqlDuckFrom(src: String): String =
     s"""sh AS (
        |  SELECT doc_id, source,
        |    list_distinct(list_transform(
        |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
        |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
-       |  FROM corpus),
+       |  FROM $src),
        |ex AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS s FROM sh),
        |sdf AS (SELECT source, s, COUNT(*) AS df FROM ex GROUP BY source, s),
        |kept AS (SELECT ex.doc_id, ex.source, ex.n, ex.s
@@ -494,6 +563,60 @@ object Dedup extends graft.QueryPack {
       s"""WITH $corpusSqlDuck,
          |$ngramPairsSqlDuck
          |SELECT id_a, id_b, jaccard FROM pairs
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The funnel restated stage by stage: exact groups → pair kernel
+    // over surv1 (the shared fragment) → benchmark slice →
+    // capped-inverted-index containment over surv2.
+    "q_dedup_pipeline" ->
+      s"""WITH $corpusSqlDuck,
+         |ch AS (SELECT doc_id, source, text, md5(text) AS h FROM corpus),
+         |k1 AS (SELECT h, MIN(doc_id) AS keeper FROM ch GROUP BY h),
+         |s1 AS (SELECT ch.doc_id, ch.source, ch.text,
+         |         ch.doc_id <> k1.keeper AS exact_dropped
+         |       FROM ch JOIN k1 USING (h)),
+         |surv1 AS (SELECT doc_id, source, text FROM s1 WHERE NOT exact_dropped),
+         |${ngramPairsSqlDuckFrom("surv1")},
+         |dropnear AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+         |surv2 AS (SELECT s.doc_id, s.text FROM surv1 s
+         |          LEFT JOIN dropnear dn ON s.doc_id = dn.doc_id
+         |          WHERE dn.doc_id IS NULL),
+         |bsh AS (SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+         |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
+         |  FROM documents WHERE doc_id % 50 = 3),
+         |bex AS (SELECT doc_id AS bench_id, len(sh) AS nb, unnest(sh) AS s FROM bsh),
+         |csh AS (SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+         |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
+         |  FROM surv2 WHERE NOT (doc_id % 50 = 3 AND doc_id < 100000)),
+         |cex AS (SELECT doc_id AS corpus_id, unnest(sh) AS s FROM csh),
+         |cdf AS (SELECT s, COUNT(*) AS df FROM cex GROUP BY s),
+         |ckept AS (SELECT cex.corpus_id, cex.s
+         |          FROM cex JOIN cdf USING (s) WHERE cdf.df <= $SHINGLE_DF_CAP),
+         |cm AS (SELECT b.bench_id, c.corpus_id, b.nb, COUNT(*) AS common
+         |       FROM bex b JOIN ckept c ON b.s = c.s
+         |       GROUP BY b.bench_id, c.corpus_id, b.nb),
+         |cont AS (SELECT corpus_id AS doc_id FROM (
+         |    SELECT corpus_id,
+         |      MAX(round(CAST(common AS DOUBLE) / nb, 9)) AS mc
+         |    FROM cm GROUP BY corpus_id) t WHERE mc >= 0.8)
+         |SELECT s1.doc_id,
+         |  (CASE WHEN s1.exact_dropped THEN 'exact'
+         |        WHEN dn.doc_id IS NOT NULL THEN 'neardup'
+         |        WHEN s1.doc_id % 50 = 3 AND s1.doc_id < 100000 THEN 'benchmark'
+         |        WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+         |   END) IS NULL AS keep,
+         |  CASE WHEN s1.exact_dropped THEN 'exact'
+         |       WHEN dn.doc_id IS NOT NULL THEN 'neardup'
+         |       WHEN s1.doc_id % 50 = 3 AND s1.doc_id < 100000 THEN 'benchmark'
+         |       WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+         |  END AS reason
+         |FROM s1
+         |LEFT JOIN dropnear dn ON s1.doc_id = dn.doc_id
+         |LEFT JOIN cont ct ON s1.doc_id = ct.doc_id
+         |ORDER BY s1.doc_id""".stripMargin
   )
 }

@@ -376,6 +376,40 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("score").desc, col("doc_id")).limit(20)
     }),
 
+    // PMI collocation mining: rank word bigrams by pointwise mutual
+    // information ln(p(ab) / (p(a)·p(b))) — the classic collocation
+    // extractor (and a phrase-vocabulary builder for tokenizer
+    // training). Two uniform-key aggregations (unigrams, bigrams) and
+    // two joins of the bigram table against the word table — the word
+    // marginals table grows with vocabulary, NOT corpus, and carries no
+    // broadcast hint (AQE decides, same rule as q_tfidf). Corpus totals
+    // are exact-integer 1-row broadcasts. Count floor 5 keeps the
+    // hapax-pair noise PMI is known for out of the top-k.
+    "q_pmi_bigrams" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val uni = docs.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val nt = uni.agg(sum(col("cw")).cast("double").as("n_tokens"))
+      val big = docs.filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("c_ab"))
+      val nb = big.agg(sum(col("c_ab")).cast("double").as("n_bigrams"))
+      big.filter(col("c_ab") >= 5)
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+        .withColumn("w2", split(col("gram"), " ").getItem(1))
+        .join(uni.select(col("w").as("w1"), col("cw").as("ca")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("cb")), Seq("w2"))
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+        .select(col("gram"), col("c_ab"),
+          round(log((col("c_ab").cast("double") / col("n_bigrams")) /
+            ((col("ca").cast("double") / col("n_tokens")) *
+              (col("cb").cast("double") / col("n_tokens")))), 9).as("pmi"))
+        .orderBy(col("pmi").desc, col("gram")).limit(20)
+    }),
+
     // Winnowing fingerprints (SIGMOD 2003 / MOSS): rolling K-gram
     // Rabin-Karp hash + sliding-window minima through the codegen'd
     // graft.functions.Winnow expression — O(n) per document inside
@@ -672,6 +706,31 @@ object TextAnalytics extends graft.QueryPack {
         |  AS DOUBLE) AS score
         |FROM scored
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_pmi_bigrams" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |uni AS (
+        |  SELECT w, COUNT(*) AS cw FROM (
+        |    SELECT unnest(toks) AS w FROM docs) t GROUP BY w),
+        |nt AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n_tokens FROM uni),
+        |big AS (
+        |  SELECT gram, COUNT(*) AS c_ab FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[CAST(i AS INTEGER)] || ' ' ||
+        |           toks[CAST(i + 1 AS INTEGER)])) AS gram
+        |    FROM docs WHERE len(toks) >= 2) t GROUP BY gram),
+        |nb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_bigrams FROM big)
+        |SELECT gram, c_ab,
+        |  round(ln((CAST(c_ab AS DOUBLE) / n_bigrams) /
+        |    ((CAST(ca.cw AS DOUBLE) / n_tokens) *
+        |     (CAST(cb.cw AS DOUBLE) / n_tokens))), 9) AS pmi
+        |FROM big
+        |JOIN uni ca ON ca.w = string_split(gram, ' ')[1]
+        |JOIN uni cb ON cb.w = string_split(gram, ' ')[2]
+        |CROSS JOIN nt CROSS JOIN nb
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, gram LIMIT 20""".stripMargin,
 
     "q_quality_repetition" ->
       """WITH docs AS (

@@ -55,4 +55,30 @@ class GateSpec extends AnyFunSuite {
       assert(current.length == 1 && (current.head eq h.last), s"user $user")
     }
   }
+
+  test("q_dedup_pipeline: stage attribution matches stage definitions") {
+    val rows = graft.operators.Dedup
+      .queries("q_dedup_pipeline")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val reason = Option(r.getAs[String]("reason"))
+      assert(r.getBoolean(1) == reason.isEmpty)
+      reason.foreach(x => assert(
+        Set("exact", "neardup", "benchmark", "contaminated")(x), x))
+    }
+    // every derived exact copy (+100000) drops at the exact stage
+    rows.filter(r => r.getLong(0) >= 100000 && r.getLong(0) < 200000)
+      .foreach(r => assert(r.getAs[String]("reason") == "exact",
+        s"doc ${r.getLong(0)}"))
+    // every derived near copy (+200000, first token removed) drops at
+    // the near-dup stage — its smaller-id original survives stage 1
+    rows.filter(_.getLong(0) >= 200000)
+      .foreach(r => assert(r.getAs[String]("reason") == "neardup",
+        s"doc ${r.getLong(0)}"))
+    // surviving eval-set members leave with reason 'benchmark'
+    rows.filter(r => r.getLong(0) < 100000 && r.getLong(0) % 50 == 3)
+      .foreach(r => assert(!r.getBoolean(1), s"doc ${r.getLong(0)} kept"))
+    val kept = rows.count(_.getBoolean(1))
+    assert(kept > 0 && kept < rows.length)
+  }
 }

@@ -75,4 +75,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       plan.take(3000))
   }
+
+  test("bm25 / pmi top-k plans end in TakeOrderedAndProject") {
+    for (q <- Seq("q_bm25", "q_pmi_bigrams")) {
+      val plan = graft.operators.TextAnalytics.queries(q)(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"$q: ${plan.take(2000)}")
+    }
+  }
+
+  test("dedup funnel: every stage joins by key — no cartesian product") {
+    val df = graft.operators.Dedup.queries("q_dedup_pipeline")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
