@@ -80,6 +80,35 @@ object StreamingGate extends graft.QueryPack {
         .select(col("event_id"), col("ts_us"), col("user_id"),
           col("event_type"), col("value"))
         .orderBy(col("user_id"))
+    }),
+
+    // ST5 generalized: CUSTOM keyed state under the oracle gate. The
+    // flatMapGroupsWithState sessionizer (gap = 30 min; the state a
+    // RocksDB store holds per key at scale) runs as a real stream; its
+    // drained per-event session assignments re-aggregate to exactly
+    // the batch window-function q_sessionize result — same oracle SQL.
+    // Ties at equal ts cannot split a session (gap 0 ≤ 30 min), so the
+    // imperative per-group fold and the declarative running sum agree
+    // on every session boundary by construction.
+    "q_stream_sessions" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q_stream_sessions").toString + "/sess"
+      val events = EventsStream.replay(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[EventsStream.SessionEvent]
+      val assigned = events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          EventsStream.sessionizeGroup)
+      drain(s, assigned.toDF(), "append") { (batch, _) =>
+        batch.write.mode("append").parquet(out)
+      }
+      s.read.parquet(out)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .orderBy(col("user_id"), col("session_id"))
     })
   )
 
@@ -90,6 +119,26 @@ object StreamingGate extends graft.QueryPack {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical to q_sessionize's oracle: custom streaming state
+    // reproduces the batch window-function sessionization.
+    "q_stream_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30 * 60 * 1000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     // identical to q_latest_per_key's oracle: the drained MERGE target
     // is the batch latest-per-key result.

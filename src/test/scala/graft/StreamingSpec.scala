@@ -119,6 +119,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("q_stream_sessions (custom state drain) equals batch sessionization") {
+    val streamed = graft.operators.StreamingGate
+      .queries("q_stream_sessions")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Analytic
+      .queries("q_sessionize")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("q_stream_upsert (streaming MERGE drain) equals batch latest-per-key") {
     val streamed = graft.operators.StreamingGate
       .queries("q_stream_upsert")(spark, TestSpark.sf)
