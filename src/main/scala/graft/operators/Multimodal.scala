@@ -55,6 +55,34 @@ object Multimodal extends graft.QueryPack {
       .toDF()
   }
 
+  case class FrameRow(
+      doc_id: Long, frame_no: Long, frame_offset: Long,
+      frame_checksum: Long, n_frames: Long,
+      resized_len: Long, resized_md5: String)
+
+  /** STUB transform — stands in for image resize + video frame
+    * sampling. "Resize" = every-4th-byte stride (output identified by
+    * md5, the real op emits a smaller binary); "frames" = 256-byte
+    * blocks, sampled at first / middle / last; per-frame checksum =
+    * byte sum. Deterministic, so the oracle restates it byte-for-byte
+    * on the ASCII payloads. A real decoder replaces only this body. */
+  def transformStub(m: MediaRow): Seq[FrameRow] = {
+    val b = m.content
+    val resized = b.indices.by(4).map(b(_)).toArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val resizedMd5 = md.digest(resized).map("%02x".format(_)).mkString
+    val nFrames = math.max((b.length + 255) / 256, 1)
+    Seq(0, nFrames / 2, nFrames - 1).distinct.sorted.map { f =>
+      val off = f * 256
+      val end = math.min(off + 256, b.length)
+      val checksum =
+        if (off >= b.length) 0L
+        else (off until end).map(i => b(i) & 0xffL).sum
+      FrameRow(m.doc_id, f.toLong, off.toLong, checksum, nFrames.toLong,
+        resized.length.toLong, resizedMd5)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary media column → typed features via mapPartitions batches.
     "q_multimodal_features" -> ((s, d) => {
@@ -64,6 +92,21 @@ object Multimodal extends graft.QueryPack {
         .select(col("doc_id"), col("n_bytes"), col("magic"),
           col("fake_width"), col("fake_height"), col("frame_sum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Resize + frame-sample plumbing: the other two media transforms a
+    // training pipeline runs (image resize, video frame sampling),
+    // through the same batched mapPartitions shape as the decode — one
+    // output row per sampled frame, binary never crosses a shuffle,
+    // only checksums/digests move on.
+    "q_multimodal_transform" -> ((s, d) => {
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[MediaRow]
+        .mapPartitions(_.grouped(64).flatMap(_.flatMap(transformStub)))
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_no"))
     }),
 
     // M1 as a Generator (UDTF): one label row per media item per label,
@@ -100,6 +143,33 @@ object Multimodal extends graft.QueryPack {
         |  CAST(list_sum(list_transform(range(1, length(text) + 1, 16),
         |       i -> ascii(substring(text, i, 1)))) AS BIGINT) AS frame_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_transform" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    greatest((length(text) + 255) // 256, 1) AS n_frames,
+        |    array_to_string(list_transform(
+        |      range(1, length(text) + 1, 4), i -> substring(text, i, 1)), '')
+        |      AS resized
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, text, n_frames, resized,
+        |    unnest(list_sort(list_distinct(
+        |      [0, n_frames // 2, n_frames - 1]))) AS frame_no
+        |  FROM f)
+        |SELECT doc_id,
+        |  CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(frame_no * 256 AS BIGINT) AS frame_offset,
+        |  CAST(CASE WHEN frame_no * 256 >= length(text) THEN 0
+        |    ELSE COALESCE(list_sum(list_transform(
+        |      range(CAST(frame_no * 256 + 1 AS INTEGER),
+        |            CAST(least(frame_no * 256 + 256, length(text)) + 1 AS INTEGER)),
+        |      i -> ascii(substring(text, i, 1)))), 0) END AS BIGINT)
+        |    AS frame_checksum,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(length(resized) AS BIGINT) AS resized_len,
+        |  md5(resized) AS resized_md5
+        |FROM fr ORDER BY doc_id, frame_no""".stripMargin,
 
     "q_multimodal_labels" ->
       s"""WITH f AS (

@@ -51,4 +51,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.length >= 10 && rows.length <= 30)
     assert(rows.filter(_.getLong(1) == 1L).forall(_.getDouble(2) == 100.0))
   }
+
+  test("transformStub: resize stride, frame grid, and edge cases") {
+    import graft.operators.Multimodal.{transformStub, MediaRow}
+    // 600 bytes -> 3 frames, sampled {0, 1, 2}; resized = 150 bytes
+    val b = Array.tabulate(600)(i => (i % 251).toByte)
+    val fr = transformStub(MediaRow(7L, b))
+    assert(fr.map(_.frame_no) == Seq(0L, 1L, 2L))
+    assert(fr.forall(_.n_frames == 3L))
+    assert(fr.forall(_.resized_len == 150L))
+    assert(fr.map(_.frame_offset) == Seq(0L, 256L, 512L))
+    // checksum of a partial last frame counts only real bytes
+    assert(fr(2).frame_checksum ==
+      (512 until 600).map(i => (i % 251) & 0xff).sum.toLong)
+    // empty payload: one frame, zero checksum, md5 of empty input
+    val e = transformStub(MediaRow(8L, Array.emptyByteArray))
+    assert(e.map(r => (r.frame_no, r.frame_checksum, r.n_frames)) ==
+      Seq((0L, 0L, 1L)))
+    assert(e.head.resized_md5 == "d41d8cd98f00b204e9800998ecf8427e")
+  }
 }
