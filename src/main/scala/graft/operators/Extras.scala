@@ -145,6 +145,43 @@ object Extras extends graft.QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Nearest-direction as-of (pandas merge_asof direction='nearest'):
+    // each click takes whichever purchase is closer in time, backward
+    // winning ties (and a same-timestamp purchase counts as backward —
+    // the union sort puts state rows before fact rows at equal ts, so
+    // the forward frame genuinely means strictly-after). Both window
+    // frames share one partitioning and one sort → ONE shuffle total,
+    // the same scale shape as the single-direction forms.
+    "q_asof_join_nearest" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val ord = Seq(col("ts_us"), col("is_click"), col("event_id"))
+      val back = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val fwd = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(0, Window.unboundedFollowing)
+      e.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("is_click"),
+        when(col("event_type") === "purchase", unix_micros(col("ts"))).as("p_ts"))
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("last_us", max(col("p_ts")).over(back))
+        .withColumn("next_us", min(col("p_ts")).over(fwd))
+        .filter(col("event_type") === "click")
+        .withColumn("nearest_us",
+          when(col("last_us").isNull, col("next_us"))
+            .when(col("next_us").isNull, col("last_us"))
+            .when(col("ts_us") - col("last_us") <= col("next_us") - col("ts_us"),
+              col("last_us"))
+            .otherwise(col("next_us")))
+        .withColumn("direction",
+          when(col("nearest_us").isNull, lit(null).cast("string"))
+            .when(col("nearest_us") === col("last_us"), "backward")
+            .otherwise("forward"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("nearest_us"), col("direction"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range (interval) join via BINNING: match each click to every
     // 2-hour promo window containing it. The naive plan for
     // `ts BETWEEN start AND end` is a nested-loop join — O(|L|·|R|) and
@@ -349,6 +386,35 @@ object Extras extends graft.QueryPack {
         |                    ROWS UNBOUNDED PRECEDING) AS last_purchase_us
         |  FROM merged) t
         |WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_join_nearest" ->
+      """WITH merged AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |framed AS (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |    MAX(p_ts) OVER (PARTITION BY user_id
+        |                    ORDER BY ts_us, is_click, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS last_us,
+        |    MIN(p_ts) OVER (PARTITION BY user_id
+        |                    ORDER BY ts_us, is_click, event_id
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS next_us
+        |  FROM merged)
+        |SELECT event_id, user_id, ts_us, nearest_us,
+        |  CASE WHEN nearest_us IS NULL THEN NULL
+        |       WHEN nearest_us = last_us THEN 'backward'
+        |       ELSE 'forward' END AS direction
+        |FROM (
+        |  SELECT event_id, user_id, ts_us, last_us,
+        |    CASE WHEN last_us IS NULL THEN next_us
+        |         WHEN next_us IS NULL THEN last_us
+        |         WHEN ts_us - last_us <= next_us - ts_us THEN last_us
+        |         ELSE next_us END AS nearest_us
+        |  FROM framed WHERE event_type = 'click') t
         |ORDER BY event_id""".stripMargin,
 
     // identical oracle text, different (native) Spark execution path

@@ -2,7 +2,6 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Relational, Analytic}
 
 /** The 100-TB property that matters most: results must not depend on
   * partitioning. Money math is exact DECIMAL and similarity math is
@@ -16,12 +15,15 @@ class DeterminismSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     try {
-      val q = Relational.queries.get(name).orElse(Analytic.queries.get(name)).get
-      q(spark, TestSpark.sf).collect().map(_.toSeq).toSet
+      SparkEntry.queries(name)(spark, TestSpark.sf).collect().map(_.toSeq).toSet
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  Seq("q1_agg", "q_inner_enrich", "q_stats_exact", "q_salted_agg").foreach { name =>
+  // q_dedup_pipeline / q_quality_gate / q_bm25 exercise multi-stage
+  // shuffles (hash groups, inverted-index self-join, corpus-stat
+  // broadcasts) whose results must also be partitioning-invariant.
+  Seq("q1_agg", "q_inner_enrich", "q_stats_exact", "q_salted_agg",
+    "q_dedup_pipeline", "q_quality_gate", "q_bm25").foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
     }
