@@ -94,7 +94,8 @@ object TextAnalytics extends graft.QueryPack {
     * black box — everything around it stays codegen'd). */
   val stemUdf = udf((w: String) => PorterStemmer.stem(w))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // A1: corpus word-frequency (hash agg with partial combine).
     "q_word_freq" -> ((s, d) => {
@@ -376,6 +377,97 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("score").desc, col("doc_id")).limit(20)
     }),
 
+    // BPE tokenizer-training merges: the first 3 rounds of byte-pair
+    // encoding over the corpus vocabulary (words weighted by frequency,
+    // symbols = characters). Each round is ONE distributed weighted
+    // pair-count aggregation — the part that scales with the corpus —
+    // plus a 1-row argmax collected driver-side (a scalar per round,
+    // the q_dedup_clusters coordination pattern); the merge then
+    // applies as a narrow map. Merge application is defined as
+    // single-pass left-to-right boundary-guarded replacement on the
+    // '|'-sentineled symbol string — deterministic and engine-identical
+    // (java and DuckDB replace() share non-overlapping l-to-r
+    // semantics); an occurrence sharing a boundary with a just-merged
+    // neighbor defers to a later round (documented divergence from
+    // canonical BPE's rescan, which is inherently sequential).
+    "q_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      learnBpeMerges(s, d).toDF("round", "pair", "merged", "cnt")
+        .orderBy(col("round"))
+    }),
+
+    // The ENCODE side of the tokenizer: apply the 3 learned merges to
+    // every document and count the resulting BPE tokens — learn is a
+    // per-round corpus aggregation (above); apply is a pure narrow map
+    // with the merge table inlined as literals (at 100 TB the learned
+    // vocab broadcasts; rows never shuffle to tokenize).
+    "q_tokenize_bpe" -> ((s, d) => {
+      val merges = learnBpeMerges(s, d)
+      val toksF = filter(tokens(col("text")), w => length(w) > 0)
+      def bpeCount(w: Column): Column = {
+        val seq0 = concat(lit("|"),
+          array_join(regexp_extract_all(w, lit("."), lit(0)), "|"), lit("|"))
+        val seqN = merges.foldLeft(seq0) { case (c, (_, pair, merged, _)) =>
+          replace(c, lit("|" + pair.replace(" ", "|") + "|"),
+            lit("|" + merged + "|"))
+        }
+        size(split(trim(seqN, "|"), "\\|"))
+      }
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          size(toksF).cast("long").as("n_ws_tokens"),
+          aggregate(toksF, lit(0), (acc, w) => acc + bpeCount(w))
+            .cast("long").as("n_bpe_tokens"))
+        .withColumn("bpe_per_word",
+          when(col("n_ws_tokens") > 0,
+            round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 9)))
+        .orderBy(col("doc_id"))
+    })
+  ) ++ extraQueries
+
+  /** The first ROUNDS byte-pair-encoding merges over the corpus
+    * vocabulary — shared by q_bpe_merges (the merge table itself) and
+    * q_tokenize_bpe (which applies them). Returns (round, "l r",
+    * merged, weighted count). */
+  private def learnBpeMerges(s: SparkSession, d: String)
+      : Seq[(Long, String, String, Long)] = {
+    val ROUNDS = 3
+    def syms = split(trim(col("seq"), "|"), "\\|")
+    val words0 = Tables(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(concat(lit("|"),
+          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "|"),
+          lit("|")).as("seq"), col("cnt"))
+        .persist()
+      var words = words0
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      for (r <- 1 to ROUNDS) {
+        // ordering by the "l r" string equals ordering by (l, r):
+        // symbols never contain a space and ' ' sorts below word chars
+        val top = words.filter(size(syms) >= 2)
+          .select(col("cnt"), explode(transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), lit(" "),
+              element_at(syms, i + 1)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("pair"))
+          .limit(1).collect()(0)
+        val (pair, c) = (top.getString(0), top.getLong(1))
+        val merged = pair.replace(" ", "")
+        out += ((r.toLong, pair, merged, c))
+        words = words.withColumn("seq",
+          replace(col("seq"), lit("|" + pair.replace(" ", "|") + "|"),
+            lit("|" + merged + "|")))
+      }
+      words0.unpersist(false)
+      out.toSeq
+  }
+
+  /** Continuation of the query registry (split so the BPE helper can sit
+    * next to its two queries). */
+  private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
     // PMI collocation mining: rank word bigrams by pointwise mutual
     // information ln(p(ab) / (p(a)·p(b))) — the classic collocation
     // extractor (and a phrase-vocabulary builder for tokenizer
@@ -506,6 +598,53 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("cnt").desc, col("stem")).limit(50)
     })
   )
+
+  /** The BPE learn CTE prefix (w0..b3) shared by the q_bpe_merges and
+    * q_tokenize_bpe oracles — the same 3 unrolled rounds the Spark
+    * driver loop runs. */
+  private val bpeLearnSqlDuck: String =
+    """w0 AS (
+        |  SELECT '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'
+        |      AS seq, cnt
+        |  FROM (SELECT w, COUNT(*) AS cnt FROM (
+        |          SELECT unnest(string_split(lower(text), ' ')) AS w
+        |          FROM documents) t
+        |        WHERE length(w) > 0 GROUP BY w) v),
+        |p1 AS (
+        |  SELECT pair, SUM(cnt) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(ss)),
+        |      i -> ss[CAST(i AS INTEGER)] || ' ' ||
+        |           ss[CAST(i + 1 AS INTEGER)])) AS pair, cnt
+        |    FROM (SELECT string_split(trim(seq, '|'), '|') AS ss, cnt FROM w0) x
+        |    WHERE len(ss) >= 2) t
+        |  GROUP BY pair),
+        |b1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
+        |w1 AS (SELECT replace(seq,
+        |         (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b1),
+        |         (SELECT '|' || replace(pair, ' ', '') || '|' FROM b1))
+        |         AS seq, cnt FROM w0),
+        |p2 AS (
+        |  SELECT pair, SUM(cnt) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(ss)),
+        |      i -> ss[CAST(i AS INTEGER)] || ' ' ||
+        |           ss[CAST(i + 1 AS INTEGER)])) AS pair, cnt
+        |    FROM (SELECT string_split(trim(seq, '|'), '|') AS ss, cnt FROM w1) x
+        |    WHERE len(ss) >= 2) t
+        |  GROUP BY pair),
+        |b2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
+        |w2 AS (SELECT replace(seq,
+        |         (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b2),
+        |         (SELECT '|' || replace(pair, ' ', '') || '|' FROM b2))
+        |         AS seq, cnt FROM w1),
+        |p3 AS (
+        |  SELECT pair, SUM(cnt) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(ss)),
+        |      i -> ss[CAST(i AS INTEGER)] || ' ' ||
+        |           ss[CAST(i + 1 AS INTEGER)])) AS pair, cnt
+        |    FROM (SELECT string_split(trim(seq, '|'), '|') AS ss, cnt FROM w2) x
+        |    WHERE len(ss) >= 2) t
+        |  GROUP BY pair),
+        |b3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_word_freq" ->
@@ -706,6 +845,52 @@ object TextAnalytics extends graft.QueryPack {
         |  AS DOUBLE) AS score
         |FROM scored
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the 3 rounds unrolled; each b_k is the 1-row argmax the Spark
+    // driver collects, applied via the same sentinel-guarded replace.
+    "q_bpe_merges" ->
+      s"""WITH $bpeLearnSqlDuck
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, pair,
+        |         replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS cnt FROM b1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''),
+        |         CAST(c AS BIGINT) FROM b2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''),
+        |         CAST(c AS BIGINT) FROM b3) m
+        |ORDER BY round""".stripMargin,
+
+    // learn prefix shared with q_bpe_merges; the encode applies the 3
+    // merge scalars (cross-joined as columns so the lambda can see
+    // them) to every word of every document.
+    "q_tokenize_bpe" ->
+      s"""WITH $bpeLearnSqlDuck,
+        |mm AS (SELECT
+        |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b1) AS t1,
+        |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b1) AS m1,
+        |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b2) AS t2,
+        |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b2) AS m2,
+        |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b3) AS t3,
+        |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b3) AS m3),
+        |docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> length(w) > 0)
+        |      AS toks
+        |  FROM documents),
+        |enc AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+        |    CAST(COALESCE(list_sum(list_transform(toks, w ->
+        |      len(string_split(trim(replace(replace(replace(
+        |        '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|',
+        |        mm.t1, mm.m1), mm.t2, mm.m2), mm.t3, mm.m3), '|'), '|')))), 0)
+        |      AS BIGINT) AS n_bpe_tokens
+        |  FROM docs, mm)
+        |SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+        |  CASE WHEN n_ws_tokens > 0
+        |    THEN round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 9)
+        |  END AS bpe_per_word
+        |FROM enc ORDER BY doc_id""".stripMargin,
 
     "q_pmi_bigrams" ->
       """WITH docs AS (
