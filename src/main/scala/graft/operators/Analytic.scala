@@ -127,6 +127,24 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("event_type"), col("hour_us"))
     }),
 
+    // Cohort retention: users bucketed by first-activity week (the
+    // cohort), counted by distinct activity in each later week — the
+    // canonical product-analytics matrix. The cohort assignment is one
+    // user_id-keyed min-aggregation joined back (uniform key), then a
+    // (cohort, week) count-distinct; week ids divide exact integers.
+    "q_cohort_retention" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .select(col("user_id"),
+          (expr("unix_micros(ts) div 604800000000")).as("week"))
+      val cohorts = e.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      e.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    }),
+
     // Exact order statistics + variance from exact decimal sums (no
     // order-dependent floating aggregation anywhere).
     "q_stats_exact" -> ((s, d) => {
@@ -379,6 +397,16 @@ object Analytic extends graft.QueryPack {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT c.cohort_week, e.week - c.cohort_week AS weeks_since,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY c.cohort_week, e.week - c.cohort_week
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
 
     "q_window_rank" ->
       """SELECT event_id, event_type, value,
