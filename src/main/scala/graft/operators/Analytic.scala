@@ -145,6 +145,35 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("cohort_week"), col("weeks_since"))
     }),
 
+    // Conversion funnel: view → click → purchase, strictly ordered per
+    // user (each step's first occurrence must be after the previous
+    // step's). Three user_id-keyed min-aggregations chained by join —
+    // every shuffle is on the same uniform user_id key, so at cluster
+    // scale the three stages reuse one hash partitioning and no step
+    // ever materializes more than one row per user. sum_us is an exact
+    // integer checksum over the step timestamps (order-independent).
+    "q_funnel" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id")).filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      def tier(df: DataFrame, step: Int, nm: String, t: String): DataFrame =
+        df.agg(count(lit(1)).as("n_users"), sum(col(t)).as("sum_us"))
+          .select(lit(step.toLong).as("step"), lit(nm).as("step_name"),
+            col("n_users"), col("sum_us"))
+      tier(s1, 1, "view", "t1")
+        .unionByName(tier(s2, 2, "click", "t2"))
+        .unionByName(tier(s3, 3, "purchase", "t3"))
+        .orderBy(col("step"))
+    }),
+
     // Exact order statistics + variance from exact decimal sums (no
     // order-dependent floating aggregation anywhere).
     "q_stats_exact" -> ((s, d) => {
@@ -407,6 +436,21 @@ object Analytic extends graft.QueryPack {
         |FROM e JOIN c USING (user_id)
         |GROUP BY c.cohort_week, e.week - c.cohort_week
         |ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |  COUNT(*) AS n_users, CAST(SUM(t1) AS BIGINT) AS sum_us FROM s1
+        |UNION ALL SELECT 2, 'click', COUNT(*), CAST(SUM(t2) AS BIGINT) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(*), CAST(SUM(t3) AS BIGINT) FROM s3
+        |ORDER BY step""".stripMargin,
 
     "q_window_rank" ->
       """SELECT event_id, event_type, value,

@@ -196,6 +196,37 @@ object Dedup extends graft.QueryPack {
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       ngramPairs(s, d).orderBy(col("id_a"), col("id_b"))),
 
+    // Exact duplicated-SPAN detection — the shuffle-friendly
+    // restatement of exact-substring dedup (suffix-array dedup à la
+    // "Deduplicating Training Data Makes Language Models Better"):
+    // every positional word-8-gram span is hashed; a span is duplicated
+    // iff its text occurs in ≥2 distinct documents; a document is
+    // dropped when ≥50% of its spans are duplicated elsewhere. Unlike
+    // the pairwise kernels there is NO self-join anywhere — the span
+    // table is aggregated (distinct-doc count per hash) and mark-joined
+    // back, so total work is linear in corpus spans and the only
+    // shuffle keys are the uniform md5 span hash and doc_id. A hot span
+    // adds rows to one count, never a quadratic bucket, which is why
+    // this needs no df cap where ngramPairs does.
+    "q_dedup_substring" -> ((s, d) => {
+      val K = 8
+      val spans = corpus(Tables(s, d, "documents"))
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), greatest(size(col("t")) - (K - 1), lit(1))),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(K)))))).as("h"))
+      val perSpan = spans.distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      spans.join(perSpan, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_frac",
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 9))
+        .withColumn("drop_doc", col("dup_frac") >= 0.5d)
+        .orderBy(col("doc_id"))
+    }),
+
     // Decontamination: test-set leakage check. A derived "benchmark"
     // slice (doc_id % 50 == 3) is screened against the rest of the
     // corpus by word-trigram CONTAINMENT — max over corpus docs of
@@ -564,6 +595,26 @@ object Dedup extends graft.QueryPack {
          |$ngramPairsSqlDuck
          |SELECT id_a, id_b, jaccard FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_substring" ->
+      s"""WITH $corpusSqlDuck,
+         |tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+         |spans AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+         |      i -> md5(array_to_string(t[i:i+7], ' ')))) AS h
+         |  FROM tok),
+         |nd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h)
+         |SELECT s.doc_id, COUNT(*) AS n_spans,
+         |  CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_spans,
+         |  round(CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 9) AS dup_frac,
+         |  round(CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 9) >= 0.5 AS drop_doc
+         |FROM spans s JOIN nd USING (h)
+         |GROUP BY s.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // The funnel restated stage by stage: exact groups → pair kernel
     // over surv1 (the shared fragment) → benchmark slice →

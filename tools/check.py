@@ -21,6 +21,9 @@ for p in glob.glob(f"{sf}/*.parquet"):
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+if len(sys.argv) > 3:  # dev-only: restrict to a comma-separated subset
+    keep = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 fails = []
 
 def canon(df):
