@@ -195,6 +195,47 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR-style importance resampling: select raw-corpus documents
+    // whose unigram distribution looks most like a TARGET domain (here
+    // the lang='en' slice) — "Data Selection for Language Models via
+    // Importance Resampling" recast as two token aggregations and one
+    // mark-join. Per-term importance weight = log of the Laplace-
+    // smoothed target/raw probability ratio over the shared corpus
+    // vocabulary; a doc's score is the mean weight of its token
+    // OCCURRENCES. Same determinism discipline as q_lm_score: per-term
+    // weights rounded at 9 and summed as exact DECIMAL (order- and
+    // partitioning-invariant), mean rounded at 6. Layout: two uniform
+    // term-keyed aggs, three 1-row scalar broadcasts, one term-keyed
+    // mark-join (build side = 1 row/term), one doc_id agg, global
+    // top-50 via TakeOrderedAndProject — nothing grows superlinearly
+    // and no corpus-sized structure ever reaches the driver.
+    "q_dsir_sample" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val grams = docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
+      val raw = grams.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+      val tgt = grams.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      val totals = raw.join(tgt, Seq("w"), "left_outer")
+        .agg(sum(col("cr")).as("rtot"),
+          sum(coalesce(col("ct"), lit(0L))).as("ttot"),
+          count(lit(1)).as("v"))
+      val weights = raw.join(tgt, Seq("w"), "left_outer")
+        .crossJoin(broadcast(totals))
+        .select(col("w"), round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") *
+            (col("rtot") + col("v")).cast("double")) /
+            ((col("ttot") + col("v")).cast("double") *
+              (col("cr") + 1).cast("double"))), 9)
+          .cast(DecimalType(15, 9)).as("lw"))
+      grams.join(weights, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("lw")).cast("double") / count(lit(1)), 6)
+          .as("dsir_score"), count(lit(1)).as("n_tokens"))
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // Sequence packing: assign documents to fixed token-budget packs
     // (the batch-construction step before LLM training). Packing is a
     // running prefix sum: a doc's pack is floor(tokens-before-it /
@@ -218,6 +259,30 @@ object TextAnalytics extends graft.QueryPack {
         .groupBy(col("source"), col("pack_no"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
         .orderBy(col("source"), col("pack_no"))
+    }),
+
+    // Overlapping token-window chunking — the RAG-indexing / context-
+    // window prep step: each document becomes fixed-size chunks of
+    // CHUNK tokens starting every STRIDE tokens (chunks overlap by
+    // CHUNK-STRIDE; the tail chunk may be short, so every token is in
+    // ≥1 chunk). Pure per-row explode — embarrassingly parallel, no
+    // shuffle except the verification sort; chunk identity is the md5
+    // of the chunk text so downstream chunk-level dedup/indexing can
+    // key on it without carrying the text.
+    "q_chunk_documents" -> ((s, d) => {
+      val CHUNK = 64; val STRIDE = 48
+      Tables(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")), lit(STRIDE))).as("st"))
+        .select(col("doc_id"),
+          ((col("st") - 1) / STRIDE).cast("long").as("chunk_no"),
+          col("st").cast("long").as("chunk_start"),
+          size(slice(col("t"), col("st"), lit(CHUNK))).cast("long")
+            .as("n_chunk_tokens"),
+          md5(concat_ws(" ", slice(col("t"), col("st"), lit(CHUNK))))
+            .as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_no"))
     }),
 
     // PII scrubbing: redact emails/phone numbers before training-data
@@ -720,6 +785,41 @@ object TextAnalytics extends graft.QueryPack {
         |  COUNT(*) AS n_bigrams
         |FROM g JOIN sc USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_sample" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |raw AS (SELECT w, COUNT(*) AS cr FROM g GROUP BY w),
+        |tgt AS (SELECT w, COUNT(*) AS ct FROM g WHERE lang = 'en' GROUP BY w),
+        |tot AS (
+        |  SELECT SUM(cr) AS rtot, SUM(COALESCE(ct, 0)) AS ttot,
+        |         COUNT(*) AS v
+        |  FROM raw LEFT JOIN tgt USING (w)),
+        |wt AS (
+        |  SELECT w,
+        |    CAST(round(ln(
+        |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(rtot + v AS DOUBLE)) /
+        |      (CAST(ttot + v AS DOUBLE) * CAST(cr + 1 AS DOUBLE))), 9)
+        |      AS DECIMAL(15,9)) AS lw
+        |  FROM raw LEFT JOIN tgt USING (w), tot)
+        |SELECT doc_id,
+        |  round(CAST(SUM(lw) AS DOUBLE) / COUNT(*), 6) AS dsir_score,
+        |  COUNT(*) AS n_tokens
+        |FROM g JOIN wt USING (w)
+        |GROUP BY doc_id
+        |ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_chunk_documents" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS st FROM d)
+        |SELECT doc_id,
+        |  CAST((st - 1) // 48 AS BIGINT) AS chunk_no,
+        |  CAST(st AS BIGINT) AS chunk_start,
+        |  CAST(len(t[st:st+63]) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(t[st:st+63], ' ')) AS chunk_hash
+        |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (
