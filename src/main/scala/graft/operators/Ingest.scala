@@ -154,12 +154,22 @@ object Ingest {
     * present, union (posts-from-hashtags.js:121-122). One full JSON
     * scan per page — the previous get_json_object probes re-parsed
     * every page string once per dialect before the real parse. */
-  def postsFromTagPage(pages: DataFrame, source: String): DataFrame = {
-    val parsed = pages.select(
-      from_json(col("json"), tagPageCombinedSchema).as("p"))
+  def postsFromTagPage(pages: DataFrame, source: String): DataFrame =
+    postsFromParsed(parseTagPage(pages), source)
+
+  /** The parse step alone (`json` string → combined-schema struct `p`).
+    * Split out so a caller composing several consumers of the same page
+    * batch can persist the PARSED struct — the union below reads its
+    * input twice, and caching post-parse makes that two cache reads
+    * instead of two full JSON parses (measured ~0.7 s at sf0.1 in
+    * q_etl_pipeline). */
+  def parseTagPage(pages: DataFrame): DataFrame =
+    pages.select(from_json(col("json"), tagPageCombinedSchema).as("p"))
+
+  /** Dialect dispatch over an already-parsed page batch. */
+  def postsFromParsed(parsed: DataFrame, source: String): DataFrame =
     projectGraphql(parsed.filter(col("p.graphql").isNotNull), source)
       .unionByName(projectData(parsed.filter(col("p.data").isNotNull), source))
-  }
 
   /** P6: location detail (either dialect) → Location row with GeoJSON
     * point ([lng, lat]!) only when both coordinates present
