@@ -207,6 +207,95 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // k-means (Lloyd's) over the embedding corpus: K=8 centroids seeded
+    // from vec_id 10..17, two full assign→re-estimate rounds — the
+    // clustering primitive under SemDedup/IVF done as REAL iterations
+    // instead of one-shot sampled centroids. The 100 TB layout is the
+    // point: each assignment is a pure map-side projection against K×D
+    // literal centroids (array_min of codegen'd dot products — no
+    // shuffle, no join), and each re-estimation is one cluster-keyed
+    // aggregation whose output is K rows; only those K×D values ever
+    // reach the driver between rounds (like the IVF centroid collect).
+    // Determinism: per-row d² = (v·v + c·c) − v·c·2 with the fixed
+    // left-to-right dot kernel (ties → lowest cluster id via struct
+    // min), and re-estimated centroids come from the fixed-point VecSum
+    // aggregate (order-independent Long sums), so every iteration —
+    // and the DuckDB oracle restating it — is exact, not
+    // approximately-equal. An empty cluster drops out of the next round
+    // on both sides identically (no group row).
+    "q_kmeans" -> ((s, d) => {
+      val K = 8; val ITERS = 2
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def d2(c: Seq[Double]): Column =
+        dot(col("v"), col("v")) + dot(typedlit(c), typedlit(c)) -
+          dot(col("v"), typedlit(c)) * 2
+      def assign(cents: Seq[(Int, Seq[Double])]): DataFrame =
+        e.withColumn("best", array_min(array(cents.map { case (k, c) =>
+            struct(d2(c).as("d2"), lit(k).as("k"))
+          }: _*)))
+          .withColumn("cluster", col("best.k"))
+      def sums(a: DataFrame): DataFrame =
+        a.groupBy(col("cluster"))
+          .agg(graft.functions.VecSum.vecSumScaled(col("v"), DIM).as("sums"),
+            count(lit(1)).as("n"))
+      var cents: Seq[(Int, Seq[Double])] =
+        e.filter(col("vec_id").between(10, 10 + K - 1))
+          .collect()
+          .map(r => ((r.getLong(0) - 10).toInt, r.getSeq[Double](1).toSeq))
+          .sortBy(_._1).toSeq
+      var it = 1
+      while (it < ITERS) { // K rows per round cross the driver, nothing else
+        cents = sums(assign(cents)).collect()
+          .map(r => (r.getInt(0), r.getSeq[Long](1).toSeq
+            .map(sv => sv.toDouble / r.getLong(2).toDouble / 1000000.0)))
+          .sortBy(_._1).toSeq
+        it += 1
+      }
+      sums(assign(cents))
+        .select(col("cluster").cast("long").as("cluster"),
+          posexplode(col("sums")).as(Seq("pos", "sv")), col("n"))
+        .select(col("cluster"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("sv").cast("double") / col("n") / lit(1000000.0), 9)
+            .as("centroid"),
+          col("n").as("n_members"))
+        .orderBy(col("cluster"), col("dim"))
+    }),
+
+    // Int8 scalar quantization of the embedding corpus — the storage-
+    // side counterpart to PQ: per-DIMENSION symmetric scale
+    // (max |v_d| / 127 over the corpus), each value encoded as
+    // round(v/scale) ∈ [-127, 127], per-vector reconstruction MSE
+    // reported. Layout: one dims-keyed aggregation produces the 64
+    // scales (64 rows → one array row via sorted collect, broadcast to
+    // every executor — constant-size however large the corpus), then
+    // encode + error are a single narrow zip_with/aggregate projection
+    // per row. Scales are data (corpus max), so they flow as a
+    // broadcast row, not driver literals.
+    "q_quantize_int8" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val scales = e
+        .select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(max(abs(col("x"))).as("mx"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("sm"))
+        .select(transform(col("sm"), s => s.getField("mx") / 127).as("scales"))
+      e.crossJoin(broadcast(scales))
+        .select(col("vec_id"),
+          expr("""CAST(aggregate(
+            |  zip_with(v, scales, (x, sc) ->
+            |    (x - round(x / sc) * sc) * (x - round(x / sc) * sc)),
+            |  CAST(0.0 AS DOUBLE), (acc, e2) -> acc + e2) AS DOUBLE)"""
+            .stripMargin).as("sse"),
+          expr("""aggregate(
+            |  zip_with(v, scales, (x, sc) -> abs(round(x / sc))),
+            |  CAST(0 AS BIGINT), (acc, e2) -> acc + CAST(e2 AS BIGINT))"""
+            .stripMargin).as("code_l1"))
+        .select(col("vec_id"), round(col("sse") / lit(DIM), 12).as("mse"),
+          col("code_l1"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Embedding-cosine near-dup over corpus ∪ perturbed copies.
     // Candidate generation is BUCKETED (SURVEY §9: "candidate generation
     // always through a hash-bucket key"): every vector lands in its 8-bit
@@ -482,6 +571,77 @@ object Similarity extends graft.QueryPack {
          |SELECT label, dim,
          |  round(CAST(s AS DOUBLE) / n / CAST(1000000 AS DOUBLE), 9) AS centroid
          |FROM g ORDER BY label, dim""".stripMargin,
+
+    // Both Lloyd rounds restated: same d² form ((v·v + c·c) − v·c·2,
+    // left-to-right list_sum dots), same lowest-k tie-break (ORDER BY
+    // d2, k), same fixed-point re-estimation as the VecSum aggregate.
+    "q_kmeans" ->
+      s"""WITH ee AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, ${DIM + 1}),
+         |      i -> CAST(embedding[i] AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(vec_id - 10 AS INTEGER) AS k, v AS c FROM ee
+         |  WHERE vec_id BETWEEN 10 AND 17),
+         |a1 AS (
+         |  SELECT vec_id, v, k FROM (
+         |    SELECT ee.vec_id, ee.v, c0.k,
+         |      ROW_NUMBER() OVER (PARTITION BY ee.vec_id ORDER BY
+         |        (list_sum(list_transform(range(1, ${DIM + 1}), i -> v[i] * v[i]))
+         |         + list_sum(list_transform(range(1, ${DIM + 1}), i -> c[i] * c[i])))
+         |        - list_sum(list_transform(range(1, ${DIM + 1}), i -> v[i] * c[i])) * 2,
+         |        k) AS rn
+         |    FROM ee, c0) WHERE rn = 1),
+         |s1 AS (
+         |  SELECT k, dim,
+         |    SUM(CAST(ROUND(v[CAST(dim AS INTEGER)] * 1000000) AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM (SELECT k, unnest(range(1, ${DIM + 1})) AS dim, v FROM a1)
+         |  GROUP BY k, dim),
+         |c1 AS (
+         |  SELECT k, list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY dim) AS c
+         |  FROM s1 GROUP BY k),
+         |a2 AS (
+         |  SELECT vec_id, v, k FROM (
+         |    SELECT ee.vec_id, ee.v, c1.k,
+         |      ROW_NUMBER() OVER (PARTITION BY ee.vec_id ORDER BY
+         |        (list_sum(list_transform(range(1, ${DIM + 1}), i -> v[i] * v[i]))
+         |         + list_sum(list_transform(range(1, ${DIM + 1}), i -> c[i] * c[i])))
+         |        - list_sum(list_transform(range(1, ${DIM + 1}), i -> v[i] * c[i])) * 2,
+         |        k) AS rn
+         |    FROM ee, c1) WHERE rn = 1),
+         |s2 AS (
+         |  SELECT k, dim,
+         |    SUM(CAST(ROUND(v[CAST(dim AS INTEGER)] * 1000000) AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM (SELECT k, unnest(range(1, ${DIM + 1})) AS dim, v FROM a2)
+         |  GROUP BY k, dim)
+         |SELECT CAST(k AS BIGINT) AS cluster, CAST(dim AS BIGINT) AS dim,
+         |  round(CAST(s AS DOUBLE) / n / 1000000.0, 9) AS centroid,
+         |  n AS n_members
+         |FROM s2 ORDER BY cluster, dim""".stripMargin,
+
+    // Same per-dim symmetric scales (max |v|/127, dim-ordered list),
+    // same round-half-away encode, same left-to-right error fold.
+    "q_quantize_int8" ->
+      s"""WITH ee AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, ${DIM + 1}),
+         |      i -> CAST(embedding[i] AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |mx AS (
+         |  SELECT dim, MAX(ABS(v[CAST(dim AS INTEGER)])) AS m
+         |  FROM (SELECT vec_id, unnest(range(1, ${DIM + 1})) AS dim, v FROM ee)
+         |  GROUP BY dim),
+         |sc AS (SELECT list(m / 127 ORDER BY dim) AS scales FROM mx)
+         |SELECT vec_id,
+         |  round(list_sum(list_transform(range(1, ${DIM + 1}), i ->
+         |    (v[i] - ROUND(v[i] / scales[i]) * scales[i]) *
+         |    (v[i] - ROUND(v[i] / scales[i]) * scales[i]))) / ${DIM}, 12) AS mse,
+         |  CAST(list_sum(list_transform(range(1, ${DIM + 1}), i ->
+         |    ABS(ROUND(v[i] / scales[i])))) AS BIGINT) AS code_l1
+         |FROM ee, sc ORDER BY vec_id""".stripMargin,
 
     // Same candidate definition as the Spark side: signature Hamming
     // distance <= 1 (same planes via bucketDuck) + exact-cosine verify,
