@@ -227,6 +227,31 @@ object Dedup extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style sentence-level dedup: any sentence occurring in more
+    // than one document is kept only in the lowest-doc_id occurrence
+    // (the C4 "keep one occurrence of each three-sentence span" rule at
+    // sentence granularity; within the keeper doc repeated occurrences
+    // all survive — a documented simplification, the keeper decision is
+    // per (sentence, doc)). Same linear layout as q_dedup_substring:
+    // sentence-hash aggregation + mark-join, no self-join, no df cap
+    // needed — a sentence shared by a million docs is one min()
+    // aggregate and a 1-row build side, never a pair explosion.
+    "q_dedup_sentences" -> ((s, d) => {
+      val sents = corpus(Tables(s, d, "documents"))
+        .select(col("doc_id"), explode(expr(
+          "regexp_extract_all(text || '.', '[^.!?]+[.!?]+', 0)")).as("sent"))
+        .select(col("doc_id"), md5(trim(lower(col("sent")))).as("h"))
+      val keeper = sents.groupBy(col("h")).agg(min(col("doc_id")).as("keep_doc"))
+      sents.join(keeper, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(when(col("doc_id") === col("keep_doc"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .withColumn("kept_frac",
+          round(col("n_kept").cast("double") / col("n_sentences"), 9))
+        .orderBy(col("doc_id"))
+    }),
+
     // Decontamination: test-set leakage check. A derived "benchmark"
     // slice (doc_id % 50 == 3) is screened against the rest of the
     // corpus by word-trigram CONTAINMENT — max over corpus docs of
@@ -595,6 +620,23 @@ object Dedup extends graft.QueryPack {
          |$ngramPairsSqlDuck
          |SELECT id_a, id_b, jaccard FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_sentences" ->
+      s"""WITH $corpusSqlDuck,
+         |sent AS (
+         |  SELECT doc_id, md5(trim(lower(s))) AS h
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text || '.', '[^.!?]+[.!?]+')) AS s
+         |        FROM corpus)),
+         |k AS (SELECT h, MIN(doc_id) AS keep_doc FROM sent GROUP BY h)
+         |SELECT s.doc_id, COUNT(*) AS n_sentences,
+         |  CAST(SUM(CASE WHEN s.doc_id = k.keep_doc THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_kept,
+         |  round(CAST(SUM(CASE WHEN s.doc_id = k.keep_doc THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / COUNT(*), 9) AS kept_frac
+         |FROM sent s JOIN k USING (h)
+         |GROUP BY s.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_substring" ->
       s"""WITH $corpusSqlDuck,

@@ -38,6 +38,15 @@ object Similarity extends graft.QueryPack {
   private val planesDuck: String =
     planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** 16×64 ±1 JL projection matrix, java.util.Random(7) — a stable
+    * constant like [[planes]], inlined into both engines. */
+  val rpPlanes: Seq[Seq[Int]] = {
+    val rnd = new java.util.Random(7)
+    Seq.fill(16)(Seq.fill(DIM)(if (rnd.nextBoolean()) 1 else -1))
+  }
+  private val rpPlanesDuck: String =
+    rpPlanes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   /** Spark side uses the native codegen'd DotProduct expression
     * (graft.plans.VectorExpressions) — a tight fused loop instead of
     * interpreted higher-order functions; the DuckDB oracle mirrors the
@@ -260,6 +269,28 @@ object Similarity extends graft.QueryPack {
             .as("centroid"),
           col("n").as("n_members"))
         .orderBy(col("cluster"), col("dim"))
+    }),
+
+    // Johnson-Lindenstrauss random projection: 64 → 16 dims through a
+    // fixed ±1 matrix (seed 7, same stable-LCG constant trick as the
+    // LSH planes), scaled by 1/√16 so pairwise distances are preserved
+    // in expectation — the cheap dimensionality-reduction front end
+    // before exact rerank. Entirely map-side: 16 codegen'd dot products
+    // per row against literal rows of R, no shuffle but the
+    // verification sort. Output checks the JL property per vector
+    // (projected/original norm ratio) plus the first projected
+    // coordinate as a value witness.
+    "q_project_rp" -> ((s, d) => {
+      val e = loadEmbeddings(s, d)
+      val proj = array(rpPlanes.map(p =>
+        dot(col("embedding"), typedlit(p.map(_.toDouble))) / 4.0d): _*)
+      e.withColumn("proj", proj)
+        .select(col("vec_id"),
+          round(element_at(col("proj"), 1), 9).as("p1"),
+          round(sqrt(expr(
+            "aggregate(transform(proj, x -> x * x), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"))
+            / col("nrm"), 9).as("norm_ratio"))
+        .orderBy(col("vec_id"))
     }),
 
     // Int8 scalar quantization of the embedding corpus — the storage-
@@ -621,6 +652,21 @@ object Similarity extends graft.QueryPack {
          |  round(CAST(s AS DOUBLE) / n / 1000000.0, 9) AS centroid,
          |  n AS n_members
          |FROM s2 ORDER BY cluster, dim""".stripMargin,
+
+    // Same ±1 matrix (inlined), same dot/fold order, same 1/√16 scale.
+    "q_project_rp" ->
+      s"""WITH pr AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, 17), j ->
+         |      list_sum(list_transform(range(1, ${DIM + 1}), i ->
+         |        ($rpPlanesDuck)[j][i] * CAST(embedding[i] AS DOUBLE))) / 4.0)
+         |      AS proj,
+         |    $normDuck AS nrm
+         |  FROM embeddings)
+         |SELECT vec_id, round(proj[1], 9) AS p1,
+         |  round(sqrt(list_sum(list_transform(range(1, 17),
+         |    j -> proj[j] * proj[j]))) / nrm, 9) AS norm_ratio
+         |FROM pr ORDER BY vec_id""".stripMargin,
 
     // Same per-dim symmetric scales (max |v|/127, dim-ordered list),
     // same round-half-away encode, same left-to-right error fold.
