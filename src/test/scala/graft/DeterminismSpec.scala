@@ -22,8 +22,13 @@ class DeterminismSpec extends AnyFunSuite {
   // q_dedup_pipeline / q_quality_gate / q_bm25 exercise multi-stage
   // shuffles (hash groups, inverted-index self-join, corpus-stat
   // broadcasts) whose results must also be partitioning-invariant.
+  // q_kmeans adds the iterative case (fixed-point VecSum re-estimation
+  // collected between rounds — a double-sum there would make the
+  // second assignment partitioning-DEPENDENT); q_dsir_sample adds the
+  // decimal log-sum scoring path.
   Seq("q1_agg", "q_inner_enrich", "q_stats_exact", "q_salted_agg",
-    "q_dedup_pipeline", "q_quality_gate", "q_bm25").foreach { name =>
+    "q_dedup_pipeline", "q_quality_gate", "q_bm25", "q_kmeans",
+    "q_dsir_sample").foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
     }
