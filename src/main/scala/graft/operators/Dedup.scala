@@ -75,6 +75,39 @@ object Dedup extends graft.QueryPack {
 
   private def shingles(text: Column): Column = shingleUdf(text)
 
+  /** Positional word-8-gram span md5 hexes — semantics of
+    * `transform(sequence(1, greatest(n-7,1)), i ->
+    * md5(concat_ws(' ', slice(toks, i, 8))))` as a tight JVM loop
+    * (HOF+md5 per element is interpreted per span; same ~10× trade as
+    * [[shingleUdf]], oracle definition unchanged). Spans are
+    * POSITIONAL (not distinct): within-doc repeats count per
+    * occurrence, exactly like the declarative form. */
+  val spanHashUdf = udf((text: String) => {
+    val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    val k = math.max(t.length - 7, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[String](k)
+    val hex = "0123456789abcdef".toCharArray
+    var i = 0
+    while (i < k) {
+      val end = math.min(i + 8, t.length)
+      val sb = new StringBuilder(t(i))
+      var j = i + 1
+      while (j < end) { sb.append(' ').append(t(j)); j += 1 }
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      val cs = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        cs(2 * b) = hex((d(b) >> 4) & 0xf); cs(2 * b + 1) = hex(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = new String(cs)
+      md.reset()
+      i += 1
+    }
+    out: Seq[String]
+  })
+
   /** corpus: documents ∪ exact dups ∪ near dups (see object doc). */
   private def corpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"), col("text"))
@@ -209,12 +242,8 @@ object Dedup extends graft.QueryPack {
     // adds rows to one count, never a quadratic bucket, which is why
     // this needs no df cap where ngramPairs does.
     "q_dedup_substring" -> ((s, d) => {
-      val K = 8
       val spans = corpus(Tables(s, d, "documents"))
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), greatest(size(col("t")) - (K - 1), lit(1))),
-          i => md5(concat_ws(" ", slice(col("t"), i, lit(K)))))).as("h"))
+        .select(col("doc_id"), explode(spanHashUdf(col("text"))).as("h"))
       val perSpan = spans.distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       spans.join(perSpan, Seq("h"))
