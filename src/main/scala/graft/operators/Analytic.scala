@@ -174,6 +174,42 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("step"))
     }),
 
+    // PageRank, two unrolled power iterations over the symmetric
+    // customer↔supplier trade graph (the link-analysis primitive behind
+    // crawl/URL-quality weighting). Every iteration is one edge-keyed
+    // shuffle join + one node-keyed aggregation — the standard
+    // distributed PR layout; nothing ever visits the driver and the
+    // iteration count is a plan constant (unrolled, no driver loop).
+    // Determinism discipline: per-edge contributions are rounded at 9
+    // and summed as exact DECIMAL (an in-degree-sized double sum would
+    // be order-dependent), then damped in one double op and re-rounded
+    // — bit-identical across partitionings and in DuckDB.
+    "q_pagerank" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var pr: DataFrame = nodes.withColumn("pr", lit(1.0d))
+      for (_ <- 1 to 2) {
+        val contrib = edges
+          .join(deg, Seq("src"))
+          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            round(col("pr") / col("od"), 9).cast(DecimalType(18, 9)).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        pr = nodes.join(contrib, Seq("node"), "left_outer")
+          .select(col("node"),
+            round(lit(0.15d) + lit(0.85d) *
+              coalesce(col("s").cast("double"), lit(0.0d)), 9).as("pr"))
+      }
+      pr.orderBy(col("pr").desc, col("node")).limit(30)
+    }),
+
     // Exact order statistics + variance from exact decimal sums (no
     // order-dependent floating aggregation anywhere).
     "q_stats_exact" -> ((s, d) => {
@@ -451,6 +487,34 @@ object Analytic extends graft.QueryPack {
         |UNION ALL SELECT 2, 'click', COUNT(*), CAST(SUM(t2) AS BIGINT) FROM s2
         |UNION ALL SELECT 3, 'purchase', COUNT(*), CAST(SUM(t3) AS BIGINT) FROM s3
         |ORDER BY step""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM n),
+        |c1 AS (
+        |  SELECT e.dst AS node,
+        |    SUM(CAST(round(p0.pr / deg.od, 9) AS DECIMAL(18,9))) AS s
+        |  FROM e JOIN deg USING (src) JOIN p0 ON p0.node = e.src
+        |  GROUP BY e.dst),
+        |p1 AS (
+        |  SELECT n.node,
+        |    round(0.15 + 0.85 * CAST(COALESCE(c1.s, 0) AS DOUBLE), 9) AS pr
+        |  FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (
+        |  SELECT e.dst AS node,
+        |    SUM(CAST(round(p1.pr / deg.od, 9) AS DECIMAL(18,9))) AS s
+        |  FROM e JOIN deg USING (src) JOIN p1 ON p1.node = e.src
+        |  GROUP BY e.dst),
+        |p2 AS (
+        |  SELECT n.node,
+        |    round(0.15 + 0.85 * CAST(COALESCE(c2.s, 0) AS DOUBLE), 9) AS pr
+        |  FROM n LEFT JOIN c2 USING (node))
+        |SELECT node, pr FROM p2 ORDER BY pr DESC, node LIMIT 30""".stripMargin,
 
     "q_window_rank" ->
       """SELECT event_id, event_type, value,
