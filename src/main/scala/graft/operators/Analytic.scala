@@ -193,11 +193,17 @@ object Analytic extends graft.QueryPack {
         .distinct()
       val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      val nodes = edges.select(col("src").as("node")).distinct()
+      // The graph is static across iterations; without materialization
+      // every round's lineage replays the lineitem scan + distinct +
+      // degree agg (and round 2 replays round 1's whole subtree). At
+      // cluster scale these two frames are the checkpointed adjacency
+      // lists every Pregel-style engine keeps resident. The harness
+      // clears the cache between queries.
+      val edgesDeg = edges.join(deg, Seq("src")).persist()
+      val nodes = edgesDeg.select(col("src").as("node")).distinct().persist()
       var pr: DataFrame = nodes.withColumn("pr", lit(1.0d))
       for (_ <- 1 to 2) {
-        val contrib = edges
-          .join(deg, Seq("src"))
+        val contrib = edgesDeg
           .join(pr.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"),
             round(col("pr") / col("od"), 9).cast(DecimalType(18, 9)).as("c"))
