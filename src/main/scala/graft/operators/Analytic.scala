@@ -180,10 +180,15 @@ object Analytic extends graft.QueryPack {
     // shuffle join + one node-keyed aggregation — the standard
     // distributed PR layout; nothing ever visits the driver and the
     // iteration count is a plan constant (unrolled, no driver loop).
-    // Determinism discipline: per-edge contributions are rounded at 9
-    // and summed as exact DECIMAL (an in-degree-sized double sum would
-    // be order-dependent), then damped in one double op and re-rounded
-    // — bit-identical across partitionings and in DuckDB.
+    // Determinism discipline: ALL iteration arithmetic is fixed-point
+    // BIGINT (pr scaled by 1e9; contributions are integer floor
+    // divisions p div od; damping is 150000000 + (85·S) div 100) — a
+    // double formulation with per-step rounding is order-independent
+    // but TIE-prone (pr/od can land exactly on a half at the rounding
+    // scale, and the two engines resolve such ties differently; this
+    // bit a 9-decimal variant at sf0.1 with a 2e-9 drift). Integers
+    // have no ties; the single final divide by 1e9 is exact-input
+    // correctly-rounded and identical in both engines.
     "q_pagerank" -> ((s, d) => {
       val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -201,19 +206,20 @@ object Analytic extends graft.QueryPack {
       // clears the cache between queries.
       val edgesDeg = edges.join(deg, Seq("src")).persist()
       val nodes = edgesDeg.select(col("src").as("node")).distinct().persist()
-      var pr: DataFrame = nodes.withColumn("pr", lit(1.0d))
+      var pr: DataFrame = nodes.withColumn("p", lit(1000000000L))
       for (_ <- 1 to 2) {
         val contrib = edgesDeg
           .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"),
-            round(col("pr") / col("od"), 9).cast(DecimalType(18, 9)).as("c"))
+          .select(col("dst").as("node"), expr("p div od").as("c"))
           .groupBy(col("node")).agg(sum(col("c")).as("s"))
         pr = nodes.join(contrib, Seq("node"), "left_outer")
-          .select(col("node"),
-            round(lit(0.15d) + lit(0.85d) *
-              coalesce(col("s").cast("double"), lit(0.0d)), 9).as("pr"))
+          .select(col("node"), expr(
+            "150000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            .cast("long").as("p"))
       }
-      pr.orderBy(col("pr").desc, col("node")).limit(30)
+      pr.select(col("node"),
+          round(col("p").cast("double") / 1000000000.0d, 9).as("pr"))
+        .orderBy(col("pr").desc, col("node")).limit(30)
     }),
 
     // Exact order statistics + variance from exact decimal sums (no
@@ -501,26 +507,25 @@ object Analytic extends graft.QueryPack {
         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
         |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
         |n AS (SELECT DISTINCT src AS node FROM e),
-        |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM n),
+        |p0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS p FROM n),
         |c1 AS (
-        |  SELECT e.dst AS node,
-        |    SUM(CAST(round(p0.pr / deg.od, 9) AS DECIMAL(18,9))) AS s
+        |  SELECT e.dst AS node, SUM(p0.p // deg.od) AS s
         |  FROM e JOIN deg USING (src) JOIN p0 ON p0.node = e.src
         |  GROUP BY e.dst),
         |p1 AS (
         |  SELECT n.node,
-        |    round(0.15 + 0.85 * CAST(COALESCE(c1.s, 0) AS DOUBLE), 9) AS pr
+        |    CAST(150000000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS p
         |  FROM n LEFT JOIN c1 USING (node)),
         |c2 AS (
-        |  SELECT e.dst AS node,
-        |    SUM(CAST(round(p1.pr / deg.od, 9) AS DECIMAL(18,9))) AS s
+        |  SELECT e.dst AS node, SUM(p1.p // deg.od) AS s
         |  FROM e JOIN deg USING (src) JOIN p1 ON p1.node = e.src
         |  GROUP BY e.dst),
         |p2 AS (
         |  SELECT n.node,
-        |    round(0.15 + 0.85 * CAST(COALESCE(c2.s, 0) AS DOUBLE), 9) AS pr
+        |    CAST(150000000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS p
         |  FROM n LEFT JOIN c2 USING (node))
-        |SELECT node, pr FROM p2 ORDER BY pr DESC, node LIMIT 30""".stripMargin,
+        |SELECT node, round(CAST(p AS DOUBLE) / 1000000000.0, 9) AS pr
+        |FROM p2 ORDER BY pr DESC, node LIMIT 30""".stripMargin,
 
     "q_window_rank" ->
       """SELECT event_id, event_type, value,

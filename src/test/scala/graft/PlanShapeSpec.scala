@@ -91,4 +91,33 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("span/sentence dedup join only on hash keys — no cartesian product") {
+    for (q <- Seq("q_dedup_substring", "q_dedup_sentences")) {
+      val df = graft.operators.Dedup.queries(q)(spark, TestSpark.sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(3000)}")
+      assert(!plan.contains("BroadcastNestedLoop"), s"$q: ${plan.take(3000)}")
+    }
+  }
+
+  test("k-means assignment is map-side: no join anywhere in the final plan") {
+    // Assignment folds K literal centroids into a projection; the only
+    // shuffles are the cluster aggregation and the verification sort.
+    val df = graft.operators.Similarity.queries("q_kmeans")(spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("random projection plans with no shuffle before the output sort") {
+    val df = graft.operators.Similarity.queries("q_project_rp")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(3000))
+    // exactly the one exchange feeding the global output sort
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan.take(3000))
+  }
 }
