@@ -222,6 +222,24 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("pr").desc, col("node")).limit(30)
     }),
 
+    // Event-transition matrix (first-order Markov counts): for each
+    // user's ts-ordered event stream, count event_type → next
+    // event_type transitions — the sequence-analytics primitive under
+    // path analysis / next-action models. One user-keyed window pass
+    // (lead), one uniform (from, to) aggregation; ties on ts broken by
+    // event_id so the sequence — and the oracle — is total-ordered.
+    "q_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
     // Exact order statistics + variance from exact decimal sums (no
     // order-dependent floating aggregation anywhere).
     "q_stats_exact" -> ((s, d) => {
@@ -526,6 +544,16 @@ object Analytic extends graft.QueryPack {
         |  FROM n LEFT JOIN c2 USING (node))
         |SELECT node, round(CAST(p AS DOUBLE) / 1000000000.0, 9) AS pr
         |FROM p2 ORDER BY pr DESC, node LIMIT 30""".stripMargin,
+
+    "q_event_transitions" ->
+      """SELECT event_type, next_type, COUNT(*) AS n FROM (
+        |  SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY event_type, next_type""".stripMargin,
 
     "q_window_rank" ->
       """SELECT event_id, event_type, value,
