@@ -109,6 +109,13 @@ object Pipeline extends graft.QueryPack {
       // strings instead re-parsed every page per branch — ~0.7 s more
       // at sf0.1).
       val parsed = Ingest.parseTagPage(rawPages(s, d)).persist()
+      // Materialize the cache NOW, in its own job: the main job reads
+      // this subtree once per dialect branch, and a lazily-filling
+      // cache lets the two concurrent branch scans race past each
+      // other and both re-parse (measured ~1 s at sf0.1). At cluster
+      // scale this is the explicit stage barrier any engine puts after
+      // a shared expensive scan.
+      parsed.count()
       val posts = Ingest.postsFromParsed(parsed, "hashtag")
         .withColumn("id", col("id").cast("long"))
       // 2. anti-join dedup against the already-ingested id set (the 'F'
