@@ -47,7 +47,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Under a dev filter, write only the filtered subset: a full
+    // oracle_sql.json next to a partial dump would let an unfiltered
+    // check.py compare other queries against STALE parquet from an
+    // earlier run and false-PASS.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -164,8 +164,12 @@ object Analytic extends graft.QueryPack {
       val s3 = e.filter(col("event_type") === "purchase")
         .join(s2, Seq("user_id")).filter(col("us") > col("t2"))
         .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      // DECIMAL(38,0) checksum: a Long sum of epoch-us wraps at ~5k
+      // users (t ≈ 1.7e15 µs each) while DuckDB's HUGEINT sum doesn't —
+      // the decimal sum is overflow-free to ~1e22 users on both sides.
       def tier(df: DataFrame, step: Int, nm: String, t: String): DataFrame =
-        df.agg(count(lit(1)).as("n_users"), sum(col(t)).as("sum_us"))
+        df.agg(count(lit(1)).as("n_users"),
+            sum(col(t).cast(DecimalType(38, 0))).as("sum_us"))
           .select(lit(step.toLong).as("step"), lit(nm).as("step_name"),
             col("n_users"), col("sum_us"))
       tier(s1, 1, "view", "t1")
@@ -211,10 +215,14 @@ object Analytic extends graft.QueryPack {
         val contrib = edgesDeg
           .join(pr.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"), expr("p div od").as("c"))
-          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+          // DECIMAL(38,0) sum: a hub whose in-neighbor mass exceeds
+          // ~1e17 (≈1e8 nodes' worth) would wrap 85·s in Long; decimal
+          // matches DuckDB's HUGEINT sum headroom exactly.
+          .groupBy(col("node"))
+          .agg(sum(col("c").cast(DecimalType(38, 0))).as("s"))
         pr = nodes.join(contrib, Seq("node"), "left_outer")
           .select(col("node"), expr(
-            "150000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            "150000000 + (85 * coalesce(s, CAST(0 AS DECIMAL(38,0)))) div 100")
             .cast("long").as("p"))
       }
       pr.select(col("node"),
@@ -513,9 +521,9 @@ object Analytic extends graft.QueryPack {
         |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
         |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
         |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
-        |  COUNT(*) AS n_users, CAST(SUM(t1) AS BIGINT) AS sum_us FROM s1
-        |UNION ALL SELECT 2, 'click', COUNT(*), CAST(SUM(t2) AS BIGINT) FROM s2
-        |UNION ALL SELECT 3, 'purchase', COUNT(*), CAST(SUM(t3) AS BIGINT) FROM s3
+        |  COUNT(*) AS n_users, CAST(SUM(t1) AS DECIMAL(38,0)) AS sum_us FROM s1
+        |UNION ALL SELECT 2, 'click', COUNT(*), CAST(SUM(t2) AS DECIMAL(38,0)) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(*), CAST(SUM(t3) AS DECIMAL(38,0)) FROM s3
         |ORDER BY step""".stripMargin,
 
     "q_pagerank" ->

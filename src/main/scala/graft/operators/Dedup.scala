@@ -242,8 +242,12 @@ object Dedup extends graft.QueryPack {
     // adds rows to one count, never a quadratic bucket, which is why
     // this needs no df cap where ngramPairs does.
     "q_dedup_substring" -> ((s, d) => {
+      // (doc_id, hash) is read by both the per-hash aggregation and the
+      // mark-join probe; persisting the compact hashed frame halves the
+      // per-doc MD5 work (the text itself is never cached).
       val spans = corpus(Tables(s, d, "documents"))
         .select(col("doc_id"), explode(spanHashUdf(col("text"))).as("h"))
+        .persist()
       val perSpan = spans.distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       spans.join(perSpan, Seq("h"))
@@ -270,6 +274,7 @@ object Dedup extends graft.QueryPack {
         .select(col("doc_id"), explode(expr(
           "regexp_extract_all(text || '.', '[^.!?]+[.!?]+', 0)")).as("sent"))
         .select(col("doc_id"), md5(trim(lower(col("sent")))).as("h"))
+        .persist() // two readers: keeper aggregation + mark-join probe
       val keeper = sents.groupBy(col("h")).agg(min(col("doc_id")).as("keep_doc"))
       sents.join(keeper, Seq("h"))
         .groupBy(col("doc_id"))

@@ -216,11 +216,17 @@ object TextAnalytics extends graft.QueryPack {
       val raw = grams.groupBy(col("w")).agg(count(lit(1)).as("cr"))
       val tgt = grams.filter(col("lang") === "en")
         .groupBy(col("w")).agg(count(lit(1)).as("ct"))
-      val totals = raw.join(tgt, Seq("w"), "left_outer")
+      // The vocab-sized joined count table feeds BOTH the scalar totals
+      // and the per-term weights; persisting it means the corpus-sized
+      // token explode + two aggregations run once, not once per
+      // consumer (the token stream itself stays uncached — at 100 TB
+      // you re-scan it for the scoring join rather than cache it).
+      val joined = raw.join(tgt, Seq("w"), "left_outer").persist()
+      val totals = joined
         .agg(sum(col("cr")).as("rtot"),
           sum(coalesce(col("ct"), lit(0L))).as("ttot"),
           count(lit(1)).as("v"))
-      val weights = raw.join(tgt, Seq("w"), "left_outer")
+      val weights = joined
         .crossJoin(broadcast(totals))
         .select(col("w"), round(log(
           ((coalesce(col("ct"), lit(0L)) + 1).cast("double") *
