@@ -82,6 +82,34 @@ object StreamingGate extends graft.QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // ST5/F5 under the oracle gate: STATEFUL STREAMING DEDUP. The
+    // replay stream is unioned with a copy of its every-7th event (so
+    // the dedup state does real work), then deduplicated by event_id
+    // with dropDuplicatesWithinWatermark — the bounded-state variant
+    // (state for an id is dropped once the watermark passes its event
+    // time; plain dropDuplicates grows state forever, a leak at
+    // 100 TB). Injected duplicates carry identical event times, so
+    // within-watermark dedup is EXACT here and the drained sink must
+    // equal the batch distinct — which is just the events table.
+    "q_stream_dedup" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q_stream_dedup").toString + "/dedup"
+      val base = EventsStream.replay(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val withDups = base.unionByName(base.filter(col("event_id") % 7 === 0))
+      val deduped = withDups
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+      drain(s, deduped, "append") { (batch, _) =>
+        batch.write.mode("append").parquet(out)
+      }
+      s.read.parquet(out)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ST5 generalized: CUSTOM keyed state under the oracle gate. The
     // flatMapGroupsWithState sessionizer (gap = 30 min; the state a
     // RocksDB store holds per key at scale) runs as a real stream; its
@@ -113,6 +141,11 @@ object StreamingGate extends graft.QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // streaming dedup of (events ∪ every-7th copy) == the events table.
+    "q_stream_dedup" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
     // identical to q_window_time's oracle: streaming == batch.
     "q_stream_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
