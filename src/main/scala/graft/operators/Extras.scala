@@ -124,6 +124,33 @@ object Extras extends graft.QueryPack {
         .orderBy(col("source"))
     }),
 
+    // Epoch upsampling — the other half of mixture curation: a source
+    // weighted w epochs emits floor(w) full copies of every doc plus
+    // one more for the deterministic md5-bucket slice of size frac(w)
+    // (2.3 epochs = 2 copies + a 30% third). Emission is a map-side
+    // explode (per-row fan-out, no shuffle); integer buckets make the
+    // frac threshold engine-exact even though 0.3·65536 isn't a clean
+    // double. The copy_no column is what downstream shuffles/packing
+    // key on so repeated copies don't co-locate.
+    "q_epoch_upsample" -> ((s, d) => {
+      val srcIdx = substring(col("source"), 4, 10).cast("int")
+      val w = when(srcIdx < 5, 2.3).when(srcIdx < 10, 1.0)
+        .when(srcIdx < 15, 0.5).otherwise(0.1)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val copies = (floor(w).cast("long") +
+        when(bucket < (w - floor(w)) * 65536, 1L).otherwise(0L)).as("copies")
+      Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"), copies)
+        .select(col("source"), col("doc_id"),
+          explode(when(col("copies") >= 1, sequence(lit(1L), col("copies")))
+            .otherwise(array().cast("array<bigint>"))).as("copy_no"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_in"),
+          count(lit(1)).as("n_emitted"))
+        .orderBy(col("source"))
+    }),
+
     // Forward as-of with tolerance through the native operator: the
     // FIRST purchase at-or-after each click, but only within 2 hours —
     // attribution joins ("did a purchase follow this click?") are this
@@ -327,6 +354,27 @@ object Extras extends graft.QueryPack {
         |                   ELSE 0.1 END) * 65536
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_epoch_upsample" ->
+      """WITH wt AS (
+        |  SELECT source, doc_id,
+        |    (CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 2.3
+        |          WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 1.0
+        |          WHEN CAST(substr(source, 4) AS INTEGER) < 15 THEN 0.5
+        |          ELSE 0.1 END) AS w,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS INTEGER) AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id,
+        |    CAST(floor(w) AS BIGINT) +
+        |      (CASE WHEN b < (w - floor(w)) * 65536 THEN 1 ELSE 0 END) AS copies
+        |  FROM wt),
+        |e AS (SELECT source, doc_id, unnest(range(1, copies + 1)) AS copy_no
+        |      FROM c)
+        |SELECT source, COUNT(DISTINCT doc_id) AS n_docs_in,
+        |  COUNT(*) AS n_emitted
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
 
     "q_split_hash" ->
       """SELECT doc_id,
