@@ -230,6 +230,27 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("pr").desc, col("node")).limit(30)
     }),
 
+    // Rolling 7-day distinct active users per day (trailing-window
+    // DAU/WAU): count-distinct cannot slide incrementally, so each
+    // event is replicated to the ≤7 day-keys whose trailing window it
+    // falls in (bounded ×7 map-side fan-out — the standard exact
+    // formulation; a sketch replaces it when approximation is
+    // acceptable) and each day is one uniform count-distinct group.
+    // Days come from the data itself (distinct event days), so the
+    // output only has days that exist.
+    "q_rolling_dau" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val contrib = e.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("win_day"))
+      val days = e.select(col("day").as("win_day")).distinct()
+      contrib.join(days, Seq("win_day"))
+        .groupBy(col("win_day"))
+        .agg(countDistinct(col("user_id")).as("active_users_7d"))
+        .orderBy(col("win_day"))
+    }),
+
     // Event-transition matrix (first-order Markov counts): for each
     // user's ts-ordered event stream, count event_type → next
     // event_type transitions — the sequence-analytics primitive under
@@ -552,6 +573,16 @@ object Analytic extends graft.QueryPack {
         |  FROM n LEFT JOIN c2 USING (node))
         |SELECT node, round(CAST(p AS DOUBLE) / 1000000000.0, 9) AS pr
         |FROM p2 ORDER BY pr DESC, node LIMIT 30""".stripMargin,
+
+    "q_rolling_dau" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |contrib AS (
+        |  SELECT user_id, unnest(range(day, day + 7)) AS win_day FROM e),
+        |days AS (SELECT DISTINCT day AS win_day FROM e)
+        |SELECT win_day, COUNT(DISTINCT user_id) AS active_users_7d
+        |FROM contrib JOIN days USING (win_day)
+        |GROUP BY win_day ORDER BY win_day""".stripMargin,
 
     "q_event_transitions" ->
       """SELECT event_type, next_type, COUNT(*) AS n FROM (
