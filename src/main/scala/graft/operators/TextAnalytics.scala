@@ -267,6 +267,41 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("source"), col("pack_no"))
     }),
 
+    // Fuzzy token matching via SymSpell-style deletion neighborhoods:
+    // vocabulary terms within edit distance 1 of each other, found by
+    // equi-joining on 1-character-deletion variant keys (a word and
+    // each of its single-deletion strings). Deletion keys cover
+    // insert/delete/substitute at distance 1, the exact levenshtein
+    // filter then removes the distance-2 candidates that share a
+    // variant — so candidate generation is a hash join on a bounded
+    // ×(len+1) fan-out, never an all-pairs comparison (the layout that
+    // makes fuzzy matching feasible at vocabulary scale).
+    "q_fuzzy_token_pairs" -> ((s, d) => {
+      val base = Tables(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("w")).distinct()
+        .filter(length(col("w")).between(4, 20) && col("w").rlike("^[a-z]+$"))
+      // the synthetic word soup has no natural distance-1 neighbors
+      // (24 distinct [a-z]{4,20} terms at sf0.01), so (as with the
+      // dedup corpus) typos are INJECTED deterministically: every word
+      // of >=5 chars contributes its first-char deletion — guaranteed
+      // distance-1 partners on both sides.
+      val vocab = base.unionByName(
+        base.filter(length(col("w")) >= 5)
+          .select(expr("substr(w, 2, 100)").as("w"))).distinct()
+      val variants = vocab.select(col("w"), explode(expr(
+        """array_distinct(concat(array(w),
+          |  transform(sequence(1, length(w)),
+          |    i -> concat(substr(w, 1, i - 1), substr(w, i + 1, 100)))))"""
+          .stripMargin)).as("v"))
+      val l = variants.select(col("w").as("w1"), col("v"))
+      val r = variants.select(col("w").as("w2"), col("v"))
+      l.join(r, Seq("v"))
+        .filter(col("w1") < col("w2"))
+        .select(col("w1"), col("w2")).distinct()
+        .filter(levenshtein(col("w1"), col("w2")) === 1)
+        .orderBy(col("w1"), col("w2"))
+    }),
+
     // Overlapping token-window chunking — the RAG-indexing / context-
     // window prep step: each document becomes fixed-size chunks of
     // CHUNK tokens starting every STRIDE tokens (chunks overlap by
@@ -815,6 +850,27 @@ object TextAnalytics extends graft.QueryPack {
         |FROM g JOIN wt USING (w)
         |GROUP BY doc_id
         |ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_fuzzy_token_pairs" ->
+      """WITH base AS (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE len(w) BETWEEN 4 AND 20 AND regexp_matches(w, '^[a-z]+$')),
+        |vocab AS (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT w FROM base
+        |    UNION ALL
+        |    SELECT substr(w, 2, 100) AS w FROM base WHERE len(w) >= 5)),
+        |variants AS (
+        |  SELECT w, unnest(list_distinct(list_concat([w],
+        |    list_transform(range(1, len(w) + 1),
+        |      i -> substr(w, 1, CAST(i - 1 AS INTEGER)) ||
+        |           substr(w, CAST(i + 1 AS INTEGER), 100))))) AS v
+        |  FROM vocab)
+        |SELECT DISTINCT a.w AS w1, b.w AS w2
+        |FROM variants a JOIN variants b ON a.v = b.v AND a.w < b.w
+        |WHERE levenshtein(a.w, b.w) = 1
+        |ORDER BY w1, w2""".stripMargin,
 
     "q_chunk_documents" ->
       """WITH d AS (
