@@ -69,6 +69,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("span hashes: UDF equals the declarative HOF form on random text") {
+    import spark.implicits._
+    // the exact expression the UDF's doc comment claims to reproduce
+    val declarative =
+      """transform(sequence(1, greatest(size(split(lower(text), ' ')) - 7, 1)),
+        |  i -> md5(concat_ws(' ', slice(split(lower(text), ' '), i, 8))))"""
+        .stripMargin
+    val wordsGen = Gen.nonEmptyListOf(
+      Gen.oneOf("Join", "scan", "HASH", "sort", "key", "x", ""))
+    cases(wordsGen, 12).foreach { words =>
+      val text = words.mkString(" ")
+      val row = Seq(text).toDF("text")
+        .select(Dedup.spanHashUdf(col("text")).as("udf"),
+          expr(declarative).as("hof"))
+        .collect()(0)
+      assert(row.getSeq[String](0) == row.getSeq[String](1), s"text='$text'")
+    }
+  }
+
   test("minhash: identical shingle sets give identical signatures") {
     import spark.implicits._
     val sh = Seq("a b c", "b c d", "c d e")
