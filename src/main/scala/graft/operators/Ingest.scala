@@ -149,11 +149,15 @@ object Ingest {
         lit(null).cast(StringType).as("accessibility"),
         lit(source).as("source"))
 
-  /** S2 dialect dispatch: a page matches exactly one dialect; parse once
-    * with the combined schema, branch on which top-level struct is
-    * present, union (posts-from-hashtags.js:121-122). One full JSON
-    * scan per page — the previous get_json_object probes re-parsed
-    * every page string once per dialect before the real parse. */
+  /** S2 dialect dispatch: parse with the combined schema, branch on
+    * which top-level struct is present, union
+    * (posts-from-hashtags.js:121-122). NOTE the union's two branches
+    * each evaluate from_json independently (Catalyst does not share
+    * subexpressions across union branches), so an UNCACHED input is
+    * parsed once per dialect branch — still a win over the old
+    * get_json_object probes (which added a third partial parse), but
+    * callers wanting a true single parse must persist
+    * [[parseTagPage]]'s output first, as q_etl_pipeline does. */
   def postsFromTagPage(pages: DataFrame, source: String): DataFrame =
     postsFromParsed(parseTagPage(pages), source)
 

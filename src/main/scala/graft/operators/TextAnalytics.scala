@@ -534,8 +534,16 @@ object TextAnalytics extends graft.QueryPack {
   /** The first ROUNDS byte-pair-encoding merges over the corpus
     * vocabulary — shared by q_bpe_merges (the merge table itself) and
     * q_tokenize_bpe (which applies them). Returns (round, "l r",
-    * merged, weighted count). */
+    * merged, weighted count). Memoized per dataset dir: the learn is
+    * fully deterministic, and without the memo a sweep that runs both
+    * BPE queries pays the 3-round train (3 agg+collect jobs) twice. */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, Long)]]()
   private def learnBpeMerges(s: SparkSession, d: String)
+      : Seq[(Long, String, String, Long)] =
+    bpeCache.computeIfAbsent(d, _ => learnBpeMergesUncached(s, d))
+
+  private def learnBpeMergesUncached(s: SparkSession, d: String)
       : Seq[(Long, String, String, Long)] = {
     val ROUNDS = 3
     def syms = split(trim(col("seq"), "|"), "\\|")
@@ -570,8 +578,9 @@ object TextAnalytics extends graft.QueryPack {
       out.toSeq
   }
 
-  /** Continuation of the query registry (split so the BPE helper can sit
-    * next to its two queries). */
+  /** Continuation of the query registry — purely a file-layout split
+    * (object defs are order-independent; SparkEntry's require() guards
+    * against key collisions across the concatenated maps). */
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PMI collocation mining: rank word bigrams by pointwise mutual

@@ -145,4 +145,34 @@ object EventsStream {
     if (old.exists()) delete(old)
     new java.io.File(tmp).renameTo(old)
   }
+
+  /** Latest-per-key MERGE: like [[mergeIntoParquet]] but CONDITIONAL —
+    * target ∪ batch reduced to the max-(ts, tiebreak) row per key, so
+    * the result is the true latest regardless of micro-batch ARRIVAL
+    * order. A blind last-writer merge is only latest-per-key when
+    * batches happen to arrive in event-time order (true for today's
+    * single-file replay, false in general — a replayed backfill file
+    * can carry older events than an already-merged one). */
+  def mergeLatestIntoParquet(spark: SparkSession, target: String,
+      key: String, ts: String, tiebreak: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val fs = new java.io.File(target)
+    val all =
+      if (fs.exists()) spark.read.parquet(target).unionByName(batch)
+      else batch
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col(tiebreak).desc)
+    val merged = all.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+    val tmp = target + s"_tmp_$batchId"
+    merged.write.mode("overwrite").parquet(tmp)
+    val old = new java.io.File(target)
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(delete)
+      f.delete()
+    }
+    if (old.exists()) delete(old)
+    new java.io.File(tmp).renameTo(old)
+  }
 }
