@@ -109,6 +109,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
   }
 
+  test("latest-per-key merge keeps the newest row under OUT-OF-ORDER batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_merge_latest").toString + "/t"
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val q = ms.toDF().toDF("user_id", "ts_us", "event_id", "v").writeStream
+      .foreachBatch(EventsStream.mergeLatestIntoParquet(
+        spark, target, "user_id", "ts_us", "event_id") _)
+      .outputMode("update").start()
+    // batch 1 carries the NEWER event for user 1; batch 2 replays an
+    // older one (a backfill) — a blind last-writer merge would clobber
+    ms.addData((1L, 100L, 10L, "new"), (2L, 50L, 5L, "b")); q.processAllAvailable()
+    ms.addData((1L, 40L, 4L, "old"), (3L, 60L, 6L, "c")); q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(target).as[(Long, Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 100L, 10L, "new"), (2L, 50L, 5L, "b"),
+      (3L, 60L, 6L, "c")))
+  }
+
   test("q_stream_window (oracle-gated streaming entry) equals batch twin") {
     val streamed = graft.operators.StreamingGate
       .queries("q_stream_window")(spark, TestSpark.sf)
