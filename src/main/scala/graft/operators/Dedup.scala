@@ -56,21 +56,33 @@ object Dedup extends graft.QueryPack {
     * interpreted HOF chain plus O(n²) array_distinct dominated dedup
     * runtime at sf0.1 (~0.5 ms/doc); this UDF is ~10× cheaper and keeps
     * the oracle definition unchanged. */
-  val shingleUdf = udf((text: String) => {
-    // Locale.ROOT matches Spark's locale-independent lower()
+  /** Positional word-n-gram join strings over the lowercase
+    * space-split tokens — the shared tight-loop core of [[shingleUdf]]
+    * (distinct 3-grams) and [[spanHashUdf]] (md5'd 8-grams):
+    * k = max(len−n+1, 1) windows, end-clamped exactly like `slice()`.
+    * Locale.ROOT matches Spark's locale-independent lower(); any
+    * change here must keep BOTH oracle definitions true (PropertySpec
+    * pins each wrapper to its declarative form). */
+  private def ngramStrings(text: String, n: Int): Array[String] = {
     val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
-    val k = math.max(t.length - 2, 1)
-    val out = new java.util.LinkedHashSet[String]
+    val k = math.max(t.length - (n - 1), 1)
+    val out = new Array[String](k)
     var i = 0
     while (i < k) {
-      val end = math.min(i + 3, t.length)
+      val end = math.min(i + n, t.length)
       val sb = new StringBuilder(t(i))
       var j = i + 1
       while (j < end) { sb.append(' ').append(t(j)); j += 1 }
-      out.add(sb.toString)
+      out(i) = sb.toString
       i += 1
     }
-    out.toArray(new Array[String](out.size)): Seq[String]
+    out
+  }
+
+  val shingleUdf = udf((text: String) => {
+    val ls = new java.util.LinkedHashSet[String]
+    ngramStrings(text, 3).foreach(ls.add)
+    ls.toArray(new Array[String](ls.size)): Seq[String]
   })
 
   private def shingles(text: Column): Column = shingleUdf(text)
@@ -83,29 +95,19 @@ object Dedup extends graft.QueryPack {
     * POSITIONAL (not distinct): within-doc repeats count per
     * occurrence, exactly like the declarative form. */
   val spanHashUdf = udf((text: String) => {
-    val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
-    val k = math.max(t.length - 7, 1)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val out = new Array[String](k)
     val hex = "0123456789abcdef".toCharArray
-    var i = 0
-    while (i < k) {
-      val end = math.min(i + 8, t.length)
-      val sb = new StringBuilder(t(i))
-      var j = i + 1
-      while (j < end) { sb.append(' ').append(t(j)); j += 1 }
-      val d = md.digest(sb.toString.getBytes("UTF-8"))
+    ngramStrings(text, 8).map { span =>
+      val d = md.digest(span.getBytes("UTF-8"))
       val cs = new Array[Char](32)
       var b = 0
       while (b < 16) {
         cs(2 * b) = hex((d(b) >> 4) & 0xf); cs(2 * b + 1) = hex(d(b) & 0xf)
         b += 1
       }
-      out(i) = new String(cs)
       md.reset()
-      i += 1
-    }
-    out: Seq[String]
+      new String(cs)
+    }.toSeq
   })
 
   /** corpus: documents ∪ exact dups ∪ near dups (see object doc). */
