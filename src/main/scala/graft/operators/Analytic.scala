@@ -289,6 +289,29 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Z-score anomaly detection: events more than 3σ from their
+    // type's mean — the monitoring/data-quality primitive. Moments
+    // come from the same exact-DECIMAL sums as q_stats_exact (so mean
+    // and σ are partitioning-invariant doubles), broadcast as a
+    // types-sized dim; scoring is a narrow map over the fact stream.
+    "q_outliers" -> ((s, d) => {
+      val v = dec(col("value"))
+      val sq = (col("value") * col("value")).cast(DecimalType(20, 4))
+      val m = Tables(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(v).cast("double").as("s1"),
+          sum(sq).cast("double").as("s2"))
+        .select(col("event_type"), (col("s1") / col("n")).as("mean"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1)).as("std"))
+      Tables(s, d, "events")
+        .join(broadcast(m), Seq("event_type"))
+        .withColumn("z", round((col("value") - col("mean")) / col("std"), 9))
+        .filter(abs(col("z")) >= 3.0d)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // Nested array-of-struct build (collect + sort) then flatten with
     // position — the P2/P5 explode/flatten shape, both directions.
     "q_nested_explode" -> ((s, d) => {
@@ -643,6 +666,21 @@ object Analytic extends graft.QueryPack {
         |  (COUNT(*) - 1) AS vvar,
         |  quantile_cont(value, 0.5) AS vmedian
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean,
+        |    sqrt((CAST(SUM(CAST(value * value AS DECIMAL(20,4))) AS DOUBLE)
+        |          - CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |            * CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+        |         / (COUNT(*) - 1)) AS std
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  round((value - mean) / std, 9) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE abs(round((value - mean) / std, 9)) >= 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "q_nested_explode" ->
       """WITH items AS (
