@@ -371,6 +371,32 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Winsorization: clip each type's values to its own [p05, p95] —
+    // the outlier-robust preprocessing twin of q_outliers (clip instead
+    // of flag). Bounds come from the same exact-percentile parity trick
+    // as q_group_quantiles (rounded at 6 so both engines agree
+    // bit-for-bit) and broadcast as a types-sized dim; clipping is a
+    // narrow least/greatest map; the winsorized sum is exact
+    // DECIMAL(18,6) (clipped values have ≤6 decimal digits — either a
+    // 2-decimal value or a 6-rounded bound — so the decimal cast is
+    // lossless and order-independent).
+    "q_winsorize" -> ((s, d) => {
+      val b = Tables(s, d, "events").groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.05D, 0.95D))").as("qs"))
+        .select(col("event_type"),
+          round(element_at(col("qs"), 1), 6).as("lo"),
+          round(element_at(col("qs"), 2), 6).as("hi"))
+      Tables(s, d, "events").join(broadcast(b), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+          sum(least(greatest(col("value"), col("lo")), col("hi"))
+            .cast(DecimalType(18, 6))).cast("double").as("wsum"))
+        .orderBy(col("event_type"))
+    }),
+
     // Table profiling: per-column row count / null count / distinct
     // count / min / max — the ANALYZE-style summary a curation pipeline
     // runs before anything else. One aggregate pass PER COLUMN unioned
@@ -484,6 +510,23 @@ object Analytic extends graft.QueryPack {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.75), 6) AS p75
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS lo,
+        |    round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  ANY_VALUE(lo) AS lo, ANY_VALUE(hi) AS hi,
+        |  CAST(SUM(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,6)))
+        |       AS DOUBLE) AS wsum
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
 
     "q_profile" ->
       """SELECT 'event_id' AS "column", COUNT(*) AS n,
