@@ -271,6 +271,39 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("cluster"), col("dim"))
     }),
 
+    // Centroid-exemplar selection (prototype picking): join documents
+    // to their embeddings, build each LANGUAGE's exact fixed-point
+    // centroid, and keep the 5 docs most cosine-similar to their own
+    // language's centroid — the "choose representative examples per
+    // slice" curation step, and the one query that ties the text
+    // metadata table to the embedding table. Centroids never touch the
+    // driver: the per-lang VecSum aggregate is transformed to a double
+    // array IN-PLAN and joined back as a langs-sized broadcast dim;
+    // scoring is the codegen dot kernel; per-lang top-5 is one window
+    // over a languages-sized key space.
+    "q_exemplars" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+      val e = loadEmbeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val joined = e.join(docs, col("vec_id") === col("doc_id"))
+      val cents = joined.groupBy(col("lang"))
+        .agg(graft.functions.VecSum.vecSumScaled(col("embedding"), DIM).as("sums"),
+          count(lit(1)).as("n"))
+        .select(col("lang"), expr(
+          "transform(sums, s -> CAST(s AS DOUBLE) / n / 1000000.0D)").as("cv"))
+        .withColumn("cnrm", norm(col("cv")))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("sim").desc, col("doc_id"))
+      joined.join(broadcast(cents), Seq("lang"))
+        .withColumn("sim",
+          round(dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")), 9))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"), col("sim"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // Johnson-Lindenstrauss random projection: 64 → 16 dims through a
     // fixed ±1 matrix (seed 7, same stable-LCG constant trick as the
     // LSH planes), scaled by 1/√16 so pairwise distances are preserved
@@ -652,6 +685,44 @@ object Similarity extends graft.QueryPack {
          |  round(CAST(s AS DOUBLE) / n / 1000000.0, 9) AS centroid,
          |  n AS n_members
          |FROM s2 ORDER BY cluster, dim""".stripMargin,
+
+    // Same fixed-point per-lang centroid (VecSum restated), same dot /
+    // norm fold order, same top-5 tie-break.
+    "q_exemplars" ->
+      s"""WITH ee AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, ${DIM + 1}),
+         |      i -> CAST(embedding[i] AS DOUBLE)) AS v,
+         |    $normDuck AS nrm
+         |  FROM embeddings),
+         |j AS (
+         |  SELECT d.doc_id, d.lang, ee.v, ee.nrm
+         |  FROM ee JOIN documents d ON ee.vec_id = d.doc_id),
+         |s1 AS (
+         |  SELECT lang, dim,
+         |    SUM(CAST(ROUND(v[CAST(dim AS INTEGER)] * 1000000) AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM (SELECT lang, unnest(range(1, ${DIM + 1})) AS dim, v FROM j)
+         |  GROUP BY lang, dim),
+         |c AS (
+         |  SELECT lang, list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY dim) AS cv
+         |  FROM s1 GROUP BY lang),
+         |cn AS (
+         |  SELECT lang, cv,
+         |    sqrt(list_sum(list_transform(range(1, ${DIM + 1}),
+         |      i -> cv[i] * cv[i]))) AS cnrm
+         |  FROM c),
+         |sc AS (
+         |  SELECT j.lang, j.doc_id,
+         |    round(list_sum(list_transform(range(1, ${DIM + 1}),
+         |      i -> v[i] * cv[i])) / (nrm * cnrm), 9) AS sim
+         |  FROM j JOIN cn USING (lang))
+         |SELECT lang, rk, doc_id, sim FROM (
+         |  SELECT lang, doc_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |                            ORDER BY sim DESC, doc_id) AS BIGINT) AS rk
+         |  FROM sc) t
+         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
     // Same ±1 matrix (inlined), same dot/fold order, same 1/√16 scale.
     "q_project_rp" ->
