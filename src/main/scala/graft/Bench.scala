@@ -28,6 +28,10 @@ object Bench {
     def housekeeping(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // JVM-side memos too (e.g. the BPE merge table): a timed rep must
+      // pay its query's full cost, or min-over-reps reports a cached
+      // workload the code doesn't claim to be measuring.
+      graft.operators.TextAnalytics.clearMemos()
       System.gc()
     }
 

@@ -79,10 +79,16 @@ object Dedup extends graft.QueryPack {
     out
   }
 
+  // Both wrappers NULL-propagate like the declarative expressions they
+  // replace (transform over a NULL token array yields NULL, and explode
+  // drops the row) — a nullable text column must skip, not NPE.
   val shingleUdf = udf((text: String) => {
-    val ls = new java.util.LinkedHashSet[String]
-    ngramStrings(text, 3).foreach(ls.add)
-    ls.toArray(new Array[String](ls.size)): Seq[String]
+    if (text == null) null
+    else {
+      val ls = new java.util.LinkedHashSet[String]
+      ngramStrings(text, 3).foreach(ls.add)
+      ls.toArray(new Array[String](ls.size)): Seq[String]
+    }
   })
 
   private def shingles(text: Column): Column = shingleUdf(text)
@@ -95,6 +101,11 @@ object Dedup extends graft.QueryPack {
     * POSITIONAL (not distinct): within-doc repeats count per
     * occurrence, exactly like the declarative form. */
   val spanHashUdf = udf((text: String) => {
+    if (text == null) null
+    else spanHashesOf(text)
+  })
+
+  private def spanHashesOf(text: String): Seq[String] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = "0123456789abcdef".toCharArray
     ngramStrings(text, 8).map { span =>
@@ -108,7 +119,7 @@ object Dedup extends graft.QueryPack {
       md.reset()
       new String(cs)
     }.toSeq
-  })
+  }
 
   /** corpus: documents ∪ exact dups ∪ near dups (see object doc). */
   private def corpus(docs: DataFrame): DataFrame = {

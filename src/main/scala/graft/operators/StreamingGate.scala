@@ -29,13 +29,16 @@ import graft.streaming.EventsStream
   */
 object StreamingGate extends graft.QueryPack {
 
-  /** One sink dir per query name, wiped at the START of each
+  /** One sink dir per (query name, JVM), wiped at the START of each
     * invocation — repeated harness runs (verify at two SFs, bench
     * reps, specs) reuse one directory instead of leaking a drained
-    * copy of the data per run. */
+    * copy of the data per run. The pid component keeps CONCURRENT
+    * processes (and other users of the shared tmpdir) from wiping each
+    * other's sink mid-drain; growth is bounded by live process count. */
   private def freshDir(name: String): String = {
     val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_$name")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${name}_${ProcessHandle.current().pid()}")
     def delete(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
       f.delete()

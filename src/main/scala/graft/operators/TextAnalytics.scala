@@ -539,6 +539,11 @@ object TextAnalytics extends graft.QueryPack {
     * BPE queries pays the 3-round train (3 agg+collect jobs) twice. */
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, String, String, Long)]]()
+
+  /** Drop JVM-side memos. Bench calls this between timed reps so every
+    * measurement pays its true cost; Verify/specs keep the memo (they
+    * measure correctness, not time). */
+  def clearMemos(): Unit = bpeCache.clear()
   private def learnBpeMerges(s: SparkSession, d: String)
       : Seq[(Long, String, String, Long)] =
     bpeCache.computeIfAbsent(d, _ => learnBpeMergesUncached(s, d))

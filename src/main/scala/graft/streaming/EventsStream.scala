@@ -125,6 +125,23 @@ object EventsStream {
     out.iterator
   }
 
+  /** Write `merged` to `target + "_tmp_<batchId>"` then swap it into
+    * place — the shared sink tail of both merge variants (atomic-ish:
+    * single-process test harness; a table format's transactional MERGE
+    * replaces this at cluster scale). */
+  private def swapIntoPlace(target: String, merged: DataFrame,
+      batchId: Long): Unit = {
+    val tmp = target + s"_tmp_$batchId"
+    merged.write.mode("overwrite").parquet(tmp)
+    val old = new java.io.File(target)
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
+      f.delete()
+    }
+    if (old.exists()) delete(old)
+    require(new java.io.File(tmp).renameTo(old), s"swap failed: $tmp -> $target")
+  }
+
   /** K1 as a streaming sink: exactly-once MERGE upsert per micro-batch
     * into a parquet target (anti-join ∪ updates, then atomic swap). */
   def mergeIntoParquet(spark: SparkSession, target: String, key: String)(
@@ -133,17 +150,7 @@ object EventsStream {
     val merged =
       if (fs.exists()) Relational.merge(spark.read.parquet(target), batch, key)
       else batch
-    val tmp = target + s"_tmp_$batchId"
-    merged.write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap (single-process test harness; a table format's
-    // transactional MERGE replaces this at cluster scale)
-    val old = new java.io.File(target)
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(delete)
-      f.delete()
-    }
-    if (old.exists()) delete(old)
-    new java.io.File(tmp).renameTo(old)
+    swapIntoPlace(target, merged, batchId)
   }
 
   /** Latest-per-key MERGE: like [[mergeIntoParquet]] but CONDITIONAL —
@@ -165,14 +172,6 @@ object EventsStream {
       .orderBy(col(ts).desc, col(tiebreak).desc)
     val merged = all.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__rk")
-    val tmp = target + s"_tmp_$batchId"
-    merged.write.mode("overwrite").parquet(tmp)
-    val old = new java.io.File(target)
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(delete)
-      f.delete()
-    }
-    if (old.exists()) delete(old)
-    new java.io.File(tmp).renameTo(old)
+    swapIntoPlace(target, merged, batchId)
   }
 }

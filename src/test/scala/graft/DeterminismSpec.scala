@@ -16,7 +16,10 @@ class DeterminismSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     try {
       SparkEntry.queries(name)(spark, TestSpark.sf).collect().map(_.toSeq).toSet
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      TestSpark.housekeeping() // queries may persist() shared frames
+    }
   }
 
   // q_dedup_pipeline / q_quality_gate / q_bm25 exercise multi-stage

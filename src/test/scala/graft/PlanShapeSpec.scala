@@ -99,6 +99,7 @@ class PlanShapeSpec extends AnyFunSuite {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(3000)}")
       assert(!plan.contains("BroadcastNestedLoop"), s"$q: ${plan.take(3000)}")
+      TestSpark.housekeeping() // these queries persist() their hash frame
     }
   }
 

@@ -16,4 +16,14 @@ object TestSpark {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Drop caches a query left behind (several queries persist() shared
+    * frames internally — the harness mains do this between queries;
+    * suites that execute such queries through the shared session must
+    * too, or persisted corpus-scale frames accumulate for the rest of
+    * the test JVM). */
+  def housekeeping(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
 }
