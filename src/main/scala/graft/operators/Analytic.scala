@@ -164,14 +164,20 @@ object Analytic extends graft.QueryPack {
       val s3 = e.filter(col("event_type") === "purchase")
         .join(s2, Seq("user_id")).filter(col("us") > col("t2"))
         .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
-      // DECIMAL(38,0) checksum: a Long sum of epoch-us wraps at ~5k
-      // users (t ≈ 1.7e15 µs each) while DuckDB's HUGEINT sum doesn't —
-      // the decimal sum is overflow-free to ~1e22 users on both sides.
+      // Checksum as a hi/lo BIGINT pair: the step-timestamp sum is
+      // accumulated in DECIMAL(38,0) (a Long sum of epoch-us wraps at
+      // ~5k users; decimal matches DuckDB's HUGEINT headroom), then
+      // split into sum div 1e9 / sum mod 1e9 — both < 2^53, so the
+      // driver's dtype-sensitive hash (which canonicalizes big decimals
+      // through float64) sees exact integers on both engines. All
+      // timestamps are positive, so div/mod semantics agree.
       def tier(df: DataFrame, step: Int, nm: String, t: String): DataFrame =
         df.agg(count(lit(1)).as("n_users"),
-            sum(col(t).cast(DecimalType(38, 0))).as("sum_us"))
+            sum(col(t).cast(DecimalType(38, 0))).as("s"))
           .select(lit(step.toLong).as("step"), lit(nm).as("step_name"),
-            col("n_users"), col("sum_us"))
+            col("n_users"),
+            expr("s div 1000000000").as("sum_us_hi"),
+            expr("CAST(s % 1000000000 AS BIGINT)").as("sum_us_lo"))
       tier(s1, 1, "view", "t1")
         .unionByName(tier(s2, 2, "click", "t2"))
         .unionByName(tier(s3, 3, "purchase", "t3"))
@@ -608,9 +614,15 @@ object Analytic extends graft.QueryPack {
         |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
         |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
         |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
-        |  COUNT(*) AS n_users, CAST(SUM(t1) AS DECIMAL(38,0)) AS sum_us FROM s1
-        |UNION ALL SELECT 2, 'click', COUNT(*), CAST(SUM(t2) AS DECIMAL(38,0)) FROM s2
-        |UNION ALL SELECT 3, 'purchase', COUNT(*), CAST(SUM(t3) AS DECIMAL(38,0)) FROM s3
+        |  COUNT(*) AS n_users,
+        |  CAST(SUM(t1) // 1000000000 AS BIGINT) AS sum_us_hi,
+        |  CAST(SUM(t1) % 1000000000 AS BIGINT) AS sum_us_lo FROM s1
+        |UNION ALL SELECT 2, 'click', COUNT(*),
+        |  CAST(SUM(t2) // 1000000000 AS BIGINT),
+        |  CAST(SUM(t2) % 1000000000 AS BIGINT) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(*),
+        |  CAST(SUM(t3) // 1000000000 AS BIGINT),
+        |  CAST(SUM(t3) % 1000000000 AS BIGINT) FROM s3
         |ORDER BY step""".stripMargin,
 
     "q_pagerank" ->
