@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of the bench run as JSON.
+// Two sbt behaviors defeat that: forked-run output is routed through
+// the logger (every line gets an "[info] " prefix) and sbt appends a
+// final "[success] Total time ..." line. Send forked output straight
+// to stdout and drop the success line so graft.Bench's one-line JSON
+// summary really is the final stdout line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by settings/tasks,
+// which trips the unused-key lint:
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -498,14 +498,17 @@ object Dedup extends graft.QueryPack {
       .withColumn("n", size(col("sh")))
     val ex = c.select(col("source"), col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
-    // Hot-shingle guard (see SHINGLE_DF_CAP): the set of shingles with
-    // df > cap is tiny by construction (≤ postings/cap rows), so it
-    // broadcasts; the anti-join removes them from the index before the
-    // pair-generating self-join ever sees them.
-    val hot = ex.groupBy(col("source"), col("s"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > SHINGLE_DF_CAP)
-      .select(col("source"), col("s"))
-    val kept = ex.join(broadcast(hot), Seq("source", "s"), "left_anti")
+    // Hot-shingle guard (see SHINGLE_DF_CAP), computed as a window
+    // count over the SAME (source, s) shuffle the pair join needs —
+    // one pass over the postings, shingles computed once. (The
+    // collect_list posting-list folding would be cheaper still but
+    // materializes an unbounded hot shingle's whole posting list in
+    // one agg buffer BEFORE the cap can fire — an OOM at 100 TB; the
+    // window count spills.)
+    import org.apache.spark.sql.expressions.Window
+    val wdf = Window.partitionBy(col("source"), col("s"))
+    val kept = ex.withColumn("df", count(lit(1)).over(wdf))
+      .filter(col("df") <= SHINGLE_DF_CAP).drop("df")
     val l = kept.select(col("source"), col("s"),
       col("doc_id").as("id_a"), col("n").as("na"))
     val r = kept.select(col("source"), col("s"),

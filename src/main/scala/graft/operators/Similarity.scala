@@ -114,20 +114,23 @@ object Similarity extends graft.QueryPack {
     }),
 
     // IVF top-3 with nprobe=2: the third ANN strategy next to brute
-    // force and LSH. Coarse-quantize with K=16 DETERMINISTIC sampled
-    // centroids (the embeddings of vec_id 10..25 — IVF with sampled
-    // centroids instead of Lloyd iterations, which keeps the DuckDB
-    // oracle exact). The scale-critical part is HOW rows are assigned
-    // to inverted lists: centroids are collected driver-side (16 rows,
-    // like the LSH plane constants) and inlined as literals, so
-    // assignment is a pure map-side projection — array_max over 16
-    // codegen'd dot products, NO shuffle and NO join. At 100 TB the
-    // list id computed here is the bucketing/partition key; a query
-    // probes the nprobe nearest lists and scans ~nprobe/K of the data.
+    // force and LSH. Coarse-quantize with K = ceil(sqrt(N))
+    // DETERMINISTIC sampled centroids (the embeddings of vec_id
+    // 10..10+K-1 — IVF with sampled centroids instead of Lloyd
+    // iterations, which keeps the DuckDB oracle exact; the oracle
+    // restates the same ceil(sqrt(COUNT(*))) list count). The
+    // scale-critical part is HOW rows are assigned to inverted lists:
+    // centroids are collected driver-side (K rows, like the LSH plane
+    // constants) and inlined as literals, so assignment is a pure
+    // map-side projection — array_max over K codegen'd dot products,
+    // NO shuffle and NO join. At 100 TB the list id computed here is
+    // the bucketing/partition key; a query probes the nprobe nearest
+    // lists and scans ~nprobe/sqrt(N) of the data, a fraction that
+    // SHRINKS as the corpus grows because nlist tracks sqrt(N).
     "q_ann_ivf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = loadEmbeddings(s, d)
-      val cents = sampledCentroids(s, d)
+      val cents = sampledCentroids(s, d, sqrtK(Tables(s, d, "embeddings").count()))
       val assigned = e.withColumn("arr", centroidSimsArr(cents))
         .withColumn("centroid_id", array_max(col("arr")).getField("negcid") * -1)
       val cand = assigned.select(col("vec_id").as("nid"),
@@ -411,18 +414,24 @@ object Similarity extends graft.QueryPack {
 
     // SemDedup — semantic dedup by embedding clusters (the published
     // recipe: k-means the embeddings, then drop near-identical pairs
-    // WITHIN each cluster only). Coarse-cluster with the same K=16
-    // deterministic sampled centroids as q_ann_ivf (map-side literal
-    // assignment, no shuffle); candidate pairs come from a self
-    // equi-join on the cluster id, so the cross product never forms —
-    // at 100 TB, k grows with the corpus to bound cluster size and the
-    // cluster id is the shuffle/partition key. Keep-policy: the
-    // SMALLEST vec_id of every duplicate group survives — a row is
-    // dropped iff a smaller-id vector in its cluster has cosine ≥ 0.95
-    // with it (deterministic, order-independent). Output is a KEEP/DROP
-    // decision per corpus row — the shape a pipeline actually consumes.
+    // WITHIN each cluster only). Coarse-cluster with K = ceil(sqrt(N))
+    // deterministic sampled centroids, N = corpus row count from a
+    // 1-row aggregate (map-side literal assignment, no shuffle; same
+    // derivation as q_ann_ivf's list count and restated verbatim in
+    // the DuckDB oracle). Candidate pairs come from a self equi-join
+    // on the cluster id, so the cross product never forms — and
+    // because K tracks sqrt(N), expected cluster size is ~sqrt(N) and
+    // total pair volume is bounded at ~N^1.5, not the N² a FIXED K
+    // would quadratically degrade to as the corpus grows; the cluster
+    // id is the shuffle/partition key. Keep-policy: the SMALLEST
+    // vec_id of every duplicate group survives — a row is dropped iff
+    // a smaller-id vector in its cluster has cosine ≥ 0.95 with it
+    // (deterministic, order-independent). Output is a KEEP/DROP
+    // decision per corpus row — the shape a pipeline actually
+    // consumes. PlanShapeSpec asserts the executed plan contains no
+    // CartesianProduct / BroadcastNestedLoopJoin.
     "q_semdedup" -> ((s, d) => {
-      val cents = sampledCentroids(s, d)
+      val cents = sampledCentroids(s, d, sqrtK(neardupCorpus(s, d).count()))
       val assigned = neardupCorpus(s, d)
         .withColumn("centroid_id",
           (array_max(centroidSimsArr(cents)).getField("negcid") * -1))
@@ -454,7 +463,17 @@ object Similarity extends graft.QueryPack {
     * embedding of vec_id 10+k — deterministic sampled codewords (same
     * rationale as [[sampledCentroids]]: no Lloyd iterations, so the
     * DuckDB oracle restates the codebook exactly). Collected
-    * driver-side (PQ_K rows) for literal inlining. */
+    * driver-side (PQ_K rows) for literal inlining.
+    *
+    * Unlike the IVF/SemDedup list count, PQ_K deliberately does NOT
+    * scale with N: in published PQ the per-subspace codeword count is a
+    * fixed MODEL constant (256, one byte per code) at any corpus size —
+    * code width, not list fan-out, is what PQ trades for recall. The
+    * scale knobs for PQ are M (subspaces) and composing with an IVF
+    * stage (IVF-PQ), whose nlist DOES grow ~sqrt(N) via [[sqrtK]]. Here
+    * PQ_K=4 keeps the oracle-restated codebook small; the per-candidate
+    * cost is M lookups regardless of PQ_K, so a fixed PQ_K creates no
+    * quadratic term at 100×. */
   private def pqCodebook(s: SparkSession, d: String): Array[Array[Seq[Double]]] = {
     val rows = loadEmbeddings(s, d)
       .filter(col("vec_id").between(10, 9 + PQ_K))
@@ -464,13 +483,25 @@ object Similarity extends graft.QueryPack {
       rows(k)._2.slice(m * PQ_SUB, (m + 1) * PQ_SUB))
   }
 
-  /** K=16 DETERMINISTIC sampled centroids (the embeddings of vec_id
-    * 10..25) — IVF-style coarse quantization with sampled centroids
+  /** Scale knob for the coarse quantizers: K = ceil(sqrt(N)) lists —
+    * the standard IVF parameterization (nlist ~ sqrt(N), the published
+    * FAISS tuning guideline). Both the list COUNT and the expected list
+    * SIZE then grow ~sqrt(N), so a within-list self-join does ~N^1.5
+    * total pair work instead of the N² an all-pairs pass (or a fixed K)
+    * degrades to. N comes from a 1-row count aggregate — a scalar to
+    * the driver, same tier as the k-means fixpoint probe — and every
+    * DuckDB oracle restates the identical ceil(sqrt(COUNT(*))) formula,
+    * so greenness survives any SF. */
+  private def sqrtK(n: Long): Int = math.ceil(math.sqrt(n.toDouble)).toInt
+
+  /** K DETERMINISTIC sampled centroids (the embeddings of vec_id
+    * 10..10+K-1) — IVF-style coarse quantization with sampled centroids
     * instead of Lloyd iterations, which keeps the DuckDB oracles exact.
-    * Collected driver-side (16 rows, like the LSH plane constants) for
-    * inlining as literals. */
-  private def sampledCentroids(s: SparkSession, d: String): Array[(Long, Seq[Double], Double)] =
-    loadEmbeddings(s, d).filter(col("vec_id").between(10, 25))
+    * Collected driver-side (K = ceil(sqrt(N)) rows, like the LSH plane
+    * constants) for inlining as literals. */
+  private def sampledCentroids(s: SparkSession, d: String, k: Int): Array[(Long, Seq[Double], Double)] =
+    loadEmbeddings(s, d)
+      .filter(col("vec_id") >= 10 && col("vec_id") < lit(10L + k))
       .select(col("vec_id"), col("embedding"), col("nrm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
@@ -550,10 +581,13 @@ object Similarity extends graft.QueryPack {
 
     // Oracle mirrors the IVF structure with plain SQL (cross join +
     // row_number argmax — the oracle does not need the scale path).
+    // nlist restated: K = ceil(sqrt(COUNT(*))) sampled centroids, the
+    // same formula the Spark side derives from its 1-row count agg.
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
          |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
-         |          FROM e WHERE vec_id BETWEEN 10 AND 25),
+         |          FROM e WHERE vec_id >= 10 AND vec_id < 10 +
+         |            (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)),
          |scored AS (
          |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
          |    round(${dotDuck("e.embedding", "c.cv")} / (e.nrm * c.cnrm), 9) AS csim
@@ -803,7 +837,8 @@ object Similarity extends graft.QueryPack {
          |  FROM embeddings WHERE vec_id % 20 = 0),
          |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM corpus),
          |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
-         |          FROM e WHERE vec_id BETWEEN 10 AND 25),
+         |          FROM e WHERE vec_id >= 10 AND vec_id < 10 +
+         |            (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM corpus)),
          |scored AS (
          |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
          |    round(${dotDuck("e.embedding", "c.cv")} / (e.nrm * c.cnrm), 9) AS csim

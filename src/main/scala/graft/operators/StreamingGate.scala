@@ -34,15 +34,31 @@ object StreamingGate extends graft.QueryPack {
     * reps, specs) reuse one directory instead of leaking a drained
     * copy of the data per run. The pid component keeps CONCURRENT
     * processes (and other users of the shared tmpdir) from wiping each
-    * other's sink mid-drain; growth is bounded by live process count. */
+    * other's sink mid-drain. Sibling dirs whose pid is no longer alive
+    * are reaped here too — without that, every exited harness process
+    * would strand a full drained copy of the events table in the
+    * shared tmpdir until reboot. */
   private def freshDir(name: String): String = {
-    val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_stream_${name}_${ProcessHandle.current().pid()}")
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val self = ProcessHandle.current().pid()
     def delete(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
       f.delete()
     }
+    // reap graft_stream_* dirs left by processes that have exited
+    // (dead pid, or an unparseable suffix from a foreign writer is
+    // left alone); racing reapers are harmless — delete is idempotent
+    // and a LIVE process can never be reaped.
+    Option(tmp.listFiles()).foreach(_.foreach { f =>
+      val nm = f.getName
+      if (f.isDirectory && nm.startsWith("graft_stream_")) {
+        val pid = nm.substring(nm.lastIndexOf('_') + 1).toLongOption
+        val dead = pid.exists(p =>
+          p != self && !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        if (dead) delete(f)
+      }
+    })
+    val base = new java.io.File(tmp, s"graft_stream_${name}_$self")
     delete(base)
     base.mkdirs()
     base.toString
@@ -116,6 +132,13 @@ object StreamingGate extends graft.QueryPack {
     // 100 TB). Injected duplicates carry identical event times, so
     // within-watermark dedup is EXACT here and the drained sink must
     // equal the batch distinct — which is just the events table.
+    // EXACTNESS also leans on the replay being ONE micro-batch
+    // (pathGlobFilter events.parquet + maxFilesPerTrigger=1): were the
+    // table split across files, duplicates/late base rows arriving in
+    // later batches could fall behind the advanced watermark and be
+    // dropped. The drain counts non-empty micro-batches and fails
+    // loudly if a future multi-file testdata layout breaks the
+    // assumption, instead of silently failing the oracle.
     "q_stream_dedup" -> ((s, d) => {
       val out = freshDir("q_stream_dedup") + "/dedup"
       val base = EventsStream.replay(s, d)
@@ -125,9 +148,18 @@ object StreamingGate extends graft.QueryPack {
       val deduped = withDups
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark("event_id")
+      val nonEmptyBatches = new java.util.concurrent.atomic.AtomicInteger(0)
       drain(s, deduped, "append") { (batch, _) =>
-        batch.write.mode("append").parquet(out)
+        val persisted = batch.persist()
+        if (persisted.count() > 0) nonEmptyBatches.incrementAndGet()
+        persisted.write.mode("append").parquet(out)
+        persisted.unpersist(false)
+        ()
       }
+      require(nonEmptyBatches.get() == 1,
+        s"q_stream_dedup expects a single-file replay (one micro-batch); " +
+          s"saw ${nonEmptyBatches.get()} non-empty batches — watermark-exact " +
+          "dedup is no longer guaranteed under this data layout")
       s.read.parquet(out)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))

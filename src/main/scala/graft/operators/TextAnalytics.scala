@@ -536,7 +536,11 @@ object TextAnalytics extends graft.QueryPack {
     * q_tokenize_bpe (which applies them). Returns (round, "l r",
     * merged, weighted count). Memoized per dataset dir: the learn is
     * fully deterministic, and without the memo a sweep that runs both
-    * BPE queries pays the 3-round train (3 agg+collect jobs) twice. */
+    * BPE queries pays the 3-round train (3 agg+collect jobs) twice.
+    * The memo key folds in the source file's (size, mtime) fingerprint
+    * so a documents.parquet regenerated under the same path within one
+    * long-lived JVM (spec session, dev REPL) can never serve a stale
+    * merge table — correctness paths don't depend on clearMemos(). */
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, String, String, Long)]]()
 
@@ -545,8 +549,11 @@ object TextAnalytics extends graft.QueryPack {
     * measure correctness, not time). */
   def clearMemos(): Unit = bpeCache.clear()
   private def learnBpeMerges(s: SparkSession, d: String)
-      : Seq[(Long, String, String, Long)] =
-    bpeCache.computeIfAbsent(d, _ => learnBpeMergesUncached(s, d))
+      : Seq[(Long, String, String, Long)] = {
+    val f = new java.io.File(d, "documents.parquet")
+    val key = s"$d|${f.length()}:${f.lastModified()}"
+    bpeCache.computeIfAbsent(key, _ => learnBpeMergesUncached(s, d))
+  }
 
   private def learnBpeMergesUncached(s: SparkSession, d: String)
       : Seq[(Long, String, String, Long)] = {

@@ -26,13 +26,22 @@ object Topics extends graft.QueryPack {
   val TOP_TERMS = 7          // reference: topics.js:6 (terms = 7)
   val MIN_PROB = 0.02        // reference: lda/index.js:86 (prob >= 2%)
 
-  def topTerms(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  /** @param inputPartitions repartition the tokenized corpus before the
+    *   fit — TopicsSpec's partitioning-invariance gate runs the same
+    *   seeded fit at different widths and compares topic-term sets;
+    *   production callers leave the scan partitioning alone. */
+  def topTerms(spark: SparkSession, dir: String,
+      inputPartitions: Option[Int] = None): DataFrame = {
+    val docs0 = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         filter(split(lower(col("text")), " "),
           t => length(t) > 1 && !t.startsWith("http") &&
             !t.isInCollection(TextAnalytics.stopwords)).as("tokens"))
       .filter(size(col("tokens")) > 0) // T10: empty-doc filter
+    // hash-partition by doc_id (deterministic row→partition mapping;
+    // keyless round-robin would itself vary run to run)
+    val docs = inputPartitions.map(docs0.repartition(_, col("doc_id")))
+      .getOrElse(docs0)
     val cv = new CountVectorizer()
       .setInputCol("tokens").setOutputCol("features").fit(docs)
     val vectorized = cv.transform(docs)

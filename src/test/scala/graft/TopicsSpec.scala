@@ -33,6 +33,24 @@ class TopicsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("LDA determinism is PER LAYOUT: seeded reruns at a fixed width agree") {
+    // Partitioning-invariance was tested and empirically REFUTED
+    // (2026-08: hash-partitioning the corpus at widths 2 vs 8 under
+    // seed 42 yields disjoint-ish topic-term sets) — inherent to
+    // online variational LDA, whose minibatch subsampling draws
+    // per-partition; the EM optimizer seeds per partition index too.
+    // So the honest, testable contract — declared terminal in
+    // SURVEY.md §8 — is: the seeded fit is a deterministic function of
+    // (data, layout). Same width twice must agree exactly; the
+    // cross-width comparison is intentionally absent.
+    def sets(p: Int): Map[Long, Set[String]] =
+      Topics.topTerms(spark, TestSpark.sf, Some(p)).collect()
+        .groupBy(_.getLong(0))
+        .map { case (t, rs) => t -> rs.map(_.getString(2)).toSet }
+    assert(sets(2) == sets(2))
+    assert(sets(8) == sets(8))
+  }
+
   test("q_topics_per_doc: per-doc shape, 2% cut, smoothed-tf monotone in count") {
     val rows = Topics.queries("q_topics_per_doc")(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
