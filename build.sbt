@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (TestSpark) and several clear the
+// session cache in housekeeping(); parallel suite execution lets that
+// race against the plan-shape suite's InMemoryRelation assertions.
+// Serial execution makes the suite deterministic.
+Test / parallelExecution := false
 run / fork := true
 // The driver parses the LAST stdout line of the bench run as JSON.
 // Two sbt behaviors defeat that: forked-run output is routed through

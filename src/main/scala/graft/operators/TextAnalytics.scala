@@ -718,10 +718,19 @@ object TextAnalytics extends graft.QueryPack {
     // through the codegen'd Stem expression, not the UDF: the whole
     // explode→stem→count pipeline stays in one fused codegen stage.
     "q_stem_topk" -> ((s, d) => {
+      // Stem the VOCABULARY, not the token stream: aggregate word
+      // counts first (map-side combine does most of the work), then
+      // run the Porter kernel once per DISTINCT word and re-sum by
+      // stem — identical counts (stemming is per-word deterministic),
+      // ~vocab/tokens fewer kernel calls, and the second shuffle is
+      // vocab-sized. The right layout at any corpus size: per-token
+      // stemming scales with data volume, per-vocab with vocabulary.
       Tables(s, d, "documents")
         .select(explode(filter(tokens(col("text")), keepToken _)).as("word"))
-        .select(graft.functions.StemExpression.stem(col("word")).as("stem"))
-        .groupBy(col("stem")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+        .select(graft.functions.StemExpression.stem(col("word")).as("stem"),
+          col("wcnt"))
+        .groupBy(col("stem")).agg(sum(col("wcnt")).as("cnt"))
         .orderBy(col("cnt").desc, col("stem")).limit(50)
     })
   )

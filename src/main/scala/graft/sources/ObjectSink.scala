@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** K4/M2 — the reference's object-store put as a DataSourceV2 WRITE
+  * path (`.format("graft-objects")`).
+  *
+  * The reference uploads each fetched image to S3 under a key derived
+  * from the post (storeImages/main.js side; declared offline in
+  * SURVEY §2). This sink models exactly the engine-owned part: rows
+  * `(key, payload)` become one object per row under the target
+  * directory, through the REAL cloud-store commit protocol —
+  *
+  *   - each task writes to a private staging dir
+  *     `.staging-<queryId>/<partition>-<taskId>/` (speculative or
+  *     retried tasks get DISTINCT dirs and cannot clobber each other),
+  *   - the task's commit message lists its staged files,
+  *   - the DRIVER finalizes the job by moving only the WINNING tasks'
+  *     files to their final keys (job commit), or deletes all staging
+  *     on abort — so a failed job leaves no partial objects visible.
+  *
+  * `mode("overwrite")` maps to `SupportsTruncate`: existing objects are
+  * removed during job commit, after every task has succeeded — the
+  * window where the store is empty-but-consistent, same as an S3
+  * prefix replace. At 100 TB this is the layout a 1000-executor job
+  * uses against an object store: writers never coordinate with each
+  * other, the driver's commit is O(files) renames (metadata-only on a
+  * real store), and nothing buffers on the driver.
+  */
+class ObjectSinkProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-objects"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ObjectSink.SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ObjectTable(properties.get("path"))
+}
+
+object ObjectSink {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("payload", StringType, nullable = true)))
+
+  private[sources] def stagingRoot(dir: String, queryId: String) =
+    new File(dir, s".staging-$queryId")
+
+  private[sources] def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
+  /** Visible (committed) objects = non-hidden files in the directory. */
+  def listObjects(dir: String): Seq[File] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName).toSeq
+}
+
+class ObjectTable(dir: String) extends Table with SupportsWrite {
+  require(dir != null, "graft-objects requires .save(<directory>)")
+  override def name(): String = s"graft-objects:$dir"
+  override def schema(): StructType = ObjectSink.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ObjectWriteBuilder(dir, info)
+}
+
+class ObjectWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    val fields = info.schema().fieldNames.toSeq
+    require(fields == Seq("key", "payload"),
+      s"graft-objects expects columns (key, payload), got ${fields.mkString(",")}")
+    new Write {
+      override def toBatch: BatchWrite =
+        new ObjectBatchWrite(dir, info.queryId(), truncateFirst)
+    }
+  }
+}
+
+/** Driver-side job coordinator: commit = finalize winners, abort =
+  * drop staging. Serializable closure state is just (dir, queryId). */
+class ObjectBatchWrite(dir: String, queryId: String, truncateFirst: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ObjectWriterFactory(dir, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val base = new File(dir)
+    base.mkdirs()
+    if (truncateFirst) ObjectSink.listObjects(dir).foreach(_.delete())
+    messages.foreach { case ObjectCommitMsg(staged) =>
+      staged.foreach { case (tmp, finalName) =>
+        Files.move(new File(tmp).toPath, new File(base, finalName).toPath,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    ObjectSink.deleteRec(ObjectSink.stagingRoot(dir, queryId))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ObjectSink.deleteRec(ObjectSink.stagingRoot(dir, queryId))
+}
+
+class ObjectWriterFactory(dir: String, queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ObjectWriter(dir, queryId, partitionId, taskId)
+}
+
+case class ObjectCommitMsg(staged: Seq[(String, String)]) extends WriterCommitMessage
+
+/** Executor-side writer: stages one file per row; nothing becomes
+  * visible until the driver's job commit. Keys are flattened to safe
+  * file names (an object store's key separator is cosmetic). */
+class ObjectWriter(dir: String, queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val taskDir = {
+    val d = new File(ObjectSink.stagingRoot(dir, queryId), s"$partitionId-$taskId")
+    d.mkdirs(); d
+  }
+  private val staged = scala.collection.mutable.ArrayBuffer[(String, String)]()
+
+  override def write(row: InternalRow): Unit = {
+    val key = row.getUTF8String(0).toString
+    require(key.nonEmpty, "graft-objects: empty key")
+    val finalName = key.replaceAll("[/\\\\]", "__")
+    val payload = if (row.isNullAt(1)) "" else row.getUTF8String(1).toString
+    val tmp = new File(taskDir, finalName)
+    Files.write(tmp.toPath, payload.getBytes(StandardCharsets.UTF_8))
+    staged += ((tmp.getAbsolutePath, finalName))
+  }
+  override def commit(): WriterCommitMessage = ObjectCommitMsg(staged.toSeq)
+  override def abort(): Unit = ObjectSink.deleteRec(taskDir)
+  override def close(): Unit = ()
+}

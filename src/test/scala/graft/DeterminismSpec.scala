@@ -29,9 +29,14 @@ class DeterminismSpec extends AnyFunSuite {
   // collected between rounds — a double-sum there would make the
   // second assignment partitioning-DEPENDENT); q_dsir_sample adds the
   // decimal log-sum scoring path.
+  // q_semdedup adds the corpus-count-derived K (the count, and hence
+  // the centroid set, must not depend on layout); q_stem_topk the
+  // vocab-first stem aggregation (per-word counts re-summed by stem);
+  // q_dedup_ngram_jaccard the window-count df cap.
   Seq("q1_agg", "q_inner_enrich", "q_stats_exact", "q_salted_agg",
     "q_dedup_pipeline", "q_quality_gate", "q_bm25", "q_kmeans",
-    "q_dsir_sample").foreach { name =>
+    "q_dsir_sample", "q_semdedup", "q_stem_topk",
+    "q_dedup_ngram_jaccard").foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
     }

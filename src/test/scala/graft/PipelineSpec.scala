@@ -13,11 +13,16 @@ import graft.operators.Pipeline
   * updateIds-but-not-updates vanishes from the output entirely. Both
   * failure modes are visible in the OUTPUT, so these checks survive any
   * internal refactor of the query. */
-class PipelineSpec extends AnyFunSuite {
+class PipelineSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
 
   private lazy val out =
     Pipeline.queries("q_etl_pipeline")(spark, TestSpark.sf).cache()
+
+  // drop the full-result cache (and the pipeline's internal persists)
+  // so later suites see a clean cache registry
+  override def afterAll(): Unit = TestSpark.housekeeping()
 
   test("no id carries both a target row and an update row") {
     val twoSrc = out.groupBy(col("id"))

@@ -75,6 +75,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // would re-appear in the optimized plan proper.
     import org.apache.spark.sql.catalyst.expressions.JsonToStructs
     import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    // start from a clean cache registry: a full-result cache left by an
+    // earlier suite (PipelineSpec caches the whole pipeline output)
+    // would substitute the ENTIRE plan with one InMemoryRelation and
+    // hide the two internal persist points this test asserts
+    TestSpark.housekeeping()
     val df = graft.operators.Pipeline.queries("q_etl_pipeline")(
       spark, TestSpark.sf)
     df.collect()
