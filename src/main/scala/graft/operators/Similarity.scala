@@ -23,15 +23,40 @@ import graft.Tables
 object Similarity extends graft.QueryPack {
 
   private val DIM = 64
-  private val N_PLANES = 8
 
-  /** Fixed ±1 hyperplane matrix (8×64), from java.util.Random(42) — the
-    * LCG sequence is specified by the JDK, so this is a stable constant;
-    * it is inlined as a literal into both the Spark and oracle SQL. */
-  val planes: Seq[Seq[Int]] = {
+  /** LSH bucket width in bits — the deployment-scale knob for every
+    * hyperplane-bucketed query (q_ann_lsh, q_neardup_embedding): with
+    * p planes, expected bucket size is N/2^p, so ONE MORE plane per
+    * corpus doubling keeps within-bucket candidate work constant —
+    * without it, fixed-width buckets grow ∝N and the bucket self-join
+    * quadratically, the same failure class the sqrt-K rule fixes for
+    * the coarse quantizers. Unlike K (derivable from a 1-row count on
+    * both engine sides), the plane MATRIX is inlined as literals into
+    * the static oracle SQL, so the width is a library configuration
+    * (`graft.lsh.planes` sysprop / `GRAFT_LSH_PLANES` env, default 8
+    * ≈ log2 of the testdata corpus + headroom) rather than a per-query
+    * derivation: both the Spark plan and the generated DuckDB oracle
+    * rebuild from the same constant, so any setting stays
+    * oracle-consistent by construction. [[planesFor]] draws planes as
+    * a prefix-stable sequence (same seed, sequential draws), so wider
+    * configurations strictly REFINE narrower buckets — NearDupSpec
+    * asserts the refinement and the bucket-shrink factor. */
+  val N_PLANES: Int =
+    sys.props.get("graft.lsh.planes").orElse(sys.env.get("GRAFT_LSH_PLANES"))
+      .map(_.toInt).getOrElse(8)
+
+  /** First n ±1 hyperplanes of the java.util.Random(42) draw sequence —
+    * the LCG sequence is specified by the JDK, so these are stable
+    * constants; plane i is identical under every n >= i+1 (prefix
+    * stability: growing the width only APPENDS planes). */
+  def planesFor(n: Int): Seq[Seq[Int]] = {
     val rnd = new java.util.Random(42)
-    Seq.fill(N_PLANES)(Seq.fill(DIM)(if (rnd.nextBoolean()) 1 else -1))
+    Seq.fill(n)(Seq.fill(DIM)(if (rnd.nextBoolean()) 1 else -1))
   }
+
+  /** The configured hyperplane matrix, inlined as a literal into both
+    * the Spark and oracle SQL. */
+  val planes: Seq[Seq[Int]] = planesFor(N_PLANES)
 
   private val planesSpark: String =
     planes.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")

@@ -35,6 +35,32 @@ class NearDupSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length, "duplicate pair emitted")
   }
 
+  test("LSH width knob: wider plane sets strictly refine buckets (scale path)") {
+    // The 100 TB contract of graft.lsh.planes: one more plane per
+    // corpus doubling keeps bucket size constant. That only works if
+    // (a) plane i is identical under every width >= i+1 (so a wider
+    // deployment REFINES buckets instead of reshuffling them) and
+    // (b) refinement actually splits buckets. Verified here directly
+    // on the corpus embeddings with the same double-cast dot the
+    // engine uses.
+    val p8 = Similarity.planesFor(8)
+    val p12 = Similarity.planesFor(12)
+    assert(p12.take(8) == p8, "plane sequence is not prefix-stable")
+    val vecs = Tables(spark, TestSpark.sf, "embeddings")
+      .selectExpr("cast(embedding as array<double>) as e").collect()
+      .map(_.getSeq[Double](0))
+    def bucket(v: Seq[Double], ps: Seq[Seq[Int]]): String =
+      ps.map(p => if (p.iterator.zip(v.iterator).map { case (a, b) => a * b }.sum >= 0) '1' else '0').mkString
+    val b8 = vecs.map(bucket(_, p8))
+    val b12 = vecs.map(bucket(_, p12))
+    assert(b8.zip(b12).forall { case (narrow, wide) => wide.startsWith(narrow) },
+      "wider bucket does not extend the narrow bucket bit-for-bit")
+    // refinement must split: distinctly more buckets → smaller buckets
+    assert(b12.distinct.length > b8.distinct.length,
+      s"12-plane buckets (${b12.distinct.length}) did not refine " +
+        s"8-plane buckets (${b8.distinct.length})")
+  }
+
   test("semdedup: one row per corpus vector, duplicates found, cluster minimum never dropped") {
     val rows = Similarity.queries("q_semdedup")(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

@@ -82,6 +82,63 @@ class PageSourceSpec extends AnyFunSuite {
     assert(parts == 1, s"expected 1 planned partition, got $parts")
   }
 
+  test("the whole cron loop: connector -> dialect parse -> incremental MERGE") {
+    // The reference's operating mode end-to-end (main.js:35-39 cron →
+    // posts-from-hashtags.js fetch/parse/upsert), every stage real:
+    // fetched pages land in a directory (graft-pages connector), each
+    // AvailableNow run parses ONLY the new pages (both §1.4 dialects)
+    // and MERGEs them into the post store, latest run wins per id.
+    import graft.operators.Ingest
+    import graft.streaming.EventsStream
+    val dir = fetchDir()
+    val ckpt = Files.createTempDirectory("graft_loop_ckpt").toFile
+    val store = new File(Files.createTempDirectory("graft_loop_store").toFile, "posts")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-pages").load(dir.getPath)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (pages: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val posts = Ingest.postsFromParsed(
+            Ingest.parseTagPage(pages.select(col("payload").as("json"))), "cron")
+            .withColumn("seen_in_batch", lit(batchId))
+          EventsStream.mergeLatestIntoParquet(spark, store.getPath,
+            "id", "seen_in_batch", "likeCount")(posts, batchId)
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    // run 1: both dialect fixture pages → their posts are stored
+    runOnce()
+    val after1 = spark.read.parquet(store.getPath)
+      .select(col("id"), col("likeCount")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after1.nonEmpty && after1.contains("26934"),
+      s"graphql-dialect post missing from store: ${after1.keySet}")
+    // a later fetch re-observes post 26934 with a higher like count
+    val update = new File(dir, "page_update.json")
+    Files.writeString(update.toPath,
+      """{"graphql": {"hashtag": {"edge_hashtag_to_media": {"edges": [
+        |  {"node": {"id": "26934", "shortcode": "CRx1",
+        |    "thumbnail_src": "https://cdn.example/p1.jpg",
+        |    "accessibility_caption": "Photo of tacos on a table",
+        |    "__typename": "GraphImage",
+        |    "edge_media_preview_like": {"count": 99},
+        |    "edge_media_to_comment": {"count": 8},
+        |    "edge_media_to_caption": {"edges": [{"node": {"text": "Tacos!"}}]}
+        |  }}]}}}}""".stripMargin)
+    update.setLastModified(5000000L)
+    // run 2 (same checkpoint): parses ONLY the new page, merge updates
+    // 26934 in place and leaves every other stored post untouched
+    runOnce()
+    val after2 = spark.read.parquet(store.getPath)
+      .select(col("id"), col("likeCount")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after2("26934") == 99L, s"upsert did not win: ${after2("26934")}")
+    assert(after2 - "26934" == after1 - "26934",
+      "untouched posts changed across the incremental run")
+  }
+
   test("micro-batch replay is incremental across checkpointed AvailableNow runs") {
     val dir = fetchDir()
     val ckpt = Files.createTempDirectory("graft_pages_ckpt").toFile
