@@ -102,20 +102,15 @@ object Pipeline extends graft.QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_etl_pipeline" -> ((s, d) => {
       // 1. dialect parse (both §1.4 dialects through one union plan).
-      // The PARSED page batch is what gets materialized: the dialect
-      // dispatch reads its input once per dialect branch, so caching
-      // post-parse means the JSON build + parse run exactly once and
-      // each branch replays a cheap cache read (persisting the raw
-      // strings instead re-parsed every page per branch — ~0.7 s more
-      // at sf0.1).
-      val parsed = Ingest.parseTagPage(rawPages(s, d)).persist()
-      // Materialize the cache NOW, in its own job: the main job reads
-      // this subtree once per dialect branch, and a lazily-filling
-      // cache lets the two concurrent branch scans race past each
-      // other and both re-parse (measured ~1 s at sf0.1). At cluster
-      // scale this is the explicit stage barrier any engine puts after
-      // a shared expensive scan.
-      parsed.count()
+      // NOT cached (r5): when each dialect branch re-parsed the full
+      // page batch, caching post-parse paid for itself; after r4's
+      // single-parse dialect dispatch the parse is a 0.2 s narrow map
+      // at sf0.1 while the columnar cache write of the parsed structs
+      // costs ~1.4 s — the cache became strictly slower than letting
+      // the two dialect branches each run the cheap parse. The
+      // downstream persist point (the enriched batch below) still
+      // bounds total re-parses at two.
+      val parsed = Ingest.parseTagPage(rawPages(s, d))
       val posts = Ingest.postsFromParsed(parsed, "hashtag")
         .withColumn("id", col("id").cast("long"))
       // 2. anti-join dedup against the already-ingested id set (the 'F'
