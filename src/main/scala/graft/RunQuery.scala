@@ -31,7 +31,11 @@ object RunQuery {
         println(f"[$nm] rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$n")
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        System.gc() // same housekeeping as Bench — see Bench.scala
+        // same housekeeping as Bench (see Bench.scala) — incl. JVM
+        // memos, or reps after the first serve a cached BPE table and
+        // under-report
+        graft.operators.TextAnalytics.clearMemos()
+        System.gc()
       }
     }
     spark.stop()

@@ -139,6 +139,18 @@ class PageSourceSpec extends AnyFunSuite {
       "untouched posts changed across the incremental run")
   }
 
+  test("offsets round-trip through their JSON wire form") {
+    // the checkpoint log stores offsets as JSON; a serde asymmetry
+    // would surface as a poisoned checkpoint on restart
+    import graft.sources.{PageMicroBatchStream, PageOffset}
+    val stream = new PageMicroBatchStream(
+      Files.createTempDirectory("graft_off").toFile.getPath,
+      graft.sources.PageSource.SCHEMA, Array.empty)
+    for (n <- Seq(0, 1, 7, 123456))
+      assert(stream.deserializeOffset(PageOffset(n).json()) == PageOffset(n))
+    intercept[IllegalArgumentException](stream.deserializeOffset("{}"))
+  }
+
   test("micro-batch replay is incremental across checkpointed AvailableNow runs") {
     val dir = fetchDir()
     val ckpt = Files.createTempDirectory("graft_pages_ckpt").toFile
