@@ -3,37 +3,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // one tiny job to absorb session/codegen/committer init so per-query
-    // timings measure the queries, not JVM warm-up
-    spark.range(1000000).selectExpr("sum(id)").collect()
-
-    // housekeeping between timed runs (outside the timers): drop any
-    // persisted RDDs/caches a query left behind and give the
-    // ContextCleaner a GC so accumulated broadcast/shuffle state is
-    // actually released — without this, driver-side state from ~25+
-    // queries in one JVM degrades later queries by an order of
-    // magnitude (observed at sf0.1; thread counts growing ~10/query
-    // are the symptom).
-    def housekeeping(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      // JVM-side memos too (e.g. the BPE merge table): a timed rep must
-      // pay its query's full cost, or min-over-reps reports a cached
-      // workload the code doesn't claim to be measuring.
-      graft.operators.TextAnalytics.clearMemos()
-      System.gc()
-    }
+    val spark = Harness.session(warm = true)
+    def housekeeping(): Unit = Harness.housekeeping(spark)
 
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -10,17 +10,7 @@ object RunQuery {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val doExplain = args.contains("explain")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    val spark = Harness.session(warm = true)
     name.split(",").foreach { nm =>
       val fn = SparkEntry.queries(nm)
       if (doExplain) fn(spark, sfDir).explain("formatted")
@@ -29,13 +19,7 @@ object RunQuery {
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"[$nm] rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$n")
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        // same housekeeping as Bench (see Bench.scala) — incl. JVM
-        // memos, or reps after the first serve a cached BPE table and
-        // under-report
-        graft.operators.TextAnalytics.clearMemos()
-        System.gc()
+        Harness.housekeeping(spark)
       }
     }
     spark.stop()

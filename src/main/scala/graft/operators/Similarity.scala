@@ -37,10 +37,16 @@ object Similarity extends graft.QueryPack {
     * ≈ log2 of the testdata corpus + headroom) rather than a per-query
     * derivation: both the Spark plan and the generated DuckDB oracle
     * rebuild from the same constant, so any setting stays
-    * oracle-consistent by construction. [[planesFor]] draws planes as
-    * a prefix-stable sequence (same seed, sequential draws), so wider
-    * configurations strictly REFINE narrower buckets — NearDupSpec
-    * asserts the refinement and the bucket-shrink factor. */
+    * oracle-consistent by construction. LAUNCH-TIME ONLY: the knob is
+    * read once when this object initializes — set it before the first
+    * touch of Similarity (spark-submit --conf spark.driver.extraJavaOptions
+    * or the env var); flipping the sysprop later in a live JVM is
+    * silently ignored, by design (a mid-session width change would
+    * desync already-generated oracle SQL from new plans).
+    * [[planesFor]] draws planes as a prefix-stable sequence (same
+    * seed, sequential draws), so wider configurations strictly REFINE
+    * narrower buckets — NearDupSpec asserts the refinement and the
+    * bucket-shrink factor. */
   val N_PLANES: Int =
     sys.props.get("graft.lsh.planes").orElse(sys.env.get("GRAFT_LSH_PLANES"))
       .map(_.toInt).getOrElse(8)

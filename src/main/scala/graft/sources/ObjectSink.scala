@@ -31,12 +31,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     on abort — so a failed job leaves no partial objects visible.
   *
   * `mode("overwrite")` maps to `SupportsTruncate`: existing objects are
-  * removed during job commit, after every task has succeeded — the
-  * window where the store is empty-but-consistent, same as an S3
-  * prefix replace. At 100 TB this is the layout a 1000-executor job
-  * uses against an object store: writers never coordinate with each
-  * other, the driver's commit is O(files) renames (metadata-only on a
-  * real store), and nothing buffers on the driver.
+  * removed inside the two-phase job commit, only after every new
+  * object is already parked in the destination under hidden names —
+  * see [[ObjectBatchWrite]] for the failure-window analysis. At 100 TB
+  * this is the layout a 1000-executor job uses against an object
+  * store: writers never coordinate with each other, the driver's
+  * commit is O(files) renames (metadata-only on a real store), and
+  * nothing buffers on the driver.
   */
 class ObjectSinkProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-objects"
@@ -93,7 +94,19 @@ class ObjectWriteBuilder(dir: String, info: LogicalWriteInfo)
 }
 
 /** Driver-side job coordinator: commit = finalize winners, abort =
-  * drop staging. Serializable closure state is just (dir, queryId). */
+  * drop staging. Serializable closure state is just (dir, queryId).
+  *
+  * Commit is TWO-PHASE to keep the no-partial-visibility contract even
+  * when the commit itself fails mid-way: (1) every staged file is
+  * first moved into the destination under a hidden `.commit-` name —
+  * any failure here (disk full, vanished staging) aborts with the OLD
+  * objects fully intact and nothing new visible; (2) only once every
+  * move succeeded are old objects truncated (overwrite mode) and the
+  * hidden names flipped to their final keys — a window of pure
+  * metadata renames, the same shrink-the-critical-section shape as a
+  * real object store's multipart complete. Leftover `.commit-*` files
+  * from a crashed phase 2 are invisible to readers and reaped by the
+  * next job's commit. */
 class ObjectBatchWrite(dir: String, queryId: String, truncateFirst: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -102,18 +115,37 @@ class ObjectBatchWrite(dir: String, queryId: String, truncateFirst: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val base = new File(dir)
     base.mkdirs()
+    // reap hidden debris from a previous crashed phase-2 (never
+    // visible to readers, but no reason to keep it)
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".commit-")).foreach(_.delete())
+    // later tasks win over earlier ones on a same-key collision across
+    // partitions — deterministic (messages are partition-ordered)
+    val staged = messages.flatMap { case ObjectCommitMsg(s) => s }
+    // phase 1: park everything in the destination under hidden names;
+    // a failure here leaves old data untouched and nothing new visible
+    val parked = staged.zipWithIndex.map { case ((tmp, finalName), i) =>
+      val hidden = new File(base, s".commit-$queryId-$i")
+      Files.move(new File(tmp).toPath, hidden.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      (hidden, finalName)
+    }
+    // phase 2: truncate (overwrite mode) + flip hidden -> final keys —
+    // metadata renames only
     if (truncateFirst) ObjectSink.listObjects(dir).foreach(_.delete())
-    messages.foreach { case ObjectCommitMsg(staged) =>
-      staged.foreach { case (tmp, finalName) =>
-        Files.move(new File(tmp).toPath, new File(base, finalName).toPath,
-          StandardCopyOption.REPLACE_EXISTING)
-      }
+    parked.foreach { case (hidden, finalName) =>
+      Files.move(hidden.toPath, new File(base, finalName).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
     }
     ObjectSink.deleteRec(ObjectSink.stagingRoot(dir, queryId))
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     ObjectSink.deleteRec(ObjectSink.stagingRoot(dir, queryId))
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(s".commit-$queryId"))
+      .foreach(_.delete())
+  }
 }
 
 class ObjectWriterFactory(dir: String, queryId: String) extends DataWriterFactory {
@@ -125,25 +157,35 @@ case class ObjectCommitMsg(staged: Seq[(String, String)]) extends WriterCommitMe
 
 /** Executor-side writer: stages one file per row; nothing becomes
   * visible until the driver's job commit. Keys are flattened to safe
-  * file names (an object store's key separator is cosmetic). */
+  * file names by a COLLISION-FREE percent-encoding (an object store's
+  * key separator is cosmetic, but "a/b" and a literal "a__b" must not
+  * land on the same object — and '%' itself is escaped so the map is
+  * injective). A key written twice in one task keeps the LAST payload
+  * and stages ONE file — put semantics, and the job commit never sees
+  * two moves of the same source. */
 class ObjectWriter(dir: String, queryId: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   private val taskDir = {
     val d = new File(ObjectSink.stagingRoot(dir, queryId), s"$partitionId-$taskId")
     d.mkdirs(); d
   }
-  private val staged = scala.collection.mutable.ArrayBuffer[(String, String)]()
+  // insertion-ordered, keyed by final name: re-writing a key replaces
+  // its payload in place instead of staging a duplicate entry
+  private val staged =
+    scala.collection.mutable.LinkedHashMap[String, String]()
 
   override def write(row: InternalRow): Unit = {
     val key = row.getUTF8String(0).toString
     require(key.nonEmpty, "graft-objects: empty key")
-    val finalName = key.replaceAll("[/\\\\]", "__")
+    val finalName = key.replace("%", "%25").replace("/", "%2F")
+      .replace("\\", "%5C")
     val payload = if (row.isNullAt(1)) "" else row.getUTF8String(1).toString
     val tmp = new File(taskDir, finalName)
     Files.write(tmp.toPath, payload.getBytes(StandardCharsets.UTF_8))
-    staged += ((tmp.getAbsolutePath, finalName))
+    staged.put(finalName, tmp.getAbsolutePath)
   }
-  override def commit(): WriterCommitMessage = ObjectCommitMsg(staged.toSeq)
+  override def commit(): WriterCommitMessage =
+    ObjectCommitMsg(staged.toSeq.map { case (name, tmp) => (tmp, name) })
   override def abort(): Unit = ObjectSink.deleteRec(taskDir)
   override def close(): Unit = ()
 }

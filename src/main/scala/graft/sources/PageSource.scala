@@ -170,9 +170,21 @@ class PageReaderFactory(required: StructType) extends PartitionReaderFactory {
 /** Offsets index into the (mtime, path)-sorted listing: offset N = "the
   * first N pages are committed". New fetch results carry later mtimes,
   * so they extend the suffix — an AvailableNow run against a checkpoint
-  * plans exactly the files that appeared since the previous run. */
-case class PageOffset(count: Int) extends Offset {
-  override def json(): String = s"""{"count":$count}"""
+  * plans exactly the files that appeared since the previous run.
+  *
+  * The offset also pins the PATH of the last committed page, and
+  * [[PageMicroBatchStream.planInputPartitions]] re-checks it against
+  * the current listing: positional offsets are only correct while the
+  * directory is append-only with non-decreasing mtimes (the fetch-loop
+  * contract), and a violation — a file backdated into the committed
+  * prefix (cp -p, clock skew) or a deleted page — would otherwise
+  * SILENTLY skip one file and re-emit another. With the pin it fails
+  * loudly instead. */
+case class PageOffset(count: Int, lastPath: String = "") extends Offset {
+  override def json(): String = {
+    val esc = lastPath.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"count":$count,"lastPath":"$esc"}"""
+  }
 }
 
 class PageMicroBatchStream(dir: String, required: StructType,
@@ -181,15 +193,37 @@ class PageMicroBatchStream(dir: String, required: StructType,
     new PageScan(dir, required, pushed).prunedListing()
 
   override def initialOffset(): Offset = PageOffset(0)
-  override def latestOffset(): Offset = PageOffset(listing.size)
-  override def deserializeOffset(json: String): Offset =
-    PageOffset("\"count\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+  override def latestOffset(): Offset = {
+    val l = listing
+    PageOffset(l.size, l.lastOption.map(_.path).getOrElse(""))
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val count = "\"count\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toInt)
-      .getOrElse(throw new IllegalArgumentException(s"bad PageOffset: $json")))
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    listing.slice(start.asInstanceOf[PageOffset].count,
-      end.asInstanceOf[PageOffset].count)
+      .getOrElse(throw new IllegalArgumentException(s"bad PageOffset: $json"))
+    val lastPath = "\"lastPath\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse("")
+    PageOffset(count, lastPath)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val l = listing
+    val s = start.asInstanceOf[PageOffset]
+    val e = end.asInstanceOf[PageOffset]
+    def pin(o: PageOffset): Unit =
+      if (o.count > 0 && o.lastPath.nonEmpty) {
+        require(o.count <= l.size && l(o.count - 1).path == o.lastPath,
+          s"graft-pages: the fetch directory is no longer append-only — " +
+            s"offset ${o.count} was committed with last page '${o.lastPath}' " +
+            s"but the listing now has '${l.lift(o.count - 1).map(_.path).getOrElse("<missing>")}' " +
+            "at that position (a page was backdated, renamed or deleted); " +
+            "positional replay would silently skip/re-emit pages, refusing instead")
+      }
+    pin(s); pin(e)
+    l.slice(s.count, e.count)
       .map(p => PagePartition(p): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new PageReaderFactory(required)
   override def commit(end: Offset): Unit = ()

@@ -24,10 +24,38 @@ class ObjectSinkSpec extends AnyFunSuite {
       .toDF("key", "payload")
       .write.format("graft-objects").mode("append").save(dir.getPath)
     val objs = graft.sources.ObjectSink.listObjects(dir.getPath)
-    assert(objs.map(_.getName) == Seq("img__1.jpg", "img__2.jpg"))
+    assert(objs.map(_.getName) == Seq("img%2F1.jpg", "img%2F2.jpg"))
     assert(new String(Files.readAllBytes(objs.head.toPath), "UTF-8") == "payload-one")
-    // no staging dirs survive a committed job
+    // no staging dirs and no hidden commit temps survive a committed job
     assert(!dir.listFiles().exists(_.getName.startsWith(".staging")))
+    assert(!dir.listFiles().exists(_.getName.startsWith(".commit-")))
+  }
+
+  test("key flattening is injective: 'a/b' and a literal collision candidate stay distinct") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // under a lossy "__"-flattening these three keys would collide;
+    // the percent-encoding (with '%' itself escaped) keeps the map
+    // injective, so three distinct objects land
+    Seq(("a/b", "slash"), ("a%2Fb", "literal-pct"), ("a\\b", "backslash"))
+      .toDF("key", "payload")
+      .write.format("graft-objects").mode("append").save(dir.getPath)
+    val objs = graft.sources.ObjectSink.listObjects(dir.getPath)
+    assert(objs.map(_.getName).toSet ==
+      Set("a%2Fb", "a%252Fb", "a%5Cb"))
+  }
+
+  test("a key written twice keeps the last payload — put semantics, no commit crash") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // same key twice in ONE partition: must not stage a duplicate move
+    // (which would crash job commit) and must keep the later payload
+    Seq(("k.txt", "first"), ("k.txt", "second"))
+      .toDF("key", "payload").coalesce(1)
+      .write.format("graft-objects").mode("append").save(dir.getPath)
+    val objs = graft.sources.ObjectSink.listObjects(dir.getPath)
+    assert(objs.map(_.getName) == Seq("k.txt"))
+    assert(new String(Files.readAllBytes(objs.head.toPath), "UTF-8") == "second")
   }
 
   test("overwrite truncates existing objects atomically at job commit") {

@@ -54,20 +54,29 @@ class PageSourceSpec extends AnyFunSuite {
 
   test("column pruning reaches the reader: metadata query never opens payloads") {
     val dir = fetchDir()
-    // an unreadable payload file proves the reader skipped it: if the
-    // pruned scan opened payloads, this query would throw
-    val poison = new File(dir, "zz_poison.json")
-    Files.writeString(poison.toPath, "x")
-    poison.setLastModified(3000000L)
-    poison.setReadable(false)
-    try {
-      val df = spark.read.format("graft-pages").load(dir.getPath)
-        .select(col("path"), col("length"))
-      assert(df.count() == 3)
-      // and the scan's advertised schema really is pruned
-      val scan = df.queryExecution.executedPlan.toString
-      assert(scan.contains("PrunedColumns=path,length"), scan.take(2000))
-    } finally poison.setReadable(true)
+    val df = spark.read.format("graft-pages").load(dir.getPath)
+      .select(col("path"), col("length"))
+    assert(df.count() == 2)
+    // the scan's advertised schema really is pruned...
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PrunedColumns=path,length"), scan.take(2000))
+    // ...and the I/O-skip contract holds at the reader itself: a
+    // pruned reader over a NONEXISTENT file yields its metadata row
+    // without touching the filesystem (an unreadable-file probe can't
+    // test this — as root, permission bits don't block reads), while
+    // a payload-bearing reader over the same file must throw
+    import graft.sources.{PageFile, PagePartition, PageReaderFactory}
+    import org.apache.spark.sql.types.StructType
+    val ghost = PagePartition(PageFile(s"${dir.getPath}/never_written.json", 9L, 3L))
+    val pruned = StructType(graft.sources.PageSource.SCHEMA
+      .filter(f => f.name == "path" || f.name == "length"))
+    val r = new PageReaderFactory(pruned).createReader(ghost)
+    assert(r.next())
+    assert(r.get().numFields == 2) // no exception: payload never opened
+    val full = new PageReaderFactory(graft.sources.PageSource.SCHEMA)
+      .createReader(ghost)
+    assert(full.next())
+    intercept[java.io.IOException](full.get())
   }
 
   test("path filters prune the file listing itself") {
@@ -141,14 +150,47 @@ class PageSourceSpec extends AnyFunSuite {
 
   test("offsets round-trip through their JSON wire form") {
     // the checkpoint log stores offsets as JSON; a serde asymmetry
-    // would surface as a poisoned checkpoint on restart
+    // would surface as a poisoned checkpoint on restart. lastPath pins
+    // the committed prefix, so paths with JSON-hostile characters must
+    // survive the trip too.
     import graft.sources.{PageMicroBatchStream, PageOffset}
     val stream = new PageMicroBatchStream(
       Files.createTempDirectory("graft_off").toFile.getPath,
       graft.sources.PageSource.SCHEMA, Array.empty)
-    for (n <- Seq(0, 1, 7, 123456))
-      assert(stream.deserializeOffset(PageOffset(n).json()) == PageOffset(n))
+    for (o <- Seq(PageOffset(0), PageOffset(1, "/a/b.json"),
+        PageOffset(7, "/odd \"quoted\" name.json"),
+        PageOffset(123456, "C:\\win\\style.json")))
+      assert(stream.deserializeOffset(o.json()) == o)
     intercept[IllegalArgumentException](stream.deserializeOffset("{}"))
+  }
+
+  test("a backdated page fails the replay loudly instead of silently skipping") {
+    // positional offsets are only sound while the directory is
+    // append-only with non-decreasing mtimes; a file landing INSIDE
+    // the committed prefix must abort the stream, not corrupt it
+    val dir = fetchDir()
+    val ckpt = Files.createTempDirectory("graft_pages_bd").toFile
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-pages").load(dir.getPath)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      q.awaitTermination()
+    }
+    drain() // commits offset 2 with lastPath = page_graphql/page_data tail
+    // a "fetch result" backdated BEFORE the committed pages (cp -p,
+    // clock skew) — sorts into the already-committed prefix
+    val backdated = new File(dir, "aaa_backdated.json")
+    Files.writeString(backdated.toPath, "{}")
+    backdated.setLastModified(500L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("no longer append-only"))),
+      s"expected the append-only violation message, got: ${e.getMessage}")
   }
 
   test("micro-batch replay is incremental across checkpointed AvailableNow runs") {
