@@ -65,7 +65,12 @@ object GraftExtensions {
     children => graft.functions.SimHash(children.head)
 
   /** Same registration for an already-running session (extensions only
-    * apply at construction time). */
+    * apply at construction time) — the FULL surface, not just the SQL
+    * functions: a live session registered here previously never got the
+    * large-IN-list rewrite or the as-of strategy, and unlike AsOf.join
+    * (which self-heals by appending its strategy) the optimizer rule
+    * has no fallback — a 100k-element isin would silently stay a
+    * per-row list scan. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftshim.GraftShim.registerFunction(
       spark, "graft_dot", dotInfo, dotBuilder)
@@ -77,5 +82,12 @@ object GraftExtensions {
       spark, "graft_labels", labelsInfo, labelsBuilder)
     org.apache.spark.sql.graftshim.GraftShim.registerFunction(
       spark, "graft_simhash", simhashInfo, simhashBuilder)
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.LargeInListToJoinRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LargeInListToJoinRule()
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

@@ -81,34 +81,11 @@ object PorterStemmer extends Serializable {
     // Step 1c
     if (w.endsWith("y") && containsVowel(w.dropRight(1))) w = w.dropRight(1) + "i"
 
-    // Steps 2-4 use longest-suffix-match ("search for the longest among
-    // the suffixes" — Porter 1980); if the longest match's condition
-    // fails, no shorter suffix is tried.
-    def longest(m: Map[String, String], word: String): Option[(String, String)] =
-      m.filter { case (s, _) => word.endsWith(s) }
-        .reduceOption((a, b) => if (a._1.length >= b._1.length) a else b)
-
-    // Step 2 (m > 0 suffix mappings)
-    val step2 = Map(
-      "ational" -> "ate", "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
-      "izer" -> "ize", "abli" -> "able", "alli" -> "al", "entli" -> "ent",
-      "eli" -> "e", "ousli" -> "ous", "ization" -> "ize", "ation" -> "ate",
-      "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
-      "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
     longest(step2, w).foreach { case (s, r) => replaceSuffix(w, s, r, 0).foreach(w = _) }
 
-    // Step 3
-    val step3 = Map(
-      "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
-      "ical" -> "ic", "ful" -> "", "ness" -> "")
     longest(step3, w).foreach { case (s, r) => replaceSuffix(w, s, r, 0).foreach(w = _) }
 
-    // Step 4 (m > 1 suffix removal; "ion" additionally requires *S or *T stem)
-    val step4 = Map(
-      "al" -> "", "ance" -> "", "ence" -> "", "er" -> "", "ic" -> "",
-      "able" -> "", "ible" -> "", "ant" -> "", "ement" -> "", "ment" -> "",
-      "ent" -> "", "ion" -> "", "ou" -> "", "ism" -> "", "ate" -> "",
-      "iti" -> "", "ous" -> "", "ive" -> "", "ize" -> "")
+    // Step 4 ("ion" additionally requires *S or *T stem)
     longest(step4, w).foreach { case (s, _) =>
       val stem = w.substring(0, w.length - s.length)
       val ionOk = s != "ion" ||
@@ -126,6 +103,43 @@ object PorterStemmer extends Serializable {
     if (measure(w) > 1 && endsDoubleConsonant(w) && w.endsWith("l")) w = w.dropRight(1)
 
     w
+  }
+
+  // Steps 2-4 suffix tables, hoisted to constants: stem() runs once per
+  // token inside codegen'd hot loops, and rebuilding these as Maps per
+  // call (plus the filter/reduce intermediates of a Map-based longest
+  // match) cost dozens of allocations per token. Sorted longest-first,
+  // so the FIRST endsWith hit IS the longest match ("search for the
+  // longest among the suffixes" — Porter 1980; if its condition fails,
+  // no shorter suffix is tried). Equal-length suffixes are mutually
+  // exclusive under endsWith, so the within-length order is irrelevant.
+  private def byLen(m: (String, String)*): Array[(String, String)] =
+    m.sortBy(-_._1.length).toArray
+  // Step 2 (m > 0 suffix mappings)
+  private val step2 = byLen(
+    "ational" -> "ate", "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
+    "izer" -> "ize", "abli" -> "able", "alli" -> "al", "entli" -> "ent",
+    "eli" -> "e", "ousli" -> "ous", "ization" -> "ize", "ation" -> "ate",
+    "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
+    "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
+  // Step 3
+  private val step3 = byLen(
+    "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
+    "ical" -> "ic", "ful" -> "", "ness" -> "")
+  // Step 4 (m > 1 suffix removal)
+  private val step4 = byLen(
+    "al" -> "", "ance" -> "", "ence" -> "", "er" -> "", "ic" -> "",
+    "able" -> "", "ible" -> "", "ant" -> "", "ement" -> "", "ment" -> "",
+    "ent" -> "", "ion" -> "", "ou" -> "", "ism" -> "", "ate" -> "",
+    "iti" -> "", "ous" -> "", "ive" -> "", "ize" -> "")
+
+  private def longest(m: Array[(String, String)], word: String): Option[(String, String)] = {
+    var i = 0
+    while (i < m.length) {
+      if (word.endsWith(m(i)._1)) return Some(m(i))
+      i += 1
+    }
+    None
   }
 
   /** UTF8String entry point for the codegen'd [[Stem]] expression (called

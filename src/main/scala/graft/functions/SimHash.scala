@@ -18,9 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * counters in a single pass — same output string, ~1/32 the hashing.
   */
 object SimHashKernel {
+  // per-thread digest: getInstance per ROW pays a JCA provider lookup
+  // and digest allocation; digest() self-resets, so reuse is safe (the
+  // same pattern Spark's own Md5 codegen uses)
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def simhash(s: UTF8String): UTF8String = {
     if (s == null) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val acc = new Array[Int](32)
     // same tokenization as the SQL form: split(lower(text), ' ') keeping
     // empty tokens (consecutive spaces hash the empty string too).

@@ -58,9 +58,14 @@ case class VecSumScaled(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      val n = math.min(dim, arr.numElements())
+      // fail loudly on a dimension mismatch: silently truncating a long
+      // array or zero-padding a short one (bad ingest, schema drift)
+      // would pull the centroid toward zero in the missing dimensions
+      // with no error — breaking the exactness contract undetectably
+      require(arr.numElements() == dim,
+        s"graft_vec_sum: input vector has ${arr.numElements()} elements, expected $dim")
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         if (!arr.isNullAt(i)) buf(i) += scaled(arr.getDouble(i))
         i += 1
       }

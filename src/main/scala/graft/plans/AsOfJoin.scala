@@ -122,7 +122,14 @@ case class AsOfJoinExec(
         val lKey = lKeyProj(lRow)
         val ltRaw = lTimeB.eval(lRow)
         var m: InternalRow = null
-        if (ltRaw != null) {
+        // SQL equi-join semantics: a NULL key component never matches —
+        // not even null-to-null (the natural ordering would compare two
+        // null keys EQUAL, silently attributing null-key right rows to
+        // every null-key left row). Such left rows emit the null-fill
+        // without advancing the right cursor; null-key RIGHT rows sort
+        // first within the partition and are consumed by the c < 0 arm
+        // before any non-null left key is probed.
+        if (ltRaw != null && !lKey.anyNull) {
           val lt = ltRaw.asInstanceOf[Long]
           if (fwd) {
             // drop rights before (key, lt); the head is then the first
@@ -195,7 +202,9 @@ object AsOf {
     * (backward, default) or the earliest `rightTime >= leftTime`
     * (`direction = "forward"`) — nulls when none (or none within
     * `toleranceUs`). Right-side columns are suffixed with `rightSuffix`.
-    * Time columns must be LongType (epoch micros).
+    * Time columns must be LongType (epoch micros). A row with a NULL
+    * key component never matches — not even another NULL — exactly as
+    * a SQL equi-join (and pandas merge_asof) treats null keys.
     *
     * `left` and `right` must not share attribute lineage (read the
     * table twice for a self as-of) — enforced below.

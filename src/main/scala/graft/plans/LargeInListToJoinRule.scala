@@ -32,38 +32,40 @@ case class LargeInListToJoinRule(threshold: Int = 64) extends Rule[LogicalPlan] 
         case _ => false
       }
 
-  private def literalRelation(attr: Attribute, list: Seq[Expression]): LocalRelation = {
-    val out = AttributeReference("graft_in_value", attr.dataType, nullable = false)()
-    val rows = list.map { case Literal(v, _) => InternalRow(v) }
-    LocalRelation(Seq(out), rows)
-  }
-
   // Catalyst's OptimizeIn turns big literal lists into InSet before this
-  // rule runs (extraOptimizations/injected rules are late), so match both.
-  private def setEligible(attr: Attribute, hset: Set[Any]): Boolean =
+  // rule runs (extraOptimizations/injected rules are late), so match
+  // both. InSet values carry no per-value dataType to re-check: they are
+  // already the attribute's internal representation (the analyzer
+  // type-checked the In they came from), so null-freedom is the only
+  // remaining guard.
+  private def setEligible(hset: Set[Any]): Boolean =
     hset.size >= threshold && !hset.contains(null)
 
-  private def setRelation(attr: Attribute, hset: Set[Any]): LocalRelation = {
+  /** The one rewrite both list shapes and both polarities share: a
+    * LocalRelation of the literal values, semi-joined (IN) or — with
+    * the IsNotNull guard restoring NOT-IN's NULL-drop — anti-joined. */
+  private def rewrite(attr: Attribute, values: Seq[Any], negated: Boolean,
+      child: LogicalPlan): Join = {
     val out = AttributeReference("graft_in_value", attr.dataType, nullable = false)()
-    LocalRelation(Seq(out), hset.toSeq.map(InternalRow(_)))
+    val rel = LocalRelation(Seq(out), values.map(InternalRow(_)))
+    if (negated)
+      Join(Filter(IsNotNull(attr), child), rel, LeftAnti,
+        Some(EqualTo(attr, out)), JoinHint.NONE)
+    else
+      Join(child, rel, LeftSemi, Some(EqualTo(attr, out)), JoinHint.NONE)
   }
+
+  private def values(list: Seq[Expression]): Seq[Any] =
+    list.map { case Literal(v, _) => v }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Filter(In(attr: Attribute, list), child) if eligible(attr, list) =>
-      val rel = literalRelation(attr, list)
-      Join(child, rel, LeftSemi,
-        Some(EqualTo(attr, rel.output.head)), JoinHint.NONE)
+      rewrite(attr, values(list), negated = false, child)
     case Filter(Not(In(attr: Attribute, list)), child) if eligible(attr, list) =>
-      val rel = literalRelation(attr, list)
-      Join(Filter(IsNotNull(attr), child), rel, LeftAnti,
-        Some(EqualTo(attr, rel.output.head)), JoinHint.NONE)
-    case Filter(InSet(attr: Attribute, hset), child) if setEligible(attr, hset) =>
-      val rel = setRelation(attr, hset)
-      Join(child, rel, LeftSemi,
-        Some(EqualTo(attr, rel.output.head)), JoinHint.NONE)
-    case Filter(Not(InSet(attr: Attribute, hset)), child) if setEligible(attr, hset) =>
-      val rel = setRelation(attr, hset)
-      Join(Filter(IsNotNull(attr), child), rel, LeftAnti,
-        Some(EqualTo(attr, rel.output.head)), JoinHint.NONE)
+      rewrite(attr, values(list), negated = true, child)
+    case Filter(InSet(attr: Attribute, hset), child) if setEligible(hset) =>
+      rewrite(attr, hset.toSeq, negated = false, child)
+    case Filter(Not(InSet(attr: Attribute, hset)), child) if setEligible(hset) =>
+      rewrite(attr, hset.toSeq, negated = true, child)
   }
 }

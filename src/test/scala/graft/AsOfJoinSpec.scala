@@ -30,6 +30,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select($"tag", $"payload_r")
       .collect().map(row => row.getString(0) -> row.getString(1)).toMap
 
+  test("NULL keys never match — not even another NULL (SQL equi-join semantics)") {
+    // a natural ordering compares two null keys EQUAL, so without the
+    // explicit guard every null-key right row would be attributed to
+    // every null-key left row; SQL joins (and pandas merge_asof) emit
+    // nulls for those left rows instead
+    val l = Seq((Option("a"), 10L, "a10"), (Option.empty[String], 10L, "lnull"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Option("a"), 9L, "pay-a9"), (Option.empty[String], 5L, "pay-null"))
+      .toDF("k", "t", "payload")
+    val got = run(l, r)
+    assert(got == Map("a10" -> "pay-a9", "lnull" -> null), got.toString)
+    // and forward direction takes the same guard path
+    val fwd = graft.plans.AsOf.join(l, r, keys = Seq("k"),
+        leftTime = "t", rightTime = "t", direction = "forward")
+      .select($"tag", $"payload_r")
+      .collect().map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(fwd("lnull") == null, fwd.toString)
+  }
+
   test("backward as-of: latest right at-or-before each left row; no match → null") {
     val got = run(leftDf, rightDf)
     assert(got == Map(
