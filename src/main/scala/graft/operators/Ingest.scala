@@ -155,18 +155,18 @@ object Ingest {
     * each evaluate from_json independently (Catalyst does not share
     * subexpressions across union branches), so an UNCACHED input is
     * parsed once per dialect branch — still a win over the old
-    * get_json_object probes (which added a third partial parse), but
-    * callers wanting a true single parse must persist
-    * [[parseTagPage]]'s output first, as q_etl_pipeline does. */
+    * get_json_object probes (which added a third partial parse).
+    * Callers CAN persist [[parseTagPage]]'s output for a true single
+    * parse, but measure first: q_etl_pipeline did in r4 and removed the
+    * cache in r5 when the columnar write of the parsed structs (~1.4 s
+    * at sf0.1) overtook the ~0.2 s parse it saved (Pipeline.scala). */
   def postsFromTagPage(pages: DataFrame, source: String): DataFrame =
     postsFromParsed(parseTagPage(pages), source)
 
   /** The parse step alone (`json` string → combined-schema struct `p`).
     * Split out so a caller composing several consumers of the same page
-    * batch can persist the PARSED struct — the union below reads its
-    * input twice, and caching post-parse makes that two cache reads
-    * instead of two full JSON parses (measured ~0.7 s at sf0.1 in
-    * q_etl_pipeline). */
+    * batch can persist the PARSED struct if the parse dominates —
+    * see [[postsFromTagPage]]'s note on when that trade actually pays. */
   def parseTagPage(pages: DataFrame): DataFrame =
     pages.select(from_json(col("json"), tagPageCombinedSchema).as("p"))
 
@@ -251,8 +251,10 @@ object Ingest {
       fullName: Column, locationName: Column): Column =
     // the reference always seeds content with `caption || ''` (topics.js:15),
     // so a null caption still contributes a leading empty segment
-    // ('.Photo of...'), while the optional parts are dropped when absent
-    concat_ws(".", array_compact(array(
+    // ('.Photo of...'), while the optional parts are dropped when
+    // absent — concat_ws itself skips null array elements, so no
+    // explicit compact step is needed
+    concat_ws(".", array(
       coalesce(caption, lit("")), accessibility, fullName,
-      when(locationName.isNotNull, concat(locationName, lit("."))))))
+      when(locationName.isNotNull, concat(locationName, lit(".")))))
 }

@@ -31,9 +31,12 @@ object Multimodal extends graft.QueryPack {
   /** STUB decoder — stands in for image decode / feature extraction.
     * Deterministic fake: "header" fields from leading byte values and a
     * every-16th-byte "frame sample" checksum. A real deployment replaces
-    * only this function; the Spark plumbing around it is unchanged. */
+    * only this function; the Spark plumbing around it is unchanged.
+    * A NULL payload decodes as empty bytes (real media columns have
+    * null rows routinely; an NPE here fails the whole job) — same
+    * null-tolerance as the sibling LabelGen kernel. */
   def decodeStub(m: MediaRow): MediaFeatures = {
-    val b = m.content
+    val b = if (m.content == null) Array.emptyByteArray else m.content
     def at(i: Int): Long = if (i < b.length) b(i) & 0xffL else 0L
     val frameSum = b.indices.by(16).map(i => b(i) & 0xffL).sum
     MediaFeatures(
@@ -65,9 +68,10 @@ object Multimodal extends graft.QueryPack {
     * md5, the real op emits a smaller binary); "frames" = 256-byte
     * blocks, sampled at first / middle / last; per-frame checksum =
     * byte sum. Deterministic, so the oracle restates it byte-for-byte
-    * on the ASCII payloads. A real decoder replaces only this body. */
+    * on the ASCII payloads. A real decoder replaces only this body.
+    * NULL payload = empty bytes, as in [[decodeStub]]. */
   def transformStub(m: MediaRow): Seq[FrameRow] = {
-    val b = m.content
+    val b = if (m.content == null) Array.emptyByteArray else m.content
     val resized = b.indices.by(4).map(b(_)).toArray
     val md = java.security.MessageDigest.getInstance("MD5")
     val resizedMd5 = md.digest(resized).map("%02x".format(_)).mkString
@@ -140,8 +144,8 @@ object Multimodal extends graft.QueryPack {
         |  substring(text, 1, 2) AS magic,
         |  CAST(ascii(substring(text, 1, 1)) * 256 + ascii(substring(text, 2, 1)) AS BIGINT) AS fake_width,
         |  CAST(ascii(substring(text, 3, 1)) * 256 + ascii(substring(text, 4, 1)) AS BIGINT) AS fake_height,
-        |  CAST(list_sum(list_transform(range(1, length(text) + 1, 16),
-        |       i -> ascii(substring(text, i, 1)))) AS BIGINT) AS frame_sum
+        |  CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1, 16),
+        |       i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS frame_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_transform" ->

@@ -41,10 +41,7 @@ object StreamingGate extends graft.QueryPack {
   private def freshDir(name: String): String = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val self = ProcessHandle.current().pid()
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
-      f.delete()
-    }
+    def delete(f: java.io.File): Unit = graft.Fs.deleteRec(f)
     // reap graft_stream_* dirs left by processes that have exited
     // (dead pid, or an unparseable suffix from a foreign writer is
     // left alone); racing reapers are harmless — delete is idempotent

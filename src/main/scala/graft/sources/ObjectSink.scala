@@ -56,10 +56,7 @@ object ObjectSink {
   private[sources] def stagingRoot(dir: String, queryId: String) =
     new File(dir, s".staging-$queryId")
 
-  private[sources] def deleteRec(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete()
-  }
+  private[sources] def deleteRec(f: File): Unit = graft.Fs.deleteRec(f)
 
   /** Visible (committed) objects = non-hidden files in the directory. */
   def listObjects(dir: String): Seq[File] =

@@ -65,9 +65,18 @@ object EventsStream {
         col("n_events"))
 
   /** ST5: streaming keyed dedup with watermark-bounded state (the
-    * reference's `Post.findOne({id})` existence probe, set-wise). */
+    * reference's `Post.findOne({id})` existence probe, set-wise).
+    * `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`: with
+    * the event-time column absent from the dedup subset, plain
+    * dropDuplicates never evicts its per-id state — it grows one entry
+    * per distinct id forever, the exact leak StreamingGate's
+    * q_stream_dedup documents. Within-watermark dedup drops an id's
+    * state once the watermark passes its event time; duplicates
+    * arriving later than the watermark delay are no longer caught,
+    * which is the standard bounded-state trade. */
   def dedupByKey(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Session state for gap-based sessionization (mapGroupsWithState). */
   case class SessionState(sessionId: Long, lastTs: Long)
@@ -79,7 +88,19 @@ object EventsStream {
     * (SURVEY.md §2.9 generalization; the reference's only state is "the
     * database"). State survives micro-batches: a user's session numbering
     * continues where the previous batch left off. Within a batch, events
-    * are processed in event-time order. */
+    * are processed in event-time order.
+    *
+    * ORDERING CONTRACT (cross-batch): a key's events must arrive in
+    * event-time order ACROSS micro-batches — the imperative fold keeps
+    * only (sessionId, lastTs), so a late event from an earlier batch
+    * window joins the wrong session AND regresses lastTs, shifting
+    * every later boundary. True for single-file replay (one batch) and
+    * any source that emits a key's events monotonically; an
+    * out-of-order backfill needs the watermark-based declarative twin
+    * [[sessionWindowAgg]], which buffers and merges late events
+    * instead of folding eagerly. (Equal-ts ties cannot split a session
+    * — gap 0 <= 30 min — so no tiebreak is needed; the sort key is
+    * ts alone, user_id being constant within the group.) */
   def sessionizeGroup(
       key: Long,
       events: Iterator[SessionEvent],
@@ -87,7 +108,7 @@ object EventsStream {
       : Iterator[SessionAssignment] = {
     val GAP_US = 30L * 60 * 1000000
     var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-    val out = events.toSeq.sortBy(e => (e.ts_us, e.user_id)).map { e =>
+    val out = events.toSeq.sortBy(_.ts_us).map { e =>
       val fresh = st.lastTs == Long.MinValue || e.ts_us - st.lastTs > GAP_US
       st = SessionState(if (fresh) st.sessionId + 1 else st.sessionId, e.ts_us)
       SessionAssignment(e.user_id, e.ts_us, st.sessionId)
@@ -104,10 +125,17 @@ object EventsStream {
   /** Streaming BACKWARD AS-OF: enrich each fact with the latest
     * state-row time at-or-before it — the streaming twin of the native
     * batch operator (graft.plans.AsOf). Both streams arrive unioned and
-    * tagged on one key; per-key state is O(1) (the last state time),
+    * tagged on one key; per-key state is O(1) (the MAX state time seen),
     * carried across micro-batches by flatMapGroupsWithState. Within a
     * batch, events are processed in event-time order (ties: state
-    * before fact, matching the batch operator's inclusive rt <= lt). */
+    * before fact, matching the batch operator's inclusive rt <= lt).
+    * The carried state is monotone (max, not last-seen): a LATE state
+    * row from an earlier batch window must not regress it — facts in
+    * this batch are all at-or-after the watermark, so the true latest
+    * state at-or-before them is the max. (A late state row between two
+    * EARLIER facts is inherently unfixable in O(1) state — those facts
+    * were already emitted; that is the streaming-vs-batch trade, not a
+    * bug of this fold.) */
   def asOfEnrichGroup(
       key: Long,
       events: Iterator[TaggedEvent],
@@ -117,7 +145,7 @@ object EventsStream {
     val out = events.toSeq
       .sortBy(e => (e.ts_us, !e.is_state)) // state first at equal ts
       .flatMap { e =>
-        if (e.is_state) { lastState = e.ts_us; None }
+        if (e.is_state) { lastState = math.max(lastState, e.ts_us); None }
         else Some(EnrichedFact(e.user_id, e.ts_us,
           if (lastState == Long.MinValue) null else java.lang.Long.valueOf(lastState)))
       }
@@ -134,11 +162,7 @@ object EventsStream {
     val tmp = target + s"_tmp_$batchId"
     merged.write.mode("overwrite").parquet(tmp)
     val old = new java.io.File(target)
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
-      f.delete()
-    }
-    if (old.exists()) delete(old)
+    if (old.exists()) graft.Fs.deleteRec(old)
     require(new java.io.File(tmp).renameTo(old), s"swap failed: $tmp -> $target")
   }
 
