@@ -152,6 +152,9 @@ object Dedup extends graft.QueryPack {
     * integers from md5 hex. */
   private val MOD = 1000000007L
   val minhashSigs = udf((sh: Seq[String]) => {
+    // null in (from a null text through shingleUdf) → null out, like
+    // every other kernel here — an NPE would fail the whole job
+    if (sh == null) null else {
     val md = java.security.MessageDigest.getInstance("MD5")
     val sigs = Array.fill(NUM_HASHES)(Long.MaxValue)
     sh.foreach { s =>
@@ -168,7 +171,7 @@ object Dedup extends graft.QueryPack {
       }
     }
     if (sh.isEmpty) Array.fill(NUM_HASHES)(0L) else sigs
-  })
+  }})
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
@@ -190,10 +193,20 @@ object Dedup extends graft.QueryPack {
       val c = corpus(Tables(s, d, "documents"))
         .withColumn("sh", shingles(col("text")))
         .withColumn("sigs", minhashSigs(col("sh")))
-      // One pass: band-explode, group rows into their (band, bucket),
-      // generate candidate pairs inside each bucket. The signature
-      // pipeline runs once (a self-join would recompute it per side) and
-      // the only shuffle is on the uniformly-hashed bucket key.
+      // Band-explode, then candidate pairs via a SELF EQUI-JOIN on the
+      // (band, bucket-key) — the standard LSH-join layout. An earlier
+      // formulation collect_list'ed every bucket's members and built
+      // the m² pair structs inside ONE row: with a mass-duplicated
+      // page (millions of copies share all 4 band keys by
+      // construction) that materializes the whole bucket in one agg
+      // buffer and one unsplittable output row — the same OOM pattern
+      // the ngramPairsOf comment rejects. The join streams the same m²
+      // candidates through a spillable shuffle instead. The signature
+      // frame is persisted so the shingle+minhash kernels run ONCE and
+      // both join sides read the (spillable, ~corpus-sized) cache —
+      // comparable to the exchange the join materializes anyway; the
+      // harness unpersists between queries.
+      c.persist()
       val banded = c.select(
         col("doc_id"), col("sh"),
         explode(transform(sequence(lit(0), lit(BANDS - 1)), b => struct(
@@ -202,17 +215,14 @@ object Dedup extends graft.QueryPack {
             slice(col("sigs"), b * ROWS_PER_BAND + 1, lit(ROWS_PER_BAND)),
             x => x.cast("string")), "|")).as("bkey")))).as("bb"))
         .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
-      banded
-        .groupBy(col("band"), col("bkey"))
-        .agg(collect_list(struct(col("doc_id"), col("sh"))).as("m"))
-        .filter(size(col("m")) > 1)
-        .select(explode(expr(
-          """filter(flatten(transform(m, a -> transform(m, b ->
-            |  named_struct('id_a', a.doc_id, 'sh_a', a.sh,
-            |               'id_b', b.doc_id, 'sh_b', b.sh)))),
-            |  p -> p.id_a < p.id_b)""".stripMargin)).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-          round(jaccard(col("p.sh_a"), col("p.sh_b")), 9).as("jaccard"))
+      val l = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val r = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      l.join(r, Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(jaccard(col("sh_a"), col("sh_b")), 9).as("jaccard"))
         .distinct()
         .filter(col("jaccard") >= 0.6)
         .orderBy(col("id_a"), col("id_b"))
@@ -256,11 +266,14 @@ object Dedup extends graft.QueryPack {
     // this needs no df cap where ngramPairs does.
     "q_dedup_substring" -> ((s, d) => {
       // (doc_id, hash) is read by both the per-hash aggregation and the
-      // mark-join probe; persisting the compact hashed frame halves the
-      // per-doc MD5 work (the text itself is never cached).
+      // mark-join probe. NOT persisted (changed in r5): the exploded
+      // frame is one 32-hex row PER TOKEN POSITION — ~5-8× the corpus
+      // bytes — so caching it at 100 TB demands multi-corpus-scale
+      // executor storage/spill to save only a second streaming MD5
+      // pass; recomputing the narrow projection per consumer is the
+      // layout that survives 100× (the local cost is ~0.3 s at sf0.1).
       val spans = corpus(Tables(s, d, "documents"))
         .select(col("doc_id"), explode(spanHashUdf(col("text"))).as("h"))
-        .persist()
       val perSpan = spans.distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       spans.join(perSpan, Seq("h"))
@@ -374,6 +387,15 @@ object Dedup extends graft.QueryPack {
         rounds += 1
       }
       edges.unpersist(false)
+      // fail LOUDLY if the 50-round backstop fired before the fixpoint:
+      // propagation advances one hop per round, so a component whose
+      // radius from its minimum id exceeds 50 (a long near-dup chain)
+      // would otherwise return silently-wrong non-minimum labels that
+      // disagree with the recursive-CTE oracle
+      require(converged,
+        "q_dedup_clusters: label propagation did not converge within 50 " +
+          "rounds — a connected component has radius > 50; raise the round " +
+          "cap (or switch to pointer-doubling) for this graph")
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),
@@ -419,7 +441,11 @@ object Dedup extends graft.QueryPack {
           explode(shingles(col("text"))).as("s"))
       val hot = cx0.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") > SHINGLE_DF_CAP).select(col("s"))
-      val cx = cx0.join(broadcast(hot), Seq("s"), "left_anti")
+      // no broadcast hint: the hot SET itself grows with the corpus
+      // (every boilerplate shingle past the cap), so forcing a driver
+      // collect would OOM at scale — AQE broadcasts while it fits and
+      // falls back to a shuffled anti-join past the threshold
+      val cx = cx0.join(hot, Seq("s"), "left_anti")
       val contaminated = bx.join(cx, Seq("s"))
         .groupBy(col("bench_id"), col("corpus_id"), col("nb"))
         .agg(count(lit(1)).as("common"))
@@ -459,11 +485,21 @@ object Dedup extends graft.QueryPack {
     // cap on the same document frequencies.
     val hot = cx0.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > SHINGLE_DF_CAP).select(col("s"))
-    val capped = cx0.join(broadcast(hot), Seq("s"), "left_anti")
+    // unhinted for the same reason as the funnel's cap join: the hot
+    // set grows with the corpus; AQE picks broadcast only while it fits
+    val capped = cx0.join(hot, Seq("s"), "left_anti")
     val cx = if (!bloom) capped else {
       // one pass over the small bench side builds the filter (the
       // count only sizes it exactly); 1% fpp keeps it ~1.2 KB per
-      // thousand shingles
+      // thousand shingles. SIZE CONTRACT: the driver-built broadcast
+      // bloom is sized by the BENCH side, which in a real pipeline is
+      // a FIXED benchmark suite (GSM8K/MMLU/...; a few GB of shingles
+      // at most, at any corpus size) — the testdata's doc_id%50 slice
+      // models that eval set and happens to be a corpus fraction, but
+      // the operator's scale story assumes the eval set, like every
+      // broadcast side in this repo, does not grow with the corpus.
+      // A corpus-sized probe set belongs in the unbloomed variant
+      // (plain shuffle joins, no driver materialization).
       val bsh = bx.select(col("s")).distinct()
       val bf = bsh.stat.bloomFilter("s", math.max(bsh.count(), 1L), 0.01)
       val bfB = s.sparkContext.broadcast(bf)

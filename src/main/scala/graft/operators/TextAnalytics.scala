@@ -182,7 +182,13 @@ object TextAnalytics extends graft.QueryPack {
           explode(transform(sequence(lit(1), size(col("toks")) - 1),
             i => concat_ws(" ", element_at(col("toks"), i),
               element_at(col("toks"), i + 1)))).as("gram"))
+      // the vocab-sized model feeds TWO consumers (the 1-row total and
+      // the scored table) — unpersisted, each re-runs the full corpus
+      // bigram explode + shuffle agg, the exact recompute hazard
+      // q_dsir_sample's persist documents. Vocab-sized: safe to cache
+      // at any corpus scale (the harness unpersists between queries).
       val model = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+        .persist()
       val total = model.agg(sum(col("c")).as("n_total"))
       val scored = model.crossJoin(broadcast(total))
         .select(col("gram"),
@@ -550,9 +556,18 @@ object TextAnalytics extends graft.QueryPack {
   def clearMemos(): Unit = bpeCache.clear()
   private def learnBpeMerges(s: SparkSession, d: String)
       : Seq[(Long, String, String, Long)] = {
+    // fingerprint handles BOTH layouts: a single file (length+mtime)
+    // and a partitioned directory, where the directory's own
+    // length/mtime does not change when part files are overwritten in
+    // place — fold every part file's (name, length, mtime) instead
     val f = new java.io.File(d, "documents.parquet")
-    val key = s"$d|${f.length()}:${f.lastModified()}"
-    bpeCache.computeIfAbsent(key, _ => learnBpeMergesUncached(s, d))
+    val fp =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(p => s"${p.getName}:${p.length()}:${p.lastModified()}")
+          .mkString(",").hashCode.toString
+      else s"${f.length()}:${f.lastModified()}"
+    bpeCache.computeIfAbsent(s"$d|$fp", _ => learnBpeMergesUncached(s, d))
   }
 
   private def learnBpeMergesUncached(s: SparkSession, d: String)
