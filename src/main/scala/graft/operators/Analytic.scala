@@ -59,7 +59,9 @@ object Analytic extends graft.QueryPack {
       val c = Tables(s, d, "customer"); val n = Tables(s, d, "nation")
       val r = Tables(s, d, "region")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        // customer scales with SF — unhinted (AQE decides); nation and
+        // region are true fixed dims and keep their hints
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
@@ -104,7 +106,12 @@ object Analytic extends graft.QueryPack {
     // consumers). Grid bounds are a 1-row exact-integer broadcast; the
     // grid itself is |types| × |hours| rows generated EXECUTOR-side by
     // an explode (never a driver loop), left-joined with the hourly
-    // counts on a uniform composite key.
+    // counts on a uniform composite key. DATA CONTRACT: bounds come
+    // from the raw global min/max hour, so ONE corrupt epoch-0 (or
+    // far-future) timestamp inflates the grid to the whole span —
+    // sequence() throws past 2^31 elements (a loud failure, not silent
+    // wrong data); a deployment ingesting unvalidated timestamps
+    // should clamp lo/hi to the expected retention window first.
     "q_gap_fill" -> ((s, d) => {
       val e = Tables(s, d, "events")
         .select(col("event_type"),
@@ -167,17 +174,19 @@ object Analytic extends graft.QueryPack {
       // Checksum as a hi/lo BIGINT pair: the step-timestamp sum is
       // accumulated in DECIMAL(38,0) (a Long sum of epoch-us wraps at
       // ~5k users; decimal matches DuckDB's HUGEINT headroom), then
-      // split into sum div 1e9 / sum mod 1e9 — both < 2^53, so the
-      // driver's dtype-sensitive hash (which canonicalizes big decimals
-      // through float64) sees exact integers on both engines. All
-      // timestamps are positive, so div/mod semantics agree.
+      // split into sum div 1e12 / sum mod 1e12 — both < 2^53 up to
+      // ~5e12 funnel users (a 1e9 divisor capped hi at ~5e9 users,
+      // a silent data-volume ceiling), so the driver's dtype-sensitive
+      // hash (which canonicalizes big decimals through float64) sees
+      // exact integers on both engines. All timestamps are positive,
+      // so div/mod semantics agree.
       def tier(df: DataFrame, step: Int, nm: String, t: String): DataFrame =
         df.agg(count(lit(1)).as("n_users"),
             sum(col(t).cast(DecimalType(38, 0))).as("s"))
           .select(lit(step.toLong).as("step"), lit(nm).as("step_name"),
             col("n_users"),
-            expr("s div 1000000000").as("sum_us_hi"),
-            expr("CAST(s % 1000000000 AS BIGINT)").as("sum_us_lo"))
+            expr("s div 1000000000000").as("sum_us_hi"),
+            expr("CAST(s % 1000000000000 AS BIGINT)").as("sum_us_lo"))
       tier(s1, 1, "view", "t1")
         .unionByName(tier(s2, 2, "click", "t2"))
         .unionByName(tier(s3, 3, "purchase", "t3"))
@@ -297,9 +306,18 @@ object Analytic extends graft.QueryPack {
           max(col("value")).as("vmax"),
           sum(v).cast("double").as("vsum"),
           (sum(v).cast("double") / count(lit(1))).as("vavg"),
-          ((sum(sq).cast("double") -
-            sum(v).cast("double") * sum(v).cast("double") / count(lit(1))) /
-            (count(lit(1)) - 1)).as("vvar"),
+          // n=1 guard: under ANSI mode (Spark 4 default) the divide by
+          // (n-1)=0 THROWS; the oracle's NULLIF yields NULL — both
+          // sides now emit NULL variance for singleton groups
+          when(count(lit(1)) > 1,
+            (sum(sq).cast("double") -
+              sum(v).cast("double") * sum(v).cast("double") / count(lit(1))) /
+              (count(lit(1)) - 1)).as("vvar"),
+          // NOTE exact percentile buffers each group's values in one
+          // task (fine for the bounded event_type groups here); at a
+          // value cardinality that grows with the corpus, swap in
+          // approx_percentile — the same sketch trade q_count_distinct
+          // documents for approx_count_distinct
           expr("percentile(value, 0.5)").as("vmedian"))
         .orderBy(col("event_type"))
     }),
@@ -316,12 +334,18 @@ object Analytic extends graft.QueryPack {
         .agg(count(lit(1)).as("n"),
           sum(v).cast("double").as("s1"),
           sum(sq).cast("double").as("s2"))
+        // zero-variance / singleton guards: under ANSI mode the raw
+        // divisions THROW (std=0 or n=1); with the guards both engines
+        // emit NULL z and the row drops — a constant-valued event type
+        // has no 3σ outliers by definition
         .select(col("event_type"), (col("s1") / col("n")).as("mean"),
-          sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
-            (col("n") - 1)).as("std"))
+          when(col("n") > 1,
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+              (col("n") - 1))).as("std"))
       Tables(s, d, "events")
         .join(broadcast(m), Seq("event_type"))
-        .withColumn("z", round((col("value") - col("mean")) / col("std"), 9))
+        .withColumn("z", when(col("std") =!= 0d,
+          round((col("value") - col("mean")) / col("std"), 9)))
         .filter(abs(col("z")) >= 3.0d)
         .select(col("event_id"), col("event_type"), col("value"), col("z"))
         .orderBy(col("event_id"))
@@ -357,12 +381,17 @@ object Analytic extends graft.QueryPack {
     // Skew-resistant two-phase aggregation: salt the hot key space,
     // partial-aggregate per (key, salt), then combine per key. Result is
     // provably identical to the direct groupBy (the oracle IS the direct
-    // form) because partials are exact decimals. At 100 TB this is the
-    // rewrite for skewed grouping keys; AQE handles skewed JOINS, but
-    // grouping skew needs the salt.
+    // form) because partials are exact decimals — which also means the
+    // salt WIDTH is a free parameter: it is derived from the session's
+    // shuffle parallelism (a hard-coded 16 cannot break a hot key's
+    // straggler on a 4000-core cluster; width must scale with the
+    // cluster, and any width yields identical sums). At 100 TB this is
+    // the rewrite for skewed grouping keys; AQE handles skewed JOINS,
+    // but grouping skew needs the salt.
     "q_salted_agg" -> ((s, d) => {
+      val saltWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
       val partial = Tables(s, d, "events")
-        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .withColumn("salt", pmod(col("event_id"), lit(saltWidth)))
         .groupBy(col("user_id"), col("salt"))
         .agg(sum(dec(col("value"))).as("psum"), count(lit(1)).as("pn"))
       partial
@@ -476,8 +505,11 @@ object Analytic extends graft.QueryPack {
       val updates = o.filter(col("o_orderstatus") === "O")
         .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
           unix_micros(od + expr("INTERVAL 1 DAY")).as("updated_us"))
-      target.join(broadcast(updates.withColumnRenamed("o_orderstatus", "u_status")
-          .withColumnRenamed("updated_us", "u_updated")),
+      // updates = ~half the orders fact table, NOT a dim — unhinted
+      // (a forced broadcast of a fact slice is the 100 TB OOM; AQE
+      // broadcasts only while it fits)
+      target.join(updates.withColumnRenamed("o_orderstatus", "u_status")
+          .withColumnRenamed("updated_us", "u_updated"),
           Seq("o_orderkey"), "left_outer")
         .select(
           col("o_orderkey"),
@@ -624,14 +656,14 @@ object Analytic extends graft.QueryPack {
         |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
         |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
         |  COUNT(*) AS n_users,
-        |  CAST(SUM(t1) // 1000000000 AS BIGINT) AS sum_us_hi,
-        |  CAST(SUM(t1) % 1000000000 AS BIGINT) AS sum_us_lo FROM s1
+        |  CAST(SUM(t1) // 1000000000000 AS BIGINT) AS sum_us_hi,
+        |  CAST(SUM(t1) % 1000000000000 AS BIGINT) AS sum_us_lo FROM s1
         |UNION ALL SELECT 2, 'click', COUNT(*),
-        |  CAST(SUM(t2) // 1000000000 AS BIGINT),
-        |  CAST(SUM(t2) % 1000000000 AS BIGINT) FROM s2
+        |  CAST(SUM(t2) // 1000000000000 AS BIGINT),
+        |  CAST(SUM(t2) % 1000000000000 AS BIGINT) FROM s2
         |UNION ALL SELECT 3, 'purchase', COUNT(*),
-        |  CAST(SUM(t3) // 1000000000 AS BIGINT),
-        |  CAST(SUM(t3) % 1000000000 AS BIGINT) FROM s3
+        |  CAST(SUM(t3) // 1000000000000 AS BIGINT),
+        |  CAST(SUM(t3) % 1000000000000 AS BIGINT) FROM s3
         |ORDER BY step""".stripMargin,
 
     "q_pagerank" ->
@@ -727,7 +759,7 @@ object Analytic extends graft.QueryPack {
         |  (CAST(SUM(CAST(value * value AS DECIMAL(20,4))) AS DOUBLE) -
         |   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) *
         |   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) /
-        |  (COUNT(*) - 1) AS vvar,
+        |  NULLIF(COUNT(*) - 1, 0) AS vvar,
         |  quantile_cont(value, 0.5) AS vmedian
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -738,12 +770,12 @@ object Analytic extends graft.QueryPack {
         |    sqrt((CAST(SUM(CAST(value * value AS DECIMAL(20,4))) AS DOUBLE)
         |          - CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
         |            * CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
-        |         / (COUNT(*) - 1)) AS std
+        |         / NULLIF(COUNT(*) - 1, 0)) AS std
         |  FROM events GROUP BY event_type)
         |SELECT event_id, e.event_type, value,
-        |  round((value - mean) / std, 9) AS z
+        |  round((value - mean) / NULLIF(std, 0), 9) AS z
         |FROM events e JOIN m USING (event_type)
-        |WHERE abs(round((value - mean) / std, 9)) >= 3.0
+        |WHERE abs(round((value - mean) / NULLIF(std, 0), 9)) >= 3.0
         |ORDER BY event_id""".stripMargin,
 
     "q_nested_explode" ->

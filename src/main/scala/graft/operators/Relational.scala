@@ -40,16 +40,22 @@ object Relational extends graft.QueryPack {
   /** MERGE-style upsert rewrite (K1): keep target rows whose key is absent
     * from updates, then union the updates — last-writer-wins per key,
     * exactly `findOneAndUpdate({id}, doc, {upsert:true})` set semantics.
-    * Scale: `updates` is typically the small side; broadcast it into the
-    * anti-join so the target table never shuffles.
+    * Scale: NO broadcast hint baked into the helper — an incremental
+    * micro-batch update set broadcasts (AQE does it under the
+    * threshold), but a bulk backfill is the BIG side of this join and a
+    * hard-coded hint would force-collect it to the driver (the exact
+    * reason Pipeline's merge stage is unhinted). Call sites that KNOW
+    * their update side is bounded can wrap it in broadcast() themselves.
     */
   def merge(target: DataFrame, updates: DataFrame, key: String): DataFrame =
-    target.join(broadcast(updates), Seq(key), "left_anti")
+    target.join(updates, Seq(key), "left_anti")
       .unionByName(updates)
 
-  /** Delete-by-key rewrite (K3). */
+  /** Delete-by-key rewrite (K3). Unhinted like [[merge]]: a delete set
+    * derived from a fact-table slice grows with the data; AQE
+    * broadcasts the distinct key set only while it fits. */
   def deleteByKey(target: DataFrame, dead: DataFrame, key: String): DataFrame =
-    target.join(broadcast(dead.select(key).distinct()), Seq(key), "left_anti")
+    target.join(dead.select(key).distinct(), Seq(key), "left_anti")
 
   // ---------------------------------------------------------------------
   // Flagship: the reference's ingestion slice (SURVEY.md §7.1) —
@@ -63,7 +69,9 @@ object Relational extends graft.QueryPack {
 
     incoming
       .join(seen, incoming("l_orderkey") === seen("o_orderkey"), "left_anti")
-      .join(broadcast(supplier), incoming("l_suppkey") === supplier("s_suppkey"))
+      // supplier grows with SF (a fact-side dim, not nation/region):
+      // unhinted, AQE broadcasts while it fits
+      .join(supplier, incoming("l_suppkey") === supplier("s_suppkey"))
       .filter(!col("s_suppkey").isin(blockedSuppliers: _*))
       .select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
@@ -159,7 +167,8 @@ object Relational extends graft.QueryPack {
     "q_left_outer_enrich" -> ((s, d) => {
       val o = Tables(s, d, "orders")
       val c = Tables(s, d, "customer")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_outer")
+      // customer scales with SF — unhinted (AQE broadcasts while it fits)
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
         .select(
           col("o_orderkey"),
           coalesce(col("c_name"), lit("unknown")).as("customer_name"),
@@ -176,7 +185,9 @@ object Relational extends graft.QueryPack {
       val n = Tables(s, d, "nation")
       val r = Tables(s, d, "region")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        // customer scales with SF — unhinted; nation/region are true
+        // fixed dims (25/5 rows at any scale) and keep their hints
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
