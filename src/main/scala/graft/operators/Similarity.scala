@@ -151,9 +151,10 @@ object Similarity extends graft.QueryPack {
     // iterations, which keeps the DuckDB oracle exact; the oracle
     // restates the same ceil(sqrt(COUNT(*))) list count). The
     // scale-critical part is HOW rows are assigned to inverted lists:
-    // centroids are collected driver-side (K rows, like the LSH plane
-    // constants) and inlined as literals, so assignment is a pure
-    // map-side projection — array_max over K codegen'd dot products,
+    // centroids are collected driver-side (K rows) and shipped as ONE
+    // reference object inside a single codegen'd expression (plan size
+    // K-independent — see centroidSimsArr), so assignment is a pure
+    // map-side projection — array_max over K fused dot products,
     // NO shuffle and NO join. At 100 TB the list id computed here is
     // the bucketing/partition key; a query probes the nprobe nearest
     // lists and scans ~nprobe/sqrt(N) of the data, a fraction that
@@ -270,13 +271,13 @@ object Similarity extends graft.QueryPack {
       val K = 8; val ITERS = 2
       val e = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      def d2(c: Seq[Double]): Column =
-        dot(col("v"), col("v")) + dot(typedlit(c), typedlit(c)) -
-          dot(col("v"), typedlit(c)) * 2
+      // d² = (v·v + c·c) − v·c·2 with left-to-right dot folds, evaluated
+      // by the same one-node kernel as the cosine quantizers (plan size
+      // independent of K; here K=8 is a model constant, but the
+      // assignment shape is shared with the sqrt-K paths).
       def assign(cents: Seq[(Int, Seq[Double])]): DataFrame =
-        e.withColumn("best", array_min(array(cents.map { case (k, c) =>
-            struct(d2(c).as("d2"), lit(k).as("k"))
-          }: _*)))
+        e.withColumn("best",
+            array_min(graft.plans.VectorExpressions.centroidL2(col("v"), cents)))
           .withColumn("cluster", col("best.k"))
       def sums(a: DataFrame): DataFrame =
         a.groupBy(col("cluster"))
@@ -447,9 +448,9 @@ object Similarity extends graft.QueryPack {
     // recipe: k-means the embeddings, then drop near-identical pairs
     // WITHIN each cluster only). Coarse-cluster with K = ceil(sqrt(N))
     // deterministic sampled centroids, N = corpus row count from a
-    // 1-row aggregate (map-side literal assignment, no shuffle; same
-    // derivation as q_ann_ivf's list count and restated verbatim in
-    // the DuckDB oracle). Candidate pairs come from a self equi-join
+    // 1-row aggregate (map-side one-node kernel assignment, no shuffle;
+    // same derivation as q_ann_ivf's list count and restated verbatim
+    // in the DuckDB oracle). Candidate pairs come from a self equi-join
     // on the cluster id, so the cross product never forms — and
     // because K tracks sqrt(N), expected cluster size is ~sqrt(N) and
     // total pair volume is bounded at ~N^1.5, not the N² a FIXED K
@@ -528,8 +529,9 @@ object Similarity extends graft.QueryPack {
   /** K DETERMINISTIC sampled centroids (the embeddings of vec_id
     * 10..10+K-1) — IVF-style coarse quantization with sampled centroids
     * instead of Lloyd iterations, which keeps the DuckDB oracles exact.
-    * Collected driver-side (K = ceil(sqrt(N)) rows, like the LSH plane
-    * constants) for inlining as literals. */
+    * Collected driver-side (K = ceil(sqrt(N)) rows — a bounded scalar
+    * fetch like the k-means fixpoint probe) and delivered to executors
+    * as one CentroidModel reference object, never as literals. */
   private def sampledCentroids(s: SparkSession, d: String, k: Int): Array[(Long, Seq[Double], Double)] =
     loadEmbeddings(s, d)
       .filter(col("vec_id") >= 10 && col("vec_id") < lit(10L + k))
@@ -538,17 +540,19 @@ object Similarity extends graft.QueryPack {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
       .sortBy(_._1)
 
-  /** Per-row (sim, -cid) struct vs every centroid, centroids inlined as
-    * literals — assignment is a pure map-side projection (array_max of
-    * codegen'd dot products, NO shuffle, NO join); max struct = nearest
-    * centroid with lowest cid on ties. Expects `embedding` + `nrm`. */
+  /** Per-row (sim, -cid) struct vs every centroid — assignment is a pure
+    * map-side projection (array_max over the kernel output, NO shuffle,
+    * NO join); max struct = nearest centroid with lowest cid on ties.
+    * The K×D matrix rides as ONE reference object inside a single
+    * codegen'd expression node (graft.plans.CentroidScores), so the plan
+    * is K-INDEPENDENT: with K = ceil(sqrt N) growing with the corpus,
+    * per-centroid literal subtrees would grow the expression tree — and
+    * Catalyst analysis + generated code — with the data (fatal at the
+    * K~10⁵ a 100 TB corpus implies). CentroidPlanSpec asserts the node
+    * count does not move between K=4 and K=256. Expects `embedding` +
+    * `nrm`. */
   private def centroidSimsArr(cents: Array[(Long, Seq[Double], Double)]): Column =
-    array(cents.map { case (cid, cv, cnrm) =>
-      struct(
-        round(dot(col("embedding"), typedlit(cv)) / (col("nrm") * lit(cnrm)), 9)
-          .as("sim"),
-        lit(-cid).as("negcid"))
-    }: _*)
+    graft.plans.VectorExpressions.centroidCosines(col("embedding"), col("nrm"), cents)
 
   /** Shared corpus for the near-dup queries: embeddings ∪ perturbed
     * copies (every 20th vector, +0.01 on dim 1), with norm and 8-bit

@@ -64,6 +64,111 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** K centroids carried as ONE serializable value inside a single
+  * expression node — the delivery vehicle that makes coarse-quantizer
+  * plans K-independent. The sqrt-K rule (nlist = ceil(sqrt N)) means K
+  * grows with the corpus; inlining K per-centroid literal subtrees into
+  * the projection made the expression TREE grow with the data (fine at
+  * K≈45, fatal at the K~10⁵ a 100 TB corpus implies: Catalyst analysis
+  * and codegen blow up long before execution starts). Here the matrix
+  * rides as one `ctx.addReferenceObj` constant — the same mechanism
+  * Spark uses to ship broadcast values into generated code — so plan
+  * size, analysis time, and generated-code size are all O(1) in K and
+  * the K×D floats are shipped once per task, not unrolled into code.
+  *
+  * Scoring loops are plain fused Java loops with strictly left-to-right
+  * DOUBLE accumulation and (cosine mode) the exact semantics of Spark's
+  * `round(_, 9)` (BigDecimal HALF_UP, NaN/Inf passthrough), so results
+  * are bit-identical to the former literal-array formulation and to the
+  * DuckDB oracles. */
+final class CentroidModel(
+    val cents: Array[Array[Double]],
+    val cnrms: Array[Double],
+    val ids: Array[Long],
+    val cosine: Boolean) extends Serializable {
+
+  def dataType: DataType =
+    if (cosine)
+      ArrayType(StructType(Seq(
+        StructField("sim", DoubleType, nullable = false),
+        StructField("negcid", LongType, nullable = false))), containsNull = false)
+    else
+      ArrayType(StructType(Seq(
+        StructField("d2", DoubleType, nullable = false),
+        StructField("k", IntegerType, nullable = false))), containsNull = false)
+
+  // Mirrors Spark RoundBase on DoubleType: NaN/Infinity pass through,
+  // else BigDecimal.valueOf(v).setScale(9, HALF_UP).
+  private def round9(v: Double): Double =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** (sim, -cid) per centroid [cosine] or (d², k) per centroid [L2]. */
+  def compute(emb: ArrayData, nrm: Double): ArrayData = {
+    val k = cents.length
+    val out = new Array[Any](k)
+    val n = emb.numElements()
+    // v·v is centroid-independent; computed once per row (L2 mode).
+    var vv = 0.0
+    if (!cosine) { var i = 0; while (i < n) { val x = emb.getDouble(i); vv += x * x; i += 1 } }
+    var c = 0
+    while (c < k) {
+      val cv = cents(c)
+      val m = math.min(n, cv.length)
+      var vc = 0.0
+      var i = 0
+      while (i < m) { vc += emb.getDouble(i) * cv(i); i += 1 }
+      out(c) =
+        if (cosine)
+          org.apache.spark.sql.catalyst.InternalRow(
+            round9(vc / (nrm * cnrms(c))), -ids(c))
+        else {
+          var cc = 0.0
+          i = 0
+          while (i < cv.length) { cc += cv(i) * cv(i); i += 1 }
+          org.apache.spark.sql.catalyst.InternalRow((vv + cc) - vc * 2.0, ids(c).toInt)
+        }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Score a row's embedding against every centroid of a [[CentroidModel]]
+  * in one expression node. `right` is the precomputed row norm (cosine
+  * mode) or any double placeholder (L2 mode ignores it). Generated code
+  * is a single kernel call on the reference object, so the surrounding
+  * projection stays inside whole-stage codegen. */
+case class CentroidScores(left: Expression, right: Expression, model: CentroidModel)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_centroid_scores expects (array<double>, double), got " +
+            s"${l.simpleString} / ${r.simpleString}")
+    }
+  override def dataType: DataType = model.dataType
+  override def prettyName: String = "graft_centroid_scores"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    model.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidModel", model, classOf[CentroidModel].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidScores =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim.GraftShim
 
@@ -74,4 +179,24 @@ object VectorExpressions {
   /** L2 norm via the same codegen'd kernel. */
   def norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dot(a, a))
+
+  /** array<struct<sim,negcid>> of rounded cosine sims vs every centroid —
+    * one plan node however many centroids (see [[CentroidModel]]). */
+  def centroidCosines(emb: Column, nrm: Column,
+      cents: Array[(Long, Seq[Double], Double)]): Column =
+    GraftShim.column(CentroidScores(
+      GraftShim.expression(emb), GraftShim.expression(nrm),
+      new CentroidModel(cents.map(_._2.toArray), cents.map(_._3), cents.map(_._1),
+        cosine = true)))
+
+  /** array<struct<d2,k>> of exact squared L2 distances vs every centroid
+    * ((v·v + c·c) − v·c·2, left-to-right folds) — the k-means assignment
+    * kernel, same one-node delivery. */
+  def centroidL2(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    GraftShim.column(CentroidScores(
+      GraftShim.expression(v),
+      GraftShim.expression(org.apache.spark.sql.functions.lit(0.0d)),
+      new CentroidModel(cents.map(_._2.toArray).toArray,
+        cents.map(_ => 0.0).toArray, cents.map(_._1.toLong).toArray,
+        cosine = false)))
 }
