@@ -97,7 +97,12 @@ object StreamingGate extends graft.QueryPack {
     // then CONDITIONALLY merges into the parquet target keeping the
     // max-(ts, event_id) row per key — correct under ANY micro-batch
     // arrival order (a blind last-writer merge would let a late batch
-    // carrying older events clobber newer target rows). The drained
+    // carrying older events clobber newer target rows). The target is
+    // BUCKET-PARTITIONED by a stable key hash and each trigger rewrites
+    // only the buckets the batch touches (partition-pruned read +
+    // per-bucket swap) — O(|batch| + touched/numBuckets · target) per
+    // trigger, not the O(target) full rewrite the r5 design paid; see
+    // mergeLatestIntoBucketedParquet and MergePruneSpec. The drained
     // target must equal the batch latest-per-key query, which is
     // exactly what the oracle asserts.
     "q_stream_upsert" -> ((s, d) => {
@@ -111,7 +116,7 @@ object StreamingGate extends graft.QueryPack {
           .orderBy(col("ts_us").desc, col("event_id").desc)
         val latest = batch.withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1).drop("rk")
-        EventsStream.mergeLatestIntoParquet(s, target,
+        EventsStream.mergeLatestIntoBucketedParquet(s, target,
           "user_id", "ts_us", "event_id")(latest, batchId)
       }
       s.read.parquet(target)

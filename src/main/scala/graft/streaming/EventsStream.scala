@@ -198,4 +198,68 @@ object EventsStream {
       .filter(col("__rk") === 1).drop("__rk")
     swapIntoPlace(target, merged, batchId)
   }
+
+  /** Latest-per-key MERGE with PARTITION-PRUNED rewrite — the 100 TB
+    * form of [[mergeLatestIntoParquet]], whose full-target rewrite per
+    * micro-batch is O(target) write amplification per trigger (fine for
+    * a test-sized swap, a scale-killer against a 100 TB upsert target).
+    *
+    * Layout: the target is a parquet directory partitioned by
+    * `__bucket = pmod(xxhash64(key), numBuckets)` — a STABLE hash of
+    * the merge key, so every row of a given key lives in exactly one
+    * bucket forever and a merge never needs to look outside the buckets
+    * its batch touches. Per micro-batch:
+    *
+    *   1. bucket the batch and list its distinct buckets (bounded by
+    *      numBuckets — a constant-sized driver fetch, never data-scaled);
+    *   2. read ONLY those buckets of the target (an `isin` filter on
+    *      the partition column → partition pruning skips every other
+    *      bucket's files entirely);
+    *   3. reduce (touched target slice ∪ batch) to the max-(ts,
+    *      tiebreak) row per key;
+    *   4. stage the result partitioned by `__bucket` and swap JUST the
+    *      touched bucket directories into place. Untouched partitions
+    *      are never read, never rewritten, byte-identical after the
+    *      trigger (MergePruneSpec asserts mtime + inode stability).
+    *
+    * Cost per trigger is O(|batch| + touched_buckets × target/numBuckets)
+    * instead of O(target); numBuckets is the scale knob (a 100 TB target
+    * wants thousands of buckets or a date partition, same mechanism).
+    * The staged-then-rename tail keeps the no-table-format contract of
+    * [[swapIntoPlace]] (SURVEY §7.3); a transactional format's MERGE
+    * with dynamic partition overwrite is the drop-in at cluster scale. */
+  def mergeLatestIntoBucketedParquet(spark: SparkSession, target: String,
+      key: String, ts: String, tiebreak: String, numBuckets: Int = 16)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = batch.withColumn("__bucket",
+      pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int"))
+    val touched = bucketed.select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted // <= numBuckets values, by design
+    if (touched.isEmpty) return
+    val dir = new java.io.File(target)
+    val existingTouched =
+      if (dir.exists())
+        spark.read.parquet(target)
+          .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
+      else bucketed.limit(0)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col(tiebreak).desc)
+    val merged = existingTouched.unionByName(bucketed)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+    val tmp = new java.io.File(target + s"_tmp_$batchId")
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp.toString)
+    dir.mkdirs()
+    touched.foreach { b =>
+      val src = new java.io.File(tmp, s"__bucket=$b")
+      // a touched bucket holds >= 1 batch row and the merge keeps >= 1
+      // row per key, so its staged directory must exist
+      require(src.isDirectory, s"staged bucket missing: $src")
+      val dst = new java.io.File(dir, s"__bucket=$b")
+      if (dst.exists()) graft.Fs.deleteRec(dst)
+      require(src.renameTo(dst), s"bucket swap failed: $src -> $dst")
+    }
+    graft.Fs.deleteRec(tmp)
+  }
 }
