@@ -556,18 +556,20 @@ object TextAnalytics extends graft.QueryPack {
   def clearMemos(): Unit = bpeCache.clear()
   private def learnBpeMerges(s: SparkSession, d: String)
       : Seq[(Long, String, String, Long)] = {
-    // fingerprint handles BOTH layouts: a single file (length+mtime)
-    // and a partitioned directory, where the directory's own
-    // length/mtime does not change when part files are overwritten in
-    // place — fold every part file's (name, length, mtime) instead
-    val f = new java.io.File(d, "documents.parquet")
-    val fp =
+    // fingerprint handles ALL layouts: a single file (length+mtime), a
+    // flat directory, and a PARTITIONED directory tree — a directory's
+    // own length/mtime does not change when files inside it are
+    // overwritten in place, so fold every file's (name, length, mtime)
+    // RECURSIVELY. The full fingerprint string is the cache key (no
+    // 32-bit hashCode collapse — a collision would silently serve a
+    // stale merge table).
+    def fp(f: java.io.File): String =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-          .map(p => s"${p.getName}:${p.length()}:${p.lastModified()}")
-          .mkString(",").hashCode.toString
+          .map(p => s"${p.getName}{${fp(p)}}").mkString(",")
       else s"${f.length()}:${f.lastModified()}"
-    bpeCache.computeIfAbsent(s"$d|$fp", _ => learnBpeMergesUncached(s, d))
+    val key = s"$d|${fp(new java.io.File(d, "documents.parquet"))}"
+    bpeCache.computeIfAbsent(key, _ => learnBpeMergesUncached(s, d))
   }
 
   private def learnBpeMergesUncached(s: SparkSession, d: String)

@@ -63,6 +63,13 @@ object ObjectSink {
     Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
       .sortBy(_.getName).toSeq
+
+  /** Debris from OTHER jobs' crashed commits is only reaped once it is
+    * provably dead — older than any plausible live commit window. A
+    * concurrent append job's freshly parked phase-1 files must never be
+    * deleted out from under it (they look identical to crash debris
+    * while that job is mid-commit). */
+  private[graft] val FOREIGN_DEBRIS_MIN_AGE_MS: Long = 60L * 60 * 1000
 }
 
 class ObjectTable(dir: String) extends Table with SupportsWrite {
@@ -101,21 +108,41 @@ class ObjectWriteBuilder(dir: String, info: LogicalWriteInfo)
   * move succeeded are old objects truncated (overwrite mode) and the
   * hidden names flipped to their final keys — a window of pure
   * metadata renames, the same shrink-the-critical-section shape as a
-  * real object store's multipart complete. Leftover `.commit-*` files
-  * from a crashed phase 2 are invisible to readers and reaped by the
-  * next job's commit. */
+  * real object store's multipart complete.
+  *
+  * Phase 2 is guarded by an INTENT MARKER (`.commit-<queryId>-PHASE2`,
+  * written after every park succeeded, removed after every flip
+  * succeeded): if the job dies inside phase 2 — old objects possibly
+  * already truncated, the parked files the ONLY copy of the new data —
+  * [[abort]] sees the marker and rolls FORWARD (completes the
+  * remaining flips) instead of deleting the payloads. Without the
+  * marker, abort knows old data is still intact and rolls BACK
+  * (discards the parked files). Leftover `.commit-*` debris is reaped
+  * only when provably dead: this job's own queryId, or foreign files
+  * older than [[ObjectSink.FOREIGN_DEBRIS_MIN_AGE_MS]] — a concurrent
+  * job's live phase-1 files are never touched. */
 class ObjectBatchWrite(dir: String, queryId: String, truncateFirst: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ObjectWriterFactory(dir, queryId)
 
+  private def phase2Marker = new File(dir, s".commit-$queryId-PHASE2")
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val base = new File(dir)
     base.mkdirs()
-    // reap hidden debris from a previous crashed phase-2 (never
-    // visible to readers, but no reason to keep it)
+    // reap hidden debris that is provably dead: our OWN queryId (a
+    // retried commit of this very job), or foreign files old enough
+    // that no live job can still own them. A CONCURRENT job's fresh
+    // phase-1 parks are left alone — deleting them mid-commit would
+    // manufacture exactly the partial-visibility state this sink
+    // rules out.
+    val now = System.currentTimeMillis()
     Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith(".commit-")).foreach(_.delete())
+      .filter(f => f.isFile && f.getName.startsWith(".commit-"))
+      .filter(f => f.getName.startsWith(s".commit-$queryId-") ||
+        now - f.lastModified() > ObjectSink.FOREIGN_DEBRIS_MIN_AGE_MS)
+      .foreach(_.delete())
     // later tasks win over earlier ones on a same-key collision across
     // partitions — deterministic (messages are partition-ordered)
     val staged = messages.flatMap { case ObjectCommitMsg(s) => s }
@@ -127,6 +154,12 @@ class ObjectBatchWrite(dir: String, queryId: String, truncateFirst: Boolean)
         StandardCopyOption.REPLACE_EXISTING)
       (hidden, finalName)
     }
+    // intent marker: from here on the parked files may be the only copy
+    // of the new data (truncate comes next), so abort() must roll
+    // FORWARD past this point, never delete them
+    Files.write(phase2Marker.toPath,
+      parked.map { case (h, f) => s"${h.getName}\t$f" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
     // phase 2: truncate (overwrite mode) + flip hidden -> final keys —
     // metadata renames only
     if (truncateFirst) ObjectSink.listObjects(dir).foreach(_.delete())
@@ -134,14 +167,37 @@ class ObjectBatchWrite(dir: String, queryId: String, truncateFirst: Boolean)
       Files.move(hidden.toPath, new File(base, finalName).toPath,
         StandardCopyOption.REPLACE_EXISTING)
     }
+    phase2Marker.delete()
     ObjectSink.deleteRec(ObjectSink.stagingRoot(dir, queryId))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     ObjectSink.deleteRec(ObjectSink.stagingRoot(dir, queryId))
-    Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith(s".commit-$queryId"))
-      .foreach(_.delete())
+    val base = new File(dir)
+    if (phase2Marker.exists()) {
+      // phase 2 had begun: old objects may already be truncated and the
+      // parked files are the only copy — complete the remaining flips
+      // instead of deleting them (roll forward). A flip that fails
+      // again leaves its parked payload in place for recovery.
+      val pairs = new String(Files.readAllBytes(phase2Marker.toPath),
+        StandardCharsets.UTF_8).split("\n").toSeq
+        .filter(_.contains("\t")).map { line =>
+          val i = line.indexOf('\t'); (line.substring(0, i), line.substring(i + 1))
+        }
+      val allFlipped = pairs.forall { case (hiddenName, finalName) =>
+        val hidden = new File(base, hiddenName)
+        !hidden.exists() || scala.util.Try(Files.move(hidden.toPath,
+          new File(base, finalName).toPath,
+          StandardCopyOption.REPLACE_EXISTING)).isSuccess
+      }
+      if (allFlipped) phase2Marker.delete()
+    } else {
+      // phase 1 (or earlier) failure: old objects are fully intact —
+      // roll back by discarding this job's parked files
+      Option(base.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith(s".commit-$queryId"))
+        .foreach(_.delete())
+    }
   }
 }
 
@@ -157,7 +213,13 @@ case class ObjectCommitMsg(staged: Seq[(String, String)]) extends WriterCommitMe
   * file names by a COLLISION-FREE percent-encoding (an object store's
   * key separator is cosmetic, but "a/b" and a literal "a__b" must not
   * land on the same object — and '%' itself is escaped so the map is
-  * injective). A key written twice in one task keeps the LAST payload
+  * injective). A leading '.' or '_' is percent-encoded too: those
+  * names are the sink's own hidden namespace, and an unencoded
+  * "_meta" would be written successfully yet be invisible to
+  * [[ObjectSink.listObjects]] forever — a silent put that can never
+  * be read back or truncated. (Injectivity holds: step-1 escapes '%',
+  * so no step-1 output can begin with the literal "%2E"/"%5F" the
+  * step-2 encoding produces.) A key written twice in one task keeps the LAST payload
   * and stages ONE file — put semantics, and the job commit never sees
   * two moves of the same source. */
 class ObjectWriter(dir: String, queryId: String, partitionId: Int, taskId: Long)
@@ -174,8 +236,12 @@ class ObjectWriter(dir: String, queryId: String, partitionId: Int, taskId: Long)
   override def write(row: InternalRow): Unit = {
     val key = row.getUTF8String(0).toString
     require(key.nonEmpty, "graft-objects: empty key")
-    val finalName = key.replace("%", "%25").replace("/", "%2F")
+    val escaped = key.replace("%", "%25").replace("/", "%2F")
       .replace("\\", "%5C")
+    val finalName =
+      if (escaped.startsWith(".")) "%2E" + escaped.substring(1)
+      else if (escaped.startsWith("_")) "%5F" + escaped.substring(1)
+      else escaped
     val payload = if (row.isNullAt(1)) "" else row.getUTF8String(1).toString
     val tmp = new File(taskDir, finalName)
     Files.write(tmp.toPath, payload.getBytes(StandardCharsets.UTF_8))

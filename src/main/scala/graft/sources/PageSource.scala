@@ -42,12 +42,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (`SupportsPushDownFilters`, EqualTo/StringStartsWith): the
   *     partition-pruning analog — pruned pages are never planned, so
   *     a "this hashtag only" query reads 1/N of the directory
-  *   - `MicroBatchStream`: offsets index the (mtime, path)-sorted file
-  *     list, so `Trigger.AvailableNow` over a checkpoint replays ONLY
-  *     files that appeared since the last run — the reference's
-  *     incremental cron semantics (each 3-hourly run processes the
-  *     newly fetched pages). Append-only is the fetch-loop contract;
-  *     PageSourceSpec exercises the incremental restart.
+  *   - `MicroBatchStream`: offsets pin the committed set by an mtime
+  *     watermark + same-mtime tie cohort (see [[PageOffset]]), so
+  *     `Trigger.AvailableNow` over a checkpoint replays ONLY files
+  *     that appeared since the last run — the reference's incremental
+  *     cron semantics (each 3-hourly run processes the newly fetched
+  *     pages). Append-only is the fetch-loop contract; PageSourceSpec
+  *     exercises the incremental restart, an equal-mtime late arrival
+  *     (benign), and a backdated file (loud refusal).
   *
   * Payloads are read as UTF-8 text (the reference's pages are
   * HTML/JSON); a binary variant would only change the column type.
@@ -78,6 +80,12 @@ object PageSource {
       .map(f => PageFile(f.getAbsolutePath, f.lastModified(), f.length()))
       .sortBy(p => (p.mtimeMs, p.path)).toSeq
   }
+
+  /** Test hook: counts payload-file opens. In local mode executors
+    * share the driver JVM, so specs can assert END-TO-END that a
+    * column-pruned query never opens a payload file (a permission
+    * probe can't — tests run as root, which reads through mode bits). */
+  private[graft] val payloadOpens = new java.util.concurrent.atomic.AtomicLong
 }
 
 case class PageFile(path: String, mtimeMs: Long, length: Long)
@@ -159,31 +167,52 @@ class PageReaderFactory(required: StructType) extends PartitionReaderFactory {
           case "path"     => UTF8String.fromString(page.path)
           case "mtime_ms" => page.mtimeMs
           case "length"   => page.length
-          case "payload"  => UTF8String.fromString(new String(
-            Files.readAllBytes(new File(page.path).toPath), StandardCharsets.UTF_8))
+          case "payload"  =>
+            PageSource.payloadOpens.incrementAndGet()
+            UTF8String.fromString(new String(
+              Files.readAllBytes(new File(page.path).toPath), StandardCharsets.UTF_8))
         })
       override def close(): Unit = ()
     }
   }
 }
 
-/** Offsets index into the (mtime, path)-sorted listing: offset N = "the
-  * first N pages are committed". New fetch results carry later mtimes,
-  * so they extend the suffix — an AvailableNow run against a checkpoint
-  * plans exactly the files that appeared since the previous run.
+/** Offsets pin the committed set by an MTIME WATERMARK plus the paths
+  * committed AT that watermark (the same-mtime "tie cohort"):
+  * committed = every page with mtime < lastMtime, plus the tiePaths at
+  * mtime == lastMtime. New fetch results carry mtimes >= the
+  * watermark, so an AvailableNow run against a checkpoint plans
+  * exactly the pages that appeared since the previous run.
   *
-  * The offset also pins the PATH of the last committed page, and
-  * [[PageMicroBatchStream.planInputPartitions]] re-checks it against
-  * the current listing: positional offsets are only correct while the
-  * directory is append-only with non-decreasing mtimes (the fetch-loop
-  * contract), and a violation — a file backdated into the committed
-  * prefix (cp -p, clock skew) or a deleted page — would otherwise
-  * SILENTLY skip one file and re-emit another. With the pin it fails
-  * loudly instead. */
-case class PageOffset(count: Int, lastPath: String = "") extends Offset {
+  * This representation is deliberately NOT positional: on a
+  * coarse-granularity filesystem two fetches can land in the same
+  * second, and a late arrival whose mtime EQUALS the watermark but
+  * sorts lexicographically earlier would shift every index-based
+  * prefix — poisoning the checkpoint forever even though the directory
+  * honored "append-only, non-decreasing mtimes". Here such a tie
+  * insertion is benign: the newcomer is simply not in the tie cohort,
+  * so the next batch picks it up, nothing is skipped or re-emitted.
+  * What still fails LOUDLY (checked in
+  * [[PageMicroBatchStream.planInputPartitions]]): a file backdated
+  * strictly below the watermark (cp -p, clock skew) or a committed
+  * page deleted/renamed — either desynchronizes the committed set and
+  * silent replay would skip or duplicate pages.
+  *
+  * Offset size is bounded by the largest same-mtime cohort (a handful
+  * of files even at 1 s granularity), never the full history. */
+case class PageOffset(count: Int, lastMtime: Long = -1L,
+    tiePaths: Seq[String] = Nil) extends Offset {
   override def json(): String = {
-    val esc = lastPath.replace("\\", "\\\\").replace("\"", "\\\"")
-    s"""{"count":$count,"lastPath":"$esc"}"""
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val ties = tiePaths.map(p => "\"" + esc(p) + "\"").mkString(",")
+    s"""{"count":$count,"lastMtime":$lastMtime,"tiePaths":[$ties]}"""
+  }
+
+  /** The committed subset of a listing under this offset. */
+  def committed(l: Seq[PageFile]): Seq[PageFile] = {
+    val ties = tiePaths.toSet
+    l.filter(f => f.mtimeMs < lastMtime ||
+      (f.mtimeMs == lastMtime && ties.contains(f.path)))
   }
 }
 
@@ -195,33 +224,45 @@ class PageMicroBatchStream(dir: String, required: StructType,
   override def initialOffset(): Offset = PageOffset(0)
   override def latestOffset(): Offset = {
     val l = listing
-    PageOffset(l.size, l.lastOption.map(_.path).getOrElse(""))
+    if (l.isEmpty) PageOffset(0)
+    else {
+      val lastM = l.last.mtimeMs // (mtime, path)-sorted => max mtime
+      PageOffset(l.size, lastM, l.filter(_.mtimeMs == lastM).map(_.path))
+    }
   }
   override def deserializeOffset(json: String): Offset = {
     val count = "\"count\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(s"bad PageOffset: $json"))
-    val lastPath = "\"lastPath\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findFirstMatchIn(json)
-      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-      .getOrElse("")
-    PageOffset(count, lastPath)
+    val lastMtime = "\"lastMtime\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    val ties = "\"tiePaths\"\\s*:\\s*\\[((?:[^\\]\\\\]|\\\\.)*)\\]".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val tiePaths = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(ties)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    PageOffset(count, lastMtime, tiePaths)
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val l = listing
     val s = start.asInstanceOf[PageOffset]
     val e = end.asInstanceOf[PageOffset]
-    def pin(o: PageOffset): Unit =
-      if (o.count > 0 && o.lastPath.nonEmpty) {
-        require(o.count <= l.size && l(o.count - 1).path == o.lastPath,
+    def pin(o: PageOffset): Seq[PageFile] = {
+      val c = o.committed(l)
+      if (o.count > 0) {
+        val tiesPresent = o.tiePaths.forall(p =>
+          l.exists(f => f.path == p && f.mtimeMs == o.lastMtime))
+        require(c.size == o.count && tiesPresent,
           s"graft-pages: the fetch directory is no longer append-only — " +
-            s"offset ${o.count} was committed with last page '${o.lastPath}' " +
-            s"but the listing now has '${l.lift(o.count - 1).map(_.path).getOrElse("<missing>")}' " +
-            "at that position (a page was backdated, renamed or deleted); " +
-            "positional replay would silently skip/re-emit pages, refusing instead")
+            s"offset committed ${o.count} pages up to mtime ${o.lastMtime} " +
+            s"but the listing now yields ${c.size} committed pages" +
+            (if (tiesPresent) "" else " (a committed page at the watermark was renamed or deleted)") +
+            "; a page was backdated below the watermark, renamed or " +
+            "deleted — silent replay would skip or re-emit pages, refusing instead")
       }
-    pin(s); pin(e)
-    l.slice(s.count, e.count)
+      c
+    }
+    val startSet = pin(s).map(_.path).toSet
+    pin(e).filterNot(f => startSet.contains(f.path))
       .map(p => PagePartition(p): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -86,6 +86,75 @@ class ObjectSinkSpec extends AnyFunSuite {
       "staging debris after abort")
   }
 
+  test("keys with a leading '.' or '_' stay visible (no silent un-listable put)") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // unencoded these names fall into the sink's hidden namespace:
+    // written fine, but invisible to listObjects and immune to
+    // overwrite truncation forever
+    Seq(("_meta", "m"), (".hidden", "h"), ("normal.txt", "n"))
+      .toDF("key", "payload")
+      .write.format("graft-objects").mode("append").save(dir.getPath)
+    val objs = graft.sources.ObjectSink.listObjects(dir.getPath)
+    assert(objs.map(_.getName).toSet == Set("%5Fmeta", "%2Ehidden", "normal.txt"))
+    assert(new String(Files.readAllBytes(
+      objs.find(_.getName == "%2Ehidden").get.toPath), "UTF-8") == "h")
+    // and overwrite truncation can actually clear them
+    Seq(("only.txt", "x")).toDF("key", "payload")
+      .write.format("graft-objects").mode("overwrite").save(dir.getPath)
+    assert(graft.sources.ObjectSink.listObjects(dir.getPath)
+      .map(_.getName) == Seq("only.txt"))
+  }
+
+  test("commit never reaps a concurrent job's fresh parked files, only dead debris") {
+    val dir = tmpDir()
+    dir.mkdirs()
+    import spark.implicits._
+    // a concurrent append job mid-commit: its phase-1 parked file is
+    // FRESH — deleting it would yank the only staged copy out from
+    // under that job's phase 2
+    val live = new File(dir, ".commit-other-live-job-0")
+    Files.writeString(live.toPath, "live parked payload")
+    // dead debris: same shape but older than any plausible commit
+    val dead = new File(dir, ".commit-other-dead-job-0")
+    Files.writeString(dead.toPath, "crashed long ago")
+    dead.setLastModified(System.currentTimeMillis() -
+      graft.sources.ObjectSink.FOREIGN_DEBRIS_MIN_AGE_MS - 60000)
+    Seq(("a.txt", "x")).toDF("key", "payload")
+      .write.format("graft-objects").mode("append").save(dir.getPath)
+    assert(live.exists(), "a live concurrent job's parked file was reaped")
+    assert(!dead.exists(), "aged debris should have been reaped")
+  }
+
+  test("abort after a phase-2 crash rolls FORWARD: parked payloads are never the casualty") {
+    // drive the driver-side coordinator directly to stage the exact
+    // crash window: old objects truncated, marker written, flips not
+    // yet done — abort must complete the flips (the parked files are
+    // the only copy), not delete them
+    import graft.sources.ObjectBatchWrite
+    val dir = tmpDir()
+    dir.mkdirs()
+    val parked = new File(dir, ".commit-q1-0")
+    Files.writeString(parked.toPath, "the only copy")
+    Files.writeString(new File(dir, ".commit-q1-PHASE2").toPath,
+      ".commit-q1-0\tfinal.txt")
+    new ObjectBatchWrite(dir.getPath, "q1", truncateFirst = true).abort(Array.empty)
+    val objs = graft.sources.ObjectSink.listObjects(dir.getPath)
+    assert(objs.map(_.getName) == Seq("final.txt"))
+    assert(new String(Files.readAllBytes(objs.head.toPath), "UTF-8") == "the only copy")
+    assert(!new File(dir, ".commit-q1-PHASE2").exists())
+    // contrast: BEFORE the marker exists (phase 1 crash), old data is
+    // intact and abort rolls BACK by discarding the parked file
+    val dir2 = tmpDir()
+    dir2.mkdirs()
+    Files.writeString(new File(dir2, "old.txt").toPath, "old")
+    Files.writeString(new File(dir2, ".commit-q2-0").toPath, "discarded")
+    new ObjectBatchWrite(dir2.getPath, "q2", truncateFirst = true).abort(Array.empty)
+    assert(graft.sources.ObjectSink.listObjects(dir2.getPath)
+      .map(_.getName) == Seq("old.txt"))
+    assert(!new File(dir2, ".commit-q2-0").exists())
+  }
+
   test("round-trip: objects written here read back as pages (fetch -> put -> scan)") {
     val dir = tmpDir()
     import spark.implicits._

@@ -77,6 +77,17 @@ class PageSourceSpec extends AnyFunSuite {
       .createReader(ghost)
     assert(full.next())
     intercept[java.io.IOException](full.get())
+    // ...and END-TO-END through a real query (local mode shares the
+    // JVM, so the reader-side counter is visible here): the pruned
+    // query opened zero payload files, the full query opened both
+    val opens0 = graft.sources.PageSource.payloadOpens.get()
+    assert(spark.read.format("graft-pages").load(dir.getPath)
+      .select(col("path"), col("length")).collect().length == 2)
+    assert(graft.sources.PageSource.payloadOpens.get() == opens0,
+      "a metadata-only query opened payload files")
+    assert(spark.read.format("graft-pages").load(dir.getPath)
+      .select(col("payload")).collect().length == 2)
+    assert(graft.sources.PageSource.payloadOpens.get() == opens0 + 2)
   }
 
   test("path filters prune the file listing itself") {
@@ -150,18 +161,51 @@ class PageSourceSpec extends AnyFunSuite {
 
   test("offsets round-trip through their JSON wire form") {
     // the checkpoint log stores offsets as JSON; a serde asymmetry
-    // would surface as a poisoned checkpoint on restart. lastPath pins
-    // the committed prefix, so paths with JSON-hostile characters must
-    // survive the trip too.
+    // would surface as a poisoned checkpoint on restart. The tie
+    // cohort pins the committed set at the watermark, so paths with
+    // JSON-hostile characters must survive the trip too.
     import graft.sources.{PageMicroBatchStream, PageOffset}
     val stream = new PageMicroBatchStream(
       Files.createTempDirectory("graft_off").toFile.getPath,
       graft.sources.PageSource.SCHEMA, Array.empty)
-    for (o <- Seq(PageOffset(0), PageOffset(1, "/a/b.json"),
-        PageOffset(7, "/odd \"quoted\" name.json"),
-        PageOffset(123456, "C:\\win\\style.json")))
+    for (o <- Seq(PageOffset(0), PageOffset(1, 1000L, Seq("/a/b.json")),
+        PageOffset(7, 99L, Seq("/odd \"quoted\" name.json", "/a,b.json")),
+        PageOffset(123456, 5L, Seq("C:\\win\\style.json"))))
       assert(stream.deserializeOffset(o.json()) == o)
     intercept[IllegalArgumentException](stream.deserializeOffset("{}"))
+  }
+
+  test("an equal-mtime late arrival is benign, not a poisoned checkpoint") {
+    // coarse-granularity filesystems can land two fetches in the same
+    // (m)second; a late arrival whose mtime EQUALS the committed
+    // watermark but sorts lexicographically earlier must simply appear
+    // in the next batch — under index-based offsets it would shift the
+    // committed prefix and fail every restart forever
+    val dir = fetchDir()
+    val ckpt = Files.createTempDirectory("graft_pages_tie").toFile
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def drainOnce(): Int = {
+      val before = out.size
+      val q = spark.readStream.format("graft-pages").load(dir.getPath)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = batch.select(col("path")).collect().map(_.getString(0))
+          out.synchronized { out ++= got }
+          ()
+        }.start()
+      q.awaitTermination()
+      out.size - before
+    }
+    assert(drainOnce() == 2) // watermark now 2000000 (page_data.json)
+    // same mtime as the committed watermark, lexicographically EARLIER
+    val tie = new File(dir, "page_aaa_tie.json")
+    Files.writeString(tie.toPath, fixture("tagpage_graphql.json"))
+    tie.setLastModified(2000000L)
+    assert(drainOnce() == 1, "the tie arrival must be planned, not skipped")
+    assert(out.last.endsWith("page_aaa_tie.json"))
+    assert(drainOnce() == 0, "nothing may be re-emitted after the tie")
   }
 
   test("a backdated page fails the replay loudly instead of silently skipping") {
