@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.labelsInfo,
       GraftExtensions.labelsBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("graft_image_labels"),
+      GraftExtensions.imageLabelsInfo,
+      GraftExtensions.imageLabelsBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       GraftExtensions.simhashInfo,
       GraftExtensions.simhashBuilder))
@@ -59,6 +63,11 @@ object GraftExtensions {
   private[graft] val labelsBuilder: Seq[Expression] => Expression =
     children => graft.functions.LabelGen(children.head)
 
+  private[graft] val imageLabelsInfo =
+    new ExpressionInfo(classOf[graft.functions.ImageLabels].getName, "graft_image_labels")
+  private[graft] val imageLabelsBuilder: Seq[Expression] => Expression =
+    children => graft.functions.ImageLabels(children.head)
+
   private[graft] val simhashInfo =
     new ExpressionInfo(classOf[graft.functions.SimHash].getName, "graft_simhash")
   private[graft] val simhashBuilder: Seq[Expression] => Expression =
@@ -80,6 +89,8 @@ object GraftExtensions {
       spark, "graft_winnow", winnowInfo, winnowBuilder)
     org.apache.spark.sql.graftshim.GraftShim.registerFunction(
       spark, "graft_labels", labelsInfo, labelsBuilder)
+    org.apache.spark.sql.graftshim.GraftShim.registerFunction(
+      spark, "graft_image_labels", imageLabelsInfo, imageLabelsBuilder)
     org.apache.spark.sql.graftshim.GraftShim.registerFunction(
       spark, "graft_simhash", simhashInfo, simhashBuilder)
     if (!spark.experimental.extraOptimizations

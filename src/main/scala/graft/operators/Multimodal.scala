@@ -10,42 +10,101 @@ import graft.Tables
   *
   * Media is carried as an opaque `binary` column plus typed metadata.
   * Decode / feature-extraction runs executor-side via `mapPartitions`
-  * over a typed Dataset in fixed-size batches — the exact plumbing a real
-  * decoder (image lib / model runtime) plugs into. The decode kernel
-  * itself is a STUB: the container has no image/audio libraries, so
-  * `decodeStub` computes deterministic fake features from the bytes
-  * (documented below) instead of a real JPEG parse. The schema,
-  * batching, partitioning and typed I/O are real and oracle-checked.
+  * over a typed Dataset in fixed-size batches — and the image decode is
+  * REAL: `javax.imageio` (JDK-bundled, fully offline) parses actual
+  * PNG bytes into pixels, and the features (dimensions, per-channel
+  * pixel sums) are computed from the decoded raster. The image corpus
+  * is a deterministic generated fixture ([[genPng]]): each document
+  * gets a small PNG whose pixels are a closed-form function of
+  * (doc_id, x, y), so the DuckDB oracle can restate the EXPECTED
+  * decode output exactly — PNG is lossless, so decode(encode(pixels))
+  * must reproduce the formula or the hash check fails. Only the video
+  * frame-sampling transform keeps a byte-level stand-in kernel (no
+  * video codec ships with the JDK); its plumbing is identical.
   *
   * Scale notes: binary payloads never pass through a shuffle here — the
   * decode is a narrow map; only the small feature rows move on. Batch
   * size 64 bounds per-task peak memory regardless of partition size.
   */
 object Multimodal extends graft.QueryPack {
+  // never spill decode scratch to executor-local temp files
+  javax.imageio.ImageIO.setUseCache(false)
 
   case class MediaRow(doc_id: Long, content: Array[Byte])
-  case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, magic: String,
-      fake_width: Long, fake_height: Long, frame_sum: Long)
+  case class ImageFeatures(
+      doc_id: Long, width: Long, height: Long, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
 
-  /** STUB decoder — stands in for image decode / feature extraction.
-    * Deterministic fake: "header" fields from leading byte values and a
-    * every-16th-byte "frame sample" checksum. A real deployment replaces
-    * only this function; the Spark plumbing around it is unchanged.
-    * A NULL payload decodes as empty bytes (real media columns have
-    * null rows routinely; an NPE here fails the whole job) — same
-    * null-tolerance as the sibling LabelGen kernel. */
-  def decodeStub(m: MediaRow): MediaFeatures = {
-    val b = if (m.content == null) Array.emptyByteArray else m.content
-    def at(i: Int): Long = if (i < b.length) b(i) & 0xffL else 0L
-    val frameSum = b.indices.by(16).map(i => b(i) & 0xffL).sum
-    MediaFeatures(
-      doc_id = m.doc_id,
-      n_bytes = b.length.toLong,
-      magic = new String(b.take(2), "UTF-8"),
-      fake_width = at(0) * 256 + at(1),
-      fake_height = at(2) * 256 + at(3),
-      frame_sum = frameSum)
+  /** Deterministic PNG fixture for one document: W = 8 + d%9,
+    * H = 8 + d%7, pixel (x,y) channels
+    * r = (d·31 + x·7 + y·13) mod 256, g = (d·17 + x·3 + y·5) mod 256,
+    * b = (d·23 + x·11 + y·2) mod 256 — encoded through the real
+    * `ImageIO` PNG writer. The formula IS the oracle contract: DuckDB
+    * recomputes it in closed form and the decoded features must agree
+    * byte-for-byte. */
+  def genPng(d: Long): Array[Byte] = {
+    val w = (8 + d % 9).toInt
+    val h = (8 + d % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((d * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((d * 17 + x * 3 + y * 5) % 256).toInt
+        val b = ((d * 23 + x * 11 + y * 2) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: `javax.imageio` parses the payload and the
+    * features come from the decoded raster. An undecodable payload
+    * (null, empty, not an image) yields a zero-dimension row rather
+    * than throwing — one corrupt image must not kill a 100 TB scan. */
+  def decodeImage(docId: Long, content: Array[Byte]): ImageFeatures = {
+    val img =
+      if (content == null || content.isEmpty) null
+      else try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+    if (img == null) ImageFeatures(docId, 0, 0, 0, 0, 0, 0)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff
+          sg += (p >> 8) & 0xff
+          sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeatures(docId, w, h, w.toLong * h, sr, sg, sb)
+    }
+  }
+
+  /** The generated image corpus as a binary media column: one small
+    * PNG per document, produced executor-side (a narrow map — the
+    * fixture generator stands where a parquet binary column or
+    * binaryFile scan would in production; StorageLayoutSpec covers the
+    * binaryFile read path). */
+  def imageFixtures(spark: SparkSession, docIds: DataFrame): DataFrame = {
+    import spark.implicits._
+    docIds.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, genPng(id))))
+      .toDF()
   }
 
   /** Executor-side batched decode: partitions stream through in batches
@@ -54,7 +113,8 @@ object Multimodal extends graft.QueryPack {
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRow]
-      .mapPartitions(_.grouped(64).flatMap(_.map(decodeStub)))
+      .mapPartitions(_.grouped(64).flatMap(_.map(m =>
+        decodeImage(m.doc_id, m.content))))
       .toDF()
   }
 
@@ -88,13 +148,15 @@ object Multimodal extends graft.QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Binary media column → typed features via mapPartitions batches.
+    // Binary media column → REAL javax.imageio decode via mapPartitions
+    // batches: per-doc generated PNG fixtures, decoded back to
+    // (dimensions, per-channel pixel sums); the oracle recomputes the
+    // pixel formula in closed form — lossless PNG makes them equal.
     "q_multimodal_features" -> ((s, d) => {
-      val media = Tables(s, d, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      val media = imageFixtures(s, Tables(s, d, "documents"))
       extractFeatures(s, media)
-        .select(col("doc_id"), col("n_bytes"), col("magic"),
-          col("fake_width"), col("fake_height"), col("frame_sum"))
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy(col("doc_id"))
     }),
 
@@ -113,15 +175,16 @@ object Multimodal extends graft.QueryPack {
         .orderBy(col("doc_id"), col("frame_no"))
     }),
 
-    // M1 as a Generator (UDTF): one label row per media item per label,
-    // via the custom graft_labels generator — planned as a Generate
-    // node exactly like explode (§2.10's "Generator variant to emit one
-    // label row per image").
+    // M1 as a Generator (UDTF) with a REAL image decode: one label row
+    // per image per detected label, via the custom graft_image_labels
+    // generator — planned as a Generate node exactly like explode
+    // (§2.10's "Generator variant to emit one label row per image").
+    // The label model ranks the decoded color channels; the contract
+    // (rank, confidence, name) is labels.js:51-71's stored shape.
     "q_multimodal_labels" -> ((s, d) => {
-      Tables(s, d, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
-        .select(col("doc_id"), graft.functions.LabelGen.labels(col("content")))
-        .orderBy(col("doc_id"), col("label_rank"))
+      imageFixtures(s, Tables(s, d, "documents"))
+        .select(col("doc_id"), graft.functions.ImageLabels.labels(col("content")))
+        .orderBy(col("doc_id"), col("label_rank"), col("name"))
     })
   )
 
@@ -135,18 +198,31 @@ object Multimodal extends graft.QueryPack {
     s"CAST(COALESCE(list_sum(list_transform(range(1, length($p) + 1, 16), " +
       s"i -> ascii(substring($p, i, 1)))), 0) AS BIGINT)"
 
-  // documents.text is ASCII, so byte values == ascii codes and the stub
-  // features are exactly expressible in SQL for the oracle.
+  /** Shared oracle prelude: the per-document pixel grid with the
+    * closed-form channel formulas from [[genPng]] — PNG is lossless,
+    * so the REAL `javax.imageio` decode must reproduce these exactly. */
+  private val pixelGridSqlDuck: String =
+    """d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |       FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |sums AS (
+      |  SELECT doc_id, w, h, w * h AS n_px,
+      |    sum((doc_id * 31 + x * 7 + y * 13) % 256) AS sr,
+      |    sum((doc_id * 17 + x * 3 + y * 5) % 256) AS sg,
+      |    sum((doc_id * 23 + x * 11 + y * 2) % 256) AS sb
+      |  FROM px GROUP BY doc_id, w, h)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // expected output of the real PNG decode, recomputed in closed form
     "q_multimodal_features" ->
-      """SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  substring(text, 1, 2) AS magic,
-        |  CAST(ascii(substring(text, 1, 1)) * 256 + ascii(substring(text, 2, 1)) AS BIGINT) AS fake_width,
-        |  CAST(ascii(substring(text, 3, 1)) * 256 + ascii(substring(text, 4, 1)) AS BIGINT) AS fake_height,
-        |  CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1, 16),
-        |       i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS frame_sum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH $pixelGridSqlDuck
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(n_px AS BIGINT) AS n_px,
+        |  CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g,
+        |  CAST(sb AS BIGINT) AS sum_b
+        |FROM sums ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_transform" ->
       """WITH f AS (
@@ -175,14 +251,24 @@ object Multimodal extends graft.QueryPack {
         |  md5(resized) AS resized_md5
         |FROM fr ORDER BY doc_id, frame_no""".stripMargin,
 
+    // channel-ranking labels over the same decoded pixels; confidence
+    // = 100·sum/(255·n_px) evaluated with the IDENTICAL double
+    // arithmetic on both engines (multiply before divide)
     "q_multimodal_labels" ->
-      s"""WITH f AS (
-        |  SELECT doc_id, ${labelChecksumSqlDuck("text")} AS fs
-        |  FROM documents),
-        |l AS (SELECT doc_id, fs, unnest(range(0, 1 + fs % 3)) AS r FROM f)
-        |SELECT doc_id, r + 1 AS label_rank,
-        |  CAST(100.0 - 10.0 * r AS DOUBLE) AS confidence,
-        |  'label_' || CAST((fs + r) % 7 AS VARCHAR) AS name
-        |FROM l ORDER BY doc_id, label_rank""".stripMargin
+      s"""WITH $pixelGridSqlDuck,
+        |ch AS (
+        |  SELECT doc_id, n_px,
+        |    unnest(['red', 'green', 'blue']) AS name,
+        |    unnest([sr, sg, sb]) AS s,
+        |    unnest([0, 1, 2]) AS idx
+        |  FROM sums),
+        |r AS (
+        |  SELECT doc_id, name, s, n_px,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, idx)
+        |      AS label_rank
+        |  FROM ch)
+        |SELECT doc_id, CAST(label_rank AS BIGINT) AS label_rank,
+        |  100.0 * s / (255.0 * n_px) AS confidence, name
+        |FROM r ORDER BY doc_id, label_rank, name""".stripMargin
   )
 }

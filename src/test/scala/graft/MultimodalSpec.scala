@@ -2,27 +2,58 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{MediaRow, MediaFeatures}
+import graft.operators.Multimodal.{ImageFeatures, MediaRow}
 
 class MultimodalSpec extends AnyFunSuite {
 
-  test("stub decoder: deterministic features from bytes") {
-    val bytes = "abcdefghijklmnopqrstuvwxyz".getBytes("UTF-8")
-    val f = Multimodal.decodeStub(MediaRow(7L, bytes))
-    assert(f == MediaFeatures(7L, 26L, "ab",
-      'a'.toLong * 256 + 'b', 'c'.toLong * 256 + 'd',
-      'a'.toLong + 'q'.toLong)) // frame sample at 0 and 16
+  test("genPng emits a real PNG and decodeImage reproduces the pixel formula") {
+    val d = 7L
+    val png = Multimodal.genPng(d)
+    // actual PNG container, not a fake: 8-byte signature
+    assert((png(0) & 0xff) == 0x89 && new String(png.slice(1, 4), "UTF-8") == "PNG")
+    val f = Multimodal.decodeImage(d, png)
+    val (w, h) = ((8 + d % 9).toInt, (8 + d % 7).toInt)
+    def sum(m: Long, xm: Long, ym: Long) =
+      (for (x <- 0 until w; y <- 0 until h)
+        yield (d * m + x * xm + y * ym) % 256).sum
+    assert(f == ImageFeatures(d, w, h, w.toLong * h,
+      sum(31, 7, 13), sum(17, 3, 5), sum(23, 11, 2)))
   }
 
-  test("short payloads don't crash header parsing") {
-    val f = Multimodal.decodeStub(MediaRow(1L, "x".getBytes))
-    assert(f.n_bytes == 1 && f.fake_width == 'x'.toLong * 256 && f.fake_height == 0)
+  test("undecodable payloads degrade, never throw") {
+    assert(Multimodal.decodeImage(1L, null) == ImageFeatures(1L, 0, 0, 0, 0, 0, 0))
+    assert(Multimodal.decodeImage(2L, Array.emptyByteArray).n_px == 0)
+    assert(Multimodal.decodeImage(3L, "not an image".getBytes).n_px == 0)
+    assert(graft.functions.ImageLabels.detect("garbage".getBytes).isEmpty)
+    assert(graft.functions.ImageLabels.detect(null).isEmpty)
+  }
+
+  test("ImageLabels ranks decoded channels with deterministic tie-breaks") {
+    // a solid-color image: red dominant, green second, blue zero
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, (200 << 16) | (50 << 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = graft.functions.ImageLabels.detect(bos.toByteArray)
+    assert(rows.map(r => (r.getLong(0), r.getString(2).toString)) ==
+      Seq((1L, "red"), (2L, "green"), (3L, "blue")))
+    assert(rows.head.getDouble(1) == 100.0 * 200 * 16 / (255.0 * 16))
+    // all-equal channels: rank falls back to channel order, no
+    // partitioning-dependent ambiguity
+    val grey = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 2; y <- 0 until 2) grey.setRGB(x, y, 0x7f7f7f)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grey, "png", bos2)
+    assert(graft.functions.ImageLabels.detect(bos2.toByteArray)
+      .map(_.getString(2).toString) == Seq("red", "green", "blue"))
   }
 
   test("mapPartitions batch plumbing produces one row per input") {
     val spark = TestSpark.spark
     import spark.implicits._
-    val media = (1L to 200L).map(i => MediaRow(i, s"payload-$i".getBytes)).toDF()
+    val media = (1L to 200L).map(i => MediaRow(i, Multimodal.genPng(i))).toDF()
     val out = Multimodal.extractFeatures(spark, media)
     assert(out.count() == 200)
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == (1L to 200L))
@@ -50,6 +81,31 @@ class MultimodalSpec extends AnyFunSuite {
     val rows = viaCol.collect()
     assert(rows.length >= 10 && rows.length <= 30)
     assert(rows.filter(_.getLong(1) == 1L).forall(_.getDouble(2) == 100.0))
+  }
+
+  test("ImageLabels UDTF plans as Generate and works from SQL LATERAL VIEW") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.register(spark)
+    val df = Multimodal.imageFixtures(spark,
+      Tables(spark, TestSpark.sf, "documents").limit(10))
+    val viaCol = df.select(col("doc_id"),
+      graft.functions.ImageLabels.labels(col("content")))
+    assert(viaCol.queryExecution.executedPlan.toString.contains("Generate"),
+      viaCol.queryExecution.executedPlan.toString.take(1000))
+    assert(viaCol.schema.fieldNames.toSeq ==
+      Seq("doc_id", "label_rank", "confidence", "name"))
+    df.createOrReplaceTempView("image_media_tmp")
+    val viaSql = spark.sql(
+      """SELECT doc_id, l.label_rank, l.confidence, l.name
+        |FROM image_media_tmp LATERAL VIEW graft_image_labels(content) l""".stripMargin)
+    assert(viaSql.collect().map(_.toSeq).toSet ==
+      viaCol.collect().map(_.toSeq).toSet)
+    // exactly 3 channel labels per image, rank 1..3
+    val rows = viaCol.collect()
+    assert(rows.length == 30)
+    assert(rows.groupBy(_.getLong(0)).values.forall(
+      _.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L)))
   }
 
   test("transformStub: resize stride, frame grid, and edge cases") {
