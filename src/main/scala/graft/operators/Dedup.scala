@@ -45,8 +45,20 @@ object Dedup extends graft.QueryPack {
     * the cap never fires and results equal the exact definition. The
     * cap is part of the OPERATOR definition, not a silent heuristic:
     * the DuckDB oracles below restate the same inverted-index-with-cap
-    * computation, so greenness is structural at any df distribution. */
-  private val SHINGLE_DF_CAP = 1000
+    * computation, so greenness is structural at any df distribution.
+    *
+    * Like `graft.lsh.planes`, the cap is a library configuration
+    * (`graft.shingle.df.cap` sysprop / `GRAFT_SHINGLE_DF_CAP` env,
+    * default 1000), read ONCE at object init: both the Spark plans and
+    * the generated DuckDB oracle SQL rebuild from the same constant,
+    * so any setting stays oracle-consistent by construction — and
+    * DedupSpec runs the ngram kernel under a cap low enough to
+    * actually FIRE on the testdata, proving the capped path itself
+    * (not just the cap-idle path) keeps both engines in agreement. */
+  private val SHINGLE_DF_CAP: Int =
+    sys.props.get("graft.shingle.df.cap")
+      .orElse(sys.env.get("GRAFT_SHINGLE_DF_CAP"))
+      .map(_.toInt).getOrElse(1000)
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
@@ -526,9 +538,18 @@ object Dedup extends graft.QueryPack {
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
     ngramPairsOf(corpus(Tables(s, d, "documents")))
 
+  /** The ngram-pairs kernel under an explicit cap — DedupSpec runs it
+    * with a cap low enough to FIRE on real data (testdata df maxima
+    * never reach the default 1000) and pins the capped semantics to
+    * the declarative inverted-index-with-cap definition the DuckDB
+    * oracles restate. */
+  private[graft] def ngramPairsKernel(docs: DataFrame, cap: Int): DataFrame =
+    ngramPairsOf(docs, cap)
+
   /** The same kernel over any (doc_id, source, text) set — the funnel
     * query runs it on stage-1 survivors instead of the full corpus. */
-  private def ngramPairsOf(docs: DataFrame): DataFrame = {
+  private def ngramPairsOf(docs: DataFrame,
+      cap: Int = SHINGLE_DF_CAP): DataFrame = {
     val c = docs
       .withColumn("sh", shingles(col("text")))
       .withColumn("n", size(col("sh")))
@@ -544,7 +565,7 @@ object Dedup extends graft.QueryPack {
     import org.apache.spark.sql.expressions.Window
     val wdf = Window.partitionBy(col("source"), col("s"))
     val kept = ex.withColumn("df", count(lit(1)).over(wdf))
-      .filter(col("df") <= SHINGLE_DF_CAP).drop("df")
+      .filter(col("df") <= cap).drop("df")
     val l = kept.select(col("source"), col("s"),
       col("doc_id").as("id_a"), col("n").as("na"))
     val r = kept.select(col("source"), col("s"),
