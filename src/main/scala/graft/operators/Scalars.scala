@@ -130,6 +130,52 @@ object Scalars extends graft.QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // Geohash-bucketed spatial kNN join — the generalization of the
+    // reference's DECLARED-but-unused 2dsphere index (models.js:21-34:
+    // it indexes location.gps yet never issues a geo query). Nearest-3
+    // locations (derived from supplier) per query point (derived from
+    // customer): each point probes its 10°-grid cell plus the 8
+    // neighbors (explode over a 9-element constant array), candidates
+    // arrive through a hash EQUI-JOIN on the integer cell key — never
+    // a cross product (PlanShapeSpec pins it) — then exact haversine
+    // verifies and row_number keeps the top 3. At 100 TB this is the
+    // standard spatial-join layout: work ∝ cell occupancy, the cell
+    // size is the knob that keeps occupancy constant as density grows,
+    // and a hotspot cell is an AQE skew-split, not a plan change.
+    // (No ±180° longitude wrap probes — the derived grid stops short
+    // of the dateline; a production deployment adds two wrap probes.)
+    "q_geo_knn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val loc = Tables(s, d, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 7 % 170).cast("double") - 85.0).as("llat"),
+        ((col("s_suppkey") * 13 % 350).cast("double") - 175.0).as("llng"))
+        .withColumn("cla", floor(col("llat") / 10.0).cast("long"))
+        .withColumn("clo", floor(col("llng") / 10.0).cast("long"))
+      val pt = Tables(s, d, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 170).cast("double") - 85.0).as("plat"),
+        ((col("c_custkey") % 350).cast("double") - 175.0).as("plng"))
+      val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+      val probes = pt
+        .withColumn("o", explode(offsets))
+        .select(col("c_custkey"), col("plat"), col("plng"),
+          (floor(col("plat") / 10.0).cast("long") + col("o.dx")).as("cla"),
+          (floor(col("plng") / 10.0).cast("long") + col("o.dy")).as("clo"))
+      val rlat0 = radians(col("plat")); val rlat1 = radians(col("llat"))
+      val a = pow(sin((rlat1 - rlat0) / 2), 2) +
+        cos(rlat0) * cos(rlat1) *
+          pow(sin((radians(col("llng")) - radians(col("plng"))) / 2), 2)
+      val dist = lit(2 * 6371.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col("dist_km"), col("s_suppkey"))
+      probes.join(loc, Seq("cla", "clo"))
+        .withColumn("dist_km", round(dist, 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("c_custkey"), col("rnk"), col("s_suppkey"), col("dist_km"))
+        .orderBy(col("c_custkey"), col("rnk"))
+    }),
+
     // HTML field extraction via regex (S6/P8: .news--box scan + relative
     // image URL absolutization, news/elimparcial.js:11-47).
     "q_html_extract" -> ((s, d) => {
@@ -333,6 +379,47 @@ object Scalars extends graft.QueryPack {
         |    pow(sin((radians(CAST(c_custkey % 350 AS DOUBLE) - 175.0) - radians(-99.1332)) / 2), 2) AS a
         |  FROM customer) t
         |ORDER BY c_custkey""".stripMargin,
+
+    // same cell formula, same candidate set, same tie-break — the
+    // oracle restates the ALGORITHM (cell-bounded kNN), so both
+    // engines agree at any density
+    "q_geo_knn" ->
+      """WITH loc AS (
+        |  SELECT s_suppkey,
+        |    CAST(s_suppkey * 7 % 170 AS DOUBLE) - 85.0 AS llat,
+        |    CAST(s_suppkey * 13 % 350 AS DOUBLE) - 175.0 AS llng
+        |  FROM supplier),
+        |lc AS (SELECT *, CAST(floor(llat / 10.0) AS BIGINT) AS cla,
+        |              CAST(floor(llng / 10.0) AS BIGINT) AS clo FROM loc),
+        |pt AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 170 AS DOUBLE) - 85.0 AS plat,
+        |    CAST(c_custkey % 350 AS DOUBLE) - 175.0 AS plng
+        |  FROM customer),
+        |probes AS (
+        |  SELECT c_custkey, plat, plng,
+        |    CAST(floor(plat / 10.0) AS BIGINT) + dx.d AS cla,
+        |    CAST(floor(plng / 10.0) AS BIGINT) + dy.d AS clo
+        |  FROM pt, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)),
+        |cand AS (
+        |  SELECT p.c_custkey, p.plat, p.plng, l.s_suppkey, l.llat, l.llng
+        |  FROM probes p JOIN lc l ON l.cla = p.cla AND l.clo = p.clo),
+        |d AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    round(2 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)), 6) AS dist_km
+        |  FROM (
+        |    SELECT c_custkey, s_suppkey,
+        |      pow(sin((radians(llat) - radians(plat)) / 2), 2) +
+        |      cos(radians(plat)) * cos(radians(llat)) *
+        |      pow(sin((radians(llng) - radians(plng)) / 2), 2) AS a
+        |    FROM cand) t),
+        |r AS (
+        |  SELECT c_custkey, s_suppkey, dist_km,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |                       ORDER BY dist_km, s_suppkey) AS rnk
+        |  FROM d)
+        |SELECT c_custkey, CAST(rnk AS BIGINT) AS rnk, s_suppkey, dist_km
+        |FROM r WHERE rnk <= 3 ORDER BY c_custkey, rnk""".stripMargin,
 
     "q_html_extract" ->
       """WITH h AS (

@@ -126,6 +126,16 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("geo knn candidates arrive through the cell equi-join — never a cross product") {
+    val df = graft.operators.Scalars.queries("q_geo_knn")(spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
   test("bm25 / pmi top-k plans end in TakeOrderedAndProject") {
     for (q <- Seq("q_bm25", "q_pmi_bigrams")) {
       val plan = graft.operators.TextAnalytics.queries(q)(spark, TestSpark.sf)
