@@ -18,7 +18,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] =
     Seq(Relational, TextAnalytics, Dedup, Similarity, Multimodal, Topics,
-      Scalars, Analytic, Extras, Pipeline, StreamingGate)
+      Scalars, Analytic, Extras, Pipeline, StreamingGate, Sketches)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
