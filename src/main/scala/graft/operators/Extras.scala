@@ -286,10 +286,48 @@ object Extras extends graft.QueryPack {
           col("valid_to_us"), col("version"),
           col("valid_to_us").isNull.as("is_current"))
         .orderBy(col("user_id"), col("version"))
+    }),
+
+    // Z-order data layout: interleave the bits of two clustering dims
+    // (user bucket × day bucket) into one scan-locality key, then
+    // assign each row to a fixed-width z-cell. At 100 TB this is the
+    // layout-rewrite shape: zkey is a narrow projection (16 bitwise
+    // terms, codegen'd, no shuffle), the actual file placement is a
+    // range-partitioned sort by zkey — so a reader filtering EITHER
+    // dim prunes contiguous z-cells instead of scanning everything.
+    // The cell id is zkey >> 4 (256 cells over the 16-bit z-space),
+    // a pure projection — no global row_number window, which would
+    // funnel the corpus through one partition.
+    "q_zorder_layout" -> ((s, d) => {
+      val ev = Tables(s, d, "events").select(col("event_id"),
+        (col("user_id") % 256).as("a"),
+        (floor(unix_seconds(col("ts")) / 86400) % 256).as("b"))
+      val z = (0 until 8).map(i =>
+        shiftleft(shiftright(col("a"), i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(col("b"), i).bitwiseAND(1), 2 * i + 1))
+        .reduce(_ + _)
+      ev.withColumn("zkey", z.cast("long"))
+        .withColumn("zcell", shiftright(col("zkey"), 4).cast("long"))
+        .select(col("event_id"), col("zkey"), col("zcell"))
+        .orderBy(col("zkey"), col("event_id"))
     })
   )
 
+  /** The 16-term bit interleave, generated once for both engines. */
+  private def zTermsSql: String = (0 until 8).map(i =>
+    s"((((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1}))")
+    .mkString(" + ")
+
   def oracles: Map[String, String] = Map(
+    "q_zorder_layout" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id % 256 AS a,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) % 256 AS b
+        |  FROM events),
+        |z AS (SELECT event_id, CAST($zTermsSql AS BIGINT) AS zkey FROM ev)
+        |SELECT event_id, zkey, CAST(zkey >> 4 AS BIGINT) AS zcell
+        |FROM z ORDER BY zkey, event_id""".stripMargin,
+
     "q_scd2" ->
       """WITH log AS (
         |  SELECT user_id, event_type AS attr, epoch_us(ts) AS ts_us, event_id,
