@@ -19,13 +19,24 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     if (name == "events") {
-      // events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark refuses to
-      // read natively; read the raw nanos and downcast to a micros
-      // timestamp (truncation — matches DuckDB's ns→µs read behavior).
+      // events.ts has shipped as parquet INT64 TIMESTAMP(NANOS) in some
+      // testdata generations (Spark refuses to read nanos natively) and as
+      // plain TIMESTAMP(MICROS) [isAdjustedToUTC=false → TIMESTAMP_NTZ] in
+      // others. Normalize both to a session-TZ (UTC) TimestampType so every
+      // downstream unix_micros/window expression sees one type, matching
+      // DuckDB's TIMESTAMP read of the same file.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType => // raw nanos → truncate to micros (DuckDB ns→µs behavior)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => // exact under the UTC session timezone
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => raw
+        case other => sys.error(s"unexpected events.ts type: $other")
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

@@ -19,21 +19,36 @@ import graft.operators.Relational
   */
 object EventsStream {
 
-  /** Raw parquet schema of events (ts stored as INT64 nanos). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Replay the events table as a file micro-batch stream, normalized to
-    * the same shape as the batch `Tables(_, _, "events")`. */
+    * the same shape as the batch `Tables(_, _, "events")`.
+    *
+    * A streaming parquet source needs its schema up front, and events.ts
+    * has shipped both as INT64 TIMESTAMP(NANOS) (Spark refuses to read
+    * nanos natively → legacy long + truncate) and as TIMESTAMP(MICROS)
+    * [NTZ] across testdata generations — so discover the file's actual
+    * ts type from the batch footer (a driver-side metadata read) and
+    * build the matching stream schema + normalization, mirroring
+    * Tables' batch-side dispatch exactly. */
   def replay(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => // raw nanos → truncate to micros (DuckDB ns→µs read)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // exact under the UTC session timezone
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => sys.error(s"unexpected events.ts type: $other")
+    }
   }
 
   /** Event-time tumbling-window aggregation with a 2h watermark —

@@ -58,8 +58,14 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(events, Paths.get(src, "f1.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
     def runOnce(): Unit = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val q = spark.readStream.schema(EventsStream.rawSchema).parquet(src)
+      // only the two projected columns — a partial parquet read schema
+      // prunes the rest and stays independent of the ts physical type
+      val projSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType)))
+      val q = spark.readStream.schema(projSchema).parquet(src)
         .select(col("event_id"), col("event_type"))
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
