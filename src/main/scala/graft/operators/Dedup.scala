@@ -386,14 +386,20 @@ object Dedup extends graft.QueryPack {
       while (!converged && rounds < 50) {
         val prop = edges.join(labels, edges("dst") === labels("node"))
           .select(edges("src").as("node"), col("label"))
+        // localCheckpoint, not persist: each round references `labels`
+        // twice, so cache-only iteration still grows the LOGICAL plan
+        // 2^r nodes — the analyzer walks the whole tree even when
+        // execution hits the cache, and a long-chain graph driving
+        // this toward the 50-round backstop would OOM the driver on
+        // the plan before the data ever hurt (same fix as ccStars; a
+        // cluster deployment uses checkpoint() on a reliable store)
         val next = labels.unionByName(prop)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .persist()
+          .localCheckpoint(true)
         val old = labels
         labels = next
-        val s = labelSum() // materializes `next` BEFORE the old frame is
-        old.unpersist(false) // dropped — else each round recomputes the
-        // whole lineage back to round 0 (O(d²) joins instead of O(d))
+        val s = labelSum()
+        old.unpersist(false)
         converged = s == prevSum
         prevSum = s
         rounds += 1
@@ -410,6 +416,31 @@ object Dedup extends graft.QueryPack {
           "cap (or switch to pointer-doubling) for this graph")
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Connected components by ALTERNATING STAR CONTRACTION — the same
+    // clusters as q_dedup_clusters (one oracle restated for both), but
+    // the published two-round-primitive MapReduce algorithm (Kiveris,
+    // Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    // Components in MapReduce and Beyond", SoCC'14): repeat
+    // large-star / small-star until the edge set is a fixpoint, at
+    // which point every node hangs directly off its component minimum.
+    //
+    // Why ship BOTH: label propagation advances one hop per round, so
+    // its round count is the component RADIUS — fine for star-shaped
+    // near-dup clusters, a scale-killer on a 100 TB graph with a long
+    // chain (a million-hop component = a million shuffle rounds).
+    // Star contraction halves tree heights every alternation:
+    // O(log² n) rounds worst-case, O(log n) observed, INDEPENDENT of
+    // diameter (CCStarsSpec drives a 64-chain through both: 6
+    // alternations here vs 32 propagation rounds there). Each round is
+    // the same primitive the cluster loop already pays — a groupBy-min
+    // on the edge key and an equi-join — so the per-round cost is
+    // unchanged; only the round COUNT scales differently.
+    "q_cc_stars" -> ((s, d) => {
+      val pairs = ngramPairs(s, d).select(col("id_a"), col("id_b"))
+      ccStars(pairs.toDF("src", "dst"))
+        .toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
     }),
 
     // The composed dedup FUNNEL: the stages this pack proves in
@@ -537,6 +568,99 @@ object Dedup extends graft.QueryPack {
     * query. */
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
     ngramPairsOf(corpus(Tables(s, d, "documents")))
+
+  /** One LARGE-STAR round: every node u links each STRICTLY-LARGER
+    * neighbor to the minimum of its closed neighborhood m(u) =
+    * min(Γ(u) ∪ {u}). Operates on the symmetrized edge list; shuffles:
+    * one groupBy-min on the node key + one equi-join back — both on
+    * uniformly-hashed ids. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val m = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    sym.join(m, "src").filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** One SMALL-STAR round: orient every edge large→small, then every
+    * node links its smaller neighbors AND itself to the minimum among
+    * them. Same two-shuffle primitive as [[largeStar]]. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst")).distinct()
+    val m = dir.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    dir.join(m, "src")
+      .select(explode(array(col("dst"), col("src"))).as("v"), col("m"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst")).distinct()
+  }
+
+  /** Connected components via alternating star contraction. Returns
+    * (node, component-minimum) for every node that appears in `edges`
+    * — identical semantics to the label-propagation loop, reached in
+    * O(log² n) worst-case / O(log n) observed alternations instead of
+    * the component radius. The driver sees one constant-width checksum
+    * row per alternation (a multiset hash of the edge set — xxhash64
+    * per edge, summed — so the fixpoint test never collects edges);
+    * the 30-alternation backstop fails LOUDLY: 2^30 tree-height
+    * halvings cover any graph that fits in storage, so hitting it
+    * means the contraction is broken, not the graph big. */
+  private[graft] def ccStars(edges: DataFrame): DataFrame =
+    ccStarsWithRounds(edges)._1
+
+  /** The contraction loop, returning (labels, alternation count) — the
+    * count lets CCStarsSpec assert diameter-independence (a 64-chain in
+    * O(log n) alternations) without reaching into the loop. */
+  private[graft] def ccStarsWithRounds(edges: DataFrame): (DataFrame, Int) = {
+    // constant-width fixpoint probe: a multiset hash of the edge set
+    // (xxhash64 per edge, summed exactly in DECIMAL(38,0) — an ANSI
+    // Long sum overflows — plus the count). The driver never collects
+    // edges, only this one row per alternation.
+    def checksum(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO))).collect()(0)
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    // localCheckpoint (eager), NOT persist: one alternation references
+    // `cur` ~6 times, so a cache-only loop still grows the LOGICAL
+    // plan 6^r nodes — the analyzer walks (and stringifies) the full
+    // tree even though execution would hit the cache, and a ~10-round
+    // run OOMs the driver on the plan alone. Checkpointing cuts the
+    // lineage to a leaf each round; a cluster deployment pointing at a
+    // reliable store would use checkpoint() — same shape, durable
+    // blocks.
+    var cur = edges.filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var mark = checksum(cur)
+    var rounds = 0
+    var converged = mark._1 == 0L
+    while (!converged && rounds < 30) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nmark = checksum(next)
+      cur.unpersist(false)
+      cur = next
+      converged = nmark == mark
+      mark = nmark
+      rounds += 1
+    }
+    // fail LOUDLY if the backstop fired: 2^30 tree-height halvings
+    // cover any graph that fits in storage, so hitting it means the
+    // contraction is broken, not the graph big
+    require(converged, "ccStars: star contraction did not reach a " +
+      "fixpoint within 30 alternations — largeStar/smallStar broke an " +
+      "invariant (every finite graph converges in O(log² n) rounds)")
+    // fixpoint edges form stars (child, root): child labels from the
+    // edges, root labels from the distinct dst side
+    val out = cur.select(col("src").as("node"), col("dst").as("label"))
+      .unionByName(cur.select(col("dst").as("node"), col("dst").as("label")))
+      .distinct()
+    cur.unpersist(false)
+    (out, rounds)
+  }
 
   /** The ngram-pairs kernel under an explicit cap — DedupSpec runs it
     * with a cap low enough to FIRE on real data (testdata df maxima
@@ -710,6 +834,24 @@ object Dedup extends graft.QueryPack {
     // reachable id, the unique fixpoint the Spark label propagation
     // converges to.
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusSqlDuck,
+         |$ngramPairsSqlDuck,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node)
+         |SELECT node AS doc_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // star contraction computes the SAME clusters as label propagation
+    // — one declarative truth, two physical strategies, so the oracle
+    // is restated verbatim (the q_asof_join / q_asof_join_native
+    // pattern: the engine must reach the identical result down a
+    // different execution path)
+    "q_cc_stars" ->
       s"""WITH RECURSIVE $corpusSqlDuck,
          |$ngramPairsSqlDuck,
          |edges AS (
