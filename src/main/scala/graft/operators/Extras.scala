@@ -124,6 +124,39 @@ object Extras extends graft.QueryPack {
         .orderBy(col("source"))
     }),
 
+    // WEIGHTED sampling WITHOUT replacement — the Efraimidis–Spirakis
+    // exponential-keys algorithm ("Weighted random sampling with a
+    // reservoir", IPL 2006): each row draws u ∈ (0,1] and the k
+    // largest values of u^(1/w) are the sample, which provably selects
+    // without replacement with probability proportional to weight.
+    // Ranking by ln(u)/w is the same order (monotone transform) in
+    // plain double math. The "random" u is the stable md5-key uniform
+    // the other samplers use — top 13 hex digits (52 bits, exactly a
+    // double mantissa) scaled into (0,1] — so the sample is a pure
+    // function of doc_id: deterministic, engine-independent,
+    // partitioning-independent, and restated verbatim in the oracle.
+    // Weight = document length (longer docs proportionally likelier —
+    // the token-budget-aware variant of uniform doc sampling).
+    //
+    // Scale: a narrow projection (md5 + ln per row, no shuffle)
+    // feeding a global top-k via TakeOrderedAndProject — per-partition
+    // partial top-k, K rows to the driver, never a full sort. The
+    // per-key round-at-9 DECIMAL keeps the rank order bit-exact across
+    // engines; ties (if any) break on doc_id in the ORDER BY itself.
+    "q_weighted_sample" -> ((s, d) => {
+      val K = 100
+      val M = math.pow(16, 13) // 2^52 — exactly representable
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("double") + 1d) / lit(M + 1d)
+      val w = greatest(col("n_chars"), lit(1)).cast("double")
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          greatest(col("n_chars"), lit(1)).cast("long").as("weight"),
+          round(log(u) / w, 9).cast(DecimalType(15, 9)).as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(K)
+    }),
+
     // Epoch upsampling — the other half of mixture curation: a source
     // weighted w epochs emits floor(w) full copies of every doc plus
     // one more for the deterministic md5-bucket slice of size frac(w)
@@ -424,6 +457,19 @@ object Extras extends graft.QueryPack {
         |            AS INTEGER) < 62259 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the A-ES key restated term-for-term: same md5-uniform, same
+    // ln(u)/w, same round-at-9 DECIMAL, same (key DESC, doc_id) order
+    "q_weighted_sample" ->
+      """SELECT doc_id, source,
+        |  CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+        |  CAST(round(ln(
+        |      (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |            AS BIGINT) AS DOUBLE) + 1) / (pow(16, 13) + 1))
+        |    / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS DECIMAL(15,9))
+        |    AS es_key
+        |FROM documents
+        |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
 
     // Forward window: clicks sort before purchases at equal ts
     // (is_click DESC) so a same-instant purchase is inside the

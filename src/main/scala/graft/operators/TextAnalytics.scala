@@ -106,6 +106,51 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("cnt").desc, col("word")).limit(100)
     }),
 
+    // Jensen–Shannon divergence of each source's unigram distribution
+    // from the corpus-wide distribution — the drift/mixture metric a
+    // curation pipeline watches when rebalancing domains (JSD is the
+    // symmetrized, bounded [0, ln2] cousin of KL; Lin 1991). For P =
+    // the source's distribution, Q = the corpus distribution and
+    // M = (P+Q)/2, terms ABSENT from the source (p = 0) contribute
+    // exactly 0.5·q·ln2, so the absent mass folds into the closed form
+    // 0.5·ln2·(1 − Σ_present q) and the plan only ever touches
+    // (source, word) pairs that EXIST — never the |sources| × |vocab|
+    // dense cross product.
+    //
+    // Scale: two uniform word-keyed aggs (corpus counts, source
+    // counts), a vocab-sized equi-join, a per-source agg; the only
+    // broadcast is the 1-row corpus total. Determinism discipline:
+    // per-term contributions rounded at 12 into exact DECIMAL sums
+    // (order/partitioning-invariant), final JSD rounded at 6 —
+    // restated term-for-term in the oracle.
+    "q_js_divergence" -> ((s, d) => {
+      val grams = Tables(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+      val cw = grams.groupBy(col("w")).agg(count(lit(1)).as("cq"))
+      val qtot = cw.agg(sum(col("cq")).as("qtot"))
+      val csw = grams.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("cp"))
+      val stot = csw.groupBy(col("source")).agg(sum(col("cp")).as("ptot"))
+      val p = col("cp").cast("double") / col("ptot").cast("double")
+      val q = col("cq").cast("double") / col("qtot").cast("double")
+      val contrib = lit(0.5) * (p * log(lit(2.0) * p / (p + q)) +
+        q * log(lit(2.0) * q / (p + q)))
+      csw.join(cw, Seq("w")).join(stot, Seq("source"))
+        .crossJoin(broadcast(qtot))
+        .select(col("source"),
+          round(contrib, 12).cast(DecimalType(16, 12)).as("c12"),
+          round(q, 12).cast(DecimalType(16, 12)).as("q12"))
+        .groupBy(col("source"))
+        .agg(sum(col("c12")).as("sc"), sum(col("q12")).as("sq"),
+          count(lit(1)).as("n_terms"))
+        .select(col("source"),
+          round(col("sc").cast("double") +
+            lit(0.5) * log(lit(2.0)) *
+              (lit(1.0) - col("sq").cast("double")), 6).as("jsd"),
+          col("n_terms"))
+        .orderBy(col("source"))
+    }),
+
     // Token counting: whitespace tokens + BPE-ish regex token count.
     "q_token_stats" -> ((s, d) => {
       Tables(s, d, "documents").select(
@@ -805,6 +850,38 @@ object TextAnalytics extends graft.QueryPack {
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+
+    // the JSD decomposition restated term-for-term: same p/q doubles,
+    // same 2p/(p+q) parenthesization, round-at-12 DECIMAL partial
+    // sums, and the same closed-form absent-mass term 0.5·ln2·(1−Σq)
+    "q_js_divergence" ->
+      """WITH g AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |cw AS (SELECT w, COUNT(*) AS cq FROM g GROUP BY w),
+        |qt AS (SELECT SUM(cq) AS qtot FROM cw),
+        |csw AS (SELECT source, w, COUNT(*) AS cp FROM g GROUP BY source, w),
+        |st AS (SELECT source, SUM(cp) AS ptot FROM csw GROUP BY source),
+        |terms AS (
+        |  SELECT source,
+        |    CAST(round(0.5 * (
+        |        (CAST(cp AS DOUBLE) / CAST(ptot AS DOUBLE)) *
+        |          ln(2.0 * (CAST(cp AS DOUBLE) / CAST(ptot AS DOUBLE)) /
+        |             ((CAST(cp AS DOUBLE) / CAST(ptot AS DOUBLE)) +
+        |              (CAST(cq AS DOUBLE) / CAST(qtot AS DOUBLE)))) +
+        |        (CAST(cq AS DOUBLE) / CAST(qtot AS DOUBLE)) *
+        |          ln(2.0 * (CAST(cq AS DOUBLE) / CAST(qtot AS DOUBLE)) /
+        |             ((CAST(cp AS DOUBLE) / CAST(ptot AS DOUBLE)) +
+        |              (CAST(cq AS DOUBLE) / CAST(qtot AS DOUBLE))))
+        |      ), 12) AS DECIMAL(16,12)) AS c12,
+        |    CAST(round(CAST(cq AS DOUBLE) / CAST(qtot AS DOUBLE), 12)
+        |      AS DECIMAL(16,12)) AS q12
+        |  FROM csw JOIN cw USING (w) JOIN st USING (source), qt)
+        |SELECT source,
+        |  round(CAST(SUM(c12) AS DOUBLE) +
+        |        0.5 * ln(2) * (1.0 - CAST(SUM(q12) AS DOUBLE)), 6) AS jsd,
+        |  COUNT(*) AS n_terms
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     "q_token_stats" ->
       """SELECT doc_id,
