@@ -78,6 +78,47 @@ object Sketches extends graft.QueryPack {
           ((col("at_or_below") >= col("n") * 0.5 - band) &&
             (col("below") + 1 <= col("n") * 0.5 + band)).as("within_bound"))
         .orderBy(col("source"))
+    }),
+
+    // Heavy-hitters sketch (Misra–Gries, native TypedImperativeAggregate
+    // — graft.functions.MisraGries) vs the exact top counts. The input
+    // stream is a deterministic SKEWED derivation of doc_id (the house
+    // corpus-construction pattern): two hot items own ~25% of the
+    // stream each, 16 mid items ~1.5% each, and every remaining doc
+    // contributes a unique cold item — so a k=8 summary over hundreds
+    // of distinct items PRUNES constantly (the natural word column has
+    // a 31-word near-uniform vocabulary: k < 31 guarantees nothing and
+    // k ≥ 31 never prunes, either way an untested sketch).
+    //
+    // The contract (mergeable-summaries bound, any merge order): for
+    // each of the exact top-2 items, the sketch must contain it (true
+    // count N/4 > N/(k+1) forces presence), must not overestimate, and
+    // must underestimate by at most 2·N/(k+1) (double the documented
+    // N/(k+1), the q_sketch_* never-flake convention). The raw counter
+    // set is merge-order-dependent and is never emitted — only the
+    // guarantee booleans the oracle states as constant true.
+    "q_sketch_topk" -> ((s, d) => {
+      val K = 8
+      val item = when(col("doc_id") % 4 < 2,
+          concat(lit("hot_"), (col("doc_id") % 2).cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("mid_"), (col("doc_id") % 16).cast("string")))
+        .otherwise(concat(lit("cold_"), col("doc_id").cast("string")))
+      val stream = Tables(s, d, "documents").select(item.as("item"))
+      val sk = stream.agg(
+        graft.functions.MisraGries.mgTopK(col("item"), K).as("sk"),
+        count(lit(1)).as("n"))
+      val est = sk.select(explode(col("sk")).as("e"), col("n"))
+        .select(col("e.item").as("item"), col("e.est").as("est"), col("n"))
+      val exact = stream.groupBy(col("item"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("item")).limit(2)
+      exact.join(est, Seq("item"), "left_outer")
+        .select(col("item"), col("exact_cnt"),
+          (col("est").isNotNull && col("est") <= col("exact_cnt") &&
+            (col("exact_cnt") - col("est")).cast("double") <=
+              lit(2.0) * col("n").cast("double") / (K + 1)).as("within_bound"))
+        .orderBy(col("item"))
     })
   )
 
@@ -92,6 +133,21 @@ object Sketches extends graft.QueryPack {
 
     "q_sketch_quantile" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n, true AS within_bound
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // same skewed stream derivation, same top-2 tie-break; the sketch
+    // guarantees are the constant-true boolean
+    "q_sketch_topk" ->
+      """WITH stream AS (
+        |  SELECT CASE
+        |    WHEN doc_id % 4 < 2 THEN 'hot_' || CAST(doc_id % 2 AS VARCHAR)
+        |    WHEN doc_id % 4 = 2 THEN 'mid_' || CAST(doc_id % 16 AS VARCHAR)
+        |    ELSE 'cold_' || CAST(doc_id AS VARCHAR) END AS item
+        |  FROM documents)
+        |SELECT item, exact_cnt, true AS within_bound FROM (
+        |  SELECT item, COUNT(*) AS exact_cnt
+        |  FROM stream GROUP BY item
+        |  ORDER BY exact_cnt DESC, item LIMIT 2)
+        |ORDER BY item""".stripMargin
   )
 }
