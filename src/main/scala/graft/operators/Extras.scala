@@ -157,6 +157,33 @@ object Extras extends graft.QueryPack {
         .limit(K)
     }),
 
+    // STRATIFIED weighted sampling: the per-group form of
+    // q_weighted_sample — an A-ES sample of 5 docs per source, so
+    // every stratum is represented regardless of its share of the
+    // corpus (the fixed-budget-per-domain step of mixture curation).
+    // Same deterministic ln(u)/w key; selection is a rank over a
+    // source-partitioned window instead of a global top-k — one
+    // shuffle on source, per-group sort, map-side filter. A skewed
+    // giant stratum costs its own sort, never a global one.
+    "q_stratified_sample" -> ((s, d) => {
+      val PER_GROUP = 5
+      val M = math.pow(16, 13)
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("double") + 1d) / lit(M + 1d)
+      val w = greatest(col("n_chars"), lit(1)).cast("double")
+      val keyed = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          greatest(col("n_chars"), lit(1)).cast("long").as("weight"),
+          round(log(u) / w, 9).cast(DecimalType(15, 9)).as("es_key"))
+      val byKey = Window.partitionBy(col("source"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+      keyed.withColumn("rk", row_number().over(byKey))
+        .filter(col("rk") <= PER_GROUP)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("weight"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // Epoch upsampling — the other half of mixture curation: a source
     // weighted w epochs emits floor(w) full copies of every doc plus
     // one more for the deterministic md5-bucket slice of size frac(w)
@@ -271,6 +298,42 @@ object Extras extends graft.QueryPack {
         .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
         .select(col("promo_id"), col("event_id"), col("ts_us"))
         .orderBy(col("promo_id"), col("event_id"))
+    }),
+
+    // INTERVAL-UNION MEASURE (gaps-and-islands): total covered time
+    // per user when every event opens a fixed 30-minute activity
+    // interval — the dwell-time / coverage accounting that complements
+    // q_sessionize (which counts islands; this measures their union).
+    // An island's union is [min ts, max end) because a row whose ts
+    // exceeds the running max of preceding ends BY DEFINITION starts a
+    // new island — so covered time is one window pass (running max of
+    // ends), a cumulative-sum island id, and two aggs. No interval
+    // self-join, no explode: the naive union-by-overlap-join is
+    // quadratic on a hot user; this is O(n log n) sort work per user,
+    // exactly one shuffle on user_id (both windows and the agg share
+    // it). Equal-ts ties can't flip the result: whichever tie sorts
+    // first carries the island flag, and per-island min/max are
+    // order-free.
+    "q_interval_union_len" -> ((s, d) => {
+      val D_US = 30L * 60 * 1000000
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("end_us", col("ts_us") + D_US)
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val prevMaxEnd = max(col("end_us"))
+        .over(byTs.rowsBetween(Window.unboundedPreceding, -1))
+      val flagged = ev.withColumn("is_new",
+        when(col("ts_us") > coalesce(prevMaxEnd, lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      val withIsland = flagged.withColumn("island",
+        sum(col("is_new")).over(byTs.rowsBetween(Window.unboundedPreceding, 0)))
+      withIsland
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("ts_us")).as("s"), max(col("end_us")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("e") - col("s")).as("covered_us"),
+          count(lit(1)).as("n_islands"))
+        .orderBy(col("user_id"))
     }),
 
     // The same as-of semantics through the NATIVE operator
@@ -471,6 +534,25 @@ object Extras extends graft.QueryPack {
         |FROM documents
         |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
 
+    // per-source rank over the identical A-ES key
+    "q_stratified_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source,
+        |    CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+        |    CAST(round(ln(
+        |        (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |              AS BIGINT) AS DOUBLE) + 1) / (pow(16, 13) + 1))
+        |      / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS DECIMAL(15,9))
+        |      AS es_key
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, doc_id, weight,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY es_key DESC, doc_id) AS BIGINT) AS rk
+        |  FROM keyed)
+        |SELECT source, rk, doc_id, weight FROM ranked
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
     // Forward window: clicks sort before purchases at equal ts
     // (is_click DESC) so a same-instant purchase is inside the
     // CURRENT ROW..FOLLOWING frame — mirroring the inclusive rt >= lt.
@@ -504,6 +586,34 @@ object Extras extends graft.QueryPack {
         |  ON epoch_us(e.ts) >= p.start_us AND epoch_us(e.ts) < p.end_us
         |WHERE e.event_type = 'click'
         |ORDER BY p.promo_id, e.event_id""".stripMargin,
+
+    // same one-window gaps-and-islands decomposition: running max of
+    // preceding ends flags island starts, cumulative sum numbers them,
+    // per-island [min ts, max end) spans sum into covered time
+    "q_interval_union_len" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) + 1800000000 AS end_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts_us, end_us,
+        |    CASE WHEN ts_us > COALESCE(MAX(end_us) OVER (
+        |        PARTITION BY user_id ORDER BY ts_us
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        -9223372036854775808)
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM iv),
+        |w AS (
+        |  SELECT user_id, ts_us, end_us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |isl AS (
+        |  SELECT user_id, island, MIN(ts_us) AS s, MAX(end_us) AS e
+        |  FROM w GROUP BY user_id, island)
+        |SELECT user_id, CAST(SUM(e - s) AS BIGINT) AS covered_us,
+        |  COUNT(*) AS n_islands
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH merged AS (

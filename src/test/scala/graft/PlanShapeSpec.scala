@@ -185,6 +185,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("weighted sample is a global top-k: TakeOrderedAndProject, no full sort") {
+    val df = graft.operators.Extras.queries("q_weighted_sample")(
+      spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("stratified sample ranks inside source partitions — one window, no join") {
+    val df = graft.operators.Extras.queries("q_stratified_sample")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("interval union measure is pure window work — no join anywhere") {
+    val df = graft.operators.Extras.queries("q_interval_union_len")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("js divergence joins only on word/source keys — no cartesian product") {
+    val df = graft.operators.TextAnalytics.queries("q_js_divergence")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the only nested-loop is the 1-row corpus-total broadcast (count
+    // inside the FINAL plan only — the AQE string repeats the tree in
+    // its "Initial Plan" section)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size <= 1,
+      finalPlan.take(3000))
+  }
+
   test("random projection plans with no shuffle before the output sort") {
     val df = graft.operators.Similarity.queries("q_project_rp")(
       spark, TestSpark.sf)
