@@ -64,19 +64,8 @@ case class MisraGriesAgg(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
-  /** Subtract the (k+1)-th largest count from every counter and drop
-    * non-positives — afterwards at most k counters remain (everything
-    * ≤ the threshold hits zero). */
   private def prune(buf: mutable.HashMap[String, Long]): Unit =
-    if (buf.size > k) {
-      val counts = buf.values.toArray
-      java.util.Arrays.sort(counts)
-      val thr = counts(counts.length - (k + 1))
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.mapValuesInPlace { (_, v) => v - thr }
-      buf.foreach { case (w, v) => if (v <= 0) dead += w }
-      dead.foreach(buf.remove)
-    }
+    MisraGries.pruneInPlace(buf, k)
 
   override def update(buf: mutable.HashMap[String, Long],
       input: InternalRow): mutable.HashMap[String, Long] = {
@@ -143,4 +132,35 @@ object MisraGries {
   def mgTopK(c: Column, k: Int): Column =
     GraftShim.column(
       MisraGriesAgg(GraftShim.expression(c), k).toAggregateExpression())
+
+  /** Subtract the (k+1)-th largest count from every counter and drop
+    * non-positives — afterwards at most k counters remain (everything
+    * ≤ the threshold hits zero). */
+  private[graft] def pruneInPlace(
+      buf: mutable.HashMap[String, Long], k: Int): Unit =
+    if (buf.size > k) {
+      val counts = buf.values.toArray
+      java.util.Arrays.sort(counts)
+      val thr = counts(counts.length - (k + 1))
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.mapValuesInPlace { (_, v) => v - thr }
+      buf.foreach { case (w, v) => if (v <= 0) dead += w }
+      dead.foreach(buf.remove)
+    }
+
+  /** Merge two k-counter summaries into one — the mergeable-summaries
+    * merge the aggregate uses internally, exposed for DRIVER-side state
+    * maintenance (a streaming sink folding one constant-sized summary
+    * per micro-batch into persistent sketch state; summaries are k
+    * rows, so driver work is O(k log k) per trigger regardless of
+    * stream size). Output deterministically ordered (est desc, item). */
+  def mergeSummaries(a: Seq[(String, Long)], b: Seq[(String, Long)],
+      k: Int): Seq[(String, Long)] = {
+    val buf = mutable.HashMap.empty[String, Long]
+    (a.iterator ++ b.iterator).foreach { case (w, c) =>
+      buf.update(w, buf.getOrElse(w, 0L) + c)
+    }
+    pruneInPlace(buf, k)
+    buf.toSeq.sortBy { case (w, c) => (-c, w) }
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
 import graft.streaming.EventsStream
 
 /** Structured Streaming under the DuckDB oracle gate.
@@ -201,10 +202,90 @@ object StreamingGate extends graft.QueryPack {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // CONTINUOUS heavy-hitter monitoring: the Misra–Gries summary as
+    // STREAMING STATE. Each micro-batch reduces to one k-counter
+    // summary via the native aggregate (the only thing that crosses
+    // the shuffle), and the sink folds it into persistent sketch state
+    // with the mergeable-summaries merge — O(k log k) driver work per
+    // trigger regardless of stream size, and the N/(k+1) bound holds
+    // over the WHOLE stream because MG summaries merge associatively
+    // under any batch arrival order (StatefulStreamingSpec drives the
+    // multi-batch path; this drain is one batch under the oracle, the
+    // q_stream_dedup precedent). The emitted result is the guarantee
+    // booleans against the exact top-2 of the same skewed event_id
+    // stream q_sketch_topk uses on doc_id — the oracle pins them
+    // constant-true.
+    "q_stream_topk" -> ((s, d) => {
+      val K = 8
+      val state = freshDir("q_stream_topk") + "/sk"
+      val item = when(col("event_id") % 4 < 2,
+          concat(lit("hot_"), (col("event_id") % 2).cast("string")))
+        .when(col("event_id") % 4 === 2,
+          concat(lit("mid_"), (col("event_id") % 16).cast("string")))
+        .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+      val stream = EventsStream.replay(s, d).select(item.as("item"))
+      drain(s, stream, "append") { (batch, _) =>
+        val r = batch.agg(
+          graft.functions.MisraGries.mgTopK(col("item"), K).as("sk"),
+          count(col("item")).as("bn")).collect()(0)
+        val bsk = r.getSeq[org.apache.spark.sql.Row](0)
+          .map(x => x.getString(0) -> x.getLong(1))
+        val bn = r.getLong(1)
+        val dir = new java.io.File(state)
+        val (prior, pn) =
+          if (dir.exists()) {
+            val st = batch.sparkSession.read.parquet(state).collect()
+            (st.map(x => x.getString(0) -> x.getLong(1)).toSeq,
+              if (st.isEmpty) 0L else st(0).getLong(2))
+          } else (Seq.empty[(String, Long)], 0L)
+        val merged =
+          graft.functions.MisraGries.mergeSummaries(prior, bsk, K)
+        val n = pn + bn
+        val ss = batch.sparkSession
+        import ss.implicits._
+        // state = k rows + the stream mass; written via the same
+        // staged-swap tail the merge sinks use (single-writer harness)
+        val frame = merged.map { case (w, c) => (w, c, n) }
+          .toDF("item", "est", "n")
+        val tmp = state + "_tmp"
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if (dir.exists()) graft.Fs.deleteRec(dir)
+        require(new java.io.File(tmp).renameTo(dir),
+          s"state swap failed: $tmp -> $state")
+      }
+      val st = s.read.parquet(state)
+        .select(col("item"), col("est"), col("n"))
+      val exact = Tables(s, d, "events").select(item.as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("item")).limit(2)
+      exact.join(st, Seq("item"), "left_outer")
+        .select(col("item"), col("exact_cnt"),
+          (col("est").isNotNull && col("est") <= col("exact_cnt") &&
+            (col("exact_cnt") - col("est")).cast("double") <=
+              lit(2.0) * col("n").cast("double") / (K + 1)).as("within_bound"))
+        .orderBy(col("item"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // same skewed event_id stream as the Spark side, same top-2
+    // tie-break; the sketch-state guarantees are the constant-true
+    // boolean (the q_sketch_* convention)
+    "q_stream_topk" ->
+      """WITH stream AS (
+        |  SELECT CASE
+        |    WHEN event_id % 4 < 2 THEN 'hot_' || CAST(event_id % 2 AS VARCHAR)
+        |    WHEN event_id % 4 = 2 THEN 'mid_' || CAST(event_id % 16 AS VARCHAR)
+        |    ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS item
+        |  FROM events)
+        |SELECT item, exact_cnt, true AS within_bound FROM (
+        |  SELECT item, COUNT(*) AS exact_cnt
+        |  FROM stream GROUP BY item
+        |  ORDER BY exact_cnt DESC, item LIMIT 2)
+        |ORDER BY item""".stripMargin,
+
     // streaming dedup of (events ∪ every-7th copy) == the events table.
     "q_stream_dedup" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value

@@ -151,4 +151,53 @@ class StatefulStreamingSpec extends AnyFunSuite {
       .sortBy(t => (t._1, t._2)).toSeq
     assert(batch == got :+ ((9L, 600 * MIN, 630 * MIN, 1L)))
   }
+
+  test("MG sketch state folded per micro-batch keeps the whole-stream bound") {
+    // the q_stream_topk maintenance loop, driven through the MULTI-batch
+    // path the single-file oracle drain can't reach: each batch reduces
+    // to one k-counter summary, the driver folds it into running state
+    // with the mergeable-summaries merge, and the N/(k+1) bound must
+    // hold against the UNION of all batches (associativity of the
+    // merge — the whole point of maintaining a sketch as state).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val K = 8
+    val ms = MemoryStream[String]
+    var state = Seq.empty[(String, Long)]
+    var n = 0L
+    val q = ms.toDF().toDF("item").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = batch.agg(
+          graft.functions.MisraGries.mgTopK(col("item"), K).as("sk"),
+          count(col("item")).as("bn")).collect()(0)
+        state = graft.functions.MisraGries.mergeSummaries(state,
+          r.getSeq[org.apache.spark.sql.Row](0)
+            .map(x => x.getString(0) -> x.getLong(1)), K)
+        n += r.getLong(1)
+        ()
+      }
+      .outputMode("update").start()
+    def skewed(lo: Int, hi: Int): Seq[String] = (lo until hi).map { i =>
+      if (i % 4 < 2) s"h${i % 2}"
+      else if (i % 4 == 2) s"m${i % 16}" else s"c$i"
+    }
+    val batches = Seq(skewed(0, 1000), skewed(1000, 2500), skewed(2500, 4000))
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    val exact = batches.flatten.groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val bound = n.toDouble / (K + 1)
+    val sk = state.toMap
+    assert(n == 4000L)
+    assert(sk.size <= K)
+    sk.foreach { case (w, est) =>
+      val t = exact.getOrElse(w, 0L)
+      assert(est <= t, s"$w: est $est exceeds true $t")
+      assert(t - est <= bound, s"$w: underestimate ${t - est} > $bound")
+    }
+    exact.foreach { case (w, t) =>
+      if (t > bound) assert(sk.contains(w), s"heavy hitter $w missing")
+    }
+  }
 }
