@@ -80,6 +80,35 @@ object Sketches extends graft.QueryPack {
         .orderBy(col("source"))
     }),
 
+    // REAGGREGATABLE distinct-count: per-source HLL sketches (Apache
+    // DataSketches, lgK=12) UNIONED into a global estimate without
+    // ever revisiting raw data — the two-level rollup a 100 TB
+    // pipeline runs (leaf jobs sketch their shard; the rollup unions
+    // sketch BYTES, so the global distinct costs O(sources × 2^lgK),
+    // not a second corpus scan; approx_count_distinct's HLL++ partial
+    // cannot be re-unioned after the query finishes, which is exactly
+    // what this variant adds). Contract: the unioned estimate lands
+    // within 4·rse of the exact global distinct (rse = 1.04/√2^lgK ≈
+    // 1.6%; HLL register-max updates and unions are order- and
+    // partitioning-independent, and small cardinalities sit in the
+    // sketch's exact sparse mode, so the boolean cannot flake).
+    "q_sketch_union" -> ((s, d) => {
+      val LG_K = 12
+      val docs = Tables(s, d, "documents")
+      val perSrc = docs.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("text"), lit(LG_K)).as("sk"))
+      val global = perSrc.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"),
+        count(lit(1)).as("n_sources"))
+      val exact = docs.agg(countDistinct(col("text")).as("exact_distinct"))
+      exact.crossJoin(broadcast(global))
+        .select(col("exact_distinct"), col("n_sources"),
+          (abs(col("est").cast("double") -
+            col("exact_distinct").cast("double")) <=
+            lit(4 * 1.04 / math.sqrt((1 << LG_K).toDouble)) *
+              col("exact_distinct").cast("double")).as("within_bound"))
+    }),
+
     // Heavy-hitters sketch (Misra–Gries, native TypedImperativeAggregate
     // — graft.functions.MisraGries) vs the exact top counts. The input
     // stream is a deterministic SKEWED derivation of doc_id (the house
@@ -134,6 +163,16 @@ object Sketches extends graft.QueryPack {
     "q_sketch_quantile" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n, true AS within_bound
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact global distinct + source count; the union-accuracy
+    // contract is the constant-true boolean
+    "q_sketch_union" ->
+      """SELECT
+        |  (SELECT CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents)
+        |    AS exact_distinct,
+        |  (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
+        |    AS n_sources,
+        |  true AS within_bound""".stripMargin,
 
     // same skewed stream derivation, same top-2 tie-break; the sketch
     // guarantees are the constant-true boolean
