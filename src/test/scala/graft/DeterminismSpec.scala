@@ -33,10 +33,20 @@ class DeterminismSpec extends AnyFunSuite {
   // the centroid set, must not depend on layout); q_stem_topk the
   // vocab-first stem aggregation (per-word counts re-summed by stem);
   // q_dedup_ngram_jaccard the window-count df cap.
+  // r6-continued additions: q_js_divergence (round-at-12 DECIMAL
+  // partial sums — a double sum would drift across layouts),
+  // q_weighted_sample / q_stratified_sample (the A-ES key is a pure
+  // function of doc_id, so the SELECTED SET must be layout-free, not
+  // just the scores), q_cc_stars (iterative star contraction — the
+  // alternation fixpoint and final labels must not depend on how
+  // edges are partitioned), q_interval_union_len (windowed islands
+  // under equal-ts ties).
   Seq("q1_agg", "q_inner_enrich", "q_stats_exact", "q_salted_agg",
     "q_dedup_pipeline", "q_quality_gate", "q_bm25", "q_kmeans",
     "q_dsir_sample", "q_semdedup", "q_stem_topk",
-    "q_dedup_ngram_jaccard").foreach { name =>
+    "q_dedup_ngram_jaccard", "q_js_divergence", "q_weighted_sample",
+    "q_stratified_sample", "q_cc_stars",
+    "q_interval_union_len").foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
     }
