@@ -18,6 +18,38 @@ object Analytic extends graft.QueryPack {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
+  /** Per-node triangle participation over an undirected edge list
+    * `raw(u, v)` (distinct, u < v, BIGINT node ids). Degree-ordered
+    * orientation — see the q_triangles entry for the algorithm and
+    * scale argument. Nodes in no triangle are absent from the output
+    * (same absence contract as ccStars). The oriented adjacency is
+    * persisted (three join sides read it; harness/suites clear caches
+    * between queries). */
+  def trianglesPerNode(raw: DataFrame): DataFrame = {
+    val deg = raw.select(col("u").as("n"))
+      .unionAll(raw.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val ou = expr("du * 1000000000000 + u")
+    val ov = expr("dv * 1000000000000 + v")
+    val ori = raw
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(
+        when(ou < ov, col("u")).otherwise(col("v")).as("s"),
+        when(ou < ov, col("v")).otherwise(col("u")).as("t"),
+        greatest(ou, ov).as("ot"))
+      .persist()
+    val tri = ori.as("e1")
+      .join(ori.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.ot") < col("e2.ot"))
+      .select(col("e1.t").as("b"), col("e2.t").as("c"), col("e1.s").as("a"))
+      .join(ori.as("e3"),
+        col("b") === col("e3.s") && col("c") === col("e3.t"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // lag/delta + bounded moving sum per user over event time.
@@ -252,6 +284,40 @@ object Analytic extends graft.QueryPack {
             .as("node"),
           round(col("p").cast("double") / 1000000000.0d, 9).as("pr"))
         .orderBy(col("pr").desc, col("node")).limit(30)
+    }),
+
+    // Exact triangle counting by degree-ordered edge orientation
+    // (node-iterator++ / the MapReduce layout of Suri & Vassilvitskii,
+    // "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    // each undirected edge is oriented from its lower- to its
+    // higher-degree endpoint (ties by node id — a total order), wedges
+    // are enumerated only at each edge's LOW end, and a wedge closes
+    // iff the oriented edge between its two high ends exists. The
+    // orientation bounds every node's out-degree by O(sqrt(2m)), so
+    // wedge fan-out — the thing that kills naive triangle counting on
+    // a hub — is O(m^1.5) total regardless of the degree distribution:
+    // the curse-of-the-last-reducer hub becomes ordinary uniform work.
+    // All three joins are hash equi-joins on node keys (wedge join on
+    // s, closing join on (s,t)); nothing is quadratic in a hub degree.
+    // Graph: part co-occurrence within an order (parts bought
+    // together), orders thinned 8× by the deterministic dev-mode
+    // sampling shape (A/ST9) restated in the oracle. Order keys pack
+    // (degree, id) into one BIGINT — 8-byte shuffle keys, the
+    // q_pagerank rationale; the 1e12 pack requires deg < 9.2e6 and
+    // id < 1e12, and under ANSI mode an overflow beyond that headroom
+    // fails loudly rather than mis-orienting.
+    "q_triangles" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") % 8 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val raw = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+      trianglesPerNode(raw).withColumnRenamed("node", "part")
+        .orderBy(col("n_tri").desc, col("part")).limit(10)
     }),
 
     // Rolling 7-day distinct active users per day (trailing-window
@@ -692,6 +758,39 @@ object Analytic extends graft.QueryPack {
         |  FROM n LEFT JOIN c2 USING (node))
         |SELECT node, round(CAST(p AS DOUBLE) / 1000000000.0, 9) AS pr
         |FROM p2 ORDER BY pr DESC, node LIMIT 30""".stripMargin,
+
+    // same 8×-thinned co-occurrence graph, same (degree, id) packed
+    // orientation, same low-end wedge enumeration
+    "q_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 8 = 0),
+        |raw AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT n, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        |    SELECT u AS n FROM raw UNION ALL SELECT v FROM raw) t
+        |  GROUP BY n),
+        |ori AS (
+        |  SELECT
+        |    CASE WHEN du.dg * 1000000000000 + r.u < dv.dg * 1000000000000 + r.v
+        |         THEN r.u ELSE r.v END AS s,
+        |    CASE WHEN du.dg * 1000000000000 + r.u < dv.dg * 1000000000000 + r.v
+        |         THEN r.v ELSE r.u END AS t,
+        |    GREATEST(du.dg * 1000000000000 + r.u,
+        |             dv.dg * 1000000000000 + r.v) AS ot
+        |  FROM raw r JOIN deg du ON r.u = du.n JOIN deg dv ON r.v = dv.n),
+        |tri AS (
+        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM ori e1
+        |  JOIN ori e2 ON e1.s = e2.s AND e1.ot < e2.ot
+        |  JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t)
+        |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT a AS part FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) x
+        |GROUP BY part ORDER BY n_tri DESC, part LIMIT 10""".stripMargin,
 
     "q_rolling_dau" ->
       """WITH e AS (
