@@ -109,6 +109,57 @@ object Sketches extends graft.QueryPack {
               col("exact_distinct").cast("double")).as("within_bound"))
     }),
 
+    // SET-ALGEBRA on sketches: Theta sketches (Dasgupta et al., "Theta
+    // Sketch Framework", 2016; Spark 4's native theta_* functions over
+    // the bundled DataSketches) support INTERSECTION and DIFFERENCE of
+    // distinct-sets — the audience-overlap / retention rollup HLL
+    // fundamentally cannot express (HLL unions only). Each segment's
+    // leaf job sketches its users once; every pairwise overlap /
+    // exclusion across segments is then sketch-byte algebra, never a
+    // second corpus scan or a distinct-set join — at 100 TB that is
+    // the difference between O(segments²) full shuffles and
+    // O(segments²) × 32 KB driver work. The exact sides here come from
+    // ONE user-keyed shuffle (per-user segment flags, then summed).
+    // Contract: estimates land within 4·rse(k=2^12) of the exact
+    // value, rse scaled by the UNION size for intersection/difference
+    // (the published error model — relative error of A∩B degrades
+    // with |A∪B|/|A∩B|, which is why the bound multiplies the union);
+    // below 2^12 distinct keys a theta sketch is in EXACT mode (every
+    // hash retained, θ=1), so on this data the booleans cannot flake
+    // while a broken estimate still fails the hash.
+    "q_sketch_theta" -> ((s, d) => {
+      val LG_K = 12
+      val e = Tables(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"))
+      val flags = e.groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      val exact = flags.agg(
+        sum(col("v")).as("exact_view"),
+        sum(col("p")).as("exact_purchase"),
+        sum(col("v") * col("p")).as("exact_both"),
+        sum(col("v") * (lit(1L) - col("p"))).as("exact_view_only"),
+        sum(greatest(col("v"), col("p"))).as("exact_union"))
+      val skv = e.filter(col("event_type") === "view")
+        .agg(expr(s"theta_sketch_agg(user_id, $LG_K)").as("skv"))
+      val skp = e.filter(col("event_type") === "purchase")
+        .agg(expr(s"theta_sketch_agg(user_id, $LG_K)").as("skp"))
+      val est = skv.crossJoin(broadcast(skp)).select(
+        expr("theta_sketch_estimate(theta_intersection(skv, skp))")
+          .as("est_both"),
+        expr("theta_sketch_estimate(theta_difference(skv, skp))")
+          .as("est_view_only"))
+      val band = lit(4 * 1.04 / math.sqrt((1 << LG_K).toDouble))
+      exact.crossJoin(broadcast(est)).select(
+        col("exact_view"), col("exact_purchase"), col("exact_both"),
+        col("exact_view_only"),
+        (abs(col("est_both") - col("exact_both").cast("double")) <=
+          band * col("exact_union").cast("double")).as("inter_ok"),
+        (abs(col("est_view_only") - col("exact_view_only").cast("double")) <=
+          band * col("exact_union").cast("double")).as("diff_ok"))
+    }),
+
     // Heavy-hitters sketch (Misra–Gries, native TypedImperativeAggregate
     // — graft.functions.MisraGries) vs the exact top counts. The input
     // stream is a deterministic SKEWED derivation of doc_id (the house
@@ -173,6 +224,23 @@ object Sketches extends graft.QueryPack {
         |  (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
         |    AS n_sources,
         |  true AS within_bound""".stripMargin,
+
+    // exact segment cardinalities from the same per-user flag shape;
+    // the set-algebra accuracy contract is the constant-true booleans
+    "q_sketch_theta" ->
+      """WITH flags AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id)
+        |SELECT
+        |  CAST(SUM(v) AS BIGINT) AS exact_view,
+        |  CAST(SUM(p) AS BIGINT) AS exact_purchase,
+        |  CAST(SUM(v * p) AS BIGINT) AS exact_both,
+        |  CAST(SUM(v * (1 - p)) AS BIGINT) AS exact_view_only,
+        |  true AS inter_ok, true AS diff_ok
+        |FROM flags""".stripMargin,
 
     // same skewed stream derivation, same top-2 tie-break; the sketch
     // guarantees are the constant-true boolean

@@ -19,6 +19,28 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact <= 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("theta set algebra is exact below nominal entries, any partitioning") {
+    // |A| = 1000, |B| = 1000, |A∩B| = 500: a union of 1500 < 2^12 keeps
+    // both sketches in exact mode (θ = 1, every hash retained), so
+    // intersection/difference estimates must be EXACT — and identical
+    // under an adversarial repartition (register state is a pure
+    // function of the key set, not the merge tree).
+    import spark.implicits._
+    def est(parts: Int): (Long, Long) = {
+      val a = (1L to 1000L).toDF("k").repartition(parts)
+        .agg(expr("theta_sketch_agg(k, 12)").as("ska"))
+      val b = (501L to 1500L).toDF("k").repartition(parts)
+        .agg(expr("theta_sketch_agg(k, 12)").as("skb"))
+      val r = a.crossJoin(b).select(
+        expr("theta_sketch_estimate(theta_intersection(ska, skb))"),
+        expr("theta_sketch_estimate(theta_difference(ska, skb))"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(est(1) == ((500L, 500L)))
+    assert(est(7) == ((500L, 500L)))
+  }
+
   test("approx_percentile brackets the exact median") {
     val r = Tables(spark, TestSpark.sf, "events")
       .agg(expr("percentile(value, 0.5)").as("exact"),
