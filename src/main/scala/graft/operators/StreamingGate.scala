@@ -204,6 +204,43 @@ object StreamingGate extends graft.QueryPack {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // STREAM-STREAM event-time interval join under the oracle gate —
+    // the attribution join (purchase within the hour after a view, per
+    // user), the one Structured Streaming join surface the other five
+    // queries don't touch. Two independent replay sources, a watermark
+    // on EACH side, and a range predicate tying the two event times:
+    // from these Spark derives per-side state watermarks, so each
+    // side's join state holds only rows inside
+    // watermark + interval — bounded state at any stream length (an
+    // unconstrained stream-stream join would buffer both streams
+    // forever, the 100 TB non-starter; StreamJoinSpec drives the
+    // multi-batch MemoryStream path where late rows age out). Inner
+    // append-mode joins emit on match, so the AvailableNow drain's
+    // files are the complete join — which must equal the batch
+    // self-join the oracle states.
+    "q_stream_join" -> ((s, d) => {
+      val out = freshDir("q_stream_join") + "/attr"
+      val views = EventsStream.replay(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("vts"))
+        .withWatermark("vts", "2 hours")
+      val buys = EventsStream.replay(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id").as("buser"),
+          col("ts").as("bts"))
+        .withWatermark("bts", "2 hours")
+      val joined = views.join(buys,
+        expr("user_id = buser AND bts BETWEEN vts AND vts + INTERVAL 1 HOUR"))
+        .select(col("view_id"), col("buy_id"), col("user_id"),
+          unix_micros(col("vts")).as("vts_us"),
+          unix_micros(col("bts")).as("bts_us"))
+      drain(s, joined, "append") { (batch, _) =>
+        batch.write.mode("append").parquet(out)
+      }
+      s.read.parquet(out).orderBy(col("view_id"), col("buy_id"))
+    }),
+
     // CONTINUOUS heavy-hitter monitoring: the Misra–Gries summary as
     // STREAMING STATE. Each micro-batch reduces to one k-counter
     // summary via the native aggregate (the only thing that crosses
@@ -285,6 +322,16 @@ object StreamingGate extends graft.QueryPack {
         |  FROM stream GROUP BY item
         |  ORDER BY exact_cnt DESC, item LIMIT 2)
         |ORDER BY item""".stripMargin,
+
+    // the drained stream-stream interval join == the batch self-join.
+    "q_stream_join" ->
+      """SELECT v.event_id AS view_id, b.event_id AS buy_id, v.user_id,
+        |  epoch_us(v.ts) AS vts_us, epoch_us(b.ts) AS bts_us
+        |FROM events v JOIN events b
+        |  ON v.user_id = b.user_id
+        |  AND v.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.ts BETWEEN v.ts AND v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, buy_id""".stripMargin,
 
     // streaming dedup of (events ∪ every-7th copy) == the events table.
     "q_stream_dedup" ->

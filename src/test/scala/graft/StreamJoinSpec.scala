@@ -40,4 +40,38 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty) // (1, t60, t30) and (1, t180, t170) at least
   }
+
+  test("join state is bounded: rows behind both watermarks age out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000)
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("user_id", "cts").withWatermark("cts", "1 hour")
+    val b = buys.toDF().toDF("buser", "bts").withWatermark("bts", "1 hour")
+    val joined = c.join(b,
+      expr("user_id = buser AND bts BETWEEN cts - INTERVAL 1 HOUR AND cts"))
+      .select(col("user_id"), col("cts"), col("bts"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_age")
+      .outputMode("append").start()
+    try {
+      // batch 1: one matching pair for u1, then advance event time far
+      // ahead on both sides so the watermark passes minute ~60
+      clicks.addData((1L, ts(30)), (9L, ts(100000)))
+      buys.addData((1L, ts(20)), (9L, ts(100000)))
+      q.processAllAvailable()
+      // batch 2: a pair for u2 planted entirely BEHIND the advanced
+      // watermark — state for that region is gone and late input is
+      // dropped, so no join row may appear (the bounded-state contract;
+      // an unconstrained join would happily match them)
+      clicks.addData((2L, ts(30)))
+      buys.addData((2L, ts(20)))
+      q.processAllAvailable()
+      val users = spark.table("ssjoin_age").collect()
+        .map(_.getLong(0)).toSet
+      assert(users.contains(1L))
+      assert(!users.contains(2L),
+        "late rows behind both watermarks must not join (unbounded state?)")
+    } finally q.stop()
+  }
 }
