@@ -109,6 +109,47 @@ object Sketches extends graft.QueryPack {
               col("exact_distinct").cast("double")).as("within_bound"))
     }),
 
+    // REAGGREGATABLE quantiles: per-source KLL sketches (Karnin, Lang
+    // & Liberty, FOCS'16; Spark 4's native kll_* over the bundled
+    // DataSketches) MERGED into a global quantile without revisiting
+    // raw data — the quantile twin of q_sketch_union's HLL rollup
+    // (percentile_approx's GK summary dies with the query; KLL sketch
+    // bytes persist and re-merge, so a 100 TB fleet's leaf jobs sketch
+    // their shards once and every later rollup is O(sources × sketch)
+    // driver-side algebra). Contract, q_sketch_quantile's rank-window
+    // shape: the merged sketch's median must have an exact rank
+    // interval intersecting 0.5·N ± 2·ε·N with ε = 2.296/k^0.9 (the
+    // library's published single-sided normalized rank error for
+    // parameter k, doubled per the never-flake convention). KLL
+    // compaction direction is randomized, so the MEDIAN itself is not
+    // layout-deterministic — only the contract booleans and exact
+    // counts are emitted (the q_sketch_topk precedent), and the band
+    // is ~10× the error observed on this data, so run-to-run sketch
+    // variation cannot cross it while a broken merge still fails.
+    "q_sketch_kll" -> ((s, d) => {
+      val K = 200
+      val eps = 2.296 / math.pow(K.toDouble, 0.9)
+      val docs = Tables(s, d, "documents")
+      val merged = docs.groupBy(col("source"))
+        .agg(expr(s"kll_sketch_agg_bigint(n_chars, $K)").as("sk"))
+        .agg(expr(s"kll_merge_agg_bigint(sk, $K)").as("m"),
+          count(lit(1)).as("n_sources"))
+        .select(expr("kll_sketch_get_quantile_bigint(m, 0.5)").as("med"),
+          col("n_sources"))
+      val band = lit(2.0 * eps) * col("n")
+      docs.select(col("n_chars"))
+        .crossJoin(broadcast(merged))
+        .groupBy(col("med"), col("n_sources"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") < col("med"), 1L).otherwise(0L))
+            .as("below"),
+          sum(when(col("n_chars") <= col("med"), 1L).otherwise(0L))
+            .as("at_or_below"))
+        .select(col("n"), col("n_sources"),
+          ((col("at_or_below") >= col("n") * 0.5 - band) &&
+            (col("below") + 1 <= col("n") * 0.5 + band)).as("within_bound"))
+    }),
+
     // SET-ALGEBRA on sketches: Theta sketches (Dasgupta et al., "Theta
     // Sketch Framework", 2016; Spark 4's native theta_* functions over
     // the bundled DataSketches) support INTERSECTION and DIFFERENCE of
@@ -224,6 +265,15 @@ object Sketches extends graft.QueryPack {
         |  (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
         |    AS n_sources,
         |  true AS within_bound""".stripMargin,
+
+    // exact corpus size + source count; the merged-sketch rank-window
+    // contract is the constant-true boolean
+    "q_sketch_kll" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
+        |    AS n_sources,
+        |  true AS within_bound
+        |FROM documents""".stripMargin,
 
     // exact segment cardinalities from the same per-user flag shape;
     // the set-algebra accuracy contract is the constant-true booleans

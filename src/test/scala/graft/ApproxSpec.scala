@@ -41,6 +41,22 @@ class ApproxSpec extends AnyFunSuite {
     assert(est(7) == ((500L, 500L)))
   }
 
+  test("KLL merge rollup lands within the published rank band") {
+    // 1..10000 uniform: true median rank 5000. A 4-shard sketch-then-
+    // merge rollup must land within 2·ε·N ranks of it (ε = 2.296/k^0.9
+    // — the value IS the rank on this data, so the check is direct).
+    import spark.implicits._
+    val k = 200
+    val eps = 2.296 / math.pow(k.toDouble, 0.9)
+    val n = 10000L
+    val med = (1L to n).toDF("x").withColumn("g", col("x") % 4)
+      .groupBy(col("g")).agg(expr(s"kll_sketch_agg_bigint(x, $k)").as("sk"))
+      .agg(expr(s"kll_merge_agg_bigint(sk, $k)").as("m"))
+      .selectExpr("kll_sketch_get_quantile_bigint(m, 0.5) as med")
+      .collect()(0).getLong(0)
+    assert(math.abs(med - n / 2) <= 2 * eps * n, s"merged median=$med")
+  }
+
   test("approx_percentile brackets the exact median") {
     val r = Tables(spark, TestSpark.sf, "events")
       .agg(expr("percentile(value, 0.5)").as("exact"),
