@@ -218,8 +218,24 @@ object StreamingGate extends graft.QueryPack {
     // append-mode joins emit on match, so the AvailableNow drain's
     // files are the complete join — which must equal the batch
     // self-join the oracle states.
+    // State parallelism: a stream-stream join keeps FOUR state stores
+    // per shuffle partition (keyToNumValues + keyWithIndexToValue per
+    // side), and every micro-batch pays a per-store open/commit floor —
+    // at 32 partitions that is 128 store commits per trigger, ~4× the
+    // other drains' fixed cost and the measured bulk of this query's
+    // local runtime. The partition count is pinned per QUERY (state
+    // layout is per-checkpoint; these gate drains are fresh-checkpoint
+    // runs, and a checkpointed deployment must keep it constant for
+    // the checkpoint's life) via graft.stream.join.partitions
+    // (default 8); a cluster run sizes it to executors × cores like
+    // any stateful job. Join semantics are partition-count-invariant —
+    // the oracle and StreamJoinSpec hold at any setting.
     "q_stream_join" -> ((s, d) => {
       val out = freshDir("q_stream_join") + "/attr"
+      val joinParts = sys.props.getOrElse("graft.stream.join.partitions", "8")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", joinParts)
+      try {
       val views = EventsStream.replay(s, d)
         .filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"),
@@ -238,6 +254,7 @@ object StreamingGate extends graft.QueryPack {
       drain(s, joined, "append") { (batch, _) =>
         batch.write.mode("append").parquet(out)
       }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out).orderBy(col("view_id"), col("buy_id"))
     }),
 
