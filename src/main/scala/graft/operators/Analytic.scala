@@ -320,6 +320,44 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("n_tri").desc, col("part")).limit(10)
     }),
 
+    // Frequent-pair association mining (the A-Priori candidate step of
+    // Agrawal & Srikant, VLDB'94, for itemsets of size 2): parts
+    // bought together with support ≥ 2 orders, scored by lift =
+    // P(a,b) / (P(a)·P(b)). The per-basket pair explosion is bounded
+    // by basket_size² — TPC-H caps baskets at 7 lineitems, and a real
+    // pipeline caps or samples pathological baskets the same way
+    // (unbounded baskets, not item count, are what kill this join at
+    // scale); everything after is hash-keyed aggregation with
+    // map-side partials. Determinism: supports are exact BIGINTs and
+    // lift is ONE correctly-rounded IEEE division of exact integer
+    // products — bit-identical in both engines (the q_pagerank
+    // fixed-point lesson: a single final division is safe, per-step
+    // rounding is not).
+    "q_assoc_rules" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().persist()
+      val nOrders = li.agg(countDistinct(col("ok")).as("n_orders"))
+      val itemSupp = li.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
+      val pairSupp = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("supp_ab"))
+        .filter(col("supp_ab") >= 2)
+      pairSupp
+        .join(itemSupp.select(col("pk").as("u"), col("supp").as("supp_a")),
+          Seq("u"))
+        .join(itemSupp.select(col("pk").as("v"), col("supp").as("supp_b")),
+          Seq("v"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("u"), col("v"), col("supp_ab"), col("supp_a"),
+          col("supp_b"),
+          ((col("supp_ab") * col("n_orders")).cast("double") /
+            (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("u"), col("v")).limit(15)
+    }),
+
     // Rolling 7-day distinct active users per day (trailing-window
     // DAU/WAU): count-distinct cannot slide incrementally, so each
     // event is replicated to the ≤7 day-keys whose trailing window it
@@ -791,6 +829,26 @@ object Analytic extends graft.QueryPack {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri) x
         |GROUP BY part ORDER BY n_tri DESC, part LIMIT 10""".stripMargin,
+
+    // same distinct (order, part) base, same single-division lift
+    "q_assoc_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+        |item AS (
+        |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS supp FROM li GROUP BY pk),
+        |pair AS (
+        |  SELECT a.pk AS u, b.pk AS v, CAST(COUNT(*) AS BIGINT) AS supp_ab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2)
+        |SELECT u, v, supp_ab, ia.supp AS supp_a, ib.supp AS supp_b,
+        |  CAST(supp_ab * n.n_orders AS DOUBLE) /
+        |    CAST(ia.supp * ib.supp AS DOUBLE) AS lift
+        |FROM pair
+        |JOIN item ia ON pair.u = ia.pk
+        |JOIN item ib ON pair.v = ib.pk
+        |CROSS JOIN n
+        |ORDER BY lift DESC, u, v LIMIT 15""".stripMargin,
 
     "q_rolling_dau" ->
       """WITH e AS (

@@ -19,6 +19,37 @@ object Extras extends graft.QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // K-ANONYMITY audit over a generalization ladder (Sweeney 2002;
+    // the lattice walk at the core of Incognito/Mondrian) — the
+    // governance gate a training-data release runs before shipping
+    // rows keyed by quasi-identifiers. One ROLLUP pass computes every
+    // ladder level's equivalence classes in a single map-combinable
+    // shuffle (level 0: segment+nation+balance-band; level 1: drop the
+    // band; level 3: segment only — grouping_id names the level), and
+    // a second class-keyed aggregation scores each level: classes,
+    // classes under k, rows at risk, and whether the level satisfies
+    // k — the finest satisfying level is the release policy. At
+    // 100 TB this is two shuffles whose first stage is partial-agg
+    // friendly (class counts combine map-side); no per-row state.
+    "q_kanon" -> ((s, d) => {
+      val K = 5
+      Tables(s, d, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+        .rollup(col("seg"), col("nat"), col("bal_band"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .filter(col("gid").isin(0, 1, 3))
+        .groupBy(col("gid"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("n") < K, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("n") < K, col("n")).otherwise(0L)).as("rows_at_risk"))
+        .select(col("gid").cast("long").as("level"), col("n_classes"),
+          col("n_violating"), col("rows_at_risk"),
+          (col("n_violating") === 0L).as("satisfies_k"))
+        .orderBy(col("level"))
+    }),
+
     // INTERSECT / EXCEPT (distinct set semantics, like SQL).
     "q_setops" -> ((s, d) => {
       val o = Tables(s, d, "orders")
@@ -415,6 +446,29 @@ object Extras extends graft.QueryPack {
     .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    // same rollup ladder; DuckDB's GROUPING() bits reconstruct Spark's
+    // grouping_id (first rollup expr = most significant bit)
+    "q_kanon" ->
+      """WITH classes AS (
+        |  SELECT
+        |    GROUPING(seg) * 4 + GROUPING(nat) * 2 + GROUPING(bal_band)
+        |      AS gid,
+        |    COUNT(*) AS n
+        |  FROM (
+        |    SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |      CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band
+        |    FROM customer) t
+        |  GROUP BY ROLLUP(seg, nat, bal_band))
+        |SELECT CAST(gid AS BIGINT) AS level,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS satisfies_k
+        |FROM classes WHERE gid IN (0, 1, 3)
+        |GROUP BY gid ORDER BY level""".stripMargin,
+
     "q_zorder_layout" ->
       s"""WITH ev AS (
         |  SELECT event_id, user_id % 256 AS a,

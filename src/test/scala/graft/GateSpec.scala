@@ -81,4 +81,35 @@ class GateSpec extends AnyFunSuite {
     val kept = rows.count(_.getBoolean(1))
     assert(kept > 0 && kept < rows.length)
   }
+
+  test("q_kanon: generalizing never increases rows at risk (lattice monotone)") {
+    // a coarser class is a union of finer classes, and a union below k
+    // forces every part below k — so rows_at_risk must be monotone
+    // non-increasing up the ladder 0 → 1 → 3
+    val rows = graft.operators.Extras
+      .queries("q_kanon")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(r.fieldIndex("level")) ->
+        r.getLong(r.fieldIndex("rows_at_risk"))).toMap
+    assert(rows.keySet == Set(0L, 1L, 3L))
+    assert(rows(1L) <= rows(0L), rows.toString)
+    assert(rows(3L) <= rows(1L), rows.toString)
+  }
+
+  test("q_assoc_rules: supports are consistent and lift is the stated ratio") {
+    val rows = graft.operators.Analytic
+      .queries("q_assoc_rules")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping() // the distinct basket frame is persisted
+    assert(rows.nonEmpty)
+    val nOrders = Tables(spark, TestSpark.sf, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"))
+      .distinct().count()
+    rows.foreach { r =>
+      val ab = r.getLong(r.fieldIndex("supp_ab"))
+      val a = r.getLong(r.fieldIndex("supp_a"))
+      val b = r.getLong(r.fieldIndex("supp_b"))
+      assert(ab >= 2 && ab <= math.min(a, b))
+      assert(r.getDouble(r.fieldIndex("lift")) ==
+        (ab * nOrders).toDouble / (a * b).toDouble)
+    }
+  }
 }

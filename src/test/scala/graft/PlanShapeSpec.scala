@@ -136,6 +136,18 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("triangle wedges close through equi-joins — never a cross product") {
+    val df = graft.operators.Analytic.queries("q_triangles")(
+      spark, TestSpark.sf)
+    df.collect() // finalize AQE — assert on the plan that actually ran
+    val plan = df.queryExecution.executedPlan.toString
+    TestSpark.housekeeping() // the oriented adjacency is persisted
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
   test("bm25 / pmi top-k plans end in TakeOrderedAndProject") {
     for (q <- Seq("q_bm25", "q_pmi_bigrams")) {
       val plan = graft.operators.TextAnalytics.queries(q)(spark, TestSpark.sf)
