@@ -621,8 +621,158 @@ object Analytic extends graft.QueryPack {
           col("created_us"),
           coalesce(col("u_updated"), col("updated_us")).as("updated_us"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // OLS trend per event type (y = value over x = event day): the
+    // drift-detection primitive a curation pipeline runs per source /
+    // per slice before mixing. All five moment sums are EXACT — x is
+    // an integer day, y a DECIMAL(12,2), the cross terms widen before
+    // summing — so slope/intercept/r² are single double expressions
+    // over partitioning-invariant inputs (the q_stats_exact rationale:
+    // no order-dependent float accumulation anywhere). One
+    // map-combinable shuffle on event_type; n·Σxx overflows BIGINT at
+    // this scale, so the final arithmetic happens in double over the
+    // exact sums, identically parenthesized in both engines.
+    "q_regression" -> ((s, d) => {
+      val base = Tables(s, d, "events").select(
+        col("event_type"),
+        floor(unix_timestamp(col("ts")).cast("double") / 86400d)
+          .cast("long").as("x"),
+        dec(col("value")).as("y"))
+      val sums = base.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum((col("x").cast(DecimalType(10, 0)) * col("y"))
+          .cast(DecimalType(28, 2))).as("sxy"),
+        sum((col("y") * col("y")).cast(DecimalType(20, 4))).as("syy"))
+      val nD = col("n").cast("double"); val sxD = col("sx").cast("double")
+      val sxxD = col("sxx").cast("double"); val syD = col("sy").cast("double")
+      val sxyD = col("sxy").cast("double"); val syyD = col("syy").cast("double")
+      val den = nD * sxxD - sxD * sxD
+      val num = nD * sxyD - sxD * syD
+      val deny = nD * syyD - syD * syD
+      // constant-x (den=0) or constant-y (deny=0) groups: slope /
+      // r² are undefined — NULL on both sides, never an ANSI throw
+      sums.select(
+          col("event_type"), col("n"),
+          when(den =!= 0d, round(num / den, 9)).as("slope"),
+          when(den =!= 0d,
+            round((syD - (num / den) * sxD) / nD, 9)).as("intercept"),
+          when(den =!= 0d && deny =!= 0d,
+            round(num * num / (den * deny), 9)).as("r2"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ANALYZE-shape column statistics manifest (null count, exact NDV,
+    // min/max per column) — what a cost-based optimizer or data-skipping
+    // layer collects per table/partition. ONE pass: Spark plans the
+    // multi-column COUNT(DISTINCT) via a single Expand (×4 here) with
+    // map-side partials, then the 1-row aggregate is stacked into the
+    // per-column manifest rows. At a 100 TB table, swap the exact NDVs
+    // for HLL sketches (the q_count_distinct / q_sketch_union trade) —
+    // min/max/null counts stay exact either way.
+    "q_table_stats" -> ((s, d) => {
+      val cols = Seq("l_discount", "l_extendedprice", "l_orderkey", "l_quantity")
+      val aggs = cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c")) }
+      val one = Tables(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val stacked = cols
+        .map(c => s"'$c', nn_$c, ndv_$c, mn_$c, mx_$c").mkString(", ")
+      one.selectExpr(s"stack(${cols.size}, $stacked)" +
+          " as (column_name, n_null, ndv, vmin, vmax)")
+        .orderBy(col("column_name"))
+    }),
+
+    // Time-decayed engagement score per user (the feature-store /
+    // recency-weighting primitive): each event contributes
+    // value · 2^-min(age_weeks, 10) relative to the corpus max
+    // timestamp. The weight is applied as an INTEGER factor
+    // 2^(10-k) via shiftleft — value·factor is an exact DECIMAL term,
+    // the per-user sum is exact, and the single /1024 happens once in
+    // double at the end, so the score is partitioning-invariant (no
+    // float powers, no order-dependent sums). Reference timestamp is a
+    // broadcast 1-row aggregate; scoring is a narrow map + one
+    // user-keyed map-combinable shuffle.
+    "q_decay_score" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val ref = ev.agg(max(col("ts")).as("ref"))
+      ev.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          least(expr("CAST(datediff(ref, ts) AS BIGINT) div 7"), lit(10L))
+            .as("wk"),
+          dec(col("value")).as("y"))
+        .select(col("user_id"),
+          (col("y") * expr("shiftleft(CAST(1 AS BIGINT), CAST(10 - wk AS INT))"))
+            .cast(DecimalType(26, 2)).as("term"))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("term")).cast("double") / 1024d, 9).as("score"))
+        .orderBy(col("user_id"))
+    }),
+
+    // K-CORE of the part co-occurrence graph (K=8): iteratively peel
+    // nodes of degree < K until the remaining subgraph is the maximal
+    // one where every node keeps >= K neighbors — the graph-density
+    // curation primitive (dense co-purchase clusters; in a web corpus,
+    // the spam-farm/boilerplate core). Each round is one degree
+    // aggregation + two semi-shaped equi-joins keyed on node id —
+    // map-combinable, no driver data — and the edge frame only ever
+    // SHRINKS, so the fixpoint probe is a 1-row count (next ⊆ cur:
+    // equal count == equal set). localCheckpoint per round cuts the
+    // 3×-per-round lineage growth (the ccStars rationale —
+    // Dedup.scala:628); rounds are bounded by the peel cascade depth,
+    // not graph size, with a loud 20-round backstop the unrolled
+    // oracle mirrors (testdata peels in 3-6 rounds).
+    "q_kcore" -> ((s, d) => {
+      val K = KCORE_K
+      val li = Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") % 8 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      var edges = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      var m = edges.count()
+      var rounds = 0
+      var converged = m == 0L
+      while (!converged) {
+        require(rounds < KCORE_MAX_ROUNDS, s"q_kcore: peeling exceeded " +
+          s"$KCORE_MAX_ROUNDS rounds — raise the backstop AND the " +
+          "unrolled oracle depth together (they state the same bound)")
+        val deg = edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+        val keep = deg.filter(col("dg") >= K).select(col("n"))
+        val next = edges
+          .join(keep.withColumnRenamed("n", "u"), Seq("u"))
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"))
+          .select(col("u"), col("v"))
+          .localCheckpoint(true)
+        val m2 = next.count()
+        edges.unpersist(false)
+        edges = next
+        converged = m2 == m || m2 == 0L
+        m = m2
+        rounds += 1
+      }
+      edges.select(col("u").as("part"))
+        .unionAll(edges.select(col("v").as("part")))
+        .groupBy(col("part")).agg(count(lit(1)).as("core_deg"))
+        .orderBy(col("part"))
     })
   )
+
+  /** q_kcore's K and round backstop — restated in the unrolled oracle,
+    * so both live here as the single source. */
+  private val KCORE_K = 8
+  private val KCORE_MAX_ROUNDS = 20
 
   def oracles: Map[String, String] = Map(
     "q_window_lag" ->
@@ -972,6 +1122,115 @@ object Analytic extends graft.QueryPack {
         |  t.created_us,
         |  COALESCE(u.u_updated, t.updated_us) AS updated_us
         |FROM target t LEFT JOIN updates u ON t.o_orderkey = u.o_orderkey
-        |ORDER BY t.o_orderkey""".stripMargin
+        |ORDER BY t.o_orderkey""".stripMargin,
+
+    // same exact integer/DECIMAL moment sums, same double arithmetic
+    // over them with identical parenthesization
+    "q_regression" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
+        |    CAST(value AS DECIMAL(12,2)) AS y
+        |  FROM events),
+        |sums AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    SUM(y) AS sy,
+        |    SUM(CAST(CAST(x AS DECIMAL(10,0)) * y AS DECIMAL(28,2))) AS sxy,
+        |    SUM(CAST(y * y AS DECIMAL(20,4))) AS syy
+        |  FROM base GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+        |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+        |  END AS slope,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+        |    round((CAST(sy AS DOUBLE)
+        |           - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |             * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE), 9)
+        |  END AS intercept,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+        |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <> 0 THEN
+        |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+        |  END AS r2
+        |FROM sums ORDER BY event_type""".stripMargin,
+
+    // per-column stats restated as a UNION (the oracle need not share
+    // the one-pass Expand plan, only the numbers)
+    "q_table_stats" ->
+      Seq("l_discount", "l_extendedprice", "l_orderkey", "l_quantity")
+        .map(c =>
+          s"""SELECT '$c' AS column_name,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_null,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+             |  CAST(MIN($c) AS DOUBLE) AS vmin,
+             |  CAST(MAX($c) AS DOUBLE) AS vmax
+             |FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    // same 8×-thinned co-occurrence graph; the peel loop is unrolled
+    // to the SAME 20-round backstop the Spark side enforces (peeling
+    // is monotone, so extra rounds past the fixpoint are identity).
+    // MATERIALIZED pins each round to evaluate once (each is
+    // referenced 3× by the next).
+    "q_kcore" -> {
+      val rounds = (1 to KCORE_MAX_ROUNDS).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT n FROM (SELECT u AS n FROM r${i - 1}
+           |                 UNION ALL SELECT v FROM r${i - 1}) t
+           |  GROUP BY n HAVING COUNT(*) >= $KCORE_K),
+           |r$i AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM r${i - 1} e
+           |  JOIN d$i ku ON e.u = ku.n
+           |  JOIN d$i kv ON e.v = kv.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey % 8 = 0),
+         |r0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |$rounds
+         |SELECT part, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT u AS part FROM r$KCORE_MAX_ROUNDS
+         |  UNION ALL SELECT v FROM r$KCORE_MAX_ROUNDS) x
+         |GROUP BY part ORDER BY part""".stripMargin
+    },
+
+    // same integer 2^(10-k) factor (bit shift), same exact DECIMAL
+    // term sum, same single final /1024 in double
+    "q_decay_score" ->
+      """WITH ref AS (SELECT MAX(ts) AS ref FROM events),
+        |t AS (
+        |  SELECT user_id,
+        |    LEAST(date_diff('day', CAST(ts AS DATE), CAST(ref AS DATE)) // 7,
+        |          10) AS wk,
+        |    CAST(value AS DECIMAL(12,2)) AS y
+        |  FROM events, ref)
+        |SELECT user_id,
+        |  round(CAST(SUM(CAST(y * (1 << CAST(10 - wk AS INTEGER))
+        |                      AS DECIMAL(26,2))) AS DOUBLE) / 1024.0, 9)
+        |    AS score
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

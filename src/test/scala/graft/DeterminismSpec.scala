@@ -46,7 +46,13 @@ class DeterminismSpec extends AnyFunSuite {
     "q_dsir_sample", "q_semdedup", "q_stem_topk",
     "q_dedup_ngram_jaccard", "q_js_divergence", "q_weighted_sample",
     "q_stratified_sample", "q_cc_stars",
-    "q_interval_union_len").foreach { name =>
+    "q_interval_union_len",
+    // r6 fourth leg: q_regression (five exact moment sums feeding
+    // double formulas — a float Σxy would make slope layout-dependent),
+    // q_decay_score (exact DECIMAL term sum with integer 2^k weights)
+    // q_kcore adds the shrink-only iterative case (peel fixpoint must
+    // not depend on edge layout)
+    "q_regression", "q_decay_score", "q_kcore").foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
     }

@@ -112,4 +112,122 @@ class GateSpec extends AnyFunSuite {
         (ab * nOrders).toDouble / (a * b).toDouble)
     }
   }
+
+  test("q_regression: matches a brute-force double OLS; r2 in [0,1]") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Analytic
+      .queries("q_regression")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables(spark, TestSpark.sf, "events")
+      .select(col("event_type"), col("ts").cast("long"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1) / 86400L).toDouble,
+        r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getString(r.fieldIndex("event_type"))
+      val pts = raw(et)
+      val n = pts.length.toDouble
+      val sx = pts.map(_._2).sum; val sy = pts.map(_._3).sum
+      val sxx = pts.map(p => p._2 * p._2).sum
+      val sxy = pts.map(p => p._2 * p._3).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      assert(math.abs(r.getDouble(r.fieldIndex("slope")) - slope) < 1e-6,
+        s"$et slope")
+      assert(math.abs(r.getDouble(r.fieldIndex("intercept")) - icept) < 1e-4,
+        s"$et intercept")
+      val r2 = r.getDouble(r.fieldIndex("r2"))
+      assert(r2 >= 0d && r2 <= 1d, s"$et r2=$r2")
+    }
+  }
+
+  test("q_table_stats: manifest rows agree with per-column direct scans") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val rows = graft.operators.Analytic
+      .queries("q_table_stats")(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_orderkey", "l_quantity"))
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+    rows.foreach { r =>
+      val c = r.getString(r.fieldIndex("column_name"))
+      val direct = li.agg(
+        countDistinct(col(c)),
+        org.apache.spark.sql.functions.min(col(c).cast("double")),
+        org.apache.spark.sql.functions.max(col(c).cast("double"))).head()
+      assert(r.getLong(r.fieldIndex("n_null")) == 0L)
+      assert(r.getLong(r.fieldIndex("ndv")) == direct.getLong(0), c)
+      assert(r.getDouble(r.fieldIndex("vmin")) == direct.getDouble(1), c)
+      assert(r.getDouble(r.fieldIndex("vmax")) == direct.getDouble(2), c)
+    }
+  }
+
+  test("q_kcore: equals an in-memory peel; all degrees >= K; peel bites") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Analytic
+      .queries("q_kcore")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(r.fieldIndex("part")) ->
+        r.getLong(r.fieldIndex("core_deg"))).toMap
+    TestSpark.housekeeping() // the loop localCheckpoints edge frames
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(_ >= 8L), "a core node below K survived")
+    // brute-force reference peel over the same raw co-occurrence edges
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+      .filter(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val next = edges.filter(e => deg(e._1) >= 8L && deg(e._2) >= 8L)
+      changed = next.size != edges.size
+      edges = next
+    }
+    val expect = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows == expect)
+    // and the peel must actually have removed nodes on testdata
+    val allNodes = li.map(_._2).toSet.size
+    assert(rows.size < allNodes)
+  }
+
+  test("q_decay_score: equals an exact BigDecimal recomputation per user") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Analytic
+      .queries("q_decay_score")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("ts").cast("date").cast("string"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val refDay = ev.map(_._2).maxBy(_.toEpochDay)
+    val expect = ev.groupBy(_._1).map { case (u, es) =>
+      val s = es.map { case (_, day, y) =>
+        val wk = math.min(
+          java.time.temporal.ChronoUnit.DAYS.between(day, refDay) / 7, 10L)
+        y * BigDecimal(1L << (10 - wk).toInt)
+      }.sum
+      u -> (s.toDouble / 1024d)
+    }
+    rows.foreach { r =>
+      val u = r.getLong(r.fieldIndex("user_id"))
+      assert(math.abs(r.getDouble(r.fieldIndex("score")) - expect(u)) < 1e-8,
+        s"user $u")
+    }
+    // decay must actually bite on testdata: a user's score is below its
+    // undecayed sum unless every event sits in the newest week
+    val undecayed = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._3).sum.toDouble }
+    assert(rows.exists { r =>
+      r.getDouble(r.fieldIndex("score")) <
+        undecayed(r.getLong(r.fieldIndex("user_id"))) - 1e-9 })
+  }
 }
