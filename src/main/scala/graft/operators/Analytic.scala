@@ -766,6 +766,44 @@ object Analytic extends graft.QueryPack {
         .unionAll(edges.select(col("v").as("part")))
         .groupBy(col("part")).agg(count(lit(1)).as("core_deg"))
         .orderBy(col("part"))
+    }),
+
+    // Chi-square independence diagnostics: event_type × day-of-week
+    // contingency table with expected counts and per-cell χ²
+    // contributions — the label-leakage / spurious-correlation check a
+    // curation pipeline runs between a feature and a slice key. The
+    // corpus-scaled work is ONE map-combinable cell count; the margins
+    // (row/column/grand totals) are windows over the CELL frame, whose
+    // size is the category-grid cardinality, never the corpus — the
+    // single-partition global window is over ~|types|×7 rows by
+    // construction. dow is pure day-number arithmetic (day % 7), not a
+    // calendar function, so both engines share one definition; the χ²
+    // total is an exact DECIMAL sum of the round-9 contributions
+    // (partitioning-invariant, the q_funnel checksum rationale).
+    "q_chi_square" -> ((s, d) => {
+      val cells = Tables(s, d, "events")
+        .select(col("event_type"),
+          (floor(unix_seconds(col("ts")).cast("double") / 86400d)
+            .cast("long") % 7).as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy(col("event_type"))
+      val wc = Window.partitionBy(col("dow"))
+      val wall = Window.partitionBy()
+      val oD = col("o").cast("double")
+      val e = sum(col("o")).over(wr).cast("double") *
+        sum(col("o")).over(wc).cast("double") /
+        sum(col("o")).over(wall).cast("double")
+      cells
+        .withColumn("e_raw", e)
+        .withColumn("c_raw", (oD - col("e_raw")) * (oD - col("e_raw")) /
+          col("e_raw"))
+        .select(col("event_type"), col("dow"), col("o"),
+          round(col("e_raw"), 9).as("expected"),
+          round(col("c_raw"), 9).as("contrib"),
+          sum(round(col("c_raw"), 9).cast(DecimalType(24, 9))).over(wall)
+            .cast("double").as("chi2"))
+        .orderBy(col("event_type"), col("dow"))
     })
   )
 
@@ -1216,6 +1254,34 @@ object Analytic extends graft.QueryPack {
          |  UNION ALL SELECT v FROM r$KCORE_MAX_ROUNDS) x
          |GROUP BY part ORDER BY part""".stripMargin
     },
+
+    // same day-number dow, same unrounded margins feeding the per-cell
+    // doubles, same DECIMAL(24,9) total over round-9 contributions
+    "q_chi_square" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM ev GROUP BY event_type, dow),
+        |t AS (
+        |  SELECT event_type, dow, o,
+        |    CAST(SUM(o) OVER (PARTITION BY event_type) AS DOUBLE) *
+        |    CAST(SUM(o) OVER (PARTITION BY dow) AS DOUBLE) /
+        |    CAST(SUM(o) OVER () AS DOUBLE) AS e_raw
+        |  FROM cells),
+        |u AS (
+        |  SELECT event_type, dow, o, e_raw,
+        |    (CAST(o AS DOUBLE) - e_raw) * (CAST(o AS DOUBLE) - e_raw)
+        |      / e_raw AS c_raw
+        |  FROM t)
+        |SELECT event_type, dow, o,
+        |  round(e_raw, 9) AS expected,
+        |  round(c_raw, 9) AS contrib,
+        |  CAST(SUM(CAST(round(c_raw, 9) AS DECIMAL(24,9))) OVER ()
+        |       AS DOUBLE) AS chi2
+        |FROM u ORDER BY event_type, dow""".stripMargin,
 
     // same integer 2^(10-k) factor (bit shift), same exact DECIMAL
     // term sum, same single final /1024 in double

@@ -437,6 +437,65 @@ object Extras extends graft.QueryPack {
         .withColumn("zcell", shiftright(col("zkey"), 4).cast("long"))
         .select(col("event_id"), col("zkey"), col("zcell"))
         .orderBy(col("zkey"), col("event_id"))
+    }),
+
+    // FULL OUTER join — the one outer-join shape the pack lacked:
+    // the reconciliation report between an (intentionally filtered)
+    // customer dim slice and the open-order rollup, keeping BOTH
+    // orphan directions: dim rows with no open orders (zero-filled)
+    // and order groups whose customer fell outside the slice
+    // (has_customer=false) — each side genuinely non-empty on
+    // testdata (GateSpec pins that, so the outer semantics are never
+    // vacuously green). The rollup side pre-aggregates BEFORE the
+    // join (partial-agg shuffle on o_custkey, then a key-colocated
+    // join — at 100 TB the join input is |customers| rows per side,
+    // not |orders|); exact DECIMAL spend.
+    "q_full_outer" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+        .filter(col("c_mktsegment") =!= "MACHINERY")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val oa = Tables(s, d, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("spend"))
+      c.join(oa, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.as("has_customer"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend").cast("double"), lit(0d)).as("spend"))
+        .orderBy(col("custkey"))
+    }),
+
+    // Incremental view maintenance (IVM): refresh a per-type
+    // (count, exact sum) aggregate by MERGING yesterday's materialized
+    // partial with the new-days partial — the base partition is never
+    // rescanned at refresh time, only its partial rows are. The split
+    // point is corpus-derived (max day − 7, a broadcast 1-row agg);
+    // avg is maintained through the (n, sum) decomposition, never
+    // averaged-of-averages. The merged result is pinned to the full
+    // rescan by the oracle — THE IVM contract: merge(partials) ≡
+    // aggregate(all raw), which holds because count/sum are
+    // commutative monoids over exact types.
+    "q_incremental_agg" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("event_type"), dec(col("value")).as("y"),
+          floor(unix_seconds(col("ts")).cast("double") / 86400d)
+            .cast("long").as("day"))
+      val cut = ev.agg((max(col("day")) - 7L).as("cut"))
+      val tagged = ev.crossJoin(broadcast(cut))
+      def partial(f: org.apache.spark.sql.Column) = tagged.filter(f)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      val base = partial(col("day") < col("cut"))     // materialized view
+      val delta = partial(col("day") >= col("cut"))   // the new batch
+      base.unionAll(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("s")).cast("double").as("total"),
+          (sum(col("s")).cast("double") / sum(col("n"))).as("avg"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -446,6 +505,31 @@ object Extras extends graft.QueryPack {
     .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "q_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment <> 'MACHINERY'),
+        |oa AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+        |SELECT COALESCE(c.c_custkey, oa.o_custkey) AS custkey,
+        |  c.c_custkey IS NOT NULL AS has_customer,
+        |  COALESCE(oa.n_orders, 0) AS n_orders,
+        |  COALESCE(CAST(oa.spend AS DOUBLE), 0.0) AS spend
+        |FROM c FULL OUTER JOIN oa ON c.c_custkey = oa.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    // the IVM contract stated as SQL: the merged partials must equal
+    // THIS full rescan, bit for bit
+    "q_incremental_agg" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS y
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(y) AS DOUBLE) AS total,
+        |  CAST(SUM(y) AS DOUBLE) / COUNT(*) AS avg
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // same rollup ladder; DuckDB's GROUPING() bits reconstruct Spark's
     // grouping_id (first rollup expr = most significant bit)
     "q_kanon" ->

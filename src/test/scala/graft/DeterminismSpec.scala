@@ -52,7 +52,11 @@ class DeterminismSpec extends AnyFunSuite {
     // q_decay_score (exact DECIMAL term sum with integer 2^k weights)
     // q_kcore adds the shrink-only iterative case (peel fixpoint must
     // not depend on edge layout)
-    "q_regression", "q_decay_score", "q_kcore").foreach { name =>
+    // q_chi_square: the χ² total is a DECIMAL sum of round-9 terms;
+    // q_incremental_agg: merged partials must equal the rescan under
+    // any layout of either partial
+    "q_regression", "q_decay_score", "q_kcore",
+    "q_chi_square", "q_incremental_agg").foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
     }

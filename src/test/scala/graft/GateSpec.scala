@@ -196,6 +196,60 @@ class GateSpec extends AnyFunSuite {
     assert(rows.size < allNodes)
   }
 
+  test("q_full_outer: key union is exact; BOTH orphan directions appear") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Extras
+      .queries("q_full_outer")(spark, TestSpark.sf).collect()
+    val dim = Tables(spark, TestSpark.sf, "customer")
+      .filter(col("c_mktsegment") =!= "MACHINERY")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val fact = Tables(spark, TestSpark.sf, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    // one row per key in the UNION of both sides, each key once
+    assert(rows.map(_.getLong(0)).toSet == (dim ++ fact))
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // dim-only keys: zero-filled; fact-only keys: has_customer=false.
+    // Both directions must be non-empty on testdata or the full-outer
+    // semantics are vacuously green (then this flags the fixture).
+    val dimOnly = rows.filter(r => !fact.contains(r.getLong(0)))
+    val factOnly = rows.filter(r => !dim.contains(r.getLong(0)))
+    assert(dimOnly.nonEmpty && factOnly.nonEmpty)
+    dimOnly.foreach { r =>
+      assert(r.getBoolean(1) && r.getLong(2) == 0L && r.getDouble(3) == 0d) }
+    factOnly.foreach { r => assert(!r.getBoolean(1) && r.getLong(2) > 0L) }
+  }
+
+  test("q_incremental_agg: both partials are non-empty (merge not vacuous)") {
+    import org.apache.spark.sql.functions.{col, floor, max, unix_seconds}
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .select(floor(unix_seconds(col("ts")).cast("double") / 86400d)
+        .cast("long").as("day"))
+    val cut = ev.agg(max(col("day")) - 7L).head().getLong(0)
+    val base = ev.filter(col("day") < cut).count()
+    val delta = ev.filter(col("day") >= cut).count()
+    assert(base > 0 && delta > 0,
+      s"base=$base delta=$delta — the IVM merge would be a no-op; " +
+        "the oracle equivalence merge(partials)==rescan(all) is only " +
+        "meaningful when both sides contribute")
+    val rows = graft.operators.Extras
+      .queries("q_incremental_agg")(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getLong(1)).sum == base + delta)
+  }
+
+  test("q_chi_square: margins and totals are self-consistent") {
+    val rows = graft.operators.Analytic
+      .queries("q_chi_square")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables(spark, TestSpark.sf, "events").count()
+    assert(rows.map(_.getLong(2)).sum == n)         // cells partition N
+    val chi2s = rows.map(_.getDouble(5)).distinct
+    assert(chi2s.length == 1)                        // one global stat
+    assert(math.abs(rows.map(_.getDouble(3)).sum - n) < 1e-3) // Σe ≈ N
+    rows.foreach(r => assert(r.getDouble(4) >= 0d))  // contribs >= 0
+    assert(math.abs(chi2s.head - rows.map(_.getDouble(4)).sum) < 1e-6)
+  }
+
   test("q_decay_score: equals an exact BigDecimal recomputation per user") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.Analytic
