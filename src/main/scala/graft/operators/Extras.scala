@@ -496,6 +496,50 @@ object Extras extends graft.QueryPack {
           sum(col("s")).cast("double").as("total"),
           (sum(col("s")).cast("double") / sum(col("n"))).as("avg"))
         .orderBy(col("event_type"))
+    }),
+
+    // Data-quality expectation suite (the Deequ / Great Expectations
+    // shape): declared constraints over the orders table, each scored
+    // as a [0,1] satisfaction metric + a pass verdict, emitted as a
+    // constraint report. The four row-level checks (completeness,
+    // key uniqueness, value positivity, domain membership) come out
+    // of ONE map-combinable pass over the fact table; referential
+    // integrity joins only the DISTINCT fact keys (customer-dim
+    // cardinality, not order cardinality) against the dim. Metrics
+    // are exact-integer ratios landed in double once — deterministic
+    // under any layout.
+    "q_dq_checks" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val rowChecks = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("c_nn"),
+        countDistinct(col("o_orderkey")).as("c_uniq"),
+        sum(when(col("o_totalprice") > 0d, 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("c_dom"))
+      val rc = rowChecks.selectExpr(
+        """stack(4,
+          |  'completeness:o_custkey',      c_nn,
+          |  'uniqueness:o_orderkey',       c_uniq,
+          |  'positivity:o_totalprice',     c_pos,
+          |  'domain:o_orderstatus',        c_dom)
+          |as (check, satisfied)""".stripMargin.replace("\n", " "),
+        "n")
+      val factKeys = o.select(col("o_custkey")).distinct()
+      val orphanFree = factKeys.join(
+          Tables(s, d, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      val ri = factKeys.agg(count(lit(1)).as("n"))
+        .crossJoin(orphanFree)
+        .select(lit("referential:o_custkey->customer").as("check"),
+          (col("n") - col("orphans")).as("satisfied"), col("n"))
+      rc.unionAll(ri)
+        .select(col("check"),
+          round(col("satisfied").cast("double") / col("n").cast("double"), 9)
+            .as("metric"),
+          (col("satisfied") === col("n")).as("passed"))
+        .orderBy(col("check"))
     })
   )
 
@@ -518,6 +562,37 @@ object Extras extends graft.QueryPack {
         |  COALESCE(CAST(oa.spend AS DOUBLE), 0.0) AS spend
         |FROM c FULL OUTER JOIN oa ON c.c_custkey = oa.o_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "q_dq_checks" ->
+      """WITH rowchecks AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c_nn,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS c_uniq,
+        |    CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c_pos,
+        |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS c_dom
+        |  FROM orders),
+        |rc AS (
+        |  SELECT 'completeness:o_custkey' AS check, c_nn AS satisfied, n
+        |    FROM rowchecks
+        |  UNION ALL SELECT 'uniqueness:o_orderkey', c_uniq, n FROM rowchecks
+        |  UNION ALL SELECT 'positivity:o_totalprice', c_pos, n FROM rowchecks
+        |  UNION ALL SELECT 'domain:o_orderstatus', c_dom, n FROM rowchecks),
+        |fk AS (SELECT DISTINCT o_custkey FROM orders),
+        |ri AS (
+        |  SELECT 'referential:o_custkey->customer' AS check,
+        |    CAST((SELECT COUNT(*) FROM fk) -
+        |         (SELECT COUNT(*) FROM fk
+        |          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |      AS BIGINT) AS satisfied,
+        |    CAST((SELECT COUNT(*) FROM fk) AS BIGINT) AS n),
+        |alltogether AS (SELECT * FROM rc UNION ALL SELECT * FROM ri)
+        |SELECT "check",
+        |  round(CAST(satisfied AS DOUBLE) / CAST(n AS DOUBLE), 9) AS metric,
+        |  satisfied = n AS passed
+        |FROM alltogether ORDER BY "check"""".stripMargin,
 
     // the IVM contract stated as SQL: the merged partials must equal
     // THIS full rescan, bit for bit

@@ -250,6 +250,25 @@ class GateSpec extends AnyFunSuite {
     assert(math.abs(chi2s.head - rows.map(_.getDouble(4)).sum) < 1e-6)
   }
 
+  test("q_dq_checks: metrics agree with direct recomputation; passed <=> 1.0") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Extras
+      .queries("q_dq_checks")(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(rows.size == 5)
+    rows.values.foreach { case (m, p) => assert(p == (m == 1.0d)) }
+    val o = Tables(spark, TestSpark.sf, "orders")
+    val n = o.count().toDouble
+    val uniq = o.select(col("o_orderkey")).distinct().count() / n
+    assert(math.abs(rows("uniqueness:o_orderkey")._1 - uniq) < 1e-9)
+    val fk = o.select(col("o_custkey")).distinct()
+    val fkN = fk.count().toDouble
+    val orphans = fk.join(Tables(spark, TestSpark.sf, "customer"),
+      col("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(math.abs(rows("referential:o_custkey->customer")._1 -
+      (fkN - orphans) / fkN) < 1e-9)
+  }
+
   test("q_decay_score: equals an exact BigDecimal recomputation per user") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.Analytic

@@ -246,4 +246,39 @@ class PlanShapeSpec extends AnyFunSuite {
     // exactly the one exchange feeding the global output sort
     assert("Exchange".r.findAllIn(plan).size <= 2, plan.take(3000))
   }
+
+  test("table stats: the four NDVs share ONE Expand pass, no join") {
+    val plan = graft.operators.Analytic.queries("q_table_stats")(
+      spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("regression: one aggregation pass over the scan, no join/window") {
+    val plan = graft.operators.Analytic.queries("q_regression")(
+      spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(3000))
+    // partial + final HashAggregate around a single exchange pair
+    // (one for the group-by, one for the output sort)
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan.take(3000))
+  }
+
+  test("k-core final plan joins by node key — never a cross product") {
+    val df = graft.operators.Analytic.queries("q_kcore")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    TestSpark.housekeeping() // the loop localCheckpoints edge frames
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(3000))
+  }
+
+  test("chi-square margins are windows over the CELL frame, corpus " +
+    "touched by exactly one aggregation") {
+    val plan = graft.operators.Analytic.queries("q_chi_square")(
+      spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(3000))
+    // the corpus-scaled work is the single partial+final HashAggregate
+    // pair building cells; everything after operates on the tiny grid
+    val scanCount = "FileScan".r.findAllIn(plan).size
+    assert(scanCount == 1, plan.take(3000))
+  }
 }
