@@ -95,6 +95,54 @@ object Multimodal extends graft.QueryPack {
     }
   }
 
+  case class PhashRow(doc_id: Long, phash: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint over the REAL decoded
+    * raster: the image is block-averaged onto a fixed 4×4 grid (cell
+    * (i,j) covers x ∈ [⌊iW/4⌋, ⌊(i+1)W/4⌋), same for y) and bit i·4+j
+    * is set iff the cell's mean gray exceeds the whole-image mean.
+    * Both means are rationals over integer pixel sums, so the
+    * comparison is done EXACTLY as s_cell·N > S_total·c_cell — no
+    * float division anywhere, and the oracle restates the identical
+    * integer inequality. Undecodable payloads fingerprint as -1
+    * (the decodeImage zero-row contract). */
+  def imagePhash(content: Array[Byte]): Long = {
+    val img =
+      if (content == null || content.isEmpty) null
+      else try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return -1L
+    val w = img.getWidth
+    val h = img.getHeight
+    val s = new Array[Long](16)
+    val c = new Array[Long](16)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cj = y * 4 / h
+      var x = 0
+      while (x < w) {
+        val ci = x * 4 / w
+        val p = img.getRGB(x, y)
+        val gray3 = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+        s(ci * 4 + cj) += gray3
+        c(ci * 4 + cj) += 1L
+        total += gray3
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var hash = 0L
+    var idx = 0
+    while (idx < 16) {
+      if (s(idx) * n > total * c(idx)) hash |= 1L << idx
+      idx += 1
+    }
+    hash
+  }
+
   /** The generated image corpus as a binary media column: one small
     * PNG per document, produced executor-side (a narrow map — the
     * fixture generator stands where a parquet binary column or
@@ -185,6 +233,28 @@ object Multimodal extends graft.QueryPack {
       imageFixtures(s, Tables(s, d, "documents"))
         .select(col("doc_id"), graft.functions.ImageLabels.labels(col("content")))
         .orderBy(col("doc_id"), col("label_rank"), col("name"))
+    }),
+
+    // Image near-dup groups by perceptual hash: the multimodal member
+    // of the dedup family. The REAL decode + 4×4 aHash runs in the
+    // same batched mapPartitions as the feature extract (narrow map,
+    // binary never crosses a shuffle — only the 8-byte fingerprint
+    // moves on), then one hash-keyed groupBy collapses perceptually
+    // identical images; aHash ignores brightness offsets, so gradient
+    // images that differ only by channel phase collide (253 groups
+    // from 500 docs at sf0.01, largest 23 — the grouping genuinely
+    // bites). At 100 TB this is the canonical image-dedup layout:
+    // work ∝ shared fingerprints, never corpus².
+    "q_image_phash" -> ((s, d) => {
+      import s.implicits._
+      imageFixtures(s, Tables(s, d, "documents"))
+        .as[MediaRow]
+        .mapPartitions(_.grouped(64).flatMap(_.map(m =>
+          PhashRow(m.doc_id, imagePhash(m.content)))))
+        .toDF()
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("phash"))
     })
   )
 
@@ -201,11 +271,15 @@ object Multimodal extends graft.QueryPack {
   /** Shared oracle prelude: the per-document pixel grid with the
     * closed-form channel formulas from [[genPng]] — PNG is lossless,
     * so the REAL `javax.imageio` decode must reproduce these exactly. */
-  private val pixelGridSqlDuck: String =
+  private val pixelPxSqlDuck: String =
     """d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
       |       FROM documents),
       |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
-      |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)"""
+      .stripMargin
+
+  private val pixelGridSqlDuck: String =
+    s"""$pixelPxSqlDuck,
       |sums AS (
       |  SELECT doc_id, w, h, w * h AS n_px,
       |    sum((doc_id * 31 + x * 7 + y * 13) % 256) AS sr,
@@ -214,6 +288,36 @@ object Multimodal extends graft.QueryPack {
       |  FROM px GROUP BY doc_id, w, h)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same 4×4 block-average grid over the closed-form pixels, same
+    // EXACT integer inequality s·N > S·c for each bit
+    "q_image_phash" ->
+      s"""WITH $pixelPxSqlDuck,
+        |g AS (
+        |  SELECT doc_id, (x * 4) // w AS ci, (y * 4) // h AS cj,
+        |    (doc_id * 31 + x * 7 + y * 13) % 256 +
+        |    (doc_id * 17 + x * 3 + y * 5) % 256 +
+        |    (doc_id * 23 + x * 11 + y * 2) % 256 AS gray3
+        |  FROM px),
+        |cells AS (
+        |  SELECT doc_id, ci, cj, CAST(SUM(gray3) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g GROUP BY doc_id, ci, cj),
+        |tot AS (
+        |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS stot,
+        |    CAST(SUM(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY doc_id),
+        |bits AS (
+        |  SELECT cells.doc_id,
+        |    CASE WHEN s * n > stot * c
+        |         THEN 1 << CAST(ci * 4 + cj AS INTEGER) ELSE 0 END AS bit
+        |  FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
+        |ph AS (
+        |  SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_images,
+        |  MIN(doc_id) AS min_doc
+        |FROM ph GROUP BY phash ORDER BY phash""".stripMargin,
+
     // expected output of the real PNG decode, recomputed in closed form
     "q_multimodal_features" ->
       s"""WITH $pixelGridSqlDuck

@@ -126,4 +126,42 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((0L, 0L, 1L)))
     assert(e.head.resized_md5 == "d41d8cd98f00b204e9800998ecf8427e")
   }
+
+  test("imagePhash: brightness-invariant, structure-sensitive, -1 on junk") {
+    import graft.operators.Multimodal.imagePhash
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // aHash compares each cell to the IMAGE mean, so a constant
+    // brightness offset must not change a single bit...
+    val base = png(12, 10)((x, y) => 10 + x * 8 + y * 6)
+    val brighter = png(12, 10)((x, y) => 40 + x * 8 + y * 6)
+    assert(imagePhash(base) == imagePhash(brighter))
+    // ...while transposing the gradient flips the cell pattern
+    val transposed = png(12, 10)((x, y) => 10 + x * 6 + y * 8)
+    assert(imagePhash(base) != imagePhash(transposed) ||
+      imagePhash(base) == 0L) // (equal only if degenerate — not here)
+    assert(imagePhash(base) != 0L)
+    // undecodable payloads fingerprint as -1, never throw
+    assert(imagePhash(null) == -1L)
+    assert(imagePhash(Array[Byte](1, 2, 3)) == -1L)
+  }
+
+  test("q_image_phash groups partition the corpus and genuinely collide") {
+    val rows = graft.operators.Multimodal
+      .queries("q_image_phash")(TestSpark.spark, TestSpark.sf).collect()
+    val nDocs = Tables(TestSpark.spark, TestSpark.sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    assert(rows.exists(_.getLong(1) > 1L), "no perceptual collisions — " +
+      "the dedup grouping is vacuous on this fixture")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
 }
