@@ -768,6 +768,58 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("part"))
     }),
 
+    // Multi-source BFS distance: min hop count from the 10 highest-
+    // degree "hub" parts to every node within 8 hops of one — the
+    // reachability/centrality primitive (influence radius, taint
+    // propagation). Frontier iteration: each round joins the CURRENT
+    // frontier (not the whole dist table) against the symmetric
+    // adjacency, anti-joins already-settled nodes, and settles the
+    // survivors at dist r — per-round work ∝ frontier × avg degree,
+    // the BFS invariant that keeps round r from re-expanding settled
+    // nodes. Adjacency localCheckpointed once; rounds bounded by the
+    // hop cap (part of the operator definition, restated in the
+    // oracle), with early exit on an empty frontier.
+    "q_bfs_distance" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") % 8 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val raw = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+      val sym = raw.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(raw.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint(true)
+      val hubs = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("node"))
+        .limit(BFS_HUBS)
+        .select(col("node"))
+      var dist = hubs.withColumn("dist", lit(0L)).localCheckpoint(true)
+      var frontier = dist
+      var r = 1
+      var done = false
+      while (!done && r <= BFS_MAX_HOPS) {
+        val expanded = frontier
+          .join(sym, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("dist", lit(r.toLong))
+          .localCheckpoint(true)
+        if (expanded.isEmpty) done = true
+        else {
+          val nd = dist.unionAll(expanded).localCheckpoint(true)
+          dist.unpersist(false)
+          frontier = expanded
+          dist = nd
+          r += 1
+        }
+      }
+      dist.orderBy(col("node"))
+    }),
+
     // Chi-square independence diagnostics: event_type × day-of-week
     // contingency table with expected counts and per-cell χ²
     // contributions — the label-leakage / spurious-correlation check a
@@ -811,6 +863,12 @@ object Analytic extends graft.QueryPack {
     * so both live here as the single source. */
   private val KCORE_K = 8
   private val KCORE_MAX_ROUNDS = 20
+
+  /** q_bfs_distance's hub count and hop cap — restated in the unrolled
+    * oracle (the cap is part of the operator definition: nodes farther
+    * than BFS_MAX_HOPS from every hub are absent from the output). */
+  private val BFS_HUBS = 10
+  private val BFS_MAX_HOPS = 8
 
   def oracles: Map[String, String] = Map(
     "q_window_lag" ->
@@ -1253,6 +1311,37 @@ object Analytic extends graft.QueryPack {
          |  SELECT u AS part FROM r$KCORE_MAX_ROUNDS
          |  UNION ALL SELECT v FROM r$KCORE_MAX_ROUNDS) x
          |GROUP BY part ORDER BY part""".stripMargin
+    },
+
+    // same graph, same (degree DESC, node) hub order, BFS unrolled to
+    // the same hop cap (extra rounds past exhaustion add nothing: the
+    // frontier stays empty)
+    "q_bfs_distance" -> {
+      val rounds = (1 to BFS_MAX_HOPS).map { i =>
+        s"""f$i AS MATERIALIZED (
+           |  SELECT DISTINCT s.dst AS node
+           |  FROM f${i - 1} f JOIN sym s ON f.node = s.src
+           |  WHERE s.dst NOT IN (SELECT node FROM d${i - 1})),
+           |d$i AS MATERIALIZED (
+           |  SELECT * FROM d${i - 1}
+           |  UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey % 8 = 0),
+         |raw AS (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |sym AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM raw
+         |  UNION ALL SELECT v, u FROM raw),
+         |deg AS (SELECT src AS node, COUNT(*) AS dg FROM sym GROUP BY src),
+         |hubs AS (SELECT node FROM deg ORDER BY dg DESC, node LIMIT $BFS_HUBS),
+         |d0 AS MATERIALIZED (
+         |  SELECT node, CAST(0 AS BIGINT) AS dist FROM hubs),
+         |f0 AS (SELECT node FROM d0),
+         |$rounds
+         |SELECT node, dist FROM d$BFS_MAX_HOPS ORDER BY node""".stripMargin
     },
 
     // same day-number dow, same unrounded margins feeding the per-cell

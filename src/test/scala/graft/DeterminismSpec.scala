@@ -55,8 +55,10 @@ class DeterminismSpec extends AnyFunSuite {
     // q_chi_square: the χ² total is a DECIMAL sum of round-9 terms;
     // q_incremental_agg: merged partials must equal the rescan under
     // any layout of either partial
+    // q_bfs_distance: frontier iteration with a top-k hub seed — both
+    // the seed set and every settled distance must be layout-free
     "q_regression", "q_decay_score", "q_kcore",
-    "q_chi_square", "q_incremental_agg").foreach { name =>
+    "q_chi_square", "q_incremental_agg", "q_bfs_distance").foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
     }

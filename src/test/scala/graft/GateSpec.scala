@@ -250,6 +250,39 @@ class GateSpec extends AnyFunSuite {
     assert(math.abs(chi2s.head - rows.map(_.getDouble(4)).sum) < 1e-6)
   }
 
+  test("q_bfs_distance: 1-Lipschitz along edges, hubs at zero, multi-hop") {
+    import org.apache.spark.sql.functions.col
+    val dist = graft.operators.Analytic
+      .queries("q_bfs_distance")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TestSpark.housekeeping() // the loop localCheckpoints frames
+    assert(dist.nonEmpty)
+    // exactly BFS_HUBS sources at distance zero
+    assert(dist.values.count(_ == 0L) == 10)
+    // BFS reached beyond the hubs' immediate neighborhood on testdata
+    assert(dist.values.max >= 2L)
+    // the defining property: along any edge, distances differ by <= 1
+    // (both endpoints settled), and an unsettled endpoint can only
+    // neighbor nodes at the hop cap
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+      .filter(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }
+    edges.foreach { case (u, v) =>
+      (dist.get(u), dist.get(v)) match {
+        case (Some(du), Some(dv)) => assert(math.abs(du - dv) <= 1L)
+        case (Some(du), None) => assert(du == 8L, s"$u settled at $du " +
+          s"but neighbor $v unreached — frontier missed it")
+        case (None, Some(dv)) => assert(dv == 8L)
+        case _ => ()
+      }
+    }
+  }
+
   test("q_dq_checks: metrics agree with direct recomputation; passed <=> 1.0") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.Extras
