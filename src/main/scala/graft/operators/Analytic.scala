@@ -50,6 +50,22 @@ object Analytic extends graft.QueryPack {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** The shared part co-occurrence graph (8×-thinned orders, distinct
+    * undirected u < v edges) consumed by q_triangles / q_kcore /
+    * q_bfs_distance — one definition, restated identically in each
+    * query's oracle prelude. */
+  private def partGraph(s: SparkSession, d: String): DataFrame = {
+    val li = Tables(s, d, "lineitem")
+      .filter(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // lag/delta + bounded moving sum per user over event time.
@@ -307,16 +323,7 @@ object Analytic extends graft.QueryPack {
     // id < 1e12, and under ANSI mode an overflow beyond that headroom
     // fails loudly rather than mis-orienting.
     "q_triangles" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem")
-        .filter(col("l_orderkey") % 8 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val raw = li.as("a")
-        .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct()
-      trianglesPerNode(raw).withColumnRenamed("node", "part")
+      trianglesPerNode(partGraph(s, d)).withColumnRenamed("node", "part")
         .orderBy(col("n_tri").desc, col("part")).limit(10)
     }),
 
@@ -729,16 +736,7 @@ object Analytic extends graft.QueryPack {
     // oracle mirrors (testdata peels in 3-6 rounds).
     "q_kcore" -> ((s, d) => {
       val K = KCORE_K
-      val li = Tables(s, d, "lineitem")
-        .filter(col("l_orderkey") % 8 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      var edges = li.as("a")
-        .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct()
-        .localCheckpoint(true)
+      var edges = partGraph(s, d).localCheckpoint(true)
       var m = edges.count()
       var rounds = 0
       var converged = m == 0L
@@ -780,15 +778,7 @@ object Analytic extends graft.QueryPack {
     // hop cap (part of the operator definition, restated in the
     // oracle), with early exit on an empty frontier.
     "q_bfs_distance" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem")
-        .filter(col("l_orderkey") % 8 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val raw = li.as("a")
-        .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct()
+      val raw = partGraph(s, d)
       val sym = raw.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(raw.select(col("v").as("src"), col("u").as("dst")))
         .localCheckpoint(true)
