@@ -510,13 +510,17 @@ object Extras extends graft.QueryPack {
     // under any layout.
     "q_dq_checks" -> ((s, d) => {
       val o = Tables(s, d, "orders")
+      // coalesce: SUM over zero rows is NULL, and an empty table must
+      // report vacuous satisfaction, not NULL verdicts (EmptyInputSpec)
       val rowChecks = o.agg(
         count(lit(1)).as("n"),
-        sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("c_nn"),
+        coalesce(sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("c_nn"),
         countDistinct(col("o_orderkey")).as("c_uniq"),
-        sum(when(col("o_totalprice") > 0d, 1L).otherwise(0L)).as("c_pos"),
-        sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
-          .as("c_dom"))
+        coalesce(sum(when(col("o_totalprice") > 0d, 1L).otherwise(0L)),
+          lit(0L)).as("c_pos"),
+        coalesce(sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)), lit(0L)).as("c_dom"))
       val rc = rowChecks.selectExpr(
         """stack(4,
           |  'completeness:o_custkey',      c_nn,
@@ -536,8 +540,11 @@ object Extras extends graft.QueryPack {
           (col("n") - col("orphans")).as("satisfied"), col("n"))
       rc.unionAll(ri)
         .select(col("check"),
-          round(col("satisfied").cast("double") / col("n").cast("double"), 9)
-            .as("metric"),
+          // empty-table guard: a constraint over zero rows is vacuously
+          // satisfied (metric 1.0, never 0/0 = NaN) — EmptyInputSpec
+          when(col("n") > 0L,
+            round(col("satisfied").cast("double") / col("n").cast("double"),
+              9)).otherwise(lit(1.0d)).as("metric"),
           (col("satisfied") === col("n")).as("passed"))
         .orderBy(col("check"))
     })
@@ -566,13 +573,13 @@ object Extras extends graft.QueryPack {
     "q_dq_checks" ->
       """WITH rowchecks AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
-        |         AS BIGINT) AS c_nn,
+        |    CAST(COALESCE(SUM(CASE WHEN o_custkey IS NOT NULL
+        |                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_nn,
         |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS c_uniq,
-        |    CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
-        |         AS BIGINT) AS c_pos,
-        |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
-        |              THEN 1 ELSE 0 END) AS BIGINT) AS c_dom
+        |    CAST(COALESCE(SUM(CASE WHEN o_totalprice > 0
+        |                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_pos,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+        |              THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_dom
         |  FROM orders),
         |rc AS (
         |  SELECT 'completeness:o_custkey' AS check, c_nn AS satisfied, n
@@ -590,7 +597,9 @@ object Extras extends graft.QueryPack {
         |    CAST((SELECT COUNT(*) FROM fk) AS BIGINT) AS n),
         |alltogether AS (SELECT * FROM rc UNION ALL SELECT * FROM ri)
         |SELECT "check",
-        |  round(CAST(satisfied AS DOUBLE) / CAST(n AS DOUBLE), 9) AS metric,
+        |  CASE WHEN n > 0
+        |    THEN round(CAST(satisfied AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |    ELSE 1.0 END AS metric,
         |  satisfied = n AS passed
         |FROM alltogether ORDER BY "check"""".stripMargin,
 

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-input totality: a 100 TB deployment routinely plans over
+  * empty partitions, empty date slices, and freshly-truncated tables —
+  * operators must degrade to an empty (or well-defined constant)
+  * result, never throw. This spec materializes a schema-identical but
+  * EMPTY copy of every testdata table and drives a broad query subset
+  * over it. Queries excluded here have a documented non-empty
+  * precondition (model fitting like LDA/BPE/k-means needs a corpus;
+  * the composed pipelines inherit it).
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty")
+      .toFile.getAbsolutePath
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      Tables(spark, TestSpark.sf, t).limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  // every query here must return an EMPTY result on empty inputs
+  private val emptyTotal = Seq(
+    "q1_agg", "q_topk", "q_filter_blocklist", "q_anti_join_dedup",
+    "q_latest_per_key", "q_semi_join", "q_left_outer_enrich",
+    "q_inner_enrich", "q_union_source", "q_delete_antijoin",
+    "q_window_lag", "q_window_rank", "q_sessionize", "q_session_window",
+    "q_histogram", "q_stats_exact", "q_outliers", "q_rolling_dau",
+    "q_event_transitions", "q_word_freq", "q_stopword_filter",
+    "q_lang_id", "q_quality_score", "q_scrub_pii", "q_token_stats",
+    "q_dedup_exact", "q_dedup_sentences", "q_dedup_substring",
+    "q_regression", "q_chi_square", "q_decay_score", "q_full_outer",
+    "q_incremental_agg", "q_kcore", "q_bfs_distance", "q_triangles",
+    "q_cc_stars", "q_image_phash", "q_split_hash", "q_weighted_sample",
+    "q_stratified_sample", "q_interval_union_len", "q_zorder_layout",
+    "q_scd2", "q_pivot", "q_setops", "q_gap_fill", "q_asof_join",
+    "q_range_join", "q_cohort_retention", "q_rollup",
+    "q_grouping_sets", "q_cube")
+
+  emptyTotal.foreach { name =>
+    test(s"$name returns empty (not an exception) on empty tables") {
+      val rows =
+        try SparkEntry.queries(name)(spark, emptyDir).collect()
+        finally TestSpark.housekeeping()
+      assert(rows.isEmpty, s"expected empty, got ${rows.length} rows")
+    }
+  }
+
+  // constant-output reports stay well-defined on empty inputs, like
+  // any monitoring system reporting on an empty day
+  test("q_funnel emits its stage skeleton with zero counts on empty") {
+    val rows =
+      try SparkEntry.queries("q_funnel")(spark, emptyDir).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.map(_.getString(1)).toSeq == Seq("view", "click", "purchase"))
+    rows.foreach(r => assert(r.getLong(2) == 0L))
+  }
+
+  test("q_dq_checks emits the five verdicts, vacuously passed, on empty") {
+    val rows =
+      try graft.operators.Extras.queries("q_dq_checks")(spark, emptyDir)
+        .collect()
+      finally TestSpark.housekeeping()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)} not vacuously passed")
+      assert(!r.getDouble(1).isNaN, s"${r.getString(0)} metric is NaN")
+    }
+  }
+}
