@@ -98,6 +98,32 @@ object StreamingGate extends graft.QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Stream-STATIC dim enrichment — the remaining streaming join
+    // surface (stream-stream is q_stream_join): every micro-batch
+    // broadcast-joins the static profiled-customer slice (left outer,
+    // so unprofiled users flow through as UNKNOWN — both paths
+    // non-vacuous on testdata), stateless per-trigger, no watermark
+    // needed. The drained append output must hash-equal the identical
+    // batch join — THE batch/streaming parity contract for dim
+    // enrichment. At 100 TB the dim is the broadcast side by
+    // construction (a profiled-slice lookup), re-read per restart,
+    // never stream state.
+    "q_stream_enrich" -> ((s, d) => {
+      val out = freshDir("q_stream_enrich") + "/enr"
+      val dim = Tables(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = EventsStream.replay(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"),
+          "left_outer")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      drain(s, enriched, "append") { (batch, _) =>
+        batch.write.mode("append").parquet(out)
+      }
+      s.read.parquet(out).orderBy(col("event_id"))
+    }),
+
     // ST1/ST4 + A1 shape: event-time tumbling-window aggregation run AS
     // A STREAM (replay source, 2h watermark, complete mode) — the
     // streaming twin of q_window_time, now hash-checked against the same
@@ -333,6 +359,16 @@ object StreamingGate extends graft.QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // the batch statement of the drained stream-static enrichment
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id,
+        |  COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+        |FROM events e
+        |LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+        |           WHERE c_mktsegment = 'BUILDING') c
+        |  ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
     // same skewed event_id stream as the Spark side, same top-2
     // tie-break; the sketch-state guarantees are the constant-true
     // boolean (the q_sketch_* convention)

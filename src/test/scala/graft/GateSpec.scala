@@ -283,6 +283,17 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stream_enrich: both join paths fire; one output row per event") {
+    val rows = graft.operators.StreamingGate
+      .queries("q_stream_enrich")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    val n = Tables(spark, TestSpark.sf, "events").count()
+    assert(rows.length.toLong == n) // left outer: nothing dropped or duped
+    val segs = rows.map(_.getString(2)).toSet
+    assert(segs.contains("UNKNOWN") && segs.contains("BUILDING"),
+      s"one join path vacuous: $segs")
+  }
+
   test("q_dq_checks: metrics agree with direct recomputation; passed <=> 1.0") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.Extras
