@@ -97,6 +97,50 @@ object TextAnalytics extends graft.QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    // are maximal stopword-free token runs (gaps-and-islands over the
+    // SAME keepToken predicate as T6, so boundary semantics can't
+    // drift from the stopword operators); word score = deg/freq where
+    // deg sums the length of every phrase containing the word
+    // (co-occurrence degree incl. self), phrase score = Σ word scores.
+    // Word scores are rationals rounded-at-12 into DECIMAL so the
+    // phrase sum is exact and layout/engine-invariant (the
+    // q_js_divergence rationale); ranking ends in a global top-15
+    // TakeOrdered with a total (score, phrase) order. Every shuffle is
+    // keyed (doc/island, word); word stats are vocabulary-sized;
+    // phrases are bounded by document length — nothing corpus².
+    "q_rake_keywords" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .toDF("doc_id", "pos", "word")
+        .filter(length(col("word")) > 0)
+      val content = tok.filter(keepToken(col("word")))
+        .withColumn("island",
+          col("pos") - row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      val phr = content.groupBy(col("doc_id"), col("island"))
+        .agg(count(lit(1)).as("len"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ").as("phrase"))
+      val inPhrase = content.join(phr, Seq("doc_id", "island"))
+      val wordstats = inPhrase
+        .groupBy(col("word"))
+        .agg(round(sum(col("len")).cast("double") /
+            count(lit(1)).cast("double"), 12)
+          .cast(DecimalType(22, 12)).as("wscore"))
+      inPhrase.join(wordstats, Seq("word"))
+        .groupBy(col("doc_id"), col("island"), col("phrase"))
+        .agg(sum(col("wscore")).as("pscore"))
+        .groupBy(col("phrase"))
+        .agg(max(col("pscore")).as("ps"), count(lit(1)).as("n_occurrences"))
+        .select(col("phrase"), round(col("ps").cast("double"), 9).as("score"),
+          col("n_occurrences"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(15)
+    }),
+
     // A1: corpus word-frequency (hash agg with partial combine).
     "q_word_freq" -> ((s, d) => {
       Tables(s, d, "documents")
@@ -850,6 +894,43 @@ object TextAnalytics extends graft.QueryPack {
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+
+    // same keepToken boundary predicate, same rounded-DECIMAL word
+    // scores, same (score DESC, phrase) total order. 1-based toks[i]
+    // vs Spark's 0-based posexplode shifts island VALUES by a constant
+    // per doc — grouping structure (never emitted) is identical.
+    "q_rake_keywords" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, i AS pos, toks[i] AS word
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |        FROM documents) t,
+         |       UNNEST(range(1, len(toks) + 1)) AS u(i)
+         |  WHERE length(toks[i]) > 0),
+         |content AS (
+         |  SELECT doc_id, pos, word,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS island
+         |  FROM tok
+         |  WHERE length(word) > 1 AND NOT starts_with(word, 'http')
+         |    AND word NOT IN ${sqlList(stopwords)}),
+         |phr AS (
+         |  SELECT doc_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+         |    string_agg(word, ' ' ORDER BY pos) AS phrase
+         |  FROM content GROUP BY doc_id, island),
+         |ws AS (
+         |  SELECT word,
+         |    CAST(round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 12)
+         |         AS DECIMAL(22,12)) AS wscore
+         |  FROM content JOIN phr USING (doc_id, island)
+         |  GROUP BY word),
+         |scored AS (
+         |  SELECT doc_id, island, phrase, SUM(wscore) AS pscore
+         |  FROM content JOIN phr USING (doc_id, island) JOIN ws USING (word)
+         |  GROUP BY doc_id, island, phrase)
+         |SELECT phrase, round(CAST(MAX(pscore) AS DOUBLE), 9) AS score,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM scored GROUP BY phrase
+         |ORDER BY score DESC, phrase LIMIT 15""".stripMargin,
 
     // the JSD decomposition restated term-for-term: same p/q doubles,
     // same 2p/(p+q) parenthesization, round-at-12 DECIMAL partial

@@ -57,8 +57,11 @@ class DeterminismSpec extends AnyFunSuite {
     // any layout of either partial
     // q_bfs_distance: frontier iteration with a top-k hub seed — both
     // the seed set and every settled distance must be layout-free
+    // q_rake_keywords: phrase scores are DECIMAL sums of rounded word
+    // rationals — the top-15 set must not depend on layout
     "q_regression", "q_decay_score", "q_kcore",
-    "q_chi_square", "q_incremental_agg", "q_bfs_distance").foreach { name =>
+    "q_chi_square", "q_incremental_agg", "q_bfs_distance",
+    "q_rake_keywords").foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
     }

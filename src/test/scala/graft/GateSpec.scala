@@ -283,6 +283,47 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rake_keywords: equals a brute-force RAKE; phrases stopword-free") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.TextAnalytics
+      .queries("q_rake_keywords")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= 15)
+    val stop = graft.operators.TextAnalytics.stopwords.toSet
+    def content(w: String) =
+      w.length > 1 && !w.startsWith("http") && !stop(w)
+    out.foreach { case (p, _, _) =>
+      assert(p.split(" ").forall(content), s"boundary token inside: '$p'") }
+    // brute-force RAKE over the raw text
+    val texts = Tables(spark, TestSpark.sf, "documents")
+      .select(col("text")).collect().map(_.getString(0).toLowerCase)
+    val phrases = texts.flatMap { t =>
+      val words = t.split(" ").filter(_.nonEmpty)
+      val runs = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]
+      words.foreach { w =>
+        if (content(w)) cur = cur :+ w
+        else { if (cur.nonEmpty) runs += cur; cur = Nil }
+      }
+      if (cur.nonEmpty) runs += cur
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val deg = phrases.flatMap(p => p.map(_ -> p.size.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def wscore(w: String) = BigDecimal(deg(w).toDouble / freq(w))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val pscore = phrases.map(p => p.mkString(" ") -> p.map(wscore).sum)
+      .groupBy(_._1).map { case (p, xs) =>
+        p -> (BigDecimal(xs.head._2.toDouble).toDouble, xs.size.toLong) }
+    val expectTop = pscore.toSeq
+      .map { case (p, (s, n)) =>
+        (p, BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, n) }
+      .sortBy { case (p, s, _) => (-s, p) }.take(15)
+    assert(out.toSeq == expectTop)
+  }
+
   test("q_stream_enrich: both join paths fire; one output row per event") {
     val rows = graft.operators.StreamingGate
       .queries("q_stream_enrich")(spark, TestSpark.sf).collect()
