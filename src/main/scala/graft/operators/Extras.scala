@@ -76,6 +76,26 @@ object Extras extends graft.QueryPack {
         .orderBy(col("ubucket"))
     }),
 
+    // UNPIVOT (melt) — the inverse reshaping of q_pivot: the same
+    // wide per-bucket × event-type count matrix folded back to long
+    // (ubucket, event_type, n) rows via stack, dropping nothing
+    // (zero cells survive as explicit zeros — reshaping must be
+    // lossless both ways). A narrow projection after the same one
+    // aggregation q_pivot runs; no extra shuffle for the melt itself.
+    "q_unpivot" -> ((s, d) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val wide = Tables(s, d, "events")
+        .withColumn("ubucket", col("user_id") % 10)
+        .groupBy(col("ubucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      val stacked = types.map(t => s"'$t', `$t`").mkString(", ")
+      wide.selectExpr("ubucket",
+          s"stack(${types.size}, $stacked) as (event_type, n)")
+        .orderBy(col("ubucket"), col("event_type"))
+    }),
+
     // Ordered string aggregation per group.
     "q_string_agg" -> ((s, d) => {
       Tables(s, d, "customer")
@@ -569,6 +589,25 @@ object Extras extends graft.QueryPack {
         |  COALESCE(CAST(oa.spend AS DOUBLE), 0.0) AS spend
         |FROM c FULL OUTER JOIN oa ON c.c_custkey = oa.o_custkey
         |ORDER BY custkey""".stripMargin,
+
+    // the long shape directly: the unpivot must equal the never-
+    // widened aggregate including explicit zero cells
+    "q_unpivot" ->
+      """WITH grid AS (
+        |  SELECT b.ubucket, t.event_type
+        |  FROM (SELECT DISTINCT user_id % 10 AS ubucket FROM events) b,
+        |       (VALUES ('click'), ('view'), ('purchase'), ('signup'),
+        |               ('error')) t(event_type)),
+        |cnt AS (
+        |  SELECT user_id % 10 AS ubucket, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE event_type IN ('click','view','purchase','signup','error')
+        |  GROUP BY 1, 2)
+        |SELECT g.ubucket, g.event_type, COALESCE(c.n, 0) AS n
+        |FROM grid g LEFT JOIN cnt c
+        |  ON g.ubucket = c.ubucket AND g.event_type = c.event_type
+        |ORDER BY g.ubucket, g.event_type""".stripMargin,
 
     "q_dq_checks" ->
       """WITH rowchecks AS (
