@@ -124,7 +124,10 @@ object TextAnalytics extends graft.QueryPack {
           array_join(transform(
             sort_array(collect_list(struct(col("pos"), col("word")))),
             x => x.getField("word")), " ").as("phrase"))
-      val inPhrase = content.join(phr, Seq("doc_id", "island"))
+      // two consumers (word stats + phrase scoring) read this frame —
+      // persist so the tokenize/window/phrase subtree executes once
+      // (harness/suites clear caches between queries)
+      val inPhrase = content.join(phr, Seq("doc_id", "island")).persist()
       val wordstats = inPhrase
         .groupBy(col("word"))
         .agg(round(sum(col("len")).cast("double") /
