@@ -810,6 +810,212 @@ object Analytic extends graft.QueryPack {
       dist.orderBy(col("node"))
     }),
 
+    // Weighted single-source (multi-hub) shortest paths — frontier
+    // Bellman-Ford with a hop cap and a distance budget, the
+    // cost-bounded influence-radius primitive (weighted reachability,
+    // cheapest-propagation-cost taint analysis). Per round: relax ONLY
+    // the current frontier against the adjacency (work ∝ frontier ×
+    // avg degree), min-combine candidates per node map-side, keep the
+    // STRICT improvements (a node re-enters the frontier only when its
+    // best-known distance actually drops — the Bellman-Ford invariant
+    // that terminates on positive weights), and merge them into the
+    // dist table via anti-join ∪ union. Edge weight is the
+    // deterministic (u+v)%9+1, restated in the oracle; candidates past
+    // the distance budget are pruned at relax time, which loses
+    // nothing because weights are positive (distance only grows along
+    // a walk). Rounds bounded by the hop cap (part of the operator
+    // definition: the output is min-dist over walks of ≤SSSP_MAX_HOPS
+    // edges and cost ≤SSSP_DIST_CAP), early exit on an empty frontier;
+    // per-round localCheckpoint keeps the logical plan flat across
+    // iterations (the exponential-lineage trap).
+    "q_sssp" -> ((s, d) => {
+      val raw = partGraph(s, d)
+      val sym = raw.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(raw.select(col("v").as("src"), col("u").as("dst")))
+        .withColumn("wt", (col("src") + col("dst")) % 9 + 1)
+        .localCheckpoint(true)
+      val hubs = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("node"))
+        .limit(BFS_HUBS)
+        .select(col("node"))
+      var dist = hubs.withColumn("dist", lit(0L)).localCheckpoint(true)
+      var frontier = dist
+      var r = 1
+      var done = false
+      while (!done && r <= SSSP_MAX_HOPS) {
+        val relaxed = frontier
+          .join(sym, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + col("wt")).as("cand"))
+          .filter(col("cand") <= SSSP_DIST_CAP)
+          .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+        val improved = relaxed
+          .join(dist.select(col("node"), col("dist").as("best")),
+            Seq("node"), "left_outer")
+          .filter(col("best").isNull || col("cand") < col("best"))
+          .select(col("node"), col("cand").as("dist"))
+          .localCheckpoint(true)
+        if (improved.isEmpty) done = true
+        else {
+          val nd = dist.join(improved, Seq("node"), "left_anti")
+            .unionAll(improved).localCheckpoint(true)
+          dist.unpersist(false)
+          frontier = improved
+          dist = nd
+          r += 1
+        }
+      }
+      dist.orderBy(col("node"))
+    }),
+
+    // Last-touch attribution — each purchase is credited to the same
+    // user's most recent click within a 7-day lookback (the marketing /
+    // conversion-path primitive). One user-keyed window pass: carry the
+    // last click id/time over the strictly-preceding frame (ties broken
+    // by event_id, so a same-timestamp click with a smaller id counts
+    // as preceding — restated identically in the oracle), then gate on
+    // the lookback. No join at all: the "as-of" lookup rides the same
+    // (user, time) sort every other per-user window op shares, and at
+    // 100× a user's history is one window partition, never a range
+    // cross product.
+    "q_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lookbackUs = 7L * 86400 * 1000000
+      Tables(s, d, "events")
+        .withColumn("last_click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("last_click_us",
+          last(when(col("event_type") === "click", unix_micros(col("ts"))),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("attributed_click",
+          when(unix_micros(col("ts")) - col("last_click_us") <= lookbackUs,
+            col("last_click_id")))
+        .select(col("event_id"), col("user_id"), col("attributed_click"),
+          col("attributed_click").isNotNull.as("attributed"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Deterministic random walks — the node2vec/DeepWalk corpus-prep
+    // primitive (walk traces feed skip-gram embedding training), made
+    // oracle-checkable by replacing RNG state with a pure hash: at step
+    // k from node u, the walk moves to neighbor index
+    // md5(u‖":"‖k)[0:8] % degree(u) in the id-ordered adjacency — a
+    // function of (node, step) alone, identical on any cluster layout
+    // and restated hex-digit-for-hex-digit in the oracle. Starts are
+    // the sampled node set (id % 50 = 0), so walk count scales with the
+    // graph; each step is two hash equi-joins per LIVE walk (degree
+    // lookup, then (src,pos) neighbor pick) — work ∝ walks, never
+    // nodes × steps. The id-ordered neighbor position is a per-node
+    // window (a mega-hub's adjacency sorts in one partition — the
+    // documented skew case AQE splits); the symmetric graph has no
+    // dead ends, so walks never shorten.
+    "q_random_walks" -> ((s, d) => {
+      val raw = partGraph(s, d)
+      val sym = raw.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(raw.select(col("v").as("src"), col("u").as("dst")))
+      val adj = sym.withColumn("pos",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      var state = deg.filter(col("src") % WALK_START_MOD === 0)
+        .select(col("src").as("walk"), col("src").as("cur"))
+        .withColumn("step", lit(0L))
+      var out = state
+      for (k <- 1 to WALK_STEPS) {
+        val pick = state
+          .join(deg, state("cur") === deg("src"))
+          .withColumn("idx",
+            (conv(substring(md5(concat(col("cur").cast("string"),
+              lit(s":$k"))), 1, 8), 16, 10).cast("long") % col("deg") + 1)
+              .cast("int"))
+          .select(col("walk"), col("cur").as("at"), col("idx"))
+        state = pick
+          .join(adj, pick("at") === adj("src") && pick("idx") === adj("pos"))
+          .select(col("walk"), col("dst").as("cur"))
+          .withColumn("step", lit(k.toLong))
+        out = out.unionAll(state)
+      }
+      out.select(col("walk"), col("step"), col("cur").as("node"))
+        .orderBy(col("walk"), col("step"))
+    }),
+
+    // Link prediction — common-neighbors / Jaccard / Adamic-Adar
+    // scores for non-adjacent node pairs (the graph-ML candidate-edge
+    // primitive). Evidence comes from a MIDDLE-keyed self equi-join:
+    // a pair (a,b) shares middle m iff both are m's neighbors, so the
+    // join key is m and pair work is Σ deg(m)² over middles — which a
+    // mega-hub middle turns quadratic, exactly the triangle-counting
+    // hazard. The published mitigation (hub suppression: a node
+    // adjacent to everything carries no signal) is part of the
+    // operator definition: middles with degree > LP_MID_CAP are
+    // excluded from evidence, restated in the oracle. Adamic-Adar's
+    // 1/ln(deg m) terms are round-9 then DECIMAL-summed
+    // (partitioning-invariant); a contributing middle always has
+    // deg ≥ 2 (it needs two distinct neighbors to form a pair), so
+    // ln never hits zero. Existing edges leave via an anti-join on
+    // the undirected (min,max) key; surviving pairs need ≥2 common
+    // neighbors (the standard evidence floor).
+    "q_link_predict" -> ((s, d) => {
+      val raw = partGraph(s, d)
+      val sym = raw.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(raw.select(col("v").as("src"), col("u").as("dst")))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val inc = sym.select(col("dst").as("m"), col("src").as("e"))
+        .join(deg.select(col("src").as("m"), col("deg").as("dm")), Seq("m"))
+        .filter(col("dm") <= LP_MID_CAP)
+      val scored = inc.select(col("m"), col("dm"), col("e").as("a"))
+        .join(inc.select(col("m"), col("e").as("b")), Seq("m"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cn"),
+          sum(round(lit(1.0) / log(col("dm").cast("double")), 9)
+            .cast(DecimalType(24, 9))).cast("double").as("adamic_adar"))
+        .filter(col("cn") >= 2)
+      val existing = raw.select(col("u").as("a"), col("v").as("b"))
+      scored.join(existing, Seq("a", "b"), "left_anti")
+        .join(deg.select(col("src").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("src").as("b"), col("deg").as("db")), Seq("b"))
+        .select(col("a"), col("b"), col("cn"),
+          round(col("cn").cast("double") /
+            (col("da") + col("db") - col("cn")), 9).as("jaccard"),
+          col("adamic_adar"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Empirical-CDF normalization — per-row percentile-rank feature
+    // transform (quantile normalization for training features): each
+    // event's value becomes P(V ≤ v) within its event_type. The
+    // corpus-scaled work is ONE (type, value) grid count; the
+    // cumulative and total sums are windows over the GRID frame
+    // (distinct-value cardinality — DECIMAL(12,2) bounds the domain —
+    // never the corpus), and rows get their rank back through a hash
+    // equi-join on the grid key. The integer cum/total division lands
+    // in double exactly once, round-9 (partitioning-invariant). The
+    // per-type window orders the type's grid slice in one partition —
+    // grid-sized by construction, the same posture as q_chi_square's
+    // margins; never a corpus-wide sort.
+    "q_cdf_normalize" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), dec(col("value")).as("v"))
+      val grid = ev.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val wg = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy(col("event_type"))
+      val cdf = grid
+        .withColumn("cum", sum(col("c")).over(wg))
+        .withColumn("n", sum(col("c")).over(wt))
+        .select(col("event_type"), col("v"),
+          round(col("cum").cast("double") / col("n"), 9).as("ecdf"))
+      ev.join(cdf, Seq("event_type", "v"))
+        .select(col("event_id"), col("event_type"),
+          col("v").cast("double").as("value"), col("ecdf"))
+        .orderBy(col("event_id"))
+    }),
+
     // Chi-square independence diagnostics: event_type × day-of-week
     // contingency table with expected counts and per-cell χ²
     // contributions — the label-leakage / spurious-correlation check a
@@ -859,6 +1065,21 @@ object Analytic extends graft.QueryPack {
     * than BFS_MAX_HOPS from every hub are absent from the output). */
   private val BFS_HUBS = 10
   private val BFS_MAX_HOPS = 8
+
+  /** q_sssp's hop cap and distance budget — both part of the operator
+    * definition (min cost over walks of ≤SSSP_MAX_HOPS edges and cost
+    * ≤SSSP_DIST_CAP from a hub), restated in the unrolled oracle. */
+  private val SSSP_MAX_HOPS = 8
+  private val SSSP_DIST_CAP = 30L
+
+  /** q_random_walks' length and start-sampling modulus — operator
+    * definition constants, restated in the unrolled oracle. */
+  private val WALK_STEPS = 4
+  private val WALK_START_MOD = 50
+
+  /** q_link_predict's hub-suppression cap on middle-node degree —
+    * part of the operator definition, restated in the oracle. */
+  private val LP_MID_CAP = 64
 
   def oracles: Map[String, String] = Map(
     "q_window_lag" ->
@@ -1332,6 +1553,159 @@ object Analytic extends graft.QueryPack {
          |f0 AS (SELECT node FROM d0),
          |$rounds
          |SELECT node, dist FROM d$BFS_MAX_HOPS ORDER BY node""".stripMargin
+    },
+
+    // Unrolled Bellman-Ford, one (relax → strict-improve → merge)
+    // block per hop, same (u+v)%9+1 weights and distance budget.
+    "q_sssp" -> {
+      val rounds = (1 to SSSP_MAX_HOPS).map { i =>
+        s"""rx$i AS MATERIALIZED (
+           |  SELECT s.dst AS node, MIN(f.dist + s.wt) AS cand
+           |  FROM f${i - 1} f JOIN sym s ON f.node = s.src
+           |  WHERE f.dist + s.wt <= $SSSP_DIST_CAP
+           |  GROUP BY s.dst),
+           |f$i AS MATERIALIZED (
+           |  SELECT r.node, r.cand AS dist
+           |  FROM rx$i r LEFT JOIN d${i - 1} p ON r.node = p.node
+           |  WHERE p.node IS NULL OR r.cand < p.dist),
+           |d$i AS MATERIALIZED (
+           |  SELECT node, dist FROM d${i - 1}
+           |  WHERE node NOT IN (SELECT node FROM f$i)
+           |  UNION ALL SELECT node, dist FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey % 8 = 0),
+         |raw AS (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |sym AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst, (u + v) % 9 + 1 AS wt FROM raw
+         |  UNION ALL SELECT v, u, (u + v) % 9 + 1 FROM raw),
+         |deg AS (SELECT src AS node, COUNT(*) AS dg FROM sym GROUP BY src),
+         |hubs AS (SELECT node FROM deg ORDER BY dg DESC, node LIMIT $BFS_HUBS),
+         |d0 AS MATERIALIZED (
+         |  SELECT node, CAST(0 AS BIGINT) AS dist FROM hubs),
+         |f0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM d0),
+         |$rounds
+         |SELECT node, dist FROM d$SSSP_MAX_HOPS ORDER BY node""".stripMargin
+    },
+
+    // same middle-keyed evidence join, same cap, same round-9 DECIMAL
+    // Adamic-Adar sum, same ≥2 evidence floor and edge anti-join
+    "q_link_predict" ->
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey % 8 = 0),
+         |raw AS (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |sym AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM raw
+         |  UNION ALL SELECT v, u FROM raw),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+         |inc AS (
+         |  SELECT s.dst AS m, d.deg AS dm, s.src AS e
+         |  FROM sym s JOIN deg d ON s.dst = d.src
+         |  WHERE d.deg <= $LP_MID_CAP),
+         |scored AS (
+         |  SELECT a.e AS a, b.e AS b, COUNT(*) AS cn,
+         |    CAST(SUM(CAST(round(1.0 / ln(CAST(a.dm AS DOUBLE)), 9)
+         |      AS DECIMAL(24,9))) AS DOUBLE) AS adamic_adar
+         |  FROM inc a JOIN inc b ON a.m = b.m AND a.e < b.e
+         |  GROUP BY a.e, b.e
+         |  HAVING COUNT(*) >= 2)
+         |SELECT s.a, s.b, s.cn,
+         |  round(CAST(s.cn AS DOUBLE) / (da.deg + db.deg - s.cn), 9)
+         |    AS jaccard,
+         |  s.adamic_adar
+         |FROM scored s
+         |JOIN deg da ON da.src = s.a
+         |JOIN deg db ON db.src = s.b
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM raw r WHERE r.u = s.a AND r.v = s.b)
+         |ORDER BY s.a, s.b""".stripMargin,
+
+    // same grid pass, same ROWS frame (grid keys are unique, so ROWS
+    // ≡ RANGE), same single round-9 division
+    "q_cdf_normalize" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events),
+        |grid AS (
+        |  SELECT event_type, v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |cdf AS (
+        |  SELECT event_type, v,
+        |    round(CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS DOUBLE) /
+        |          SUM(c) OVER (PARTITION BY event_type), 9) AS ecdf
+        |  FROM grid)
+        |SELECT e.event_id, e.event_type, CAST(e.v AS DOUBLE) AS value,
+        |  c.ecdf
+        |FROM ev e JOIN cdf c ON e.event_type = c.event_type AND e.v = c.v
+        |ORDER BY event_id""".stripMargin,
+
+    // same strictly-preceding frame, same (ts, event_id) tie-break,
+    // same 7-day lookback in epoch microseconds
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER w AS last_click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+        |      IGNORE NULLS) OVER w AS last_click_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN epoch_us(ts) - last_click_us <= CAST(7 AS BIGINT) * 86400 * 1000000
+        |       THEN last_click_id END AS attributed_click,
+        |  (CASE WHEN epoch_us(ts) - last_click_us <= CAST(7 AS BIGINT) * 86400 * 1000000
+        |        THEN last_click_id END) IS NOT NULL AS attributed
+        |FROM ev WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    // Unrolled walk steps; the step hash re-derives the same 8-hex
+    // md5 prefix integer via the nibble fold.
+    "q_random_walks" -> {
+      def hex8(arg: String): String =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(range(1, 9), p ->
+           |    CAST(strpos('0123456789abcdef', substring(md5($arg), p, 1)) - 1
+           |         AS BIGINT))), (a, x) -> a * 16 + x)""".stripMargin
+      val steps = (1 to WALK_STEPS).map { k =>
+        s"""w$k AS MATERIALIZED (
+           |  SELECT s.walk, a.dst AS cur
+           |  FROM w${k - 1} s
+           |  JOIN deg d ON s.cur = d.src
+           |  JOIN adj a ON a.src = s.cur AND a.pos =
+           |    (${hex8(s"CAST(s.cur AS VARCHAR) || ':$k'")}) % d.deg + 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      val trace = (0 to WALK_STEPS).map { k =>
+        s"SELECT walk, CAST($k AS BIGINT) AS step, cur AS node FROM w$k"
+      }.mkString("\nUNION ALL ")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey % 8 = 0),
+         |raw AS (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |sym AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM raw
+         |  UNION ALL SELECT v, u FROM raw),
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) AS pos
+         |  FROM sym),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+         |w0 AS MATERIALIZED (
+         |  SELECT src AS walk, src AS cur FROM deg
+         |  WHERE src % $WALK_START_MOD = 0),
+         |$steps
+         |$trace
+         |ORDER BY walk, step""".stripMargin
     },
 
     // same day-number dow, same unrounded margins feeding the per-cell

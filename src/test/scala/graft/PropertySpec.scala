@@ -160,4 +160,29 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"input=${s.take(40)}")
     }
   }
+
+  test("sssp distances bracket bfs hops: hops <= dist <= 9*hops on shared nodes") {
+    // q_sssp and q_bfs_distance iterate the SAME hub set over the SAME
+    // part graph with weights in [1,9]; for any node both settle, the
+    // weighted distance must be between its hop count (min weight 1)
+    // and 9× its hop count (max weight 9) — a cross-operator invariant
+    // neither oracle states, so a relax/anti-join bug that preserved
+    // each query's internal consistency would still trip it here.
+    val spark = TestSpark.spark
+    val bfs = graft.operators.Analytic.queries("q_bfs_distance")(
+      spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sssp = graft.operators.Analytic.queries("q_sssp")(
+      spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sssp.nonEmpty, "sssp settled no nodes on the fixture graph")
+    val shared = bfs.keySet.intersect(sssp.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach { n =>
+      val h = bfs(n); val w = sssp(n)
+      assert(w >= h && w <= 9 * h || (h == 0 && w == 0),
+        s"node $n: hops=$h weighted=$w outside [hops, 9*hops]")
+    }
+    TestSpark.housekeeping()
+  }
 }
