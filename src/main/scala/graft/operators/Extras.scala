@@ -50,6 +50,40 @@ object Extras extends graft.QueryPack {
         .orderBy(col("level"))
     }),
 
+    // l-diversity audit (Machanavajjhala et al., ICDE'06) — the
+    // k-anonymity ladder's sequel: a class of ≥K rows still leaks when
+    // its SENSITIVE attribute is homogeneous. Per quasi-identifier
+    // class (nation × balance band), both published criteria over the
+    // sensitive segment column: DISTINCT l-diversity (≥L distinct
+    // sensitive values) and ENTROPY l-diversity (−Σp·ln p ≥ ln L).
+    // One corpus-scaled pass builds the (class, seg) cell counts; the
+    // class totals are a window over the CELL frame (category-grid
+    // cardinality, never the corpus), and the entropy is an exact
+    // DECIMAL sum of round-9 contributions — the q_chi_square rationale:
+    // partitioning-invariant and identically parenthesized in DuckDB.
+    "q_ldiversity" -> ((s, d) => {
+      val L = 3
+      val cells = Tables(s, d, "customer")
+        .select(col("c_nationkey").cast("long").as("nat"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_band"),
+          col("c_mktsegment").as("seg"))
+        .groupBy(col("nat"), col("bal_band"), col("seg"))
+        .agg(count(lit(1)).as("c"))
+      val wcl = Window.partitionBy(col("nat"), col("bal_band"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      cells
+        .withColumn("n", sum(col("c")).over(wcl))
+        .withColumn("contrib", round(-p * log(p), 9))
+        .groupBy(col("nat"), col("bal_band"))
+        .agg(max(col("n")).as("n"),
+          count(lit(1)).as("n_sensitive"),
+          sum(col("contrib").cast(DecimalType(24, 9))).cast("double")
+            .as("entropy"))
+        .withColumn("distinct_l", col("n_sensitive") >= L)
+        .withColumn("entropy_l", col("entropy") >= log(lit(L.toDouble)))
+        .orderBy(col("nat"), col("bal_band"))
+    }),
+
     // INTERSECT / EXCEPT (distinct set semantics, like SQL).
     "q_setops" -> ((s, d) => {
       val o = Tables(s, d, "orders")
@@ -675,6 +709,29 @@ object Extras extends graft.QueryPack {
         |  SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS satisfies_k
         |FROM classes WHERE gid IN (0, 1, 3)
         |GROUP BY gid ORDER BY level""".stripMargin,
+
+    // same cell pass, same round-9 DECIMAL entropy sum, same ln(L)
+    // thresholds
+    "q_ldiversity" ->
+      """WITH cells AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |    c_mktsegment AS seg, COUNT(*) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |wc AS (
+        |  SELECT nat, bal_band, c,
+        |    SUM(c) OVER (PARTITION BY nat, bal_band) AS n
+        |  FROM cells)
+        |SELECT nat, bal_band, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+        |  CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(24,9)))
+        |    AS DOUBLE) AS entropy,
+        |  COUNT(*) >= 3 AS distinct_l,
+        |  CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(24,9)))
+        |    AS DOUBLE) >= ln(3.0) AS entropy_l
+        |FROM wc GROUP BY nat, bal_band ORDER BY nat, bal_band""".stripMargin,
 
     "q_zorder_layout" ->
       s"""WITH ev AS (
