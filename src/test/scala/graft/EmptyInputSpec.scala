@@ -35,9 +35,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_event_transitions", "q_word_freq", "q_stopword_filter",
     "q_lang_id", "q_quality_score", "q_scrub_pii", "q_token_stats",
     "q_dedup_exact", "q_dedup_sentences", "q_dedup_substring",
-    "q_rake_keywords",
+    "q_simhash_hamming", "q_setsim_prefix", "q_rake_keywords",
     "q_regression", "q_chi_square", "q_decay_score", "q_full_outer",
-    "q_incremental_agg", "q_kcore", "q_bfs_distance", "q_triangles",
+    "q_incremental_agg", "q_kcore", "q_bfs_distance", "q_sssp",
+    "q_random_walks", "q_attribution", "q_ldiversity", "q_cdf_normalize",
+    "q_link_predict", "q_triangles",
     "q_cc_stars", "q_image_phash", "q_split_hash", "q_weighted_sample",
     "q_stratified_sample", "q_interval_union_len", "q_zorder_layout",
     "q_scd2", "q_pivot", "q_setops", "q_gap_fill", "q_asof_join",
