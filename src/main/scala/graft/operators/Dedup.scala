@@ -521,26 +521,48 @@ object Dedup extends graft.QueryPack {
     // value concentrates candidates on one join key, which at scale is
     // an AQE skew split, not a plan change.
     "q_simhash_hamming" -> ((s, d) => {
+      // the 32-bit fingerprint is base-2-parsed ONCE per document row
+      // (conv on the corpus-sized frame); everything downstream of the
+      // join — block key, xor, popcount, first-block dedup — is pure
+      // integer bit arithmetic in whole-stage codegen. The first
+      // version parsed both fingerprints per CANDIDATE (millions of
+      // conv calls through the quadratic side of the join) and an HOF
+      // first-block filter ran interpreted lambdas per candidate;
+      // both measured far slower than this layout.
       val fp = corpus(Tables(s, d, "documents"))
         .select(col("doc_id"),
           graft.functions.SimHashExpression.simhash(col("text")).as("sh"))
+        .withColumn("f", expr("cast(conv(sh, 2, 10) as bigint)"))
       val blocked = fp
         .withColumn("blk", explode(sequence(lit(0), lit(3))))
-        .withColumn("bits", expr("substring(sh, blk * 8 + 1, 8)"))
+        .withColumn("bits",
+          expr("cast(shiftright(f, (3 - blk) * 8) & 255 as int)"))
       val l = blocked.select(col("blk"), col("bits"),
-        col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        col("doc_id").as("id_a"), col("f").as("f_a"))
       val r = blocked.select(col("blk"), col("bits"),
-        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        col("doc_id").as("id_b"), col("f").as("f_b"))
       l.join(r, Seq("blk", "bits"))
         .filter(col("id_a") < col("id_b"))
+        // a pair agreeing on several blocks surfaces once per block;
+        // emit it only from its FIRST agreeing block — a narrow
+        // integer predicate per candidate instead of a
+        // candidate-sized distinct() shuffle
+        .filter(
+          col("blk") === 0 ||
+          (col("blk") === 1 && expr(
+            "shiftright(f_a, 24) & 255 != shiftright(f_b, 24) & 255")) ||
+          (col("blk") === 2 && expr(
+            """shiftright(f_a, 24) & 255 != shiftright(f_b, 24) & 255 and
+              |shiftright(f_a, 16) & 255 != shiftright(f_b, 16) & 255"""
+              .stripMargin)) ||
+          (col("blk") === 3 && expr(
+            """shiftright(f_a, 24) & 255 != shiftright(f_b, 24) & 255 and
+              |shiftright(f_a, 16) & 255 != shiftright(f_b, 16) & 255 and
+              |shiftright(f_a, 8) & 255 != shiftright(f_b, 8) & 255"""
+              .stripMargin)))
         .select(col("id_a"), col("id_b"),
-          // popcount of the bit diff via the codegen'd builtins: the
-          // bitstring is base-2-parsed once per side, XORed, popcounted
-          expr("""cast(bit_count(cast(conv(sh_a, 2, 10) as bigint)
-                 |  ^ cast(conv(sh_b, 2, 10) as bigint)) as bigint)"""
-            .stripMargin).as("hamming"))
+          expr("cast(bit_count(f_a ^ f_b) as bigint)").as("hamming"))
         .filter(col("hamming") <= 3)
-        .distinct()
         .orderBy(col("id_a"), col("id_b"))
     }),
 
