@@ -985,6 +985,39 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Exponential-kernel smoothing (EWMA, truncated) — the per-entity
+    // trend feature (decayed engagement, smoothed rate). The infinite
+    // recurrence y_t = x_t + ½·y_{t−1} is NOT window-expressible
+    // exactly (the weight depends on both endpoints), so the operator
+    // is DEFINED as the 16-tap truncated kernel Σ_{j<16} 0.5^j·x_{t−j}
+    // — the tail past 16 taps is < 2^-15 of the signal. Each tap is a
+    // lag over ONE shared (user, time) window sort. The arithmetic is
+    // INTEGER UNITS of (cent · 2^-15): tap j contributes
+    // cents_{t-j} · 2^(15-j), so the whole kernel is exact BIGINT adds
+    // (a DECIMAL formulation measured a 2e-6 drift — Spark's 16-deep
+    // decimal Add chain erodes scale at the 38-precision cap) and
+    // lands in double through ONE division by 100·2^15, correctly
+    // rounded identically in both engines. Headroom: Σ fits BIGINT up
+    // to cent values ~2^46 — nine orders past DECIMAL(12,2)'s range.
+    // Work: one user-keyed shuffle + 16 codegen'd lags, no self-join.
+    "q_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val terms = (0 until EWMA_TAPS).map { j =>
+        coalesce(lag(col("cents"), j).over(w), lit(0L)) *
+          lit(1L << (EWMA_TAPS - 1 - j))
+      }
+      Tables(s, d, "events")
+        .withColumn("cents",
+          (dec(col("value")) * 100).cast("long"))
+        .withColumn("acc", terms.reduce(_ + _))
+        .select(col("event_id"), col("user_id"),
+          dec(col("value")).cast("double").as("value"),
+          (col("acc").cast("double") /
+            lit((100L << (EWMA_TAPS - 1)).toDouble)).as("ewma"))
+        .orderBy(col("event_id"))
+    }),
+
     // Empirical-CDF normalization — per-row percentile-rank feature
     // transform (quantile normalization for training features): each
     // event's value becomes P(V ≤ v) within its event_type. The
@@ -1080,6 +1113,11 @@ object Analytic extends graft.QueryPack {
   /** q_link_predict's hub-suppression cap on middle-node degree —
     * part of the operator definition, restated in the oracle. */
   private val LP_MID_CAP = 64
+
+  /** q_ewma's truncated-kernel width — part of the operator definition
+    * (tail past 16 taps < 2^-15 of the signal), restated tap-for-tap
+    * in the oracle. */
+  private val EWMA_TAPS = 16
 
   def oracles: Map[String, String] = Map(
     "q_window_lag" ->
@@ -1589,6 +1627,24 @@ object Analytic extends graft.QueryPack {
          |f0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM d0),
          |$rounds
          |SELECT node, dist FROM d$SSSP_MAX_HOPS ORDER BY node""".stripMargin
+    },
+
+    // tap-for-tap the same integer-unit kernel over the same
+    // (ts, event_id)-ordered user window; one double division at the
+    // end, correctly rounded identically to the Spark side
+    "q_ewma" -> {
+      val taps = (0 until EWMA_TAPS).map { j =>
+        s"COALESCE(lag(cents, $j) OVER w, 0) * ${1L << (EWMA_TAPS - 1 - j)}"
+      }.mkString(" +\n        |    ")
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(12,2)) AS v,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |  FROM events)
+         |SELECT event_id, user_id, CAST(v AS DOUBLE) AS value,
+         |  CAST($taps AS DOUBLE) / ${(100L << (EWMA_TAPS - 1)).toDouble} AS ewma
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY event_id""".stripMargin
     },
 
     // same middle-keyed evidence join, same cap, same round-9 DECIMAL
