@@ -388,4 +388,148 @@ class GateSpec extends AnyFunSuite {
       r.getDouble(r.fieldIndex("score")) <
         undecayed(r.getLong(r.fieldIndex("user_id"))) - 1e-9 })
   }
+
+  test("q_attribution: credited click is the user's latest in-window click") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Analytic
+      .queries("q_attribution")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    assert(out.exists(_._3.isDefined), "no purchase was attributed")
+    assert(out.exists(_._3.isEmpty), "every purchase attributed — lookback gate vacuous")
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byId = ev.map(e => e._1 -> e).toMap
+    val purchases = ev.filter(_._3 == "purchase").map(_._1).toSet
+    assert(out.map(_._1).toSet == purchases, "output is not exactly the purchase set")
+    val look = 7L * 86400 * 1000000
+    out.foreach { case (pid, uid, att, flag) =>
+      assert(flag == att.isDefined)
+      val (_, _, _, pus) = byId(pid)
+      // latest strictly-preceding click by (us, event_id) order
+      val best = ev.filter(e => e._2 == uid && e._3 == "click" &&
+          (e._4 < pus || (e._4 == pus && e._1 < pid)))
+        .sortBy(e => (e._4, e._1)).lastOption
+      val expected = best.filter(b => pus - b._4 <= look).map(_._1)
+      assert(att == expected, s"purchase $pid: got $att expected $expected")
+    }
+  }
+
+  test("q_random_walks: full-length traces whose steps are real edges") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Analytic
+      .queries("q_random_walks")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+      .filter(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val byWalk = out.groupBy(_._1)
+    byWalk.foreach { case (walk, rows) =>
+      // a full trace: steps 0..4, exactly one node per step, start=walk
+      assert(rows.map(_._2).sorted.toSeq == (0L to 4L),
+        s"walk $walk steps ${rows.map(_._2).sorted.toSeq}")
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(path.head == walk)
+      path.sliding(2).foreach { case Array(a, b) =>
+        assert(edges.contains((a, b)), s"walk $walk used non-edge $a->$b")
+      case _ => ()
+      }
+    }
+    // sampled starts: every graph node with id % 50 == 0 walks
+    val nodes = edges.map(_._1)
+    assert(byWalk.keySet == nodes.filter(_ % 50 == 0),
+      "walk set is not exactly the sampled start class")
+  }
+
+  test("q_link_predict: scores match brute force under the hub cap") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Analytic
+      .queries("q_link_predict")(spark, TestSpark.sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.nonEmpty)
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+      .filter(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    val nbrs = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    val expected = for {
+      a <- nbrs.keySet; b <- nbrs.keySet
+      if a < b && !und.contains((a, b))
+      common = nbrs(a).intersect(nbrs(b)).filter(m => deg(m) <= 64)
+      if common.size >= 2
+    } yield (a, b) -> common
+    assert(out.keySet == expected.map(_._1),
+      s"pair sets differ: missing=${(expected.map(_._1) -- out.keySet).take(3)} " +
+        s"extra=${(out.keySet -- expected.map(_._1)).take(3)}")
+    expected.foreach { case ((a, b), common) =>
+      val (cn, jac, aa) = out((a, b))
+      assert(cn == common.size.toLong)
+      val expJac = BigDecimal(cn.toDouble / (deg(a) + deg(b) - cn))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(jac - expJac) < 1e-12, s"($a,$b) jaccard $jac vs $expJac")
+      val expAa = common.toSeq.map(m =>
+        BigDecimal(1.0 / math.log(deg(m).toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(math.abs(aa - expAa) < 1e-9, s"($a,$b) aa $aa vs $expAa")
+    }
+  }
+
+  test("q_ewma: equals an exact BigDecimal 16-tap recomputation per user") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Analytic
+      .queries("q_ewma")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.nonEmpty)
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDecimal(3))))
+    val half = BigDecimal(0.5)
+    ev.groupBy(_._2).values.foreach { grp =>
+      val ordered = grp.sortBy(e => (e._3, e._1)).toIndexedSeq
+      ordered.indices.foreach { i =>
+        val exact = (0 until 16).map { j =>
+          if (i - j >= 0) ordered(i - j)._4 * half.pow(j) else BigDecimal(0)
+        }.sum
+        assert(math.abs(out(ordered(i)._1) - exact.toDouble) < 1e-12,
+          s"event ${ordered(i)._1}: ${out(ordered(i)._1)} vs $exact")
+      }
+    }
+  }
+
+  test("q_cdf_normalize: ecdf is a per-type CDF (monotone, tops at 1)") {
+    val rows = graft.operators.Analytic
+      .queries("q_cdf_normalize")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { grp =>
+      val byV = grp.sortBy(_._2)
+      // monotone non-decreasing in value; same value -> same ecdf
+      byV.sliding(2).foreach {
+        case Array((_, v1, e1), (_, v2, e2)) =>
+          if (v1 == v2) assert(e1 == e2) else assert(e1 <= e2)
+        case _ => ()
+      }
+      assert(math.abs(byV.last._3 - 1.0) < 1e-9, "CDF does not top at 1")
+      assert(byV.head._3 > 0.0)
+    }
+  }
 }

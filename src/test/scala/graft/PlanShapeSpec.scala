@@ -281,4 +281,23 @@ class PlanShapeSpec extends AnyFunSuite {
     val scanCount = "FileScan".r.findAllIn(plan).size
     assert(scanCount == 1, plan.take(3000))
   }
+
+  test("link prediction and ECDF candidates arrive through equi-joins") {
+    for (q <- Seq("q_link_predict", "q_cdf_normalize", "q_setsim_prefix")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(3000)}")
+      assert(!plan.contains("BroadcastNestedLoop"), s"$q: ${plan.take(3000)}")
+      TestSpark.housekeeping()
+    }
+  }
+
+  test("ewma is one window pass: no join, one corpus scan") {
+    val plan = graft.operators.Analytic.queries("q_ewma")(
+      spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert("FileScan".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+  }
 }
