@@ -593,11 +593,16 @@ object Dedup extends graft.QueryPack {
     "q_setsim_prefix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val TAU = 0.6
-      val toks = corpus(Tables(s, d, "documents"))
-        .select(col("doc_id"), explode(shingles(col("text"))).as("w"))
-      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // the shingle ARRAY is the unit of reuse: set size rides the
+      // explode (no per-doc count agg) and the verify join reads the
+      // array directly (no collect_set re-assembly) — two corpus
+      // shuffles fewer than the first cut
+      val docSets = corpus(Tables(s, d, "documents"))
+        .select(col("doc_id"), shingles(col("text")).as("ws"))
+      val toks = docSets.select(col("doc_id"), size(col("ws")).as("n"),
+        explode(col("ws")).as("w"))
       val tdf = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val prefix = toks.join(tdf, Seq("w")).join(sizes, Seq("doc_id"))
+      val prefix = toks.join(tdf, Seq("w"))
         .withColumn("pos", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
         .filter(col("pos") <= col("n") - ceil(col("n") * TAU) + 1)
@@ -609,11 +614,9 @@ object Dedup extends graft.QueryPack {
         .filter(col("nb") >= ceil(col("na") * TAU) &&
           col("na") >= ceil(col("nb") * TAU))
         .select(col("id_a"), col("id_b"), col("na"), col("nb")).distinct()
-      val sets = toks.groupBy(col("doc_id"))
-        .agg(collect_set(col("w")).as("ws"))
       cand
-        .join(sets.select(col("doc_id").as("id_a"), col("ws").as("wa")), Seq("id_a"))
-        .join(sets.select(col("doc_id").as("id_b"), col("ws").as("wb")), Seq("id_b"))
+        .join(docSets.select(col("doc_id").as("id_a"), col("ws").as("wa")), Seq("id_a"))
+        .join(docSets.select(col("doc_id").as("id_b"), col("ws").as("wb")), Seq("id_b"))
         .withColumn("c", size(array_intersect(col("wa"), col("wb"))).cast("long"))
         .withColumn("jaccard",
           round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 9))
