@@ -1049,6 +1049,108 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Skyline (Pareto frontier) — the preference-query primitive: parts
+    // nobody should buy a strictly worse version of (cheaper-or-equal
+    // AND bigger-or-equal, strict somewhere ⇒ dominated). 2-D skylines
+    // need NO pairwise comparison: a part is dominated iff the max size
+    // among STRICTLY cheaper parts already reaches its size, or an
+    // equal-priced part is strictly bigger. Both thresholds come from
+    // the PRICE GRID (distinct DECIMAL(12,2) prices — domain-bounded,
+    // the q_cdf_normalize argument): per-price max size, then a
+    // strictly-preceding running max over the price-sorted grid; rows
+    // rejoin their thresholds by hash equi-key. The definitional
+    // NOT-EXISTS dominance pair scan is the ORACLE, never the plan.
+    "q_skyline" -> ((s, d) => {
+      val p = Tables(s, d, "part")
+        .select(col("p_partkey"), dec(col("p_retailprice")).as("price"),
+          col("p_size").cast("long").as("psize"))
+      val grid = p.groupBy(col("price")).agg(max(col("psize")).as("gmax"))
+      val wg = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val thr = grid.withColumn("cheaper_max", max(col("gmax")).over(wg))
+      p.join(thr, Seq("price"))
+        .filter(!(coalesce(col("cheaper_max") >= col("psize"), lit(false)) ||
+          col("gmax") > col("psize")))
+        .select(col("p_partkey"), col("price").cast("double").as("price"),
+          col("psize"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Rolling z-score anomaly flags — the per-entity outlier monitor
+    // (fraud spikes, sensor glitches): each event scored against ITS
+    // OWN user's trailing 15-event window, unlike q_outliers' global
+    // per-type quantile fences. The moments are exact BIGINT sums of
+    // cents and cents² over the bounded frame (one user-keyed window
+    // sort — the same shuffle every per-user op shares), so they are
+    // partitioning-invariant; variance and z land in double through
+    // one identically-parenthesized expression on both engines:
+    // z = (n·x − Σx) / (n·σ), σ² = (n·Σx² − (Σx)²)/(n·(n−1)). Windows
+    // shorter than 8 events score null (part of the definition — a
+    // 3-event "3σ" flag is noise, and n−1 division needs n ≥ 2).
+    "q_zscore_anomaly" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-(ZSCORE_WIN - 1), 0)
+      val ev = Tables(s, d, "events")
+        .withColumn("cents", (dec(col("value")) * 100).cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("cents")).over(w))
+        .withColumn("sxx", sum(col("cents") * col("cents")).over(w))
+      val nD = col("n").cast("double")
+      val varNum = (nD * col("sxx") - col("sx").cast("double") * col("sx"))
+      val sigma = sqrt(varNum / (nD * (nD - 1)))
+      val z = (nD * col("cents") - col("sx")) / (nD * sigma)
+      ev.select(col("event_id"), col("user_id"),
+        dec(col("value")).cast("double").as("value"),
+        when(col("n") >= ZSCORE_MIN_N && varNum > 0, round(z, 9)).as("z"),
+        coalesce(when(col("n") >= ZSCORE_MIN_N && varNum > 0,
+          abs(round(z, 9)) > 3.0), lit(false)).as("anomaly"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Population Stability Index — the model-monitoring drift metric:
+    // how far each event_type's value distribution moved between the
+    // first and second half of the time range (train/serve skew, the
+    // check a feature pipeline runs before retraining). One corpus
+    // pass builds (type, half, bin) counts over 10 equal-width bins —
+    // bin edges come from ONE 1-row min/max aggregate broadcast to the
+    // scan (never a quantile sort); bin totals are windows over the
+    // (type, bin) GRID. Shares are floored at 1e-6 (the published PSI
+    // zero-bin guard, part of the definition and restated in the
+    // oracle), per-bin contributions (p−q)·ln(p/q) are round-9 then
+    // DECIMAL-summed into the per-type PSI — the q_chi_square
+    // invariance recipe.
+    "q_psi_drift" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          dec(col("value")).cast("double").as("v"))
+      val rng = ev.agg(min(col("us")).as("lo_us"), max(col("us")).as("hi_us"),
+        min(col("v")).as("lo_v"), max(col("v")).as("hi_v"))
+      val cells = ev.crossJoin(broadcast(rng))
+        .withColumn("half",
+          when(col("us") * 2 <= col("lo_us") + col("hi_us"), lit("ref"))
+            .otherwise(lit("cur")))
+        .withColumn("bin", least(lit(9L),
+          floor((col("v") - col("lo_v")) * 10 / (col("hi_v") - col("lo_v")))
+            .cast("long")))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val wt = Window.partitionBy(col("event_type"))
+      val p = greatest(col("n_ref").cast("double") /
+        sum(col("n_ref")).over(wt).cast("double"), lit(1e-6))
+      val q = greatest(col("n_cur").cast("double") /
+        sum(col("n_cur")).over(wt).cast("double"), lit(1e-6))
+      cells
+        .withColumn("contrib", round((p - q) * log(p / q), 9))
+        .withColumn("psi",
+          sum(col("contrib").cast(DecimalType(24, 9))).over(wt)
+            .cast("double"))
+        .select(col("event_type"), col("bin"), col("n_ref"), col("n_cur"),
+          col("contrib"), col("psi"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
     // Chi-square independence diagnostics: event_type × day-of-week
     // contingency table with expected counts and per-cell χ²
     // contributions — the label-leakage / spurious-correlation check a
@@ -1118,6 +1220,11 @@ object Analytic extends graft.QueryPack {
     * (tail past 16 taps < 2^-15 of the signal), restated tap-for-tap
     * in the oracle. */
   private val EWMA_TAPS = 16
+
+  /** q_zscore_anomaly's trailing-window width and minimum sample size
+    * for a score — operator definition, restated in the oracle. */
+  private val ZSCORE_WIN = 15
+  private val ZSCORE_MIN_N = 8
 
   def oracles: Map[String, String] = Map(
     "q_window_lag" ->
@@ -1681,6 +1788,88 @@ object Analytic extends graft.QueryPack {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM raw r WHERE r.u = s.a AND r.v = s.b)
          |ORDER BY s.a, s.b""".stripMargin,
+
+    // same exact integer moments over the same 15-row frame, same
+    // single double expression, same n>=8 and positive-variance gates
+    "q_zscore_anomaly" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, ts,
+         |    CAST(value AS DECIMAL(12,2)) AS v,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |  FROM events),
+         |m AS (
+         |  SELECT event_id, user_id, v, cents,
+         |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         |    CAST(SUM(cents) OVER w AS BIGINT) AS sx,
+         |    CAST(SUM(cents * cents) OVER w AS BIGINT) AS sxx
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN ${ZSCORE_WIN - 1} PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, CAST(v AS DOUBLE) AS value,
+         |  CASE WHEN n >= $ZSCORE_MIN_N
+         |        AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+         |    THEN round((CAST(n AS DOUBLE) * cents - sx) /
+         |      (CAST(n AS DOUBLE) * sqrt(
+         |        (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+         |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))), 9)
+         |  END AS z,
+         |  COALESCE(CASE WHEN n >= $ZSCORE_MIN_N
+         |        AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+         |    THEN abs(round((CAST(n AS DOUBLE) * cents - sx) /
+         |      (CAST(n AS DOUBLE) * sqrt(
+         |        (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+         |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))), 9)) > 3.0
+         |  END, false) AS anomaly
+         |FROM m ORDER BY event_id""".stripMargin,
+
+    // same global min/max edges, same half split, same 1e-6 share
+    // floor, same round-9 DECIMAL contribution sum
+    "q_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        |  FROM events),
+        |rng AS (
+        |  SELECT MIN(us) AS lo_us, MAX(us) AS hi_us,
+        |    MIN(v) AS lo_v, MAX(v) AS hi_v FROM ev),
+        |cells AS (
+        |  SELECT event_type,
+        |    LEAST(9, CAST(FLOOR((v - lo_v) * 10 / (hi_v - lo_v)) AS BIGINT))
+        |      AS bin,
+        |    CAST(SUM(CASE WHEN us * 2 <= lo_us + hi_us THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN us * 2 <= lo_us + hi_us THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_cur
+        |  FROM ev, rng GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT event_type, bin, n_ref, n_cur,
+        |    GREATEST(CAST(n_ref AS DOUBLE) /
+        |      CAST(SUM(n_ref) OVER (PARTITION BY event_type) AS DOUBLE),
+        |      1e-6) AS p,
+        |    GREATEST(CAST(n_cur AS DOUBLE) /
+        |      CAST(SUM(n_cur) OVER (PARTITION BY event_type) AS DOUBLE),
+        |      1e-6) AS q
+        |  FROM cells)
+        |SELECT event_type, bin, n_ref, n_cur,
+        |  round((p - q) * ln(p / q), 9) AS contrib,
+        |  CAST(SUM(CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(24,9)))
+        |    OVER (PARTITION BY event_type) AS DOUBLE) AS psi
+        |FROM sh ORDER BY event_type, bin""".stripMargin,
+
+    // the DEFINITION itself: dominance as a NOT-EXISTS pair predicate
+    // (fine at oracle scale; the Spark plan never forms pairs)
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price,
+        |    CAST(p_size AS BIGINT) AS psize
+        |  FROM part)
+        |SELECT p_partkey, CAST(price AS DOUBLE) AS price, psize
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price <= a.price AND b.psize >= a.psize
+        |    AND (b.price < a.price OR b.psize > a.psize))
+        |ORDER BY p_partkey""".stripMargin,
 
     // same grid pass, same ROWS frame (grid keys are unique, so ROWS
     // ≡ RANGE), same single round-9 division
