@@ -1076,6 +1076,75 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    // Forecast backtest — the capacity-planning eval loop: score the
+    // day-ago seasonal-naive forecast (predict hour h with hour h−24's
+    // actual) against hourly event counts, per event_type, reporting
+    // MAE and sMAPE. The corpus collapses to the (type, hour) GRID in
+    // one count pass; the forecast is a grid self equi-join on
+    // (type, h−24) — an exact calendar shift, deliberately a join and
+    // not a lag (hour gaps must miss, not slide); both metrics are
+    // exact-integer ratios — MAE one round-9 division, sMAPE a DECIMAL
+    // sum of round-9 per-hour terms divided once — the q_chi_square
+    // invariance recipe.
+    "q_forecast_eval" -> ((s, d) => {
+      val hourly = Tables(s, d, "events")
+        .select(col("event_type"),
+          floor(unix_micros(col("ts")).cast("double") / 3600000000L)
+            .cast("long").as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("a"))
+      val f = hourly.select(col("event_type"), (col("h") + 24).as("h"),
+        col("a").as("fc"))
+      hourly.join(f, Seq("event_type", "h"))
+        .withColumn("abs_err", abs(col("a") - col("fc")))
+        .withColumn("smape_t",
+          round(lit(2.0) * col("abs_err") / (col("a") + col("fc")), 9))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          round(sum(col("abs_err")).cast("double") / count(lit(1)), 9)
+            .as("mae"),
+          round(sum(col("smape_t").cast(DecimalType(24, 9))).cast("double") /
+            count(lit(1)), 9).as("smape"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Session path analysis — the product-analytics "top converting
+    // paths" report: sessions (the same 30-min-gap definition as
+    // q_sessionize) reduced to their ordered event-type path string,
+    // then the 10 most common paths with conversion share. Path
+    // assembly is per-session bounded (array_sort over a struct list —
+    // session length caps the row, the corpus never does); the only
+    // corpus shuffles are the shared (user, time) window sort and the
+    // session groupBy; the top-10 is a TakeOrdered over the path grid
+    // with (count desc, path) as the deterministic tie-break, restated
+    // in the oracle.
+    "q_session_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val newSession = when(
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
+          .over(w) > 30L * 60 * 1000000, 1L)
+        .otherwise(when(lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      Tables(s, d, "events")
+        .withColumn("new_s", newSession)
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          expr("""array_join(transform(
+                 |  array_sort(collect_list(struct(
+                 |    unix_micros(ts) as us, event_id, event_type))),
+                 |  x -> x.event_type), '>')""".stripMargin).as("path"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_converting"))
+        .withColumn("conv_rate",
+          round(col("n_converting").cast("double") / col("n_sessions"), 9))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(10)
+    }),
+
     // Rolling z-score anomaly flags — the per-entity outlier monitor
     // (fraud spikes, sensor glitches): each event scored against ITS
     // OWN user's trailing 15-event window, unlike q_outliers' global
@@ -1788,6 +1857,53 @@ object Analytic extends graft.QueryPack {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM raw r WHERE r.u = s.a AND r.v = s.b)
          |ORDER BY s.a, s.b""".stripMargin,
+
+    // same hourly grid, same h-24 equi-shift, same exact-integer
+    // metric arithmetic
+    "q_forecast_eval" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 3600000000) AS BIGINT)
+        |      AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS a
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT c.event_type, c.a, p.a AS fc, abs(c.a - p.a) AS abs_err,
+        |    round(2.0 * abs(c.a - p.a) / (c.a + p.a), 9) AS smape_t
+        |  FROM hourly c JOIN hourly p
+        |    ON c.event_type = p.event_type AND c.h = p.h + 24)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  round(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*), 9) AS mae,
+        |  round(CAST(SUM(CAST(smape_t AS DECIMAL(24,9))) AS DOUBLE) /
+        |    COUNT(*), 9) AS smape
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same 30-min session gap, same (ts, event_id) path order, same
+    // (count desc, path) tie-break on the top-10 cut
+    "q_session_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1
+        |                 WHEN lag(us) OVER w IS NULL THEN 1
+        |                 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY us, event_id) AS path,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM s2 GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converting,
+        |  round(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 9) AS conv_rate
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
 
     // same exact integer moments over the same 15-row frame, same
     // single double expression, same n>=8 and positive-variance gates

@@ -84,6 +84,44 @@ object Extras extends graft.QueryPack {
         .orderBy(col("nat"), col("bal_band"))
     }),
 
+    // Snapshot diff — the data-versioning audit (what changed between
+    // two loads of the same table): added / removed / changed rows via
+    // ONE full-outer join on the key, comparing the tracked columns
+    // directly (no row-hash — engine-specific decimal/double rendering
+    // would poison a concat-hash; integer and string columns compare
+    // exactly). The "second version" is built deterministically from
+    // the first (key%13 deleted, key%7's priority rewritten, key%11
+    // re-keyed high as inserts — all restated in the oracle), so the
+    // operator is self-contained on any snapshot. Unchanged rows are
+    // filtered out BEFORE the sort, so output is delta-sized; the join
+    // is key-hash shuffled, never a comparison cross product.
+    "q_snapshot_diff" -> ((s, d) => {
+      val v1 = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+      val v2 = v1.filter(col("k") % 13 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("k") % 7 === 0, lit("X-CHANGED"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(v1.filter(col("k") % 11 === 0)
+          .select((col("k") + 1000000000L).as("k"), col("o_custkey"),
+            col("o_orderstatus"), col("o_orderpriority")))
+      val l = v1.select(col("k"), col("o_custkey").as("c1"),
+        col("o_orderstatus").as("s1"), col("o_orderpriority").as("p1"))
+      val r = v2.select(col("k"), col("o_custkey").as("c2"),
+        col("o_orderstatus").as("s2"), col("o_orderpriority").as("p2"))
+      l.join(r, Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("c1").isNull, lit("added"))
+            .when(col("c2").isNull, lit("removed"))
+            .when(col("c1") =!= col("c2") || col("s1") =!= col("s2") ||
+              col("p1") =!= col("p2"), lit("changed")))
+        .filter(col("status").isNotNull)
+        .select(col("k").as("o_orderkey"), col("status"),
+          col("p1").as("old_priority"), col("p2").as("new_priority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // INTERSECT / EXCEPT (distinct set semantics, like SQL).
     "q_setops" -> ((s, d) => {
       val o = Tables(s, d, "orders")
@@ -709,6 +747,34 @@ object Extras extends graft.QueryPack {
         |  SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS satisfies_k
         |FROM classes WHERE gid IN (0, 1, 3)
         |GROUP BY gid ORDER BY level""".stripMargin,
+
+    // same deterministic v2 construction, same tracked-column compare
+    "q_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_orderpriority
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, o_custkey, o_orderstatus,
+        |    CASE WHEN k % 7 = 0 THEN 'X-CHANGED' ELSE o_orderpriority END
+        |      AS o_orderpriority
+        |  FROM v1 WHERE k % 13 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000, o_custkey, o_orderstatus, o_orderpriority
+        |  FROM v1 WHERE k % 11 = 0),
+        |d AS (
+        |  SELECT COALESCE(a.k, b.k) AS o_orderkey,
+        |    CASE WHEN a.k IS NULL THEN 'added'
+        |         WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.o_custkey <> b.o_custkey
+        |           OR a.o_orderstatus <> b.o_orderstatus
+        |           OR a.o_orderpriority <> b.o_orderpriority THEN 'changed'
+        |    END AS status,
+        |    a.o_orderpriority AS old_priority,
+        |    b.o_orderpriority AS new_priority
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k)
+        |SELECT o_orderkey, status, old_priority, new_priority
+        |FROM d WHERE status IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     // same cell pass, same round-9 DECIMAL entropy sum, same ln(L)
     // thresholds
