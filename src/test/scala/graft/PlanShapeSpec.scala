@@ -284,7 +284,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("link prediction and ECDF candidates arrive through equi-joins") {
     for (q <- Seq("q_link_predict", "q_cdf_normalize", "q_setsim_prefix",
-        "q_skyline")) {
+        "q_skyline", "q_snapshot_diff", "q_forecast_eval")) {
       val df = SparkEntry.queries(q)(spark, TestSpark.sf)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
