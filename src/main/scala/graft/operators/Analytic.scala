@@ -1076,6 +1076,48 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    // Ranking under uncertainty — the Wilson-score lower bound
+    // (Wilson 1927, the "how not to sort by average rating" fix): user
+    // cohorts ranked by purchase share among view+purchase events,
+    // with small samples shrunk toward zero instead of topping the
+    // chart (successes must be a subset of trials, so trials =
+    // views + purchases — raw views alone can undercount the
+    // denominator in this event stream and push p past 1). One
+    // corpus pass builds the per-cohort integers;
+    // the bound is ONE double expression over them (z = 1.96),
+    // identically parenthesized in the oracle, round-9; the rank is a
+    // row_number over the COHORT grid (20 rows) with the score-then-id
+    // total order. A naive-rate rank is emitted alongside so the
+    // operator demonstrably reorders (GateSpec-style value is in the
+    // oracle hash).
+    "q_wilson_rank" -> ((s, d) => {
+      val Z = 1.96
+      val cohorts = Tables(s, d, "events")
+        .withColumn("cohort", col("user_id") % 20)
+        .groupBy(col("cohort"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("n_views"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .withColumn("n_trials", col("n_views") + col("n_purchases"))
+        .filter(col("n_trials") > 0)
+      val nD = col("n_trials").cast("double")
+      val p = col("n_purchases").cast("double") / nD
+      val z2 = lit(Z * Z)
+      val low = (p + z2 / (lit(2.0) * nD) - lit(Z) *
+        sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD))) /
+        (lit(1.0) + z2 / nD)
+      val scored = cohorts
+        .withColumn("naive_rate", round(p, 9))
+        .withColumn("wilson_low", round(low, 9))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("wilson_low").desc, col("cohort"))))
+        .select(col("cohort"), col("n_trials"), col("n_purchases"),
+          col("naive_rate"), col("wilson_low"), col("rank").cast("long").as("rank"))
+        .orderBy(col("rank"))
+    }),
+
     // Forecast backtest — the capacity-planning eval loop: score the
     // day-ago seasonal-naive forecast (predict hour h with hour h−24's
     // actual) against hourly event counts, per event_type, reporting
@@ -1857,6 +1899,39 @@ object Analytic extends graft.QueryPack {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM raw r WHERE r.u = s.a AND r.v = s.b)
          |ORDER BY s.a, s.b""".stripMargin,
+
+    // same integer cohort counts, same z=1.96 bound expression, same
+    // (score desc, cohort) rank order
+    "q_wilson_rank" ->
+      """WITH c AS (
+        |  SELECT user_id % 20 AS cohort,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_views,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchases
+        |  FROM events GROUP BY 1),
+        |c2 AS (
+        |  SELECT cohort, n_views + n_purchases AS n_trials, n_purchases
+        |  FROM c),
+        |s AS (
+        |  SELECT cohort, n_trials, n_purchases,
+        |    round(CAST(n_purchases AS DOUBLE) / CAST(n_trials AS DOUBLE), 9)
+        |      AS naive_rate,
+        |    round((CAST(n_purchases AS DOUBLE) / CAST(n_trials AS DOUBLE)
+        |        + (1.96 * 1.96) / (2.0 * CAST(n_trials AS DOUBLE))
+        |        - 1.96 * sqrt(
+        |            (CAST(n_purchases AS DOUBLE) / CAST(n_trials AS DOUBLE)) *
+        |            (1.0 - CAST(n_purchases AS DOUBLE) / CAST(n_trials AS DOUBLE))
+        |              / CAST(n_trials AS DOUBLE)
+        |            + (1.96 * 1.96) /
+        |              (4.0 * CAST(n_trials AS DOUBLE) * CAST(n_trials AS DOUBLE))))
+        |      / (1.0 + (1.96 * 1.96) / CAST(n_trials AS DOUBLE)), 9)
+        |      AS wilson_low
+        |  FROM c2 WHERE n_trials > 0)
+        |SELECT cohort, n_trials, n_purchases, naive_rate, wilson_low,
+        |  CAST(row_number() OVER (ORDER BY wilson_low DESC, cohort)
+        |    AS BIGINT) AS rank
+        |FROM s ORDER BY rank""".stripMargin,
 
     // same hourly grid, same h-24 equi-shift, same exact-integer
     // metric arithmetic

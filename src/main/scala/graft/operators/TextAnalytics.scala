@@ -226,6 +226,38 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Readability scoring (Flesch reading ease, 1948) — the
+    // text-difficulty quality signal a curation pipeline filters on
+    // alongside q_quality_score. Counts are pure regexp facts: words =
+    // [a-z0-9]+ runs, syllables ≈ [aeiou]+ vowel groups (spaces break
+    // groups, so the whole-text count equals the per-word sum; a
+    // vowel-free token contributes 0 — part of the definition),
+    // sentences = [.!?]+ runs floored at 1. The score is ONE double
+    // expression over the three integer counts, identically
+    // parenthesized in the oracle, round-9; the band label is an exact
+    // threshold CASE. Narrow per-row projection — no shuffle but the
+    // verification sort.
+    "q_readability" -> ((s, d) => {
+      val words = size(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).cast("long")
+      val syll = size(regexp_extract_all(lower(col("text")),
+        lit("[aeiou]+"), lit(0))).cast("long")
+      val sents = greatest(size(regexp_extract_all(col("text"),
+        lit("[.!?]+"), lit(0))).cast("long"), lit(1L))
+      val score = round(lit(206.835) -
+        lit(1.015) * (words.cast("double") / sents.cast("double")) -
+        lit(84.6) * (syll.cast("double") / words.cast("double")), 9)
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        words.as("n_words"), sents.as("n_sentences"), syll.as("n_syllables"),
+        when(words > 0, score).as("flesch"),
+        when(words === 0, "empty")
+          .when(score >= 60.0, "easy")
+          .when(score >= 30.0, "medium")
+          .otherwise("hard").as("band"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language ID: marker-word scoring, argmax with fixed tie order.
     "q_lang_id" -> ((s, d) => {
       val toks = tokens(col("text"))
@@ -973,6 +1005,36 @@ object TextAnalytics extends graft.QueryPack {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same three regexp counts, same single double expression, same
+    // threshold CASE on the round-9 score
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      AS n_words,
+        |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+        |      1) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(206.835 -
+        |      1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+        |      84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 9)
+        |  END AS flesch,
+        |  CASE WHEN n_words = 0 THEN 'empty'
+        |       WHEN round(206.835 -
+        |         1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+        |         84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 9)
+        |         >= 60.0 THEN 'easy'
+        |       WHEN round(206.835 -
+        |         1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+        |         84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 9)
+        |         >= 30.0 THEN 'medium'
+        |       ELSE 'hard' END AS band
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
       s"""SELECT doc_id,

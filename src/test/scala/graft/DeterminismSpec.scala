@@ -61,7 +61,19 @@ class DeterminismSpec extends AnyFunSuite {
     // rationals — the top-15 set must not depend on layout
     "q_regression", "q_decay_score", "q_kcore",
     "q_chi_square", "q_incremental_agg", "q_bfs_distance",
-    "q_rake_keywords").foreach { name =>
+    "q_rake_keywords",
+    // r6 fifth leg: q_sssp (frontier relax-min fixpoint must not
+    // depend on edge layout), q_random_walks (the hash-picked steps
+    // are a pure function of (node, step) — any layout dependence
+    // means the neighbor ordering leaked), q_ewma (exact integer tap
+    // sums), q_psi_drift (round-9 DECIMAL PSI), q_zscore_anomaly
+    // (exact BIGINT window moments), q_setsim_prefix (the df-ranked
+    // prefix must be a pure function of global counts, not of which
+    // partition counted them), q_simhash_hamming (first-agreeing-block
+    // emission is per-pair arithmetic, no layout term)
+    "q_sssp", "q_random_walks", "q_ewma", "q_psi_drift",
+    "q_zscore_anomaly", "q_setsim_prefix",
+    "q_simhash_hamming").foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
     }
