@@ -1076,6 +1076,61 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    // Mutual information — the feature-selection companion to
+    // q_chi_square: how many nats knowing the event_type carries about
+    // the value decile (and vice versa), plus the normalized (NMI)
+    // form. Same scale layout as the χ²/PSI family: one corpus pass to
+    // the (type, bin) cell grid — bins are tenths of the GLOBAL value
+    // range from one broadcast 1-row min/max — margins and totals as
+    // windows over the grid, per-cell p·ln(p/(px·py)) contributions
+    // round-9 then DECIMAL-summed; entropies for the NMI denominator
+    // come from the same margins (identical parenthesization in the
+    // oracle; 0·ln0 cells cannot occur — a cell row exists only with
+    // count ≥ 1).
+    "q_mutual_info" -> ((s, d) => {
+      val rng = Tables(s, d, "events")
+        .agg(min(dec(col("value")).cast("double")).as("lo"),
+          max(dec(col("value")).cast("double")).as("hi"))
+      val cells = Tables(s, d, "events")
+        .select(col("event_type"), dec(col("value")).cast("double").as("v"))
+        .crossJoin(broadcast(rng))
+        .withColumn("bin", least(lit(9L),
+          floor((col("v") - col("lo")) * 10 / (col("hi") - col("lo")))
+            .cast("long")))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val wr = Window.partitionBy(col("event_type"))
+      val wc = Window.partitionBy(col("bin"))
+      val wall = Window.partitionBy()
+      val n = sum(col("c")).over(wall).cast("double")
+      val pxy = col("c").cast("double") / n
+      val px = sum(col("c")).over(wr).cast("double") / n
+      val py = sum(col("c")).over(wc).cast("double") / n
+      val mi = sum(round(pxy * log(pxy / (px * py)), 9)
+        .cast(DecimalType(24, 9))).over(wall).cast("double")
+      // marginal entropies from per-cell terms scaled by the cell's
+      // share of its margin: Σ_cells (c/cx)·(−px·ln px) over cells of
+      // a margin row double-counts, so fold each margin term exactly
+      // once via the first-cell-of-margin trick
+      val firstInRow = row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("bin"))) === 1
+      val firstInCol = row_number().over(
+        Window.partitionBy(col("bin")).orderBy(col("event_type"))) === 1
+      val hx = sum(when(firstInRow, round(-px * log(px), 9))
+        .otherwise(lit(0.0)).cast(DecimalType(24, 9))).over(wall)
+        .cast("double")
+      val hy = sum(when(firstInCol, round(-py * log(py), 9))
+        .otherwise(lit(0.0)).cast(DecimalType(24, 9))).over(wall)
+        .cast("double")
+      cells
+        .withColumn("contrib", round(pxy * log(pxy / (px * py)), 9))
+        .withColumn("mi", mi)
+        .withColumn("nmi", round(mi / sqrt(hx * hy), 9))
+        .select(col("event_type"), col("bin"), col("c"), col("contrib"),
+          col("mi"), col("nmi"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
     // Ranking under uncertainty — the Wilson-score lower bound
     // (Wilson 1927, the "how not to sort by average rating" fix): user
     // cohorts ranked by purchase share among view+purchase events,
@@ -1899,6 +1954,46 @@ object Analytic extends graft.QueryPack {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM raw r WHERE r.u = s.a AND r.v = s.b)
          |ORDER BY s.a, s.b""".stripMargin,
+
+    // same cell grid and margins, same round-9 DECIMAL folds, same
+    // first-cell-of-margin entropy trick
+    "q_mutual_info" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        |  FROM events),
+        |rng AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ev),
+        |cells AS (
+        |  SELECT event_type,
+        |    LEAST(9, CAST(FLOOR((v - lo) * 10 / (hi - lo)) AS BIGINT)) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM ev, rng GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, bin, c,
+        |    CAST(SUM(c) OVER () AS DOUBLE) AS n,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE) AS cr,
+        |    CAST(SUM(c) OVER (PARTITION BY bin) AS DOUBLE) AS cc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rr,
+        |    row_number() OVER (PARTITION BY bin ORDER BY event_type) AS rc
+        |  FROM cells),
+        |u AS (
+        |  SELECT event_type, bin, c,
+        |    round((CAST(c AS DOUBLE) / n) *
+        |      ln((CAST(c AS DOUBLE) / n) / ((cr / n) * (cc / n))), 9)
+        |      AS contrib,
+        |    CASE WHEN rr = 1 THEN round(-(cr / n) * ln(cr / n), 9)
+        |         ELSE 0.0 END AS hx_t,
+        |    CASE WHEN rc = 1 THEN round(-(cc / n) * ln(cc / n), 9)
+        |         ELSE 0.0 END AS hy_t
+        |  FROM t),
+        |agg AS (
+        |  SELECT CAST(SUM(CAST(contrib AS DECIMAL(24,9))) AS DOUBLE) AS mi,
+        |    CAST(SUM(CAST(hx_t AS DECIMAL(24,9))) AS DOUBLE) AS hx,
+        |    CAST(SUM(CAST(hy_t AS DECIMAL(24,9))) AS DOUBLE) AS hy
+        |  FROM u)
+        |SELECT u.event_type, u.bin, u.c, u.contrib, agg.mi,
+        |  round(agg.mi / sqrt(agg.hx * agg.hy), 9) AS nmi
+        |FROM u, agg ORDER BY event_type, bin""".stripMargin,
 
     // same integer cohort counts, same z=1.96 bound expression, same
     // (score desc, cohort) rank order

@@ -41,7 +41,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_random_walks", "q_attribution", "q_ldiversity", "q_cdf_normalize",
     "q_link_predict", "q_ewma", "q_skyline", "q_psi_drift",
     "q_zscore_anomaly", "q_session_paths", "q_snapshot_diff",
-    "q_forecast_eval", "q_readability", "q_wilson_rank", "q_triangles",
+    "q_forecast_eval", "q_readability", "q_wilson_rank", "q_mutual_info",
+    "q_triangles",
     "q_cc_stars", "q_image_phash", "q_split_hash", "q_weighted_sample",
     "q_stratified_sample", "q_interval_union_len", "q_zorder_layout",
     "q_scd2", "q_pivot", "q_setops", "q_gap_fill", "q_asof_join",
