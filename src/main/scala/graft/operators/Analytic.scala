@@ -68,6 +68,52 @@ object Analytic extends graft.QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Item-item collaborative filtering (the Amazon item-to-item
+    // layout, Linden et al., IEEE IC 2003): top-5 "bought together"
+    // recommendations per part from order co-occurrence, scored by
+    // cosine over basket incidence c_ij/sqrt(c_i*c_j). Baskets are the
+    // 8x-thinned distinct (order, part) pairs the graph queries share;
+    // a basket larger than the cap is dropped BEFORE the self-join
+    // (the megabasket is q_link_predict's hub-middle problem in basket
+    // form: one order with B parts emits B^2 pairs — suppression is
+    // the published mitigation, and the cap rides the sysprop pattern
+    // so the spec can exercise it where testdata's small orders
+    // don't). Pair generation is an order-keyed hash equi-join (work
+    // proportional to squared basket sizes, bounded by the cap), the
+    // >=2-evidence floor drops noise pairs, scores are round-9 doubles
+    // of exact counts, and ranking is a per-item window over each
+    // item's candidate list (never a global sort).
+    "q_item_cf" -> ((s, d) => {
+      val cap = sys.props.getOrElse("graft.cf.order.cap", "64").toInt
+      val li = Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") % 8 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val sized = li
+        .withColumn("osz", count(lit(1)).over(Window.partitionBy(col("ok"))))
+        .filter(col("osz") <= cap)
+        .select(col("ok"), col("pk"))
+      val deg = sized.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val pairs = sized.as("a")
+        .join(sized.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .groupBy(col("a.pk").as("item"), col("b.pk").as("rec"))
+        .agg(count(lit(1)).as("c_ij"))
+        .filter(col("c_ij") >= 2)
+      val scored = pairs
+        .join(deg.select(col("pk").as("item"), col("c").as("c_i")), Seq("item"))
+        .join(deg.select(col("pk").as("rec"), col("c").as("c_j")), Seq("rec"))
+        .withColumn("score", round(col("c_ij").cast("double") /
+          sqrt((col("c_i") * col("c_j")).cast("double")), 9))
+      scored
+        .withColumn("rk", row_number().over(Window.partitionBy(col("item"))
+          .orderBy(col("score").desc, col("rec"))))
+        .filter(col("rk") <= 5)
+        .select(col("item"), col("rk").cast("long").as("rk"), col("rec"),
+          col("c_ij"), col("score"))
+        .orderBy(col("item"), col("rk"))
+    }),
+
     // lag/delta + bounded moving sum per user over event time.
     "q_window_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1393,6 +1439,37 @@ object Analytic extends graft.QueryPack {
   private val ZSCORE_MIN_N = 8
 
   def oracles: Map[String, String] = Map(
+    // basket cap + cosine + per-item rank restated term-for-term
+    "q_item_cf" -> {
+      val cap = sys.props.getOrElse("graft.cf.order.cap", "64").toInt
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey % 8 = 0),
+         |sized AS (
+         |  SELECT ok, pk FROM (
+         |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS osz FROM li)
+         |  WHERE osz <= $cap),
+         |deg AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM sized GROUP BY pk),
+         |pairs AS (
+         |  SELECT a.pk AS item, b.pk AS rec, CAST(COUNT(*) AS BIGINT) AS c_ij
+         |  FROM sized a JOIN sized b ON a.ok = b.ok AND a.pk <> b.pk
+         |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+         |scored AS (
+         |  SELECT item, rec, c_ij,
+         |    round(CAST(c_ij AS DOUBLE) /
+         |      sqrt(CAST(di.c * dj.c AS DOUBLE)), 9) AS score
+         |  FROM pairs
+         |  JOIN deg di ON di.pk = item
+         |  JOIN deg dj ON dj.pk = rec),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY item
+         |    ORDER BY score DESC, rec) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT item, rk, rec, c_ij, score FROM ranked
+         |WHERE rk <= 5 ORDER BY item, rk""".stripMargin
+    },
+
     "q_window_lag" ->
       """SELECT event_id, user_id,
         |  CAST(CAST(value AS DECIMAL(12,2)) -

@@ -19,6 +19,37 @@ object Extras extends graft.QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Small-file compaction planning — the OPTIMIZE/auto-compaction
+    // step every parquet lakehouse runs: group a table's many small
+    // files into rewrite bins of ~TARGET bytes each (next-fit in
+    // manifest order: a bin closes when the running size crosses the
+    // target, so bins are contiguous doc-id ranges and a rewrite job
+    // can stream each bin). The input here is a file MANIFEST — one
+    // row per file with its size — which is metadata-scale even for a
+    // 100 TB table (file count, not row count); documents stands in
+    // with n_chars as the size. The whole plan is one per-source
+    // window cumsum over the manifest + a grid aggregation: no
+    // driver-side packing loop, and each source's manifest sorts
+    // independently (one shuffle on source). Output bins carry their
+    // id range so the rewrite is dispatchable as-is.
+    "q_compaction_plan" -> ((s, d) => {
+      val TARGET = 16384L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum_prev",
+          coalesce(sum(col("n_chars"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bin", expr(s"cum_prev div $TARGET"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .withColumn("fill_ratio",
+          round(col("bytes").cast("double") / lit(TARGET.toDouble), 6))
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // K-ANONYMITY audit over a generalization ladder (Sweeney 2002;
     // the lattice walk at the core of Incognito/Mondrian) — the
     // governance gate a training-data release runs before shipping
@@ -648,6 +679,21 @@ object Extras extends graft.QueryPack {
     .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "q_compaction_plan" ->
+      """WITH manifest AS (
+        |  SELECT source, doc_id, n_chars,
+        |    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM documents)
+        |SELECT source, CAST(cum_prev // 16384 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(n_chars) AS BIGINT) AS bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / 16384.0, 6) AS fill_ratio
+        |FROM manifest GROUP BY source, cum_prev // 16384
+        |ORDER BY source, bin""".stripMargin,
+
     "q_full_outer" ->
       """WITH c AS (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment <> 'MACHINERY'),

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Statistical-inference operators — survival estimation under
+  * censoring and resampling-based uncertainty — the two analysis shapes
+  * a metrics warehouse needs beyond point statistics: "how long until
+  * churn, given that many subjects haven't churned YET" and "how sure
+  * are we about this mean". Both are built so the statistic is a pure
+  * function of exact integer aggregates: survival products go through
+  * round-9 DECIMAL log-sums (the q_ldiversity discipline), bootstrap
+  * randomness is the deterministic md5-key uniform the samplers share
+  * (q_weighted_sample), so both engines agree bit-for-bit and the
+  * result is independent of partitioning.
+  */
+object Inference extends graft.QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Kaplan–Meier survival estimator (Kaplan & Meier, JASA 1958) over
+    // SESSION durations with right-censoring at the observation edge:
+    // sessions still open within one gap-width of the corpus' last
+    // event can't have been observed to end, so they enter the risk
+    // set but never the death count — dropping them instead (the naive
+    // "completed sessions only" average) biases duration DOWN, which
+    // is exactly the mistake KM exists to fix. Sessions come from the
+    // shared 30-min-gap windows (q_sessionize semantics, verbatim);
+    // the corpus then collapses to the distinct-duration GRID (≤ ~60
+    // rows here; bounded by the duration domain at any scale), and the
+    // whole estimator is windows over that grid: risk sets by
+    // cumulative (deaths+censored) subtraction, the survival product
+    // as exp of a cumulative DECIMAL sum of round-9 ln((n−d)/n) terms
+    // — order-stable where a float running product is not. A
+    // duration level that kills its whole risk set sends S to exactly
+    // 0 from there on (the ln(0) pole is gated, not thrown).
+    "q_kaplan_meier" -> ((s, d) => {
+      val GAP_US = 30L * 60 * 1000000
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val newSession = when(
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
+          .over(w) > GAP_US, 1L)
+        .otherwise(when(lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      val sessions = Tables(s, d, "events")
+        .withColumn("new_s", newSession)
+        .withColumn("sid",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+      val maxTs = Tables(s, d, "events")
+        .agg(max(unix_micros(col("ts"))).as("max_us"))
+      val grid = sessions.crossJoin(maxTs)
+        .select(
+          expr("(end_us - start_us) div 60000000").as("dur_min"),
+          when(col("end_us") < col("max_us") - GAP_US, 1L).otherwise(0L)
+            .as("ev"))
+        .groupBy(col("dur_min"))
+        .agg(sum(col("ev")).as("d"),
+          sum(lit(1L) - col("ev")).as("c"))
+      val wall = Window.orderBy(col("dur_min"))
+      val wprev = wall.rowsBetween(Window.unboundedPreceding, -1)
+      val wcum = wall.rowsBetween(Window.unboundedPreceding, 0)
+      grid
+        .withColumn("n_risk",
+          sum(col("d") + col("c")).over(
+            wall.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing))
+            - coalesce(sum(col("d") + col("c")).over(wprev), lit(0L)))
+        .withColumn("term",
+          when(col("n_risk") === col("d"), lit(null))
+            .otherwise(round(log((col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double")), 9).cast(DecimalType(24, 9))))
+        .withColumn("dead",
+          max(when(col("n_risk") === col("d"), 1L).otherwise(0L)).over(wcum))
+        .withColumn("survival",
+          when(col("dead") === 1L, lit(0.0))
+            .otherwise(round(exp(
+              sum(col("term")).over(wcum).cast("double")), 6)))
+        .select(col("dur_min"), col("n_risk"), col("d").as("n_events"),
+          col("c").as("n_censored"), col("survival"))
+        .orderBy(col("dur_min"))
+    }),
+
+    // Poisson bootstrap confidence interval for the mean purchase
+    // value — the single-pass bootstrap used at warehouse scale
+    // (Chamandy et al., "Estimating Uncertainty for Massive Data
+    // Streams", Google 2012): instead of drawing N rows with
+    // replacement per resample (a corpus-sized shuffle per replicate),
+    // each row contributes to each of the R=32 replicates with an
+    // independent Poisson(1) weight, here the inverse CDF of the
+    // deterministic md5 uniform over (event_id, replicate) — capped at
+    // 6 (P ≈ 6e-5, restated in the oracle). One constant ×32 explode,
+    // one map-combinable aggregation to the 32-row replicate grid;
+    // replicate means are round-9 doubles of exact BIGINT cent sums,
+    // and the interval is the 2nd/31st order statistic (the 93.75%
+    // central percentile-bootstrap interval) — windows over 32 rows.
+    "q_bootstrap_ci" -> ((s, d) => {
+      val R = 32
+      val M = math.pow(16, 13) // 2^52 — exactly representable
+      val purchases = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+            .as("cents"))
+      val u = (conv(substring(md5(concat(col("event_id").cast("string"),
+        lit(":"), col("r").cast("string"))), 1, 13), 16, 10)
+        .cast("double") + 1d) / lit(M + 1d)
+      // Poisson(1) inverse CDF: P(X<=k) = e^-1 * sum_{j<=k} 1/j!
+      val wPois = when(u < 0.367879441, 0L).when(u < 0.735758882, 1L)
+        .when(u < 0.919698603, 2L).when(u < 0.980966178, 3L)
+        .when(u < 0.996340153, 4L).when(u < 0.999405815, 5L).otherwise(6L)
+      val reps = purchases
+        .select(col("event_id"), col("cents"),
+          explode(sequence(lit(0), lit(R - 1))).as("r"))
+        .withColumn("w", wPois)
+        .groupBy(col("r"))
+        .agg(sum(col("w")).as("w_total"),
+          sum(col("w") * col("cents")).as("wc_total"))
+        .withColumn("est_r",
+          round(col("wc_total").cast("double") /
+            nullif(col("w_total"), lit(0L)).cast("double"), 9))
+      val full = purchases.agg(
+        round(sum(col("cents")).cast("double") /
+          nullif(count(lit(1)), lit(0L)).cast("double"), 9).as("est_full"))
+      val wAll = Window.orderBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRank = Window.orderBy(col("est_r"), col("r"))
+      reps.crossJoin(full)
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("ci_lo", max(when(col("rk") === 2, col("est_r")))
+          .over(wAll))
+        .withColumn("ci_hi", max(when(col("rk") === R - 1, col("est_r")))
+          .over(wAll))
+        .select(col("r").cast("long").as("resample"), col("w_total"),
+          col("est_r"), col("est_full"), col("ci_lo"), col("ci_hi"))
+        .orderBy(col("resample"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q_kaplan_meier" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+        |           > 30 * 60 * 1000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, sid, min(epoch_us(ts)) AS start_us,
+        |    max(epoch_us(ts)) AS end_us
+        |  FROM (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS sid FROM flagged)
+        |  GROUP BY user_id, sid),
+        |mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+        |grid AS (
+        |  SELECT (end_us - start_us) // 60000000 AS dur_min,
+        |    CAST(SUM(CASE WHEN end_us < max_us - 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN end_us < max_us - 30 * 60 * 1000000
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM sess, mx GROUP BY 1),
+        |risk AS (
+        |  SELECT dur_min, d, c,
+        |    SUM(d + c) OVER () -
+        |      COALESCE(SUM(d + c) OVER (ORDER BY dur_min
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM grid),
+        |terms AS (
+        |  SELECT *,
+        |    CASE WHEN n_risk = d THEN NULL
+        |         ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE) /
+        |           CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(24,9)) END AS term,
+        |    MAX(CASE WHEN n_risk = d THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur_min) AS dead
+        |  FROM risk)
+        |SELECT CAST(dur_min AS BIGINT) AS dur_min,
+        |  CAST(n_risk AS BIGINT) AS n_risk,
+        |  d AS n_events, c AS n_censored,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |       ELSE round(exp(CAST(SUM(term) OVER (ORDER BY dur_min)
+        |         AS DOUBLE)), 6) END AS survival
+        |FROM terms ORDER BY dur_min""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |expl AS (
+        |  SELECT event_id, cents, unnest(range(0, 32)) AS r FROM p),
+        |weighted AS (
+        |  SELECT r, cents,
+        |    CASE WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
+        |         WHEN u < 0.919698603 THEN 2 WHEN u < 0.980966178 THEN 3
+        |         WHEN u < 0.996340153 THEN 4 WHEN u < 0.999405815 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM (SELECT r, cents,
+        |      (CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) ||
+        |         ':' || CAST(r AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+        |       + 1) / (pow(16, 13) + 1) AS u
+        |    FROM expl)),
+        |reps AS (
+        |  SELECT CAST(r AS BIGINT) AS resample,
+        |    CAST(SUM(w) AS BIGINT) AS w_total,
+        |    round(CAST(SUM(w * cents) AS DOUBLE) /
+        |      CAST(NULLIF(SUM(w), 0) AS DOUBLE), 9) AS est_r
+        |  FROM weighted GROUP BY r),
+        |full_est AS (
+        |  SELECT round(CAST(SUM(cents) AS DOUBLE) /
+        |    CAST(NULLIF(COUNT(*), 0) AS DOUBLE), 9) AS est_full FROM p),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY est_r, resample) AS rk
+        |  FROM reps)
+        |SELECT resample, w_total, est_r, est_full,
+        |  MAX(CASE WHEN rk = 2 THEN est_r END) OVER () AS ci_lo,
+        |  MAX(CASE WHEN rk = 31 THEN est_r END) OVER () AS ci_hi
+        |FROM ranked, full_est ORDER BY resample""".stripMargin)
+}

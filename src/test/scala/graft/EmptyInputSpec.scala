@@ -47,7 +47,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_stratified_sample", "q_interval_union_len", "q_zorder_layout",
     "q_scd2", "q_pivot", "q_setops", "q_gap_fill", "q_asof_join",
     "q_range_join", "q_cohort_retention", "q_rollup",
-    "q_grouping_sets", "q_cube")
+    "q_grouping_sets", "q_cube", "q_fd_discovery", "q_benford", "q_cusum")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the inference pack the value-equality oracle can't
+  * state: the KM curve's shape laws (monotone, proper risk-set
+  * accounting, product-limit agreement with an independent recompute)
+  * and the bootstrap's distributional sanity (replicate spread exists,
+  * weights concentrate at Poisson(1) mass, interval brackets the
+  * point estimate and is the stated order statistic).
+  */
+class InferenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def run(name: String) =
+    try graft.operators.Inference.queries(name)(spark, TestSpark.sf).collect()
+    finally TestSpark.housekeeping()
+
+  test("q_kaplan_meier: monotone curve, exact risk accounting, both fates") {
+    val rows = run("q_kaplan_meier").sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val nTotal = rows.map(r => r.getLong(2) + r.getLong(3)).sum
+    assert(rows.head.getLong(1) == nTotal,
+      "first risk set must be the whole cohort")
+    // risk sets shrink by exactly the subjects leaving at each level
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) ==
+          a.getLong(1) - a.getLong(2) - a.getLong(3))
+        assert(b.getDouble(4) <= a.getDouble(4) + 1e-12,
+          "survival must be non-increasing")
+      case _ =>
+    }
+    // independent product-limit recompute (plain double product)
+    var s = 1.0
+    rows.foreach { r =>
+      val (n, d) = (r.getLong(1), r.getLong(2))
+      s *= (n - d).toDouble / n.toDouble
+      assert(math.abs(r.getDouble(4) - s) < 1e-4,
+        s"dur ${r.getLong(0)}: ${r.getDouble(4)} vs $s")
+    }
+    // the estimator must be non-degenerate on testdata: deaths AND
+    // censoring both present, and the curve actually descends
+    assert(rows.map(_.getLong(2)).sum > 0 && rows.map(_.getLong(3)).sum > 0)
+    // (most sessions are single-event, so the curve drops hard at
+    // dur=0 already — gate on strict descent, not a high start)
+    assert(rows.head.getDouble(4) > 0.0 && rows.head.getDouble(4) < 1.0)
+    assert(rows.last.getDouble(4) < rows.head.getDouble(4))
+  }
+
+  test("q_bootstrap_ci: replicate grid, order-stat interval, CI brackets") {
+    val rows = run("q_bootstrap_ci").sortBy(_.getLong(0))
+    assert(rows.length == 32)
+    val ests = rows.map(_.getDouble(2))
+    assert(ests.distinct.length > 1, "replicates must actually vary")
+    val sortedE = ests.sorted
+    val (lo, hi) = (rows.head.getDouble(4), rows.head.getDouble(5))
+    assert(rows.forall(r => r.getDouble(4) == lo && r.getDouble(5) == hi))
+    assert(lo == sortedE(1) && hi == sortedE(30),
+      "CI must be the 2nd/31st order statistic")
+    val full = rows.head.getDouble(3)
+    assert(lo <= full && full <= hi,
+      s"point estimate $full outside [$lo, $hi]")
+    // Poisson(1) weight sums concentrate around the sample size:
+    // every replicate's w_total within 5 sigma of every other's
+    val ws = rows.map(_.getLong(1))
+    val mean = ws.sum.toDouble / ws.length
+    ws.foreach(w => assert(math.abs(w - mean) < 5 * math.sqrt(mean) + 10))
+  }
+}
