@@ -96,6 +96,31 @@ object StreamingGate extends graft.QueryPack {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** The q_stream_drift state fold: merge a micro-batch's (event_type,
+    * bin) rows into the persistent count state by summation — the
+    * mergeable count monoid, so the final state is independent of how
+    * the stream was batched (asserted across batchings in
+    * StatefulStreamingSpec). State stays grid-sized (types × bins)
+    * at any stream length; the staged-swap tail is the single-writer
+    * harness convention the other streaming sinks share. */
+  def foldBinCounts(state: String)(batch: DataFrame, id: Long): Unit = {
+    val bc = batch.groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val dir = new java.io.File(state)
+    val merged =
+      if (dir.exists()) {
+        val prior = batch.sparkSession.read.parquet(state)
+        prior.unionByName(bc)
+          .groupBy(col("event_type"), col("bin"))
+          .agg(sum(col("n")).as("n"))
+      } else bc
+    val tmp = state + "_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if (dir.exists()) graft.Fs.deleteRec(dir)
+    require(new java.io.File(tmp).renameTo(dir),
+      s"state swap failed: $tmp -> $state")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Stream-STATIC dim enrichment — the remaining streaming join
@@ -355,10 +380,101 @@ object StreamingGate extends graft.QueryPack {
             (col("exact_cnt") - col("est")).cast("double") <=
               lit(2.0) * col("n").cast("double") / (K + 1)).as("within_bound"))
         .orderBy(col("item"))
+    }),
+
+    // Streaming drift monitor — the q_psi_drift statistic maintained
+    // INCREMENTALLY: monitor setup (a batch step, as in any deployed
+    // monitor) fixes the bin edges, the time midpoint and the
+    // reference half's (type, bin) distribution from the static table;
+    // the stream then folds only current-half (type, bin) COUNTS into
+    // persistent state per micro-batch — counts are the mergeable
+    // monoid (the q_incremental_agg contract in streaming form), so
+    // state is grid-sized (types × 10 bins) regardless of stream
+    // length, and the fold is order/batching-independent. The drained
+    // PSI must hash-equal the one-pass batch PSI over the same halves
+    // — q_psi_drift's formula term for term (1e-6 floor, round-9
+    // DECIMAL contribution sums). Multi-batch maintenance is driven
+    // by a MemoryStream spec (StatefulStreamingSpec); this gate run
+    // proves the end-to-end replay → fold → join → PSI path.
+    "q_stream_drift" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val state = freshDir("q_stream_drift") + "/st"
+      val v = col("value").cast(DecimalType(12, 2)).cast("double")
+      val ev = Tables(s, d, "events").select(col("event_type"),
+        unix_micros(col("ts")).as("us"), v.as("v"))
+      val rng = ev.agg(min(col("us")), max(col("us")),
+        min(col("v")), max(col("v"))).collect()(0)
+      val (loUs, hiUs) = (rng.getLong(0), rng.getLong(1))
+      val (loV, hiV) = (rng.getDouble(2), rng.getDouble(3))
+      val bin = least(lit(9L),
+        floor((col("v") - loV) * 10 / (hiV - loV)).cast("long"))
+      val ref = ev.filter(col("us") * 2 <= loUs + hiUs)
+        .withColumn("bin", bin)
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n_ref"))
+      val stream = EventsStream.replay(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          v.as("v"))
+        .filter(col("us") * 2 > loUs + hiUs)
+        .withColumn("bin", bin)
+        .select(col("event_type"), col("bin"))
+      drain(s, stream, "append")(foldBinCounts(state))
+      val cur = s.read.parquet(state)
+        .select(col("event_type"), col("bin"), col("n").as("n_cur"))
+      val cells = ref.join(cur, Seq("event_type", "bin"), "full_outer")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val wt = Window.partitionBy(col("event_type"))
+      val p = greatest(col("n_ref").cast("double") /
+        sum(col("n_ref")).over(wt).cast("double"), lit(1e-6))
+      val q = greatest(col("n_cur").cast("double") /
+        sum(col("n_cur")).over(wt).cast("double"), lit(1e-6))
+      cells
+        .withColumn("contrib", round((p - q) * log(p / q), 9))
+        .withColumn("psi",
+          sum(col("contrib").cast(DecimalType(24, 9))).over(wt)
+            .cast("double"))
+        .select(col("event_type"), col("bin"), col("n_ref"), col("n_cur"),
+          col("contrib"), col("psi"))
+        .orderBy(col("event_type"), col("bin"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // the drained incremental PSI state must equal the one-pass batch
+    // PSI — q_psi_drift's oracle verbatim (same halves, same floor)
+    "q_stream_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        |  FROM events),
+        |rng AS (
+        |  SELECT min(us) AS lo_us, max(us) AS hi_us,
+        |    min(v) AS lo_v, max(v) AS hi_v FROM ev),
+        |cells AS (
+        |  SELECT event_type,
+        |    least(9, CAST(floor((v - lo_v) * 10 / (hi_v - lo_v))
+        |      AS BIGINT)) AS bin,
+        |    CAST(SUM(CASE WHEN us * 2 <= lo_us + hi_us
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN us * 2 > lo_us + hi_us
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM ev, rng GROUP BY 1, 2),
+        |shares AS (
+        |  SELECT *,
+        |    greatest(CAST(n_ref AS DOUBLE) /
+        |      SUM(n_ref) OVER (PARTITION BY event_type), 1e-6) AS p,
+        |    greatest(CAST(n_cur AS DOUBLE) /
+        |      SUM(n_cur) OVER (PARTITION BY event_type), 1e-6) AS q
+        |  FROM cells),
+        |contribs AS (
+        |  SELECT *, round((p - q) * ln(p / q), 9) AS contrib FROM shares)
+        |SELECT event_type, bin, n_ref, n_cur, contrib,
+        |  CAST(SUM(CAST(contrib AS DECIMAL(24,9)))
+        |    OVER (PARTITION BY event_type) AS DOUBLE) AS psi
+        |FROM contribs ORDER BY event_type, bin""".stripMargin,
+
     // the batch statement of the drained stream-static enrichment
     "q_stream_enrich" ->
       """SELECT e.event_id, e.user_id,

@@ -200,4 +200,32 @@ class StatefulStreamingSpec extends AnyFunSuite {
       if (t > bound) assert(sk.contains(w), s"heavy hitter $w missing")
     }
   }
+
+  test("drift count fold is batching-invariant and equals the batch count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // same logical rows, two different batchings → identical state
+    val rows = (0 until 300).map(i => (s"t${i % 3}", (i % 7).toLong))
+    def foldWith(batching: Seq[Seq[(String, Long)]]): Map[(String, Long), Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-fold")
+        .toFile.getAbsolutePath + "/st"
+      val ms = MemoryStream[(String, Long)]
+      val q = ms.toDS().toDF("event_type", "bin")
+        .writeStream.outputMode("append")
+        .foreachBatch(graft.operators.StreamingGate.foldBinCounts(dir) _)
+        .start()
+      batching.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val oneShot = foldWith(Seq(rows))
+    val staggered = foldWith(Seq(rows.take(50), rows.slice(50, 51),
+      rows.slice(51, 220), rows.drop(220)))
+    assert(oneShot == staggered, "fold must be batching-invariant")
+    val exact = rows.groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    assert(oneShot == exact, "folded state must equal the batch count")
+  }
 }
