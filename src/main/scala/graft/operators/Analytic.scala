@@ -114,6 +114,58 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("item"), col("rk"))
     }),
 
+    // HITS hubs & authorities (Kleinberg, JACM 1999) on the directed
+    // customer→supplier trade graph — the link-analysis complement to
+    // q_pagerank: authorities are the suppliers good buyers buy from,
+    // hubs the customers who buy from good suppliers, the natural
+    // bipartite reading of the reference's crawl-quality weighting.
+    // Two unrolled mutual-reinforcement rounds; every half-step is one
+    // edge-keyed shuffle join + a node-keyed aggregation (the same
+    // distributed layout as PR), and the per-round max-normalization
+    // divides by a 1-row broadcast maximum. Determinism discipline is
+    // q_pagerank's verbatim: ALL iteration arithmetic is fixed-point
+    // (scores scaled by 1e9, DECIMAL(38,0) sums so a hub's in-mass
+    // has HUGEINT headroom, integer floor division for the normalize)
+    // — no ties, no float drift; the single final /1e9 is exact.
+    "q_hits" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct().persist()
+      val SCALE = 1000000000L
+      var hub: DataFrame = edges.select(col("c")).distinct()
+        .withColumn("h", lit(SCALE).cast(DecimalType(38, 0)))
+      var auth: DataFrame = null
+      for (_ <- 1 to 2) {
+        val ar = edges.join(hub, Seq("c"))
+          .groupBy(col("sp"))
+          .agg(sum(col("h")).cast(DecimalType(38, 0)).as("ar"))
+        auth = ar.crossJoin(broadcast(ar.agg(max(col("ar")).as("amax"))))
+          .select(col("sp"),
+            expr(s"CAST((ar * $SCALE) div amax AS DECIMAL(38,0))").as("a"))
+        val hr = edges.join(auth, Seq("sp"))
+          .groupBy(col("c"))
+          .agg(sum(col("a")).cast(DecimalType(38, 0)).as("hr"))
+        hub = hr.crossJoin(broadcast(hr.agg(max(col("hr")).as("hmax"))))
+          .select(col("c"),
+            expr(s"CAST((hr * $SCALE) div hmax AS DECIMAL(38,0))").as("h"))
+      }
+      val top = 15
+      val authOut = auth
+        .select(concat(lit("s"), col("sp")).as("node"),
+          lit("authority").as("kind"),
+          round(col("a").cast("double") / SCALE.toDouble, 9).as("score"))
+        .orderBy(col("score").desc, col("node")).limit(top)
+      val hubOut = hub
+        .select(concat(lit("c"), col("c")).as("node"),
+          lit("hub").as("kind"),
+          round(col("h").cast("double") / SCALE.toDouble, 9).as("score"))
+        .orderBy(col("score").desc, col("node")).limit(top)
+      authOut.unionByName(hubOut)
+        .orderBy(col("kind"), col("score").desc, col("node"))
+    }),
+
     // lag/delta + bounded moving sum per user over event time.
     "q_window_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1439,6 +1491,39 @@ object Analytic extends graft.QueryPack {
   private val ZSCORE_MIN_N = 8
 
   def oracles: Map[String, String] = Map(
+    // two unrolled HITS rounds, HUGEINT sums, integer floor-divide
+    // normalization — the Spark fixed-point arithmetic restated
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT DISTINCT c, CAST(1000000000 AS HUGEINT) AS h FROM e),
+        |a1r AS (SELECT sp, SUM(h) AS ar FROM e JOIN h0 USING (c) GROUP BY sp),
+        |a1 AS (SELECT sp, (ar * 1000000000) // (SELECT max(ar) FROM a1r)
+        |       AS a FROM a1r),
+        |h1r AS (SELECT c, SUM(a) AS hr FROM e JOIN a1 USING (sp) GROUP BY c),
+        |h1 AS (SELECT c, (hr * 1000000000) // (SELECT max(hr) FROM h1r)
+        |       AS h FROM h1r),
+        |a2r AS (SELECT sp, SUM(h) AS ar FROM e JOIN h1 USING (c) GROUP BY sp),
+        |a2 AS (SELECT sp, (ar * 1000000000) // (SELECT max(ar) FROM a2r)
+        |       AS a FROM a2r),
+        |h2r AS (SELECT c, SUM(a) AS hr FROM e JOIN a2 USING (sp) GROUP BY c),
+        |h2 AS (SELECT c, (hr * 1000000000) // (SELECT max(hr) FROM h2r)
+        |       AS h FROM h2r),
+        |tops AS (
+        |  SELECT * FROM (
+        |    SELECT 's' || CAST(sp AS VARCHAR) AS node,
+        |      'authority' AS kind,
+        |      round(CAST(a AS DOUBLE) / 1000000000.0, 9) AS score
+        |    FROM a2 ORDER BY score DESC, node LIMIT 15)
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT 'c' || CAST(c AS VARCHAR) AS node, 'hub' AS kind,
+        |      round(CAST(h AS DOUBLE) / 1000000000.0, 9) AS score
+        |    FROM h2 ORDER BY score DESC, node LIMIT 15))
+        |SELECT node, kind, score FROM tops
+        |ORDER BY kind, score DESC, node""".stripMargin,
+
     // basket cap + cosine + per-item rank restated term-for-term
     "q_item_cf" -> {
       val cap = sys.props.getOrElse("graft.cf.order.cap", "64").toInt

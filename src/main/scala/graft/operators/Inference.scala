@@ -86,6 +86,63 @@ object Inference extends graft.QueryPack {
         .orderBy(col("dur_min"))
     }),
 
+    // Monte-Carlo permutation test (Fisher's randomization test;
+    // Dwass, AMS 1957, for the sampled variant) for a two-sample mean
+    // difference — "is the purchase-value gap between the two user
+    // cohorts explainable by chance": under H0 labels are
+    // exchangeable, so the observed |mean_A − mean_B| is compared
+    // against P=64 random relabelings. Randomness is the deterministic
+    // md5 uniform over (event_id, permutation) — the bootstrap's
+    // discipline — so the p-value is reproducible and
+    // partitioning-independent; the +1/(P+1) correction keeps it
+    // valid (never exactly 0). Same single-pass layout as
+    // q_bootstrap_ci: constant ×64 explode, one map-combinable
+    // aggregation to the 64-row permutation grid, every mean a round-9
+    // double of exact BIGINT cent sums, the tail all grid windows.
+    "q_permutation_test" -> ((s, d) => {
+      val P = 64
+      val M = math.pow(16, 13)
+      val purchases = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+            .as("cents"))
+      val obs = purchases.agg(
+        round(sum(when(col("user_id") % 2 === 0, col("cents")))
+          .cast("double") /
+          sum(when(col("user_id") % 2 === 0, 1L)).cast("double") -
+          sum(when(col("user_id") % 2 === 1, col("cents")))
+            .cast("double") /
+            sum(when(col("user_id") % 2 === 1, 1L)).cast("double"), 9)
+          .as("obs_diff"))
+      val u = (conv(substring(md5(concat(col("event_id").cast("string"),
+        lit("#"), col("p").cast("string"))), 1, 13), 16, 10)
+        .cast("double") + 1d) / lit(M + 1d)
+      val perms = purchases
+        .select(col("event_id"), col("cents"),
+          explode(sequence(lit(0), lit(P - 1))).as("p"))
+        .withColumn("ga", (u < 0.5).cast("long"))
+        .groupBy(col("p"))
+        .agg(sum(when(col("ga") === 1L, col("cents"))).as("sa"),
+          sum(col("ga")).as("na"),
+          sum(when(col("ga") === 0L, col("cents"))).as("sb"),
+          sum(lit(1L) - col("ga")).as("nb"))
+        .withColumn("perm_diff",
+          round(col("sa").cast("double") / col("na").cast("double") -
+            col("sb").cast("double") / col("nb").cast("double"), 9))
+      val wAll = Window.orderBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      perms.crossJoin(obs)
+        .withColumn("exceeds", abs(col("perm_diff")) >= abs(col("obs_diff")))
+        .withColumn("p_value",
+          round((sum(when(col("exceeds"), 1L).otherwise(0L)).over(wAll)
+            + 1L).cast("double") / lit((P + 1).toDouble), 9))
+        .select(col("p").cast("long").as("perm"), col("na"),
+          col("perm_diff"), col("exceeds"), col("obs_diff"),
+          col("p_value"))
+        .orderBy(col("perm"))
+    }),
+
     // Poisson bootstrap confidence interval for the mean purchase
     // value — the single-pass bootstrap used at warehouse scale
     // (Chamandy et al., "Estimating Uncertainty for Massive Data
@@ -187,6 +244,46 @@ object Inference extends graft.QueryPack {
         |       ELSE round(exp(CAST(SUM(term) OVER (ORDER BY dur_min)
         |         AS DOUBLE)), 6) END AS survival
         |FROM terms ORDER BY dur_min""".stripMargin,
+
+    "q_permutation_test" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |obs AS (
+        |  SELECT round(
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN cents END) AS DOUBLE) /
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 END) AS DOUBLE) -
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN cents END) AS DOUBLE) /
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 END) AS DOUBLE), 9)
+        |    AS obs_diff
+        |  FROM p),
+        |expl AS (
+        |  SELECT event_id, cents, unnest(range(0, 64)) AS pm FROM p),
+        |lab AS (
+        |  SELECT pm, cents,
+        |    CASE WHEN (CAST(CAST(('0x' || substr(md5(
+        |      CAST(event_id AS VARCHAR) || '#' || CAST(pm AS VARCHAR)),
+        |      1, 13)) AS BIGINT) AS DOUBLE) + 1) / (pow(16, 13) + 1) < 0.5
+        |      THEN 1 ELSE 0 END AS ga
+        |  FROM expl),
+        |perms AS (
+        |  SELECT CAST(pm AS BIGINT) AS perm,
+        |    CAST(SUM(ga) AS BIGINT) AS na,
+        |    round(
+        |      CAST(SUM(CASE WHEN ga = 1 THEN cents END) AS DOUBLE) /
+        |      CAST(SUM(ga) AS DOUBLE) -
+        |      CAST(SUM(CASE WHEN ga = 0 THEN cents END) AS DOUBLE) /
+        |      CAST(SUM(1 - ga) AS DOUBLE), 9) AS perm_diff
+        |  FROM lab GROUP BY pm),
+        |flagged AS (
+        |  SELECT perm, na, perm_diff,
+        |    abs(perm_diff) >= abs(obs_diff) AS exceeds, obs_diff
+        |  FROM perms, obs)
+        |SELECT perm, na, perm_diff, exceeds, obs_diff,
+        |  round((SUM(CASE WHEN exceeds THEN 1 ELSE 0 END) OVER () + 1.0)
+        |    / 65.0, 9) AS p_value
+        |FROM flagged ORDER BY perm""".stripMargin,
 
     "q_bootstrap_ci" ->
       """WITH p AS (

@@ -66,4 +66,25 @@ class InferenceSpec extends AnyFunSuite {
     val mean = ws.sum.toDouble / ws.length
     ws.foreach(w => assert(math.abs(w - mean) < 5 * math.sqrt(mean) + 10))
   }
+
+  test("q_permutation_test: p-value restates the exceedance count") {
+    val rows = run("q_permutation_test").sortBy(_.getLong(0))
+    assert(rows.length == 64)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 64L))
+    val obs = rows.head.getDouble(4)
+    val pv = rows.head.getDouble(5)
+    assert(rows.forall(r =>
+      r.getDouble(4) == obs && r.getDouble(5) == pv))
+    val nExceed = rows.count(_.getBoolean(3))
+    rows.foreach(r => assert(r.getBoolean(3) ==
+      (math.abs(r.getDouble(2)) >= math.abs(obs))))
+    assert(pv == BigDecimal((nExceed + 1).toDouble / 65.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(pv > 0.0 && pv <= 1.0)
+    // random relabelings must vary, and cohort sizes stay near half
+    assert(rows.map(_.getDouble(2)).distinct.length > 1)
+    val nas = rows.map(_.getLong(1))
+    val half = nas.sum.toDouble / nas.length
+    nas.foreach(na => assert(math.abs(na - half) < 5 * math.sqrt(half) + 10))
+  }
 }
