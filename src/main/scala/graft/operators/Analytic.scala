@@ -138,18 +138,28 @@ object Analytic extends graft.QueryPack {
         .withColumn("h", lit(SCALE).cast(DecimalType(38, 0)))
       var auth: DataFrame = null
       for (_ <- 1 to 2) {
+        // localCheckpoint each half-step: every normalize references
+        // its raw frame TWICE (sum join + max), so without lineage
+        // truncation the plan re-expands 2x per half-step — 44
+        // nested-loop replays by round 2 (the exponential-lineage
+        // lesson of the other iterative loops; a cluster deployment
+        // checkpoints to reliable storage instead).
         val ar = edges.join(hub, Seq("c"))
           .groupBy(col("sp"))
           .agg(sum(col("h")).cast(DecimalType(38, 0)).as("ar"))
+          .localCheckpoint()
         auth = ar.crossJoin(broadcast(ar.agg(max(col("ar")).as("amax"))))
           .select(col("sp"),
             expr(s"CAST((ar * $SCALE) div amax AS DECIMAL(38,0))").as("a"))
+          .localCheckpoint()
         val hr = edges.join(auth, Seq("sp"))
           .groupBy(col("c"))
           .agg(sum(col("a")).cast(DecimalType(38, 0)).as("hr"))
+          .localCheckpoint()
         hub = hr.crossJoin(broadcast(hr.agg(max(col("hr")).as("hmax"))))
           .select(col("c"),
             expr(s"CAST((hr * $SCALE) div hmax AS DECIMAL(38,0))").as("h"))
+          .localCheckpoint()
       }
       val top = 15
       val authOut = auth

@@ -301,4 +301,63 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("FileScan".r.findAllIn(plan).size == 1, plan.take(3000))
     assert(plan.contains("Window"), plan.take(3000))
   }
+
+  test("fd audit: ONE orders scan fans out via Expand/stack, no join") {
+    val plan = graft.operators.Discovery.queries("q_fd_discovery")(
+      spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("item CF pairs and degrees join by key — never a cross product") {
+    val df = graft.operators.Analytic.queries("q_item_cf")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
+  test("hits lineage is truncated per half-step: compact checkpoint-fed " +
+      "final plan, no cartesian") {
+    val df = graft.operators.Analytic.queries("q_hits")(spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // every iteration references its raw frame twice (sum join + max),
+    // so an un-truncated lineage re-expands ~2x per half-step — the
+    // first cut of this query showed 44 nested-loop replays in one
+    // plan. With per-half-step localCheckpoint the final plan reads
+    // the checkpointed score frames and does ONLY the top-k/union tail.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
+      plan.take(3000))
+    assert(plan.linesIterator.size < 40,
+      s"final plan should be the compact tail, got:\n${plan.take(3000)}")
+  }
+
+  test("kaplan-meier collapses to the duration grid before its windows") {
+    val df = graft.operators.Inference.queries("q_kaplan_meier")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the corpus-scaled work: session windows + grid agg; the grid
+    // windows (risk set, product limit) run after the aggregation
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("bootstrap/permutation grids aggregate map-side from one scan") {
+    Seq("q_bootstrap_ci", "q_permutation_test").foreach { name =>
+      val plan = graft.operators.Inference.queries(name)(
+        spark, TestSpark.sf).queryExecution.executedPlan.toString
+      // one events scan feeds the replicate grid; the 1-row full-
+      // sample estimate may rescan once — never more
+      assert("FileScan".r.findAllIn(plan).size <= 2, plan.take(3000))
+      assert(!plan.contains("CartesianProduct"), plan.take(3000))
+      assert(plan.contains("HashAggregate"), plan.take(3000))
+    }
+  }
 }
