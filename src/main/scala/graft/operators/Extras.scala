@@ -50,6 +50,40 @@ object Extras extends graft.QueryPack {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // Differentially-private count release (Dwork et al., TCC 2006) —
+    // the third rung of the privacy family after the k-anonymity and
+    // l-diversity AUDITS: actually release the (segment, nation)
+    // histogram under epsilon-DP by adding Laplace(sensitivity/eps)
+    // noise to each cell of a unit-sensitivity count query. The noise
+    // is the Laplace inverse CDF over the deterministic md5 uniform
+    // keyed by the CELL (reproducible releases, engine-identical,
+    // restated in the oracle; a production release would key the hash
+    // by a secret salt — the mechanism is identical). True counts are
+    // NOT in the output — the release is the noisy histogram plus its
+    // privacy parameter. One map-combinable count to the cell grid,
+    // then pure projection arithmetic; the 1e-15 floor guards the
+    // ln(0) pole at the uniform's upper endpoint.
+    "q_dp_counts" -> ((s, d) => {
+      val EPS = 0.5
+      val B = 1.0 / EPS
+      val M = math.pow(16, 13)
+      val cells = Tables(s, d, "customer")
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"))
+        .agg(count(lit(1)).as("n"))
+      val u = (conv(substring(md5(concat(col("seg"), lit(":"),
+        col("nat").cast("string"))), 1, 13), 16, 10)
+        .cast("double") + 1d) / lit(M + 1d)
+      val c = u - 0.5
+      val noise = -signum(c) * B *
+        log(greatest(lit(1e-15), lit(1.0) - lit(2.0) * abs(c)))
+      cells
+        .withColumn("epsilon", lit(EPS))
+        .withColumn("noisy_n", round(col("n") + noise, 6))
+        .select(col("seg"), col("nat"), col("epsilon"), col("noisy_n"))
+        .orderBy(col("seg"), col("nat"))
+    }),
+
     // K-ANONYMITY audit over a generalization ladder (Sweeney 2002;
     // the lattice walk at the core of Incognito/Mondrian) — the
     // governance gate a training-data release runs before shipping
@@ -679,6 +713,23 @@ object Extras extends graft.QueryPack {
     .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    // Laplace inverse CDF over the same cell-keyed md5 uniform
+    "q_dp_counts" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |noised AS (
+        |  SELECT seg, nat, n,
+        |    (CAST(CAST(('0x' || substr(md5(seg || ':' ||
+        |       CAST(nat AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) + 1)
+        |      / (pow(16, 13) + 1) - 0.5 AS c
+        |  FROM cells)
+        |SELECT seg, nat, CAST(0.5 AS DOUBLE) AS epsilon,
+        |  round(n + (-sign(c) * 2.0 *
+        |    ln(greatest(1e-15, 1.0 - 2.0 * abs(c)))), 6) AS noisy_n
+        |FROM noised ORDER BY seg, nat""".stripMargin,
+
     "q_compaction_plan" ->
       """WITH manifest AS (
         |  SELECT source, doc_id, n_chars,

@@ -97,6 +97,33 @@ object TextAnalytics extends graft.QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // Hashing-trick vectorizer (Weinberger et al., ICML 2009) — the
+    // fixed-width featurizer a training pipeline uses when the
+    // vocabulary is unbounded: token → slot = md5 % 64, with a second
+    // hash bit giving each token a ±1 sign so collisions cancel in
+    // expectation (the unbiased-estimator form). Output is the sparse
+    // long form (doc, slot, value) — nonzero slots only — because the
+    // dense 64-vector is a pivot away and the sparse form is what a
+    // 100 TB feature store keys. Pure per-row explode + ONE
+    // map-combinable (doc, slot) aggregation; dimensionality is
+    // vocabulary-independent by construction (the trick's point), so
+    // the shuffled grid is docs × ≤64 whatever the corpus vocabulary.
+    "q_feature_hash" -> ((s, d) => {
+      val D = 64
+      Tables(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long") % D)
+            .as("slot"),
+          ((conv(substring(md5(col("w")), 5, 1), 16, 10).cast("long") % 2)
+            * 2 - 1).as("sgn"))
+        .groupBy(col("doc_id"), col("slot"))
+        .agg(sum(col("sgn")).as("val"))
+        .filter(col("val") =!= 0L)
+        .orderBy(col("doc_id"), col("slot"))
+    }),
+
     // RAKE keyword extraction (Rose et al. 2010): candidate phrases
     // are maximal stopword-free token runs (gaps-and-islands over the
     // SAME keepToken predicate as T6, so boundary semantics can't
@@ -924,6 +951,22 @@ object TextAnalytics extends graft.QueryPack {
         |b3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same slot/sign hashes over the same whitespace tokens
+    "q_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 64 AS slot,
+        |    (CAST(('0x' || substr(md5(w), 5, 1)) AS BIGINT) % 2) * 2 - 1
+        |      AS sgn
+        |  FROM toks WHERE length(w) > 0)
+        |SELECT doc_id, slot, CAST(SUM(sgn) AS BIGINT) AS val
+        |FROM hashed GROUP BY doc_id, slot
+        |HAVING SUM(sgn) <> 0
+        |ORDER BY doc_id, slot""".stripMargin,
+
     "q_word_freq" ->
       """SELECT word, COUNT(*) AS cnt FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t

@@ -532,4 +532,59 @@ class GateSpec extends AnyFunSuite {
       assert(byV.head._3 > 0.0)
     }
   }
+
+  test("q_dp_counts: real Laplace(2) noise, reproducible, true counts withheld") {
+    val rows = graft.operators.Extras
+      .queries("q_dp_counts")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.nonEmpty)
+    val truth = Tables(spark, TestSpark.sf, "customer")
+      .groupBy("c_mktsegment", "c_nationkey").count().collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+    TestSpark.housekeeping()
+    val noises = rows.map { r =>
+      val t = truth((r.getString(0), r.getLong(1)))
+      r.getDouble(3) - t
+    }
+    // noise is really there (not all zero), centered-ish, Laplace(b=2)
+    // scale: median |noise| = 2 ln 2 ≈ 1.39 — loose band, tails bounded
+    val absN = noises.map(math.abs).sorted
+    assert(absN.last > 0.0, "noise must be nonzero somewhere")
+    val med = absN(absN.length / 2)
+    assert(med > 0.3 && med < 5.0, s"median |noise| $med out of band")
+    assert(absN.last < 60.0, "tail beyond any plausible Laplace(2) draw")
+    // deterministic release: same cell -> same noise on a second run
+    val again = graft.operators.Extras
+      .queries("q_dp_counts")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    TestSpark.housekeeping()
+    rows.foreach(r =>
+      assert(again((r.getString(0), r.getLong(1))) == r.getDouble(3)))
+  }
+
+  test("q_feature_hash: 64-slot range, signed cancellation, mass bound") {
+    val rows = graft.operators.TextAnalytics
+      .queries("q_feature_hash")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 64, "slot range")
+      assert(r.getLong(2) != 0L, "zero slots must be filtered")
+    }
+    // the sign hash must actually split: both polarities appear
+    assert(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(2) < 0))
+    // per-doc: at most 64 slots, and |sum of values| <= token count
+    val nTok = Tables(spark, TestSpark.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions
+          .split(org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    TestSpark.housekeeping()
+    rows.groupBy(_.getLong(0)).foreach { case (doc, g) =>
+      assert(g.length <= 64, s"doc $doc")
+      assert(g.map(r => math.abs(r.getLong(2))).sum <= nTok(doc),
+        s"doc $doc mass exceeds token count")
+    }
+  }
 }
