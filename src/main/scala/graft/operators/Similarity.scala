@@ -125,6 +125,66 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // ANN index-quality evaluation — the recall@3-vs-index-width curve
+    // of the hyperplane-LSH index against exact brute force: the
+    // tuning sweep an embedding pipeline runs before trusting an
+    // approximate index for semantic dedup (a recall cliff after an
+    // embedding-model change is how ANN deployments silently rot; on
+    // THIS near-orthogonal synthetic corpus the full 8-plane exact-
+    // bucket index measures recall 0 — precisely the finding the
+    // evaluator exists to surface). Prefix-stable planes make the
+    // sweep one query: bucket equality at width w IS equality of the
+    // signature's first w characters, so the w∈{2,4,8} candidate sets
+    // are nested (hits provably non-increasing in w — the spec's
+    // monotonicity gate) and all widths share ONE similarity frame
+    // from one broadcast join. The exact side's all-pairs scan over a
+    // FIXED query sample is the offline-evaluation shape, not a scale
+    // bug: candidates stream through the broadcast join once at any
+    // corpus size.
+    "q_ann_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = loadEmbeddings(s, d).withColumn("bucket", bucketCol(col("embedding")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("nrm").as("nnrm"), col("bucket").as("nbucket"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      val sims = cand.join(broadcast(q), col("qid") =!= col("nid"))
+        .withColumn("sim",
+          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
+      val exact = sims.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).select(col("qid"), col("nid"))
+      val wa = Window.partitionBy(col("width"), col("aqid"))
+        .orderBy(col("sim").desc, col("anid"))
+      val approx = sims
+        .select(col("qid").as("aqid"), col("nid").as("anid"), col("sim"),
+          col("qbucket"), col("nbucket"),
+          explode(typedlit(Seq(2, 4, 8))).as("width"))
+        .filter(substring(col("qbucket"), 1, 8).substr(lit(1), col("width"))
+          === substring(col("nbucket"), 1, 8).substr(lit(1), col("width")))
+        .withColumn("rk", row_number().over(wa))
+        .filter(col("rk") <= 3)
+        .select(col("width").as("awidth"), col("aqid"), col("anid"))
+      val wW = Window.partitionBy(col("width"))
+      exact
+        .select(col("qid"), col("nid"),
+          explode(typedlit(Seq(2, 4, 8))).as("width"))
+        .join(approx,
+          col("width") === col("awidth") && col("qid") === col("aqid") &&
+            col("nid") === col("anid"),
+          "left_outer")
+        .groupBy(col("width"), col("qid"))
+        .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hits"))
+        .withColumn("recall", round(col("n_hits").cast("double") / 3.0, 6))
+        .withColumn("macro_recall",
+          round(sum(col("n_hits")).over(wW).cast("double") /
+            (lit(3.0) * count(lit(1)).over(wW)), 6))
+        .select(col("width").cast("long").as("width"), col("qid"),
+          col("n_exact"), col("n_hits"), col("recall"), col("macro_recall"))
+        .orderBy(col("width"), col("qid"))
+    }),
+
     // Hyperplane-LSH bucketed top-3 (scale path: join on bucket key).
     "q_ann_lsh" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -587,6 +647,43 @@ object Similarity extends graft.QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // both rankings from one sims CTE; the LSH side is the same frame
+    // prefix-filtered per width (nested candidate sets by construction)
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm,
+         |             $bucketDuck AS bucket
+         |           FROM embeddings),
+         |w AS (SELECT * FROM (VALUES (2), (4), (8)) t(width)),
+         |sims AS (
+         |  SELECT q.vec_id AS qid, q.bucket AS qbucket,
+         |    c.vec_id AS nid, c.bucket AS nbucket,
+         |    round(${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 9) AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |exact AS (
+         |  SELECT width, qid, nid FROM (
+         |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, nid) AS rk FROM sims) t, w
+         |  WHERE rk <= 3),
+         |approx AS (
+         |  SELECT width AS awidth, qid AS aqid, nid AS anid FROM (
+         |    SELECT width, qid, nid, ROW_NUMBER() OVER (
+         |      PARTITION BY width, qid ORDER BY sim DESC, nid) AS rk
+         |    FROM sims, w
+         |    WHERE substr(qbucket, 1, width) = substr(nbucket, 1, width)) t
+         |  WHERE rk <= 3),
+         |per_q AS (
+         |  SELECT width, qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(anid) AS BIGINT) AS n_hits
+         |  FROM exact LEFT JOIN approx
+         |    ON exact.width = approx.awidth AND exact.qid = approx.aqid
+         |      AND exact.nid = approx.anid
+         |  GROUP BY width, qid)
+         |SELECT CAST(width AS BIGINT) AS width, qid, n_exact, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / 3.0, 6) AS recall,
+         |  round(CAST(SUM(n_hits) OVER (PARTITION BY width) AS DOUBLE) /
+         |    (3.0 * COUNT(*) OVER (PARTITION BY width)), 6) AS macro_recall
+         |FROM per_q ORDER BY width, qid""".stripMargin,
+
     "q_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
          |sims AS (

@@ -75,4 +75,34 @@ class NearDupSpec extends AnyFunSuite {
       assert(!min._3, s"cluster $c: minimum id ${min._1} was dropped")
     }
   }
+
+  test("q_ann_recall: nested candidate sets make hits monotone in width") {
+    // columns: width, qid, n_exact, n_hits, recall, macro_recall
+    val rows = graft.operators.Similarity
+      .queries("q_ann_recall")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq == Seq(2L, 4L, 8L))
+    rows.foreach { r =>
+      assert(r.getLong(2) == 3L, "exact top-3 must always be 3 deep")
+      assert(r.getLong(3) <= 3L)
+      val rec = BigDecimal(r.getLong(3).toDouble / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == rec)
+    }
+    // bucket equality at width w+Δ implies equality at w, so the
+    // candidate sets are nested and per-query hits can only shrink
+    rows.groupBy(_.getLong(1)).foreach { case (qid, g) =>
+      val byW = g.sortBy(_.getLong(0)).map(_.getLong(3))
+      byW.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"qid $qid hits grew with width")
+        case _ =>
+      }
+    }
+    // the sweep must discriminate on testdata: the coarse index finds
+    // true neighbors, the full-width exact-bucket index finds none
+    val mrec = rows.groupBy(_.getLong(0))
+      .map { case (w, g) => w -> g.head.getDouble(5) }
+    assert(mrec(2L) > 0.0, "coarse width must recover some neighbors")
+    assert(mrec(2L) >= mrec(4L) && mrec(4L) >= mrec(8L))
+  }
 }
