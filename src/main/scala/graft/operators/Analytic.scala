@@ -176,6 +176,77 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("kind"), col("score").desc, col("node"))
     }),
 
+    // Gini coefficient per market segment (Gini 1912, in the exact
+    // rank form Σ(2i−n−1)·x_i / (n·Σx)) — the concentration metric a
+    // curation pipeline runs on source/account mass ("is 1% of
+    // accounts 90% of the money"), sibling of q_skyline's preference
+    // lens. Ranks are a row_number window over (value, key) — a TOTAL
+    // order, so both engines rank identically — and the numerator and
+    // denominator stay exact BIGINT cents until the one final
+    // division (at 100 TB the sums ride DECIMAL(38) headroom; the
+    // per-segment sort is each segment's own window partition, never
+    // a global sort). Non-positive balances are excluded — Gini is
+    // defined on positive mass — with the exclusion counted.
+    "q_gini" -> ((s, d) => {
+      val cents = (col("c_acctbal").cast(DecimalType(12, 2)) * 100)
+        .cast("long")
+      val base = Tables(s, d, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_custkey").as("k"),
+          cents.as("cents"))
+      val pos = base.filter(col("cents") > 0)
+      val w = Window.partitionBy(col("seg"))
+        .orderBy(col("cents"), col("k"))
+      val ws = Window.partitionBy(col("seg"))
+      pos
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(ws))
+        .withColumn("term", (lit(2L) * col("i") - col("n") - 1L) * col("cents"))
+        .groupBy(col("seg"))
+        .agg(max(col("n")).as("n_pos"), sum(col("term")).as("num"),
+          sum(col("cents")).as("mass"))
+        .join(base.groupBy(col("seg"))
+          .agg(count(lit(1)).as("n_all")), Seq("seg"))
+        .select(col("seg"), col("n_all"), col("n_pos"),
+          round(col("num").cast("double") /
+            (col("n_pos") * col("mass")).cast("double"), 9).as("gini"))
+        .orderBy(col("seg"))
+    }),
+
+    // Spearman rank correlation between order value and the ordering
+    // customer's account balance, per market segment — the monotone-
+    // association check (is bigger-balance money placing bigger
+    // orders) that Pearson r (q_regression) misses under nonlinear
+    // but monotone relationships. The deterministic variant: ranks
+    // are row_number over (value, orderkey) — a total order, so no
+    // averaged tie ranks and both engines agree exactly — making
+    // ρ = 1 − 6Σd²/(n(n²−1)) a pure function of exact BIGINT rank
+    // differences. One dim join (customer broadcast-sized), two
+    // windows inside segment partitions, one grid aggregation.
+    "q_spearman" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("x"))
+      val c = Tables(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("y"))
+      val wx = Window.partitionBy(col("seg")).orderBy(col("x"), col("k"))
+      val wy = Window.partitionBy(col("seg")).orderBy(col("y"), col("k"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("rx", row_number().over(wx).cast("long"))
+        .withColumn("ry", row_number().over(wy).cast("long"))
+        .withColumn("d2",
+          (col("rx") - col("ry")) * (col("rx") - col("ry")))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+        .select(col("seg"), col("n"),
+          round(lit(1.0) - lit(6.0) * col("sd2").cast("double") /
+            (col("n") * (col("n") * col("n") - 1L)).cast("double"), 9)
+            .as("spearman_rho"))
+        .orderBy(col("seg"))
+    }),
+
     // lag/delta + bounded moving sum per user over event time.
     "q_window_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1501,6 +1572,52 @@ object Analytic extends graft.QueryPack {
   private val ZSCORE_MIN_N = 8
 
   def oracles: Map[String, String] = Map(
+    // exact rank-form Gini: same total-order ranks, integer sums
+    "q_gini" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS seg, c_custkey AS k,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |pos AS (
+        |  SELECT seg, k, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, k)
+        |      AS BIGINT) AS i,
+        |    COUNT(*) OVER (PARTITION BY seg) AS n
+        |  FROM base WHERE cents > 0),
+        |agg AS (
+        |  SELECT seg, CAST(MAX(n) AS BIGINT) AS n_pos,
+        |    CAST(SUM((2 * i - n - 1) * cents) AS BIGINT) AS num,
+        |    CAST(SUM(cents) AS BIGINT) AS mass
+        |  FROM pos GROUP BY seg),
+        |alln AS (
+        |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_all
+        |  FROM base GROUP BY seg)
+        |SELECT agg.seg, n_all, n_pos,
+        |  round(CAST(num AS DOUBLE) / CAST(n_pos * mass AS DOUBLE), 9)
+        |    AS gini
+        |FROM agg JOIN alln ON agg.seg = alln.seg
+        |ORDER BY agg.seg""".stripMargin,
+
+    // total-order ranks on both variables; exact d-squared sums
+    "q_spearman" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg, o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |ranked AS (
+        |  SELECT seg,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY seg ORDER BY x, k)
+        |      AS BIGINT) AS rx,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY seg ORDER BY y, k)
+        |      AS BIGINT) AS ry
+        |  FROM j)
+        |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(1.0 - 6.0 * CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE) /
+        |    CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE), 9)
+        |    AS spearman_rho
+        |FROM ranked GROUP BY seg ORDER BY seg""".stripMargin,
+
     // two unrolled HITS rounds, HUGEINT sums, integer floor-divide
     // normalization — the Spark fixed-point arithmetic restated
     "q_hits" ->

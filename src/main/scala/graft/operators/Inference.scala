@@ -86,6 +86,50 @@ object Inference extends graft.QueryPack {
         .orderBy(col("dur_min"))
     }),
 
+    // Welch's unequal-variance t-test (Welch, Biometrika 1947) — the
+    // parametric complement to q_permutation_test on the same two
+    // cohorts: both moments come from ONE map-combinable aggregation
+    // (count / exact cent sum / exact squared-cent sum per group — the
+    // q_regression moment discipline), and mean, variance, t statistic
+    // and Welch–Satterthwaite dof are single double expressions over
+    // those exact integers, identically parenthesized in the oracle.
+    // The large-sample z≈1.96 significance gate stands in for the t
+    // CDF (dof ≈ 2000 here; the distinction is < 1e-3) — emitting the
+    // statistic, not an uncomputable p-value, keeps the contract
+    // engine-exact.
+    "q_welch_ttest" -> ((s, d) => {
+      val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+      val g = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).cast("long").as("grp"),
+          cents.as("cents"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+          sum(col("cents") * col("cents")).as("sxx"))
+      val a = g.filter(col("grp") === 0).select(col("n").as("n1"),
+        col("sx").as("sx1"), col("sxx").as("sxx1"))
+      val b = g.filter(col("grp") === 1).select(col("n").as("n2"),
+        col("sx").as("sx2"), col("sxx").as("sxx2"))
+      val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+      val m1 = col("sx1").cast("double") / n1
+      val m2 = col("sx2").cast("double") / n2
+      val v1 = (n1 * col("sxx1").cast("double") -
+        col("sx1").cast("double") * col("sx1").cast("double")) /
+        (n1 * (n1 - 1))
+      val v2 = (n2 * col("sxx2").cast("double") -
+        col("sx2").cast("double") * col("sx2").cast("double")) /
+        (n2 * (n2 - 1))
+      val se2 = v1 / n1 + v2 / n2
+      val t = (m1 - m2) / sqrt(se2)
+      val dof = se2 * se2 /
+        ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+      a.crossJoin(b).select(
+        col("n1"), col("n2"),
+        round(m1, 9).as("mean1"), round(m2, 9).as("mean2"),
+        round(t, 9).as("t_stat"), round(dof, 6).as("welch_dof"),
+        (abs(round(t, 9)) > 1.96).as("significant_z95"))
+    }),
+
     // Monte-Carlo permutation test (Fisher's randomization test;
     // Dwass, AMS 1957, for the sampled variant) for a two-sample mean
     // difference — "is the purchase-value gap between the two user
@@ -244,6 +288,41 @@ object Inference extends graft.QueryPack {
         |       ELSE round(exp(CAST(SUM(term) OVER (ORDER BY dur_min)
         |         AS DOUBLE)), 6) END AS survival
         |FROM terms ORDER BY dur_min""".stripMargin,
+
+    "q_welch_ttest" ->
+      """WITH g AS (
+        |  SELECT user_id % 2 AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) *
+        |             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS sxx
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |ab AS (
+        |  SELECT
+        |    a.n AS n1, b.n AS n2,
+        |    CAST(a.n AS DOUBLE) AS n1d, CAST(b.n AS DOUBLE) AS n2d,
+        |    CAST(a.sx AS DOUBLE) AS sx1, CAST(a.sxx AS DOUBLE) AS sxx1,
+        |    CAST(b.sx AS DOUBLE) AS sx2, CAST(b.sxx AS DOUBLE) AS sxx2
+        |  FROM (SELECT * FROM g WHERE grp = 0) a,
+        |       (SELECT * FROM g WHERE grp = 1) b),
+        |calc AS (
+        |  SELECT n1, n2, sx1 / n1d AS m1, sx2 / n2d AS m2,
+        |    (n1d * sxx1 - sx1 * sx1) / (n1d * (n1d - 1)) AS v1,
+        |    (n2d * sxx2 - sx2 * sx2) / (n2d * (n2d - 1)) AS v2,
+        |    n1d, n2d
+        |  FROM ab),
+        |fin AS (
+        |  SELECT n1, n2, m1, m2,
+        |    (m1 - m2) / sqrt(v1 / n1d + v2 / n2d) AS t,
+        |    (v1 / n1d + v2 / n2d) * (v1 / n1d + v2 / n2d) /
+        |      ((v1 / n1d) * (v1 / n1d) / (n1d - 1) +
+        |       (v2 / n2d) * (v2 / n2d) / (n2d - 1)) AS dof
+        |  FROM calc)
+        |SELECT n1, n2, round(m1, 9) AS mean1, round(m2, 9) AS mean2,
+        |  round(t, 9) AS t_stat, round(dof, 6) AS welch_dof,
+        |  abs(round(t, 9)) > 1.96 AS significant_z95
+        |FROM fin""".stripMargin,
 
     "q_permutation_test" ->
       """WITH p AS (

@@ -124,6 +124,38 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("doc_id"), col("slot"))
     }),
 
+    // Pairwise source vocabulary overlap — the corpus-mixture design
+    // matrix ("how redundant are these domains before I weight them"),
+    // complementing q_js_divergence's per-source-vs-corpus drift with
+    // the source×source view. Each source first DISTINCT-reduces to
+    // its vocabulary (map-combinable, value-domain-sized), pairs form
+    // through a word-keyed equi-join with the s1 < s2 total order (the
+    // q_ind_discovery layout — intersection counts at vocab
+    // cardinality, never corpus²), and Jaccard closes over the
+    // inclusion–exclusion union. Output is the source-pair grid.
+    "q_source_overlap" -> ((s, d) => {
+      val vocab = Tables(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .distinct()
+      val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("v"))
+      val inter = vocab.as("a")
+        .join(vocab.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("source").as("s1"), col("v").as("v1")),
+          Seq("s1"))
+        .join(sizes.select(col("source").as("s2"), col("v").as("v2")),
+          Seq("s2"))
+        .select(col("s1"), col("s2"), col("v1"), col("v2"), col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("v1") + col("v2") - col("n_common")).cast("double"), 9)
+            .as("jaccard"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
     // RAKE keyword extraction (Rose et al. 2010): candidate phrases
     // are maximal stopword-free token runs (gaps-and-islands over the
     // SAME keepToken predicate as T6, so boundary semantics can't
@@ -951,6 +983,30 @@ object TextAnalytics extends graft.QueryPack {
         |b3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // distinct vocab per source, word-keyed pair join, IE union
+    "q_source_overlap" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT source, w FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0),
+        |sizes AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM vocab GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM vocab a JOIN vocab b
+        |    ON a.w = b.w AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT s1, s2, va.v AS v1, vb.v AS v2, n_common,
+        |  round(CAST(n_common AS DOUBLE) /
+        |    CAST(va.v + vb.v - n_common AS DOUBLE), 9) AS jaccard
+        |FROM inter
+        |JOIN sizes va ON va.source = s1
+        |JOIN sizes vb ON vb.source = s2
+        |ORDER BY s1, s2""".stripMargin,
+
     // same slot/sign hashes over the same whitespace tokens
     "q_feature_hash" ->
       """WITH toks AS (

@@ -533,6 +533,108 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_gini: bounded, exclusions counted, brute-force agreement") {
+    val rows = graft.operators.Analytic
+      .queries("q_gini")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+      assert(r.getLong(1) >= r.getLong(2), "n_all must cover exclusions")
+    }
+    // independent brute force on one segment
+    val seg = rows.head.getString(0)
+    val cents = Tables(spark, TestSpark.sf, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === seg)
+      .select(org.apache.spark.sql.functions.col("c_custkey"),
+        (org.apache.spark.sql.functions.col("c_acctbal")
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0).sortBy(t => (t._2, t._1)).map(_._2)
+    TestSpark.housekeeping()
+    val n = cents.length.toLong
+    val num = cents.zipWithIndex
+      .map { case (c, i) => (2L * (i + 1) - n - 1) * c }.sum
+    val expect = BigDecimal(num.toDouble / (n * cents.sum).toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getDouble(3) == expect, s"$seg gini")
+  }
+
+  test("q_spearman: rho bounded and equal to a brute-force recompute") {
+    val rows = graft.operators.Analytic
+      .queries("q_spearman")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+    import org.apache.spark.sql.functions.{col => C}
+    val seg = rows.head.getString(0)
+    val data = Tables(spark, TestSpark.sf, "orders")
+      .join(Tables(spark, TestSpark.sf, "customer"),
+        C("o_custkey") === C("c_custkey"))
+      .filter(C("c_mktsegment") === seg)
+      .select(C("o_orderkey"),
+        (C("o_totalprice").cast(
+          org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long"),
+        (C("c_acctbal").cast(
+          org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    TestSpark.housekeeping()
+    val rx = data.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val ry = data.sortBy(t => (t._3, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val n = data.length.toLong
+    val sd2 = data.map(t => { val d = rx(t._1) - ry(t._1); d * d }).sum
+    val expect = BigDecimal(1.0 - 6.0 * sd2.toDouble /
+      (n * (n * n - 1)).toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getDouble(2) == expect, s"$seg rho")
+  }
+
+  test("q_welch_ttest: moments account for every purchase, dof bounded") {
+    val rows = graft.operators.Inference
+      .queries("q_welch_ttest")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.length == 1)
+    val r = rows.head
+    val total = Tables(spark, TestSpark.sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    TestSpark.housekeeping()
+    assert(r.getLong(0) + r.getLong(1) == total)
+    val dof = r.getDouble(5)
+    assert(dof >= math.min(r.getLong(0), r.getLong(1)) - 1.0 &&
+      dof <= r.getLong(0) + r.getLong(1) - 2.0)
+    // t sign agrees with the mean difference
+    assert((r.getDouble(4) > 0) == (r.getDouble(2) > r.getDouble(3)) ||
+      r.getDouble(4) == 0.0)
+    assert(r.getBoolean(6) == (math.abs(r.getDouble(4)) > 1.96))
+  }
+
+  test("q_source_overlap: full pair grid, jaccard restates the counts") {
+    val rows = graft.operators.TextAnalytics
+      .queries("q_source_overlap")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    val sources = (rows.map(_.getString(0)) ++ rows.map(_.getString(1)))
+      .distinct.length
+    assert(rows.length == sources * (sources - 1) / 2,
+      "one row per unordered source pair")
+    rows.foreach { r =>
+      val (v1, v2, c) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(r.getString(0) < r.getString(1))
+      assert(c <= math.min(v1, v2))
+      val expect = BigDecimal(c.toDouble / (v1 + v2 - c).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == expect)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // word-soup sources genuinely overlap: the metric must not be 0
+    assert(rows.exists(_.getDouble(5) > 0.0))
+  }
+
   test("q_dp_counts: real Laplace(2) noise, reproducible, true counts withheld") {
     val rows = graft.operators.Extras
       .queries("q_dp_counts")(spark, TestSpark.sf).collect()
