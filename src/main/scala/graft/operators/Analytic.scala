@@ -176,6 +176,30 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("kind"), col("score").desc, col("node"))
     }),
 
+    // Local clustering coefficient (Watts & Strogatz, Nature 1998):
+    // 2·T(v)/(deg(v)·(deg(v)−1)) per node of the part co-occurrence
+    // graph — how clique-like each part's neighborhood is, the
+    // community-structure diagnostic next to q_triangles' raw counts.
+    // Composes the degree-ordered oriented triangle machinery
+    // (trianglesPerNode — O(m^1.5) regardless of hubs) with the degree
+    // frame through one node-keyed left join (triangle-free nodes
+    // coefficient 0, never dropped); the ratio is one round-9 double
+    // over exact BIGINT counts. deg ≥ 2 is the definition's domain.
+    "q_clustering_coeff" -> ((s, d) => {
+      val g = partGraph(s, d).persist()
+      val deg = g.select(col("u").as("node"))
+        .unionAll(g.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= 2)
+        .join(trianglesPerNode(g), Seq("node"), "left_outer")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("coeff", round(lit(2.0) * col("n_tri").cast("double") /
+          (col("deg") * (col("deg") - 1L)).cast("double"), 9))
+        .select(col("node").as("part"), col("deg"), col("n_tri"),
+          col("coeff"))
+        .orderBy(col("coeff").desc, col("part")).limit(20)
+    }),
+
     // Gini coefficient per market segment (Gini 1912, in the exact
     // rank form Σ(2i−n−1)·x_i / (n·Σx)) — the concentration metric a
     // curation pipeline runs on source/account mass ("is 1% of
@@ -1572,6 +1596,46 @@ object Analytic extends graft.QueryPack {
   private val ZSCORE_MIN_N = 8
 
   def oracles: Map[String, String] = Map(
+    // the q_triangles orientation chain + degree join + one ratio
+    "q_clustering_coeff" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 8 = 0),
+        |raw AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT n, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        |    SELECT u AS n FROM raw UNION ALL SELECT v FROM raw) t
+        |  GROUP BY n),
+        |ori AS (
+        |  SELECT
+        |    CASE WHEN du.dg * 1000000000000 + r.u < dv.dg * 1000000000000 + r.v
+        |         THEN r.u ELSE r.v END AS s,
+        |    CASE WHEN du.dg * 1000000000000 + r.u < dv.dg * 1000000000000 + r.v
+        |         THEN r.v ELSE r.u END AS t,
+        |    GREATEST(du.dg * 1000000000000 + r.u,
+        |             dv.dg * 1000000000000 + r.v) AS ot
+        |  FROM raw r JOIN deg du ON r.u = du.n JOIN deg dv ON r.v = dv.n),
+        |tri AS (
+        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM ori e1
+        |  JOIN ori e2 ON e1.s = e2.s AND e1.ot < e2.ot
+        |  JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t),
+        |tcnt AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) x
+        |  GROUP BY node)
+        |SELECT deg.n AS part, deg.dg AS deg,
+        |  COALESCE(tcnt.n_tri, 0) AS n_tri,
+        |  round(2.0 * CAST(COALESCE(tcnt.n_tri, 0) AS DOUBLE) /
+        |    CAST(deg.dg * (deg.dg - 1) AS DOUBLE), 9) AS coeff
+        |FROM deg LEFT JOIN tcnt ON deg.n = tcnt.node
+        |WHERE deg.dg >= 2
+        |ORDER BY coeff DESC, part LIMIT 20""".stripMargin,
+
     // exact rank-form Gini: same total-order ranks, integer sums
     "q_gini" ->
       """WITH base AS (

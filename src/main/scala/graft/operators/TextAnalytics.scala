@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -122,6 +123,105 @@ object TextAnalytics extends graft.QueryPack {
         .agg(sum(col("sgn")).as("val"))
         .filter(col("val") =!= 0L)
         .orderBy(col("doc_id"), col("slot"))
+    }),
+
+    // Heaps'-law vocabulary growth curve (Heaps 1978): V(n) ≈ K·Tᵝ —
+    // the corpus statistic that predicts how much NEW vocabulary the
+    // next 10 TB of data buys (β well below 1 ⇒ diminishing returns;
+    // the scaling-curve argument behind dedup-before-train). The curve
+    // is evaluated at 20 equal-width doc-id checkpoints from a 1-row
+    // broadcast min/max (never a global rank window): each word
+    // collapses to its FIRST-occurrence doc (vocab-sized frame), each
+    // doc to its token count, and every cumulative point is a
+    // conditional sum against the 20-row checkpoint grid (constant
+    // ×20 fan-out). β is the grid OLS slope of ln V on ln T — round-9
+    // logs, DECIMAL moment sums, one double expression (q_regression's
+    // discipline on a 20-row frame). Model-fit query: needs a
+    // non-empty corpus (the BPE/LDA precondition class).
+    "q_heaps_law" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          size(filter(tokens(col("text")), (w: Column) => length(w) > 0))
+            .cast("long").as("n_tok"))
+      val firsts = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+      val edges = docs
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .select(explode(sequence(lit(1L), lit(20L))).as("cp"),
+          col("lo"), col("hi"))
+        .select(col("cp"),
+          expr("lo + ((hi - lo + 1) * cp) div 20 - 1").as("edge"))
+      val tok = docs.crossJoin(broadcast(edges))
+        .groupBy(col("cp"), col("edge"))
+        .agg(sum(when(col("doc_id") <= col("edge"), col("n_tok"))
+          .otherwise(0L)).as("cum_tokens"),
+          sum(when(col("doc_id") <= col("edge"), 1L).otherwise(0L))
+            .as("cum_docs"))
+      val voc = firsts.crossJoin(broadcast(edges))
+        .groupBy(col("cp"))
+        .agg(sum(when(col("first_doc") <= col("edge"), 1L).otherwise(0L))
+          .as("cum_vocab"))
+      val pts = tok.join(voc, Seq("cp"))
+        .withColumn("x", round(log(greatest(col("cum_tokens"), lit(1L))
+          .cast("double")), 9))
+        .withColumn("y", round(log(greatest(col("cum_vocab"), lit(1L))
+          .cast("double")), 9))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      def d24(c: Column) = c.cast(DecimalType(24, 9))
+      val n = count(lit(1)).over(wAll).cast("double")
+      val sx = sum(d24(col("x"))).over(wAll).cast("double")
+      val sy = sum(d24(col("y"))).over(wAll).cast("double")
+      val sxy = sum(d24(round(col("x") * col("y"), 9))).over(wAll)
+        .cast("double")
+      val sxx = sum(d24(round(col("x") * col("x"), 9))).over(wAll)
+        .cast("double")
+      pts
+        .withColumn("heaps_beta",
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6))
+        .select(col("cp"), col("edge"), col("cum_docs"), col("cum_tokens"),
+          col("cum_vocab"), col("heaps_beta"))
+        .orderBy(col("cp"))
+    }),
+
+    // Zipf rank–frequency fit (Zipf 1949): the OLS slope of ln f on
+    // ln rank over the top-100 vocabulary — the other classic corpus
+    // law (slope ≈ −1 for natural text; a flat slope flags synthetic
+    // or templated corpora, which is exactly what it measures here).
+    // Frequencies are one map-combinable count; ranks are a window
+    // over the VOCAB frame with the (freq desc, word) total order; the
+    // fit is the same round-9/DECIMAL grid OLS as q_heaps_law.
+    "q_zipf" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val freq = Tables(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val wr = Window.orderBy(col("f").desc, col("w"))
+      val top = freq
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 100)
+        .withColumn("x", round(log(col("rank").cast("double")), 9))
+        .withColumn("y", round(log(col("f").cast("double")), 9))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      def d24(c: Column) = c.cast(DecimalType(24, 9))
+      val n = count(lit(1)).over(wAll).cast("double")
+      val sx = sum(d24(col("x"))).over(wAll).cast("double")
+      val sy = sum(d24(col("y"))).over(wAll).cast("double")
+      val sxy = sum(d24(round(col("x") * col("y"), 9))).over(wAll)
+        .cast("double")
+      val sxx = sum(d24(round(col("x") * col("x"), 9))).over(wAll)
+        .cast("double")
+      top
+        .withColumn("zipf_slope",
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6))
+        .select(col("rank"), col("w").as("word"), col("f"),
+          col("zipf_slope"))
+        .orderBy(col("rank"))
     }),
 
     // Pairwise source vocabulary overlap — the corpus-mixture design
@@ -983,6 +1083,85 @@ object TextAnalytics extends graft.QueryPack {
         |b3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same checkpoints, first-occurrence frame, grid OLS
+    "q_heaps_law" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      w -> length(w) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |firsts AS (
+        |  SELECT w, MIN(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |rng AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM docs),
+        |edges AS (
+        |  SELECT CAST(cp AS BIGINT) AS cp,
+        |    lo + ((hi - lo + 1) * cp) // 20 - 1 AS edge
+        |  FROM (SELECT unnest(range(1, 21)) AS cp) c, rng),
+        |tok AS (
+        |  SELECT cp, edge,
+        |    CAST(SUM(CASE WHEN doc_id <= edge THEN n_tok ELSE 0 END)
+        |      AS BIGINT) AS cum_tokens,
+        |    CAST(SUM(CASE WHEN doc_id <= edge THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cum_docs
+        |  FROM docs, edges GROUP BY cp, edge),
+        |voc AS (
+        |  SELECT cp,
+        |    CAST(SUM(CASE WHEN first_doc <= edge THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cum_vocab
+        |  FROM firsts, edges GROUP BY cp),
+        |pts AS (
+        |  SELECT tok.cp, edge, cum_docs, cum_tokens, cum_vocab,
+        |    round(ln(CAST(greatest(cum_tokens, 1) AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(greatest(cum_vocab, 1) AS DOUBLE)), 9) AS y
+        |  FROM tok JOIN voc ON tok.cp = voc.cp),
+        |moms AS (
+        |  SELECT *,
+        |    CAST(COUNT(*) OVER () AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(24,9))) OVER () AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(24,9))) OVER () AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(24,9))) OVER ()
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(24,9))) OVER ()
+        |      AS DOUBLE) AS sxx
+        |  FROM pts)
+        |SELECT cp, edge, cum_docs, cum_tokens, cum_vocab,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    AS heaps_beta
+        |FROM moms ORDER BY cp""".stripMargin,
+
+    // vocab-frame ranks, same grid OLS
+    "q_zipf" ->
+      """WITH freq AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |ranked AS (
+        |  SELECT w, f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w)
+        |    AS BIGINT) AS rank
+        |  FROM freq),
+        |top AS (
+        |  SELECT *, round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(f AS DOUBLE)), 9) AS y
+        |  FROM ranked WHERE rank <= 100),
+        |moms AS (
+        |  SELECT *,
+        |    CAST(COUNT(*) OVER () AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(24,9))) OVER () AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(24,9))) OVER () AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(24,9))) OVER ()
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(24,9))) OVER ()
+        |      AS DOUBLE) AS sxx
+        |  FROM top)
+        |SELECT rank, w AS word, f,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    AS zipf_slope
+        |FROM moms ORDER BY rank""".stripMargin,
+
     // distinct vocab per source, word-keyed pair join, IE union
     "q_source_overlap" ->
       """WITH vocab AS (
