@@ -176,6 +176,107 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("kind"), col("score").desc, col("node"))
     }),
 
+    // Item-CF holdout evaluation — q_item_cf's quality gate (the
+    // q_ann_recall pattern applied to recommendations): train the
+    // same capped cosine top-5 on one disjoint order slice, then
+    // count how many recommended pairs are CONFIRMED by co-occurrence
+    // in a held-out slice. Precision of association recs against
+    // future baskets is the offline metric item-to-item deployments
+    // actually gate on. Same join shapes as the trained operator; the
+    // holdout check is one pair-keyed left join; output is the
+    // eval-summary grid (one row).
+    "q_cf_holdout" -> ((s, d) => {
+      val cap = sys.props.getOrElse("graft.cf.order.cap", "64").toInt
+      def baskets(residue: Int): DataFrame = Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") % 16 === residue)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val train = baskets(0)
+        .withColumn("osz", count(lit(1)).over(Window.partitionBy(col("ok"))))
+        .filter(col("osz") <= cap)
+        .select(col("ok"), col("pk"))
+      val deg = train.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val recs = train.as("a")
+        .join(train.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .groupBy(col("a.pk").as("item"), col("b.pk").as("rec"))
+        .agg(count(lit(1)).as("c_ij"))
+        .filter(col("c_ij") >= 2)
+        .join(deg.select(col("pk").as("item"), col("c").as("c_i")), Seq("item"))
+        .join(deg.select(col("pk").as("rec"), col("c").as("c_j")), Seq("rec"))
+        .withColumn("score", round(col("c_ij").cast("double") /
+          sqrt((col("c_i") * col("c_j")).cast("double")), 9))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("item"))
+          .orderBy(col("score").desc, col("rec"))))
+        .filter(col("rk") <= 5)
+        .select(col("item"), col("rec"))
+      val test = baskets(8)
+      val testPairs = test.as("a")
+        .join(test.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("item"), col("b.pk").as("rec"))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      recs.join(testPairs, Seq("item", "rec"), "left_outer")
+        .agg(countDistinct(col("item")).as("n_items"),
+          count(lit(1)).as("n_recs"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(col("n_items"), col("n_recs"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            nullif(col("n_recs"), lit(0L)).cast("double"), 6)
+            .as("precision"))
+    }),
+
+    // First-order Markov next-event predictor with a temporal holdout
+    // backtest — the sequence sibling of q_forecast_eval: train the
+    // argmax transition table on the first time half, score hit-rate
+    // on the second, against the majority-class baseline (a predictor
+    // that can't beat majority is noise — the go/no-go every
+    // sequence-model deployment runs first). Transition pairs come
+    // from the shared per-user (ts, event_id) window; the model is
+    // the transition GRID argmax'd via a (count desc, next) total
+    // order; evaluation is one broadcast join of the ≤|types|-row
+    // model onto test pairs; accuracies are round-6 ratios of exact
+    // counts.
+    "q_markov_eval" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val rng = pairs.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val halved = pairs.crossJoin(broadcast(rng))
+        .withColumn("is_train", col("us") * 2 <= col("lo") + col("hi"))
+      val grid = halved.filter(col("is_train"))
+        .groupBy(col("prev"), col("event_type").as("nxt"))
+        .agg(count(lit(1)).as("c"))
+      val wArg = Window.partitionBy(col("prev"))
+        .orderBy(col("c").desc, col("nxt"))
+      val model = grid.withColumn("rk", row_number().over(wArg))
+        .filter(col("rk") === 1).select(col("prev"), col("nxt").as("pred"))
+      val wMaj = Window.orderBy(col("c").desc, col("nxt"))
+      val majority = grid.groupBy(col("nxt")).agg(sum(col("c")).as("c"))
+        .withColumn("rk", row_number().over(wMaj))
+        .filter(col("rk") === 1).select(col("nxt").as("base_pred"))
+      halved.filter(!col("is_train"))
+        .join(broadcast(model), Seq("prev"), "left_outer")
+        .crossJoin(broadcast(majority))
+        .groupBy(col("prev"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("event_type") === col("pred"), 1L).otherwise(0L))
+            .as("n_hits"),
+          sum(when(col("event_type") === col("base_pred"), 1L)
+            .otherwise(0L)).as("n_base_hits"))
+        .select(col("prev"), col("n_test"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_test").cast("double"),
+            6).as("accuracy"),
+          round(col("n_base_hits").cast("double") /
+            col("n_test").cast("double"), 6).as("baseline_accuracy"))
+        .orderBy(col("prev"))
+    }),
+
     // Local clustering coefficient (Watts & Strogatz, Nature 1998):
     // 2·T(v)/(deg(v)·(deg(v)−1)) per node of the part co-occurrence
     // graph — how clique-like each part's neighborhood is, the
@@ -1596,6 +1697,84 @@ object Analytic extends graft.QueryPack {
   private val ZSCORE_MIN_N = 8
 
   def oracles: Map[String, String] = Map(
+    // same train slice, cap, floor and rank; holdout pair-join check
+    "q_cf_holdout" -> {
+      val cap = sys.props.getOrElse("graft.cf.order.cap", "64").toInt
+      s"""WITH tli AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey % 16 = 0),
+         |train AS (
+         |  SELECT ok, pk FROM (
+         |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS osz FROM tli)
+         |  WHERE osz <= $cap),
+         |deg AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM train GROUP BY pk),
+         |pairs AS (
+         |  SELECT a.pk AS item, b.pk AS rec, CAST(COUNT(*) AS BIGINT) AS c_ij
+         |  FROM train a JOIN train b ON a.ok = b.ok AND a.pk <> b.pk
+         |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+         |recs AS (
+         |  SELECT item, rec FROM (
+         |    SELECT item, rec,
+         |      ROW_NUMBER() OVER (PARTITION BY item ORDER BY
+         |        round(CAST(c_ij AS DOUBLE) / sqrt(CAST(di.c * dj.c
+         |          AS DOUBLE)), 9) DESC, rec) AS rk
+         |    FROM pairs JOIN deg di ON di.pk = item
+         |    JOIN deg dj ON dj.pk = rec) t
+         |  WHERE rk <= 5),
+         |test AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey % 16 = 8),
+         |tpairs AS (
+         |  SELECT DISTINCT a.pk AS item, b.pk AS rec
+         |  FROM test a JOIN test b ON a.ok = b.ok AND a.pk <> b.pk)
+         |SELECT CAST(COUNT(DISTINCT recs.item) AS BIGINT) AS n_items,
+         |  CAST(COUNT(*) AS BIGINT) AS n_recs,
+         |  CAST(COALESCE(SUM(CASE WHEN tpairs.item IS NOT NULL
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+         |  round(CAST(COALESCE(SUM(CASE WHEN tpairs.item IS NOT NULL
+         |    THEN 1 ELSE 0 END), 0) AS DOUBLE) /
+         |    CAST(NULLIF(COUNT(*), 0) AS DOUBLE), 6) AS precision
+         |FROM recs LEFT JOIN tpairs
+         |  ON recs.item = tpairs.item AND recs.rec = tpairs.rec"""
+        .stripMargin
+    },
+
+    // same halves, same argmax tie-break, same broadcast model join
+    "q_markov_eval" ->
+      """WITH pairs AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |valid AS (SELECT * FROM pairs WHERE prev IS NOT NULL),
+        |rng AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM valid),
+        |halved AS (
+        |  SELECT *, us * 2 <= lo + hi AS is_train FROM valid, rng),
+        |grid AS (
+        |  SELECT prev, event_type AS nxt, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM halved WHERE is_train GROUP BY prev, event_type),
+        |model AS (
+        |  SELECT prev, nxt AS pred FROM (
+        |    SELECT prev, nxt, ROW_NUMBER() OVER (PARTITION BY prev
+        |      ORDER BY c DESC, nxt) AS rk FROM grid) t
+        |  WHERE rk = 1),
+        |majority AS (
+        |  SELECT nxt AS base_pred FROM (
+        |    SELECT nxt, SUM(c) AS c FROM grid GROUP BY nxt) g
+        |  ORDER BY c DESC, nxt LIMIT 1)
+        |SELECT prev, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN event_type = pred THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  round(CAST(SUM(CASE WHEN event_type = pred THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+        |  round(CAST(SUM(CASE WHEN event_type = base_pred THEN 1 ELSE 0
+        |    END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS baseline_accuracy
+        |FROM halved LEFT JOIN model USING (prev), majority
+        |WHERE NOT is_train
+        |GROUP BY prev ORDER BY prev""".stripMargin,
+
     // the q_triangles orientation chain + degree join + one ratio
     "q_clustering_coeff" ->
       """WITH li AS (

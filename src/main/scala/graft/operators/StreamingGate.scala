@@ -382,6 +382,40 @@ object StreamingGate extends graft.QueryPack {
         .orderBy(col("item"))
     }),
 
+    // Streaming CUSUM changepoint monitor — q_cusum maintained
+    // incrementally, the NINTH oracle-gated streaming query and the
+    // second member of the monitors-run-on-streams family with
+    // q_stream_drift: the stream folds only (type, epoch-day) COUNTS
+    // into grid-sized state through the same batching-invariant
+    // foldBinCounts monoid; the drained statistic re-derives the whole
+    // exact-integer CUSUM (closed form, count×n_days units, 8·S >
+    // total flag) from state — so the output must hash-equal the
+    // batch q_cusum modulo the day encoding (epoch day number here;
+    // the oracle restates it). Day arithmetic is integer epoch-seconds
+    // division, not a calendar function, so both engines share one
+    // definition.
+    "q_stream_cusum" -> ((s, d) => {
+      val state = freshDir("q_stream_cusum") + "/st"
+      val stream = EventsStream.replay(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("bin"))
+      drain(s, stream, "append")(foldBinCounts(state))
+      val daily = s.read.parquet(state)
+        .select(col("event_type"), col("bin").as("day_no"),
+          col("n").as("x"))
+      val wt = Window.partitionBy(col("event_type"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("day_no"))
+      daily
+        .withColumn("tx", sum(col("x")).over(wt))
+        .withColumn("nd", count(lit(1)).over(wt))
+        .withColumn("cdev", sum(col("x") * col("nd") - col("tx")).over(wc))
+        .withColumn("s_units",
+          col("cdev") - least(lit(0L), min(col("cdev")).over(wc)))
+        .select(col("event_type"), col("day_no"), col("x").as("n_events"),
+          col("s_units"), (col("s_units") * 8 > col("tx")).as("drift_flag"))
+        .orderBy(col("event_type"), col("day_no"))
+    }),
+
     // Streaming drift monitor — the q_psi_drift statistic maintained
     // INCREMENTALLY: monitor setup (a batch step, as in any deployed
     // monitor) fixes the bin edges, the time midpoint and the
@@ -442,6 +476,32 @@ object StreamingGate extends graft.QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // the drained day-count state re-derives the exact-integer CUSUM:
+    // q_cusum's oracle with the epoch-day encoding
+    "q_stream_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT *,
+        |    SUM(x) OVER (PARTITION BY event_type) AS tx,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM daily),
+        |c AS (
+        |  SELECT *, SUM(x * nd - tx) OVER (PARTITION BY event_type
+        |    ORDER BY day_no) AS cdev
+        |  FROM tot),
+        |s AS (
+        |  SELECT *, cdev - least(0, MIN(cdev) OVER (PARTITION BY event_type
+        |    ORDER BY day_no)) AS s_units
+        |  FROM c)
+        |SELECT event_type, day_no, x AS n_events,
+        |  CAST(s_units AS BIGINT) AS s_units,
+        |  s_units * 8 > tx AS drift_flag
+        |FROM s ORDER BY event_type, day_no""".stripMargin,
+
     // the drained incremental PSI state must equal the one-pass batch
     // PSI — q_psi_drift's oracle verbatim (same halves, same floor)
     "q_stream_drift" ->

@@ -104,6 +104,20 @@ class DiscoverySpec extends AnyFunSuite {
       "drift threshold must discriminate on testdata")
   }
 
+  test("q_stream_cusum: drained state re-derives the batch CUSUM exactly") {
+    val batch = run("q_cusum").map(r =>
+      (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+    val streamed =
+      try graft.operators.StreamingGate
+        .queries("q_stream_cusum")(spark, TestSpark.sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSet
+      finally TestSpark.housekeeping()
+    assert(streamed == batch,
+      "incremental fold + closed form must equal the batch statistic")
+  }
+
   test("q_ind_discovery reports vacuous containment on empty tables") {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty-ind")
       .toFile.getAbsolutePath

@@ -55,6 +55,45 @@ class PlanningSpec extends AnyFunSuite {
     }
   }
 
+  test("q_markov_eval: grid covers the types, ratios restate the counts") {
+    val rows =
+      try graft.operators.Analytic.queries("q_markov_eval")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, h) = (r.getLong(1), r.getLong(2))
+      assert(h <= n && n > 0)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == r6(h.toDouble / n.toDouble))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // on uniform synthetic transitions the learned predictor sits at
+    // the 1/|types| noise floor — it must not silently do better or
+    // worse than chance by a wide margin (that would mean a leak or a
+    // join bug, not signal)
+    val accs = rows.map(_.getDouble(3))
+    assert(accs.forall(a => a > 0.1 && a < 0.35), accs.mkString(","))
+  }
+
+  test("q_cf_holdout: precision restates confirmed-rec counts") {
+    val rows =
+      try graft.operators.Analytic.queries("q_cf_holdout")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (items, recs, hits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(hits <= recs)
+    assert(recs <= items * 5, "top-5 cap violated")
+    if (recs > 0) {
+      val expect = BigDecimal(hits.toDouble / recs.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expect)
+    }
+  }
+
   test("q_compaction_plan: disjoint ordered ranges, conservation") {
     // columns: source, bin, n_files, bytes, first_doc, last_doc, fill
     val rows =
