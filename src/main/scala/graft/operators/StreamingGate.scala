@@ -103,6 +103,23 @@ object StreamingGate extends graft.QueryPack {
     * StatefulStreamingSpec). State stays grid-sized (types × bins)
     * at any stream length; the staged-swap tail is the single-writer
     * harness convention the other streaming sinks share. */
+  /** Read a foldBinCounts state dir, or the schema-correct empty frame
+    * when the stream never delivered a batch (empty-input totality:
+    * a monitor on an empty day reports nothing, it does not throw). */
+  private def readBinState(s: SparkSession, state: String,
+      binName: String): DataFrame =
+    if (new java.io.File(state).exists())
+      s.read.parquet(state)
+        .select(col("event_type"), col("bin").as(binName), col("n"))
+    else s.createDataFrame(new java.util.ArrayList[Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(binName,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+
   def foldBinCounts(state: String)(batch: DataFrame, id: Long): Unit = {
     val bc = batch.groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"))
@@ -400,9 +417,8 @@ object StreamingGate extends graft.QueryPack {
         .select(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("bin"))
       drain(s, stream, "append")(foldBinCounts(state))
-      val daily = s.read.parquet(state)
-        .select(col("event_type"), col("bin").as("day_no"),
-          col("n").as("x"))
+      val daily = readBinState(s, state, "day_no")
+        .withColumnRenamed("n", "x")
       val wt = Window.partitionBy(col("event_type"))
       val wc = Window.partitionBy(col("event_type")).orderBy(col("day_no"))
       daily
@@ -438,6 +454,12 @@ object StreamingGate extends graft.QueryPack {
         unix_micros(col("ts")).as("us"), v.as("v"))
       val rng = ev.agg(min(col("us")), max(col("us")),
         min(col("v")), max(col("v"))).collect()(0)
+      if (rng.isNullAt(0)) {
+        // empty-input totality: nothing to monitor on an empty table
+        ev.select(col("event_type"), lit(0L).as("bin"),
+          lit(0L).as("n_ref"), lit(0L).as("n_cur"),
+          lit(0.0).as("contrib"), lit(0.0).as("psi")).limit(0)
+      } else {
       val (loUs, hiUs) = (rng.getLong(0), rng.getLong(1))
       val (loV, hiV) = (rng.getDouble(2), rng.getDouble(3))
       val bin = least(lit(9L),
@@ -453,8 +475,8 @@ object StreamingGate extends graft.QueryPack {
         .withColumn("bin", bin)
         .select(col("event_type"), col("bin"))
       drain(s, stream, "append")(foldBinCounts(state))
-      val cur = s.read.parquet(state)
-        .select(col("event_type"), col("bin"), col("n").as("n_cur"))
+      val cur = readBinState(s, state, "bin")
+        .withColumnRenamed("n", "n_cur")
       val cells = ref.join(cur, Seq("event_type", "bin"), "full_outer")
         .select(col("event_type"), col("bin"),
           coalesce(col("n_ref"), lit(0L)).as("n_ref"),
@@ -472,6 +494,7 @@ object StreamingGate extends graft.QueryPack {
         .select(col("event_type"), col("bin"), col("n_ref"), col("n_cur"),
           col("contrib"), col("psi"))
         .orderBy(col("event_type"), col("bin"))
+      }
     })
   )
 

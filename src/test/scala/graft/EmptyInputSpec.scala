@@ -47,7 +47,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_stratified_sample", "q_interval_union_len", "q_zorder_layout",
     "q_scd2", "q_pivot", "q_setops", "q_gap_fill", "q_asof_join",
     "q_range_join", "q_cohort_retention", "q_rollup",
-    "q_grouping_sets", "q_cube", "q_fd_discovery", "q_benford", "q_cusum")
+    "q_grouping_sets", "q_cube", "q_fd_discovery", "q_benford", "q_cusum",
+    "q_gini", "q_spearman", "q_source_overlap", "q_clustering_coeff",
+    "q_item_cf", "q_markov_eval", "q_kaplan_meier", "q_feature_hash",
+    "q_compaction_plan", "q_stream_cusum", "q_stream_drift", "q_zipf")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {
