@@ -144,6 +144,11 @@ object Analytic extends graft.QueryPack {
         // nested-loop replays by round 2 (the exponential-lineage
         // lesson of the other iterative loops; a cluster deployment
         // checkpoints to reliable storage instead).
+        // every frame here has TWO consumers (the sum frames feed
+        // their own max + the normalize; auth/hub feed the next
+        // half-step + the final top-k), so each checkpoints — the
+        // 2-checkpoint variant re-expanded the normalize subtrees and
+        // measured 45% SLOWER (5.76 s vs 3.97 s at sf0.1)
         val ar = edges.join(hub, Seq("c"))
           .groupBy(col("sp"))
           .agg(sum(col("h")).cast(DecimalType(38, 0)).as("ar"))
