@@ -73,7 +73,24 @@ class DeterminismSpec extends AnyFunSuite {
     // emission is per-pair arithmetic, no layout term)
     "q_sssp", "q_random_walks", "q_ewma", "q_psi_drift",
     "q_zscore_anomaly", "q_setsim_prefix",
-    "q_simhash_hamming").foreach { name =>
+    "q_simhash_hamming",
+    // r7: q_fd_discovery / q_benford (grid aggregations of exact
+    // counts + round-9/DECIMAL derived stats), q_cusum (closed-form
+    // integer windows), q_kaplan_meier (cumulative DECIMAL ln sums —
+    // a float running product would drift across layouts),
+    // q_bootstrap_ci / q_permutation_test (md5 replicate weights are
+    // pure row functions; the ORDER STATISTICS over them must be
+    // layout-free), q_hits (fixed-point integer normalize — the
+    // pagerank rationale), q_item_cf (cosine ranks over exact counts),
+    // q_gini / q_spearman (total-order ranks: any layout dependence
+    // means the rank tie-break leaked), q_dp_counts (cell-keyed noise
+    // must reproduce exactly), q_heaps_law (checkpoint grid OLS over
+    // DECIMAL moment sums), q_ann_recall (nested prefix candidate
+    // sets + window ranks)
+    "q_fd_discovery", "q_benford", "q_cusum", "q_kaplan_meier",
+    "q_bootstrap_ci", "q_permutation_test", "q_hits", "q_item_cf",
+    "q_gini", "q_spearman", "q_dp_counts", "q_heaps_law",
+    "q_ann_recall").foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
     }
