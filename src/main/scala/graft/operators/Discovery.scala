@@ -161,6 +161,37 @@ object Discovery extends graft.QueryPack {
         .orderBy(col("col_name"), col("digit"))
     }),
 
+    // Group-mean imputation with full audit — the repair step after
+    // the audits find holes: rows with a missing metric get their
+    // event-type's mean from the OBSERVED rows, and every fill is
+    // flagged (silently imputed data is how training sets rot).
+    // Missingness is derived deterministically (event_id % 7 — the
+    // testdata ships complete, so the hole pattern is part of the
+    // operator definition, restated in the oracle). One map-combinable
+    // (type, observed-sum, observed-count) pass builds the ≤|types|
+    // imputation table; the fill is a broadcast join + projection;
+    // means are round-6 ratios of exact cent sums, and filled values
+    // stay exact cents for observed rows.
+    "q_impute" -> ((s, d) => {
+      val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+      val base = Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), cents.as("cents"))
+        .withColumn("missing", col("event_id") % 7 === 0)
+      val means = base.filter(!col("missing"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("cents")).as("sc"), count(lit(1)).as("nc"))
+        .select(col("event_type"),
+          round(col("sc").cast("double") / (col("nc") * 100).cast("double"),
+            6).as("fill"))
+      base.join(broadcast(means), Seq("event_type"), "left_outer")
+        .select(col("event_id"), col("event_type"),
+          col("missing").as("was_missing"),
+          when(col("missing"), col("fill"))
+            .otherwise(round(col("cents").cast("double") / 100.0, 6))
+            .as("value_filled"))
+        .orderBy(col("event_id"))
+    }),
+
     // CUSUM changepoint statistic (Page, Biometrika 1954) per event
     // type over the daily event-count series — "has this metric's level
     // drifted upward, and since when" — complementing q_zscore_anomaly
@@ -296,6 +327,24 @@ object Discovery extends graft.QueryPack {
         |  CAST(SUM(CAST(chi2_term AS DECIMAL(24,9)))
         |    OVER (PARTITION BY col_name) AS DOUBLE) AS chi2_col
         |FROM chi ORDER BY col_name, digit""".stripMargin,
+
+    "q_impute" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    event_id % 7 = 0 AS missing
+        |  FROM events),
+        |means AS (
+        |  SELECT event_type,
+        |    round(CAST(SUM(cents) AS DOUBLE) /
+        |      CAST(COUNT(*) * 100 AS DOUBLE), 6) AS fill
+        |  FROM base WHERE NOT missing GROUP BY event_type)
+        |SELECT event_id, base.event_type, missing AS was_missing,
+        |  CASE WHEN missing THEN fill
+        |       ELSE round(CAST(cents AS DOUBLE) / 100.0, 6) END
+        |    AS value_filled
+        |FROM base LEFT JOIN means ON base.event_type = means.event_type
+        |ORDER BY event_id""".stripMargin,
 
     "q_cusum" ->
       """WITH daily AS (

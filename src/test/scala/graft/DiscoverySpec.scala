@@ -104,6 +104,26 @@ class DiscoverySpec extends AnyFunSuite {
       "drift threshold must discriminate on testdata")
   }
 
+  test("q_impute: observed rows untouched, holes get their group mean") {
+    val rows = run("q_impute")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(0) % 7 == 0), "flag rule")
+      assert(!r.isNullAt(3), "every type has observed rows to fill from")
+    }
+    val (miss, obs) = rows.partition(_.getBoolean(2))
+    assert(miss.nonEmpty && obs.nonEmpty)
+    // every missing row of a type carries ONE value: the observed mean
+    miss.groupBy(_.getString(1)).foreach { case (t, g) =>
+      assert(g.map(_.getDouble(3)).distinct.length == 1, t)
+      val om = obs.filter(_.getString(1) == t).map(_.getDouble(3))
+      val mean = BigDecimal(om.map(BigDecimal(_)).sum.toDouble / om.length)
+      // group mean of the (already round-6) observed values agrees to
+      // rounding noise with the exact-cents fill
+      assert(math.abs(g.head.getDouble(3) - mean.toDouble) < 1e-3, t)
+    }
+  }
+
   test("q_stream_cusum: drained state re-derives the batch CUSUM exactly") {
     val batch = run("q_cusum").map(r =>
       (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,

@@ -50,7 +50,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_grouping_sets", "q_cube", "q_fd_discovery", "q_benford", "q_cusum",
     "q_gini", "q_spearman", "q_source_overlap", "q_clustering_coeff",
     "q_item_cf", "q_markov_eval", "q_kaplan_meier", "q_feature_hash",
-    "q_compaction_plan", "q_stream_cusum", "q_stream_drift", "q_zipf")
+    "q_compaction_plan", "q_stream_cusum", "q_stream_drift", "q_zipf",
+    "q_impute")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {
