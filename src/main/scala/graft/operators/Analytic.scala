@@ -181,6 +181,45 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("kind"), col("score").desc, col("node"))
     }),
 
+    // Autocorrelation function of the hourly event-count series, per
+    // event type at lags 1..24 — the seasonality diagnostic that
+    // decides q_forecast_eval's h−24 shift (a daily cycle shows as an
+    // ACF peak at 24; white noise sits at 0). The corpus collapses to
+    // the (type, hour) grid in one pass; lagged pairs come from a grid
+    // self EQUI-join on hour+k (the forecast-eval rationale: a window
+    // lag would slide across missing hours), with the 24 lags a
+    // constant explode on the probe side. Deviations are exact
+    // integers in count×n_hours units (the q_cusum device — no mean
+    // division), so numerator and variance are exact BIGINT sums and
+    // ACF is one round-9 ratio.
+    "q_acf" -> ((s, d) => {
+      val hourly = Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("x"))
+      val wt = Window.partitionBy(col("event_type"))
+      val devs = hourly
+        .withColumn("tx", sum(col("x")).over(wt))
+        .withColumn("nh", count(lit(1)).over(wt))
+        .withColumn("dev", col("x") * col("nh") - col("tx"))
+        .select(col("event_type"), col("hr"), col("dev"))
+      val denom = devs.groupBy(col("event_type"))
+        .agg(sum(col("dev") * col("dev")).as("num0"))
+      val probes = devs
+        .withColumn("lag", explode(sequence(lit(1L), lit(24L))))
+        .select(col("event_type"), (col("hr") + col("lag")).as("hr"),
+          col("lag"), col("dev").as("dev0"))
+      probes.join(devs, Seq("event_type", "hr"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dev0") * col("dev")).as("numk"))
+        .join(denom, Seq("event_type"))
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          round(col("numk").cast("double") / col("num0").cast("double"), 9)
+            .as("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
     // Item-CF holdout evaluation — q_item_cf's quality gate (the
     // q_ann_recall pattern applied to recommendations): train the
     // same capped cosine top-5 on one disjoint order slice, then
@@ -1702,6 +1741,37 @@ object Analytic extends graft.QueryPack {
   private val ZSCORE_MIN_N = 8
 
   def oracles: Map[String, String] = Map(
+    // same hour grid, lag equi-join, exact integer deviations
+    "q_acf" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |devs AS (
+        |  SELECT event_type, hr,
+        |    x * COUNT(*) OVER (PARTITION BY event_type) -
+        |      SUM(x) OVER (PARTITION BY event_type) AS dev
+        |  FROM hourly),
+        |denom AS (
+        |  SELECT event_type, CAST(SUM(dev * dev) AS BIGINT) AS num0
+        |  FROM devs GROUP BY event_type),
+        |probes AS (
+        |  SELECT event_type, hr + lag AS hr, CAST(lag AS BIGINT) AS lag,
+        |    dev AS dev0
+        |  FROM devs, (SELECT unnest(range(1, 25)) AS lag) l),
+        |pairs AS (
+        |  SELECT p.event_type, p.lag,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(p.dev0 * d.dev) AS BIGINT) AS numk
+        |  FROM probes p JOIN devs d
+        |    ON p.event_type = d.event_type AND p.hr = d.hr
+        |  GROUP BY p.event_type, p.lag)
+        |SELECT pairs.event_type AS event_type, lag, n_pairs,
+        |  round(CAST(numk AS DOUBLE) / CAST(num0 AS DOUBLE), 9) AS acf
+        |FROM pairs JOIN denom ON pairs.event_type = denom.event_type
+        |ORDER BY pairs.event_type, lag""".stripMargin,
+
     // same train slice, cap, floor and rank; holdout pair-join check
     "q_cf_holdout" -> {
       val cap = sys.props.getOrElse("graft.cf.order.cap", "64").toInt

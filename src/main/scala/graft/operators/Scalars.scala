@@ -50,6 +50,52 @@ object Scalars extends graft.QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Point-in-polygon geofencing — the other spatial primitive next
+    // to q_geo_knn's nearest-neighbor join: which customers fall in
+    // which CONVEX fence. Convexity makes the test EXACT INTEGER
+    // arithmetic: a point is inside a CCW polygon iff every edge's
+    // cross product (x2−x1)(py−y1) − (y2−y1)(px−x1) is ≥ 0 — no ray
+    // casting division, no float epsilon, engine-identical by
+    // construction. The fence set is a broadcast literal edge table
+    // (constant ×|edges| fan-out per point — the geo_knn probe
+    // pattern), membership is one (point, fence) min-cross
+    // aggregation, and the output is the fence summary grid.
+    // Coordinates are the same integer key derivation the geo family
+    // shares (restated in the oracle).
+    "q_geo_fence" -> ((s, d) => {
+      // CCW convex fences as (fence, x1, y1, x2, y2) edge rows
+      val fences = Seq(
+        ("tri_equator", Seq((0L, 0L), (60L, 0L), (30L, 50L))),
+        ("w_square", Seq((-150L, -75L), (-100L, -75L), (-100L, -25L),
+          (-150L, -25L))),
+        ("ne_square", Seq((100L, 10L), (160L, 10L), (160L, 70L),
+          (100L, 70L))))
+      val edges = fences.flatMap { case (f, vs) =>
+        vs.zip(vs.tail :+ vs.head).map { case ((x1, y1), (x2, y2)) =>
+          (f, x1, y1, x2, y2)
+        }
+      }
+      val edgeDf = s.createDataFrame(edges)
+        .toDF("fence", "x1", "y1", "x2", "y2")
+      val pts = Tables(s, d, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 350 - 175).as("px"),
+        (col("c_custkey") % 170 - 85).as("py"))
+      pts.crossJoin(broadcast(edgeDf))
+        .withColumn("cross",
+          (col("x2") - col("x1")) * (col("py") - col("y1")) -
+            (col("y2") - col("y1")) * (col("px") - col("x1")))
+        .groupBy(col("fence"), col("c_custkey"))
+        .agg(min(col("cross")).as("mincross"))
+        .groupBy(col("fence"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(col("mincross") >= 0, 1L).otherwise(0L)).as("n_inside"),
+          sum(when(col("mincross") === 0, 1L).otherwise(0L))
+            .as("n_boundary"))
+        .withColumn("share", round(col("n_inside").cast("double") /
+          col("n_points").cast("double"), 6))
+        .orderBy(col("fence"))
+    }),
+
     // §2.7 string/date/number builtins in one projection.
     "q_scalar_funcs" -> ((s, d) => {
       Tables(s, d, "orders").select(
@@ -276,6 +322,37 @@ object Scalars extends graft.QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // same CCW edges, same integer cross-product membership
+    "q_geo_fence" ->
+      """WITH edges(fence, x1, y1, x2, y2) AS (VALUES
+        |  ('tri_equator', 0, 0, 60, 0),
+        |  ('tri_equator', 60, 0, 30, 50),
+        |  ('tri_equator', 30, 50, 0, 0),
+        |  ('w_square', -150, -75, -100, -75),
+        |  ('w_square', -100, -75, -100, -25),
+        |  ('w_square', -100, -25, -150, -25),
+        |  ('w_square', -150, -25, -150, -75),
+        |  ('ne_square', 100, 10, 160, 10),
+        |  ('ne_square', 160, 10, 160, 70),
+        |  ('ne_square', 160, 70, 100, 70),
+        |  ('ne_square', 100, 70, 100, 10)),
+        |pts AS (
+        |  SELECT c_custkey, c_custkey % 350 - 175 AS px,
+        |    c_custkey % 170 - 85 AS py
+        |  FROM customer),
+        |membership AS (
+        |  SELECT fence, c_custkey,
+        |    MIN((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) AS mincross
+        |  FROM pts, edges GROUP BY fence, c_custkey)
+        |SELECT fence, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(CASE WHEN mincross >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inside,
+        |  CAST(SUM(CASE WHEN mincross = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boundary,
+        |  round(CAST(SUM(CASE WHEN mincross >= 0 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS share
+        |FROM membership GROUP BY fence ORDER BY fence""".stripMargin,
+
     "q_selector_fallback" ->
       """WITH h AS (
         |  SELECT c_custkey,

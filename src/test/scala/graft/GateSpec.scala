@@ -533,6 +533,56 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_acf: full lag grid, bounded coefficients, shrinking pairs") {
+    val rows = graft.operators.Analytic
+      .queries("q_acf")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (t, g) =>
+      val byLag = g.sortBy(_.getLong(1))
+      assert(byLag.map(_.getLong(1)).toSeq == (1L to 24L), t)
+      byLag.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9,
+        s"$t lag ${r.getLong(1)}: ${r.getDouble(3)}"))
+      // pairs come from the hour equi-join, never more than the grid
+      // minus the lag (sparse small-SF grids have gaps, so pair
+      // counts need not be monotone in the lag)
+      byLag.foreach(r => assert(r.getLong(2) > 0, t))
+    }
+  }
+
+  test("q_geo_fence: membership equals a brute-force point test") {
+    val rows = graft.operators.Scalars
+      .queries("q_geo_fence")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("ne_square", "tri_equator", "w_square"))
+    val keys = Tables(spark, TestSpark.sf, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey"))
+      .collect().map(_.getLong(0))
+    TestSpark.housekeeping()
+    val fences = Map(
+      "tri_equator" -> Seq((0L, 0L), (60L, 0L), (30L, 50L)),
+      "w_square" -> Seq((-150L, -75L), (-100L, -75L), (-100L, -25L),
+        (-150L, -25L)),
+      "ne_square" -> Seq((100L, 10L), (160L, 10L), (160L, 70L),
+        (100L, 70L)))
+    rows.foreach { r =>
+      val vs = fences(r.getString(0))
+      val inside = keys.count { k =>
+        val (px, py) = (k % 350 - 175, k % 170 - 85)
+        vs.zip(vs.tail :+ vs.head).forall { case ((x1, y1), (x2, y2)) =>
+          (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0
+        }
+      }
+      assert(r.getLong(2) == inside, r.getString(0))
+      assert(r.getLong(1) == keys.length)
+      assert(r.getLong(3) <= r.getLong(2), "boundary points are inside")
+    }
+    // the fences must actually catch points — not a vacuous filter
+    assert(rows.map(_.getLong(2)).sum > 0)
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
   test("q_gini: bounded, exclusions counted, brute-force agreement") {
     val rows = graft.operators.Analytic
       .queries("q_gini")(spark, TestSpark.sf).collect()
