@@ -635,6 +635,46 @@ object Extras extends graft.QueryPack {
     // rescan by the oracle — THE IVM contract: merge(partials) ≡
     // aggregate(all raw), which holds because count/sum are
     // commutative monoids over exact types.
+    // Right-to-erasure view maintenance — q_incremental_agg's INVERSE
+    // direction: when a user cohort must be purged (GDPR erasure), the
+    // materialized aggregates are maintained by SUBTRACTING the erased
+    // cohort's partial from the base partial — touching only the
+    // erased rows — instead of rescanning the surviving corpus. The
+    // (count, exact DECIMAL sum) monoid is a GROUP, so the decrement
+    // is exact, and the oracle states the compliance contract
+    // directly: maintained ≡ rescan(survivors), bit for bit, with the
+    // match emitted as a constant-true column the hash check pins. At
+    // 100 TB the erased cohort is keys × rows-per-key, a sliver of
+    // the corpus — the difference between a purge that takes minutes
+    // and one that rescans everything.
+    "q_erasure_maintenance" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("event_type"), col("user_id"), dec(col("value")).as("y"))
+      val erased = col("user_id") % 97 === 0
+      def partial(f: org.apache.spark.sql.Column) = ev.filter(f)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      val base = partial(lit(true))
+      val del = partial(erased)
+      val maintained = base
+        .join(del.select(col("event_type"), col("n").as("dn"),
+          col("s").as("ds")), Seq("event_type"), "left_outer")
+        .select(col("event_type"),
+          (col("n") - coalesce(col("dn"), lit(0L))).as("n_maintained"),
+          (col("s") - coalesce(col("ds"), col("s") - col("s")))
+            .as("s_maintained"),
+          coalesce(col("dn"), lit(0L)).as("n_erased"))
+      val rescan = partial(!erased)
+        .select(col("event_type"), col("n").as("n_rescan"),
+          col("s").as("s_rescan"))
+      maintained.join(rescan, Seq("event_type"))
+        .select(col("event_type"), col("n_erased"), col("n_maintained"),
+          col("s_maintained").cast("double").as("total_maintained"),
+          (col("n_maintained") === col("n_rescan") &&
+            col("s_maintained") === col("s_rescan")).as("matches_rescan"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_incremental_agg" -> ((s, d) => {
       val ev = Tables(s, d, "events")
         .select(col("event_type"), dec(col("value")).as("y"),
@@ -713,6 +753,36 @@ object Extras extends graft.QueryPack {
     .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    // decrement path and rescan path both stated; match pinned true
+    "q_erasure_maintenance" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    CAST(value AS DECIMAL(12,2)) AS y
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS s
+        |  FROM ev GROUP BY event_type),
+        |del AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS dn, SUM(y) AS ds
+        |  FROM ev WHERE user_id % 97 = 0 GROUP BY event_type),
+        |maintained AS (
+        |  SELECT base.event_type,
+        |    base.n - COALESCE(dn, 0) AS n_maintained,
+        |    base.s - COALESCE(ds, base.s - base.s) AS s_maintained,
+        |    COALESCE(dn, 0) AS n_erased
+        |  FROM base LEFT JOIN del ON base.event_type = del.event_type),
+        |rescan AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rescan,
+        |    SUM(y) AS s_rescan
+        |  FROM ev WHERE NOT user_id % 97 = 0 GROUP BY event_type)
+        |SELECT m.event_type, CAST(n_erased AS BIGINT) AS n_erased,
+        |  CAST(n_maintained AS BIGINT) AS n_maintained,
+        |  CAST(s_maintained AS DOUBLE) AS total_maintained,
+        |  n_maintained = n_rescan AND s_maintained = s_rescan
+        |    AS matches_rescan
+        |FROM maintained m JOIN rescan r ON m.event_type = r.event_type
+        |ORDER BY m.event_type""".stripMargin,
+
     // Laplace inverse CDF over the same cell-keyed md5 uniform
     "q_dp_counts" ->
       """WITH cells AS (

@@ -533,6 +533,23 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_erasure_maintenance: decrement conserves and really erases") {
+    val rows = graft.operators.Extras
+      .queries("q_erasure_maintenance")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.nonEmpty)
+    val byType = Tables(spark, TestSpark.sf, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    TestSpark.housekeeping()
+    rows.foreach { r =>
+      assert(r.getBoolean(4), "maintained must equal the rescan")
+      assert(r.getLong(1) > 0, "the erasure cohort must be non-empty")
+      assert(r.getLong(1) + r.getLong(2) == byType(r.getString(0)),
+        s"${r.getString(0)} conservation")
+    }
+  }
+
   test("q_acf: full lag grid, bounded coefficients, shrinking pairs") {
     val rows = graft.operators.Analytic
       .queries("q_acf")(spark, TestSpark.sf).collect()
