@@ -181,6 +181,36 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("kind"), col("score").desc, col("node"))
     }),
 
+    // Degree assortativity (Newman, PRL 2002) of the part
+    // co-occurrence graph — do high-degree parts co-occur with other
+    // high-degree parts (assortative, r > 0) or with niche ones
+    // (disassortative, r < 0)? Completes the graph-structure trio
+    // with q_triangles and q_clustering_coeff. The statistic is the
+    // Pearson correlation of endpoint degrees over the SYMMETRIZED
+    // edge list; symmetry collapses the formula to
+    // (n·Σxy − (Σx)²)/(n·Σxx − (Σx)²) with every moment an exact
+    // BIGINT sum over edge-keyed joins (degrees are BIGINT counts),
+    // and one final round-9 double — no float accumulation anywhere.
+    "q_assortativity" -> ((s, d) => {
+      val g = partGraph(s, d).persist()
+      val deg = g.select(col("u").as("n")).unionAll(g.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val sym = g.unionAll(g.select(col("v").as("u"), col("u").as("v")))
+      val pairs = sym
+        .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      val m = pairs.agg(
+        count(lit(1)).as("n"),
+        sum(col("du")).as("sx"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"))
+      m.select(col("n").as("n_directed_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sx"))
+          .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          9).as("assortativity"))
+    }),
+
     // Autocorrelation function of the hourly event-count series, per
     // event type at lags 1..24 — the seasonality diagnostic that
     // decides q_forecast_eval's h−24 shift (a daily cycle shows as an
@@ -1741,6 +1771,35 @@ object Analytic extends graft.QueryPack {
   private val ZSCORE_MIN_N = 8
 
   def oracles: Map[String, String] = Map(
+    // same symmetrized edge moments, same collapsed Pearson form
+    "q_assortativity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 8 = 0),
+        |raw AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT n, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        |    SELECT u AS n FROM raw UNION ALL SELECT v FROM raw) t
+        |  GROUP BY n),
+        |sym AS (
+        |  SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
+        |pairs AS (
+        |  SELECT du.dg AS du, dv.dg AS dv
+        |  FROM sym JOIN deg du ON sym.u = du.n
+        |  JOIN deg dv ON sym.v = dv.n),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(du) AS BIGINT) AS sx,
+        |    CAST(SUM(du * dv) AS BIGINT) AS sxy,
+        |    CAST(SUM(du * du) AS BIGINT) AS sxx
+        |  FROM pairs)
+        |SELECT n AS n_directed_edges,
+        |  round(CAST(n * sxy - sx * sx AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE), 9) AS assortativity
+        |FROM m""".stripMargin,
+
     // same hour grid, lag equi-join, exact integer deviations
     "q_acf" ->
       """WITH hourly AS (

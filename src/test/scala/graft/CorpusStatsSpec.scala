@@ -32,6 +32,39 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rows.head.getDouble(3) > 0.0)
   }
 
+  test("q_assortativity: bounded correlation, brute-force agreement") {
+    val rows = graft.operators.Analytic
+      .queries("q_assortativity")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.length == 1)
+    val r = rows.head.getDouble(1)
+    assert(math.abs(r) <= 1.0 + 1e-9)
+    // independent recompute from the same 8x-thinned co-occurrence
+    // edges, plain double Pearson on symmetrized endpoint degrees
+    import org.apache.spark.sql.functions.{col => C}
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+      .filter(C("l_orderkey") % 8 === 0)
+      .select(C("l_orderkey"), C("l_partkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    TestSpark.housekeeping()
+    val edges = (for {
+      (o1, p1) <- li; (o2, p2) <- li
+      if o1 == o2 && p1 < p2
+    } yield (p1, p2)).distinct
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val sym = edges ++ edges.map(e => (e._2, e._1))
+    val xs = sym.map(e => deg(e._1)); val ys = sym.map(e => deg(e._2))
+    val n = sym.length.toLong
+    val sx = xs.sum; val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(x => x * x).sum
+    val expect = BigDecimal((n * sxy - sx * sx).toDouble /
+      (n * sxx - sx * sx).toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == expect, s"$r vs $expect")
+    assert(rows.head.getLong(0) == n)
+  }
+
   test("q_heaps_law: monotone growth, full coverage, sublinear beta") {
     val rows = graft.operators.TextAnalytics
       .queries("q_heaps_law")(spark, TestSpark.sf).collect()
