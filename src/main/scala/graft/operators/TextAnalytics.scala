@@ -200,10 +200,14 @@ object TextAnalytics extends graft.QueryPack {
         .select(explode(tokens(col("text"))).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      // top-100 FIRST (TakeOrderedAndProject — per-partition partial
+      // top-k, 100 rows to the driver side of the exchange), THEN the
+      // rank window over the 100-row frame: ranking the whole
+      // vocabulary through a single-partition window would funnel a
+      // web-scale vocab through one task for 100 output rows
       val wr = Window.orderBy(col("f").desc, col("w"))
-      val top = freq
+      val top = freq.orderBy(col("f").desc, col("w")).limit(100)
         .withColumn("rank", row_number().over(wr).cast("long"))
-        .filter(col("rank") <= 100)
         .withColumn("x", round(log(col("rank").cast("double")), 9))
         .withColumn("y", round(log(col("f").cast("double")), 9))
       val wAll = Window.rowsBetween(
