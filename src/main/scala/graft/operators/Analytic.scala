@@ -50,6 +50,38 @@ object Analytic extends graft.QueryPack {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Megabasket suppression: drop baskets larger than the cap BEFORE
+    * any pair self-join (a B-part basket emits B² pairs). Shared by
+    * both CF call sites so the mitigation can't silently diverge. */
+  private def capBaskets(b: DataFrame, cap: Int): DataFrame =
+    b.withColumn("osz", count(lit(1)).over(Window.partitionBy(col("ok"))))
+      .filter(col("osz") <= cap)
+      .select(col("ok"), col("pk"))
+
+  /** The capped cosine top-5 item-item CF pipeline over (ok, pk)
+    * baskets — ONE definition shared by q_item_cf (the trained
+    * operator) and q_cf_holdout (its holdout gate), so the evaluated
+    * model is definitionally the gated one: cap filter → degree frame
+    * → order-keyed pair join → ≥2-evidence floor → cosine → per-item
+    * rank ≤ 5. Columns: item, rec, c_ij, score, rk. */
+  private def cfTop5(baskets: DataFrame, cap: Int): DataFrame = {
+    val sized = capBaskets(baskets, cap)
+    val deg = sized.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    sized.as("a")
+      .join(sized.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("item"), col("b.pk").as("rec"))
+      .agg(count(lit(1)).as("c_ij"))
+      .filter(col("c_ij") >= 2)
+      .join(deg.select(col("pk").as("item"), col("c").as("c_i")), Seq("item"))
+      .join(deg.select(col("pk").as("rec"), col("c").as("c_j")), Seq("rec"))
+      .withColumn("score", round(col("c_ij").cast("double") /
+        sqrt((col("c_i") * col("c_j")).cast("double")), 9))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("item"))
+        .orderBy(col("score").desc, col("rec"))))
+      .filter(col("rk") <= 5)
+  }
+
   /** The shared part co-occurrence graph (8×-thinned orders, distinct
     * undirected u < v edges) consumed by q_triangles / q_kcore /
     * q_bfs_distance — one definition, restated identically in each
@@ -89,26 +121,7 @@ object Analytic extends graft.QueryPack {
         .filter(col("l_orderkey") % 8 === 0)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val sized = li
-        .withColumn("osz", count(lit(1)).over(Window.partitionBy(col("ok"))))
-        .filter(col("osz") <= cap)
-        .select(col("ok"), col("pk"))
-      val deg = sized.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-      val pairs = sized.as("a")
-        .join(sized.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .groupBy(col("a.pk").as("item"), col("b.pk").as("rec"))
-        .agg(count(lit(1)).as("c_ij"))
-        .filter(col("c_ij") >= 2)
-      val scored = pairs
-        .join(deg.select(col("pk").as("item"), col("c").as("c_i")), Seq("item"))
-        .join(deg.select(col("pk").as("rec"), col("c").as("c_j")), Seq("rec"))
-        .withColumn("score", round(col("c_ij").cast("double") /
-          sqrt((col("c_i") * col("c_j")).cast("double")), 9))
-      scored
-        .withColumn("rk", row_number().over(Window.partitionBy(col("item"))
-          .orderBy(col("score").desc, col("rec"))))
-        .filter(col("rk") <= 5)
+      cfTop5(li, cap)
         .select(col("item"), col("rk").cast("long").as("rk"), col("rec"),
           col("c_ij"), col("score"))
         .orderBy(col("item"), col("rk"))
@@ -233,8 +246,11 @@ object Analytic extends graft.QueryPack {
         .withColumn("nh", count(lit(1)).over(wt))
         .withColumn("dev", col("x") * col("nh") - col("tx"))
         .select(col("event_type"), col("hr"), col("dev"))
+      // dev ≈ x·n_hours, so Σdev² needs DECIMAL(38,0) headroom past
+      // ~1e5 grid hours (LongType wraps silently in Spark)
       val denom = devs.groupBy(col("event_type"))
-        .agg(sum(col("dev") * col("dev")).as("num0"))
+        .agg(sum((col("dev") * col("dev")).cast(DecimalType(38, 0)))
+          .as("num0"))
       val probes = devs
         .withColumn("lag", explode(sequence(lit(1L), lit(24L))))
         .select(col("event_type"), (col("hr") + col("lag")).as("hr"),
@@ -242,7 +258,8 @@ object Analytic extends graft.QueryPack {
       probes.join(devs, Seq("event_type", "hr"))
         .groupBy(col("event_type"), col("lag"))
         .agg(count(lit(1)).as("n_pairs"),
-          sum(col("dev0") * col("dev")).as("numk"))
+          sum((col("dev0") * col("dev")).cast(DecimalType(38, 0)))
+            .as("numk"))
         .join(denom, Seq("event_type"))
         .select(col("event_type"), col("lag"), col("n_pairs"),
           round(col("numk").cast("double") / col("num0").cast("double"), 9)
@@ -265,26 +282,11 @@ object Analytic extends graft.QueryPack {
         .filter(col("l_orderkey") % 16 === residue)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val train = baskets(0)
-        .withColumn("osz", count(lit(1)).over(Window.partitionBy(col("ok"))))
-        .filter(col("osz") <= cap)
-        .select(col("ok"), col("pk"))
-      val deg = train.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-      val recs = train.as("a")
-        .join(train.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .groupBy(col("a.pk").as("item"), col("b.pk").as("rec"))
-        .agg(count(lit(1)).as("c_ij"))
-        .filter(col("c_ij") >= 2)
-        .join(deg.select(col("pk").as("item"), col("c").as("c_i")), Seq("item"))
-        .join(deg.select(col("pk").as("rec"), col("c").as("c_j")), Seq("rec"))
-        .withColumn("score", round(col("c_ij").cast("double") /
-          sqrt((col("c_i") * col("c_j")).cast("double")), 9))
-        .withColumn("rk", row_number().over(Window.partitionBy(col("item"))
-          .orderBy(col("score").desc, col("rec"))))
-        .filter(col("rk") <= 5)
-        .select(col("item"), col("rec"))
-      val test = baskets(8)
+      val recs = cfTop5(baskets(0), cap).select(col("item"), col("rec"))
+      // the holdout side takes the SAME megabasket cap before its pair
+      // self-join — one hot basket in the test slice would otherwise
+      // emit exactly the B² pairs the cap exists to suppress
+      val test = capBaskets(baskets(8), cap)
       val testPairs = test.as("a")
         .join(test.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
@@ -321,8 +323,12 @@ object Analytic extends graft.QueryPack {
         .withColumn("prev", lag(col("event_type"), 1).over(w))
         .filter(col("prev").isNotNull)
       val rng = pairs.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      // two consumers (training grid + evaluation) — persist, or the
+      // events scan and per-user window sort run twice (the q_hits
+      // two-consumer lesson; harness housekeeping clears the cache)
       val halved = pairs.crossJoin(broadcast(rng))
         .withColumn("is_train", col("us") * 2 <= col("lo") + col("hi"))
+        .persist()
       val grid = halved.filter(col("is_train"))
         .groupBy(col("prev"), col("event_type").as("nxt"))
         .agg(count(lit(1)).as("c"))
@@ -400,14 +406,20 @@ object Analytic extends graft.QueryPack {
         .withColumn("i", row_number().over(w).cast("long"))
         .withColumn("n", count(lit(1)).over(ws))
         .withColumn("term", (lit(2L) * col("i") - col("n") - 1L) * col("cents"))
+        // numerator/mass in DECIMAL(38,0) (a LongType Σ(2i−n−1)·cents
+        // wraps around n·max_cents ≈ 5e6 rows per segment — silently
+        // in Spark, loudly in DuckDB) and the n·mass denominator in
+        // double — the headroom the scaladoc promises
         .groupBy(col("seg"))
-        .agg(max(col("n")).as("n_pos"), sum(col("term")).as("num"),
-          sum(col("cents")).as("mass"))
+        .agg(max(col("n")).as("n_pos"),
+          sum(col("term").cast(DecimalType(38, 0))).as("num"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("mass"))
         .join(base.groupBy(col("seg"))
           .agg(count(lit(1)).as("n_all")), Seq("seg"))
         .select(col("seg"), col("n_all"), col("n_pos"),
           round(col("num").cast("double") /
-            (col("n_pos") * col("mass")).cast("double"), 9).as("gini"))
+            (col("n_pos").cast("double") * col("mass").cast("double")), 9)
+            .as("gini"))
         .orderBy(col("seg"))
     }),
 
@@ -438,11 +450,16 @@ object Analytic extends graft.QueryPack {
         .withColumn("d2",
           (col("rx") - col("ry")) * (col("rx") - col("ry")))
         .groupBy(col("seg"))
-        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+        // Σd² in DECIMAL(38,0) and the n(n²−1) denominator in double:
+        // a LongType n³ wraps at per-segment n ≥ 2^21 (Spark silently,
+        // DuckDB loudly — divergence either way at TPC-H sf ~7)
+        .agg(count(lit(1)).as("n"),
+          sum(col("d2").cast(DecimalType(38, 0))).as("sd2"))
         .select(col("seg"), col("n"),
           round(lit(1.0) - lit(6.0) * col("sd2").cast("double") /
-            (col("n") * (col("n") * col("n") - 1L)).cast("double"), 9)
-            .as("spearman_rho"))
+            (col("n").cast("double") *
+              (col("n").cast("double") * col("n").cast("double") - 1.0)),
+            9).as("spearman_rho"))
         .orderBy(col("seg"))
     }),
 
@@ -1674,9 +1691,13 @@ object Analytic extends graft.QueryPack {
         .withColumn("half",
           when(col("us") * 2 <= col("lo_us") + col("hi_us"), lit("ref"))
             .otherwise(lit("cur")))
-        .withColumn("bin", least(lit(9L),
-          floor((col("v") - col("lo_v")) * 10 / (col("hi_v") - col("lo_v")))
-            .cast("long")))
+        // degenerate range → single bin (not a 0/0 NaN: Spark casts
+        // NaN to 0 silently, DuckDB throws — divergence on legal data)
+        .withColumn("bin",
+          when(col("hi_v") === col("lo_v"), lit(0L))
+            .otherwise(least(lit(9L),
+              floor((col("v") - col("lo_v")) * 10 /
+                (col("hi_v") - col("lo_v"))).cast("long"))))
         .groupBy(col("event_type"), col("bin"))
         .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("n_ref"),
           sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
@@ -1813,7 +1834,7 @@ object Analytic extends graft.QueryPack {
         |      SUM(x) OVER (PARTITION BY event_type) AS dev
         |  FROM hourly),
         |denom AS (
-        |  SELECT event_type, CAST(SUM(dev * dev) AS BIGINT) AS num0
+        |  SELECT event_type, SUM(dev * dev) AS num0
         |  FROM devs GROUP BY event_type),
         |probes AS (
         |  SELECT event_type, hr + lag AS hr, CAST(lag AS BIGINT) AS lag,
@@ -1822,7 +1843,7 @@ object Analytic extends graft.QueryPack {
         |pairs AS (
         |  SELECT p.event_type, p.lag,
         |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |    CAST(SUM(p.dev0 * d.dev) AS BIGINT) AS numk
+        |    SUM(p.dev0 * d.dev) AS numk
         |  FROM probes p JOIN devs d
         |    ON p.event_type = d.event_type AND p.hr = d.hr
         |  GROUP BY p.event_type, p.lag)
@@ -1856,9 +1877,14 @@ object Analytic extends graft.QueryPack {
          |    FROM pairs JOIN deg di ON di.pk = item
          |    JOIN deg dj ON dj.pk = rec) t
          |  WHERE rk <= 5),
-         |test AS (
+         |rawtest AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
          |  FROM lineitem WHERE l_orderkey % 16 = 8),
+         |test AS (
+         |  SELECT ok, pk FROM (
+         |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS osz
+         |    FROM rawtest)
+         |  WHERE osz <= $cap),
          |tpairs AS (
          |  SELECT DISTINCT a.pk AS item, b.pk AS rec
          |  FROM test a JOIN test b ON a.ok = b.ok AND a.pk <> b.pk)
@@ -1963,15 +1989,15 @@ object Analytic extends graft.QueryPack {
         |  FROM base WHERE cents > 0),
         |agg AS (
         |  SELECT seg, CAST(MAX(n) AS BIGINT) AS n_pos,
-        |    CAST(SUM((2 * i - n - 1) * cents) AS BIGINT) AS num,
-        |    CAST(SUM(cents) AS BIGINT) AS mass
+        |    SUM((2 * i - n - 1) * cents) AS num,
+        |    SUM(cents) AS mass
         |  FROM pos GROUP BY seg),
         |alln AS (
         |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_all
         |  FROM base GROUP BY seg)
         |SELECT agg.seg, n_all, n_pos,
-        |  round(CAST(num AS DOUBLE) / CAST(n_pos * mass AS DOUBLE), 9)
-        |    AS gini
+        |  round(CAST(num AS DOUBLE) /
+        |    (CAST(n_pos AS DOUBLE) * CAST(mass AS DOUBLE)), 9) AS gini
         |FROM agg JOIN alln ON agg.seg = alln.seg
         |ORDER BY agg.seg""".stripMargin,
 
@@ -1991,8 +2017,9 @@ object Analytic extends graft.QueryPack {
         |  FROM j)
         |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
         |  round(1.0 - 6.0 * CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE) /
-        |    CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE), 9)
-        |    AS spearman_rho
+        |    (CAST(COUNT(*) AS DOUBLE) *
+        |     (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)),
+        |    9) AS spearman_rho
         |FROM ranked GROUP BY seg ORDER BY seg""".stripMargin,
 
     // two unrolled HITS rounds, HUGEINT sums, integer floor-divide
@@ -2786,8 +2813,9 @@ object Analytic extends graft.QueryPack {
         |    MIN(v) AS lo_v, MAX(v) AS hi_v FROM ev),
         |cells AS (
         |  SELECT event_type,
-        |    LEAST(9, CAST(FLOOR((v - lo_v) * 10 / (hi_v - lo_v)) AS BIGINT))
-        |      AS bin,
+        |    CASE WHEN hi_v = lo_v THEN 0
+        |         ELSE LEAST(9, CAST(FLOOR((v - lo_v) * 10 / (hi_v - lo_v))
+        |           AS BIGINT)) END AS bin,
         |    CAST(SUM(CASE WHEN us * 2 <= lo_us + hi_us THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_ref,
         |    CAST(SUM(CASE WHEN us * 2 <= lo_us + hi_us THEN 0 ELSE 1 END)

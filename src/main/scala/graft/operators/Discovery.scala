@@ -25,6 +25,27 @@ import graft.Tables
   */
 object Discovery extends graft.QueryPack {
 
+  /** The exact-integer CUSUM closed form over an (event_type, <day>,
+    * x) daily-count frame: deviations in count×n_days units (no mean
+    * division), S_t = C_t − min(0, min_{j≤t} C_j) as two grid windows,
+    * drift flag 8·S > total. ONE definition shared by q_cusum and the
+    * streaming monitor (StreamingGate.q_stream_cusum), so their
+    * proven row-for-row equality is definitional, not coincidental. */
+  private[operators] def cusumFromDaily(daily: DataFrame,
+      dayCol: String): DataFrame = {
+    val wt = Window.partitionBy(col("event_type"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col(dayCol))
+    daily
+      .withColumn("tx", sum(col("x")).over(wt))
+      .withColumn("nd", count(lit(1)).over(wt))
+      .withColumn("cdev", sum(col("x") * col("nd") - col("tx")).over(wc))
+      .withColumn("s_units",
+        col("cdev") - least(lit(0L), min(col("cdev")).over(wc)))
+      .select(col("event_type"), col(dayCol), col("x").as("n_events"),
+        col("s_units"), (col("s_units") * 8 > col("tx")).as("drift_flag"))
+      .orderBy(col("event_type"), col(dayCol))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Functional-dependency audit (the g3 approximation measure of
@@ -210,17 +231,7 @@ object Discovery extends graft.QueryPack {
       val daily = Tables(s, d, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("x"))
-      val wt = Window.partitionBy(col("event_type"))
-      val wc = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      daily
-        .withColumn("tx", sum(col("x")).over(wt))
-        .withColumn("nd", count(lit(1)).over(wt))
-        .withColumn("cdev", sum(col("x") * col("nd") - col("tx")).over(wc))
-        .withColumn("s_units",
-          col("cdev") - least(lit(0L), min(col("cdev")).over(wc)))
-        .select(col("event_type"), col("day"), col("x").as("n_events"),
-          col("s_units"), (col("s_units") * 8 > col("tx")).as("drift_flag"))
-        .orderBy(col("event_type"), col("day"))
+      cusumFromDaily(daily, "day")
     }))
 
   def oracles: Map[String, String] = Map(

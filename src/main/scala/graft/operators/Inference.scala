@@ -104,8 +104,12 @@ object Inference extends graft.QueryPack {
         .select((col("user_id") % 2).cast("long").as("grp"),
           cents.as("cents"))
         .groupBy(col("grp"))
+        // squared-cent sums get DECIMAL(38,0) headroom (a LongType
+        // Σcents² wraps around 1e7 rows at 1e6 cents — the same class
+        // of silent/loud divergence as the rank statistics)
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
-          sum(col("cents") * col("cents")).as("sxx"))
+          sum((col("cents") * col("cents")).cast(DecimalType(38, 0)))
+            .as("sxx"))
       val a = g.filter(col("grp") === 0).select(col("n").as("n1"),
         col("sx").as("sx1"), col("sxx").as("sxx1"))
       val b = g.filter(col("grp") === 1).select(col("n").as("n2"),
@@ -294,9 +298,8 @@ object Inference extends graft.QueryPack {
         |  SELECT user_id % 2 AS grp, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
         |      AS BIGINT) AS sx,
-        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) *
-        |             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
-        |      AS BIGINT) AS sxx
+        |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) *
+        |        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxx
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
         |ab AS (
         |  SELECT

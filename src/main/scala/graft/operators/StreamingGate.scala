@@ -417,19 +417,11 @@ object StreamingGate extends graft.QueryPack {
         .select(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("bin"))
       drain(s, stream, "append")(foldBinCounts(state))
-      val daily = readBinState(s, state, "day_no")
-        .withColumnRenamed("n", "x")
-      val wt = Window.partitionBy(col("event_type"))
-      val wc = Window.partitionBy(col("event_type")).orderBy(col("day_no"))
-      daily
-        .withColumn("tx", sum(col("x")).over(wt))
-        .withColumn("nd", count(lit(1)).over(wt))
-        .withColumn("cdev", sum(col("x") * col("nd") - col("tx")).over(wc))
-        .withColumn("s_units",
-          col("cdev") - least(lit(0L), min(col("cdev")).over(wc)))
-        .select(col("event_type"), col("day_no"), col("x").as("n_events"),
-          col("s_units"), (col("s_units") * 8 > col("tx")).as("drift_flag"))
-        .orderBy(col("event_type"), col("day_no"))
+      // the statistic itself is Discovery's ONE closed-form definition
+      // — row-for-row batch equality is definitional
+      Discovery.cusumFromDaily(
+        readBinState(s, state, "day_no").withColumnRenamed("n", "x"),
+        "day_no")
     }),
 
     // Streaming drift monitor — the q_psi_drift statistic maintained
@@ -462,7 +454,10 @@ object StreamingGate extends graft.QueryPack {
       } else {
       val (loUs, hiUs) = (rng.getLong(0), rng.getLong(1))
       val (loV, hiV) = (rng.getDouble(2), rng.getDouble(3))
-      val bin = least(lit(9L),
+      // degenerate value range (all values equal): one bin, not a
+      // 0/0 NaN that Spark would cast to 0 and DuckDB would throw on
+      val bin = if (hiV == loV) lit(0L)
+      else least(lit(9L),
         floor((col("v") - loV) * 10 / (hiV - loV)).cast("long"))
       val ref = ev.filter(col("us") * 2 <= loUs + hiUs)
         .withColumn("bin", bin)
@@ -537,8 +532,9 @@ object StreamingGate extends graft.QueryPack {
         |    min(v) AS lo_v, max(v) AS hi_v FROM ev),
         |cells AS (
         |  SELECT event_type,
-        |    least(9, CAST(floor((v - lo_v) * 10 / (hi_v - lo_v))
-        |      AS BIGINT)) AS bin,
+        |    CASE WHEN hi_v = lo_v THEN 0
+        |         ELSE least(9, CAST(floor((v - lo_v) * 10 / (hi_v - lo_v))
+        |           AS BIGINT)) END AS bin,
         |    CAST(SUM(CASE WHEN us * 2 <= lo_us + hi_us
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
         |    CAST(SUM(CASE WHEN us * 2 > lo_us + hi_us

@@ -95,6 +95,25 @@ object TextAnalytics extends graft.QueryPack {
     * black box — everything around it stays codegen'd). */
   val stemUdf = udf((w: String) => PorterStemmer.stem(w))
 
+  /** Grid OLS slope of column `y` on column `x` over a SMALL frame
+    * (≤100 rows): DECIMAL(24,9) moment sums of the round-9 inputs over
+    * the whole-frame window, one identically-parenthesized double —
+    * ONE definition shared by the two corpus-law fits (q_heaps_law,
+    * q_zipf) so their exponents cannot drift apart. */
+  private def gridOlsSlope: Column = {
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    def d24(c: Column) = c.cast(DecimalType(24, 9))
+    val n = count(lit(1)).over(wAll).cast("double")
+    val sx = sum(d24(col("x"))).over(wAll).cast("double")
+    val sy = sum(d24(col("y"))).over(wAll).cast("double")
+    val sxy = sum(d24(round(col("x") * col("y"), 9))).over(wAll)
+      .cast("double")
+    val sxx = sum(d24(round(col("x") * col("x"), 9))).over(wAll)
+      .cast("double")
+    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
@@ -164,24 +183,12 @@ object TextAnalytics extends graft.QueryPack {
         .groupBy(col("cp"))
         .agg(sum(when(col("first_doc") <= col("edge"), 1L).otherwise(0L))
           .as("cum_vocab"))
-      val pts = tok.join(voc, Seq("cp"))
+      tok.join(voc, Seq("cp"))
         .withColumn("x", round(log(greatest(col("cum_tokens"), lit(1L))
           .cast("double")), 9))
         .withColumn("y", round(log(greatest(col("cum_vocab"), lit(1L))
           .cast("double")), 9))
-      val wAll = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      def d24(c: Column) = c.cast(DecimalType(24, 9))
-      val n = count(lit(1)).over(wAll).cast("double")
-      val sx = sum(d24(col("x"))).over(wAll).cast("double")
-      val sy = sum(d24(col("y"))).over(wAll).cast("double")
-      val sxy = sum(d24(round(col("x") * col("y"), 9))).over(wAll)
-        .cast("double")
-      val sxx = sum(d24(round(col("x") * col("x"), 9))).over(wAll)
-        .cast("double")
-      pts
-        .withColumn("heaps_beta",
-          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6))
+        .withColumn("heaps_beta", gridOlsSlope)
         .select(col("cp"), col("edge"), col("cum_docs"), col("cum_tokens"),
           col("cum_vocab"), col("heaps_beta"))
         .orderBy(col("cp"))
@@ -206,23 +213,11 @@ object TextAnalytics extends graft.QueryPack {
       // vocabulary through a single-partition window would funnel a
       // web-scale vocab through one task for 100 output rows
       val wr = Window.orderBy(col("f").desc, col("w"))
-      val top = freq.orderBy(col("f").desc, col("w")).limit(100)
+      freq.orderBy(col("f").desc, col("w")).limit(100)
         .withColumn("rank", row_number().over(wr).cast("long"))
         .withColumn("x", round(log(col("rank").cast("double")), 9))
         .withColumn("y", round(log(col("f").cast("double")), 9))
-      val wAll = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      def d24(c: Column) = c.cast(DecimalType(24, 9))
-      val n = count(lit(1)).over(wAll).cast("double")
-      val sx = sum(d24(col("x"))).over(wAll).cast("double")
-      val sy = sum(d24(col("y"))).over(wAll).cast("double")
-      val sxy = sum(d24(round(col("x") * col("y"), 9))).over(wAll)
-        .cast("double")
-      val sxx = sum(d24(round(col("x") * col("x"), 9))).over(wAll)
-        .cast("double")
-      top
-        .withColumn("zipf_slope",
-          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6))
+        .withColumn("zipf_slope", gridOlsSlope)
         .select(col("rank"), col("w").as("word"), col("f"),
           col("zipf_slope"))
         .orderBy(col("rank"))
