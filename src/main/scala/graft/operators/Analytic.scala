@@ -194,6 +194,35 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("kind"), col("score").desc, col("node"))
     }),
 
+    // Frequent event 3-sequences per user stream (the k=3 slice of
+    // sequential-pattern mining, Agrawal & Srikant ICDE'95 —
+    // contiguous-window variant) — which journeys actually recur,
+    // one step deeper than q_event_transitions' bigrams. Triples come
+    // from two lags on the shared per-user (ts, event_id) window sort
+    // (no self-joins), collapse to the |types|³-bounded pattern grid
+    // in one map-combinable count, and the top-20 leaves through a
+    // TakeOrdered with a total-order tie-break; support is an exact
+    // count ratio.
+    "q_seq_patterns" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val triples = Tables(s, d, "events")
+        .withColumn("p1", lag(col("event_type"), 1).over(w))
+        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .filter(col("p2").isNotNull)
+        .groupBy(col("p2"), col("p1"), col("event_type").as("p0"))
+        .agg(count(lit(1)).as("n"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      triples
+        .withColumn("support",
+          round(col("n").cast("double") /
+            sum(col("n")).over(wAll).cast("double"), 6))
+        .select(concat_ws(">", col("p2"), col("p1"), col("p0"))
+          .as("pattern"), col("n"), col("support"))
+        .orderBy(col("n").desc, col("pattern")).limit(20)
+    }),
+
     // Degree assortativity (Newman, PRL 2002) of the part
     // co-occurrence graph — do high-degree parts co-occur with other
     // high-degree parts (assortative, r > 0) or with niche ones
@@ -1792,6 +1821,23 @@ object Analytic extends graft.QueryPack {
   private val ZSCORE_MIN_N = 8
 
   def oracles: Map[String, String] = Map(
+    // same window triples, same grid support, same top-20 order
+    "q_seq_patterns" ->
+      """WITH triples AS (
+        |  SELECT p2, p1, event_type AS p0, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (
+        |    SELECT event_type,
+        |      LAG(event_type, 1) OVER w AS p1,
+        |      LAG(event_type, 2) OVER w AS p2
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |  WHERE p2 IS NOT NULL GROUP BY p2, p1, event_type)
+        |SELECT p2 || '>' || p1 || '>' || p0 AS pattern, n,
+        |  round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6)
+        |    AS support
+        |FROM triples
+        |ORDER BY n DESC, pattern LIMIT 20""".stripMargin,
+
     // same symmetrized edge moments, same collapsed Pearson form
     "q_assortativity" ->
       """WITH li AS (

@@ -182,6 +182,65 @@ object Discovery extends graft.QueryPack {
         .orderBy(col("col_name"), col("digit"))
     }),
 
+    // Probabilistic record linkage (Fellegi & Sunter, JASA 1969) —
+    // the entity-resolution scorer between two feeds of the same
+    // population: candidate pairs come from BLOCKING on
+    // (nation, segment, balance band) — never the cross product —
+    // each pair gets a log-likelihood weight summing per-field
+    // match/non-match evidence (literal log2(m/u) weights, exact
+    // DECIMAL(10,2) sums), and the decision thresholds split
+    // match / possible / non-match. The comparison feed is a
+    // deterministic perturbation of the first (keys shifted 1e6;
+    // every 3rd name mangled, every 5th balance nudged a band — the
+    // snapshot-diff device, restated in the oracle), so ground truth
+    // is known and the output is the confusion grid PLUS the pairs
+    // blocking lost (a band-nudged record lands in another block —
+    // the blocking-recall cost every deployment must audit, reported
+    // here instead of silently dropped).
+    "q_record_linkage" -> ((s, d) => {
+      val left = Tables(s, d, "customer").select(
+        col("c_custkey").as("lk"), col("c_name").as("lname"),
+        col("c_nationkey").cast("long").as("lnat"),
+        col("c_mktsegment").as("lseg"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("lcents"))
+        .withColumn("lband", expr("lcents div 200000"))
+      val right = left.select(
+        (col("lk") + 1000000L).as("rk"),
+        when(col("lk") % 3 === 0,
+          concat(lit("X"), substring(col("lname"), 2, 100)))
+          .otherwise(col("lname")).as("rname"),
+        col("lnat").as("rnat"), col("lseg").as("rseg"),
+        when(col("lk") % 5 === 0, col("lcents") + 200000L)
+          .otherwise(col("lcents")).as("rcents"))
+        .withColumn("rband", expr("rcents div 200000"))
+      val cand = left.join(right,
+        col("lnat") === col("rnat") && col("lseg") === col("rseg") &&
+          col("lband") === col("rband"))
+      val wName = when(col("lname") === col("rname"),
+        lit(BigDecimal("9.89"))).otherwise(lit(BigDecimal("-4.32")))
+      val wCents = when(col("lcents") === col("rcents"),
+        lit(BigDecimal("4.17"))).otherwise(lit(BigDecimal("-3.25")))
+      val scored = cand
+        .withColumn("w", (wName + wCents).cast(DecimalType(10, 2)))
+        .withColumn("decision",
+          when(col("w") > 10.0, "match")
+            .when(col("w") > 0.0, "possible").otherwise("nonmatch"))
+        .withColumn("is_true", col("rk") - 1000000L === col("lk"))
+      val grid = scored.groupBy(col("decision"), col("is_true"))
+        .agg(count(lit(1)).as("n"))
+      // true pairs blocking never produced (band-nudged records)
+      val missed = left.join(
+        scored.filter(col("is_true"))
+          .select(col("lk").as("mk")).distinct(),
+        col("lk") === col("mk"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("missed_by_blocking").as("decision"),
+          lit(true).as("is_true"), col("n"))
+      grid.unionByName(missed)
+        .orderBy(col("decision"), col("is_true"))
+    }),
+
     // Group-mean imputation with full audit — the repair step after
     // the audits find holes: rows with a missing metric get their
     // event-type's mean from the OBSERVED rows, and every fill is
@@ -338,6 +397,50 @@ object Discovery extends graft.QueryPack {
         |  CAST(SUM(CAST(chi2_term AS DECIMAL(24,9)))
         |    OVER (PARTITION BY col_name) AS DOUBLE) AS chi2_col
         |FROM chi ORDER BY col_name, digit""".stripMargin,
+
+    "q_record_linkage" ->
+      """WITH lft AS (
+        |  SELECT c_custkey AS lk, c_name AS lname,
+        |    CAST(c_nationkey AS BIGINT) AS lnat, c_mktsegment AS lseg,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS lcents,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      // 200000 AS lband
+        |  FROM customer),
+        |rgt AS (
+        |  SELECT lk + 1000000 AS rk,
+        |    CASE WHEN lk % 3 = 0 THEN 'X' || substr(lname, 2, 100)
+        |         ELSE lname END AS rname,
+        |    lnat AS rnat, lseg AS rseg,
+        |    CASE WHEN lk % 5 = 0 THEN lcents + 200000
+        |         ELSE lcents END AS rcents
+        |  FROM lft),
+        |rgt2 AS (SELECT *, rcents // 200000 AS rband FROM rgt),
+        |cand AS (
+        |  SELECT * FROM lft JOIN rgt2
+        |    ON lnat = rnat AND lseg = rseg AND lband = rband),
+        |scored AS (
+        |  SELECT *,
+        |    CAST((CASE WHEN lname = rname THEN CAST(9.89 AS DECIMAL(10,2))
+        |               ELSE CAST(-4.32 AS DECIMAL(10,2)) END +
+        |          CASE WHEN lcents = rcents THEN CAST(4.17 AS DECIMAL(10,2))
+        |               ELSE CAST(-3.25 AS DECIMAL(10,2)) END)
+        |      AS DECIMAL(10,2)) AS w,
+        |    rk - 1000000 = lk AS is_true
+        |  FROM cand),
+        |grid AS (
+        |  SELECT CASE WHEN w > 10.0 THEN 'match'
+        |              WHEN w > 0.0 THEN 'possible'
+        |              ELSE 'nonmatch' END AS decision,
+        |    is_true, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM scored GROUP BY 1, 2),
+        |missed AS (
+        |  SELECT 'missed_by_blocking' AS decision, true AS is_true,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lft
+        |  WHERE lk NOT IN (SELECT lk FROM scored WHERE is_true))
+        |SELECT * FROM grid UNION ALL SELECT * FROM missed
+        |ORDER BY decision, is_true""".stripMargin,
 
     "q_impute" ->
       """WITH base AS (

@@ -86,6 +86,50 @@ object Inference extends graft.QueryPack {
         .orderBy(col("dur_min"))
     }),
 
+    // CUPED variance reduction (Deng et al., WSDM 2013) — the
+    // industry-standard experiment-sensitivity trick: adjust each
+    // user's experiment-period metric y by their PRE-period covariate
+    // x (y' = y − θ(x−x̄), θ = cov/var_x), shrinking metric variance
+    // by exactly ρ² — which is what this query computes and reports
+    // from the per-user (pre, post) spend grid. One corpus pass
+    // collapses purchases to the user grid (halves by the broadcast
+    // time midpoint), one moment aggregation with DECIMAL(38,0)
+    // squared-cent headroom, and θ/ρ²/reduction are single double
+    // expressions over the exact sums, identically parenthesized in
+    // the oracle.
+    "q_cuped" -> ((s, d) => {
+      val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+      val ev = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          cents.as("cents"))
+      val rng = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val grid = ev.crossJoin(broadcast(rng))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") * 2 <= col("lo") + col("hi"),
+          col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("us") * 2 > col("lo") + col("hi"),
+            col("cents")).otherwise(0L)).as("y"))
+      val m = grid.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxx = col("sxx").cast("double")
+      val sxy = col("sxy").cast("double")
+      val syy = col("syy").cast("double")
+      val covN = n * sxy - sx * sy
+      val vxN = n * sxx - sx * sx
+      val vyN = n * syy - sy * sy
+      m.select(col("n").as("n_users"),
+        round(covN / vxN, 9).as("theta"),
+        round(covN * covN / (vxN * vyN), 6).as("rho2"),
+        round(lit(100.0) * (covN * covN / (vxN * vyN)), 4)
+          .as("var_reduction_pct"))
+    }),
+
     // Welch's unequal-variance t-test (Welch, Biometrika 1947) — the
     // parametric complement to q_permutation_test on the same two
     // cohorts: both moments come from ONE map-combinable aggregation
@@ -292,6 +336,36 @@ object Inference extends graft.QueryPack {
         |       ELSE round(exp(CAST(SUM(term) OVER (ORDER BY dur_min)
         |         AS DOUBLE)), 6) END AS survival
         |FROM terms ORDER BY dur_min""".stripMargin,
+
+    "q_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |rng AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+        |grid AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN us * 2 <= lo + hi THEN cents ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN us * 2 > lo + hi THEN cents ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM ev, rng GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM grid)
+        |SELECT n_users,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS theta,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho2,
+        |  round(100.0 * ((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy))), 4)
+        |    AS var_reduction_pct
+        |FROM m""".stripMargin,
 
     "q_welch_ttest" ->
       """WITH g AS (

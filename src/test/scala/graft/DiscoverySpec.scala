@@ -104,6 +104,27 @@ class DiscoverySpec extends AnyFunSuite {
       "drift threshold must discriminate on testdata")
   }
 
+  test("q_record_linkage: every true pair accounted for, zero false matches") {
+    val rows = run("q_record_linkage")
+    val byKey = rows.map(r =>
+      (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val nLeft = Tables(spark, TestSpark.sf, "customer").count()
+    TestSpark.housekeeping()
+    // conservation: every left record's true pair lands in exactly one
+    // bucket — found (any decision) or lost to blocking
+    val trueTotal = byKey.collect { case ((_, true), n) => n }.sum
+    assert(trueTotal == nLeft, s"$trueTotal vs $nLeft")
+    // blocking recall cost is real on this perturbation (band nudges)
+    assert(byKey.getOrElse(("missed_by_blocking", true), 0L) > 0L)
+    // the weight thresholds never promote a wrong pair to match here:
+    // two agreeing fields are needed to clear +10
+    assert(!byKey.contains(("match", false)), byKey.toString)
+    assert(byKey.getOrElse(("match", true), 0L) > 0L)
+    // co-blocked non-pairs exist and score nonmatch (the u-probability
+    // population)
+    assert(byKey.getOrElse(("nonmatch", false), 0L) > 0L)
+  }
+
   test("q_impute: observed rows untouched, holes get their group mean") {
     val rows = run("q_impute")
     assert(rows.nonEmpty)

@@ -67,6 +67,22 @@ class InferenceSpec extends AnyFunSuite {
     ws.foreach(w => assert(math.abs(w - mean) < 5 * math.sqrt(mean) + 10))
   }
 
+  test("q_cuped: rho2 bounded, reduction restates it, users counted") {
+    val rows = run("q_cuped")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) > 0)
+    val rho2 = r.getDouble(2)
+    assert(rho2 >= 0.0 && rho2 <= 1.0, s"rho2=$rho2")
+    assert(math.abs(r.getDouble(3) - 100.0 * rho2) < 5e-3,
+      "reduction% must restate rho2")
+    // pre/post spend of independent uniform purchases is near-
+    // uncorrelated: theta finite, rho2 far from 1 (a rho2 near 1
+    // would mean the halves leaked into each other)
+    assert(rho2 < 0.9)
+    assert(!r.getDouble(1).isNaN && !r.getDouble(1).isInfinite)
+  }
+
   test("q_permutation_test: p-value restates the exceedance count") {
     val rows = run("q_permutation_test").sortBy(_.getLong(0))
     assert(rows.length == 64)

@@ -55,6 +55,25 @@ class PlanningSpec extends AnyFunSuite {
     }
   }
 
+  test("q_seq_patterns: well-formed 3-patterns, ordered, bounded support") {
+    val rows =
+      try graft.operators.Analytic.queries("q_seq_patterns")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    val types = Set("click", "view", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val parts = r.getString(0).split(">")
+      assert(parts.length == 3 && parts.forall(types), r.getString(0))
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 1.0)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(1) >= b.getLong(1))
+      case _ =>
+    }
+  }
+
   test("q_markov_eval: grid covers the types, ratios restate the counts") {
     val rows =
       try graft.operators.Analytic.queries("q_markov_eval")(
