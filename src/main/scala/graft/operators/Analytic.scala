@@ -194,6 +194,45 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("kind"), col("score").desc, col("node"))
     }),
 
+    // Additive seasonal decomposition x = trend + seasonal + residual
+    // over the (type, day, hour-of-day) grid — the classical-
+    // decomposition slice of STL (Cleveland et al. 1990): trend is
+    // the day's mean level, the seasonal component is each
+    // hour-of-day's mean deviation across days, the residual is what
+    // monitoring should actually alert on (q_zscore_anomaly's input
+    // once seasonality is removed). The corpus collapses to the
+    // hourly grid in one pass; every component is a window over grid
+    // frames (days, hours-of-day — never the corpus); means divide by
+    // plan constants (24, n_days) with round-9 emissions and DECIMAL
+    // sums of the rounded deviations, so the decomposition is
+    // layout-stable and the three parts re-add to x up to the stated
+    // rounding.
+    "q_seasonal_decompose" -> ((s, d) => {
+      val hourly = Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+        .agg(count(lit(1)).as("x"))
+      val wDay = Window.partitionBy(col("event_type"), col("day"))
+      val wHod = Window.partitionBy(col("event_type"), col("hod"))
+      hourly
+        .withColumn("trend",
+          round(sum(col("x")).over(wDay).cast("double") /
+            count(lit(1)).over(wDay).cast("double"), 9))
+        .withColumn("dev",
+          round(col("x").cast("double") - col("trend"), 9))
+        .withColumn("seasonal",
+          round(sum(col("dev").cast(DecimalType(24, 9))).over(wHod)
+            .cast("double") /
+            count(lit(1)).over(wHod).cast("double"), 9))
+        .withColumn("residual",
+          round(col("x").cast("double") - col("trend") - col("seasonal"),
+            9))
+        .select(col("event_type"), col("day"), col("hod"), col("x"),
+          col("trend"), col("seasonal"), col("residual"))
+        .orderBy(col("event_type"), col("day"), col("hod"))
+    }),
+
     // Frequent event 3-sequences per user stream (the k=3 slice of
     // sequential-pattern mining, Agrawal & Srikant ICDE'95 —
     // contiguous-window variant) — which journeys actually recur,
@@ -1821,6 +1860,33 @@ object Analytic extends graft.QueryPack {
   private val ZSCORE_MIN_N = 8
 
   def oracles: Map[String, String] = Map(
+    // same grid, same window means, same round-9/DECIMAL discipline
+    "q_seasonal_decompose" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2, 3),
+        |trended AS (
+        |  SELECT *,
+        |    round(CAST(SUM(x) OVER w AS DOUBLE) /
+        |      CAST(COUNT(*) OVER w AS DOUBLE), 9) AS trend
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type, day)),
+        |dev AS (
+        |  SELECT *, round(CAST(x AS DOUBLE) - trend, 9) AS dv
+        |  FROM trended),
+        |seas AS (
+        |  SELECT *,
+        |    round(CAST(SUM(CAST(dv AS DECIMAL(24,9))) OVER h AS DOUBLE) /
+        |      CAST(COUNT(*) OVER h AS DOUBLE), 9) AS seasonal
+        |  FROM dev
+        |  WINDOW h AS (PARTITION BY event_type, hod))
+        |SELECT event_type, day, hod, x, trend, seasonal,
+        |  round(CAST(x AS DOUBLE) - trend - seasonal, 9) AS residual
+        |FROM seas ORDER BY event_type, day, hod""".stripMargin,
+
     // same window triples, same grid support, same top-20 order
     "q_seq_patterns" ->
       """WITH triples AS (

@@ -86,6 +86,41 @@ object Inference extends graft.QueryPack {
         .orderBy(col("dur_min"))
     }),
 
+    // A/B sample-size calculator — the planning step before
+    // q_welch_ttest/q_permutation_test run: given the purchase
+    // metric's OBSERVED variance, how many users per arm does a test
+    // need to detect a 1%/2%/5% lift at alpha=0.05, power=0.8? The
+    // two-sided normal-approximation formula
+    // n = 2(z_a/2 + z_b)^2 sigma^2 / delta^2 with the z constants as
+    // round-6 literals (1.959964, 0.841621 — restated in the oracle).
+    // Moments come from ONE exact-cent pass (DECIMAL(38,0) squared
+    // sums); the MDE sweep is a 3-row literal explode; ceil lands the
+    // integer answer.
+    "q_power_analysis" -> ((s, d) => {
+      val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+      val m = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(cents.as("c"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+          sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("sxx"))
+      val nD = col("n").cast("double")
+      val mean = col("sx").cast("double") / nD
+      val variance = (nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) /
+        (nD * (nD - 1))
+      val zsum = lit(1.959964) + lit(0.841621)
+      m.select(col("n"), round(mean, 6).as("metric_mean"),
+          round(variance, 6).as("metric_var"),
+          explode(typedlit(Seq(0.01, 0.02, 0.05))).as("mde"))
+        .withColumn("n_per_arm",
+          ceil(lit(2.0) * zsum * zsum * col("metric_var") /
+            (round(col("metric_mean") * col("mde"), 6) *
+              round(col("metric_mean") * col("mde"), 6))).cast("long"))
+        .select(col("mde"), col("n"), col("metric_mean"),
+          col("metric_var"), col("n_per_arm"))
+        .orderBy(col("mde"))
+    }),
+
     // CUPED variance reduction (Deng et al., WSDM 2013) — the
     // industry-standard experiment-sensitivity trick: adjust each
     // user's experiment-period metric y by their PRE-period covariate
@@ -336,6 +371,29 @@ object Inference extends graft.QueryPack {
         |       ELSE round(exp(CAST(SUM(term) OVER (ORDER BY dur_min)
         |         AS DOUBLE)), 6) END AS survival
         |FROM terms ORDER BY dur_min""".stripMargin,
+
+    "q_power_analysis" ->
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) *
+        |             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS DOUBLE) AS sxx
+        |  FROM events WHERE event_type = 'purchase'),
+        |base AS (
+        |  SELECT n, round(sx / nd, 6) AS metric_mean,
+        |    round((nd * sxx - sx * sx) / (nd * (nd - 1)), 6) AS metric_var
+        |  FROM m),
+        |mdes AS (SELECT unnest([CAST(0.01 AS DOUBLE),
+        |  CAST(0.02 AS DOUBLE), CAST(0.05 AS DOUBLE)]) AS mde)
+        |SELECT mde, n, metric_mean, metric_var,
+        |  CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+        |    * metric_var /
+        |    (round(metric_mean * mde, 6) * round(metric_mean * mde, 6)))
+        |    AS BIGINT) AS n_per_arm
+        |FROM base, mdes ORDER BY mde""".stripMargin,
 
     "q_cuped" ->
       """WITH ev AS (

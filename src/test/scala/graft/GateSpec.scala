@@ -533,6 +533,33 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_seasonal_decompose: components re-add and are grid-constant") {
+    val rows = graft.operators.Analytic
+      .queries("q_seasonal_decompose")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (x, t, s2, res) = (r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))
+      assert(math.abs(x - t - s2 - res) < 2e-9,
+        s"identity at ${r.getString(0)}/${r.getLong(1)}/${r.getLong(2)}")
+    }
+    // trend constant within (type, day); seasonal within (type, hod)
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach {
+      case (k, g) =>
+        assert(g.map(_.getDouble(4)).distinct.length == 1, s"trend $k")
+    }
+    rows.groupBy(r => (r.getString(0), r.getLong(2))).foreach {
+      case (k, g) =>
+        assert(g.map(_.getDouble(5)).distinct.length == 1, s"seasonal $k")
+    }
+    // residuals center near zero per type (the alerting contract)
+    rows.groupBy(_.getString(0)).foreach { case (t, g) =>
+      val mean = g.map(_.getDouble(6)).sum / g.length
+      assert(math.abs(mean) < 0.1, s"$t residual mean $mean")
+    }
+  }
+
   test("q_erasure_maintenance: decrement conserves and really erases") {
     val rows = graft.operators.Extras
       .queries("q_erasure_maintenance")(spark, TestSpark.sf).collect()

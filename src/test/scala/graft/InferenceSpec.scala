@@ -67,6 +67,21 @@ class InferenceSpec extends AnyFunSuite {
     ws.foreach(w => assert(math.abs(w - mean) < 5 * math.sqrt(mean) + 10))
   }
 
+  test("q_power_analysis: quadratic MDE scaling, consistent moments") {
+    val rows = run("q_power_analysis").sortBy(_.getDouble(0))
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.01, 0.02, 0.05))
+    val byMde = rows.map(r => r.getDouble(0) -> r.getLong(4)).toMap
+    // n scales as 1/delta^2: halving the MDE quadruples the sample
+    assert(math.abs(byMde(0.01) - 4L * byMde(0.02)) <= 8,
+      byMde.toString)
+    assert(byMde(0.02) > byMde(0.05))
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(3) > 0 && r.getLong(4) > 0)
+    }
+    // the shared moment row is identical across the sweep
+    assert(rows.map(_.getDouble(3)).distinct.length == 1)
+  }
+
   test("q_cuped: rho2 bounded, reduction restates it, users counted") {
     val rows = run("q_cuped")
     assert(rows.length == 1)
