@@ -285,11 +285,12 @@ object Analytic extends graft.QueryPack {
         sum(col("du")).as("sx"),
         sum(col("du") * col("dv")).as("sxy"),
         sum(col("du") * col("du")).as("sxx"))
-      m.select(col("n").as("n_directed_edges"),
-        round((col("n") * col("sxy") - col("sx") * col("sx"))
-          .cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
-          9).as("assortativity"))
+      m.filter(col("n") > 0) // empty graph → empty report, not a NULL row
+        .select(col("n").as("n_directed_edges"),
+          round((col("n") * col("sxy") - col("sx") * col("sx"))
+            .cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            9).as("assortativity"))
     }),
 
     // Autocorrelation function of the hourly event-count series, per
@@ -1931,7 +1932,7 @@ object Analytic extends graft.QueryPack {
         |SELECT n AS n_directed_edges,
         |  round(CAST(n * sxy - sx * sx AS DOUBLE) /
         |        CAST(n * sxx - sx * sx AS DOUBLE), 9) AS assortativity
-        |FROM m""".stripMargin,
+        |FROM m WHERE n > 0""".stripMargin,
 
     // same hour grid, lag equi-join, exact integer deviations
     "q_acf" ->

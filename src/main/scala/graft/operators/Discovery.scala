@@ -182,6 +182,30 @@ object Discovery extends graft.QueryPack {
         .orderBy(col("col_name"), col("digit"))
     }),
 
+    // Data-freshness SLO audit — the first question an on-call asks
+    // of a feed: when did each slice last deliver, and is it stale?
+    // Staleness is measured against the corpus frontier (the newest
+    // event anywhere — a deployment would use the wall clock; the
+    // frontier keeps the oracle deterministic), in exact integer
+    // minutes. One map-combinable per-type max + a 1-row broadcast
+    // frontier; the 60-minute SLO is part of the definition. A type
+    // that stops emitting shows growing staleness against everything
+    // still flowing — the cross-slice comparison a per-feed monitor
+    // can't see.
+    "q_freshness" -> ((s, d) => {
+      val perType = Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("n_events"))
+      val frontier = perType.agg(max(col("last_us")).as("front_us"))
+      perType.crossJoin(broadcast(frontier))
+        .select(col("event_type"), col("n_events"),
+          expr("(front_us - last_us) div 60000000").as("staleness_min"),
+          (expr("(front_us - last_us) div 60000000") > 60L)
+            .as("violates_slo"))
+        .orderBy(col("event_type"))
+    }),
+
     // Probabilistic record linkage (Fellegi & Sunter, JASA 1969) —
     // the entity-resolution scorer between two feeds of the same
     // population: candidate pairs come from BLOCKING on
@@ -397,6 +421,18 @@ object Discovery extends graft.QueryPack {
         |  CAST(SUM(CAST(chi2_term AS DECIMAL(24,9)))
         |    OVER (PARTITION BY col_name) AS DOUBLE) AS chi2_col
         |FROM chi ORDER BY col_name, digit""".stripMargin,
+
+    "q_freshness" ->
+      """WITH per_type AS (
+        |  SELECT event_type, MAX(epoch_us(ts)) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY event_type),
+        |frontier AS (SELECT MAX(last_us) AS front_us FROM per_type)
+        |SELECT event_type, n_events,
+        |  CAST((front_us - last_us) // 60000000 AS BIGINT)
+        |    AS staleness_min,
+        |  (front_us - last_us) // 60000000 > 60 AS violates_slo
+        |FROM per_type, frontier ORDER BY event_type""".stripMargin,
 
     "q_record_linkage" ->
       """WITH lft AS (
