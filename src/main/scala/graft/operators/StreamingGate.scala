@@ -120,6 +120,31 @@ object StreamingGate extends graft.QueryPack {
         org.apache.spark.sql.types.StructField("n",
           org.apache.spark.sql.types.LongType))))
 
+  /** The q_stream_freshness state fold: merge a micro-batch's
+    * (event_type, us) rows into per-type (last_us, n_events) state —
+    * a (MAX, SUM) monoid, the second member of the mergeable-state
+    * family next to foldBinCounts' counts. State is |types|-sized at
+    * any stream length and the fold is batching-invariant (max and
+    * sum are associative/commutative — asserted in
+    * StatefulStreamingSpec). */
+  def foldTypeMax(state: String)(batch: DataFrame, id: Long): Unit = {
+    val bc = batch.groupBy(col("event_type"))
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("n"))
+    val dir = new java.io.File(state)
+    val merged =
+      if (dir.exists()) {
+        val prior = batch.sparkSession.read.parquet(state)
+        prior.unionByName(bc)
+          .groupBy(col("event_type"))
+          .agg(max(col("last_us")).as("last_us"), sum(col("n")).as("n"))
+      } else bc
+    val tmp = state + "_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if (dir.exists()) graft.Fs.deleteRec(dir)
+    require(new java.io.File(tmp).renameTo(dir),
+      s"state swap failed: $tmp -> $state")
+  }
+
   def foldBinCounts(state: String)(batch: DataFrame, id: Long): Unit = {
     val bc = batch.groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"))
@@ -399,6 +424,41 @@ object StreamingGate extends graft.QueryPack {
         .orderBy(col("item"))
     }),
 
+    // Streaming freshness monitor — the TENTH oracle-gated streaming
+    // query and the third stream-maintained monitor: per-type
+    // (last-seen timestamp, event count) folded as a (MAX, SUM)
+    // monoid — |types|-sized state at any stream length, the fold
+    // batching-invariant because max and sum are associative — with
+    // the drained state re-deriving q_freshness' staleness-vs-
+    // frontier report exactly (the frontier is the max over the
+    // per-type maxima, so it too comes from state, never a rescan).
+    "q_stream_freshness" -> ((s, d) => {
+      val state = freshDir("q_stream_freshness") + "/st"
+      val stream = EventsStream.replay(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      drain(s, stream, "append")(foldTypeMax(state))
+      val perType =
+        if (new java.io.File(state).exists())
+          s.read.parquet(state)
+            .select(col("event_type"), col("last_us"),
+              col("n").as("n_events"))
+        else s.createDataFrame(new java.util.ArrayList[Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("last_us",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_events",
+              org.apache.spark.sql.types.LongType))))
+      val frontier = perType.agg(max(col("last_us")).as("front_us"))
+      perType.crossJoin(broadcast(frontier))
+        .select(col("event_type"), col("n_events"),
+          expr("(front_us - last_us) div 60000000").as("staleness_min"),
+          (expr("(front_us - last_us) div 60000000") > 60L)
+            .as("violates_slo"))
+        .orderBy(col("event_type"))
+    }),
+
     // Streaming CUSUM changepoint monitor — q_cusum maintained
     // incrementally, the NINTH oracle-gated streaming query and the
     // second member of the monitors-run-on-streams family with
@@ -494,6 +554,20 @@ object StreamingGate extends graft.QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // the drained (MAX, SUM) state re-derives the batch freshness
+    // audit — q_freshness' oracle verbatim
+    "q_stream_freshness" ->
+      """WITH per_type AS (
+        |  SELECT event_type, MAX(epoch_us(ts)) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY event_type),
+        |frontier AS (SELECT MAX(last_us) AS front_us FROM per_type)
+        |SELECT event_type, n_events,
+        |  CAST((front_us - last_us) // 60000000 AS BIGINT)
+        |    AS staleness_min,
+        |  (front_us - last_us) // 60000000 > 60 AS violates_slo
+        |FROM per_type, frontier ORDER BY event_type""".stripMargin,
+
     // the drained day-count state re-derives the exact-integer CUSUM:
     // q_cusum's oracle with the epoch-day encoding
     "q_stream_cusum" ->

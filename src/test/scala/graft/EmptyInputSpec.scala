@@ -52,7 +52,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_item_cf", "q_markov_eval", "q_kaplan_meier", "q_feature_hash",
     "q_compaction_plan", "q_stream_cusum", "q_stream_drift", "q_zipf",
     "q_impute", "q_erasure_maintenance", "q_freshness", "q_seq_patterns",
-    "q_seasonal_decompose", "q_acf", "q_assortativity", "q_geo_fence")
+    "q_seasonal_decompose", "q_acf", "q_assortativity", "q_geo_fence",
+    "q_stream_freshness")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

@@ -228,4 +228,32 @@ class StatefulStreamingSpec extends AnyFunSuite {
       .map { case (k, xs) => k -> xs.size.toLong }
     assert(oneShot == exact, "folded state must equal the batch count")
   }
+
+  test("freshness (MAX, SUM) fold is batching-invariant and exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 300).map(i => (s"t${i % 3}", (i * 37 % 1000).toLong))
+    def foldWith(batching: Seq[Seq[(String, Long)]])
+        : Map[String, (Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-maxfold")
+        .toFile.getAbsolutePath + "/st"
+      val ms = MemoryStream[(String, Long)]
+      val q = ms.toDS().toDF("event_type", "us")
+        .writeStream.outputMode("append")
+        .foreachBatch(graft.operators.StreamingGate.foldTypeMax(dir) _)
+        .start()
+      batching.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val oneShot = foldWith(Seq(rows))
+    val staggered = foldWith(Seq(rows.take(7), rows.slice(7, 150),
+      rows.drop(150)))
+    assert(oneShot == staggered, "max/sum fold must be batching-invariant")
+    val exact = rows.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.map(_._2).max, xs.size.toLong)
+    }
+    assert(oneShot == exact)
+  }
 }
