@@ -349,6 +349,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan.take(3000))
   }
 
+  test("record linkage candidates arrive through the blocking equi-join") {
+    val df = graft.operators.Discovery.queries("q_record_linkage")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
+  test("seq patterns and seasonal decompose are window+grid work, no join") {
+    Seq("q_seq_patterns" -> graft.operators.Analytic.queries,
+      "q_seasonal_decompose" -> graft.operators.Analytic.queries)
+      .foreach { case (name, qs) =>
+        val plan = qs(name)(spark, TestSpark.sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Join"), s"$name:\n${plan.take(3000)}")
+        assert("FileScan".r.findAllIn(plan).size == 1, plan.take(3000))
+        assert(plan.contains("Window"), plan.take(3000))
+      }
+  }
+
+  test("seq patterns top-20 plans as TakeOrderedAndProject") {
+    val plan = graft.operators.Analytic.queries("q_seq_patterns")(
+      spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("zipf ranks only the TakeOrdered top-100, never the whole vocab") {
+    val plan = graft.operators.TextAnalytics.queries("q_zipf")(
+      spark, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("bootstrap/permutation grids aggregate map-side from one scan") {
     Seq("q_bootstrap_ci", "q_permutation_test").foreach { name =>
       val plan = graft.operators.Inference.queries(name)(
