@@ -90,7 +90,19 @@ class DeterminismSpec extends AnyFunSuite {
     "q_fd_discovery", "q_benford", "q_cusum", "q_kaplan_meier",
     "q_bootstrap_ci", "q_permutation_test", "q_hits", "q_item_cf",
     "q_gini", "q_spearman", "q_dp_counts", "q_heaps_law",
-    "q_ann_recall").foreach { name =>
+    "q_ann_recall",
+    // r7 third leg: q_record_linkage (DECIMAL weight sums + blocked
+    // joins), q_cuped (DECIMAL(38,0) covariate moments), q_acf
+    // (DECIMAL deviation-product sums), q_seasonal_decompose (round-9
+    // component emissions + DECIMAL deviation sums),
+    // q_seq_patterns / q_markov_eval (window-derived grids with
+    // total-order cuts), q_assortativity (exact edge moments),
+    // q_erasure_maintenance (group-decrement ≡ rescan under any
+    // layout), q_geo_fence / q_freshness (pure integer audits)
+    "q_record_linkage", "q_cuped", "q_acf", "q_seasonal_decompose",
+    "q_seq_patterns", "q_markov_eval", "q_assortativity",
+    "q_erasure_maintenance", "q_geo_fence", "q_freshness")
+    .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
     }
