@@ -1,0 +1,304 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Tolerant HTML DOM extraction — the S6/P8/P9 surface
+  * (reference: news/elimparcial.js:29 `querySelectorAll('.news--box')`,
+  * :31-38 `button.dataset` attribute reads, :49-60 recursive selector
+  * fallback, :75-85 descendant selectors `.newsfull__body p`).
+  *
+  * The reference uses a real DOM (jsdom); a regex extractor matches
+  * clean fixtures but mis-parses reordered attributes, nested
+  * same-class tags, unquoted/single-quoted values — the first messy
+  * real page breaks it. This is a ~150-line dependency-free tag
+  * tokenizer + element tree + the querySelectorAll subset the
+  * reference exercises:
+  *
+  *   - attributes in ANY order, double-/single-/un-quoted, bare
+  *     (value-less) — names lowercased, entities decoded
+  *   - nesting, including same-class/same-tag nesting (spans come
+  *     from a real open/close stack, not a lazy regex)
+  *   - tolerance: implied closes (`</ul>` closing open `<li>`s),
+  *     stray closers ignored, unclosed elements closed at EOF,
+  *     comments skipped, `<script>`/`<style>` treated as raw text
+  *   - selectors: `tag`, `.class`, `#id`, compounds (`h1.title`),
+  *     and the descendant combinator (`.newsfull__body p`)
+  *   - per-match reads: innerText (tags stripped, entities decoded —
+  *     textContent semantics, no whitespace collapsing) and any
+  *     attribute (so `button.dataset.image` = attr `data-image`)
+  *
+  * Everything is a pure function of the input string — deterministic,
+  * partitioning-independent — and runs per row inside a UDF
+  * (extraction is an ingest-side map, never a shuffle key; the
+  * downstream analytics stay in codegen).
+  */
+object HtmlDom {
+
+  final class Node(
+      val tag: String,
+      val attrs: Map[String, String],
+      val parent: Int) {
+    var innerStart: Int = -1
+    var innerEnd: Int = -1
+  }
+
+  private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "param", "source", "track", "wbr")
+
+  private def isNameChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '-' || c == '_' || c == ':'
+
+  /** Decode the entity set the extraction paths meet: the five named
+    * XML entities plus decimal/hex numeric references. Unknown
+    * entities pass through verbatim (tolerance, not validation). */
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val decoded: Option[String] =
+          if (semi < 0 || semi - i > 10) None
+          else s.substring(i + 1, semi) match {
+            case "amp" => Some("&")
+            case "lt" => Some("<")
+            case "gt" => Some(">")
+            case "quot" => Some("\"")
+            case "apos" => Some("'")
+            case "nbsp" => Some(" ")
+            case e if e.startsWith("#x") || e.startsWith("#X") =>
+              try Some(Character.toChars(Integer.parseInt(e.drop(2), 16)).mkString)
+              catch { case _: Exception => None }
+            case e if e.startsWith("#") =>
+              try Some(Character.toChars(Integer.parseInt(e.drop(1))).mkString)
+              catch { case _: Exception => None }
+            case _ => None
+          }
+        decoded match {
+          case Some(d) => out.append(d); i = semi + 1
+          case None => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Tokenize into an element list in document order, each with its
+    * attribute map, parent link, and inner-content span. */
+  def parse(html: String): IndexedSeq[Node] = {
+    val lower = html.toLowerCase
+    val nodes = ArrayBuffer.empty[Node]
+    val stack = ArrayBuffer.empty[Int]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && html.charAt(i + 1) == '/') {
+          var j = i + 2
+          val ts = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          val tag = lower.substring(ts, j)
+          val gt = html.indexOf('>', j)
+          val after = if (gt < 0) n else gt + 1
+          val k = stack.lastIndexWhere(ix => nodes(ix).tag == tag)
+          if (k >= 0) {
+            // implied-close everything opened inside the match
+            var t = stack.length - 1
+            while (t >= k) {
+              nodes(stack(t)).innerEnd = i
+              stack.remove(t)
+              t -= 1
+            }
+          } // stray closer with no open partner: ignored
+          i = after
+        } else if (i + 1 < n && html.charAt(i + 1).isLetter) {
+          var j = i + 1
+          val ts = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          val tag = lower.substring(ts, j)
+          val attrs = Map.newBuilder[String, String]
+          var selfClose = false
+          var done = false
+          while (!done && j < n) {
+            while (j < n && html.charAt(j).isWhitespace) j += 1
+            if (j >= n) done = true
+            else if (html.charAt(j) == '>') { j += 1; done = true }
+            else if (html.charAt(j) == '/' && j + 1 < n &&
+                html.charAt(j + 1) == '>') {
+              j += 2; selfClose = true; done = true
+            } else {
+              val as = j
+              while (j < n && !html.charAt(j).isWhitespace &&
+                html.charAt(j) != '=' && html.charAt(j) != '>' &&
+                html.charAt(j) != '/') j += 1
+              val aname = lower.substring(as, j)
+              var save = j
+              while (save < n && html.charAt(save).isWhitespace) save += 1
+              if (save < n && html.charAt(save) == '=') {
+                j = save + 1
+                while (j < n && html.charAt(j).isWhitespace) j += 1
+                var avalue = ""
+                if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                  val q = html.charAt(j); j += 1
+                  val vs = j
+                  while (j < n && html.charAt(j) != q) j += 1
+                  avalue = html.substring(vs, j)
+                  if (j < n) j += 1
+                } else {
+                  val vs = j
+                  while (j < n && !html.charAt(j).isWhitespace &&
+                    html.charAt(j) != '>') j += 1
+                  avalue = html.substring(vs, j)
+                }
+                if (aname.nonEmpty) attrs += aname -> decodeEntities(avalue)
+              } else if (aname.nonEmpty) attrs += aname -> "" // bare attr
+              else j += 1 // lone '/', not a self-close: skip
+            }
+          }
+          val node = new Node(tag, attrs.result(),
+            if (stack.isEmpty) -1 else stack.last)
+          node.innerStart = j
+          node.innerEnd = j
+          nodes += node
+          if (!selfClose && !voidTags(tag)) {
+            if (tag == "script" || tag == "style") {
+              // raw-text elements: inner '<' is content, not markup
+              val close = lower.indexOf("</" + tag, j)
+              node.innerEnd = if (close < 0) n else close
+              val gt2 = html.indexOf('>', node.innerEnd)
+              j = if (gt2 < 0) n else gt2 + 1
+            } else {
+              node.innerEnd = -1 // open until its close tag / EOF
+              stack += nodes.length - 1
+            }
+          }
+          i = j
+        } else i += 1 // stray '<' is text
+      } else i += 1
+    }
+    stack.foreach(ix => nodes(ix).innerEnd = n) // unclosed at EOF
+    nodes.toIndexedSeq
+  }
+
+  // --- selector engine -------------------------------------------------
+
+  final case class Simple(tag: Option[String], id: Option[String],
+      classes: Seq[String])
+
+  /** `tag`, `.class`, `#id`, compounds (`h1.title`), descendant lists
+    * (`.newsfull__body p`). */
+  def parseSelector(sel: String): Seq[Simple] =
+    sel.trim.split("\\s+").toSeq.filter(_.nonEmpty).map { part =>
+      var tag: Option[String] = None
+      var id: Option[String] = None
+      val classes = ArrayBuffer.empty[String]
+      var i = 0
+      while (i < part.length) {
+        val kind = part.charAt(i)
+        val start = if (kind == '.' || kind == '#') i + 1 else i
+        var j = start
+        while (j < part.length && part.charAt(j) != '.' &&
+          part.charAt(j) != '#') j += 1
+        val name = part.substring(start, j)
+        kind match {
+          case '.' => classes += name
+          case '#' => id = Some(name)
+          case _ => tag = Some(name.toLowerCase)
+        }
+        i = j
+      }
+      Simple(tag, id, classes.toSeq)
+    }
+
+  private def matchesSimple(nd: Node, s: Simple): Boolean =
+    s.tag.forall(_ == nd.tag) &&
+      s.id.forall(v => nd.attrs.get("id").contains(v)) &&
+      s.classes.forall(c =>
+        nd.attrs.get("class").exists(_.split("\\s+").contains(c)))
+
+  private def ancestorsMatch(nodes: IndexedSeq[Node], ix: Int,
+      sims: Seq[Simple]): Boolean =
+    if (sims.isEmpty) true
+    else {
+      var p = nodes(ix).parent
+      while (p >= 0) {
+        if (matchesSimple(nodes(p), sims.last) &&
+          ancestorsMatch(nodes, p, sims.init)) return true
+        p = nodes(p).parent
+      }
+      false
+    }
+
+  /** Indexes (document order) of elements matching the selector. */
+  def select(nodes: IndexedSeq[Node], selector: String): Seq[Int] = {
+    val sims = parseSelector(selector)
+    if (sims.isEmpty) Seq.empty
+    else nodes.indices.filter { ix =>
+      matchesSimple(nodes(ix), sims.last) &&
+        ancestorsMatch(nodes, ix, sims.init)
+    }
+  }
+
+  /** textContent of a span: tags stripped, comments skipped, entities
+    * decoded; whitespace left as-is (jsdom textContent semantics). */
+  def innerText(html: String, from: Int, to: Int): String = {
+    val out = new java.lang.StringBuilder(to - from)
+    var i = from
+    while (i < to) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0 || e + 3 > to) to else e + 3
+        } else if (i + 1 < to && (html.charAt(i + 1).isLetter ||
+            html.charAt(i + 1) == '/')) {
+          val gt = html.indexOf('>', i + 1)
+          i = if (gt < 0 || gt >= to) to else gt + 1
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    decodeEntities(out.toString)
+  }
+
+  // --- row-level extraction API (UDF bodies) ---------------------------
+
+  private def textOf(html: String, nd: Node): String =
+    // raw-text elements: content is verbatim (no tags/entities inside)
+    if (nd.tag == "script" || nd.tag == "style")
+      html.substring(nd.innerStart, nd.innerEnd)
+    else innerText(html, nd.innerStart, nd.innerEnd)
+
+  /** innerText of every match, document order. */
+  def selectTexts(html: String, selector: String): Seq[String] = {
+    if (html == null) return Seq.empty
+    val nodes = parse(html)
+    select(nodes, selector).map(ix => textOf(html, nodes(ix)))
+  }
+
+  /** Attribute value of every match (null where the match lacks the
+    * attribute), document order. `data-*` names cover dataset reads. */
+  def selectAttrs(html: String, selector: String, attr: String): Seq[String] = {
+    if (html == null) return Seq.empty
+    val nodes = parse(html)
+    val a = attr.toLowerCase
+    select(nodes, selector).map(ix => nodes(ix).attrs.getOrElse(a, null))
+  }
+
+  /** First selector in the list with ≥1 match wins; all its matches'
+    * innerTexts return (reference getContentFromSelectors,
+    * news/elimparcial.js:49-60). */
+  def selectorFallbackTexts(html: String, selectors: Seq[String]): Seq[String] = {
+    if (html == null) return Seq.empty
+    val nodes = parse(html)
+    selectors.iterator
+      .map(sel => select(nodes, sel))
+      .find(_.nonEmpty)
+      .map(_.map(ix => textOf(html, nodes(ix))))
+      .getOrElse(Seq.empty)
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
+import graft.operators.Iterate.CutOps
 
 /** Analytic-window / OLAP operator pack — the query surface a user of
   * the stored collections needs (SURVEY.md §2.5 notes the reference
@@ -165,19 +166,19 @@ object Analytic extends graft.QueryPack {
         val ar = edges.join(hub, Seq("c"))
           .groupBy(col("sp"))
           .agg(sum(col("h")).cast(DecimalType(38, 0)).as("ar"))
-          .localCheckpoint()
+          .cut()
         auth = ar.crossJoin(broadcast(ar.agg(max(col("ar")).as("amax"))))
           .select(col("sp"),
             expr(s"CAST((ar * $SCALE) div amax AS DECIMAL(38,0))").as("a"))
-          .localCheckpoint()
+          .cut()
         val hr = edges.join(auth, Seq("sp"))
           .groupBy(col("c"))
           .agg(sum(col("a")).cast(DecimalType(38, 0)).as("hr"))
-          .localCheckpoint()
+          .cut()
         hub = hr.crossJoin(broadcast(hr.agg(max(col("hr")).as("hmax"))))
           .select(col("c"),
             expr(s"CAST((hr * $SCALE) div hmax AS DECIMAL(38,0))").as("h"))
-          .localCheckpoint()
+          .cut()
       }
       val top = 15
       val authOut = auth
@@ -1200,7 +1201,7 @@ object Analytic extends graft.QueryPack {
     // oracle mirrors (testdata peels in 3-6 rounds).
     "q_kcore" -> ((s, d) => {
       val K = KCORE_K
-      var edges = partGraph(s, d).localCheckpoint(true)
+      var edges = partGraph(s, d).cut()
       var m = edges.count()
       var rounds = 0
       var converged = m == 0L
@@ -1216,7 +1217,7 @@ object Analytic extends graft.QueryPack {
           .join(keep.withColumnRenamed("n", "u"), Seq("u"))
           .join(keep.withColumnRenamed("n", "v"), Seq("v"))
           .select(col("u"), col("v"))
-          .localCheckpoint(true)
+          .cut()
         val m2 = next.count()
         edges.unpersist(false)
         edges = next
@@ -1245,13 +1246,13 @@ object Analytic extends graft.QueryPack {
       val raw = partGraph(s, d)
       val sym = raw.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(raw.select(col("v").as("src"), col("u").as("dst")))
-        .localCheckpoint(true)
+        .cut()
       val hubs = sym.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("dg"))
         .orderBy(col("dg").desc, col("node"))
         .limit(BFS_HUBS)
         .select(col("node"))
-      var dist = hubs.withColumn("dist", lit(0L)).localCheckpoint(true)
+      var dist = hubs.withColumn("dist", lit(0L)).cut()
       var frontier = dist
       var r = 1
       var done = false
@@ -1261,10 +1262,10 @@ object Analytic extends graft.QueryPack {
           .select(col("dst").as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
           .withColumn("dist", lit(r.toLong))
-          .localCheckpoint(true)
+          .cut()
         if (expanded.isEmpty) done = true
         else {
-          val nd = dist.unionAll(expanded).localCheckpoint(true)
+          val nd = dist.unionAll(expanded).cut()
           dist.unpersist(false)
           frontier = expanded
           dist = nd
@@ -1297,13 +1298,13 @@ object Analytic extends graft.QueryPack {
       val sym = raw.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(raw.select(col("v").as("src"), col("u").as("dst")))
         .withColumn("wt", (col("src") + col("dst")) % 9 + 1)
-        .localCheckpoint(true)
+        .cut()
       val hubs = sym.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("dg"))
         .orderBy(col("dg").desc, col("node"))
         .limit(BFS_HUBS)
         .select(col("node"))
-      var dist = hubs.withColumn("dist", lit(0L)).localCheckpoint(true)
+      var dist = hubs.withColumn("dist", lit(0L)).cut()
       var frontier = dist
       var r = 1
       var done = false
@@ -1318,11 +1319,11 @@ object Analytic extends graft.QueryPack {
             Seq("node"), "left_outer")
           .filter(col("best").isNull || col("cand") < col("best"))
           .select(col("node"), col("cand").as("dist"))
-          .localCheckpoint(true)
+          .cut()
         if (improved.isEmpty) done = true
         else {
           val nd = dist.join(improved, Seq("node"), "left_anti")
-            .unionAll(improved).localCheckpoint(true)
+            .unionAll(improved).cut()
           dist.unpersist(false)
           frontier = improved
           dist = nd

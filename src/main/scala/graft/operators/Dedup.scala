@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Iterate.CutOps
 
 /** Deduplication operator family over `documents` — the training-data-
   * pipeline generalization of the reference's key-existence dedup (J1/F5).
@@ -395,7 +396,7 @@ object Dedup extends graft.QueryPack {
         // cluster deployment uses checkpoint() on a reliable store)
         val next = labels.unionByName(prop)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .localCheckpoint(true)
+          .cut()
         val old = labels
         labels = next
         val s = labelSum()
@@ -752,12 +753,12 @@ object Dedup extends graft.QueryPack {
     // reliable store would use checkpoint() — same shape, durable
     // blocks.
     var cur = edges.filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+      .cut()
     var mark = checksum(cur)
     var rounds = 0
     var converged = mark._1 == 0L
     while (!converged && rounds < 30) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStar(cur)).cut()
       val nmark = checksum(next)
       cur.unpersist(false)
       cur = next

@@ -329,20 +329,31 @@ object Extras extends graft.QueryPack {
     // Scale: a narrow projection (md5 + ln per row, no shuffle)
     // feeding a global top-k via TakeOrderedAndProject — per-partition
     // partial top-k, K rows to the driver, never a full sort. The
-    // per-key round-at-9 DECIMAL keeps the rank order bit-exact across
+    // per-key round-at-9 DECIMAL keeps the rank ORDER bit-exact across
     // engines; ties (if any) break on doc_id in the ORDER BY itself.
+    // The key is NOT emitted — only the rank is: a rounded
+    // transcendental is one libm ULP away from a hash mismatch
+    // forever, while the ordering it induces is ULP-robust (rounding
+    // at 9 digits collapses near-ties, doc_id breaks the rest). The
+    // rank window runs over the already-selected K rows (one tiny
+    // single-partition sort of 100 rows, never the corpus).
     "q_weighted_sample" -> ((s, d) => {
       val K = 100
       val M = math.pow(16, 13) // 2^52 — exactly representable
       val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13),
         16, 10).cast("double") + 1d) / lit(M + 1d)
       val w = greatest(col("n_chars"), lit(1)).cast("double")
-      Tables(s, d, "documents")
+      val topK = Tables(s, d, "documents")
         .select(col("doc_id"), col("source"),
           greatest(col("n_chars"), lit(1)).cast("long").as("weight"),
           round(log(u) / w, 9).cast(DecimalType(15, 9)).as("es_key"))
         .orderBy(col("es_key").desc, col("doc_id"))
         .limit(K)
+      val byKey = Window.orderBy(col("es_key").desc, col("doc_id"))
+      topK
+        .withColumn("rk", row_number().over(byKey).cast("long"))
+        .select(col("rk"), col("doc_id"), col("source"), col("weight"))
+        .orderBy(col("rk"))
     }),
 
     // STRATIFIED weighted sampling: the per-group form of
@@ -1074,15 +1085,22 @@ object Extras extends graft.QueryPack {
 
     // the A-ES key restated term-for-term: same md5-uniform, same
     // ln(u)/w, same round-at-9 DECIMAL, same (key DESC, doc_id) order
+    // — but the key itself stays in ORDER BY only (rank is emitted;
+    // emitting the rounded transcendental was ULP/dtype-brittle
+    // against a byte-level hash compare)
     "q_weighted_sample" ->
-      """SELECT doc_id, source,
-        |  CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
-        |  CAST(round(ln(
-        |      (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
-        |            AS BIGINT) AS DOUBLE) + 1) / (pow(16, 13) + 1))
-        |    / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS DECIMAL(15,9))
-        |    AS es_key
-        |FROM documents
+      """WITH keyed AS (
+        |  SELECT doc_id, source,
+        |    CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+        |    CAST(round(ln(
+        |        (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |              AS BIGINT) AS DOUBLE) + 1) / (pow(16, 13) + 1))
+        |      / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS DECIMAL(15,9))
+        |      AS es_key
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT)
+        |    AS rk, doc_id, source, weight
+        |FROM keyed
         |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
 
     // per-source rank over the identical A-ES key

@@ -255,8 +255,10 @@ object Inference extends graft.QueryPack {
           sum(when(col("ga") === 0L, col("cents"))).as("sb"),
           sum(lit(1L) - col("ga")).as("nb"))
         .withColumn("perm_diff",
-          round(col("sa").cast("double") / col("na").cast("double") -
-            col("sb").cast("double") / col("nb").cast("double"), 9))
+          round(col("sa").cast("double") /
+            nullif(col("na"), lit(0L)).cast("double") -
+            col("sb").cast("double") /
+            nullif(col("nb"), lit(0L)).cast("double"), 9))
       val wAll = Window.orderBy(lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
       perms.crossJoin(obs)
@@ -486,9 +488,9 @@ object Inference extends graft.QueryPack {
         |    CAST(SUM(ga) AS BIGINT) AS na,
         |    round(
         |      CAST(SUM(CASE WHEN ga = 1 THEN cents END) AS DOUBLE) /
-        |      CAST(SUM(ga) AS DOUBLE) -
+        |      CAST(nullif(SUM(ga), 0) AS DOUBLE) -
         |      CAST(SUM(CASE WHEN ga = 0 THEN cents END) AS DOUBLE) /
-        |      CAST(SUM(1 - ga) AS DOUBLE), 9) AS perm_diff
+        |      CAST(nullif(SUM(1 - ga), 0) AS DOUBLE), 9) AS perm_diff
         |  FROM lab GROUP BY pm),
         |flagged AS (
         |  SELECT perm, na, perm_diff,

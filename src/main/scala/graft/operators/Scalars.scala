@@ -48,6 +48,33 @@ object Scalars extends graft.QueryPack {
     coalesce(attempts :+ array().cast("array<string>"): _*)
   }
 
+  /** DOM-fidelity extraction (functions/HtmlDom.scala): real tag
+    * tokenizer + element tree, so attribute reorder, mixed quoting,
+    * nested same-class tags, implied closes and descendant selectors
+    * all behave as jsdom does — closing the "first messy real page
+    * breaks the regex" gap. UDFs, deliberately: extraction is an
+    * ingest-side per-row map (never a shuffle key or a join input);
+    * the downstream analytics stay codegen. Golden-fixtured in
+    * HtmlDomSpec; oracle-gated through q_dom_extract. */
+  private val domTexts =
+    udf((html: String, sel: String) => graft.functions.HtmlDom.selectTexts(html, sel))
+  private val domAttrs =
+    udf((html: String, sel: String, attr: String) =>
+      graft.functions.HtmlDom.selectAttrs(html, sel, attr))
+  private val domFallback =
+    udf((html: String, sels: Seq[String]) =>
+      graft.functions.HtmlDom.selectorFallbackTexts(html, sels))
+
+  /** CSS-selector forms of the three extraction surfaces. */
+  def domSelectTexts(html: org.apache.spark.sql.Column, selector: String)
+      : org.apache.spark.sql.Column = domTexts(html, lit(selector))
+  def domSelectAttrs(html: org.apache.spark.sql.Column, selector: String,
+      attr: String): org.apache.spark.sql.Column =
+    domAttrs(html, lit(selector), lit(attr))
+  def domSelectorFallback(html: org.apache.spark.sql.Column,
+      selectors: Seq[String]): org.apache.spark.sql.Column =
+    domFallback(html, array(selectors.map(lit): _*))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Point-in-polygon geofencing — the other spatial primitive next
@@ -222,8 +249,11 @@ object Scalars extends graft.QueryPack {
         .orderBy(col("c_custkey"), col("rnk"))
     }),
 
-    // HTML field extraction via regex (S6/P8: .news--box scan + relative
-    // image URL absolutization, news/elimparcial.js:11-47).
+    // HTML field extraction (S6/P8: .news--box scan + relative image
+    // URL absolutization, news/elimparcial.js:11-47) — now through the
+    // DOM engine: attribute reads on the a/img elements instead of
+    // position-sensitive regexes. Same fixture HTML, same output, same
+    // oracle; HtmlDomSpec covers the messy shapes the fixture can't.
     "q_html_extract" -> ((s, d) => {
       val html = concat(
         lit("""<div class="news--box"><a title=""""), col("c_name"),
@@ -231,16 +261,19 @@ object Scalars extends graft.QueryPack {
         when(col("c_custkey") % 2 === 0, lit("https://cdn.example.com/i.jpg"))
           .otherwise(lit("/static/i.jpg")),
         lit(""""></a></div>"""))
+      val src = try_element_at(
+        domSelectAttrs(col("html"), ".news--box img", "src"), lit(1))
       Tables(s, d, "customer")
         .withColumn("html", html)
         .select(
           col("c_custkey"),
-          regexp_extract(col("html"), "title=\"([^\"]*)\"", 1).as("title"),
-          regexp_extract(col("html"), "href=\"([^\"]*)\"", 1).as("href"),
-          when(regexp_extract(col("html"), "src=\"([^\"]*)\"", 1).startsWith("http"),
-            regexp_extract(col("html"), "src=\"([^\"]*)\"", 1))
-            .otherwise(concat(lit("https://news.example.com"),
-              regexp_extract(col("html"), "src=\"([^\"]*)\"", 1))).as("image_abs"))
+          try_element_at(domSelectAttrs(col("html"), ".news--box a", "title"),
+            lit(1)).as("title"),
+          try_element_at(domSelectAttrs(col("html"), ".news--box a", "href"),
+            lit(1)).as("href"),
+          when(src.startsWith("http"), src)
+            .otherwise(concat(lit("https://news.example.com"), src))
+            .as("image_abs"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -267,13 +300,12 @@ object Scalars extends graft.QueryPack {
           concat(lit("""<p class="fallback">P"""), k, lit("</p>")))
           .otherwise(lit("")),
         lit("</body>"))
-      val sels = Seq(
-        """<h1 class="title">([^<]*)</h1>""",
-        """<div class="headline">([^<]*)</div>""",
-        """<p class="fallback">([^<]*)</p>""")
-      val m = selectorFallback(col("html"), sels)
+      // CSS selectors through the DOM engine (was: capture-group
+      // regexes) — the reference's actual selector forms
+      val sels = Seq("h1.title", "div.headline", "p.fallback")
+      val m = domSelectorFallback(col("html"), sels)
       val winner = sels.zipWithIndex.foldRight(lit(0L)) { case ((p, i), rest) =>
-        when(size(regexp_extract_all(col("html"), lit(p), lit(1))) > 0,
+        when(size(domSelectTexts(col("html"), p)) > 0,
           lit((i + 1).toLong)).otherwise(rest)
       }
       Tables(s, d, "customer")
@@ -282,6 +314,48 @@ object Scalars extends graft.QueryPack {
           winner.as("matched_selector"),
           size(m).cast("long").as("n_matches"),
           try_element_at(m, lit(1)).as("first_match"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // DOM-fidelity extraction gate (S6/P8/P9): per-row HTML in THREE
+    // deliberately messy shapes — nested same-class boxes, reordered
+    // single-quoted attributes, unquoted values with a bare attribute
+    // in between — all of which break position-sensitive regexes, all
+    // parsed by the HtmlDom engine (dataset-style data-* reads +
+    // innerText through nested markup, the elimparcial.js:31-38
+    // button.dataset pattern). The HTML is a deterministic function of
+    // the row key, so the DuckDB oracle derives the EXPECTED values
+    // analytically — the oracle checks the parser without needing one.
+    "q_dom_extract" -> ((s, d) => {
+      val k = col("c_custkey")
+      val btn = concat(lit("Go <b>"), k, lit("</b>"))
+      val html =
+        when(k % 3 === 0, concat(
+          lit("""<div class="news--box"><div class="news--box inner">"""),
+          lit("""<button data-url=/n/"""), k,
+          lit(""" data-title=""""), col("c_name"), lit("""" disabled>"""),
+          btn, lit("</button></div></div>")))
+        .when(k % 3 === 1, concat(
+          lit("""<div data-k=""""), k, lit("""" class='news--box'>"""),
+          lit("""<button data-title='"""), col("c_name"),
+          lit("""' data-url="/n/"""), k, lit("""">"""),
+          btn, lit("</button></div>")))
+        .otherwise(concat(
+          lit("""<div class=news--box><button disabled data-url=/n/"""), k,
+          lit(""" data-title=""""), col("c_name"), lit("""">"""),
+          btn, lit("</button></div>")))
+      Tables(s, d, "customer")
+        .withColumn("html", html)
+        .select(
+          col("c_custkey"),
+          try_element_at(domSelectAttrs(col("html"), ".news--box button",
+            "data-title"), lit(1)).as("title"),
+          try_element_at(domSelectAttrs(col("html"), ".news--box button",
+            "data-url"), lit(1)).as("url"),
+          size(domSelectTexts(col("html"), ".news--box")).cast("long")
+            .as("n_box"),
+          try_element_at(domSelectTexts(col("html"), "button"), lit(1))
+            .as("label"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -514,6 +588,19 @@ object Scalars extends graft.QueryPack {
         |       ELSE 'https://news.example.com' || regexp_extract(html, 'src="([^"]*)"', 1)
         |  END AS image_abs
         |FROM h ORDER BY c_custkey""".stripMargin,
+
+    // the oracle derives expected values ANALYTICALLY from the row key
+    // (the HTML is a pure function of it) — so the Spark side's real
+    // parse of the messy markup is checked against ground truth, not
+    // against another parser
+    "q_dom_extract" ->
+      """SELECT c_custkey,
+        |  c_name AS title,
+        |  '/n/' || c_custkey AS url,
+        |  CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_box,
+        |  'Go ' || c_custkey AS label
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_deadletter_json" ->
       """WITH j AS (

@@ -103,22 +103,31 @@ object StreamingGate extends graft.QueryPack {
     * StatefulStreamingSpec). State stays grid-sized (types × bins)
     * at any stream length; the staged-swap tail is the single-writer
     * harness convention the other streaming sinks share. */
-  /** Read a foldBinCounts state dir, or the schema-correct empty frame
-    * when the stream never delivered a batch (empty-input totality:
-    * a monitor on an empty day reports nothing, it does not throw). */
-  private def readBinState(s: SparkSession, state: String,
-      binName: String): DataFrame =
+  /** Read a parquet state dir renamed to the caller's output column
+    * names, or the schema-correct empty frame when the stream never
+    * delivered a batch (empty-input totality: a monitor on an empty
+    * day reports nothing, it does not throw). `cols` maps the stored
+    * column name to (output name, output type); the one definition
+    * serves every parquet-state reader so the empty-state schema
+    * cannot drift from the read path. */
+  private def readStateOr(s: SparkSession, state: String,
+      cols: Seq[(String, String, org.apache.spark.sql.types.DataType)])
+      : DataFrame =
     if (new java.io.File(state).exists())
       s.read.parquet(state)
-        .select(col("event_type"), col("bin").as(binName), col("n"))
+        .select(cols.map { case (from, to, _) => col(from).as(to) }: _*)
     else s.createDataFrame(new java.util.ArrayList[Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField(binName,
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n",
-          org.apache.spark.sql.types.LongType))))
+      org.apache.spark.sql.types.StructType(cols.map { case (_, to, t) =>
+        org.apache.spark.sql.types.StructField(to, t) }))
+
+  private def readBinState(s: SparkSession, state: String,
+      binName: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    readStateOr(s, state, Seq(
+      ("event_type", "event_type", StringType),
+      ("bin", binName, LongType),
+      ("n", "n", LongType)))
+  }
 
   /** The q_stream_freshness state fold: merge a micro-batch's
     * (event_type, us) rows into per-type (last_us, n_events) state —
@@ -127,40 +136,51 @@ object StreamingGate extends graft.QueryPack {
     * any stream length and the fold is batching-invariant (max and
     * sum are associative/commutative — asserted in
     * StatefulStreamingSpec). */
+  /** Crash-safe state swap shared by the parquet-state folds: write
+    * the merged frame to `state_tmp`, rename the prior state ASIDE
+    * (`state_old`) rather than deleting it, rename tmp into place,
+    * and only then drop the aside copy. Any failure mid-sequence —
+    * a crash between steps, or a renameTo returning false (e.g.
+    * across filesystems) — leaves a recoverable copy; the previous
+    * delete-before-rename variant lost all monitor state on that
+    * window. A leftover `state_old` from a crash after a successful
+    * swap is cleared on the next fold. */
+  private def swapState(merged: DataFrame, state: String): Unit = {
+    val dir = new java.io.File(state)
+    val tmp = new java.io.File(state + "_tmp")
+    val old = new java.io.File(state + "_old")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    if (old.exists()) graft.Fs.deleteRec(old)
+    if (dir.exists())
+      require(dir.renameTo(old), s"state swap failed: $state -> $old")
+    require(tmp.renameTo(dir), s"state swap failed: $tmp -> $state")
+    if (old.exists()) graft.Fs.deleteRec(old)
+  }
+
   def foldTypeMax(state: String)(batch: DataFrame, id: Long): Unit = {
     val bc = batch.groupBy(col("event_type"))
       .agg(max(col("us")).as("last_us"), count(lit(1)).as("n"))
-    val dir = new java.io.File(state)
     val merged =
-      if (dir.exists()) {
+      if (new java.io.File(state).exists()) {
         val prior = batch.sparkSession.read.parquet(state)
         prior.unionByName(bc)
           .groupBy(col("event_type"))
           .agg(max(col("last_us")).as("last_us"), sum(col("n")).as("n"))
       } else bc
-    val tmp = state + "_tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if (dir.exists()) graft.Fs.deleteRec(dir)
-    require(new java.io.File(tmp).renameTo(dir),
-      s"state swap failed: $tmp -> $state")
+    swapState(merged, state)
   }
 
   def foldBinCounts(state: String)(batch: DataFrame, id: Long): Unit = {
     val bc = batch.groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"))
-    val dir = new java.io.File(state)
     val merged =
-      if (dir.exists()) {
+      if (new java.io.File(state).exists()) {
         val prior = batch.sparkSession.read.parquet(state)
         prior.unionByName(bc)
           .groupBy(col("event_type"), col("bin"))
           .agg(sum(col("n")).as("n"))
       } else bc
-    val tmp = state + "_tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if (dir.exists()) graft.Fs.deleteRec(dir)
-    require(new java.io.File(tmp).renameTo(dir),
-      s"state swap failed: $tmp -> $state")
+    swapState(merged, state)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -437,19 +457,13 @@ object StreamingGate extends graft.QueryPack {
       val stream = EventsStream.replay(s, d)
         .select(col("event_type"), unix_micros(col("ts")).as("us"))
       drain(s, stream, "append")(foldTypeMax(state))
-      val perType =
-        if (new java.io.File(state).exists())
-          s.read.parquet(state)
-            .select(col("event_type"), col("last_us"),
-              col("n").as("n_events"))
-        else s.createDataFrame(new java.util.ArrayList[Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("event_type",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("last_us",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("n_events",
-              org.apache.spark.sql.types.LongType))))
+      val perType = {
+        import org.apache.spark.sql.types.{LongType, StringType}
+        readStateOr(s, state, Seq(
+          ("event_type", "event_type", StringType),
+          ("last_us", "last_us", LongType),
+          ("n", "n_events", LongType)))
+      }
       val frontier = perType.agg(max(col("last_us")).as("front_us"))
       perType.crossJoin(broadcast(frontier))
         .select(col("event_type"), col("n_events"),

@@ -227,27 +227,69 @@ object TextAnalytics extends graft.QueryPack {
     // matrix ("how redundant are these domains before I weight them"),
     // complementing q_js_divergence's per-source-vs-corpus drift with
     // the source×source view. Each source first DISTINCT-reduces to
-    // its vocabulary (map-combinable, value-domain-sized), pairs form
-    // through a word-keyed equi-join with the s1 < s2 total order (the
-    // q_ind_discovery layout — intersection counts at vocab
-    // cardinality, never corpus²), and Jaccard closes over the
-    // inclusion–exclusion union. Output is the source-pair grid.
+    // its vocabulary (map-combinable, value-domain-sized); Jaccard
+    // closes over the inclusion–exclusion union on the pair grid.
+    //
+    // Scale: the naive word-keyed pair self-join fans df² per word —
+    // a Zipf-head token present in (nearly) all S sources is an S²/2
+    // hot key, quadratic when a deployment has thousands of sources.
+    // EXACT mitigation (same output, no df-cap semantics change):
+    // split the vocabulary at source-df = S/2. Low-df words take the
+    // direct pair join (fan-out df² ≤ (S/2)²). High-df words are
+    // counted through their ABSENT sets via inclusion–exclusion —
+    //   |{w∈H : w∈s1 ∧ w∈s2}| = H − a(s1) − a(s2) + ab(s1,s2)
+    // where a(s) counts high words missing from s and ab joins the
+    // absent sets (fan-out (S−df)² ≤ (S/2)²). Every word's join-side
+    // cardinality is min(df, S−df): the ubiquitous-word hot key is
+    // gone, and the arithmetic is exact integers so the DuckDB oracle
+    // keeps the straightforward quadratic formulation.
     "q_source_overlap" -> ((s, d) => {
       val vocab = Tables(s, d, "documents")
         .select(col("source"), explode(tokens(col("text"))).as("w"))
         .filter(length(col("w")) > 0)
         .distinct()
+        .persist()
       val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("v"))
-      val inter = vocab.as("a")
-        .join(vocab.as("b"),
+      val nSrc = sizes.agg(count(lit(1)).as("n_src"))
+      val highWords = vocab.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nSrc))
+        .filter(col("df") * 2 > col("n_src"))
+        .select(col("w"))
+        .persist()
+      // low-df words: direct word-keyed pair join, each word ≤ (S/2)²
+      val lowVocab = vocab.join(highWords, Seq("w"), "left_anti")
+      val lowPairs = lowVocab.as("a")
+        .join(lowVocab.as("b"),
           col("a.w") === col("b.w") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
-        .agg(count(lit(1)).as("n_common"))
-      inter
-        .join(sizes.select(col("source").as("s1"), col("v").as("v1")),
-          Seq("s1"))
+        .agg(count(lit(1)).as("low_common"))
+      // high-df words: inclusion–exclusion over the small absent sets
+      val hCount = highWords.agg(count(lit(1)).as("h"))
+      val absent = sizes.select(col("source")).crossJoin(highWords)
+        .join(vocab, Seq("source", "w"), "left_anti")
+        .persist()
+      val absentCnt = absent.groupBy(col("source")).agg(count(lit(1)).as("a"))
+      val absentPairs = absent.as("a")
+        .join(absent.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("ab_both"))
+      val grid = sizes.select(col("source").as("s1"), col("v").as("v1"))
         .join(sizes.select(col("source").as("s2"), col("v").as("v2")),
-          Seq("s2"))
+          col("s1") < col("s2"))
+      grid
+        .join(lowPairs, Seq("s1", "s2"), "left")
+        .join(absentCnt.select(col("source").as("s1"), col("a").as("a1")),
+          Seq("s1"), "left")
+        .join(absentCnt.select(col("source").as("s2"), col("a").as("a2")),
+          Seq("s2"), "left")
+        .join(absentPairs, Seq("s1", "s2"), "left")
+        .crossJoin(broadcast(hCount))
+        .withColumn("n_common",
+          coalesce(col("low_common"), lit(0L)) + col("h")
+            - coalesce(col("a1"), lit(0L)) - coalesce(col("a2"), lit(0L))
+            + coalesce(col("ab_both"), lit(0L)))
+        .filter(col("n_common") > 0)
         .select(col("s1"), col("s2"), col("v1"), col("v2"), col("n_common"),
           round(col("n_common").cast("double") /
             (col("v1") + col("v2") - col("n_common")).cast("double"), 9)

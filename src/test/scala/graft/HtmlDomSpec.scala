@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.HtmlDom
+
+/** Golden fixtures for the tolerant DOM engine — messy variants of the
+  * reference's elimparcial shapes (news/elimparcial.js:29-60): attribute
+  * reorder, single/un-quoted values, nested same-class tags, implied
+  * closes, dataset reads, descendant selectors. The regex extractor
+  * these shapes were built to break mis-parses every one of them. */
+class HtmlDomSpec extends AnyFunSuite {
+
+  test("querySelectorAll('.news--box') with reordered, mixed-quote attributes") {
+    val html =
+      """<div class="wrap">
+        |<div data-x=1 class="news--box featured"><button data-url='/n/1'
+        |  data-title="First &amp; Best" data-image=/static/1.jpg>Go</button></div>
+        |<div class="news--box"><button data-image="https://cdn.x/2.jpg"
+        |  data-url="/n/2" data-title='Second "quoted"'>Go</button></div>
+        |</div>""".stripMargin
+    val titles = HtmlDom.selectAttrs(html, ".news--box button", "data-title")
+    assert(titles == Seq("First & Best", "Second \"quoted\""))
+    val images = HtmlDom.selectAttrs(html, ".news--box button", "data-image")
+    assert(images == Seq("/static/1.jpg", "https://cdn.x/2.jpg"))
+    val urls = HtmlDom.selectAttrs(html, ".news--box button", "data-url")
+    assert(urls == Seq("/n/1", "/n/2"))
+  }
+
+  test("nested same-class tags produce correct spans (regex killer #1)") {
+    val html = """<div class="box">outer<div class="box">inner</div>tail</div>"""
+    val texts = HtmlDom.selectTexts(html, ".box")
+    assert(texts == Seq("outerinnertail", "inner"))
+  }
+
+  test("implied closes: </ul> closes open <li>s; stray closer ignored") {
+    val html = "<ul><li>a<li>b</ul></p><p>c</p>"
+    assert(HtmlDom.selectTexts(html, "li") == Seq("ab", "b"))
+    assert(HtmlDom.selectTexts(html, "p") == Seq("c"))
+  }
+
+  test("unclosed element closes at EOF; comment and script are not markup") {
+    val html =
+      """<div class="body"><!-- <p>not me</p> --><script>if (a<b) x("<p>")</script><p>real"""
+    assert(HtmlDom.selectTexts(html, "p") == Seq("real"))
+    assert(HtmlDom.selectTexts(html, "script") == Seq("""if (a<b) x("<p>")"""))
+  }
+
+  test("descendant selectors: .newsfull__body p skips p outside the body") {
+    val html =
+      """<p>lede outside</p>
+        |<div class="newsfull__body"><div><p>one</p></div><p>two</p></div>
+        |<footer><p>legal</p></footer>""".stripMargin
+    assert(HtmlDom.selectTexts(html, ".newsfull__body p") == Seq("one", "two"))
+  }
+
+  test("selector fallback: first selector with matches wins, all matches return") {
+    val a = """<div class="newsfull__body"><p>x</p><p>y</p></div>
+              |<div class="land-see-body-content"><p>z</p></div>""".stripMargin
+    val b = """<div class="land-see-body-content"><p>z1</p><p>z2</p></div>"""
+    val sels = Seq(".newsfull__body p", ".land-see-body-content p")
+    assert(HtmlDom.selectorFallbackTexts(a, sels) == Seq("x", "y"))
+    assert(HtmlDom.selectorFallbackTexts(b, sels) == Seq("z1", "z2"))
+    assert(HtmlDom.selectorFallbackTexts("<div></div>", sels) == Seq.empty)
+  }
+
+  test("entities decode in text and attributes; innerText strips nested markup") {
+    val html =
+      """<h1 title="A &lt;tag&gt; &#65;">M&aacute;s <b>de</b> 100 &amp; counting</h1>"""
+    assert(HtmlDom.selectTexts(html, "h1") ==
+      Seq("M&aacute;s de 100 & counting")) // unknown entity passes through
+    assert(HtmlDom.selectAttrs(html, "h1", "title") == Seq("A <tag> A"))
+  }
+
+  test("void and self-closing elements take no children") {
+    val html = """<div class="a"><img src=/i.jpg><br/><span>s</span></div>"""
+    assert(HtmlDom.selectAttrs(html, ".a img", "src") == Seq("/i.jpg"))
+    assert(HtmlDom.selectTexts(html, ".a") == Seq("s"))
+    assert(HtmlDom.selectTexts(html, "span") == Seq("s"))
+  }
+
+  test("compound selectors and ids; missing attribute reads as null") {
+    val html =
+      """<h1 class="title main" id="top">T</h1><h1 class="other">O</h1>"""
+    assert(HtmlDom.selectTexts(html, "h1.title") == Seq("T"))
+    assert(HtmlDom.selectTexts(html, "#top") == Seq("T"))
+    assert(HtmlDom.selectTexts(html, "h1") == Seq("T", "O"))
+    assert(HtmlDom.selectAttrs(html, "h1", "id") == Seq("top", null))
+  }
+
+  test("bare attributes and whitespace-around-= tolerate") {
+    val html = """<button disabled data-title = "Spaced" >x</button>"""
+    assert(HtmlDom.selectAttrs(html, "button", "disabled") == Seq(""))
+    assert(HtmlDom.selectAttrs(html, "button", "data-title") == Seq("Spaced"))
+  }
+}

@@ -201,8 +201,59 @@ class PlanShapeSpec extends AnyFunSuite {
     val df = graft.operators.Extras.queries("q_weighted_sample")(
       spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString
+    // the corpus-side selection must be the partial top-k operator; the
+    // rank window that follows runs over the already-selected 100 rows
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
     assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("source overlap: no word's pair-join side exceeds S/2 (Zipf-head hot key gone)") {
+    import org.apache.spark.sql.functions._
+    val vocab = Tables(spark, TestSpark.sf, "documents")
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct().persist()
+    try {
+      val S = vocab.select(col("source")).distinct().count()
+      // the implementation splits at df*2 > S: low side joins words with
+      // df ≤ S/2, high side joins ABSENT sets of size S-df < S/2 — so
+      // the per-word join-side cardinality is min(df, S-df) ≤ S/2
+      val maxSide = vocab.groupBy(col("w"))
+        .agg(count(lit(1)).as("df"))
+        .select(max(least(col("df"), lit(S) - col("df"))))
+        .head().getLong(0)
+      assert(maxSide <= S / 2, s"max join side $maxSide > S/2 (S=$S)")
+      // and the testdata genuinely exercises the high-df branch
+      val maxDf = vocab.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .agg(max(col("df"))).head().getLong(0)
+      assert(maxDf * 2 > S,
+        s"fixture has no high-df word (maxDf=$maxDf, S=$S) — branch untested")
+    } finally {
+      vocab.unpersist()
+      TestSpark.housekeeping()
+    }
+  }
+
+  test("source overlap: inclusion–exclusion split equals the naive pair join") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.TextAnalytics.queries("q_source_overlap")(
+      spark, TestSpark.sf)
+    val naiveVocab = Tables(spark, TestSpark.sf, "documents")
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val naive = naiveVocab.as("a")
+      .join(naiveVocab.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    val gotPairs = got.select("s1", "s2", "n_common")
+      .collect().map(_.toSeq).toSet
+    val naivePairs = naive.collect().map(_.toSeq).toSet
+    TestSpark.housekeeping()
+    assert(gotPairs == naivePairs)
   }
 
   test("stratified sample ranks inside source partitions — one window, no join") {

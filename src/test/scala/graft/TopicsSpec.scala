@@ -104,4 +104,23 @@ class TopicsSpec extends AnyFunSuite {
     assert(actual == expected,
       s"first diff: ${actual.zip(expected).find { case (a, e) => a != e }}")
   }
+
+  test("q_lda_topics content pin: (data, layout)-pinned hash cannot silently drift") {
+    // The one rows-only query in SparkEntry (layout-invariance for K>1
+    // online-variational LDA is refuted — see the PER LAYOUT test).
+    // This pins the exact content for THE fixed (sf0.001, TestSpark
+    // local[4]) pair so regressions the rows-only gate can't see
+    // (vocab changes, seed drift, rank reorder) fail loudly here.
+    // Recompute the pin by running with -Dgraft.pin.print=1.
+    val rows = Topics.topTerms(spark, TestSpark.sf).collect()
+      .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}|" +
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .mkString("\n")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hash = md.digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (sys.props.get("graft.pin.print").contains("1")) info(s"PIN=$hash")
+    assert(hash == PINNED_LDA_SF0001, s"content hash drifted: $hash\n$rows")
+  }
+  private val PINNED_LDA_SF0001 =
+    "b47b7fddab49a03d3ee548814d51f2d10f1545c2c5dce85c0c8a6badd5621bae"
 }

@@ -76,6 +76,24 @@ for name in sorted(oracle):
                 i = int(np.argmin(eq.values))
                 print(f"FAIL {name}: col {c} differs at row {i}: oracle={oc[i]!r} spark={sc[i]!r}")
                 ok = False
+    # STRICT mode (STRICT=1): mimic the driver's byte-level hash gate —
+    # after the value compare, hash the canonicalized frames including
+    # each cell's Python type, so a Decimal-vs-float or np.int64-vs-int
+    # divergence the tolerant compare coerces still fails here the way
+    # the driver's dtype-sensitive hash would.
+    if ok and os.environ.get("STRICT") == "1":
+        import hashlib
+        def bhash(df):
+            h = hashlib.sha256()
+            for c in df.columns:
+                h.update(c.encode()); h.update(str(df[c].dtype).encode())
+                for v in df[c].values:
+                    h.update(type(v).__name__.encode())
+                    h.update(repr(v).encode()); h.update(b"\x1f")
+            return h.hexdigest()
+        if bhash(o) != bhash(s):
+            print(f"FAIL {name}: STRICT byte-hash mismatch (type/repr level)")
+            ok = False
     if ok:
         print(f"PASS {name} ({len(o)} rows)")
     else:
