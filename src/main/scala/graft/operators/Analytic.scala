@@ -343,15 +343,29 @@ object Analytic extends graft.QueryPack {
     // count how many recommended pairs are CONFIRMED by co-occurrence
     // in a held-out slice. Precision of association recs against
     // future baskets is the offline metric item-to-item deployments
-    // actually gate on. Same join shapes as the trained operator; the
-    // holdout check is one pair-keyed left join; output is the
-    // eval-summary grid (one row).
+    // actually gate on. The synthetic baskets choose parts
+    // independently — no preference structure crosses slices and the
+    // raw metric reads precision 0 (r7 finding). So the eval PLANTS a
+    // deterministic preference: every basket also carries each item's
+    // "brand anchor" (pk floored to its decade), a structure present
+    // in BOTH slices by construction — anchors co-occur with their
+    // items in training (high-cosine recs) and reappear in the
+    // holdout (confirmations), while the independent noise pairs
+    // stay unconfirmed: precision lands strictly inside (0, 1). The
+    // augmentation is a pure function of the stored keys, restated
+    // verbatim in the oracle. Same join shapes as the trained
+    // operator; the holdout check is one pair-keyed left join;
+    // output is the eval-summary grid (one row).
     "q_cf_holdout" -> ((s, d) => {
       val cap = sys.props.getOrElse("graft.cf.order.cap", "64").toInt
-      def baskets(residue: Int): DataFrame = Tables(s, d, "lineitem")
-        .filter(col("l_orderkey") % 16 === residue)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      def baskets(residue: Int): DataFrame = {
+        val raw = Tables(s, d, "lineitem")
+          .filter(col("l_orderkey") % 16 === residue)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        raw.unionByName(
+          raw.select(col("ok"), (col("pk") - col("pk") % 10).as("pk")))
+          .distinct()
+      }
       val recs = cfTop5(baskets(0), cap).select(col("item"), col("rec"))
       // the holdout side takes the SAME megabasket cap before its pair
       // self-join — one hot basket in the test slice would otherwise
@@ -1970,8 +1984,12 @@ object Analytic extends graft.QueryPack {
     "q_cf_holdout" -> {
       val cap = sys.props.getOrElse("graft.cf.order.cap", "64").toInt
       s"""WITH tli AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-         |  FROM lineitem WHERE l_orderkey % 16 = 0),
+         |  SELECT DISTINCT ok, pk FROM (
+         |    SELECT l_orderkey AS ok, l_partkey AS pk
+         |    FROM lineitem WHERE l_orderkey % 16 = 0
+         |    UNION ALL
+         |    SELECT l_orderkey, l_partkey - l_partkey % 10
+         |    FROM lineitem WHERE l_orderkey % 16 = 0)),
          |train AS (
          |  SELECT ok, pk FROM (
          |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS osz FROM tli)
@@ -1992,8 +2010,12 @@ object Analytic extends graft.QueryPack {
          |    JOIN deg dj ON dj.pk = rec) t
          |  WHERE rk <= 5),
          |rawtest AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-         |  FROM lineitem WHERE l_orderkey % 16 = 8),
+         |  SELECT DISTINCT ok, pk FROM (
+         |    SELECT l_orderkey AS ok, l_partkey AS pk
+         |    FROM lineitem WHERE l_orderkey % 16 = 8
+         |    UNION ALL
+         |    SELECT l_orderkey, l_partkey - l_partkey % 10
+         |    FROM lineitem WHERE l_orderkey % 16 = 8)),
          |test AS (
          |  SELECT ok, pk FROM (
          |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS osz

@@ -129,11 +129,19 @@ object Similarity extends graft.QueryPack {
     // of the hyperplane-LSH index against exact brute force: the
     // tuning sweep an embedding pipeline runs before trusting an
     // approximate index for semantic dedup (a recall cliff after an
-    // embedding-model change is how ANN deployments silently rot; on
-    // THIS near-orthogonal synthetic corpus the full 8-plane exact-
-    // bucket index measures recall 0 — precisely the finding the
-    // evaluator exists to surface). Prefix-stable planes make the
-    // sweep one query: bucket equality at width w IS equality of the
+    // embedding-model change is how ANN deployments silently rot).
+    // The synthetic corpus is near-orthogonal — no query has a real
+    // neighbor, and an evaluator scored on it reads recall 0 at every
+    // width (r7 finding). So the eval PLANTS recoverable structure
+    // in-query: each query vector gets three near-duplicates (one
+    // coordinate bumped by 0.1·‖v‖ → cosine ≈ 0.995, far above the
+    // ~0.3 noise floor) appended to the candidate corpus under
+    // reserved ids. The exact top-3 is then the planted set by
+    // construction, and recall@width measures how many survive the
+    // bucket prefix — a non-degenerate, width-monotone curve. The
+    // perturbation is a pure function of the stored vectors, restated
+    // verbatim in the oracle. Prefix-stable planes make the sweep one
+    // query: bucket equality at width w IS equality of the
     // signature's first w characters, so the w∈{2,4,8} candidate sets
     // are nested (hits provably non-increasing in w — the spec's
     // monotonicity gate) and all widths share ONE similarity frame
@@ -143,7 +151,18 @@ object Similarity extends graft.QueryPack {
     // corpus size.
     "q_ann_recall" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val e = loadEmbeddings(s, d).withColumn("bucket", bucketCol(col("embedding")))
+      val base = loadEmbeddings(s, d)
+      val planted = base.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(typedlit(Seq(1, 2, 3))).as("c"))
+        .select(
+          (lit(1000000L) + col("vec_id") * 10 + col("c")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === col("c") - 1, x + lit(0.1) * col("nrm"))
+              .otherwise(x)).as("embedding"))
+        .withColumn("nrm", norm(col("embedding")))
+      val e = base.unionByName(planted)
+        .withColumn("bucket", bucketCol(col("embedding")))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("nrm").as("qnrm"), col("bucket").as("qbucket"))
@@ -650,9 +669,22 @@ object Similarity extends graft.QueryPack {
     // both rankings from one sims CTE; the LSH side is the same frame
     // prefix-filtered per width (nested candidate sets by construction)
     "q_ann_recall" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm,
+      s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+         |            FROM embeddings WHERE vec_id < 10),
+         |planted AS (
+         |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+         |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+         |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+         |aug AS (
+         |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+         |      CAST(embedding[i] AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM planted),
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm,
          |             $bucketDuck AS bucket
-         |           FROM embeddings),
+         |           FROM aug),
          |w AS (SELECT * FROM (VALUES (2), (4), (8)) t(width)),
          |sims AS (
          |  SELECT q.vec_id AS qid, q.bucket AS qbucket,

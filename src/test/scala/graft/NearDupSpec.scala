@@ -98,6 +98,14 @@ class NearDupSpec extends AnyFunSuite {
         case _ =>
       }
     }
+    // the planted near-duplicates make the curve NON-DEGENERATE: some
+    // hits at the narrowest width, some misses at the widest (an
+    // all-zero or all-one curve means the evaluator measures nothing)
+    val totalByW = rows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(totalByW(2L) > 0L, "degenerate: zero recall at width 2")
+    assert(totalByW(8L) < rows.count(_.getLong(0) == 8L) * 3L,
+      "degenerate: perfect recall at width 8")
     // the sweep must discriminate on testdata: the coarse index finds
     // true neighbors, the full-width exact-bucket index finds none
     val mrec = rows.groupBy(_.getLong(0))

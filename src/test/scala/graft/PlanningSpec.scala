@@ -111,6 +111,11 @@ class PlanningSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getDouble(3) == expect)
     }
+    // planted brand-anchor preferences make the gate NON-DEGENERATE:
+    // anchors confirm across slices (hits > 0) while independent noise
+    // pairs stay unconfirmed (precision < 1)
+    assert(hits > 0L, "degenerate: zero confirmed recommendations")
+    assert(hits < recs, "degenerate: every recommendation confirmed")
   }
 
   test("q_compaction_plan: disjoint ordered ranges, conservation") {
