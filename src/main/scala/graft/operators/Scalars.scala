@@ -317,6 +317,32 @@ object Scalars extends graft.QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // K6 alert-row generation (support/email.js:15-21): page sentinels
+    // map to alert codes in the reference's check order — a row with
+    // multiple sentinels takes the FIRST (is-login-required runs
+    // before login's two checks), clean pages emit nothing. Derived
+    // page text plants all three sentinels plus a priority-collision
+    // row; the alert table is the emailable artifact (transport = the
+    // offline boundary, as S3 is for ObjectSink). Map-side CASE chain;
+    // the filter prunes clean rows before the presentation sort.
+    "q_alert_rows" -> ((s, d) => {
+      val k = col("c_custkey")
+      val page = concat(lit("<html><body>"),
+        when(k % 7 === 0, lit("Login • Instagram"))
+          .when(k % 7 === 1, lit("Suspicious Login Attempt"))
+          .when(k % 7 === 2, lit("Your Account Has Been Temporarily Locked"))
+          .when(k % 7 === 3,
+            lit("Suspicious Login Attempt ... Login • Instagram"))
+          .otherwise(lit("feed")),
+        lit("</body></html>"))
+      Tables(s, d, "customer")
+        .withColumn("alert",
+          graft.streaming.AlertSink.alertFor(page))
+        .filter(col("alert").isNotNull)
+        .select(col("c_custkey"), col("alert"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // DOM-fidelity extraction gate (S6/P8/P9): per-row HTML in THREE
     // deliberately messy shapes — nested same-class boxes, reordered
     // single-quoted attributes, unquoted values with a bare attribute
@@ -588,6 +614,36 @@ object Scalars extends graft.QueryPack {
         |       ELSE 'https://news.example.com' || regexp_extract(html, 'src="([^"]*)"', 1)
         |  END AS image_abs
         |FROM h ORDER BY c_custkey""".stripMargin,
+
+    // same derived page text, same first-sentinel-wins CASE order
+    "q_alert_rows" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |    '<html><body>' ||
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'Login • Instagram'
+        |         WHEN c_custkey % 7 = 1 THEN 'Suspicious Login Attempt'
+        |         WHEN c_custkey % 7 = 2
+        |           THEN 'Your Account Has Been Temporarily Locked'
+        |         WHEN c_custkey % 7 = 3
+        |           THEN 'Suspicious Login Attempt ... Login • Instagram'
+        |         ELSE 'feed' END || '</body></html>' AS page
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CASE WHEN contains(page, 'Login • Instagram')
+        |         THEN 'LOGIN_REQUIRED'
+        |       WHEN contains(page, 'Suspicious Login Attempt')
+        |         THEN 'SUSPICIOUS_ATTEMPT'
+        |       WHEN contains(page, 'Your Account Has Been Temporarily Locked')
+        |         THEN 'ACCOUNT_LOCKED'
+        |  END AS alert
+        |FROM p WHERE CASE WHEN contains(page, 'Login • Instagram')
+        |         THEN 'LOGIN_REQUIRED'
+        |       WHEN contains(page, 'Suspicious Login Attempt')
+        |         THEN 'SUSPICIOUS_ATTEMPT'
+        |       WHEN contains(page, 'Your Account Has Been Temporarily Locked')
+        |         THEN 'ACCOUNT_LOCKED'
+        |  END IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
 
     // the oracle derives expected values ANALYTICALLY from the row key
     // (the HTML is a pure function of it) — so the Spark side's real

@@ -80,7 +80,19 @@ object StreamingGate extends graft.QueryPack {
     * per-checkpoint; these gate drains are fresh-checkpoint runs) and
     * sizes it to executors × cores like any stateful job. Semantics
     * are partition-count-invariant — the oracles and the streaming
-    * specs hold at any setting. */
+    * specs hold at any setting.
+    *
+    * Fixed-cost floor (r8 measurement): the residual ~0.7-2.4 s per
+    * drain is the trigger lifecycle itself (stream planning, file
+    * index, the data batch, the watermark-finalize batch, sink
+    * read-back — 4-6 Spark jobs per drain), NOT storage. All three
+    * candidate knobs were measured on the 4 slowest drains at sf0.1
+    * and refuted: state partitions 8→4 gains ~5% (store open/commit
+    * is already amortized at 8), the RocksDB provider is ~15% SLOWER
+    * at these state sizes (native store open per batch dominates its
+    * benefit), and tmpfs-backed checkpoint/state/sink dirs change
+    * nothing (the page cache already absorbs the I/O). At deployment
+    * scale the floor amortizes: it is per-trigger, not per-row. */
   private def drain(s: SparkSession, stream: DataFrame,
       mode: String)(sink: (DataFrame, Long) => Unit): Unit = {
     val parts = sys.props.getOrElse("graft.stream.state.partitions", "8")
