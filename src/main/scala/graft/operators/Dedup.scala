@@ -189,6 +189,81 @@ object Dedup extends graft.QueryPack {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Cluster formation shared by q_dedup_clusters and the spec's
+    * chain-shaped stress graph: min-label propagation with a
+    * diameter escape hatch to star contraction after `maxRounds`
+    * un-converged rounds. `pairs` columns: (id_a, id_b). Returns
+    * (doc_id, cluster_id), unordered. */
+  private[graft] def clustersHybrid(pairs: DataFrame,
+      maxRounds: Int = 10): DataFrame = {
+      val edges = pairs.unionByName(
+          pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .toDF("src", "dst")
+        .persist()
+      // round 0 folded into initialization: label = min(self, neighbors)
+      // from one groupBy on the edge list (no join) — tiny star-shaped
+      // near-dup clusters converge here, leaving the loop a single
+      // fixpoint-confirming round
+      var labels = edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"), least(col("mn"), col("src")).as("label"))
+        .persist()
+      // labels only ever decrease (next = min(old, neighbors)), so the
+      // fixpoint test is one cheap agg — sum unchanged ⟺ converged —
+      // instead of a per-round change-detection join. The agg also
+      // MATERIALIZES the just-persisted frame (sum over an empty graph
+      // is NULL → 0).
+      def labelSum(): Long = {
+        val r = labels.agg(coalesce(sum(col("label")), lit(0L))).collect()(0)
+        r.getLong(0)
+      }
+      var prevSum = labelSum()
+      var converged = edges.isEmpty // no pairs → nothing to propagate
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        val prop = edges.join(labels, edges("dst") === labels("node"))
+          .select(edges("src").as("node"), col("label"))
+        // localCheckpoint, not persist: each round references `labels`
+        // twice, so cache-only iteration still grows the LOGICAL plan
+        // 2^r nodes — the analyzer walks the whole tree even when
+        // execution hits the cache, and a long-chain graph driving
+        // this toward the 50-round backstop would OOM the driver on
+        // the plan before the data ever hurt (same fix as ccStars; a
+        // cluster deployment uses checkpoint() on a reliable store)
+        val next = labels.unionByName(prop)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .cut()
+        val old = labels
+        labels = next
+        val s = labelSum()
+        old.unpersist(false)
+        converged = s == prevSum
+        prevSum = s
+        rounds += 1
+      }
+      edges.unpersist(false)
+      // Diameter escape hatch (r8): propagation advances one hop per
+      // round, so its round count is the component RADIUS — 2-3 for
+      // star-shaped near-dup clusters, unbounded for a chain-shaped
+      // pair graph at 100 TB. If 10 rounds did not reach the fixpoint
+      // the graph is chain-shaped: abandon propagation and finish with
+      // star contraction, whose alternation count is O(log n)
+      // INDEPENDENT of diameter. Identical output either way (both
+      // compute component minima — one oracle restates both), so the
+      // default named operator can no longer be diameter-killed while
+      // the cheap radius≤10 fast path still serves the common shape.
+      val result =
+        if (converged)
+          labels.select(col("node").as("doc_id"),
+            col("label").as("cluster_id"))
+        else {
+          labels.unpersist(false)
+          ccStars(pairs.toDF("src", "dst"))
+            .toDF("doc_id", "cluster_id")
+        }
+      result
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: content-hash groupBy, keep smallest id (deterministic
@@ -358,66 +433,11 @@ object Dedup extends graft.QueryPack {
     // one shuffle join on node id — the GraphX/Pregel layout without
     // leaving the DataFrame API. The driver loop only coordinates
     // (checks a changed-count), it never holds data.
-    "q_dedup_clusters" -> ((s, d) => {
-      val pairs = ngramPairs(s, d).select(col("id_a"), col("id_b"))
-      val edges = pairs.unionByName(
-          pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .toDF("src", "dst")
-        .persist()
-      // round 0 folded into initialization: label = min(self, neighbors)
-      // from one groupBy on the edge list (no join) — tiny star-shaped
-      // near-dup clusters converge here, leaving the loop a single
-      // fixpoint-confirming round
-      var labels = edges.groupBy(col("src"))
-        .agg(min(col("dst")).as("mn"))
-        .select(col("src").as("node"), least(col("mn"), col("src")).as("label"))
-        .persist()
-      // labels only ever decrease (next = min(old, neighbors)), so the
-      // fixpoint test is one cheap agg — sum unchanged ⟺ converged —
-      // instead of a per-round change-detection join. The agg also
-      // MATERIALIZES the just-persisted frame (sum over an empty graph
-      // is NULL → 0).
-      def labelSum(): Long = {
-        val r = labels.agg(coalesce(sum(col("label")), lit(0L))).collect()(0)
-        r.getLong(0)
-      }
-      var prevSum = labelSum()
-      var converged = edges.isEmpty // no pairs → nothing to propagate
-      var rounds = 0
-      while (!converged && rounds < 50) {
-        val prop = edges.join(labels, edges("dst") === labels("node"))
-          .select(edges("src").as("node"), col("label"))
-        // localCheckpoint, not persist: each round references `labels`
-        // twice, so cache-only iteration still grows the LOGICAL plan
-        // 2^r nodes — the analyzer walks the whole tree even when
-        // execution hits the cache, and a long-chain graph driving
-        // this toward the 50-round backstop would OOM the driver on
-        // the plan before the data ever hurt (same fix as ccStars; a
-        // cluster deployment uses checkpoint() on a reliable store)
-        val next = labels.unionByName(prop)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .cut()
-        val old = labels
-        labels = next
-        val s = labelSum()
-        old.unpersist(false)
-        converged = s == prevSum
-        prevSum = s
-        rounds += 1
-      }
-      edges.unpersist(false)
-      // fail LOUDLY if the 50-round backstop fired before the fixpoint:
-      // propagation advances one hop per round, so a component whose
-      // radius from its minimum id exceeds 50 (a long near-dup chain)
-      // would otherwise return silently-wrong non-minimum labels that
-      // disagree with the recursive-CTE oracle
-      require(converged,
-        "q_dedup_clusters: label propagation did not converge within 50 " +
-          "rounds — a connected component has radius > 50; raise the round " +
-          "cap (or switch to pointer-doubling) for this graph")
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_dedup_clusters" -> ((s, d) =>
+      clustersHybrid(ngramPairs(s, d).select(col("id_a"), col("id_b")))
+        .orderBy(col("doc_id"))),
+
+
 
     // Connected components by ALTERNATING STAR CONTRACTION — the same
     // clusters as q_dedup_clusters (one oracle restated for both), but

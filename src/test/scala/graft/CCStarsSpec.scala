@@ -44,6 +44,22 @@ class CCStarsSpec extends AnyFunSuite {
     assert(stars == prop)
   }
 
+  test("hybrid cluster formation escapes to stars on a chain deeper than its round cap") {
+    // a 64-node chain with maxRounds=10: propagation alone reaches
+    // only 10 hops from the minimum, so a correct full labeling PROVES
+    // the diameter escape hatch handed the graph to star contraction —
+    // the default operator can no longer be diameter-killed
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val l = Dedup.clustersHybrid(chain, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == (0L to 63L).map(_ -> 0L).toMap)
+    // and the fast path still serves the common star shape unchanged
+    val star = Seq((7L, 3L), (9L, 3L), (12L, 3L)).toDF("id_a", "id_b")
+    val ls = Dedup.clustersHybrid(star, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ls == Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 12L -> 3L))
+  }
+
   test("alternation count is logarithmic on a linear-radius path graph") {
     // a 64-node chain: radius from the minimum id is 63, so label
     // propagation needs 63 rounds; star contraction halves tree
