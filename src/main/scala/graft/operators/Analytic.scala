@@ -1438,13 +1438,20 @@ object Analytic extends graft.QueryPack {
     // the undirected (min,max) key; surviving pairs need ≥2 common
     // neighbors (the standard evidence floor).
     "q_link_predict" -> ((s, d) => {
-      val raw = partGraph(s, d)
+      // persist the shared subtrees: `raw` is itself a pair self-join
+      // consumed twice (sym, existing anti-join), `deg` is read three
+      // times, and `inc` feeds both sides of the wedge join — without
+      // the persists each reference re-runs the whole upstream
+      // (measured 3.1 → 2.3 s at sf0.1; harness housekeeping clears)
+      val raw = partGraph(s, d).persist()
       val sym = raw.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(raw.select(col("v").as("src"), col("u").as("dst")))
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .persist()
       val inc = sym.select(col("dst").as("m"), col("src").as("e"))
         .join(deg.select(col("src").as("m"), col("deg").as("dm")), Seq("m"))
         .filter(col("dm") <= LP_MID_CAP)
+        .persist()
       val scored = inc.select(col("m"), col("dm"), col("e").as("a"))
         .join(inc.select(col("m"), col("e").as("b")), Seq("m"))
         .filter(col("a") < col("b"))

@@ -101,7 +101,18 @@ class DeterminismSpec extends AnyFunSuite {
     // layout), q_geo_fence / q_freshness (pure integer audits)
     "q_record_linkage", "q_cuped", "q_acf", "q_seasonal_decompose",
     "q_seq_patterns", "q_markov_eval", "q_assortativity",
-    "q_erasure_maintenance", "q_geo_fence", "q_freshness")
+    "q_erasure_maintenance", "q_geo_fence", "q_freshness",
+    // r8: q_dom_extract (per-row DOM parse is a pure row function —
+    // any layout term means parser state leaked between rows),
+    // q_alert_rows (pure CASE chain), q_source_overlap (the
+    // inclusion-exclusion split must agree with itself across layouts
+    // — high/low membership comes from global dfs), q_cf_holdout
+    // (planted-anchor precision over exact counts), q_dedup_clusters
+    // (hybrid propagation/stars must still land on component minima
+    // under any layout); q_weighted_sample's new rank emission is
+    // already in the first-leg list
+    "q_dom_extract", "q_alert_rows",
+    "q_source_overlap", "q_cf_holdout", "q_dedup_clusters")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
