@@ -383,6 +383,37 @@ object Extras extends graft.QueryPack {
         .orderBy(col("source"), col("rk"))
     }),
 
+    // Token-budget allocation — the step between mixture weights and
+    // actual sampling: split a global training-token budget B across
+    // sources proportionally to their (here, size-proxy) weights so
+    // the integer allocations sum to EXACTLY B. Largest-remainder
+    // (Hamilton) apportionment: base_i = floor(B·w_i / W), then the
+    // B − Σbase leftover tokens go one each to the largest
+    // remainders (ties broken by source asc — a total order, so both
+    // engines agree). All arithmetic is exact BIGINT — B·w must fit,
+    // which holds to ~9e11 weight units at this B; a deployment
+    // rescales the weight unit with its corpus. One grid agg, one
+    // 1-row broadcast, two windows over the |sources|-row grid —
+    // nothing scales with the corpus beyond the first agg.
+    "q_token_budget" -> ((s, d) => {
+      val B = 10000000L
+      val wAll = Window.orderBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val byRem = Window.orderBy(col("rem").desc, col("source"))
+      val src = Tables(s, d, "documents")
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("w"))
+      val tot = src.agg(sum(col("w")).as("wt"))
+      src.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($B * w) div wt"))
+        .withColumn("rem", expr(s"($B * w) % wt"))
+        .withColumn("leftover", lit(B) - sum(col("base")).over(wAll))
+        .withColumn("rn", row_number().over(byRem))
+        .select(col("source"), col("w"),
+          (col("base") + when(col("rn") <= col("leftover"), 1L)
+            .otherwise(0L)).as("alloc"))
+        .orderBy(col("source"))
+    }),
+
     // Epoch upsampling — the other half of mixture curation: a source
     // weighted w epochs emits floor(w) full copies of every doc plus
     // one more for the deterministic md5-bucket slice of size frac(w)
@@ -1071,6 +1102,27 @@ object Extras extends graft.QueryPack {
         |SELECT source, COUNT(DISTINCT doc_id) AS n_docs_in,
         |  COUNT(*) AS n_emitted
         |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
+    // same floor/mod apportionment, same (rem desc, source) tiebreak
+    "q_token_budget" ->
+      """WITH src AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM src),
+        |based AS (
+        |  SELECT source, w,
+        |    CAST((10000000 * w) // wt AS BIGINT) AS base,
+        |    CAST((10000000 * w) % wt AS BIGINT) AS rem
+        |  FROM src, tot),
+        |ranked AS (
+        |  SELECT source, w, base,
+        |    10000000 - SUM(base) OVER () AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rn
+        |  FROM based)
+        |SELECT source, w,
+        |  CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM ranked ORDER BY source""".stripMargin,
 
     "q_split_hash" ->
       """SELECT doc_id,

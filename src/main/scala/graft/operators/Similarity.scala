@@ -109,6 +109,42 @@ object Similarity extends graft.QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Hard-negative mining for contrastive training (the retrieval-
+    // training data step: DPR/Contriever-style pairs need negatives
+    // that are SIMILAR but wrong): for each anchor vector, the top-3
+    // most-cosine-similar candidates whose class label DIFFERS — the
+    // highest-loss negatives a trainer can feed. Same broadcast-probe
+    // shape as q_ann_bruteforce (anchors are the broadcast side;
+    // candidates stream through once at any corpus size); the label
+    // inequality is a pushed filter on the joined row, so the per-
+    // anchor top-k window never sees same-class rows. At 100 TB the
+    // anchor set is the small side by construction (you mine
+    // negatives for a training batch, not the corpus) and the scan
+    // parallelizes over candidate partitions.
+    "q_hard_negatives" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"),
+          col("label"))
+        .withColumn("nrm", norm(col("embedding")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), col("label").as("qlabel"))
+      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("nrm").as("nnrm"), col("label").as("nlabel"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      cand.join(broadcast(q), col("qlabel") =!= col("nlabel"))
+        .withColumn("sim",
+          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+          col("rk"), col("nid"), col("nlabel").cast("long").as("nlabel"),
+          col("sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Brute-force cosine top-5 for 10 query vectors (baseline).
     "q_ann_bruteforce" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -715,6 +751,21 @@ object Similarity extends graft.QueryPack {
          |  round(CAST(SUM(n_hits) OVER (PARTITION BY width) AS DOUBLE) /
          |    (3.0 * COUNT(*) OVER (PARTITION BY width)), 6) AS macro_recall
          |FROM per_q ORDER BY width, qid""".stripMargin,
+
+    // anchors joined on label inequality, same round-9 cosine
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label, $normDuck AS nrm
+         |           FROM embeddings),
+         |sims AS (
+         |  SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS qlabel,
+         |    c.vec_id AS nid, CAST(c.label AS BIGINT) AS nlabel,
+         |    round(${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 9) AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.label <> c.label)
+         |SELECT qid, qlabel, rk, nid, nlabel, sim FROM (
+         |  SELECT qid, qlabel, nid, nlabel, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rk
+         |  FROM sims) t
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
     "q_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),

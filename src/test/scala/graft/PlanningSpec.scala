@@ -118,6 +118,22 @@ class PlanningSpec extends AnyFunSuite {
     assert(hits < recs, "degenerate: every recommendation confirmed")
   }
 
+  test("q_token_budget: allocations sum EXACTLY to B, each within 1 of its share") {
+    val rows =
+      try graft.operators.Extras.queries("q_token_budget")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    val B = 10000000L
+    assert(rows.map(_.getLong(2)).sum == B,
+      "largest-remainder apportionment must conserve the budget exactly")
+    val wTot = rows.map(_.getLong(1)).sum.toDouble
+    rows.foreach { r =>
+      val exact = B * r.getLong(1) / wTot
+      assert(math.abs(r.getLong(2) - exact) <= 1.0,
+        s"${r.getString(0)}: alloc ${r.getLong(2)} vs exact share $exact")
+    }
+  }
+
   test("q_compaction_plan: disjoint ordered ranges, conservation") {
     // columns: source, bin, n_files, bytes, first_doc, last_doc, fill
     val rows =
