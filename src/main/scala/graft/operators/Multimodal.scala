@@ -195,7 +195,78 @@ object Multimodal extends graft.QueryPack {
     }
   }
 
+  case class AudioFrame(doc_id: Long, frame_no: Long, n_samples: Long,
+      energy: Long, zero_crossings: Long, peak: Long)
+
+  /** Deterministic PCM fixture: little-endian signed 16-bit mono, a
+    * sawtooth with doc-dependent period p = 3 + id%8 and length
+    * n = 2048 + (id%5)·512 samples — sample(i) = (i%p)·2000 − 7000,
+    * values ≡ 1000 (mod 2000) so zero never occurs and sign tests
+    * are unambiguous. Closed-form in the row key, so the oracle
+    * recomputes the features WITHOUT parsing bytes — the Spark side's
+    * real byte decode is checked against analytic ground truth (the
+    * q_dom_extract device applied to audio). */
+  def genPcm(id: Long): Array[Byte] = {
+    val p = 3 + (id % 8).toInt
+    val n = 2048 + (id % 5).toInt * 512
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = ((i % p) * 2000 - 7000).toShort
+      out(2 * i) = (v & 0xff).toByte
+      out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** REAL PCM parse (LE int16) + per-256-sample-frame features: exact
+    * integer energy (Σs²), zero-crossing count (strict sign flip
+    * between consecutive in-frame samples), peak |amplitude|. The
+    * audio analog of [[decodeImage]] — raw-PCM byte math IS the real
+    * operation for WAV-class data, no codec stub needed. */
+  def audioFrames(id: Long, bytes: Array[Byte]): Seq[AudioFrame] = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    val n = b.length / 2
+    val out = scala.collection.mutable.ArrayBuffer.empty[AudioFrame]
+    var f = 0
+    while (f * 256 < n) {
+      val start = f * 256
+      val end = math.min(start + 256, n)
+      var energy = 0L; var zc = 0L; var peak = 0L
+      var prev = 0; var first = true
+      var i = start
+      while (i < end) {
+        val s = (b(2 * i + 1).toInt << 8) | (b(2 * i) & 0xff)
+        energy += s.toLong * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (!first && prev * s < 0) zc += 1
+        prev = s; first = false; i += 1
+      }
+      out += AudioFrame(id, f.toLong, (end - start).toLong, energy, zc, peak)
+      f += 1
+    }
+    out.toSeq
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Audio feature extraction over the binary PCM column: the third
+    // modality next to image decode and video frame sampling — same
+    // batched mapPartitions shape (binary never crosses a shuffle;
+    // only the per-frame integer features move on). Frames are the
+    // model-input unit a speech pipeline windows on; energy/ZCR/peak
+    // are the classic VAD screening features.
+    "q_audio_features" -> ((s, d) => {
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRow(id, genPcm(id))))
+        .mapPartitions(_.grouped(64).flatMap(_.flatMap(m =>
+          audioFrames(m.doc_id, m.content))))
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
     // Binary media column → REAL javax.imageio decode via mapPartitions
     // batches: per-doc generated PNG fixtures, decoded back to
     // (dimensions, per-channel pixel sums); the oracle recomputes the
@@ -290,6 +361,32 @@ object Multimodal extends graft.QueryPack {
   def oracles: Map[String, String] = Map(
     // same 4×4 block-average grid over the closed-form pixels, same
     // EXACT integer inequality s·N > S·c for each bit
+    // features recomputed analytically from the row key (the fixture
+    // is closed-form): the oracle never touches bytes, so the Spark
+    // side's LE-int16 parse is checked against ground truth
+    "q_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, 3 + doc_id % 8 AS p,
+        |    2048 + (doc_id % 5) * 512 AS n
+        |  FROM documents),
+        |idx AS (SELECT doc_id, p, n, unnest(range(0, 4096)) AS i FROM d),
+        |vals AS (
+        |  SELECT doc_id, i // 256 AS frame_no, i,
+        |    (i % p) * 2000 - 7000 AS s
+        |  FROM idx WHERE i < n),
+        |lagged AS (
+        |  SELECT doc_id, frame_no, s,
+        |    LAG(s) OVER (PARTITION BY doc_id, frame_no ORDER BY i) AS prev
+        |  FROM vals)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(s * s) AS BIGINT) AS energy,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak
+        |FROM lagged GROUP BY doc_id, frame_no
+        |ORDER BY doc_id, frame_no""".stripMargin,
+
     "q_image_phash" ->
       s"""WITH $pixelPxSqlDuck,
         |g AS (
