@@ -497,6 +497,42 @@ object StreamingGate extends graft.QueryPack {
     // the oracle restates it). Day arithmetic is integer epoch-seconds
     // division, not a calendar function, so both engines share one
     // definition.
+    // Streaming alert sink — K6 run as a stream (the ELEVENTH
+    // oracle-gated streaming query): sentinel pages flow through
+    // AlertSink.alertFor per micro-batch and alert ROWS append to the
+    // durable alert table via the same writeAlerts sink a deployment
+    // tails for email — the streaming twin of q_alert_rows (the
+    // sentinel derivation keys on event_id, restated in the oracle).
+    // Stateless per trigger: no watermark, no store — the alert
+    // emission is a pure row map, so cost is the drain floor.
+    "q_stream_alerts" -> ((s, d) => {
+      val alertDir = freshDir("q_stream_alerts") + "/alerts"
+      val stream = EventsStream.replay(s, d)
+        .select(col("event_id"),
+          concat(lit("<body>"),
+            when(col("event_id") % 97 === 0, lit("Login • Instagram"))
+              .when(col("event_id") % 97 === 1,
+                lit("Suspicious Login Attempt"))
+              .when(col("event_id") % 97 === 2,
+                lit("Your Account Has Been Temporarily Locked"))
+              .otherwise(lit("feed")),
+            lit("</body>")).as("page"))
+        .withColumn("alert",
+          graft.streaming.AlertSink.alertFor(col("page")))
+        .select(col("event_id"), col("alert"))
+      drain(s, stream, "append")(
+        graft.streaming.AlertSink.writeAlerts(alertDir))
+      if (new java.io.File(alertDir).exists())
+        s.read.parquet(alertDir).select(col("event_id"), col("alert"))
+          .orderBy(col("event_id"))
+      else s.createDataFrame(new java.util.ArrayList[Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("alert",
+            org.apache.spark.sql.types.StringType))))
+    }),
+
     "q_stream_cusum" -> ((s, d) => {
       val state = freshDir("q_stream_cusum") + "/st"
       val stream = EventsStream.replay(s, d)
@@ -596,8 +632,18 @@ object StreamingGate extends graft.QueryPack {
 
     // the drained day-count state re-derives the exact-integer CUSUM:
     // q_cusum's oracle with the epoch-day encoding
+    // batch restatement of the streamed sentinel→alert map
+    "q_stream_alerts" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 97 = 0 THEN 'LOGIN_REQUIRED'
+        |       WHEN event_id % 97 = 1 THEN 'SUSPICIOUS_ATTEMPT'
+        |       WHEN event_id % 97 = 2 THEN 'ACCOUNT_LOCKED'
+        |  END AS alert
+        |FROM events WHERE event_id % 97 IN (0, 1, 2)
+        |ORDER BY event_id""".stripMargin,
+
     "q_stream_cusum" ->
-      """WITH daily AS (
+"""WITH daily AS (
         |  SELECT event_type,
         |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no,
         |    CAST(COUNT(*) AS BIGINT) AS x
