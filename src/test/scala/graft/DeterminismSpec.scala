@@ -112,7 +112,13 @@ class DeterminismSpec extends AnyFunSuite {
     // under any layout); q_weighted_sample's new rank emission is
     // already in the first-leg list
     "q_dom_extract", "q_alert_rows",
-    "q_source_overlap", "q_cf_holdout", "q_dedup_clusters")
+    "q_source_overlap", "q_cf_holdout", "q_dedup_clusters",
+    // r8 second leg: q_token_budget (Σalloc = B needs the remainder
+    // rank to be a pure function of global sums), q_hard_negatives
+    // (label-inequality probe + round-9 cosine ranks),
+    // q_audio_features (per-row byte parse — layout-free by
+    // construction, pinned anyway as the binary-modality exemplar)
+    "q_token_budget", "q_hard_negatives", "q_audio_features")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

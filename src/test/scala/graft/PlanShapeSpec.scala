@@ -446,4 +446,47 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan.contains("HashAggregate"), plan.take(3000))
     }
   }
+
+  test("hard negatives probe through a broadcast of the 10-row anchor side") {
+    val df = graft.operators.Similarity.queries("q_hard_negatives")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the label-inequality join is non-equi, so the legal shape is one
+    // BroadcastNestedLoopJoin with the TINY anchor set broadcast — the
+    // corpus side must stream, never sit in a CartesianProduct
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size <= 1,
+      finalPlan.take(3000))
+    TestSpark.housekeeping()
+  }
+
+  test("token budget is one scan + grid windows — no join anywhere") {
+    val df = graft.operators.Extras.queries("q_token_budget")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // per-source weights come from one documents scan; the 1-row total
+    // joins back as a broadcast; apportionment is windows over the
+    // |sources|-row grid — nothing else may join or rescan (count in
+    // the FINAL plan only; the AQE string repeats the tree in its
+    // "Initial Plan" section)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalPlan).size <= 2,
+      finalPlan.take(3000))
+    assert(finalPlan.contains("Window"), finalPlan.take(3000))
+    TestSpark.housekeeping()
+  }
+
+  test("audio features stay a narrow map until the presentation sort") {
+    val df = graft.operators.Multimodal.queries("q_audio_features")(
+      spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // binary decode is mapPartitions; no join, no aggregate — the only
+    // exchange is the final orderBy
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    TestSpark.housekeeping()
+  }
 }
