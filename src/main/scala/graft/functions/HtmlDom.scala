@@ -280,6 +280,17 @@ object HtmlDom {
     select(nodes, selector).map(ix => textOf(html, nodes(ix)))
   }
 
+  /** Raw inner-HTML of every match, document order — the reference's
+    * `item.innerHTML` re-wrap pattern (eldolar.js:24: each table row's
+    * fragment is re-parsed as its own document and sub-selected). */
+  def selectHtmls(html: String, selector: String): Seq[String] = {
+    if (html == null) return Seq.empty
+    val nodes = parse(html)
+    select(nodes, selector).map { ix =>
+      html.substring(nodes(ix).innerStart, nodes(ix).innerEnd)
+    }
+  }
+
   /** Attribute value of every match (null where the match lacks the
     * attribute), document order. `data-*` names cover dataset reads. */
   def selectAttrs(html: String, selector: String, attr: String): Seq[String] = {

@@ -64,6 +64,9 @@ object Scalars extends graft.QueryPack {
   private val domFallback =
     udf((html: String, sels: Seq[String]) =>
       graft.functions.HtmlDom.selectorFallbackTexts(html, sels))
+  private val domHtmls =
+    udf((html: String, sel: String) =>
+      graft.functions.HtmlDom.selectHtmls(html, sel))
 
   /** CSS-selector forms of the three extraction surfaces. */
   def domSelectTexts(html: org.apache.spark.sql.Column, selector: String)
@@ -74,6 +77,8 @@ object Scalars extends graft.QueryPack {
   def domSelectorFallback(html: org.apache.spark.sql.Column,
       selectors: Seq[String]): org.apache.spark.sql.Column =
     domFallback(html, array(selectors.map(lit): _*))
+  def domSelectHtmls(html: org.apache.spark.sql.Column, selector: String)
+      : org.apache.spark.sql.Column = domHtmls(html, lit(selector))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -315,6 +320,51 @@ object Scalars extends graft.QueryPack {
           size(m).cast("long").as("n_matches"),
           try_element_at(m, lit(1)).as("first_match"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // The eldolar rate-table scan (S6/P7, dolar/eldolar.js:17-36),
+    // re-expressed faithfully: querySelectorAll('#dllsTable tbody tr')
+    // yields ROW FRAGMENTS whose innerHTML is re-parsed per row and
+    // sub-selected (the reference wraps each fragment in a fresh
+    // JSDOM) — entity from the anchor's first child's title, url from
+    // href with the protocol-relative '//' stripped, buy from the
+    // first .xTimes cell, sell from the second WITH the reference's
+    // fallback to buy when a row has only one cell. The generated
+    // table varies row count (2-3) and cell count per row, so the
+    // fallback branch is non-vacuous; the oracle derives everything
+    // analytically from (c_custkey, row_no).
+    "q_dom_table" -> ((s, d) => {
+      val k = col("c_custkey")
+      def tr(j: Int) = concat(
+        lit(s"""<tr><td><a href="//bank"""), k, lit(s"-$j"),
+        lit(""".example.com/mx"><span title="Bank """), k, lit(s"-$j"),
+        lit("""">B</span></a></td><td class="xTimes">1"""), lit(j),
+        lit("."), k % 10, lit("0</td>"),
+        when((k + j) % 3 =!= 0, concat(
+          lit("""<td class="xTimes">2"""), lit(j), lit("."), k % 10,
+          lit("5</td>"))).otherwise(lit("")),
+        lit("</tr>"))
+      val html = concat(
+        lit("""<table id="dllsTable"><tbody>"""), tr(0), tr(1),
+        when(k % 2 === 1, tr(2)).otherwise(lit("")),
+        lit("</tbody></table>"))
+      val buyCells = domSelectTexts(col("frag"), ".xTimes")
+      Tables(s, d, "customer")
+        .withColumn("html", html)
+        .select(col("c_custkey"),
+          posexplode(domSelectHtmls(col("html"), "#dllsTable tbody tr")))
+        .withColumnRenamed("pos", "row_no")
+        .withColumnRenamed("col", "frag")
+        .select(col("c_custkey"), col("row_no").cast("long").as("row_no"),
+          try_element_at(domSelectAttrs(col("frag"), "a span", "title"),
+            lit(1)).as("entity"),
+          regexp_replace(
+            try_element_at(domSelectAttrs(col("frag"), "a", "href"), lit(1)),
+            "^//", "").as("url"),
+          try_element_at(buyCells, lit(1)).as("buy"),
+          coalesce(try_element_at(buyCells, lit(2)),
+            try_element_at(buyCells, lit(1))).as("sell"))
+        .orderBy(col("c_custkey"), col("row_no"))
     }),
 
     // K6 alert-row generation (support/email.js:15-21): page sentinels
@@ -614,6 +664,23 @@ object Scalars extends graft.QueryPack {
         |       ELSE 'https://news.example.com' || regexp_extract(html, 'src="([^"]*)"', 1)
         |  END AS image_abs
         |FROM h ORDER BY c_custkey""".stripMargin,
+
+    // expected values derived analytically from (c_custkey, row_no):
+    // the oracle checks the two-level DOM parse without parsing
+    "q_dom_table" ->
+      """WITH rows_ AS (
+        |  SELECT c_custkey, unnest(range(0, 3)) AS j FROM customer),
+        |r AS (
+        |  SELECT c_custkey, j FROM rows_
+        |  WHERE j < 2 + c_custkey % 2)
+        |SELECT c_custkey, CAST(j AS BIGINT) AS row_no,
+        |  'Bank ' || c_custkey || '-' || j AS entity,
+        |  'bank' || c_custkey || '-' || j || '.example.com/mx' AS url,
+        |  '1' || j || '.' || (c_custkey % 10) || '0' AS buy,
+        |  CASE WHEN (c_custkey + j) % 3 <> 0
+        |       THEN '2' || j || '.' || (c_custkey % 10) || '5'
+        |       ELSE '1' || j || '.' || (c_custkey % 10) || '0' END AS sell
+        |FROM r ORDER BY c_custkey, row_no""".stripMargin,
 
     // same derived page text, same first-sentinel-wins CASE order
     "q_alert_rows" ->

@@ -87,6 +87,23 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(HtmlDom.selectAttrs(html, "h1", "id") == Seq("top", null))
   }
 
+  test("innerHTML fragments re-parse and sub-select (the eldolar row pattern)") {
+    val html =
+      """<table id="dllsTable"><tbody>
+        |<tr><td><a href="//b1.x/mx"><span title="B1">x</span></a></td>
+        |  <td class="xTimes">17.10</td><td class="xTimes">17.50</td></tr>
+        |<tr><td><a href="//b2.x/mx"><span title="B2">x</span></a></td>
+        |  <td class="xTimes">16.95</td></tr>
+        |</tbody></table>""".stripMargin
+    val frags = HtmlDom.selectHtmls(html, "#dllsTable tbody tr")
+    assert(frags.length == 2)
+    // each fragment is an independent parse, exactly as the reference
+    // re-wraps item.innerHTML in a fresh JSDOM
+    assert(HtmlDom.selectAttrs(frags(0), "a span", "title") == Seq("B1"))
+    assert(HtmlDom.selectTexts(frags(0), ".xTimes") == Seq("17.10", "17.50"))
+    assert(HtmlDom.selectTexts(frags(1), ".xTimes") == Seq("16.95"))
+  }
+
   test("bare attributes and whitespace-around-= tolerate") {
     val html = """<button disabled data-title = "Spaced" >x</button>"""
     assert(HtmlDom.selectAttrs(html, "button", "disabled") == Seq(""))
