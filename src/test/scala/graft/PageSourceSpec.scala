@@ -269,4 +269,33 @@ class PageSourceSpec extends AnyFunSuite {
     // run 3: nothing new → empty
     assert(drainOnce() == 0)
   }
+
+  test("S1 x S6 integration: connector pages flow through the DOM engine") {
+    // the full reference news trace, engine-side: a fetch directory of
+    // HTML pages scanned by graft-pages, each payload parsed by the
+    // tolerant DOM (messy markup on purpose), extracted fields checked
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_pages_dom").toFile
+    dir.deleteOnExit()
+    Files.writeString(new File(dir, "home_1.html").toPath,
+      """<div class='news--box'><button data-url=/n/1
+        | data-title="One &amp; Only" data-image=/static/1.jpg>go</button></div>"""
+        .stripMargin)
+    Files.writeString(new File(dir, "home_2.html").toPath,
+      """<div data-x=9 class="news--box featured"><button
+        | data-image="https://cdn.x/2.jpg" data-title='Two' data-url="/n/2">go
+        |</button></div>""".stripMargin)
+    val pages = spark.read.format("graft-pages").load(dir.getPath)
+    val rows = pages
+      .select(col("path"),
+        org.apache.spark.sql.functions.element_at(
+          graft.operators.Scalars.domSelectAttrs(
+            col("payload"), ".news--box button", "data-title"), 1)
+          .as("title"),
+        org.apache.spark.sql.functions.element_at(
+          graft.operators.Scalars.domSelectAttrs(
+            col("payload"), ".news--box button", "data-url"), 1).as("url"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(rows == Set("One & Only" -> "/n/1", "Two" -> "/n/2"))
+  }
 }
