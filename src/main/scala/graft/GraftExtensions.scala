@@ -37,6 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       GraftExtensions.simhashInfo,
       GraftExtensions.simhashBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dom_text"),
+      GraftExtensions.domTextInfo,
+      GraftExtensions.domTextBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dom_attr"),
+      GraftExtensions.domAttrInfo,
+      GraftExtensions.domAttrBuilder))
     ext.injectOptimizerRule(_ => graft.plans.LargeInListToJoinRule())
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -73,6 +81,16 @@ object GraftExtensions {
   private[graft] val simhashBuilder: Seq[Expression] => Expression =
     children => graft.functions.SimHash(children.head)
 
+  private[graft] val domTextInfo =
+    new ExpressionInfo(classOf[graft.functions.DomText].getName, "graft_dom_text")
+  private[graft] val domTextBuilder: Seq[Expression] => Expression =
+    children => graft.functions.DomText(children(0), children(1))
+
+  private[graft] val domAttrInfo =
+    new ExpressionInfo(classOf[graft.functions.DomAttr].getName, "graft_dom_attr")
+  private[graft] val domAttrBuilder: Seq[Expression] => Expression =
+    children => graft.functions.DomAttr(children(0), children(1), children(2))
+
   /** Same registration for an already-running session (extensions only
     * apply at construction time) — the FULL surface, not just the SQL
     * functions: a live session registered here previously never got the
@@ -93,6 +111,10 @@ object GraftExtensions {
       spark, "graft_image_labels", imageLabelsInfo, imageLabelsBuilder)
     org.apache.spark.sql.graftshim.GraftShim.registerFunction(
       spark, "graft_simhash", simhashInfo, simhashBuilder)
+    org.apache.spark.sql.graftshim.GraftShim.registerFunction(
+      spark, "graft_dom_text", domTextInfo, domTextBuilder)
+    org.apache.spark.sql.graftshim.GraftShim.registerFunction(
+      spark, "graft_dom_attr", domAttrInfo, domAttrBuilder)
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.LargeInListToJoinRule]))
       spark.experimental.extraOptimizations =

@@ -33,4 +33,18 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
+
+  test("graft_dom_text / graft_dom_attr are callable from SQL after registration") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_dom_text('<div class="box"><p>a</p><p>b</p></div>', '.box p') AS t,
+        |  graft_dom_attr('<a href=//x.y title=Hi>z</a>', 'a', 'title') AS h,
+        |  graft_dom_attr('<a>z</a>', 'a', 'title') AS missing
+        |""".stripMargin).collect()(0)
+    assert(row.getSeq[String](0) == Seq("a", "b"))
+    assert(row.getSeq[String](1) == Seq("Hi"))
+    assert(row.getSeq[String](2) == Seq(null))
+  }
 }
