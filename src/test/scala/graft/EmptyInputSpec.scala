@@ -53,7 +53,16 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_compaction_plan", "q_stream_cusum", "q_stream_drift", "q_zipf",
     "q_impute", "q_erasure_maintenance", "q_freshness", "q_seq_patterns",
     "q_seasonal_decompose", "q_acf", "q_assortativity", "q_geo_fence",
-    "q_stream_freshness")
+    "q_stream_freshness",
+    // r8: DOM extraction / alert rows / tables derive their markup
+    // from customer rows (no rows → no pages → empty, not a parser
+    // crash); audio frames from documents; the budget allocator and
+    // cluster formation must survive an empty corpus; hard negatives
+    // an empty embedding table; the streaming alert drain an empty
+    // event stream
+    "q_dom_extract", "q_dom_table", "q_alert_rows", "q_audio_features",
+    "q_token_budget", "q_dedup_clusters", "q_hard_negatives",
+    "q_stream_alerts")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {
