@@ -340,6 +340,62 @@ object Dedup extends graft.QueryPack {
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       ngramPairs(s, d).orderBy(col("id_a"), col("id_b"))),
 
+    // LSH banding tuning curve — the (bands × rows-per-band) sweep a
+    // dedup deployment runs before trusting its index (the
+    // q_ann_recall companion for MinHash): over ONE 16-hash signature
+    // frame, evaluate the three aligned band shapes 16×1 / 8×2 / 4×4
+    // against the exact inverted-index near-dup pair set (ngramPairs,
+    // THE operator truth — not all-pairs, so the truth side is
+    // scale-safe too). r divides evenly, so agreement on an r=4 band
+    // implies agreement on its r=2 sub-bands implies r=1: candidate
+    // sets are NESTED and recall is provably non-increasing in r
+    // (pinned in NearDupSpec) while precision rises — the curve IS
+    // the b/r tradeoff. Work per config: one band-keyed equi-join
+    // streaming candidates through a spillable shuffle + one
+    // pair-keyed truth join; nothing corpus².
+    "q_lsh_tuning" -> ((s, d) => {
+      val c = corpus(Tables(s, d, "documents"))
+        .withColumn("sh", shingles(col("text")))
+        .withColumn("sigs", minhashSigs(col("sh")))
+        .select(col("doc_id"), col("sigs"))
+        .persist()
+      val truth = ngramPairs(s, d).select(col("id_a"), col("id_b"))
+        .persist()
+      val truthCnt = truth.agg(count(lit(1)).as("n_truth"))
+      val results = Seq((16, 1), (8, 2), (4, 4)).map { case (b, r) =>
+        val banded = c.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(b - 1)), bb => struct(
+            bb.as("band"),
+            md5(array_join(transform(
+              slice(col("sigs"), bb * r + 1, lit(r)),
+              x => x.cast("string")), "|")).as("bkey")))).as("bb"))
+          .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+        val l = banded.select(col("band"), col("bkey"),
+          col("doc_id").as("id_a"))
+        val rr = banded.select(col("band"), col("bkey"),
+          col("doc_id").as("id_b"))
+        l.join(rr, Seq("band", "bkey"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+          .join(truth.withColumn("hit", lit(1)),
+            Seq("id_a", "id_b"), "left_outer")
+          .agg(count(lit(1)).as("n_cand"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_caught"))
+          .select(lit(b.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"),
+            col("n_cand"), col("n_caught"))
+      }
+      results.reduce(_ unionByName _)
+        .crossJoin(broadcast(truthCnt))
+        .select(col("bands"), col("rows_per_band"), col("n_truth"),
+          col("n_cand"), col("n_caught"),
+          round(col("n_caught").cast("double") /
+            nullif(col("n_truth"), lit(0L)).cast("double"), 6).as("recall"),
+          round(col("n_caught").cast("double") /
+            nullif(col("n_cand"), lit(0L)).cast("double"), 6).as("prec"))
+        .orderBy(col("rows_per_band"))
+    }),
+
     // Exact duplicated-SPAN detection — the shuffle-friendly
     // restatement of exact-substring dedup (suffix-array dedup à la
     // "Deduplicating Training Data Makes Language Models Better"):
@@ -1058,6 +1114,66 @@ object Dedup extends graft.QueryPack {
          |$ngramPairsSqlDuck
          |SELECT id_a, id_b, jaccard FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // same signature CTEs as q_dedup_minhash, same pairs prelude as
+    // q_dedup_ngram_jaccard (truth), banding generalized over the cfg
+    // grid; the cfg LEFT JOIN keeps the 3-row skeleton on empty input
+    "q_lsh_tuning" ->
+      s"""WITH $corpusSqlDuck,
+         |$ngramPairsSqlDuck,
+         |shl AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+         |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
+         |  FROM corpus),
+         |hx AS (
+         |  SELECT doc_id,
+         |    list_transform(sh, s -> [
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, 13), k ->
+         |          CAST(strpos('0123456789abcdef', substring(md5(s), k, 1)) - 1 AS BIGINT))),
+         |        (a, x) -> a * 16 + x),
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(13, 25), k ->
+         |          CAST(strpos('0123456789abcdef', substring(md5(s), k, 1)) - 1 AS BIGINT))),
+         |        (a, x) -> a * 16 + x)]) AS hx
+         |  FROM shl),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, $NUM_HASHES),
+         |      j -> list_min(list_transform(hx, h -> (h[1] + j * h[2]) % $MOD))) AS sigs
+         |  FROM hx),
+         |cfg AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4)) t(b, r)),
+         |banded AS (
+         |  SELECT doc_id, b, r, band,
+         |    md5(array_to_string(sigs[band*r+1 : band*r+r], '|')) AS bkey
+         |  FROM sigs, cfg, LATERAL unnest(range(0, b)) AS t(band)),
+         |cnd AS (
+         |  SELECT DISTINCT a.b, a.r, a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM banded a JOIN banded c
+         |    ON a.b = c.b AND a.r = c.r AND a.band = c.band
+         |      AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+         |tr AS (SELECT id_a, id_b FROM pairs),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tr),
+         |joined AS (
+         |  SELECT cnd.b, cnd.r,
+         |    CASE WHEN tr.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM cnd LEFT JOIN tr
+         |    ON cnd.id_a = tr.id_a AND cnd.id_b = tr.id_b),
+         |per AS (
+         |  SELECT cfg.b, cfg.r,
+         |    CAST(COUNT(joined.hit) AS BIGINT) AS n_cand,
+         |    CAST(COALESCE(SUM(joined.hit), 0) AS BIGINT) AS n_caught
+         |  FROM cfg LEFT JOIN joined ON joined.b = cfg.b AND joined.r = cfg.r
+         |  GROUP BY cfg.b, cfg.r)
+         |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+         |  n_truth, n_cand, n_caught,
+         |  round(CAST(n_caught AS DOUBLE) / CAST(nullif(n_truth, 0) AS DOUBLE), 6)
+         |    AS recall,
+         |  round(CAST(n_caught AS DOUBLE) / CAST(nullif(n_cand, 0) AS DOUBLE), 6)
+         |    AS prec
+         |FROM per, nt ORDER BY rows_per_band""".stripMargin,
 
     "q_dedup_sentences" ->
       s"""WITH $corpusSqlDuck,

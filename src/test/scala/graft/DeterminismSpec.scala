@@ -119,7 +119,7 @@ class DeterminismSpec extends AnyFunSuite {
     // q_audio_features (per-row byte parse — layout-free by
     // construction, pinned anyway as the binary-modality exemplar)
     "q_token_budget", "q_hard_negatives", "q_audio_features",
-    "q_dom_table")
+    "q_dom_table", "q_lsh_tuning")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

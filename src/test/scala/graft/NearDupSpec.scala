@@ -76,6 +76,29 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lsh_tuning: aligned bands nest — candidates shrink and recall never grows with r") {
+    // columns: bands, rows_per_band, n_truth, n_cand, n_caught, recall, prec
+    val rows = graft.operators.Dedup
+      .queries("q_lsh_tuning")(spark, TestSpark.sf).collect()
+      .sortBy(_.getLong(1))
+    TestSpark.housekeeping()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((16L, 1L), (8L, 2L), (4L, 4L)))
+    // r divides evenly, so an r=4 band match implies its r=2 sub-bands
+    // match implies r=1: candidate sets are nested
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) >= b.getLong(3), "candidates grew with r")
+        assert(a.getLong(4) >= b.getLong(4), "caught grew with r")
+      case _ =>
+    }
+    // the sweep must discriminate: the permissive end pays precision
+    val precs = rows.map(_.getDouble(6))
+    assert(precs.head < precs.last,
+      s"precision curve flat: ${precs.mkString(",")}")
+    rows.foreach(r => assert(r.getLong(4) <= r.getLong(2)))
+  }
+
   test("q_ann_recall: nested candidate sets make hits monotone in width") {
     // columns: width, qid, n_exact, n_hits, recall, macro_recall
     val rows = graft.operators.Similarity
