@@ -21,6 +21,77 @@ object Inference extends graft.QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Label aggregation — the annotation-QA step of a labeling
+    // pipeline (RLHF preference labels, quality ratings): each event
+    // is read as one annotator's label on an item (item = event_id
+    // mod 500, annotator = user_id, label = event_type). Majority
+    // vote per item with a TOTAL-ORDER tiebreak (votes desc, label
+    // asc — both engines agree), plus the vote margin a curation
+    // pipeline thresholds on before trusting a label. One grid agg +
+    // one per-item window; nothing beyond the (item × label) grid
+    // ever aggregates.
+    "q_label_vote" -> ((s, d) => {
+      val ann = Tables(s, d, "events")
+        .select((col("event_id") % 500).as("item"),
+          col("event_type").as("label"))
+      val counts = ann.groupBy(col("item"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val wItem = Window.partitionBy(col("item"))
+      val wRank = Window.partitionBy(col("item"))
+        .orderBy(col("votes").desc, col("label"))
+      counts
+        .withColumn("n_ann", sum(col("votes")).over(wItem))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") === 1)
+        .select(col("item"), col("label").as("winner"), col("votes"),
+          col("n_ann"),
+          round(col("votes").cast("double") /
+            col("n_ann").cast("double"), 6).as("margin"))
+        .orderBy(col("item"))
+    }),
+
+    // Inter-annotator agreement: Fleiss' kappa generalized to variable
+    // raters per item (the pairwise-agreement form): per-item
+    //   P_i = Σ_c n_ic(n_ic−1) / (n_i(n_i−1))   over items with n_i ≥ 2,
+    // P̄ = mean P_i, chance agreement P_e = Σ_c p_c² from the pooled
+    // label distribution, κ = (P̄ − P_e)/(1 − P_e). Every ingredient
+    // is an exact integer sum off the same (item × label) grid the
+    // vote uses — the ratios are the only doubles, rounded at 9. A
+    // labeling deployment gates annotator quality on exactly this
+    // number before the labels feed training.
+    "q_label_kappa" -> ((s, d) => {
+      val ann = Tables(s, d, "events")
+        .select((col("event_id") % 500).as("item"),
+          col("event_type").as("label"))
+      val grid = ann.groupBy(col("item"), col("label"))
+        .agg(count(lit(1)).as("n_ic"))
+      val perItem = grid.groupBy(col("item"))
+        .agg(sum(col("n_ic")).as("n_i"),
+          sum(col("n_ic") * (col("n_ic") - 1)).as("agree_i"))
+        .filter(col("n_i") >= 2)
+      // P̄ through round-12 DECIMAL partial sums (the q_js_divergence
+      // discipline): a float AVG accumulates in partition order and
+      // drifts a ULP across layouts; the DECIMAL sum is exact
+      val pBar = perItem.agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_i")).as("n_annotations"),
+        (sum(round(col("agree_i").cast("double") /
+            (col("n_i") * (col("n_i") - 1)).cast("double"), 12)
+          .cast(DecimalType(24, 12))).cast("double") /
+          count(lit(1)).cast("double")).as("p_bar_raw"))
+      val pooled = ann.groupBy(col("label")).agg(count(lit(1)).as("n_c"))
+      val pe = pooled.agg(
+        sum(col("n_c") * col("n_c")).cast("double").as("ss"),
+        sum(col("n_c")).cast("double").as("tot"))
+        .select((col("ss") / (col("tot") * col("tot"))).as("p_e_raw"))
+      pBar.crossJoin(broadcast(pe))
+        .select(col("n_items"), col("n_annotations"),
+          round(col("p_bar_raw"), 9).as("p_bar"),
+          round(col("p_e_raw"), 9).as("p_e"),
+          round((col("p_bar_raw") - col("p_e_raw")) /
+            (lit(1.0d) - col("p_e_raw")), 9).as("kappa"))
+    }),
+
     // Kaplan–Meier survival estimator (Kaplan & Meier, JASA 1958) over
     // SESSION durations with right-censoring at the observation edge:
     // sessions still open within one gap-width of the corpus' last
@@ -328,6 +399,50 @@ object Inference extends graft.QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+
+    "q_label_vote" ->
+      """WITH ann AS (
+        |  SELECT event_id % 500 AS item, event_type AS label FROM events),
+        |counts AS (
+        |  SELECT item, label, CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM ann GROUP BY item, label),
+        |ranked AS (
+        |  SELECT item, label, votes,
+        |    CAST(SUM(votes) OVER (PARTITION BY item) AS BIGINT) AS n_ann,
+        |    ROW_NUMBER() OVER (PARTITION BY item
+        |      ORDER BY votes DESC, label) AS rk
+        |  FROM counts)
+        |SELECT item, label AS winner, votes, n_ann,
+        |  round(CAST(votes AS DOUBLE) / CAST(n_ann AS DOUBLE), 6) AS margin
+        |FROM ranked WHERE rk = 1 ORDER BY item""".stripMargin,
+
+    // same grid, same pairwise-agreement form with pooled chance
+    "q_label_kappa" ->
+      """WITH ann AS (
+        |  SELECT event_id % 500 AS item, event_type AS label FROM events),
+        |grid AS (
+        |  SELECT item, label, CAST(COUNT(*) AS BIGINT) AS n_ic
+        |  FROM ann GROUP BY item, label),
+        |per_item AS (
+        |  SELECT item, SUM(n_ic) AS n_i,
+        |    SUM(n_ic * (n_ic - 1)) AS agree_i
+        |  FROM grid GROUP BY item HAVING SUM(n_ic) >= 2),
+        |pbar AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(n_i) AS BIGINT) AS n_annotations,
+        |    CAST(SUM(CAST(round(CAST(agree_i AS DOUBLE) /
+        |        CAST(n_i * (n_i - 1) AS DOUBLE), 12) AS DECIMAL(24,12)))
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p_bar_raw
+        |  FROM per_item),
+        |pooled AS (SELECT label, COUNT(*) AS n_c FROM ann GROUP BY label),
+        |pe AS (
+        |  SELECT CAST(SUM(n_c * n_c) AS DOUBLE) /
+        |    (CAST(SUM(n_c) AS DOUBLE) * CAST(SUM(n_c) AS DOUBLE)) AS p_e_raw
+        |  FROM pooled)
+        |SELECT n_items, n_annotations,
+        |  round(p_bar_raw, 9) AS p_bar, round(p_e_raw, 9) AS p_e,
+        |  round((p_bar_raw - p_e_raw) / (1.0 - p_e_raw), 9) AS kappa
+        |FROM pbar, pe""".stripMargin,
     "q_kaplan_meier" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

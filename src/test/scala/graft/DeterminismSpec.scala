@@ -119,7 +119,10 @@ class DeterminismSpec extends AnyFunSuite {
     // q_audio_features (per-row byte parse — layout-free by
     // construction, pinned anyway as the binary-modality exemplar)
     "q_token_budget", "q_hard_negatives", "q_audio_features",
-    "q_dom_table", "q_lsh_tuning")
+    "q_dom_table", "q_lsh_tuning",
+    // label aggregation: the vote tiebreak is a total order; kappa's
+    // P-bar is a DECIMAL sum of round-12 per-item ratios
+    "q_label_vote", "q_label_kappa")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
