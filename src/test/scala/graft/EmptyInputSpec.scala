@@ -83,6 +83,30 @@ class EmptyInputSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) == 0L))
   }
 
+  test("q_label_vote is empty and q_label_kappa reports a zero-item row on empty") {
+    val vote =
+      try SparkEntry.queries("q_label_vote")(spark, emptyDir).collect()
+      finally TestSpark.housekeeping()
+    assert(vote.isEmpty)
+    val kappa =
+      try SparkEntry.queries("q_label_kappa")(spark, emptyDir).collect()
+      finally TestSpark.housekeeping()
+    // a monitor on an empty day reports "nothing to agree on", not a crash
+    assert(kappa.length == 1)
+    assert(kappa.head.getLong(0) == 0L, "n_items must be 0 on empty")
+  }
+
+  test("q_lsh_tuning emits the 3-config skeleton with zero counts on empty") {
+    val rows =
+      try SparkEntry.queries("q_lsh_tuning")(spark, emptyDir).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((16L, 1L), (8L, 2L), (4L, 4L)))
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+    }
+  }
+
   test("q_dq_checks emits the five verdicts, vacuously passed, on empty") {
     val rows =
       try graft.operators.Extras.queries("q_dq_checks")(spark, emptyDir)
