@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-close gate protocol, in order. Usage: tools/close_round.sh [N]
+# (N = round number, used only for the bench archive names.)
+# Runs: compile -> smoke -> full sf0.01 sweep under STRICT -> full
+# scalatest -> cpus=32 + cpus=8 bench legs (archived) -> frozen metric.
+# Each stage must pass before the next runs (set -e). The sf0.1 sweep is
+# NOT here: its DuckDB oracle pass alone takes 20-40 min — run it once
+# per round when the suite materially changed, not per close.
+set -e
+cd "$(dirname "$0")/.."
+N="${1:-X}"
+
+echo "=== 1/6 compile"
+sbt -batch compile | tail -2
+
+echo "=== 2/6 smoke"
+tools/run.sh graft.Smoke 2>/dev/null | head -2
+
+echo "=== 3/6 full sf0.01 sweep + STRICT gate"
+SPARK_GRAFT_CPUS=8 tools/run.sh graft.Verify /root/testdata/sf0.01 \
+  /tmp/close_verify 2>/tmp/close_verify.log
+STRICT=1 python3 tools/check.py /root/testdata/sf0.01 /tmp/close_verify \
+  | tail -2
+
+echo "=== 4/6 scalatest"
+sbt -batch test 2>&1 | tail -4
+
+echo "=== 5/6 bench cpus=32 leg"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  tools/run.sh graft.Bench 2>/dev/null | tail -1 >/dev/null
+cp bench_full.json "tools/bench_full_cpus32_r${N}close.json"
+python3 tools/frozen_total.py bench_full.json
+
+echo "=== 6/6 bench cpus=8 leg"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=8 \
+  tools/run.sh graft.Bench 2>/dev/null | tail -1 >/dev/null
+cp bench_full.json "tools/bench_full_cpus8_r${N}close.json"
+python3 tools/frozen_total.py bench_full.json
+
+echo "=== round close protocol complete"
