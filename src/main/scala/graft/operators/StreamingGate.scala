@@ -497,6 +497,55 @@ object StreamingGate extends graft.QueryPack {
     // the oracle restates it). Day arithmetic is integer epoch-seconds
     // division, not a calendar function, so both engines share one
     // definition.
+    // Streaming label-vote maintenance — the TWELFTH oracle-gated
+    // streaming query and the labeling-pipeline member of the
+    // monitors-run-on-streams family: annotations fold into the
+    // (item × label) count grid through the mergeable count monoid
+    // (batching-invariant, grid-sized state at any stream length),
+    // and the drained state re-derives the EXACT batch majority vote
+    // — same (votes desc, label) total-order tiebreak, same margin —
+    // so the incremental path must hash-equal q_label_vote's oracle.
+    // This is how a labeling deployment keeps votes current without
+    // rescanning the annotation log per refresh.
+    "q_stream_label_vote" -> ((s, d) => {
+      val state = freshDir("q_stream_label_vote") + "/st"
+      val stream = EventsStream.replay(s, d)
+        .select((col("event_id") % 500).as("item"),
+          col("event_type").as("label"))
+      drain(s, stream, "append") { (batch, _) =>
+        val bc = batch.groupBy(col("item"), col("label"))
+          .agg(count(lit(1)).as("n"))
+        val merged =
+          if (new java.io.File(state).exists())
+            batch.sparkSession.read.parquet(state)
+              .unionByName(bc)
+              .groupBy(col("item"), col("label"))
+              .agg(sum(col("n")).as("n"))
+          else bc
+        swapState(merged, state)
+      }
+      val grid = {
+        import org.apache.spark.sql.types.{LongType, StringType}
+        readStateOr(s, state, Seq(
+          ("item", "item", LongType),
+          ("label", "label", StringType),
+          ("n", "votes", LongType)))
+      }
+      import org.apache.spark.sql.expressions.Window
+      val wItem = Window.partitionBy(col("item"))
+      val wRank = Window.partitionBy(col("item"))
+        .orderBy(col("votes").desc, col("label"))
+      grid
+        .withColumn("n_ann", sum(col("votes")).over(wItem))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") === 1)
+        .select(col("item"), col("label").as("winner"), col("votes"),
+          col("n_ann"),
+          round(col("votes").cast("double") /
+            col("n_ann").cast("double"), 6).as("margin"))
+        .orderBy(col("item"))
+    }),
+
     // Streaming alert sink — K6 run as a stream (the ELEVENTH
     // oracle-gated streaming query): sentinel pages flow through
     // AlertSink.alertFor per micro-batch and alert ROWS append to the
@@ -632,6 +681,23 @@ object StreamingGate extends graft.QueryPack {
 
     // the drained day-count state re-derives the exact-integer CUSUM:
     // q_cusum's oracle with the epoch-day encoding
+    // the batch q_label_vote restated — the streamed fold must agree
+    "q_stream_label_vote" ->
+      """WITH ann AS (
+        |  SELECT event_id % 500 AS item, event_type AS label FROM events),
+        |counts AS (
+        |  SELECT item, label, CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM ann GROUP BY item, label),
+        |ranked AS (
+        |  SELECT item, label, votes,
+        |    CAST(SUM(votes) OVER (PARTITION BY item) AS BIGINT) AS n_ann,
+        |    ROW_NUMBER() OVER (PARTITION BY item
+        |      ORDER BY votes DESC, label) AS rk
+        |  FROM counts)
+        |SELECT item, label AS winner, votes, n_ann,
+        |  round(CAST(votes AS DOUBLE) / CAST(n_ann AS DOUBLE), 6) AS margin
+        |FROM ranked WHERE rk = 1 ORDER BY item""".stripMargin,
+
     // batch restatement of the streamed sentinel→alert map
     "q_stream_alerts" ->
       """SELECT event_id,
