@@ -414,6 +414,35 @@ object Extras extends graft.QueryPack {
         .orderBy(col("source"))
     }),
 
+    // Training-shard plan — the write-side sibling of q_token_budget:
+    // documents hash-assign to a fixed shard count via the stable
+    // md5-bucket key (partitioning/cluster-size/ordering-invariant,
+    // the q_split_hash device), and the plan reports each shard's
+    // load plus its ratio to the mean — the balance audit run before
+    // a training job maps workers to shards (a 2× hot shard = a 2×
+    // slower epoch). Token proxy = n_chars div 4, exact integers;
+    // ratios are the only doubles, rounded. One corpus agg, then
+    // windows over the 32-row shard grid.
+    "q_shard_plan" -> ((s, d) => {
+      val SHARDS = 32
+      val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long") % SHARDS).as("shard")
+      val wAll = Window.orderBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d, "documents")
+        .select(shard, col("n_chars"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_bytes"),
+          sum(expr("n_chars div 4")).as("n_tokens"))
+        .withColumn("load_ratio",
+          round(col("n_tokens").cast("double") * count(lit(1)).over(wAll) /
+            sum(col("n_tokens")).over(wAll).cast("double"), 6))
+        .select(col("shard"), col("n_docs"), col("n_bytes"),
+          col("n_tokens"), col("load_ratio"))
+        .orderBy(col("shard"))
+    }),
+
     // Epoch upsampling — the other half of mixture curation: a source
     // weighted w epochs emits floor(w) full copies of every doc plus
     // one more for the deterministic md5-bucket slice of size frac(w)
@@ -1102,6 +1131,23 @@ object Extras extends graft.QueryPack {
         |SELECT source, COUNT(DISTINCT doc_id) AS n_docs_in,
         |  COUNT(*) AS n_emitted
         |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
+    // same md5 shard key, same integer token proxy, same mean ratio
+    "q_shard_plan" ->
+      """WITH s AS (
+        |  SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |           AS INTEGER) AS BIGINT) % 32 AS shard,
+        |    n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+        |    CAST(SUM(n_chars // 4) AS BIGINT) AS n_tokens
+        |  FROM s GROUP BY shard)
+        |SELECT shard, n_docs, n_bytes, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) * COUNT(*) OVER () /
+        |    CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS load_ratio
+        |FROM g ORDER BY shard""".stripMargin,
 
     // same floor/mod apportionment, same (rem desc, source) tiebreak
     "q_token_budget" ->
