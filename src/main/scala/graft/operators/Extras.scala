@@ -414,6 +414,48 @@ object Extras extends graft.QueryPack {
         .orderBy(col("source"))
     }),
 
+    // Composed per-source curation report — the one-stop corpus-health
+    // grid a curator reads before weighting sources (the
+    // training-data twin of q_etl_pipeline's composed trace): per
+    // source, volume (docs, whitespace tokens, mean chars), exact-dup
+    // exposure (fraction of docs that are NON-KEEPER copies under the
+    // global content-hash rule — q_dedup_exact's keeper semantics
+    // verbatim), and the dominant language with a total-order
+    // tiebreak. Every ingredient reuses a shipped definition; shuffles
+    // are the content-hash group (uniform md5 key), the (source, lang)
+    // grid, and one doc-keyed flag join — nothing corpus².
+    "q_curation_report" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(col("text")).as("h"))
+        .persist()
+      val keepers = docs.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      val flagged = docs.join(keepers, Seq("h"))
+        .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("long"))
+      val vol = flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          // exact integer sum, ONE final division (a float AVG
+          // accumulates in partition order and drifts across layouts)
+          round(sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_chars"),
+          round(sum(col("is_dup")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("dup_frac"))
+      val wLang = Window.partitionBy(col("source"))
+        .orderBy(col("n_l").desc, col("lang"))
+      val topLang = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_l"))
+        .withColumn("rk", row_number().over(wLang))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      vol.join(topLang, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("mean_chars"), col("dup_frac"), col("top_lang"))
+        .orderBy(col("source"))
+    }),
+
     // Training-shard plan — the write-side sibling of q_token_budget:
     // documents hash-assign to a fixed shard count via the stable
     // md5-bucket key (partitioning/cluster-size/ordering-invariant,
@@ -1131,6 +1173,39 @@ object Extras extends graft.QueryPack {
         |SELECT source, COUNT(DISTINCT doc_id) AS n_docs_in,
         |  COUNT(*) AS n_emitted
         |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
+    // every ingredient restated from its shipped definition: exact-dup
+    // keeper rule (global md5 groups, min doc_id), whitespace token
+    // count, exact-sum mean, (count desc, lang) mode tiebreak
+    "q_curation_report" ->
+      """WITH docs AS (
+        |  SELECT source, doc_id, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5(text) AS h
+        |  FROM documents),
+        |keepers AS (SELECT h, MIN(doc_id) AS keeper_id FROM docs GROUP BY h),
+        |flagged AS (
+        |  SELECT d.*, CASE WHEN d.doc_id <> k.keeper_id THEN 1 ELSE 0 END
+        |    AS is_dup
+        |  FROM docs d JOIN keepers k USING (h)),
+        |vol AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |    round(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |      AS mean_chars,
+        |    round(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |      AS dup_frac
+        |  FROM flagged GROUP BY source),
+        |top_lang AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY COUNT(*) DESC, lang) AS rk
+        |    FROM docs GROUP BY source, lang) t
+        |  WHERE rk = 1)
+        |SELECT vol.source, n_docs, n_tokens, mean_chars, dup_frac, top_lang
+        |FROM vol JOIN top_lang ON vol.source = top_lang.source
+        |ORDER BY vol.source""".stripMargin,
 
     // same md5 shard key, same integer token proxy, same mean ratio
     "q_shard_plan" ->

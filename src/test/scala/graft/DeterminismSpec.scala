@@ -122,7 +122,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_dom_table", "q_lsh_tuning",
     // label aggregation: the vote tiebreak is a total order; kappa's
     // P-bar is a DECIMAL sum of round-12 per-item ratios
-    "q_label_vote", "q_label_kappa", "q_shard_plan")
+    "q_label_vote", "q_label_kappa", "q_shard_plan",
+    "q_curation_report")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
