@@ -62,7 +62,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // event stream
     "q_dom_extract", "q_dom_table", "q_alert_rows", "q_audio_features",
     "q_token_budget", "q_dedup_clusters", "q_hard_negatives",
-    "q_stream_alerts")
+    "q_stream_alerts",
+    // r8 close: the composed curation grid, the shard plan and the
+    // streamed vote all collapse to empty grids on an empty corpus
+    "q_curation_report", "q_shard_plan", "q_stream_label_vote")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

@@ -479,6 +479,28 @@ class PlanShapeSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("shard plan is one scan + 32-row grid windows — no join anywhere") {
+    val df = graft.operators.Extras.queries("q_shard_plan")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalPlan).size <= 1,
+      finalPlan.take(3000))
+    assert(!finalPlan.contains("Join"), finalPlan.take(3000))
+    TestSpark.housekeeping()
+  }
+
+  test("curation report: hash-group + grid joins only — no cartesian product") {
+    val df = graft.operators.Extras.queries("q_curation_report")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    TestSpark.housekeeping()
+  }
+
   test("audio features stay a narrow map until the presentation sort") {
     val df = graft.operators.Multimodal.queries("q_audio_features")(
       spark, TestSpark.sf)
