@@ -674,8 +674,14 @@ object Dedup extends graft.QueryPack {
       // explode (no per-doc count agg) and the verify join reads the
       // array directly (no collect_set re-assembly) — two corpus
       // shuffles fewer than the first cut
+      // persist the shared subtrees (the q_link_predict lesson):
+      // docSets' shingle kernel feeds the token explode AND both
+      // verify-join sides, prefix sits on both sides of the candidate
+      // join — unpersisted, the UDF ran ~4× (measured 3.27 → 1.90 s
+      // at sf0.1 idle-host; harness housekeeping clears)
       val docSets = corpus(Tables(s, d, "documents"))
         .select(col("doc_id"), shingles(col("text")).as("ws"))
+        .persist()
       val toks = docSets.select(col("doc_id"), size(col("ws")).as("n"),
         explode(col("ws")).as("w"))
       val tdf = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -684,6 +690,7 @@ object Dedup extends graft.QueryPack {
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
         .filter(col("pos") <= col("n") - ceil(col("n") * TAU) + 1)
         .select(col("w"), col("doc_id"), col("n"))
+        .persist()
       val cand = prefix.select(col("w"), col("doc_id").as("id_a"), col("n").as("na"))
         .join(prefix.select(col("w"), col("doc_id").as("id_b"), col("n").as("nb")),
           Seq("w"))
