@@ -27,6 +27,13 @@ object Analytic extends graft.QueryPack {
     * persisted (three join sides read it; harness/suites clear caches
     * between queries). */
   def trianglesPerNode(raw: DataFrame): DataFrame = {
+    // deliberately NOT persisted here: the deg/orientation branches
+    // share the upstream exchange, and AQE's ReusedExchange already
+    // deduplicates it — adding a persist was MEASURED 40% slower
+    // (1.61 → 2.26 s at sf0.1: cache materialization cost with no
+    // recompute saved). The q_setsim_prefix/q_link_predict persist
+    // lesson applies to UDF-heavy subtrees AQE cannot reuse, not to
+    // exchange-aligned aggregation branches.
     val deg = raw.select(col("u").as("n"))
       .unionAll(raw.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
