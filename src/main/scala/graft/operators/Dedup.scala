@@ -340,6 +340,56 @@ object Dedup extends graft.QueryPack {
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       ngramPairs(s, d).orderBy(col("id_a"), col("id_b"))),
 
+    // Dedup threshold curve — the OTHER tuning sweep next to
+    // q_lsh_tuning: how much of the corpus each Jaccard threshold
+    // would remove. ONE pair frame at the widest threshold (0.5, same
+    // capped inverted index) serves every τ; per τ the curve reports
+    // surviving pair count, documents dropped under the funnel's
+    // pair-partner rule verbatim (a doc drops when any SMALLER-id
+    // partner exists at ≥ τ — deterministic, one-pass), and the drop
+    // fraction of the corpus. This is the number a curator actually
+    // stares at before picking 0.6: pairs are abstract, "3% of the
+    // corpus disappears" is a decision. τ grid explode over the pair
+    // frame + one distinct-count per τ; nothing corpus².
+    "q_dedup_threshold_curve" -> ((s, d) => {
+      val taus = Seq(0.5, 0.6, 0.7, 0.8)
+      // the shared fixture corpus only contains exact/near copies
+      // (J ≥ 0.99), which leaves every threshold identical — so the
+      // curve PLANTS mid-similarity tiers (the q_ann_recall device):
+      // token-prefix variants at ~55/70/75% of each sampled doc, whose
+      // Jaccard to the original is the prefix fraction by construction
+      // (B ⊂ A ⇒ J = |B|/|A|). Integer (n·num) div den lengths keep
+      // both engines bit-identical; each τ then removes a DIFFERENT
+      // planted tier and the curve genuinely discriminates.
+      val raw = Tables(s, d, "documents")
+      def tier(mod: Int, num: Int, den: Int, off: Long) =
+        raw.filter(col("doc_id") % mod === 0)
+          .select((col("doc_id") + off).as("doc_id"), col("source"),
+            expr(("array_join(slice(split(text, ' '), 1, " +
+              s"greatest(1, (size(split(text, ' ')) * $num) div $den)), ' ')"))
+              .as("text"))
+      val docs = corpus(raw)
+        .unionByName(tier(37, 11, 20, 2000000L)) // ~0.55
+        .unionByName(tier(41, 7, 10, 3000000L))  // ~0.70
+        .unionByName(tier(43, 3, 4, 4000000L))   // ~0.75
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val pairs = ngramPairsOf(docs, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .persist()
+      val byTau = pairs
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          explode(typedlit(taus)).as("tau"))
+        .filter(col("jaccard") >= col("tau"))
+      byTau.groupBy(col("tau"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_docs_dropped"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("tau"), col("n_pairs"), col("n_docs_dropped"),
+          round(col("n_docs_dropped").cast("double") /
+            col("n_docs").cast("double"), 6).as("drop_frac"))
+        .orderBy(col("tau"))
+    }),
+
     // LSH banding tuning curve — the (bands × rows-per-band) sweep a
     // dedup deployment runs before trusting its index (the
     // q_ann_recall companion for MinHash): over ONE 16-hash signature
@@ -875,7 +925,8 @@ object Dedup extends graft.QueryPack {
   /** The same kernel over any (doc_id, source, text) set — the funnel
     * query runs it on stage-1 survivors instead of the full corpus. */
   private def ngramPairsOf(docs: DataFrame,
-      cap: Int = SHINGLE_DF_CAP): DataFrame = {
+      cap: Int = SHINGLE_DF_CAP,
+      minJaccard: Double = 0.6): DataFrame = {
     val c = docs
       .withColumn("sh", shingles(col("text")))
       .withColumn("n", size(col("sh")))
@@ -903,7 +954,7 @@ object Dedup extends graft.QueryPack {
       .select(col("id_a"), col("id_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 9)
           .as("jaccard"))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** DuckDB restatement of the ngramPairs kernel — same inverted shingle
@@ -915,7 +966,8 @@ object Dedup extends graft.QueryPack {
 
   /** The pair fragment over any (doc_id, source, text) CTE `src` — the
     * funnel oracle runs it on `surv1`, mirroring [[ngramPairsOf]]. */
-  private def ngramPairsSqlDuckFrom(src: String): String =
+  private def ngramPairsSqlDuckFrom(src: String,
+      minJaccard: Double = 0.6): String =
     s"""sh AS (
        |  SELECT doc_id, source,
        |    list_distinct(list_transform(
@@ -936,7 +988,7 @@ object Dedup extends graft.QueryPack {
        |  SELECT id_a, id_b,
        |         round(CAST(c AS DOUBLE) / (na + nb - c), 9) AS jaccard
        |  FROM cand
-       |  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 9) >= 0.6)""".stripMargin
+       |  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 9) >= $minJaccard)""".stripMargin
 
   /** Inverted-index-with-cap decontamination in DuckDB — the shared
     * oracle of q_decontaminate and q_decontaminate_bloom. */
@@ -1121,6 +1173,38 @@ object Dedup extends graft.QueryPack {
          |$ngramPairsSqlDuck
          |SELECT id_a, id_b, jaccard FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // same pairs prelude at the widest threshold, same pair-partner
+    // drop rule, same τ grid
+    "q_dedup_threshold_curve" ->
+      s"""WITH $corpusSqlDuck,
+         |planted AS (
+         |  SELECT * FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, source,
+         |    array_to_string((string_split(text, ' '))[1:greatest(1,
+         |      (len(string_split(text, ' ')) * 11) // 20)], ' ') AS text
+         |  FROM documents WHERE doc_id % 37 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, source,
+         |    array_to_string((string_split(text, ' '))[1:greatest(1,
+         |      (len(string_split(text, ' ')) * 7) // 10)], ' ')
+         |  FROM documents WHERE doc_id % 41 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, source,
+         |    array_to_string((string_split(text, ' '))[1:greatest(1,
+         |      (len(string_split(text, ' ')) * 3) // 4)], ' ')
+         |  FROM documents WHERE doc_id % 43 = 0),
+         |${ngramPairsSqlDuckFrom("planted", 0.5)},
+         |taus AS (SELECT * FROM (VALUES (0.5), (0.6), (0.7), (0.8)) t(tau)),
+         |by_tau AS (
+         |  SELECT tau, id_a, id_b FROM pairs, taus WHERE jaccard >= tau),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM planted)
+         |SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_docs_dropped,
+         |  round(CAST(COUNT(DISTINCT id_b) AS DOUBLE) /
+         |    CAST(n_docs AS DOUBLE), 6) AS drop_frac
+         |FROM by_tau, nd GROUP BY tau, n_docs ORDER BY tau""".stripMargin,
 
     // same signature CTEs as q_dedup_minhash, same pairs prelude as
     // q_dedup_ngram_jaccard (truth), banding generalized over the cfg

@@ -76,6 +76,26 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_threshold_curve: strictly meaningful, monotone in tau") {
+    // columns: tau, n_pairs, n_docs_dropped, drop_frac
+    val rows = graft.operators.Dedup
+      .queries("q_dedup_threshold_curve")(spark, TestSpark.sf).collect()
+      .sortBy(_.getDouble(0))
+    TestSpark.housekeeping()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.5, 0.6, 0.7, 0.8))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) >= b.getLong(1), "pairs grew with tau")
+        assert(a.getLong(2) >= b.getLong(2), "drops grew with tau")
+      case _ =>
+    }
+    // the planted mid-similarity tiers must make the curve
+    // DISCRIMINATE: a flat curve means the sweep measures nothing
+    assert(rows.head.getLong(1) > rows.last.getLong(1),
+      s"degenerate flat curve: ${rows.map(_.getLong(1)).mkString(",")}")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("q_lsh_tuning: aligned bands nest — candidates shrink and recall never grows with r") {
     // columns: bands, rows_per_band, n_truth, n_cand, n_caught, recall, prec
     val rows = graft.operators.Dedup
