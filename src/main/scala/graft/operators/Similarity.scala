@@ -187,17 +187,7 @@ object Similarity extends graft.QueryPack {
     // corpus size.
     "q_ann_recall" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val base = loadEmbeddings(s, d)
-      val planted = base.filter(col("vec_id") < 10)
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          explode(typedlit(Seq(1, 2, 3))).as("c"))
-        .select(
-          (lit(1000000L) + col("vec_id") * 10 + col("c")).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            when(i === col("c") - 1, x + lit(0.1) * col("nrm"))
-              .otherwise(x)).as("embedding"))
-        .withColumn("nrm", norm(col("embedding")))
-      val e = base.unionByName(planted)
+      val e = plantedCorpus(s, d)
         .withColumn("bucket", bucketCol(col("embedding")))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
@@ -294,6 +284,70 @@ object Similarity extends graft.QueryPack {
         .filter(col("rk") <= 3)
         .select(col("qid"), col("rk"), col("nid"), col("centroid_id"), col("sim"))
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // IVF nprobe tuning curve — the third member of the tuning-sweep
+    // family (LSH bands, dedup τ, now IVF probes): recall@3 against
+    // exact brute force at nprobe ∈ {1, 2, 4}, over the SAME planted
+    // corpus as q_ann_recall. Probe sets are nested by construction
+    // (the top-1 list is inside the top-2 inside the top-4), so recall
+    // is provably non-decreasing in nprobe — and each probe level
+    // scans ~nprobe/√N of the corpus, which is the cost-recall
+    // tradeoff this sweep exists to price. One assignment pass + ONE
+    // similarity frame serve every probe level.
+    "q_ivf_tuning" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = sampledCentroids(s, d,
+        sqrtK(Tables(s, d, "embeddings").count()))
+      val assigned = plantedCorpus(s, d)
+        .withColumn("arr", centroidSimsArr(cents))
+        .persist()
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), col("arr").as("qarr"))
+      val cand = assigned.select(col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("nrm").as("nnrm"),
+        (array_max(col("arr")).getField("negcid") * -1).as("ncid"))
+      val sims = cand.join(broadcast(q), col("qid") =!= col("nid"))
+        .withColumn("sim",
+          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
+        .persist()
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      val exact = sims.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).select(col("qid"), col("nid"))
+      val probes = q.select(col("qid").as("pqid"),
+          posexplode(slice(reverse(array_sort(col("qarr"))), 1, 4)))
+        .select(col("pqid"), (col("pos") + 1).as("prank"),
+          (col("col.negcid") * -1).as("probe_cid"))
+      val wa = Window.partitionBy(col("nprobe"), col("aqid"))
+        .orderBy(col("sim").desc, col("anid"))
+      val approx = sims
+        .select(col("qid").as("aqid"), col("nid").as("anid"),
+          col("sim"), col("ncid"))
+        .join(probes,
+          col("aqid") === col("pqid") && col("ncid") === col("probe_cid"))
+        .select(col("aqid"), col("anid"), col("sim"), col("prank"),
+          explode(typedlit(Seq(1, 2, 4))).as("nprobe"))
+        .filter(col("prank") <= col("nprobe"))
+        .withColumn("rk", row_number().over(wa))
+        .filter(col("rk") <= 3)
+        .select(col("nprobe").as("anprobe"), col("aqid"), col("anid"))
+      val wN = Window.partitionBy(col("nprobe"))
+      exact
+        .select(col("qid"), col("nid"),
+          explode(typedlit(Seq(1, 2, 4))).as("nprobe"))
+        .join(approx,
+          col("nprobe") === col("anprobe") && col("qid") === col("aqid") &&
+            col("nid") === col("anid"), "left_outer")
+        .groupBy(col("nprobe"), col("qid"))
+        .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hits"))
+        .withColumn("recall", round(col("n_hits").cast("double") / 3.0, 6))
+        .withColumn("macro_recall",
+          round(sum(col("n_hits")).over(wN).cast("double") /
+            (lit(3.0) * count(lit(1)).over(wN)), 6))
+        .select(col("nprobe").cast("long").as("nprobe"), col("qid"),
+          col("n_exact"), col("n_hits"), col("recall"), col("macro_recall"))
+        .orderBy(col("nprobe"), col("qid"))
     }),
 
     // ANN strategy #4: product quantization with asymmetric distance
@@ -639,6 +693,25 @@ object Similarity extends graft.QueryPack {
     * the driver, same tier as the k-means fixpoint probe — and every
     * DuckDB oracle restates the identical ceil(sqrt(COUNT(*))) formula,
     * so greenness survives any SF. */
+  /** The index-evaluation corpus: embeddings ∪ three planted
+    * near-duplicates per query vector (one coordinate bumped by
+    * 0.1·‖v‖ under reserved ids — cosine ≈ 0.995 vs the ~0.3 noise
+    * floor), shared by q_ann_recall and q_ivf_tuning so both sweeps
+    * score against the same recoverable structure. */
+  private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = loadEmbeddings(s, d)
+    val planted = base.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(typedlit(Seq(1, 2, 3))).as("c"))
+      .select(
+        (lit(1000000L) + col("vec_id") * 10 + col("c")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === col("c") - 1, x + lit(0.1) * col("nrm"))
+            .otherwise(x)).as("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    base.unionByName(planted)
+  }
+
   private def sqrtK(n: Long): Int = math.ceil(math.sqrt(n.toDouble)).toInt
 
   /** K DETERMINISTIC sampled centroids (the embeddings of vec_id
@@ -829,6 +902,72 @@ object Similarity extends graft.QueryPack {
          |                            ORDER BY sim DESC, nid) AS BIGINT) AS rk
          |  FROM sims) t
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // same planted CTEs as q_ann_recall, same IVF assignment CTEs as
+    // q_ann_ivf, probe ranks generalized over the nprobe grid
+    "q_ivf_tuning" ->
+      s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+         |            FROM embeddings WHERE vec_id < 10),
+         |planted AS (
+         |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+         |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+         |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+         |aug AS (
+         |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+         |      CAST(embedding[i] AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM planted),
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |          FROM e WHERE vec_id >= 10 AND vec_id < 10 +
+         |            (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    round(${dotDuck("e.embedding", "c.cv")} / (e.nrm * c.cnrm), 9) AS csim
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cid AS centroid_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS pqid, cid AS probe_cid, rn AS prank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 10) t WHERE rn <= 4),
+         |sims AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    round(${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 9) AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |np AS (SELECT * FROM (VALUES (1), (2), (4)) t(nprobe)),
+         |exact AS (
+         |  SELECT nprobe, qid, nid FROM (
+         |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, nid) AS rk FROM sims) t, np
+         |  WHERE rk <= 3),
+         |approx AS (
+         |  SELECT nprobe AS anprobe, qid AS aqid, nid AS anid FROM (
+         |    SELECT np.nprobe, s.qid, s.nid, ROW_NUMBER() OVER (
+         |      PARTITION BY np.nprobe, s.qid ORDER BY s.sim DESC, s.nid) AS rk
+         |    FROM sims s
+         |    JOIN assigned a ON a.vec_id = s.nid
+         |    JOIN probes p ON p.pqid = s.qid AND p.probe_cid = a.centroid_id
+         |    JOIN np ON p.prank <= np.nprobe) t
+         |  WHERE rk <= 3),
+         |per_q AS (
+         |  SELECT nprobe, qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(anid) AS BIGINT) AS n_hits
+         |  FROM exact LEFT JOIN approx
+         |    ON exact.nprobe = approx.anprobe AND exact.qid = approx.aqid
+         |      AND exact.nid = approx.anid
+         |  GROUP BY nprobe, qid)
+         |SELECT CAST(nprobe AS BIGINT) AS nprobe, qid, n_exact, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / 3.0, 6) AS recall,
+         |  round(CAST(SUM(n_hits) OVER (PARTITION BY nprobe) AS DOUBLE) /
+         |    (3.0 * COUNT(*) OVER (PARTITION BY nprobe)), 6) AS macro_recall
+         |FROM per_q ORDER BY nprobe, qid""".stripMargin,
 
     // PQ/ADC: the m/k loops and the d2 formula mirror the Spark side
     // exactly — same sampled codebook rows, same (ss_a + ss_b) - dot*2

@@ -123,7 +123,7 @@ class DeterminismSpec extends AnyFunSuite {
     // label aggregation: the vote tiebreak is a total order; kappa's
     // P-bar is a DECIMAL sum of round-12 per-item ratios
     "q_label_vote", "q_label_kappa", "q_shard_plan",
-    "q_curation_report", "q_dedup_threshold_curve")
+    "q_curation_report", "q_dedup_threshold_curve", "q_ivf_tuning")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -119,6 +119,30 @@ class NearDupSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(4) <= r.getLong(2)))
   }
 
+  test("q_ivf_tuning: nested probe sets make recall non-decreasing in nprobe") {
+    // columns: nprobe, qid, n_exact, n_hits, recall, macro_recall
+    val rows = graft.operators.Similarity
+      .queries("q_ivf_tuning")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq == Seq(1L, 2L, 4L))
+    rows.foreach { r =>
+      assert(r.getLong(2) == 3L, "exact top-3 must always be 3 deep")
+      assert(r.getLong(3) <= 3L)
+    }
+    // the top-1 probe list is inside the top-2 inside the top-4, so
+    // per-query hits can only grow with nprobe
+    rows.groupBy(_.getLong(1)).foreach { case (qid, g) =>
+      val byN = g.sortBy(_.getLong(0)).map(_.getLong(3))
+      byN.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"qid $qid hits shrank with nprobe")
+        case _ =>
+      }
+    }
+    // planted neighbors make the curve meaningful: the widest probe
+    // must recover at least as much as it costs to scan
+    assert(rows.filter(_.getLong(0) == 4L).map(_.getLong(3)).sum > 0L)
+  }
+
   test("q_ann_recall: nested candidate sets make hits monotone in width") {
     // columns: width, qid, n_exact, n_hits, recall, macro_recall
     val rows = graft.operators.Similarity
