@@ -65,7 +65,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_stream_alerts",
     // r8 close: the composed curation grid, the shard plan and the
     // streamed vote all collapse to empty grids on an empty corpus
-    "q_curation_report", "q_shard_plan", "q_stream_label_vote")
+    "q_curation_report", "q_shard_plan", "q_stream_label_vote",
+    "q_dedup_threshold_curve", "q_ivf_tuning")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {
