@@ -396,9 +396,269 @@ object Inference extends graft.QueryPack {
         .select(col("r").cast("long").as("resample"), col("w_total"),
           col("est_r"), col("est_full"), col("ci_lo"), col("ci_hi"))
         .orderBy(col("resample"))
+    }),
+
+    // ROC-AUC (Hanley & McNeil 1982; exactly the Mann–Whitney U rank
+    // form) of the planted classifier — the model-eval gate every
+    // labeling/filter pipeline reads before trusting a scorer. Scale
+    // shape is the q_kaplan_meier grid discipline: the corpus
+    // collapses to the distinct-SCORE grid (≤1e6 rows by
+    // construction, independent of corpus size), U comes from one
+    // cumulative window over that grid — never a corpus-sized global
+    // rank. 2U = Σ_s pos_s·(2·cumneg_<s + neg_s) handles ties as
+    // midranks with INTEGER arithmetic; the only division is the
+    // final AUC ratio of exact BIGINTs (round-9).
+    "q_auc" -> ((s, d) => {
+      val grid = plantedScores(s, d).groupBy(col("score"))
+        .agg(sum(col("y")).as("pos"),
+          sum(lit(1L) - col("y")).as("neg"))
+      val wCum = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grid
+        .withColumn("cumneg", coalesce(sum(col("neg")).over(wCum), lit(0L)))
+        .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+          sum(col("pos") * (lit(2L) * col("cumneg") + col("neg"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          round(col("u2").cast("double") /
+            (lit(2.0d) * nullif(col("n_pos") * col("n_neg"), lit(0L))
+              .cast("double")), 9).as("auc"))
+    }),
+
+    // Precision/recall/F1 threshold sweep (the operating-point grid a
+    // curation pipeline picks its cut from, same decision shape as
+    // q_dedup_threshold_curve). Ten fixed thresholds on the integer
+    // score axis; TP/FP come from the score grid via a 10-row
+    // broadcast theta-join, so the sweep costs one corpus agg no
+    // matter how many operating points. F1 stays a SINGLE division of
+    // exact integers: 2TP/(2TP+FP+FN).
+    "q_pr_curve" -> ((s, d) => {
+      val grid = plantedScores(s, d).groupBy(col("score"))
+        .agg(sum(col("y")).as("pos"), count(lit(1)).as("n"))
+      val totals = grid.agg(sum(col("pos")).as("np"))
+      val th = s.range(10).select((col("id") * 100000L).as("th"))
+      // 10 × |grid| cross join with conditional sums, NOT a th-outer
+      // theta-join: an outer join can't build its preserved side, and
+      // the grid is bounded by the 1e6-wide score domain — the cross
+      // join is a constant factor at any corpus size and keeps every
+      // operating point present even when its TP count is zero.
+      broadcast(th).crossJoin(grid)
+        .groupBy(col("th"))
+        .agg(sum(when(col("score") >= col("th"), col("pos"))
+          .otherwise(0L)).as("tp"),
+          sum(when(col("score") >= col("th"), col("n") - col("pos"))
+            .otherwise(0L)).as("fp"))
+        .crossJoin(broadcast(totals))
+        .select(col("th"), col("tp"), col("fp"),
+          (col("np") - col("tp")).as("fn"),
+          round(col("tp").cast("double") /
+            nullif(col("tp") + col("fp"), lit(0L)).cast("double"), 9)
+            .as("precision"),
+          round(col("tp").cast("double") /
+            nullif(col("np"), lit(0L)).cast("double"), 9).as("recall"),
+          round((lit(2L) * col("tp")).cast("double") /
+            nullif(lit(2L) * col("tp") + col("fp") + col("np") - col("tp"),
+              lit(0L)).cast("double"), 9).as("f1"))
+        .orderBy(col("th"))
+    }),
+
+    // Reliability diagram + ECE (Naeini et al. 2015's binned form) —
+    // is the scorer's confidence honest? Ten fixed-width bins on the
+    // integer score axis; per bin, confidence−accuracy reduces to ONE
+    // exact division, |sum_score − n_pos·1e6| / (n·1e6), because both
+    // terms share the n·1e6 denominator — no float subtraction of two
+    // separately-rounded ratios (the cross-engine drift channel). The
+    // ECE contribution reuses the same integer numerator over the
+    // corpus denominator; the headline ECE is the exact DECIMAL sum
+    // of the per-bin terms, broadcast back onto every row
+    // (q_ann_recall's macro_recall shape).
+    "q_calibration" -> ((s, d) => {
+      val binned = plantedScores(s, d)
+        .withColumn("bin", floor(col("score") / lit(100000.0d)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("score")).as("sum_score"))
+      val wAll = Window.orderBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      binned
+        .withColumn("n_total", sum(col("n")).over(wAll))
+        .withColumn("gap_num",
+          abs(col("sum_score") - col("n_pos") * lit(1000000L)))
+        .select(col("bin"), col("n"), col("n_pos"), col("sum_score"),
+          round(col("sum_score").cast("double") /
+            (col("n") * lit(1000000L)).cast("double"), 9).as("confidence"),
+          round(col("n_pos").cast("double") /
+            col("n").cast("double"), 9).as("accuracy"),
+          round(col("gap_num").cast("double") /
+            (col("n") * lit(1000000L)).cast("double"), 9).as("gap"),
+          round(col("gap_num").cast("double") /
+            (col("n_total") * lit(1000000L)).cast("double"), 9)
+            .cast(DecimalType(15, 9)).as("ece_dec"))
+        .withColumn("ece", sum(col("ece_dec")).over(
+          Window.orderBy(lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast("double"))
+        // emit doubles, not DECIMALs: the driver's hash is dtype- (and
+        // decimal-scale-) sensitive; the DECIMAL lives only inside the
+        // exact window sum
+        .withColumn("ece_term", col("ece_dec").cast("double"))
+        .drop("ece_dec")
+        .orderBy(col("bin"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov statistic between the positive
+    // and negative score distributions — the nonparametric "are these
+    // two cohorts drawn alike" drift test next to q_psi_drift's
+    // binned form. D = max|F⁺−F⁻| evaluated on the score grid with a
+    // COMMON-DENOMINATOR integer numerator: D_num =
+    // max|cumpos·n_neg − cumneg·n_pos| (≤ n_pos·n_neg ~ 6e10 at
+    // sf0.1 — BIGINT; a 100 TB corpus rescales to DECIMAL(38,0)
+    // before this overflows ~3e9 rows/class). The argmax threshold
+    // (lowest score on ties) rides along for free.
+    "q_ks_test" -> ((s, d) => {
+      val grid = plantedScores(s, d).groupBy(col("score"))
+        .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      val wCum = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      grid
+        .withColumn("cumpos", sum(col("pos")).over(wCum))
+        .withColumn("cumneg", sum(col("neg")).over(wCum))
+        .withColumn("n_pos", sum(col("pos")).over(wAll))
+        .withColumn("n_neg", sum(col("neg")).over(wAll))
+        .withColumn("d_num",
+          abs(col("cumpos") * col("n_neg") - col("cumneg") * col("n_pos")))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("d_num").desc, col("score"))))
+        .filter(col("rk") === 1)
+        .select(col("n_pos"), col("n_neg"), col("d_num"),
+          col("score").as("ks_score"),
+          round(col("d_num").cast("double") /
+            nullif(col("n_pos") * col("n_neg"), lit(0L)).cast("double"), 9)
+            .as("ks_d"))
     }))
 
+  /** Planted binary classifier over the embeddings corpus — the eval
+    * family's shared fixture. The synthetic embeddings carry no label
+    * signal (within-label cosine == cross-label cosine, measured r8),
+    * so a metric over any REAL scorer is degenerate by construction
+    * (AUC ≈ 0.5 — the q_ann_recall lesson, VERDICT r7 item 8). The
+    * score is therefore PLANTED: y = (label % 2 = 0), u = the shared
+    * md5-key uniform (q_weighted_sample's), score = y·350000 +
+    * (u mod 1e6)·65 div 100 — an exact BIGINT in [0, 1e6) whose
+    * positive class sits 0.35 above a 0.65-wide uniform, giving every
+    * metric a known non-degenerate target (AUC ≈ 0.86, KS ≈ 0.54)
+    * while staying a pure function of integers both engines agree on
+    * bit-for-bit. Floor-of-double-division is exact here: operands
+    * < 2^53 and bin edges are exact multiples, so the quotient can
+    * never round across an integer boundary.
+    */
+  private def plantedScores(s: SparkSession, d: String): DataFrame = {
+    val u6 = conv(substring(md5(col("vec_id").cast("string")), 1, 13),
+      16, 10).cast("long") % 1000000L
+    val y = when(col("label") % 2 === 0, 1L).otherwise(0L)
+    Tables(s, d, "embeddings").select(
+      col("vec_id"), y.as("y"),
+      (y * 350000L +
+        floor((u6 * 65L).cast("double") / lit(100.0d)).cast("long"))
+        .as("score"))
+  }
+
+  /** The oracle-side restatement of [[plantedScores]] as a CTE body. */
+  private val plantedScoresDuck: String =
+    """scored AS (
+      |  SELECT vec_id,
+      |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y,
+      |    CASE WHEN label % 2 = 0 THEN 350000 ELSE 0 END +
+      |      ((CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13))
+      |          AS BIGINT) % 1000000) * 65) // 100 AS score
+      |  FROM embeddings)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+
+    "q_auc" ->
+      s"""WITH $plantedScoresDuck,
+         |grid AS (
+         |  SELECT score, SUM(y) AS pos, SUM(1 - y) AS neg
+         |  FROM scored GROUP BY score),
+         |cum AS (
+         |  SELECT pos, neg,
+         |    COALESCE(SUM(neg) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+         |  FROM grid)
+         |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+         |  CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS u2,
+         |  round(CAST(SUM(pos * (2 * cumneg + neg)) AS DOUBLE) /
+         |    (2.0 * CAST(NULLIF(SUM(pos) * SUM(neg), 0) AS DOUBLE)), 9) AS auc
+         |FROM cum""".stripMargin,
+
+    "q_pr_curve" ->
+      s"""WITH $plantedScoresDuck,
+         |grid AS (
+         |  SELECT score, SUM(y) AS pos, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM scored GROUP BY score),
+         |totals AS (SELECT SUM(pos) AS np FROM grid),
+         |th AS (SELECT (x * 100000)::BIGINT AS th FROM range(10) t(x)),
+         |conf AS (
+         |  SELECT th,
+         |    SUM(CASE WHEN score >= th THEN pos ELSE 0 END) AS tp,
+         |    SUM(CASE WHEN score >= th THEN n - pos ELSE 0 END) AS fp
+         |  FROM th CROSS JOIN grid GROUP BY th)
+         |SELECT th, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(np - tp AS BIGINT) AS fn,
+         |  round(CAST(tp AS DOUBLE) /
+         |    CAST(NULLIF(tp + fp, 0) AS DOUBLE), 9) AS precision,
+         |  round(CAST(tp AS DOUBLE) / CAST(NULLIF(np, 0) AS DOUBLE), 9)
+         |    AS recall,
+         |  round(CAST(2 * tp AS DOUBLE) /
+         |    CAST(NULLIF(2 * tp + fp + np - tp, 0) AS DOUBLE), 9) AS f1
+         |FROM conf, totals ORDER BY th""".stripMargin,
+
+    "q_calibration" ->
+      s"""WITH $plantedScoresDuck,
+         |binned AS (
+         |  SELECT score // 100000 AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(y) AS n_pos, SUM(score) AS sum_score
+         |  FROM scored GROUP BY 1),
+         |terms AS (
+         |  SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos,
+         |    CAST(sum_score AS BIGINT) AS sum_score,
+         |    round(CAST(sum_score AS DOUBLE) /
+         |      CAST(n * 1000000 AS DOUBLE), 9) AS confidence,
+         |    round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS accuracy,
+         |    round(CAST(abs(sum_score - n_pos * 1000000) AS DOUBLE) /
+         |      CAST(n * 1000000 AS DOUBLE), 9) AS gap,
+         |    CAST(round(CAST(abs(sum_score - n_pos * 1000000) AS DOUBLE) /
+         |      CAST(SUM(n) OVER () * 1000000 AS DOUBLE), 9)
+         |      AS DECIMAL(15,9)) AS ece_dec
+         |  FROM binned)
+         |SELECT bin, n, n_pos, sum_score, confidence, accuracy, gap,
+         |  CAST(SUM(ece_dec) OVER () AS DOUBLE) AS ece,
+         |  CAST(ece_dec AS DOUBLE) AS ece_term
+         |FROM terms ORDER BY bin""".stripMargin,
+
+    "q_ks_test" ->
+      s"""WITH $plantedScoresDuck,
+         |grid AS (
+         |  SELECT score, SUM(y) AS pos, SUM(1 - y) AS neg
+         |  FROM scored GROUP BY score),
+         |cum AS (
+         |  SELECT score,
+         |    SUM(pos) OVER (ORDER BY score) AS cumpos,
+         |    SUM(neg) OVER (ORDER BY score) AS cumneg,
+         |    SUM(pos) OVER () AS n_pos, SUM(neg) OVER () AS n_neg
+         |  FROM grid),
+         |ranked AS (
+         |  SELECT *, abs(cumpos * n_neg - cumneg * n_pos) AS d_num,
+         |    ROW_NUMBER() OVER (ORDER BY abs(cumpos * n_neg - cumneg * n_pos)
+         |      DESC, score) AS rk
+         |  FROM cum)
+         |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+         |  CAST(d_num AS BIGINT) AS d_num, score AS ks_score,
+         |  round(CAST(d_num AS DOUBLE) /
+         |    CAST(NULLIF(n_pos * n_neg, 0) AS DOUBLE), 9) AS ks_d
+         |FROM ranked WHERE rk = 1""".stripMargin,
 
     "q_label_vote" ->
       """WITH ann AS (
