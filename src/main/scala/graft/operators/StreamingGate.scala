@@ -124,13 +124,15 @@ object StreamingGate extends graft.QueryPack {
     * cannot drift from the read path. */
   private def readStateOr(s: SparkSession, state: String,
       cols: Seq[(String, String, org.apache.spark.sql.types.DataType)])
-      : DataFrame =
+      : DataFrame = {
+    recoverState(state)
     if (new java.io.File(state).exists())
       s.read.parquet(state)
         .select(cols.map { case (from, to, _) => col(from).as(to) }: _*)
     else s.createDataFrame(new java.util.ArrayList[Row](),
       org.apache.spark.sql.types.StructType(cols.map { case (_, to, t) =>
         org.apache.spark.sql.types.StructField(to, t) }))
+  }
 
   private def readBinState(s: SparkSession, state: String,
       binName: String): DataFrame = {
@@ -153,11 +155,18 @@ object StreamingGate extends graft.QueryPack {
     * (`state_old`) rather than deleting it, rename tmp into place,
     * and only then drop the aside copy. Any failure mid-sequence —
     * a crash between steps, or a renameTo returning false (e.g.
-    * across filesystems) — leaves a recoverable copy; the previous
-    * delete-before-rename variant lost all monitor state on that
-    * window. A leftover `state_old` from a crash after a successful
-    * swap is cleared on the next fold. */
-  private def swapState(merged: DataFrame, state: String): Unit = {
+    * across filesystems) — leaves a recoverable copy, and
+    * [[recoverState]] (run before every state READ as well as at the
+    * top of the swap) renames that copy back into place, so a crash
+    * between the aside-rename and the tmp-rename resumes from the
+    * prior state instead of silently restarting from the batch alone.
+    * The previous delete-before-rename variant lost all monitor state
+    * on that window. A leftover `state_old` from a crash AFTER a
+    * successful swap is stale-by-one; recovery prefers the live state
+    * dir (old is only restored when state itself is missing) and the
+    * next successful swap clears it. */
+  private[graft] def swapState(merged: DataFrame, state: String): Unit = {
+    recoverState(state)
     val dir = new java.io.File(state)
     val tmp = new java.io.File(state + "_tmp")
     val old = new java.io.File(state + "_old")
@@ -169,7 +178,20 @@ object StreamingGate extends graft.QueryPack {
     if (old.exists()) graft.Fs.deleteRec(old)
   }
 
+  /** The swap's crash-recovery prologue: if the state dir is missing
+    * but the aside copy exists, the process died inside swapState's
+    * two-rename window — rename the aside back into place before any
+    * read or re-swap. Idempotent and cheap (two existence probes) so
+    * every reader calls it unconditionally. */
+  private[graft] def recoverState(state: String): Unit = {
+    val dir = new java.io.File(state)
+    val old = new java.io.File(state + "_old")
+    if (!dir.exists() && old.exists())
+      require(old.renameTo(dir), s"state recovery failed: $old -> $state")
+  }
+
   def foldTypeMax(state: String)(batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
     val bc = batch.groupBy(col("event_type"))
       .agg(max(col("us")).as("last_us"), count(lit(1)).as("n"))
     val merged =
@@ -183,6 +205,7 @@ object StreamingGate extends graft.QueryPack {
   }
 
   def foldBinCounts(state: String)(batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
     val bc = batch.groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"))
     val merged =
@@ -421,9 +444,9 @@ object StreamingGate extends graft.QueryPack {
         val bsk = r.getSeq[org.apache.spark.sql.Row](0)
           .map(x => x.getString(0) -> x.getLong(1))
         val bn = r.getLong(1)
-        val dir = new java.io.File(state)
+        recoverState(state)
         val (prior, pn) =
-          if (dir.exists()) {
+          if (new java.io.File(state).exists()) {
             val st = batch.sparkSession.read.parquet(state).collect()
             (st.map(x => x.getString(0) -> x.getLong(1)).toSeq,
               if (st.isEmpty) 0L else st(0).getLong(2))
@@ -433,16 +456,15 @@ object StreamingGate extends graft.QueryPack {
         val n = pn + bn
         val ss = batch.sparkSession
         import ss.implicits._
-        // state = k rows + the stream mass; written via the same
-        // staged-swap tail the merge sinks use (single-writer harness)
-        val frame = merged.map { case (w, c) => (w, c, n) }
-          .toDF("item", "est", "n")
-        val tmp = state + "_tmp"
-        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if (dir.exists()) graft.Fs.deleteRec(dir)
-        require(new java.io.File(tmp).renameTo(dir),
-          s"state swap failed: $tmp -> $state")
+        // state = k rows + the stream mass; swapped in via the same
+        // crash-safe rename-aside tail the monitor folds use — a crash
+        // between any two steps leaves either the prior state or a
+        // recoverable aside, never an empty dir (r9: this was the one
+        // writer still on the delete-before-rename pattern)
+        swapState(merged.map { case (w, c) => (w, c, n) }
+          .toDF("item", "est", "n"), state)
       }
+      recoverState(state)
       val st = s.read.parquet(state)
         .select(col("item"), col("est"), col("n"))
       val exact = Tables(s, d, "events").select(item.as("item"))
@@ -513,6 +535,7 @@ object StreamingGate extends graft.QueryPack {
         .select((col("event_id") % 500).as("item"),
           col("event_type").as("label"))
       drain(s, stream, "append") { (batch, _) =>
+        recoverState(state)
         val bc = batch.groupBy(col("item"), col("label"))
           .agg(count(lit(1)).as("n"))
         val merged =

@@ -256,4 +256,71 @@ class StatefulStreamingSpec extends AnyFunSuite {
     }
     assert(oneShot == exact)
   }
+
+  // ---- swapState crash windows (r9): every gap in the write-tmp →
+  // rename-aside → rename-in → drop-aside sequence must leave the
+  // monitor recoverable. A crash is simulated by reproducing the
+  // exact on-disk layout the window leaves behind, then running the
+  // next fold as a restart would.
+
+  private def readState(dir: String): Map[String, (Long, Long)] =
+    spark.read.parquet(dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  private def foldOnce(dir: String, rows: (String, Long)*): Unit = {
+    import spark.implicits._
+    graft.operators.StreamingGate.foldTypeMax(dir)(
+      rows.toSeq.toDF("event_type", "us"), 0L)
+  }
+
+  test("crash between rename-aside and rename-in: the next fold resumes from the aside copy") {
+    val root = java.nio.file.Files.createTempDirectory("swapcrash").toString
+    val dir = root + "/st"
+    foldOnce(dir, ("a", 10L), ("a", 20L), ("b", 5L))
+    // simulate the crash window: state was renamed aside, tmp never
+    // landed — the layout the old delete-before-rename code turned
+    // into total state loss
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "_old")))
+    assert(!new java.io.File(dir).exists())
+    foldOnce(dir, ("b", 50L))
+    // prior state must have been recovered, not rebuilt from the batch
+    assert(readState(dir) == Map("a" -> (20L, 2L), "b" -> (50L, 2L)))
+    assert(!new java.io.File(dir + "_old").exists(),
+      "a successful swap clears the aside copy")
+  }
+
+  test("crash after rename-in but before aside cleanup: live state wins over the stale aside") {
+    val root = java.nio.file.Files.createTempDirectory("swapcrash2").toString
+    val dir = root + "/st"
+    foldOnce(dir, ("a", 10L))
+    // plant a STALE aside (an older state) next to the live dir — the
+    // post-success crash window; recovery must NOT clobber live state
+    foldOnce(dir + "_old", ("a", 1L))
+    foldOnce(dir, ("a", 30L))
+    assert(readState(dir) == Map("a" -> (30L, 2L)),
+      "recovery must prefer the live state dir over a stale aside")
+    assert(!new java.io.File(dir + "_old").exists())
+  }
+
+  test("the q_stream_topk sketch writer survives the rename window (no delete-before-rename remains)") {
+    // the r8 verdict's one surviving unsafe site: grep-level pin that
+    // main source has no deleteRec(stateDir)-then-rename pattern left,
+    // plus a behavioral check through the shared swap on the sketch
+    // frame shape (item, est, n)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "src/main/scala/graft/operators/StreamingGate.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val unsafe = "deleteRec(dir)"
+    assert(!text.contains(unsafe),
+      "state writers must go through swapState, not delete-before-rename")
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("swapcrash3").toString
+    val dir = root + "/sk"
+    graft.operators.StreamingGate.swapState(
+      Seq(("hot_1", 9L, 12L)).toDF("item", "est", "n"), dir)
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "_old")))
+    graft.operators.StreamingGate.recoverState(dir)
+    assert(readState(dir) == Map("hot_1" -> (9L, 12L)))
+  }
 }

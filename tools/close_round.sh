@@ -3,10 +3,15 @@
 # (N = round number, used only for the bench archive names.)
 # Runs: compile -> smoke -> full sf0.01 sweep under STRICT -> full
 # scalatest -> cpus=32 + cpus=8 bench legs (archived) -> frozen metric.
-# Each stage must pass before the next runs (set -e). The sf0.1 sweep is
-# NOT here: its DuckDB oracle pass alone takes 20-40 min — run it once
-# per round when the suite materially changed, not per close.
-set -e
+# Each stage must pass before the next runs: set -e AND pipefail, so a
+# stage piped through tail still aborts on the stage's own exit code
+# (without pipefail, `sbt | tail` takes tail's status and a red compile
+# or STRICT FAIL would not stop the close). The smoke stage captures to
+# a file instead of piping to head, which would SIGPIPE the producer.
+# The sf0.1 sweep is NOT here: its DuckDB oracle pass alone takes
+# 20-40 min — run it once per round when the suite materially changed,
+# not per close.
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 N="${1:-X}"
 
@@ -14,7 +19,8 @@ echo "=== 1/6 compile"
 sbt -batch compile | tail -2
 
 echo "=== 2/6 smoke"
-tools/run.sh graft.Smoke 2>/dev/null | head -2
+tools/run.sh graft.Smoke >/tmp/close_smoke.out 2>/dev/null
+head -2 /tmp/close_smoke.out
 
 echo "=== 3/6 full sf0.01 sweep + STRICT gate"
 SPARK_GRAFT_CPUS=8 tools/run.sh graft.Verify /root/testdata/sf0.01 \
