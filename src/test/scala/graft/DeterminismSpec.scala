@@ -123,7 +123,13 @@ class DeterminismSpec extends AnyFunSuite {
     // label aggregation: the vote tiebreak is a total order; kappa's
     // P-bar is a DECIMAL sum of round-12 per-item ratios
     "q_label_vote", "q_label_kappa", "q_shard_plan",
-    "q_curation_report", "q_dedup_threshold_curve", "q_ivf_tuning")
+    "q_curation_report", "q_dedup_threshold_curve", "q_ivf_tuning",
+    // r9: the eval quartet — AUC's 2U, KS's D_num and the PR sweep are
+    // integer sums over the score grid (layout-free by algebra); the
+    // calibration ECE is a DECIMAL sum of round-9 per-bin terms, the
+    // q_psi_drift precedent. Any partitioning term here means a
+    // cumulative window leaked partition order.
+    "q_auc", "q_pr_curve", "q_ks_test", "q_calibration")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -66,7 +66,11 @@ class EmptyInputSpec extends AnyFunSuite {
     // r8 close: the composed curation grid, the shard plan and the
     // streamed vote all collapse to empty grids on an empty corpus
     "q_curation_report", "q_shard_plan", "q_stream_label_vote",
-    "q_dedup_threshold_curve", "q_ivf_tuning")
+    "q_dedup_threshold_curve", "q_ivf_tuning",
+    // r9: three of the eval quartet collapse to an empty grid on an
+    // empty corpus (no scores → no thresholds/bins/argmax rows);
+    // q_auc instead reports a single null-metric row — dedicated test
+    "q_pr_curve", "q_ks_test", "q_calibration")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {
@@ -109,6 +113,18 @@ class EmptyInputSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L)
     }
+  }
+
+  test("q_auc reports a single null-metric row on empty (global agg, not a crash)") {
+    val rows =
+      try SparkEntry.queries("q_auc")(spark, emptyDir).collect()
+      finally TestSpark.housekeeping()
+    // a global aggregate always emits its one row; with no scores every
+    // metric is NULL (the nullif guard keeps the 0·0 denominator from
+    // turning into a division error)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.isNullAt(r.fieldIndex("auc")), "AUC must be NULL, not 0 or NaN")
   }
 
   test("q_dq_checks emits the five verdicts, vacuously passed, on empty") {

@@ -783,4 +783,125 @@ class GateSpec extends AnyFunSuite {
         s"doc $doc mass exceeds token count")
     }
   }
+
+  // ---- eval quartet brute-force cross-checks (r9). The operators
+  // compute AUC / PR / KS / calibration via grid windows; these tests
+  // recompute each metric FROM ITS DEFINITION over an independently
+  // re-derived copy of the planted scorer (java.security MD5, not
+  // Spark's md5()), so a bug in the grid algebra and a bug in the
+  // score plant can't cancel each other out.
+
+  /** Independent re-derivation of Inference.plantedScores:
+    * y = [label even], score = y·350000 + (md5(vec_id) first-13-hex
+    * mod 1e6)·65 div 100 — plain JVM arithmetic end to end. */
+  private lazy val planted: Seq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = Tables(spark, TestSpark.sf, "embeddings")
+      .select("vec_id", "label").collect()
+    TestSpark.housekeeping()
+    rows.toSeq.map { r =>
+      val hex = md.digest(r.getLong(0).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString.take(13)
+      val u6 = java.lang.Long.parseLong(hex, 16) % 1000000L
+      val y = if (r.getInt(1) % 2 == 0) 1L else 0L
+      (y, y * 350000L + (u6 * 65L) / 100L)
+    }
+  }
+
+  private def run(name: String) =
+    try graft.operators.Inference.queries(name)(spark, TestSpark.sf).collect()
+    finally TestSpark.housekeeping()
+
+  test("q_auc equals the all-pairs Mann-Whitney AUC (ties as half-wins)") {
+    val pos = planted.filter(_._1 == 1L).map(_._2)
+    val neg = planted.filter(_._1 == 0L).map(_._2)
+    // the definition: P(score+ > score-) + P(tie)/2 over ALL pairs
+    var wins2 = 0L // doubled win count so ties stay integer
+    for (p <- pos; n <- neg)
+      wins2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val brute = wins2.toDouble / (2.0 * pos.size * neg.size)
+    val r = run("q_auc").head
+    assert(r.getLong(r.fieldIndex("n_pos")) == pos.size.toLong)
+    assert(r.getLong(r.fieldIndex("n_neg")) == neg.size.toLong)
+    assert(r.getLong(r.fieldIndex("u2")) == wins2,
+      "2U from the cumulative grid window must equal the pair count")
+    assert(math.abs(r.getDouble(r.fieldIndex("auc")) - brute) < 1e-9)
+    // and the planted signal is actually non-degenerate
+    assert(brute > 0.7, s"planted AUC degenerate: $brute")
+  }
+
+  test("q_ks_test equals the brute-force max CDF gap with lowest-score argmax") {
+    val pos = planted.filter(_._1 == 1L).map(_._2)
+    val neg = planted.filter(_._1 == 0L).map(_._2)
+    val grid = planted.map(_._2).distinct.sorted
+    // D at every distinct score, exact integer numerator
+    val gaps = grid.map { t =>
+      val num = math.abs(pos.count(_ <= t).toLong * neg.size -
+        neg.count(_ <= t).toLong * pos.size)
+      (num, t)
+    }
+    val dNum = gaps.map(_._1).max
+    val argmax = gaps.filter(_._1 == dNum).map(_._2).min
+    val r = run("q_ks_test").head
+    assert(r.getLong(r.fieldIndex("d_num")) == dNum)
+    assert(r.getLong(r.fieldIndex("ks_score")) == argmax)
+    assert(math.abs(r.getDouble(r.fieldIndex("ks_d")) -
+      dNum.toDouble / (pos.size.toLong * neg.size)) < 1e-9)
+  }
+
+  test("q_pr_curve equals per-threshold brute counts at every operating point") {
+    val np = planted.count(_._1 == 1L).toLong
+    val rows = run("q_pr_curve").sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 10L).map(_ * 100000L))
+    rows.foreach { r =>
+      val th = r.getLong(r.fieldIndex("th"))
+      val tp = planted.count { case (y, s) => y == 1L && s >= th }.toLong
+      val fp = planted.count { case (y, s) => y == 0L && s >= th }.toLong
+      assert(r.getLong(r.fieldIndex("tp")) == tp, s"th=$th")
+      assert(r.getLong(r.fieldIndex("fp")) == fp, s"th=$th")
+      assert(r.getLong(r.fieldIndex("fn")) == np - tp, s"th=$th")
+      assert(math.abs(r.getDouble(r.fieldIndex("f1")) -
+        2.0 * tp / (2.0 * tp + fp + (np - tp))) < 1e-9, s"th=$th")
+    }
+  }
+
+  test("q_calibration: per-bin confidence/accuracy/gap and ECE equal brute recompute") {
+    val byBin = planted.groupBy { case (_, s) => s / 100000L }
+    val nTotal = planted.size.toLong
+    val rows = run("q_calibration").sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSet == byBin.keySet)
+    var ece = BigDecimal(0)
+    rows.foreach { r =>
+      val bin = r.getLong(r.fieldIndex("bin"))
+      val g = byBin(bin)
+      val n = g.size.toLong
+      val nPos = g.count(_._1 == 1L).toLong
+      val sumScore = g.map(_._2).sum
+      assert(r.getLong(r.fieldIndex("n")) == n, s"bin=$bin")
+      assert(r.getLong(r.fieldIndex("n_pos")) == nPos, s"bin=$bin")
+      assert(math.abs(r.getDouble(r.fieldIndex("confidence")) -
+        sumScore.toDouble / (n * 1000000L)) < 1e-9, s"bin=$bin")
+      assert(math.abs(r.getDouble(r.fieldIndex("accuracy")) -
+        nPos.toDouble / n) < 1e-9, s"bin=$bin")
+      val gapNum = math.abs(sumScore - nPos * 1000000L)
+      assert(math.abs(r.getDouble(r.fieldIndex("gap")) -
+        gapNum.toDouble / (n * 1000000L)) < 1e-9, s"bin=$bin")
+      ece += BigDecimal(r.getDouble(r.fieldIndex("ece_term")))
+    }
+    // the headline ECE is the exact sum of the emitted per-bin terms,
+    // identical on every row
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(r.fieldIndex("ece")) -
+        ece.toDouble) < 1e-9)
+    }
+    // brute ECE from definition: Σ n_b/N · |conf_b − acc_b|, modulo the
+    // per-term round-9 the operator documents
+    val bruteEce = byBin.values.map { g =>
+      val n = g.size.toLong
+      val gapNum = math.abs(g.map(_._2).sum - g.count(_._1 == 1L).toLong * 1000000L)
+      math.rint(gapNum.toDouble / (nTotal * 1000000L) * 1e9) / 1e9
+    }.sum
+    assert(math.abs(ece.toDouble - bruteEce) < 1e-8)
+  }
 }
