@@ -19,7 +19,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] =
     Seq(Relational, TextAnalytics, Dedup, Similarity, Multimodal, Topics,
       Scalars, Analytic, Extras, Pipeline, StreamingGate, Sketches,
-      Discovery, Inference)
+      Discovery, Inference, Curation)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

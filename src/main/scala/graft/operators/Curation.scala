@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The end-to-end curation FLAGSHIP — the composed trace a
+  * training-data pipeline runs from raw crawl to training shards, the
+  * way `Pipeline.scala` composes the reference's ETL trace
+  * (garciadiazjaime/etl-instagram `module/instagram/etl.js`: one
+  * fetch→transform→filter→persist chain; here the chain is the
+  * LLM-corpus analogue). Every stage is a SHIPPED kernel, invoked by
+  * reference, never re-stated:
+  *
+  *   1. quality    — [[TextAnalytics.qualityReasons]] (length / lang /
+  *                   stopwords / repetition, first-failing gate)
+  *   2. exact      — [[Dedup.funnelReasons]] stage 1 (content-hash
+  *   3. neardup    —   keeper), stage 2 (pair-partner rule),
+  *   4. benchmark  —   stage 3 (eval-set membership) and
+  *   5. contaminated — stage 4 (capped trigram containment)
+  *   6. mixture    — q_mixture_sample's per-source keep-fraction on
+  *                   the stable md5 bucket
+  *   survivors    → q_shard_plan's md5-bucket shard assignment
+  *
+  * Per-document FIRST-FAILING-STAGE attribution: `reason` is the
+  * earliest stage that drops the doc (NULL = kept), so per-stage drop
+  * counts read straight off the output and the funnel is auditable
+  * doc by doc — the q_quality_gate/q_dedup_pipeline convention
+  * composed end to end.
+  *
+  * Stage ORDER is the production order: the narrow projection gates
+  * (quality) run first and shrink the corpus before the expensive
+  * pair kernel ever shuffles a shingle; sampling (mixture) runs last
+  * so its keep-fraction applies to the CLEAN corpus, not to docs
+  * dedup would drop anyway.
+  *
+  * Scale: no stage adds a shuffle beyond what its standalone operator
+  * pays — quality's bigram agg (uniform doc_id key), the funnel's
+  * hash group + capped shingle self-join + doc-keyed flag joins, and
+  * the mixture/shard stage is a pure per-row md5 projection. The
+  * composition itself joins only on doc_id (uniform). Input is the
+  * planted dedup corpus ([[Dedup.corpus]]) so the exact/neardup
+  * stages are structurally non-vacuous at any SF, exactly like the
+  * standalone funnel.
+  */
+object Curation extends graft.QueryPack {
+
+  /** q_mixture_sample's per-source keep fraction (tiered by source
+    * index) — restated by reference so the two stay one definition. */
+  private def mixtureFrac: Column = {
+    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    when(srcIdx < 5, 1.0).when(srcIdx < 10, 0.5)
+      .when(srcIdx < 15, 0.25).otherwise(0.1)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_curation_pipeline" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val q = TextAnalytics.qualityReasons(
+        Dedup.corpus(docs).select(col("doc_id"), col("source"), col("text")))
+      val qSurv = q.filter(col("reason").isNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      val f = Dedup.funnelReasons(qSurv, docs)
+        .withColumnRenamed("reason", "f_reason")
+      // the same 16-bit md5 bucket serves the mixture draw AND the
+      // shard key (q_split_hash's stable-key device: deterministic,
+      // partitioning/cluster-size invariant, restated in the oracle)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      q.select(col("doc_id"), col("source"), col("reason").as("q_reason"))
+        .join(f, Seq("doc_id"), "left_outer")
+        .withColumn("bucket", bucket)
+        .withColumn("reason",
+          coalesce(col("q_reason"), col("f_reason"),
+            when(col("bucket") >= mixtureFrac * 65536, "mixture")))
+        .select(col("doc_id"), col("source"),
+          col("reason").isNull.as("keep"), col("reason"),
+          when(col("reason").isNull, col("bucket") % 32).as("shard"))
+        .orderBy(col("doc_id"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    // the same three shared fragments, chained: planted corpus →
+    // quality reasons → funnel reasons over the quality survivors →
+    // mixture/shard tail
+    "q_curation_pipeline" ->
+      s"""WITH ${Dedup.corpusSqlDuck},
+         |${TextAnalytics.qualityReasonsSqlDuckFrom("corpus")},
+         |qsurv AS (SELECT doc_id, source, text FROM qreason
+         |          WHERE reason IS NULL),
+         |${Dedup.funnelReasonsSqlDuckFrom("qsurv")},
+         |m AS (
+         |  SELECT q.doc_id, q.source,
+         |    COALESCE(q.reason, f.reason,
+         |      CASE WHEN q.bucket >=
+         |        (CASE WHEN CAST(substr(q.source, 4) AS INTEGER) < 5 THEN 1.0
+         |              WHEN CAST(substr(q.source, 4) AS INTEGER) < 10 THEN 0.5
+         |              WHEN CAST(substr(q.source, 4) AS INTEGER) < 15 THEN 0.25
+         |              ELSE 0.1 END) * 65536
+         |      THEN 'mixture' END) AS reason,
+         |    q.bucket
+         |  FROM (SELECT doc_id, source, reason,
+         |          CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+         |            AS INTEGER) AS BIGINT) AS bucket
+         |        FROM qreason) q
+         |  LEFT JOIN freason f ON q.doc_id = f.doc_id)
+         |SELECT doc_id, source, reason IS NULL AS keep, reason,
+         |  CASE WHEN reason IS NULL THEN bucket % 32 END AS shard
+         |FROM m ORDER BY doc_id""".stripMargin
+  )
+}

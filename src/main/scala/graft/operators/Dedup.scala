@@ -135,7 +135,7 @@ object Dedup extends graft.QueryPack {
   }
 
   /** corpus: documents ∪ exact dups ∪ near dups (see object doc). */
-  private def corpus(docs: DataFrame): DataFrame = {
+  private[operators] def corpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"), col("text"))
     val exactCopies = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text"))
@@ -146,7 +146,7 @@ object Dedup extends graft.QueryPack {
     base.unionByName(exactCopies).unionByName(nearCopies)
   }
 
-  private val corpusSqlDuck: String =
+  private[operators] val corpusSqlDuck: String =
     """corpus AS (
       |  SELECT doc_id, source, text FROM documents
       |  UNION ALL
@@ -589,47 +589,8 @@ object Dedup extends graft.QueryPack {
     // md5 key), the capped shingle self-join, and the final flag joins
     // on doc_id — no stage holds more than the pair kernel does alone.
     "q_dedup_pipeline" -> ((s, d) => {
-      val c = corpus(Tables(s, d, "documents"))
-        .withColumn("h", md5(col("text")))
-      val keepers = c.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
-      val s1 = c.join(keepers, Seq("h"))
-        .withColumn("exact_dropped", col("doc_id") =!= col("keeper"))
-        .select(col("doc_id"), col("source"), col("text"), col("exact_dropped"))
-      val surv1 = s1.filter(!col("exact_dropped"))
-        .select(col("doc_id"), col("source"), col("text"))
-      val dropNear = ngramPairsOf(surv1)
-        .select(col("id_b").as("doc_id")).distinct()
-        .withColumn("near_dropped", lit(true))
-      val isBench = col("doc_id") % 50 === 3 && col("doc_id") < 100000
-      val surv2 = surv1.join(dropNear, Seq("doc_id"), "left_anti")
-      val bench = Tables(s, d, "documents").filter(col("doc_id") % 50 === 3)
-        .withColumn("sh", shingles(col("text")))
-      val bx = bench.select(col("doc_id").as("bench_id"),
-        size(col("sh")).as("nb"), explode(col("sh")).as("s"))
-      val cx0 = surv2.filter(!isBench)
-        .select(col("doc_id").as("corpus_id"),
-          explode(shingles(col("text"))).as("s"))
-      val hot = cx0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > SHINGLE_DF_CAP).select(col("s"))
-      // no broadcast hint: the hot SET itself grows with the corpus
-      // (every boilerplate shingle past the cap), so forcing a driver
-      // collect would OOM at scale — AQE broadcasts while it fits and
-      // falls back to a shuffled anti-join past the threshold
-      val cx = cx0.join(hot, Seq("s"), "left_anti")
-      val contaminated = bx.join(cx, Seq("s"))
-        .groupBy(col("bench_id"), col("corpus_id"), col("nb"))
-        .agg(count(lit(1)).as("common"))
-        .groupBy(col("corpus_id"))
-        .agg(max(round(col("common").cast("double") / col("nb"), 9)).as("mc"))
-        .filter(col("mc") >= 0.8)
-        .select(col("corpus_id").as("doc_id"), lit(true).as("cont_dropped"))
-      s1.join(dropNear, Seq("doc_id"), "left_outer")
-        .join(contaminated, Seq("doc_id"), "left_outer")
-        .withColumn("reason",
-          when(col("exact_dropped"), "exact")
-            .when(col("near_dropped"), "neardup")
-            .when(isBench, "benchmark")
-            .when(col("cont_dropped"), "contaminated"))
+      val docs = Tables(s, d, "documents")
+      funnelReasons(corpus(docs), docs)
         .select(col("doc_id"), col("reason").isNull.as("keep"), col("reason"))
         .orderBy(col("doc_id"))
     }),
@@ -956,6 +917,110 @@ object Dedup extends graft.QueryPack {
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** The dedup FUNNEL kernel over any (doc_id, source, text) frame
+    * `c0` — the q_dedup_pipeline stages, extracted so the standalone
+    * funnel and the composed q_curation_pipeline share one definition:
+    *   exact (content-hash keeper) → neardup (pair-partner rule over
+    *   stage-1 survivors) → benchmark (eval-set membership) →
+    *   contaminated (≥0.8 benchmark-trigram containment, capped
+    *   inverted index). `benchDocs` is the RAW documents frame the
+    *   benchmark slice is drawn from. Emits (doc_id, reason) for every
+    *   input doc, reason NULL = survives all four stages. Each stage
+    *   consumes the previous stage's survivors, so drop sets are
+    *   disjoint by construction. */
+  private[operators] def funnelReasons(c0: DataFrame,
+      benchDocs: DataFrame): DataFrame = {
+    val c = c0.withColumn("h", md5(col("text")))
+    val keepers = c.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val s1 = c.join(keepers, Seq("h"))
+      .withColumn("exact_dropped", col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("source"), col("text"), col("exact_dropped"))
+    val surv1 = s1.filter(!col("exact_dropped"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val dropNear = ngramPairsOf(surv1)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("near_dropped", lit(true))
+    val isBench = col("doc_id") % 50 === 3 && col("doc_id") < 100000
+    val surv2 = surv1.join(dropNear, Seq("doc_id"), "left_anti")
+    val bench = benchDocs.filter(col("doc_id") % 50 === 3)
+      .withColumn("sh", shingles(col("text")))
+    val bx = bench.select(col("doc_id").as("bench_id"),
+      size(col("sh")).as("nb"), explode(col("sh")).as("s"))
+    val cx0 = surv2.filter(!isBench)
+      .select(col("doc_id").as("corpus_id"),
+        explode(shingles(col("text"))).as("s"))
+    val hot = cx0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > SHINGLE_DF_CAP).select(col("s"))
+    // no broadcast hint: the hot SET itself grows with the corpus
+    // (every boilerplate shingle past the cap), so forcing a driver
+    // collect would OOM at scale — AQE broadcasts while it fits and
+    // falls back to a shuffled anti-join past the threshold
+    val cx = cx0.join(hot, Seq("s"), "left_anti")
+    val contaminated = bx.join(cx, Seq("s"))
+      .groupBy(col("bench_id"), col("corpus_id"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .groupBy(col("corpus_id"))
+      .agg(max(round(col("common").cast("double") / col("nb"), 9)).as("mc"))
+      .filter(col("mc") >= 0.8)
+      .select(col("corpus_id").as("doc_id"), lit(true).as("cont_dropped"))
+    s1.join(dropNear, Seq("doc_id"), "left_outer")
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_dropped"), "exact")
+          .when(col("near_dropped"), "neardup")
+          .when(isBench, "benchmark")
+          .when(col("cont_dropped"), "contaminated").as("reason"))
+  }
+
+  /** DuckDB restatement of [[funnelReasons]] over any
+    * (doc_id, source, text) CTE `src` — ends in `freason(doc_id,
+    * reason)`. Shared by the q_dedup_pipeline and q_curation_pipeline
+    * oracles exactly as the Spark side shares the kernel. */
+  private[operators] def funnelReasonsSqlDuckFrom(src: String): String =
+    s"""ch AS (SELECT doc_id, source, text, md5(text) AS h FROM $src),
+       |k1 AS (SELECT h, MIN(doc_id) AS keeper FROM ch GROUP BY h),
+       |s1 AS (SELECT ch.doc_id, ch.source, ch.text,
+       |         ch.doc_id <> k1.keeper AS exact_dropped
+       |       FROM ch JOIN k1 USING (h)),
+       |surv1 AS (SELECT doc_id, source, text FROM s1 WHERE NOT exact_dropped),
+       |${ngramPairsSqlDuckFrom("surv1")},
+       |dropnear AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+       |surv2 AS (SELECT s.doc_id, s.text FROM surv1 s
+       |          LEFT JOIN dropnear dn ON s.doc_id = dn.doc_id
+       |          WHERE dn.doc_id IS NULL),
+       |bsh AS (SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+       |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
+       |  FROM documents WHERE doc_id % 50 = 3),
+       |bex AS (SELECT doc_id AS bench_id, len(sh) AS nb, unnest(sh) AS s FROM bsh),
+       |csh AS (SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+       |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
+       |  FROM surv2 WHERE NOT (doc_id % 50 = 3 AND doc_id < 100000)),
+       |cex AS (SELECT doc_id AS corpus_id, unnest(sh) AS s FROM csh),
+       |cdf AS (SELECT s, COUNT(*) AS df FROM cex GROUP BY s),
+       |ckept AS (SELECT cex.corpus_id, cex.s
+       |          FROM cex JOIN cdf USING (s) WHERE cdf.df <= $SHINGLE_DF_CAP),
+       |cm AS (SELECT b.bench_id, c.corpus_id, b.nb, COUNT(*) AS common
+       |       FROM bex b JOIN ckept c ON b.s = c.s
+       |       GROUP BY b.bench_id, c.corpus_id, b.nb),
+       |cont AS (SELECT corpus_id AS doc_id FROM (
+       |    SELECT corpus_id,
+       |      MAX(round(CAST(common AS DOUBLE) / nb, 9)) AS mc
+       |    FROM cm GROUP BY corpus_id) t WHERE mc >= 0.8),
+       |freason AS (
+       |  SELECT s1.doc_id,
+       |    CASE WHEN s1.exact_dropped THEN 'exact'
+       |         WHEN dn.doc_id IS NOT NULL THEN 'neardup'
+       |         WHEN s1.doc_id % 50 = 3 AND s1.doc_id < 100000 THEN 'benchmark'
+       |         WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+       |    END AS reason
+       |  FROM s1
+       |  LEFT JOIN dropnear dn ON s1.doc_id = dn.doc_id
+       |  LEFT JOIN cont ct ON s1.doc_id = ct.doc_id)""".stripMargin
 
   /** DuckDB restatement of the ngramPairs kernel — same inverted shingle
     * index, same df cap, ending in `pairs(id_a, id_b, jaccard)`. Shared
@@ -1303,58 +1368,13 @@ object Dedup extends graft.QueryPack {
          |GROUP BY s.doc_id
          |ORDER BY doc_id""".stripMargin,
 
-    // The funnel restated stage by stage: exact groups → pair kernel
-    // over surv1 (the shared fragment) → benchmark slice →
+    // The funnel restated stage by stage through the SHARED fragment:
+    // exact groups → pair kernel over surv1 → benchmark slice →
     // capped-inverted-index containment over surv2.
     "q_dedup_pipeline" ->
       s"""WITH $corpusSqlDuck,
-         |ch AS (SELECT doc_id, source, text, md5(text) AS h FROM corpus),
-         |k1 AS (SELECT h, MIN(doc_id) AS keeper FROM ch GROUP BY h),
-         |s1 AS (SELECT ch.doc_id, ch.source, ch.text,
-         |         ch.doc_id <> k1.keeper AS exact_dropped
-         |       FROM ch JOIN k1 USING (h)),
-         |surv1 AS (SELECT doc_id, source, text FROM s1 WHERE NOT exact_dropped),
-         |${ngramPairsSqlDuckFrom("surv1")},
-         |dropnear AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
-         |surv2 AS (SELECT s.doc_id, s.text FROM surv1 s
-         |          LEFT JOIN dropnear dn ON s.doc_id = dn.doc_id
-         |          WHERE dn.doc_id IS NULL),
-         |bsh AS (SELECT doc_id,
-         |    list_distinct(list_transform(
-         |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
-         |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
-         |  FROM documents WHERE doc_id % 50 = 3),
-         |bex AS (SELECT doc_id AS bench_id, len(sh) AS nb, unnest(sh) AS s FROM bsh),
-         |csh AS (SELECT doc_id,
-         |    list_distinct(list_transform(
-         |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
-         |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
-         |  FROM surv2 WHERE NOT (doc_id % 50 = 3 AND doc_id < 100000)),
-         |cex AS (SELECT doc_id AS corpus_id, unnest(sh) AS s FROM csh),
-         |cdf AS (SELECT s, COUNT(*) AS df FROM cex GROUP BY s),
-         |ckept AS (SELECT cex.corpus_id, cex.s
-         |          FROM cex JOIN cdf USING (s) WHERE cdf.df <= $SHINGLE_DF_CAP),
-         |cm AS (SELECT b.bench_id, c.corpus_id, b.nb, COUNT(*) AS common
-         |       FROM bex b JOIN ckept c ON b.s = c.s
-         |       GROUP BY b.bench_id, c.corpus_id, b.nb),
-         |cont AS (SELECT corpus_id AS doc_id FROM (
-         |    SELECT corpus_id,
-         |      MAX(round(CAST(common AS DOUBLE) / nb, 9)) AS mc
-         |    FROM cm GROUP BY corpus_id) t WHERE mc >= 0.8)
-         |SELECT s1.doc_id,
-         |  (CASE WHEN s1.exact_dropped THEN 'exact'
-         |        WHEN dn.doc_id IS NOT NULL THEN 'neardup'
-         |        WHEN s1.doc_id % 50 = 3 AND s1.doc_id < 100000 THEN 'benchmark'
-         |        WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
-         |   END) IS NULL AS keep,
-         |  CASE WHEN s1.exact_dropped THEN 'exact'
-         |       WHEN dn.doc_id IS NOT NULL THEN 'neardup'
-         |       WHEN s1.doc_id % 50 = 3 AND s1.doc_id < 100000 THEN 'benchmark'
-         |       WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
-         |  END AS reason
-         |FROM s1
-         |LEFT JOIN dropnear dn ON s1.doc_id = dn.doc_id
-         |LEFT JOIN cont ct ON s1.doc_id = ct.doc_id
-         |ORDER BY s1.doc_id""".stripMargin
+         |${funnelReasonsSqlDuckFrom("corpus")}
+         |SELECT doc_id, reason IS NULL AS keep, reason
+         |FROM freason ORDER BY doc_id""".stripMargin
   )
 }

@@ -95,6 +95,99 @@ object TextAnalytics extends graft.QueryPack {
     * black box — everything around it stays codegen'd). */
   val stemUdf = udf((w: String) => PorterStemmer.stem(w))
 
+  /** The FineWeb/Gopher-style quality-gate KERNEL over any
+    * (doc_id, source, text) frame: length → marker-word language-ID →
+    * stopword presence → repetition, first-failing gate as `reason`
+    * (NULL = keep). Shared definitionally by q_quality_gate (raw
+    * documents) and q_curation_pipeline (the planted dedup corpus) so
+    * the two can never disagree on what "quality" means. Emits the
+    * input columns plus the gate diagnostics; only the bigram stats
+    * shuffle (doc_id-keyed agg + left join back, uniform key). */
+  private[operators] def qualityReasons(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def score(lang: String): Column =
+      size(filter(toks, t => t.isInCollection(langMarkers(lang)))).cast("long")
+    val en = score("en"); val es = score("es")
+    val fr = score("fr"); val de = score("de")
+    val base = docs.select(
+      col("doc_id"), col("source"), col("text"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
+        .as("n_stop"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 9)
+        .as("distinct_ratio"),
+      when(en >= es && en >= fr && en >= de, "en")
+        .when(es >= fr && es >= de, "es")
+        .when(fr >= de, "fr").otherwise("de").as("pred_lang"),
+      toks.as("toks"))
+    val grams = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 9)
+        .as("top_bigram_frac"))
+    val reason =
+      when(!col("n_tokens").between(5, 2000), "length")
+        .when(!col("pred_lang").isInCollection(Seq("en", "es")), "lang")
+        .when(col("n_stop") < 2, "stopwords")
+        .when(col("distinct_ratio") < 0.3 || col("top_bigram_frac") > 0.18,
+          "repetition")
+    base.drop("toks").join(grams, Seq("doc_id"), "left")
+      .withColumn("reason", reason)
+  }
+
+  /** DuckDB restatement of [[qualityReasons]] over any
+    * (doc_id, source, text) CTE `src` — ends in
+    * `qreason(doc_id, source, text, n_tokens, n_stop, pred_lang,
+    * distinct_ratio, top_bigram_frac, reason)`. Shared by the
+    * q_quality_gate and q_curation_pipeline oracles exactly as the
+    * Spark side shares the kernel. */
+  private[operators] def qualityReasonsSqlDuckFrom(src: String): String =
+    s"""qraw AS (
+       |  SELECT doc_id, source, text, string_split(lower(text), ' ') AS toks
+       |  FROM $src),
+       |qbase AS (
+       |  SELECT doc_id, source, text,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(toks, t -> t IN ${sqlList(stopwords)}))
+       |      AS BIGINT) AS n_stop,
+       |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 9)
+       |      AS distinct_ratio,
+       |    CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       |         WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       |         WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang
+       |  FROM (SELECT doc_id, source, text, toks,
+       |    CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("en"))})) AS BIGINT) AS s_en,
+       |    CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("es"))})) AS BIGINT) AS s_es,
+       |    CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("fr"))})) AS BIGINT) AS s_fr,
+       |    CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("de"))})) AS BIGINT) AS s_de
+       |    FROM qraw) x),
+       |qgrams AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[CAST(i AS INTEGER)] || ' ' ||
+       |           toks[CAST(i + 1 AS INTEGER)])) AS gram
+       |  FROM qraw WHERE len(toks) >= 2),
+       |qgc AS (
+       |  SELECT doc_id, gram, COUNT(*) AS c FROM qgrams GROUP BY doc_id, gram),
+       |qtopfrac AS (
+       |  SELECT doc_id,
+       |    round(CAST(MAX(c) AS DOUBLE) / SUM(c), 9) AS top_bigram_frac
+       |  FROM qgc GROUP BY doc_id),
+       |qreason AS (
+       |  SELECT b.*, t.top_bigram_frac,
+       |    CASE WHEN n_tokens NOT BETWEEN 5 AND 2000 THEN 'length'
+       |         WHEN pred_lang NOT IN ('en', 'es') THEN 'lang'
+       |         WHEN n_stop < 2 THEN 'stopwords'
+       |         WHEN distinct_ratio < 0.3 OR top_bigram_frac > 0.18
+       |           THEN 'repetition'
+       |    END AS reason
+       |  FROM qbase b LEFT JOIN qtopfrac t ON b.doc_id = t.doc_id)"""
+      .stripMargin
+
   /** Grid OLS slope of column `y` on column `x` over a SMALL frame
     * (≤100 rows): DECIMAL(24,9) moment sums of the round-9 inputs over
     * the whole-frame window, one identically-parenthesized double —
@@ -737,39 +830,8 @@ object TextAnalytics extends graft.QueryPack {
     // (n_tokens >= 5 passed the length gate first), so the left join's
     // nulls never reach it.
     "q_quality_gate" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      def score(lang: String): Column =
-        size(filter(toks, t => t.isInCollection(langMarkers(lang)))).cast("long")
-      val en = score("en"); val es = score("es")
-      val fr = score("fr"); val de = score("de")
-      val base = Tables(s, d, "documents").select(
-        col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
-          .as("n_stop"),
-        round(size(array_distinct(toks)).cast("double") / size(toks), 9)
-          .as("distinct_ratio"),
-        when(en >= es && en >= fr && en >= de, "en")
-          .when(es >= fr && es >= de, "es")
-          .when(fr >= de, "fr").otherwise("de").as("pred_lang"),
-        toks.as("toks"))
-      val grams = base.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1)))).as("gram"))
-        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(round(max(col("c")).cast("double") / sum(col("c")), 9)
-          .as("top_bigram_frac"))
-      val reason =
-        when(!col("n_tokens").between(5, 2000), "length")
-          .when(!col("pred_lang").isInCollection(Seq("en", "es")), "lang")
-          .when(col("n_stop") < 2, "stopwords")
-          .when(col("distinct_ratio") < 0.3 || col("top_bigram_frac") > 0.18,
-            "repetition")
-      base.drop("toks").join(grams, Seq("doc_id"), "left")
-        .withColumn("reason", reason)
+      qualityReasons(Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text")))
         .select(col("doc_id"), col("n_tokens"), col("n_stop"),
           col("pred_lang"), col("distinct_ratio"), col("top_bigram_frac"),
           col("reason").isNull.as("keep"), col("reason"))
@@ -1515,51 +1577,10 @@ object TextAnalytics extends graft.QueryPack {
         |FROM withpii ORDER BY doc_id""".stripMargin,
 
     "q_quality_gate" ->
-      s"""WITH raw AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-         |base AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_filter(toks, t -> t IN ${sqlList(stopwords)}))
-         |      AS BIGINT) AS n_stop,
-         |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 9)
-         |      AS distinct_ratio,
-         |    CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-         |         WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-         |         WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang
-         |  FROM (SELECT doc_id, toks,
-         |    CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("en"))})) AS BIGINT) AS s_en,
-         |    CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("es"))})) AS BIGINT) AS s_es,
-         |    CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("fr"))})) AS BIGINT) AS s_fr,
-         |    CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("de"))})) AS BIGINT) AS s_de
-         |    FROM raw) x),
-         |grams AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, len(toks)),
-         |      i -> toks[CAST(i AS INTEGER)] || ' ' ||
-         |           toks[CAST(i + 1 AS INTEGER)])) AS gram
-         |  FROM raw WHERE len(toks) >= 2),
-         |gc AS (
-         |  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
-         |topfrac AS (
-         |  SELECT doc_id,
-         |    round(CAST(MAX(c) AS DOUBLE) / SUM(c), 9) AS top_bigram_frac
-         |  FROM gc GROUP BY doc_id),
-         |j AS (
-         |  SELECT b.*, t.top_bigram_frac
-         |  FROM base b LEFT JOIN topfrac t ON b.doc_id = t.doc_id),
-         |r AS (
-         |  SELECT *,
-         |    CASE WHEN n_tokens NOT BETWEEN 5 AND 2000 THEN 'length'
-         |         WHEN pred_lang NOT IN ('en', 'es') THEN 'lang'
-         |         WHEN n_stop < 2 THEN 'stopwords'
-         |         WHEN distinct_ratio < 0.3 OR top_bigram_frac > 0.18
-         |           THEN 'repetition'
-         |    END AS reason
-         |  FROM j)
+      s"""WITH ${qualityReasonsSqlDuckFrom("documents")}
          |SELECT doc_id, n_tokens, n_stop, pred_lang, distinct_ratio,
          |  top_bigram_frac, reason IS NULL AS keep, reason
-         |FROM r ORDER BY doc_id""".stripMargin,
+         |FROM qreason ORDER BY doc_id""".stripMargin,
 
     "q_bm25" ->
       """WITH docs AS (

@@ -129,7 +129,11 @@ class DeterminismSpec extends AnyFunSuite {
     // calibration ECE is a DECIMAL sum of round-9 per-bin terms, the
     // q_psi_drift precedent. Any partitioning term here means a
     // cumulative window leaked partition order.
-    "q_auc", "q_pr_curve", "q_ks_test", "q_calibration")
+    "q_auc", "q_pr_curve", "q_ks_test", "q_calibration",
+    // the curation flagship composes three shared kernels plus the
+    // md5 mixture/shard tail — every stage is individually
+    // layout-free, and the composition joins only on doc_id
+    "q_curation_pipeline")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

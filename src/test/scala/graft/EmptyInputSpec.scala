@@ -70,7 +70,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // r9: three of the eval quartet collapse to an empty grid on an
     // empty corpus (no scores → no thresholds/bins/argmax rows);
     // q_auc instead reports a single null-metric row — dedicated test
-    "q_pr_curve", "q_ks_test", "q_calibration")
+    "q_pr_curve", "q_ks_test", "q_calibration",
+    // the composed curation flagship: empty corpus → empty funnel
+    "q_curation_pipeline")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

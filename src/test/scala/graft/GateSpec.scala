@@ -784,6 +784,67 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_curation_pipeline: stage order, md5 mixture/shard rules, funnel invariants") {
+    val rows = graft.operators.Curation
+      .queries("q_curation_pipeline")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.nonEmpty)
+    val validReasons = Set("length", "lang", "stopwords", "repetition",
+      "exact", "neardup", "benchmark", "contaminated", "mixture")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString.take(4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def frac(src: String): Double = {
+      val i = src.drop(3).toInt
+      if (i < 5) 1.0 else if (i < 10) 0.5 else if (i < 15) 0.25 else 0.1
+    }
+    rows.foreach { r =>
+      val id = r.getLong(0); val src = r.getString(1)
+      val keep = r.getBoolean(2)
+      val reason = Option(r.getAs[String]("reason"))
+      assert(keep == reason.isEmpty, s"doc $id")
+      reason.foreach(x => assert(validReasons(x), s"doc $id: $x"))
+      if (keep) {
+        // a keeper passed the mixture draw and got the md5 shard
+        assert(bucket(id) < frac(src) * 65536, s"doc $id kept past its draw")
+        assert(!r.isNullAt(r.fieldIndex("shard")) &&
+          r.getLong(r.fieldIndex("shard")) == bucket(id) % 32, s"doc $id")
+      } else
+        assert(r.isNullAt(r.fieldIndex("shard")), s"doc $id: dropped doc sharded")
+      // a mixture drop means every earlier stage passed AND the draw failed
+      if (reason.contains("mixture"))
+        assert(bucket(id) >= frac(src) * 65536, s"doc $id")
+    }
+    // the funnel discriminates: dedup, sampling and at least one
+    // quality gate all fire on the planted corpus, and docs survive
+    val cnt = rows.flatMap(r => Option(r.getAs[String]("reason")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    Seq("exact", "neardup", "mixture").foreach(s =>
+      assert(cnt.getOrElse(s, 0) > 0, s"stage $s never fired"))
+    assert(Seq("length", "lang", "stopwords", "repetition")
+      .exists(cnt.getOrElse(_, 0) > 0), "no quality gate fired")
+    assert(rows.exists(_.getBoolean(2)), "nothing survived the funnel")
+    // stage ORDER: for original docs the standalone quality gate's
+    // reason (same kernel, raw-documents slice of the planted corpus)
+    // must be the pipeline's reason whenever it fires — quality is
+    // first-failing, no later stage may shadow it
+    val gate = graft.operators.TextAnalytics
+      .queries("q_quality_gate")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("reason")))
+      .toMap
+    TestSpark.housekeeping()
+    rows.filter(_.getLong(0) < 100000).foreach { r =>
+      gate.get(r.getLong(0)).flatten.foreach { qr =>
+        assert(r.getString(r.fieldIndex("reason")) == qr,
+          s"doc ${r.getLong(0)}: quality gate must fire first")
+      }
+    }
+  }
+
   // ---- eval quartet brute-force cross-checks (r9). The operators
   // compute AUC / PR / KS / calibration via grid windows; these tests
   // recompute each metric FROM ITS DEFINITION over an independently

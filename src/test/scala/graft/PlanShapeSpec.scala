@@ -164,6 +164,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("curation flagship: the composed funnel adds no cartesian product") {
+    val df = graft.operators.Curation.queries("q_curation_pipeline")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    TestSpark.housekeeping()
+  }
+
   test("span/sentence dedup join only on hash keys — no cartesian product") {
     for (q <- Seq("q_dedup_substring", "q_dedup_sentences")) {
       val df = graft.operators.Dedup.queries(q)(spark, TestSpark.sf)
