@@ -81,15 +81,36 @@ object GraftExtensions {
   private[graft] val simhashBuilder: Seq[Expression] => Expression =
     children => graft.functions.SimHash(children.head)
 
+  /** Arity guard for the SQL builders: a wrong-arity call must surface
+    * as a proper analysis error naming the expected signature, not an
+    * IndexOutOfBoundsException from children(i) (which Spark reports
+    * as an internal error). */
+  private def expectArity(name: String, sig: String, n: Int,
+      children: Seq[Expression]): Unit =
+    if (children.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> s"$n — the signature is $name$sig",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   private[graft] val domTextInfo =
     new ExpressionInfo(classOf[graft.functions.DomText].getName, "graft_dom_text")
   private[graft] val domTextBuilder: Seq[Expression] => Expression =
-    children => graft.functions.DomText(children(0), children(1))
+    children => {
+      expectArity("graft_dom_text", "(html, selector)", 2, children)
+      graft.functions.DomText(children(0), children(1))
+    }
 
   private[graft] val domAttrInfo =
     new ExpressionInfo(classOf[graft.functions.DomAttr].getName, "graft_dom_attr")
   private[graft] val domAttrBuilder: Seq[Expression] => Expression =
-    children => graft.functions.DomAttr(children(0), children(1), children(2))
+    children => {
+      expectArity("graft_dom_attr", "(html, selector, attr)", 3, children)
+      graft.functions.DomAttr(children(0), children(1), children(2))
+    }
 
   /** Same registration for an already-running session (extensions only
     * apply at construction time) — the FULL surface, not just the SQL

@@ -46,6 +46,10 @@ object Harness {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     if (clearMemos) graft.operators.TextAnalytics.clearMemos()
+    // reliable-mode checkpoint data is never GC'd by Spark itself
+    // (see Iterate.scala scaladoc) — between queries no checkpointed
+    // lineage is live, so the whole dir's contents can go
+    graft.operators.Iterate.clearCheckpoints(spark)
     System.gc()
   }
 }

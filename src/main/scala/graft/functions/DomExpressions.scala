@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -12,14 +11,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * any graft-extended session next to graft_dot/graft_stem.
   * CodegenFallback deliberately: extraction is an ingest-side per-row
   * map, never a hot codegen span — the value of the Expression form is
-  * the SQL registration and null handling, not generated code. */
+  * the SQL registration and null handling, not generated code.
+  * ImplicitCastInputTypes (not a hand-rolled type check): NULL literals
+  * and castable types coerce like any builtin string function instead
+  * of failing analysis with NullType != StringType. */
 case class DomText(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (children.forall(_.dataType == StringType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (string, string), got " +
-        children.map(_.dataType.simpleString).mkString(", "))
+    extends BinaryExpression with ImplicitCastInputTypes
+    with CodegenFallback {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_dom_text"
   override def nullSafeEval(html: Any, sel: Any): Any = {
@@ -35,12 +35,10 @@ case class DomText(left: Expression, right: Expression)
   * (null element where a match lacks it); `data-*` names cover the
   * reference's dataset reads. */
 case class DomAttr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (children.forall(_.dataType == StringType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (string, string, string), got " +
-        children.map(_.dataType.simpleString).mkString(", "))
+    extends TernaryExpression with ImplicitCastInputTypes
+    with CodegenFallback {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "graft_dom_attr"
   override def nullSafeEval(html: Any, sel: Any, attr: Any): Any = {

@@ -45,6 +45,26 @@ object HtmlDom {
   private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "param", "source", "track", "wbr")
 
+  /** HTML5 implied end tags on SIBLING OPENS (the common subset): an
+    * opening tag in this map closes stack-top elements in its value
+    * set before it opens, so `<ul><li>a<li>b</ul>` yields sibling
+    * `li`s — textContent ('a','b') like jsdom — not nested ones
+    * ('ab','b'). The loop form handles the cascades (`<tr>` closes an
+    * open `td` AND the `tr` above it). Deliberately top-of-stack only:
+    * the full spec's scoped search (e.g. `<li><div><li>` closing
+    * through the div) is not reproduced — fixture markup with
+    * unclosed siblings behind block wrappers should close them
+    * explicitly. */
+  private val impliedClosedBy: Map[String, Set[String]] = Map(
+    "li" -> Set("li"),
+    "p" -> Set("p"),
+    "dt" -> Set("dt", "dd"),
+    "dd" -> Set("dt", "dd"),
+    "option" -> Set("option"),
+    "tr" -> Set("td", "th", "tr"),
+    "td" -> Set("td", "th"),
+    "th" -> Set("td", "th"))
+
   private def isNameChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '-' || c == '_' || c == ':'
 
@@ -121,6 +141,12 @@ object HtmlDom {
           val ts = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
           val tag = lower.substring(ts, j)
+          impliedClosedBy.get(tag).foreach { closable =>
+            while (stack.nonEmpty && closable(nodes(stack.last).tag)) {
+              nodes(stack.last).innerEnd = i
+              stack.remove(stack.length - 1)
+            }
+          }
           val attrs = Map.newBuilder[String, String]
           var selfClose = false
           var done = false

@@ -26,11 +26,32 @@ import org.apache.spark.sql.DataFrame
   * queries; the SparkContext checkpoint dir is (re)set only when the
   * conf value changes. Both modes are eager — every kernel counts on
   * rounds materializing before the next round's self-reference.
+  *
+  * OPERATIONAL LIMITS of reliable mode (both inherent to Spark's
+  * non-streaming `checkpoint()`, documented so a deployment plans for
+  * them rather than discovering them from a full disk):
+  *
+  *   - GC: checkpoint data is NOT reclaimed by Spark unless
+  *     `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set
+  *     at SparkContext construction (and even then only when the RDD
+  *     is GC'd on the driver). A long-lived app that runs iterative
+  *     kernels should either set that conf when building the session
+  *     or periodically clear the dir between queries, as the harness
+  *     mains do — every kernel's rounds otherwise accumulate for the
+  *     app lifetime.
+  *   - Scope: the checkpoint dir is per-SPARKCONTEXT, not per-session.
+  *     All `SparkSession`s sharing one context share one dir; two
+  *     sessions configuring DIFFERENT `graft.checkpoint.dir` values
+  *     flip the one global dir back and forth (each cut lands in the
+  *     most recently set dir, never interleaving within a cut). The
+  *     `lastDir` cache below exists to skip redundant FS resolution,
+  *     not to provide per-session isolation — there is none to have.
   */
 object Iterate {
 
-  // last dir actually pushed to SparkContext, to avoid re-resolving
-  // the path every round (setCheckpointDir does FS calls)
+  // last dir actually pushed to the (context-global, see scaladoc)
+  // SparkContext checkpoint location, to avoid re-resolving the path
+  // every round (setCheckpointDir does FS calls)
   @volatile private var lastDir: String = null
 
   def cut(df: DataFrame): DataFrame = {
@@ -47,6 +68,22 @@ object Iterate {
       case _ => df.localCheckpoint(eager = true)
     }
   }
+
+  /** Drop accumulated reliable-checkpoint data (no-op when the knob is
+    * unset). Safe ONLY between queries — after a query's result is
+    * materialized, none of its checkpointed lineage is referenced.
+    * Deletes the dir's CONTENTS, not the dir, so a configured path
+    * (possibly a mount point) survives. The harness mains call this in
+    * their inter-query housekeeping; a long-lived deployment should do
+    * the same or set `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * at context construction. */
+  def clearCheckpoints(s: org.apache.spark.sql.SparkSession): Unit =
+    s.conf.getOption("graft.checkpoint.dir").filter(_.nonEmpty).foreach {
+      dir =>
+        val f = new java.io.File(dir)
+        if (f.isDirectory)
+          Option(f.listFiles()).foreach(_.foreach(graft.Fs.deleteRec))
+    }
 
   /** `.cut()` chaining syntax so kernel code reads like the
     * `.localCheckpoint(true)` it replaces. */

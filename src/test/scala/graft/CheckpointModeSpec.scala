@@ -40,6 +40,28 @@ class CheckpointModeSpec extends AnyFunSuite {
     }
   }
 
+  test("clearCheckpoints reclaims accumulated reliable-checkpoint data between queries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-gc").toFile
+    try {
+      withCheckpointDir(dir.getAbsolutePath) {
+        Dedup.queries("q_cc_stars")(spark, TestSpark.sf).collect()
+        assert(dir.listFiles().nonEmpty, "no checkpoint data accumulated")
+        // Spark never GCs non-streaming checkpoints on its own
+        // (Iterate.scala scaladoc) — the housekeeping hook must
+        graft.operators.Iterate.clearCheckpoints(spark)
+        assert(dir.listFiles().isEmpty,
+          "checkpoint contents must be reclaimed")
+        assert(dir.isDirectory, "the configured dir itself must survive")
+        // and the NEXT reliable-mode query still works after the sweep
+        val again = Dedup.queries("q_cc_stars")(spark, TestSpark.sf).count()
+        assert(again > 0)
+      }
+    } finally {
+      TestSpark.housekeeping()
+      Fs.deleteRec(dir)
+    }
+  }
+
   test("iterative kernel still runs with the knob unset (local mode)") {
     assert(spark.conf.getOption("graft.checkpoint.dir").isEmpty)
     val rows = Dedup.queries("q_dedup_clusters")(spark, TestSpark.sf).count()

@@ -47,4 +47,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](1) == Seq("Hi"))
     assert(row.getSeq[String](2) == Seq(null))
   }
+
+  test("dom functions: wrong arity is an analysis error naming the signature, not an internal error") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    for (bad <- Seq(
+        "SELECT graft_dom_text('<p>x</p>')",
+        "SELECT graft_dom_text('<p>x</p>', 'p', 'extra')",
+        "SELECT graft_dom_attr('<p>x</p>', 'p')")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(bad).collect()
+      }
+      assert(e.getMessage.contains("graft_dom"), s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("dom functions: NULL literals coerce and null-propagate like builtin string functions") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_dom_text(NULL, 'p') AS a,
+        |       graft_dom_text('<p>x</p>', NULL) AS b,
+        |       graft_dom_attr('<p>x</p>', 'p', NULL) AS c""".stripMargin)
+      .collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+  }
 }

@@ -32,10 +32,26 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(texts == Seq("outerinnertail", "inner"))
   }
 
-  test("implied closes: </ul> closes open <li>s; stray closer ignored") {
+  test("implied closes: sibling <li> opens close each other (jsdom parity); </ul> closes the tail; stray closer ignored") {
     val html = "<ul><li>a<li>b</ul></p><p>c</p>"
-    assert(HtmlDom.selectTexts(html, "li") == Seq("ab", "b"))
+    // r9: HTML5 implied end tags on sibling opens — 'a' and 'b' are
+    // SIBLINGS like querySelectorAll sees them, not nested ('ab','b')
+    assert(HtmlDom.selectTexts(html, "li") == Seq("a", "b"))
     assert(HtmlDom.selectTexts(html, "p") == Seq("c"))
+  }
+
+  test("implied closes: unclosed p siblings, table cells/rows, options") {
+    assert(HtmlDom.selectTexts("<div><p>one<p>two</div>", "p") ==
+      Seq("one", "two"))
+    val table = "<table><tr><td>a<td>b<tr><td>c</table>"
+    assert(HtmlDom.selectTexts(table, "td") == Seq("a", "b", "c"))
+    assert(HtmlDom.selectTexts(table, "tr") == Seq("ab", "c"))
+    assert(HtmlDom.selectTexts(
+      "<select><option>x<option>y</select>", "option") == Seq("x", "y"))
+    // documented limitation: a block wrapper shields the sibling rule
+    // (top-of-stack only, not the spec's scoped search)
+    assert(HtmlDom.selectTexts("<li>a<div>w<li>b</div></li>", "li") ==
+      Seq("awb", "b"))
   }
 
   test("unclosed element closes at EOF; comment and script are not markup") {
