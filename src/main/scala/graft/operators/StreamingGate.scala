@@ -94,14 +94,28 @@ object StreamingGate extends graft.QueryPack {
     * nothing (the page cache already absorbs the I/O). At deployment
     * scale the floor amortizes: it is per-trigger, not per-row. */
   private def drain(s: SparkSession, stream: DataFrame,
-      mode: String)(sink: (DataFrame, Long) => Unit): Unit = {
+      mode: String)(sink: (DataFrame, Long) => Unit): Unit =
+    drainImpl(s, stream, mode, None)(sink)
+
+  /** [[drain]] with a PINNED checkpoint location, so a second drain of
+    * the same stream RESUMES: committed batches are not re-read and
+    * both source offsets and operator state pick up where the dead run
+    * stopped — the restart-recovery path q_stream_restart gates. */
+  private def drainFrom(s: SparkSession, stream: DataFrame,
+      mode: String, ckpt: String)(sink: (DataFrame, Long) => Unit): Unit =
+    drainImpl(s, stream, mode, Some(ckpt))(sink)
+
+  private def drainImpl(s: SparkSession, stream: DataFrame,
+      mode: String, ckpt: Option[String])(
+      sink: (DataFrame, Long) => Unit): Unit = {
     val parts = sys.props.getOrElse("graft.stream.state.partitions", "8")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", parts)
     try {
-      val q = stream.writeStream
+      val w0 = stream.writeStream
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
+      val q = ckpt.fold(w0)(c => w0.option("checkpointLocation", c))
         .foreachBatch(sink)
         .start()
       q.awaitTermination()
@@ -335,6 +349,80 @@ object StreamingGate extends graft.QueryPack {
           s"saw ${nonEmptyBatches.get()} non-empty batches — watermark-exact " +
           "dedup is no longer guaranteed under this data layout")
       s.read.parquet(out)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // RESTART RECOVERY under the oracle — the 100 TB operational case
+    // every other drain skips (they are single-run AvailableNow): a
+    // stream DIES mid-drain (a planted failure in the sink after batch
+    // 1's partial output is on disk) and a second drain resumes from
+    // the SAME checkpoint. The gate proves the full recovery contract:
+    //   - source offsets: committed batch 0 is never re-read,
+    //   - operator state: dropDuplicates state from batch 0 survives,
+    //     so cross-file duplicates arriving after the crash are still
+    //     dropped (state loss would re-admit them → hash fail),
+    //   - sink idempotence: the uncommitted batch 1 re-runs and
+    //     OVERWRITES its own partial batchId-keyed output — the
+    //     standard exactly-once foreachBatch pattern.
+    // The replay is the events table split into 3 files with planted
+    // CROSS-FILE duplicates (f2 repeats f1's %4 slice, f3 repeats
+    // f2's %8 slice), maxFilesPerTrigger=1 → 3 micro-batches; the
+    // drained union must equal the plain batch events table. Exact-
+    // copy duplicates make the kept-row identity order-invariant, so
+    // file arrival order cannot matter. dropDuplicates (no watermark)
+    // is deliberate: eviction must not race the crash window in a
+    // correctness gate; a deployment bounds the same state with
+    // dropDuplicatesWithinWatermark (q_stream_dedup's form).
+    "q_stream_restart" -> ((s, d) => {
+      val root = freshDir("q_stream_restart")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val out = root + "/out"
+      val ckpt = root + "/ckpt"
+      val marker = new java.io.File(root, "killed")
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      def writeFile(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(root, "tmp_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file for $name"))
+        val dst = new java.io.File(src, name + ".parquet")
+        require(part.renameTo(dst), s"stage $name failed")
+        dst.setLastModified(mtime)
+        graft.Fs.deleteRec(tmp)
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      writeFile(ev.filter(col("event_id") % 2 === 0), "f1", t0)
+      writeFile(ev.filter(col("event_id") % 2 === 1)
+        .unionByName(ev.filter(col("event_id") % 4 === 0)), "f2", t0 + 2000)
+      writeFile(ev.filter(col("event_id") % 8 === 1), "f3", t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      def stream() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+        .dropDuplicates("event_id")
+      def sink(dieAtBatch1: Boolean): (DataFrame, Long) => Unit =
+        (batch, id) => {
+          // batchId-keyed overwrite = idempotent under re-runs
+          batch.write.mode("overwrite").parquet(s"$out/b$id")
+          if (dieAtBatch1 && id == 1 && marker.createNewFile())
+            sys.error("planted mid-drain failure (restart-recovery gate)")
+        }
+      val died =
+        try { drainFrom(s, stream(), "append", ckpt)(sink(true)); false }
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+            true
+        }
+      require(died && marker.exists(),
+        "q_stream_restart: the first drain must die on batch 1 — " +
+          "the replay no longer produces multiple micro-batches")
+      drainFrom(s, stream(), "append", ckpt)(sink(false))
+      s.read.parquet(out + "/b*")
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
@@ -688,6 +776,13 @@ object StreamingGate extends graft.QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // the restart-recovered drain must reconstruct EXACTLY the events
+    // table: every planted cross-file duplicate deduped, nothing lost
+    // to the crash, nothing double-emitted by the re-run batch
+    "q_stream_restart" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
     // the drained (MAX, SUM) state re-derives the batch freshness
     // audit — q_freshness' oracle verbatim
     "q_stream_freshness" ->

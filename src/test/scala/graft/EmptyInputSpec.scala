@@ -72,7 +72,11 @@ class EmptyInputSpec extends AnyFunSuite {
     // q_auc instead reports a single null-metric row — dedicated test
     "q_pr_curve", "q_ks_test", "q_calibration",
     // the composed curation flagship: empty corpus → empty funnel
-    "q_curation_pipeline")
+    "q_curation_pipeline",
+    // restart recovery on an empty stream: the kill/resume machinery
+    // must still run (empty files are still micro-batches) and the
+    // recovered sink is empty, not an error
+    "q_stream_restart")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

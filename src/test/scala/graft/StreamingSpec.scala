@@ -166,4 +166,33 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)
   }
+
+  test("q_stream_restart: a killed drain resumes from checkpoint with offsets, state and sink intact") {
+    import org.apache.spark.sql.functions._
+    val result = graft.operators.StreamingGate
+      .queries("q_stream_restart")(spark, TestSpark.sf)
+    val rows = result.collect()
+    TestSpark.housekeeping()
+    // (1) recovery happened at all: the planted kill fired (marker) and
+    // all three micro-batches produced batchId-keyed output
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().find(_.getName.startsWith(
+        s"graft_stream_q_stream_restart_${ProcessHandle.current().pid()}"))
+      .getOrElse(fail("no q_stream_restart work dir"))
+    assert(new java.io.File(root, "killed").exists(),
+      "the first drain never died — the gate tested nothing")
+    val batchDirs = new java.io.File(root, "out").listFiles()
+      .filter(_.getName.startsWith("b")).map(_.getName).sorted
+    assert(batchDirs.toSeq == Seq("b0", "b1", "b2"))
+    // (2) dedup STATE survived the restart: no event_id appears in two
+    // batch outputs (a lost state store would re-admit the planted
+    // cross-file duplicates in the post-crash batches)
+    val perBatch = spark.read.parquet(new java.io.File(root, "out").getPath + "/b*")
+      .select(col("event_id")).collect().map(_.getLong(0))
+    assert(perBatch.length == perBatch.distinct.length,
+      "duplicate event_ids across batch outputs — state lost on restart")
+    // (3) the drained union is exactly the batch events table
+    val n = Tables(spark, TestSpark.sf, "events").count()
+    assert(rows.length.toLong == n)
+  }
 }
