@@ -286,6 +286,48 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Two-level IVF (IVF-within-IVF) — the scale refinement of
+    // q_ann_ivf's flat quantizer: K1 = ceil(sqrt(K2)) ~ N^(1/4)
+    // first-stage centroids route to the same K2 = ceil(sqrt(N))
+    // inverted lists, so per-row assignment costs O((N^(1/4) +
+    // maxGroup)·D) dot products instead of the flat O(sqrt(N)·D) —
+    // the r8 verdict's named watch item. Routing is a one-time
+    // K2 × K1 pass inside the model object; rows score the K1 heads
+    // then ONLY their group's lists (TwoLevelCentroidScores — one
+    // codegen node, plan size independent of both K's). Same sampled
+    // centroids, same round-9/lowest-cid argmax discipline at every
+    // stage, so the whole two-stage assignment restates in plain SQL
+    // and the oracle stays exact. Queries probe the top-2 lists
+    // WITHIN their routed group (the two-level probe path); the tail
+    // is q_ann_ivf's verbatim.
+    "q_ann_ivf2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = loadEmbeddings(s, d)
+      val k2 = sqrtK(Tables(s, d, "embeddings").count())
+      val model = graft.plans.VectorExpressions.twoLevelModel(
+        sampledCentroids(s, d, sqrtK(k2.toLong)),
+        sampledCentroids(s, d, k2))
+      val assigned = e.withColumn("arr",
+        graft.plans.VectorExpressions.twoLevelCentroidCosines(
+          col("embedding"), col("nrm"), model))
+        .withColumn("centroid_id",
+          array_max(col("arr")).getField("negcid") * -1)
+      val cand = assigned.select(col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("nrm").as("nnrm"), col("centroid_id"))
+      val probes = assigned.filter(col("vec_id") < 10)
+        .withColumn("p", explode(slice(reverse(array_sort(col("arr"))), 1, 2)))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), (col("p.negcid") * -1).as("probe_cid"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      cand.join(broadcast(probes),
+          col("centroid_id") === col("probe_cid") && col("qid") =!= col("nid"))
+        .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), col("centroid_id"), col("sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // IVF nprobe tuning curve — the third member of the tuning-sweep
     // family (LSH bands, dedup τ, now IVF probes): recall@3 against
     // exact brute force at nprobe ∈ {1, 2, 4}, over the SAME planted
@@ -880,6 +922,60 @@ object Similarity extends graft.QueryPack {
          |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
          |    round(${dotDuck("e.embedding", "c.cv")} / (e.nrm * c.cnrm), 9) AS csim
          |  FROM e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cid AS centroid_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm, cid AS probe_cid
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 10) t WHERE rn <= 2),
+         |sims AS (
+         |  SELECT p.qid, a.centroid_id, a.vec_id AS nid,
+         |    round(${dotDuck("p.qv", "a.embedding")} / (p.qnrm * a.nrm), 9) AS sim
+         |  FROM assigned a JOIN probes p
+         |    ON a.centroid_id = p.probe_cid AND p.qid <> a.vec_id)
+         |SELECT qid, rk, nid, centroid_id, sim FROM (
+         |  SELECT qid, centroid_id, nid, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY sim DESC, nid) AS BIGINT) AS rk
+         |  FROM sims) t
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // the two-level assignment restated as two ROW_NUMBER argmaxes:
+    // route every list centroid to its nearest first-stage centroid,
+    // route every row to its first-stage group, then argmax only over
+    // the group's lists — the same tail as q_ann_ivf
+    "q_ann_ivf2" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+         |k AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k2,
+         |             CAST(ceil(sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT) AS k1
+         |      FROM embeddings),
+         |l1 AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |       FROM e, k WHERE vec_id >= 10 AND vec_id < 10 + k1),
+         |l2 AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |       FROM e, k WHERE vec_id >= 10 AND vec_id < 10 + k2),
+         |route AS (
+         |  SELECT cid, l1cid FROM (
+         |    SELECT l2.cid, l1.cid AS l1cid,
+         |      ROW_NUMBER() OVER (PARTITION BY l2.cid ORDER BY
+         |        round(${dotDuck("l2.cv", "l1.cv")} / (l2.cnrm * l1.cnrm), 9)
+         |          DESC, l1.cid) AS rn
+         |    FROM l2 CROSS JOIN l1) t WHERE rn = 1),
+         |g AS (
+         |  SELECT vec_id, embedding, nrm, l1cid FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, l1.cid AS l1cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(${dotDuck("e.embedding", "l1.cv")} / (e.nrm * l1.cnrm), 9)
+         |          DESC, l1.cid) AS rn
+         |    FROM e CROSS JOIN l1) t WHERE rn = 1),
+         |scored AS (
+         |  SELECT g.vec_id, g.embedding, g.nrm, l2.cid,
+         |    round(${dotDuck("g.embedding", "l2.cv")} / (g.nrm * l2.cnrm), 9) AS csim
+         |  FROM g JOIN route r ON r.l1cid = g.l1cid JOIN l2 ON l2.cid = r.cid),
          |assigned AS (
          |  SELECT vec_id, embedding, nrm, cid AS centroid_id FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id

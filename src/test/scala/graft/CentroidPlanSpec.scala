@@ -90,6 +90,69 @@ class CentroidPlanSpec extends AnyFunSuite {
     assert(diff === 0L, s"$diff rows diverge between kernel and literal L2 scores")
   }
 
+  private def twoLevelPlanNodeCount(k2: Int): Int = {
+    val k1 = math.ceil(math.sqrt(k2.toDouble)).toInt
+    val model = graft.plans.VectorExpressions.twoLevelModel(cents(k1), cents(k2))
+    val df = corpus
+      .withColumn("arr", graft.plans.VectorExpressions.twoLevelCentroidCosines(
+        col("embedding"), col("nrm"), model))
+      .withColumn("centroid_id", array_max(col("arr")).getField("negcid") * -1)
+      .select(col("vec_id"), col("centroid_id"))
+    df.queryExecution.optimizedPlan
+      .map(p => p.expressions.map(e => e.collect { case x => x }.size).sum)
+      .sum
+  }
+
+  test("two-level model: plan size is O(1) in both centroid counts (K2=16 vs K2=256)") {
+    assert(twoLevelPlanNodeCount(16) === twoLevelPlanNodeCount(256))
+  }
+
+  test("two-level model: per-row work is o(K2) — the N^(1/4) routing cost bound") {
+    // the whole point of the second level: assignment scores K1 heads
+    // plus ONE group's lists, never all K2 lists
+    for (k2 <- Seq(64, 256)) {
+      val k1 = math.ceil(math.sqrt(k2.toDouble)).toInt
+      val model = graft.plans.VectorExpressions.twoLevelModel(cents(k1), cents(k2))
+      val worst = model.maxComparisonsPerRow
+      assert(worst < k2,
+        s"K2=$k2: two-level worst case $worst must beat the flat $k2")
+      // sampled (unclustered) centroids can skew groups, but the bound
+      // must stay well under flat cost — half is a loose, stable line
+      assert(worst <= k2 / 2,
+        s"K2=$k2: routing degenerated — worst $worst > ${k2 / 2}")
+    }
+  }
+
+  test("two-level assignment agrees with a flat argmax restricted to the routed group") {
+    // independent recompute of the two-stage rule over the corpus:
+    // stage-1 argmax over K1 (round-9, lowest cid), then flat argmax
+    // over that group's lists — must equal the kernel's array_max
+    val k2 = 32
+    val k1 = math.ceil(math.sqrt(k2.toDouble)).toInt
+    val c1 = cents(k1); val c2 = cents(k2)
+    val model = graft.plans.VectorExpressions.twoLevelModel(c1, c2)
+    def r9(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Seq[Double], b: Seq[Double], na: Double, nb: Double) =
+      r9(a.zip(b).map { case (x, y) => x * y }.sum / (na * nb))
+    val route = c2.map { case (_, v, n) =>
+      c1.maxBy { case (cid, cv, cn) => (cos(v, cv, n, cn), -cid) }._1
+    }
+    val rows = corpus.withColumn("arr",
+        graft.plans.VectorExpressions.twoLevelCentroidCosines(
+          col("embedding"), col("nrm"), model))
+      .withColumn("centroid_id", array_max(col("arr")).getField("negcid") * -1)
+      .select(col("embedding"), col("nrm"), col("centroid_id"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0); val n = r.getDouble(1)
+      val g = c1.maxBy { case (cid, cv, cn) => (cos(v, cv, n, cn), -cid) }._1
+      val expect = c2.zip(route).filter(_._2 == g).map(_._1)
+        .maxBy { case (cid, cv, cn) => (cos(v, cv, n, cn), -cid) }._1
+      assert(r.getLong(2) == expect)
+    }
+  }
+
   test("whole-stage codegen survives the kernel (no fallback projection)") {
     // Over parquet, not a local Seq — ConvertToLocalRelation folds a
     // LocalRelation projection at plan time and leaves no codegen span.
