@@ -27,6 +27,11 @@ object Harness {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // opt into RELIABLE checkpoints for the iterative kernels from the
+    // environment (the A/B lever for Iterate's two modes; housekeeping
+    // clears the dir's contents between queries)
+    sys.env.get("GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => s.conf.set("graft.checkpoint.dir", d))
     if (warm) s.range(1000000).selectExpr("sum(id)").collect()
     s
   }
