@@ -57,8 +57,14 @@ object Curation extends graft.QueryPack {
 
     "q_curation_pipeline" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
+      // persist: the quality frame feeds BOTH the funnel input (via the
+      // survivor filter) and the final attribution join — its bigram
+      // agg + HOF gate columns are the r8 persist lesson's shape (a
+      // subtree AQE's ReusedExchange cannot deduplicate across the two
+      // consumers); measured 3.39 → 2.65 s min at sf0.1 cpus=32
       val q = TextAnalytics.qualityReasons(
         Dedup.corpus(docs).select(col("doc_id"), col("source"), col("text")))
+        .persist()
       val qSurv = q.filter(col("reason").isNull)
         .select(col("doc_id"), col("source"), col("text"))
       val f = Dedup.funnelReasons(qSurv, docs)

@@ -328,6 +328,53 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Greedy k-center seed selection (Gonzalez 1985, the classic
+    // 2-approximation) — DIVERSITY sampling over the embedding corpus:
+    // each round picks the vector FARTHEST from every center chosen so
+    // far (lowest max-cosine, ties to the lowest vec_id), the coreset/
+    // probe-set construction step of embedding-based curation (the
+    // diversity dual of q_semdedup's redundancy removal). Per round:
+    // ONE corpus pass through the centroid kernel (the chosen set
+    // rides as one codegen reference object — q_ann_ivf's delivery)
+    // ending in a TakeOrdered(1) — a single row to the driver, the
+    // k-means fixpoint-probe budget. K−1 rounds = K−1 narrow passes,
+    // no shuffle beyond the 1-row pick; the final coverage_minsim (the
+    // k-center objective: the worst-covered row's similarity) is one
+    // more pass + a 1-row agg. Deterministic end to end: round-9
+    // cosines, total-order ties — the oracle unrolls the same 7 rounds
+    // as chained argmin CTEs (the BPE unroll precedent).
+    "q_kcenter_seeds" -> ((s, d) => {
+      val K = 8
+      val e = loadEmbeddings(s, d).persist()
+      val seed = e.filter(col("vec_id") === 0)
+        .select(col("vec_id"), col("embedding"), col("nrm")).collect()(0)
+      var centers = Array(
+        (seed.getLong(0), seed.getSeq[Double](1).toSeq, seed.getDouble(2)))
+      val picks = scala.collection.mutable.ArrayBuffer[
+        (Long, Long, java.lang.Double)]((1L, 0L, null))
+      for (r <- 2 to K) {
+        val chosen = centers.map(_._1).toSeq
+        val nxt = e
+          .withColumn("ms",
+            array_max(centroidSimsArr(centers)).getField("sim"))
+          .filter(!col("vec_id").isInCollection(chosen))
+          .orderBy(col("ms").asc, col("vec_id"))
+          .limit(1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("ms"))
+          .collect()(0)
+        centers = centers :+
+          ((nxt.getLong(0), nxt.getSeq[Double](1).toSeq, nxt.getDouble(2)))
+        picks += ((r.toLong, nxt.getLong(0), nxt.getDouble(3)))
+      }
+      val coverage = e
+        .withColumn("ms", array_max(centroidSimsArr(centers)).getField("sim"))
+        .agg(min(col("ms"))).collect()(0).getDouble(0)
+      import s.implicits._
+      picks.toSeq.toDF("round", "vec_id", "max_sim")
+        .withColumn("coverage_minsim", lit(coverage))
+        .orderBy(col("round"))
+    }),
+
     // IVF nprobe tuning curve — the third member of the tuning-sweep
     // family (LSH bands, dedup τ, now IVF probes): recall@3 against
     // exact brute force at nprobe ∈ {1, 2, 4}, over the SAME planted
@@ -944,6 +991,41 @@ object Similarity extends graft.QueryPack {
          |                            ORDER BY sim DESC, nid) AS BIGINT) AS rk
          |  FROM sims) t
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // the greedy rounds unrolled as chained argmin CTEs (the BPE
+    // unroll precedent): each round's max-sim frame excludes the
+    // chosen set, LIMIT 1 under the (ms, vec_id) total order is the
+    // pick, sel accumulates
+    "q_kcenter_seeds" -> {
+      val rounds = (2 to 8).map { i =>
+        s"""m$i AS (
+           |  SELECT x.vec_id,
+           |    MAX(round(${dotDuck("x.embedding", "c.embedding")} /
+           |      (x.nrm * c.nrm), 9)) AS ms
+           |  FROM e x, e c
+           |  WHERE c.vec_id IN (SELECT vec_id FROM sel${i - 1})
+           |    AND x.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           |  GROUP BY x.vec_id),
+           |pick$i AS (SELECT vec_id, ms FROM m$i ORDER BY ms ASC, vec_id LIMIT 1),
+           |sel$i AS (SELECT * FROM sel${i - 1}
+           |          UNION ALL SELECT $i, vec_id, ms FROM pick$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+         |sel1(round, vec_id, max_sim) AS (
+         |  SELECT 1, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)),
+         |$rounds,
+         |cov AS (
+         |  SELECT MIN(ms) AS coverage_minsim FROM (
+         |    SELECT x.vec_id,
+         |      MAX(round(${dotDuck("x.embedding", "c.embedding")} /
+         |        (x.nrm * c.nrm), 9)) AS ms
+         |    FROM e x, e c
+         |    WHERE c.vec_id IN (SELECT vec_id FROM sel8)
+         |    GROUP BY x.vec_id) t)
+         |SELECT CAST(round AS BIGINT) AS round, vec_id, max_sim,
+         |  coverage_minsim
+         |FROM sel8, cov ORDER BY round""".stripMargin
+    },
 
     // the two-level assignment restated as two ROW_NUMBER argmaxes:
     // route every list centroid to its nearest first-stage centroid,

@@ -529,6 +529,35 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Percentile data pruning (r9) — the FineWeb-Edu-style "keep the
+    // top p% per source by quality score" selection step between
+    // scoring and sampling: score = stopword density (round-9; the
+    // natural-language-ness proxy this pack already gates on), rank =
+    // a source-partitioned total-order window (score desc, doc_id),
+    // keep ⇔ rk·10 ≤ n·7 — the 70th-percentile cutoff as EXACT INTEGER
+    // arithmetic (0.7·n in floats would hand the boundary doc to
+    // whichever engine rounds last). Every doc ships with its rank and
+    // verdict, so the prune is auditable row by row like the gates.
+    // Scale: one shuffle on source + per-group sort (the
+    // q_stratified_sample posture — a giant stratum costs its own
+    // sort, never a global one); the cutoff needs no second pass
+    // because the per-source count rides the same window partition.
+    "q_percentile_prune" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val score = round(
+        size(filter(toks, t => t.isInCollection(stopwords))).cast("double") /
+          size(toks), 9)
+      val wRank = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val wSrc = Window.partitionBy(col("source"))
+      Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"), score.as("score"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("n_source", count(lit(1)).over(wSrc))
+        .withColumn("kept", col("rk") * 10 <= col("n_source") * 7)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Readability scoring (Flesch reading ease, 1948) — the
     // text-difficulty quality signal a curation pipeline filters on
     // alongside q_quality_score. Counts are pure regexp facts: words =
@@ -1426,6 +1455,25 @@ object TextAnalytics extends graft.QueryPack {
         |         >= 30.0 THEN 'medium'
         |       ELSE 'hard' END AS band
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same stopword-density score, same total-order rank, the cutoff
+    // restated as the identical integer comparison
+    "q_percentile_prune" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    round(CAST(len(list_filter(toks, t -> t IN ${sqlList(stopwords)}))
+         |      AS DOUBLE) / len(toks), 9) AS score
+         |  FROM (SELECT source, doc_id, string_split(lower(text), ' ') AS toks
+         |        FROM documents) x),
+         |r AS (
+         |  SELECT source, doc_id, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_source
+         |  FROM t)
+         |SELECT source, doc_id, score, rk, n_source,
+         |  rk * 10 <= n_source * 7 AS kept
+         |FROM r ORDER BY source, doc_id""".stripMargin,
 
     "q_quality_score" ->
       s"""SELECT doc_id,

@@ -133,7 +133,12 @@ class DeterminismSpec extends AnyFunSuite {
     // the curation flagship composes three shared kernels plus the
     // md5 mixture/shard tail — every stage is individually
     // layout-free, and the composition joins only on doc_id
-    "q_curation_pipeline")
+    "q_curation_pipeline",
+    // r9 second leg: q_percentile_prune (total-order rank + integer
+    // cutoff — the kept boundary must not move with layout);
+    // q_kcenter_seeds (iterative 1-row argmin picks: any layout term
+    // in a round compounds into a different center set)
+    "q_percentile_prune", "q_kcenter_seeds")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -76,7 +76,11 @@ class EmptyInputSpec extends AnyFunSuite {
     // restart recovery on an empty stream: the kill/resume machinery
     // must still run (empty files are still micro-batches) and the
     // recovered sink is empty, not an error
-    "q_stream_restart")
+    "q_stream_restart",
+    // percentile pruning of an empty corpus is an empty verdict table
+    // (q_kcenter_seeds is excluded: seed selection needs a corpus,
+    // the k-means/LDA precondition)
+    "q_percentile_prune")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {
