@@ -595,6 +595,52 @@ object Dedup extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Split-leakage audit (r9) — the evaluation-integrity probe every
+    // training pipeline owes its eval sets: random splits do NOT
+    // respect near-duplicate structure, so a doc's near-copy can land
+    // in val/test while the doc itself trains (q_split_hash's md5
+    // buckets are id-keyed, and the planted copies carry NEW ids —
+    // exactly how real crawl dups split). Composes two shipped
+    // definitions by reference: q_split_hash's 90/5/5 bucket rule and
+    // the ngramPairs kernel (jaccard ≥ 0.6 over the planted corpus,
+    // exact copies included at jaccard 1). A pair leaks iff exactly
+    // one side is train; each leaked eval doc reports its strongest
+    // train partner ((jaccard desc, id) total order). Shuffles: the
+    // pair kernel's own + two doc-keyed split joins — nothing new at
+    // scale. The decontamination twin: q_decontaminate guards against
+    // BENCHMARK contamination, this guards the pipeline's OWN splits.
+    "q_split_leakage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = corpus(Tables(s, d, "documents"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val split = when(bucket < 58982, "train")
+        .when(bucket < 62259, "val").otherwise("test")
+      val sp = c.select(col("doc_id"), split.as("split"))
+      val j = ngramPairsOf(c)
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+          Seq("id_a"))
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+          Seq("id_b"))
+        .filter(
+          (col("split_a") === "train" && col("split_b") =!= "train") ||
+            (col("split_b") === "train" && col("split_a") =!= "train"))
+        .select(
+          when(col("split_a") === "train", col("id_b")).otherwise(col("id_a"))
+            .as("eval_id"),
+          when(col("split_a") === "train", col("split_b"))
+            .otherwise(col("split_a")).as("eval_split"),
+          when(col("split_a") === "train", col("id_a")).otherwise(col("id_b"))
+            .as("train_id"),
+          col("jaccard"))
+      val w = Window.partitionBy(col("eval_id"))
+        .orderBy(col("jaccard").desc, col("train_id"))
+      j.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("eval_id"), col("eval_split"), col("train_id"),
+          col("jaccard"))
+        .orderBy(col("eval_id"))
+    }),
+
     // SimHash NEAR-dup MATCHING via pigeonhole blocking (Manku et al.,
     // WWW'07 "Detecting Near-Duplicates for Web Crawling"): two 32-bit
     // fingerprints within Hamming distance K=3 must agree EXACTLY on at
@@ -1367,6 +1413,36 @@ object Dedup extends graft.QueryPack {
          |FROM spans s JOIN nd USING (h)
          |GROUP BY s.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // the same pair fragment + the q_split_hash bucket rule verbatim;
+    // orientation and the strongest-partner rank restated
+    "q_split_leakage" ->
+      s"""WITH $corpusSqlDuck,
+         |${ngramPairsSqlDuckFrom("corpus")},
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+         |              AS INTEGER) < 58982 THEN 'train'
+         |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+         |              AS INTEGER) < 62259 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM corpus),
+         |leaks AS (
+         |  SELECT
+         |    CASE WHEN a.split = 'train' THEN p.id_b ELSE p.id_a END AS eval_id,
+         |    CASE WHEN a.split = 'train' THEN b.split ELSE a.split END AS eval_split,
+         |    CASE WHEN a.split = 'train' THEN p.id_a ELSE p.id_b END AS train_id,
+         |    p.jaccard
+         |  FROM pairs p
+         |  JOIN sp a ON a.doc_id = p.id_a
+         |  JOIN sp b ON b.doc_id = p.id_b
+         |  WHERE (a.split = 'train' AND b.split <> 'train')
+         |     OR (b.split = 'train' AND a.split <> 'train'))
+         |SELECT eval_id, eval_split, train_id, jaccard FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+         |    ORDER BY jaccard DESC, train_id) AS rk
+         |  FROM leaks) t
+         |WHERE rk = 1 ORDER BY eval_id""".stripMargin,
 
     // The funnel restated stage by stage through the SHARED fragment:
     // exact groups → pair kernel over surv1 → benchmark slice →

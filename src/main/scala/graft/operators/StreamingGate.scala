@@ -204,6 +204,27 @@ object StreamingGate extends graft.QueryPack {
       require(old.renameTo(dir), s"state recovery failed: $old -> $state")
   }
 
+  /** The q_stream_quantile state fold: merge a micro-batch's `cents`
+    * column into one persistent (KLL sketch, count) row — the third
+    * mergeable-summary fold next to the count/max monoids and the MG
+    * sketch. A batch with no rows contributes a NULL sketch, which
+    * the isNotNull guard drops before the merge agg. */
+  private[graft] def foldKll(state: String, k: Int)(
+      batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
+    val bsk = batch.agg(
+      expr(s"kll_sketch_agg_bigint(cents, $k)").as("sk"),
+      count(lit(1)).as("n"))
+    val merged =
+      if (new java.io.File(state).exists()) {
+        val prior = batch.sparkSession.read.parquet(state)
+        prior.unionByName(bsk).filter(col("sk").isNotNull)
+          .agg(expr(s"kll_merge_agg_bigint(sk, $k)").as("sk"),
+            sum(col("n")).as("n"))
+      } else bsk
+    swapState(merged, state)
+  }
+
   def foldTypeMax(state: String)(batch: DataFrame, id: Long): Unit = {
     recoverState(state)
     val bc = batch.groupBy(col("event_type"))
@@ -566,6 +587,53 @@ object StreamingGate extends graft.QueryPack {
         .orderBy(col("item"))
     }),
 
+    // Streaming quantile monitor — the FOURTEENTH oracle-gated
+    // streaming query and the second sketch-state fold next to
+    // q_stream_topk's Misra-Gries: per micro-batch, the batch's KLL
+    // sketch (Spark 4 native kll_* over the bundled DataSketches)
+    // merges into ONE persistent sketch row — state is O(sketch), not
+    // O(stream), and KLL merge is associative so the fold is
+    // batching-invariant by construction (the mergeable-summary
+    // family contract). The drained sketch's median must satisfy
+    // q_sketch_kll's exact rank-window contract against the batch
+    // events table, and the folded row count must equal the exact
+    // count (no rows lost across batches/swaps). Only contract
+    // booleans + exact counts are emitted — KLL compaction is
+    // randomized, so the median itself is not layout-deterministic
+    // (the q_sketch_kll precedent). State writes ride swapState.
+    "q_stream_quantile" -> ((s, d) => {
+      val K = 200
+      val eps = 2.296 / math.pow(K.toDouble, 0.9)
+      val state = freshDir("q_stream_quantile") + "/qs"
+      val stream = EventsStream.replay(s, d)
+        .select(expr("cast(value * 100 as bigint)").as("cents"))
+      drain(s, stream, "append")(foldKll(state, K))
+      recoverState(state)
+      // an empty stream delivers ZERO micro-batches (no fold, no state
+      // dir) — the monitor reports nothing, it does not throw
+      val st =
+        if (new java.io.File(state).exists())
+          s.read.parquet(state)
+            .select(expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("med"),
+              col("n"))
+        else s.range(0).select(lit(null).cast("bigint").as("med"),
+          lit(0L).as("n"))
+      val cents = Tables(s, d, "events")
+        .select(expr("cast(value * 100 as bigint)").as("cents"))
+      val band = lit(2.0 * eps) * col("n")
+      cents.crossJoin(broadcast(st))
+        .groupBy(col("med"), col("n"))
+        .agg(
+          sum(when(col("cents") < col("med"), 1L).otherwise(0L)).as("below"),
+          sum(when(col("cents") <= col("med"), 1L).otherwise(0L))
+            .as("at_or_below"),
+          count(lit(1)).as("n_exact"))
+        .select(col("n"),
+          (col("n") === col("n_exact")).as("counts_match"),
+          ((col("at_or_below") >= col("n") * 0.5 - band) &&
+            (col("below") + 1 <= col("n") * 0.5 + band)).as("within_bound"))
+    }),
+
     // Streaming freshness monitor — the TENTH oracle-gated streaming
     // query and the third stream-maintained monitor: per-type
     // (last-seen timestamp, event count) folded as a (MAX, SUM)
@@ -782,6 +850,14 @@ object StreamingGate extends graft.QueryPack {
     "q_stream_restart" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // exact stream size; the folded sketch's rank-window and
+    // count-conservation contracts are the constant-true booleans
+    // (the q_sketch_kll oracle shape)
+    "q_stream_quantile" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  true AS counts_match, true AS within_bound
+        |FROM events""".stripMargin,
 
     // the drained (MAX, SUM) state re-derives the batch freshness
     // audit — q_freshness' oracle verbatim

@@ -138,7 +138,10 @@ class DeterminismSpec extends AnyFunSuite {
     // cutoff — the kept boundary must not move with layout);
     // q_kcenter_seeds (iterative 1-row argmin picks: any layout term
     // in a round compounds into a different center set)
-    "q_percentile_prune", "q_kcenter_seeds")
+    "q_percentile_prune", "q_kcenter_seeds",
+    // leakage audit: pair kernel + pure split function + total-order
+    // partner rank — every term layout-free
+    "q_split_leakage")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

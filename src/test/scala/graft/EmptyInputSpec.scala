@@ -80,7 +80,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // percentile pruning of an empty corpus is an empty verdict table
     // (q_kcenter_seeds is excluded: seed selection needs a corpus,
     // the k-means/LDA precondition)
-    "q_percentile_prune")
+    "q_percentile_prune", "q_split_leakage",
+    // the quantile fold on an empty stream: a null-sketch state row,
+    // an empty gate frame — not a crash
+    "q_stream_quantile")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

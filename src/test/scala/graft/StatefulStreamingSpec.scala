@@ -257,6 +257,40 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(oneShot == exact)
   }
 
+  test("KLL sketch fold across micro-batches: count conserved, median in the rank window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val K = 200
+    val dir = java.nio.file.Files.createTempDirectory("kllfold").toString + "/st"
+    // 1500 skewed values arriving in three uneven batches (one empty —
+    // the null-sketch guard path)
+    val values = (1L to 1500L).map(i => (i * i) % 997)
+    val ms = MemoryStream[Long]
+    val q = ms.toDS().toDF("cents")
+      .writeStream.outputMode("append")
+      .foreachBatch(graft.operators.StreamingGate.foldKll(dir, K) _)
+      .start()
+    Seq(values.take(100), Seq.empty[Long], values.drop(100)).foreach { b =>
+      if (b.nonEmpty) ms.addData(b)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val st = spark.read.parquet(dir)
+      .select(expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("med"),
+        col("n")).collect()(0)
+    assert(st.getLong(1) == values.length.toLong,
+      "folded count must equal the stream size across batches")
+    val med = st.getLong(0)
+    val below = values.count(_ < med)
+    val atOrBelow = values.count(_ <= med)
+    val eps = 2.296 / math.pow(K.toDouble, 0.9)
+    val band = 2.0 * eps * values.length
+    assert(atOrBelow >= values.length * 0.5 - band &&
+      below + 1 <= values.length * 0.5 + band,
+      s"median $med outside the rank window (below=$below at_or_below=$atOrBelow)")
+  }
+
   // ---- swapState crash windows (r9): every gap in the write-tmp →
   // rename-aside → rename-in → drop-aside sequence must leave the
   // monitor recoverable. A crash is simulated by reproducing the
