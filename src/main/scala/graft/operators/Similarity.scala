@@ -597,6 +597,39 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // Embedding-distribution drift (r9) — the "did the corpus move
+    // under my model" monitor an embedding-based pipeline runs between
+    // snapshots: per label, the exact fixed-point centroid of the
+    // reference snapshot (even vec_id) vs the current one (odd
+    // vec_id), drift = round-9 cosine between the two centroids, with
+    // both snapshot counts in-row. The vector twin of q_psi_drift's
+    // binned scalar form. Determinism is the q_exemplars discipline:
+    // VecSum fixed-point sums (order-free BIGINT per dimension), one
+    // exact division per dim, round-9 at the single emitted cosine —
+    // restated dimension-for-dimension in the oracle. Scale: two
+    // label-keyed aggs + a labels-sized join; vectors never cross a
+    // shuffle unaggregated beyond the grouped sums.
+    "q_embedding_drift" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+      def half(pred: Column, nName: String, cvName: String) = e.filter(pred)
+        .groupBy(col("label"))
+        .agg(graft.functions.VecSum.vecSumScaled(col("v"), DIM).as("sums"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("n").as(nName), expr(
+          "transform(sums, s -> CAST(s AS DOUBLE) / n / 1000000.0D)")
+          .as(cvName))
+      half(col("vec_id") % 2 === 0, "n_ref", "ref_cv")
+        .join(half(col("vec_id") % 2 === 1, "n_cur", "cur_cv"), Seq("label"))
+        .withColumn("drift_cos",
+          round(dot(col("ref_cv"), col("cur_cv")) /
+            (norm(col("ref_cv")) * norm(col("cur_cv"))), 9))
+        .select(col("label"), col("n_ref"), col("n_cur"), col("drift_cos"),
+          (col("drift_cos") < 0.9).as("drifted"))
+        .orderBy(col("label"))
+    }),
+
     // Johnson-Lindenstrauss random projection: 64 → 16 dims through a
     // fixed ±1 matrix (seed 7, same stable-LCG constant trick as the
     // LSH planes), scaled by 1/√16 so pairwise distances are preserved
@@ -1254,6 +1287,48 @@ object Similarity extends graft.QueryPack {
 
     // Same fixed-point per-lang centroid (VecSum restated), same dot /
     // norm fold order, same top-5 tie-break.
+    // both half-centroids restated dimension-for-dimension (the
+    // q_exemplars fixed-point CTE shape), one cosine at round-9
+    "q_embedding_drift" ->
+      s"""WITH ee AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    list_transform(range(1, ${DIM + 1}),
+         |      i -> CAST(embedding[i] AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sr AS (
+         |  SELECT label, dim,
+         |    SUM(CAST(ROUND(v[CAST(dim AS INTEGER)] * 1000000) AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM (SELECT label, unnest(range(1, ${DIM + 1})) AS dim, v
+         |        FROM ee WHERE vec_id % 2 = 0)
+         |  GROUP BY label, dim),
+         |cr AS (
+         |  SELECT label, CAST(MAX(n) AS BIGINT) AS n_ref,
+         |    list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY dim) AS ref_cv
+         |  FROM sr GROUP BY label),
+         |sc AS (
+         |  SELECT label, dim,
+         |    SUM(CAST(ROUND(v[CAST(dim AS INTEGER)] * 1000000) AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM (SELECT label, unnest(range(1, ${DIM + 1})) AS dim, v
+         |        FROM ee WHERE vec_id % 2 = 1)
+         |  GROUP BY label, dim),
+         |cc AS (
+         |  SELECT label, CAST(MAX(n) AS BIGINT) AS n_cur,
+         |    list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY dim) AS cur_cv
+         |  FROM sc GROUP BY label),
+         |jd AS (
+         |  SELECT cr.label, n_ref, n_cur,
+         |    round(list_sum(list_transform(range(1, ${DIM + 1}),
+         |        i -> ref_cv[i] * cur_cv[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, ${DIM + 1}),
+         |          i -> ref_cv[i] * ref_cv[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, ${DIM + 1}),
+         |          i -> cur_cv[i] * cur_cv[i])))), 9) AS drift_cos
+         |  FROM cr JOIN cc USING (label))
+         |SELECT label, n_ref, n_cur, drift_cos, drift_cos < 0.9 AS drifted
+         |FROM jd ORDER BY label""".stripMargin,
+
     "q_exemplars" ->
       s"""WITH ee AS (
          |  SELECT vec_id,

@@ -941,26 +941,67 @@ object TextAnalytics extends graft.QueryPack {
     "q_tokenize_bpe" -> ((s, d) => {
       val merges = learnBpeMerges(s, d)
       val toksF = filter(tokens(col("text")), w => length(w) > 0)
-      def bpeCount(w: Column): Column = {
-        val seq0 = concat(lit("|"),
-          array_join(regexp_extract_all(w, lit("."), lit(0)), "|"), lit("|"))
-        val seqN = merges.foldLeft(seq0) { case (c, (_, pair, merged, _)) =>
-          replace(c, lit("|" + pair.replace(" ", "|") + "|"),
-            lit("|" + merged + "|"))
-        }
-        size(split(trim(seqN, "|"), "\\|"))
-      }
       Tables(s, d, "documents")
         .select(col("doc_id"),
           size(toksF).cast("long").as("n_ws_tokens"),
-          aggregate(toksF, lit(0), (acc, w) => acc + bpeCount(w))
+          aggregate(toksF, lit(0), (acc, w) => acc + bpeCountCol(merges)(w))
             .cast("long").as("n_bpe_tokens"))
         .withColumn("bpe_per_word",
           when(col("n_ws_tokens") > 0,
             round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 9)))
         .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer-quality report (r9) — fertility (BPE tokens per word)
+    // and compression (non-space chars per BPE token) PER SOURCE under
+    // the learned merge table: the "how does my tokenizer treat each
+    // domain" audit that decides whether a source's token budget is
+    // spent on content or on fragmentation (code/URL-heavy domains
+    // fragment; the budget allocator upstream assumed chars ∝ tokens).
+    // The encode kernel is [[bpeCountCol]] — definitionally the
+    // q_tokenize_bpe encoder — so the report can never disagree with
+    // the tokenizer it audits. One corpus pass, exact integer sums per
+    // source, two round-9 ratios at the end; the merge table rides as
+    // literals (broadcast-sized at any corpus).
+    "q_tokenizer_fertility" -> ((s, d) => {
+      val merges = learnBpeMerges(s, d)
+      val toksF = filter(tokens(col("text")), w => length(w) > 0)
+      Tables(s, d, "documents")
+        .select(col("source"),
+          size(toksF).cast("long").as("ws"),
+          aggregate(toksF, lit(0), (acc, w) => acc + bpeCountCol(merges)(w))
+            .cast("long").as("bpe"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("ch"))
+        .groupBy(col("source"))
+        .agg(sum(col("ws")).as("n_ws_tokens"),
+          sum(col("bpe")).as("n_bpe_tokens"),
+          sum(col("ch")).as("n_chars"))
+        .select(col("source"), col("n_ws_tokens"), col("n_bpe_tokens"),
+          col("n_chars"),
+          round(col("n_bpe_tokens").cast("double") /
+            nullif(col("n_ws_tokens"), lit(0L)).cast("double"), 9)
+            .as("fertility"),
+          round(col("n_chars").cast("double") /
+            nullif(col("n_bpe_tokens"), lit(0L)).cast("double"), 9)
+            .as("chars_per_token"))
+        .orderBy(col("source"))
     })
   ) ++ extraQueries
+
+  /** BPE token count of one word column under the learned merge
+    * table — the ENCODE kernel, shared by q_tokenize_bpe (per-doc) and
+    * q_tokenizer_fertility (per-source) so the audit and the tokenizer
+    * are one definition. */
+  private def bpeCountCol(merges: Seq[(Long, String, String, Long)])(
+      w: Column): Column = {
+    val seq0 = concat(lit("|"),
+      array_join(regexp_extract_all(w, lit("."), lit(0)), "|"), lit("|"))
+    val seqN = merges.foldLeft(seq0) { case (c, (_, pair, merged, _)) =>
+      replace(c, lit("|" + pair.replace(" ", "|") + "|"),
+        lit("|" + merged + "|"))
+    }
+    size(split(trim(seqN, "|"), "\\|"))
+  }
 
   /** The first ROUNDS byte-pair-encoding merges over the corpus
     * vocabulary — shared by q_bpe_merges (the merge table itself) and
@@ -1721,6 +1762,43 @@ object TextAnalytics extends graft.QueryPack {
         |    THEN round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 9)
         |  END AS bpe_per_word
         |FROM enc ORDER BY doc_id""".stripMargin,
+
+    // the same learn prefix + encode lambda, grouped by source; the
+    // two ratios restated with the same nullif guards
+    "q_tokenizer_fertility" ->
+      s"""WITH $bpeLearnSqlDuck,
+        |mm AS (SELECT
+        |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b1) AS t1,
+        |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b1) AS m1,
+        |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b2) AS t2,
+        |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b2) AS m2,
+        |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b3) AS t3,
+        |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b3) AS m3),
+        |docs AS (
+        |  SELECT source, text,
+        |    list_filter(string_split(lower(text), ' '), w -> length(w) > 0)
+        |      AS toks
+        |  FROM documents),
+        |enc AS (
+        |  SELECT source, CAST(len(toks) AS BIGINT) AS ws,
+        |    CAST(COALESCE(list_sum(list_transform(toks, w ->
+        |      len(string_split(trim(replace(replace(replace(
+        |        '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|',
+        |        mm.t1, mm.m1), mm.t2, mm.m2), mm.t3, mm.m3), '|'), '|')))), 0)
+        |      AS BIGINT) AS bpe,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS ch
+        |  FROM docs, mm),
+        |g AS (
+        |  SELECT source, CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+        |    CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+        |    CAST(SUM(ch) AS BIGINT) AS n_chars
+        |  FROM enc GROUP BY source)
+        |SELECT source, n_ws_tokens, n_bpe_tokens, n_chars,
+        |  round(CAST(n_bpe_tokens AS DOUBLE) /
+        |    CAST(nullif(n_ws_tokens, 0) AS DOUBLE), 9) AS fertility,
+        |  round(CAST(n_chars AS DOUBLE) /
+        |    CAST(nullif(n_bpe_tokens, 0) AS DOUBLE), 9) AS chars_per_token
+        |FROM g ORDER BY source""".stripMargin,
 
     "q_pmi_bigrams" ->
       """WITH docs AS (

@@ -141,7 +141,12 @@ class DeterminismSpec extends AnyFunSuite {
     "q_percentile_prune", "q_kcenter_seeds",
     // leakage audit: pair kernel + pure split function + total-order
     // partner rank — every term layout-free
-    "q_split_leakage")
+    "q_split_leakage",
+    // q_embedding_drift: fixed-point per-dim BIGINT sums (order-free)
+    // + one round-9 cosine; q_tokenizer_fertility: the learned merges
+    // come from corpus-global aggregations and the report is exact
+    // integer sums — neither may move with layout
+    "q_embedding_drift", "q_tokenizer_fertility")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

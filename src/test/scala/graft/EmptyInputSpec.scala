@@ -83,7 +83,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_percentile_prune", "q_split_leakage",
     // the quantile fold on an empty stream: a null-sketch state row,
     // an empty gate frame — not a crash
-    "q_stream_quantile")
+    "q_stream_quantile",
+    // snapshot drift of an empty corpus: two empty centroid grids
+    // (q_tokenizer_fertility is excluded: the BPE learn needs a
+    // corpus, like q_tokenize_bpe)
+    "q_embedding_drift")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {
