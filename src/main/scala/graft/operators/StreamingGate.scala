@@ -207,8 +207,11 @@ object StreamingGate extends graft.QueryPack {
   /** The q_stream_quantile state fold: merge a micro-batch's `cents`
     * column into one persistent (KLL sketch, count) row — the third
     * mergeable-summary fold next to the count/max monoids and the MG
-    * sketch. A batch with no rows contributes a NULL sketch, which
-    * the isNotNull guard drops before the merge agg. */
+    * sketch. A batch with no rows contributes a NULL sketch, which the
+    * merge agg's FILTER clause skips — scoped to the sketch column only,
+    * so the row count keeps summing even when every sketch so far is
+    * NULL (a row-level filter here would empty the agg input and turn
+    * `n` NULL, miscounting an all-empty-batch history). */
   private[graft] def foldKll(state: String, k: Int)(
       batch: DataFrame, id: Long): Unit = {
     recoverState(state)
@@ -218,9 +221,10 @@ object StreamingGate extends graft.QueryPack {
     val merged =
       if (new java.io.File(state).exists()) {
         val prior = batch.sparkSession.read.parquet(state)
-        prior.unionByName(bsk).filter(col("sk").isNotNull)
-          .agg(expr(s"kll_merge_agg_bigint(sk, $k)").as("sk"),
-            sum(col("n")).as("n"))
+        prior.unionByName(bsk).agg(
+          expr(s"kll_merge_agg_bigint(sk, $k) FILTER (WHERE sk IS NOT NULL)")
+            .as("sk"),
+          sum(col("n")).as("n"))
       } else bsk
     swapState(merged, state)
   }

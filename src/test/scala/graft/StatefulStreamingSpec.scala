@@ -291,6 +291,30 @@ class StatefulStreamingSpec extends AnyFunSuite {
       s"median $med outside the rank window (below=$below at_or_below=$atOrBelow)")
   }
 
+  test("KLL fold with an all-empty prefix: count stays 0 (not NULL), then recovers exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two consecutive empty folds: the state row's sketch is NULL both
+    // times, so a row-level isNotNull filter would empty the merge agg
+    // and turn n NULL — the FILTER-clause scoping keeps n summing
+    val dir = java.nio.file.Files.createTempDirectory("kllempty").toString + "/st"
+    def fold(xs: Seq[Long]): Unit =
+      graft.operators.StreamingGate.foldKll(dir, 200)(
+        xs.toDF("cents"), 0L)
+    fold(Seq.empty)
+    fold(Seq.empty)
+    val mid = spark.read.parquet(dir).select(col("n")).collect()(0)
+    assert(!mid.isNullAt(0) && mid.getLong(0) == 0L,
+      "an all-empty history must fold to n=0, never NULL")
+    fold(Seq(1L, 2L, 3L))
+    fold(Seq.empty)
+    val fin = spark.read.parquet(dir)
+      .select(expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("med"),
+        col("n")).collect()(0)
+    assert(fin.getLong(1) == 3L && fin.getLong(0) == 2L,
+      "real data arriving after the empty prefix must fold exactly")
+  }
+
   // ---- swapState crash windows (r9): every gap in the write-tmp →
   // rename-aside → rename-in → drop-aside sequence must leave the
   // monitor recoverable. A crash is simulated by reproducing the
