@@ -84,6 +84,93 @@ object TextAnalytics extends graft.QueryPack {
     * testdata's already-clean text). */
   private[operators] def tokens(c: Column): Column = split(lower(c), " ")
 
+  /** BM25 (Robertson–Spärck Jones) scoring KERNEL shared by q_bm25 and
+    * q_retrieval_eval: score every document against `terms`, emitting
+    * (doc_id, tf_<t>… as longs, score as double). Corpus stats (N,
+    * avgdl, per-term df) are ONE 1-row aggregate over exact integers —
+    * broadcast scalars, never corpus-sized broadcasts — and scoring is
+    * a narrow per-doc codegen map, so the layout holds at 100 TB.
+    * Determinism: avgdl divides two exact longs; per-term contributions
+    * are rounded at 9 decimals and summed as DECIMAL in fixed term
+    * order (the q_lm_score technique), so Spark and DuckDB agree
+    * bit-for-bit. */
+  private[operators] def bm25Scored(
+      s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
+    val K1 = 1.2d; val B = 0.75d
+    val toksE = tokens(col("text"))
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), toksE.as("toks"),
+        size(toksE).cast("long").as("dl"))
+    val statAggs =
+      count(lit(1)).cast("double").as("n_docs") +:
+        sum(col("dl")).cast("double").as("sum_dl") +:
+        terms.map(t => sum(when(array_contains(col("toks"), t), 1L)
+          .otherwise(0L)).cast("double").as(s"df_$t"))
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    val scored = docs.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+    val tf = terms.map(t =>
+      size(filter(col("toks"), x => x === t)).cast("double").as(s"tf_$t"))
+    val withTf = scored.select(
+      Seq(col("doc_id"), col("dl"), col("n_docs"), col("avgdl")) ++
+        terms.map(t => col(s"df_$t")) ++ tf: _*)
+    def contrib(t: String) = {
+      val idf = log(lit(1.0d) +
+        (col("n_docs") - col(s"df_$t") + 0.5d) / (col(s"df_$t") + 0.5d))
+      // inner term folds to (0.25 + ((dl*0.75)/avgdl)) — identical
+      // association (and thus bits) to the oracle's SQL
+      val satur = col(s"tf_$t") * (K1 + 1.0d) /
+        (col(s"tf_$t") +
+          lit(K1) * (lit(1.0d - B) + col("dl").cast("double") * B / col("avgdl")))
+      round(idf * satur, 9).cast(DecimalType(15, 9))
+    }
+    withTf.select(
+      Seq(col("doc_id")) ++
+        terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
+        terms.map(contrib).reduce(_ + _).cast("double").as("score"): _*)
+  }
+
+  /** The scored CTE of [[bm25Scored]] restated for the DuckDB oracle,
+    * parameterized on the term list — emitted verbatim into oracle SQL
+    * so kernel and oracle stay one definition. Yields columns
+    * doc_id, tf_<t>… (BIGINT), score (DOUBLE). */
+  private[operators] def bm25ScoredSqlDuck(
+      terms: Seq[String], sfx: String = ""): String = {
+    def df(t: String) =
+      s"""CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)
+         |      AS DOUBLE) AS df_$t""".stripMargin
+    def tf(t: String) =
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$t"
+    def contrib(t: String) =
+      s"""CAST(round(ln(CAST(1 AS DOUBLE) +
+         |        (n_docs - df_$t + CAST(0.5 AS DOUBLE)) / (df_$t + CAST(0.5 AS DOUBLE))) *
+         |      (tf_$t * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)) /
+         |       (tf_$t + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+         |        CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))), 9) AS DECIMAL(15,9))""".stripMargin
+    s"""bmdocs$sfx AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |bmd2$sfx AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM bmdocs$sfx),
+       |bmstats$sfx AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+       |    ${terms.map(df).mkString(",\n    ")}
+       |  FROM bmd2$sfx),
+       |bmscored$sfx AS (
+       |  SELECT doc_id, dl,
+       |    ${terms.map(tf).mkString(",\n    ")},
+       |    n_docs, sum_dl / n_docs AS avgdl,
+       |    ${terms.map(t => s"df_$t").mkString(", ")}
+       |  FROM bmd2$sfx, bmstats$sfx),
+       |bmfinal$sfx AS (
+       |  SELECT doc_id,
+       |    ${terms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(",\n    ")},
+       |    CAST(
+       |    ${terms.map(contrib).mkString(" +\n    ")}
+       |  AS DOUBLE) AS score
+       |  FROM bmscored$sfx)""".stripMargin
+  }
+
   /** T6 keep-predicate applied to a token lambda variable. */
   private[operators] def keepToken(t: Column): Column =
     (length(t) > 1) && !t.startsWith("http") && !t.isInCollection(stopwords)
@@ -877,41 +964,65 @@ object TextAnalytics extends graft.QueryPack {
     // contributions are rounded at 9 decimals and summed as DECIMAL in
     // fixed term order (the q_lm_score technique), so Spark and DuckDB
     // agree bit-for-bit.
-    "q_bm25" -> ((s, d) => {
-      val terms = Seq("dup", "vector", "query")
-      val K1 = 1.2d; val B = 0.75d
-      val toksE = tokens(col("text"))
-      val docs = Tables(s, d, "documents")
-        .select(col("doc_id"), toksE.as("toks"),
-          size(toksE).cast("long").as("dl"))
-      val statAggs =
-        count(lit(1)).cast("double").as("n_docs") +:
-          sum(col("dl")).cast("double").as("sum_dl") +:
-          terms.map(t => sum(when(array_contains(col("toks"), t), 1L)
-            .otherwise(0L)).cast("double").as(s"df_$t"))
-      val stats = docs.agg(statAggs.head, statAggs.tail: _*)
-      val scored = docs.crossJoin(broadcast(stats))
-        .withColumn("avgdl", col("sum_dl") / col("n_docs"))
-      val tf = terms.map(t =>
-        size(filter(col("toks"), x => x === t)).cast("double").as(s"tf_$t"))
-      val withTf = scored.select(
-        Seq(col("doc_id"), col("dl"), col("n_docs"), col("avgdl")) ++
-          terms.map(t => col(s"df_$t")) ++ tf: _*)
-      def contrib(t: String) = {
-        val idf = log(lit(1.0d) +
-          (col("n_docs") - col(s"df_$t") + 0.5d) / (col(s"df_$t") + 0.5d))
-        // inner term folds to (0.25 + ((dl*0.75)/avgdl)) — identical
-        // association (and thus bits) to the oracle's SQL
-        val satur = col(s"tf_$t") * (K1 + 1.0d) /
-          (col(s"tf_$t") +
-            lit(K1) * (lit(1.0d - B) + col("dl").cast("double") * B / col("avgdl")))
-        round(idf * satur, 9).cast(DecimalType(15, 9))
+    "q_bm25" -> ((s, d) =>
+      bm25Scored(s, d, Seq("dup", "vector", "query"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)),
+
+    // Retrieval-quality eval — the IR twin of the q_auc/q_pr_curve
+    // classification quartet: for three fixed queries (rare, common,
+    // rare relevance sets), rank the corpus by BM25 (the scoring
+    // kernel IS q_bm25's — one definition) against boolean-AND
+    // relevance (every query term present) and report hit@k,
+    // first-relevant rank (the MRR core, kept as an exact integer —
+    // no transcendental discounts to drift across engines),
+    // precision@10 and recall@50. Scale shape: NO corpus-sized rank
+    // window anywhere — the top-k boundary comes from a
+    // TakeOrdered(50) (a 50-row frame; its row_number window ranks 50
+    // rows, not the corpus), the best-relevant key from a 1-row max
+    // over the total-order key struct(score, -doc_id), and every
+    // metric is then a broadcast-threshold count — three corpus
+    // passes per fixed query, each a narrow codegen map over one
+    // scan. Counts use count(when(...)) so an empty corpus reports
+    // zeros, never NULL.
+    "q_retrieval_eval" -> ((s, d) => {
+      val qs = Seq((0L, Seq("dup", "vector")), (1L, Seq("join", "window")),
+        (2L, Seq("dup", "query")))
+      val per = qs.map { case (qid, terms) =>
+        val key = struct(col("score").as("s"), (-col("doc_id")).as("nid"))
+        val kd = bm25Scored(s, d, terms)
+          .withColumn("rel", terms.map(t => col(s"tf_$t") > 0L).reduce(_ && _))
+          .select(col("doc_id"), col("rel"), key.as("k"))
+        val relAgg = kd.agg(
+          count(when(col("rel"), lit(1))).as("n_rel"),
+          max(when(col("rel"), col("k"))).as("best"))
+        val top50 = kd.orderBy(col("k").desc).limit(50)
+          .withColumn("rn", row_number().over(Window.orderBy(col("k").desc)))
+        val bounds = top50.agg(
+          max(when(col("rn") === 10, col("k"))).as("b10"),
+          max(when(col("rn") === 50, col("k"))).as("b50"))
+        val consts = relAgg.crossJoin(bounds)
+        // b10/b50 NULL means the corpus has fewer than k docs — every
+        // relevant doc is then inside the top-k by definition
+        val counts = kd.crossJoin(broadcast(consts)).agg(
+          count(when(col("k") > col("best"), lit(1))).as("ahead"),
+          count(when(col("rel") &&
+            (col("b10").isNull || col("k") >= col("b10")), lit(1)))
+            .as("rel_at_10"),
+          count(when(col("rel") &&
+            (col("b50").isNull || col("k") >= col("b50")), lit(1)))
+            .as("rel_at_50"))
+        counts.crossJoin(broadcast(relAgg.select(col("n_rel"))))
+          .select(lit(qid).as("qid"), lit(terms.mkString(" ")).as("terms"),
+            col("n_rel"),
+            when(col("n_rel") > 0L, col("ahead") + 1L).as("first_rel_rank"),
+            col("rel_at_10"), col("rel_at_50"),
+            round(col("rel_at_10").cast("double") / 10.0d, 9)
+              .as("precision_at_10"),
+            round(col("rel_at_50").cast("double") /
+              nullif(col("n_rel"), lit(0L)).cast("double"), 9)
+              .as("recall_at_50"))
       }
-      withTf.select(
-        Seq(col("doc_id")) ++
-          terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
-          terms.map(contrib).reduce(_ + _).cast("double").as("score"): _*)
-        .orderBy(col("score").desc, col("doc_id")).limit(20)
+      per.reduce(_ unionByName _).orderBy(col("qid"))
     }),
 
     // BPE tokenizer-training merges: the first 3 rounds of byte-pair
@@ -1671,51 +1782,38 @@ object TextAnalytics extends graft.QueryPack {
          |  top_bigram_frac, reason IS NULL AS keep, reason
          |FROM qreason ORDER BY doc_id""".stripMargin,
 
+    // restated from the SHARED bm25ScoredSqlDuck generator — scorer,
+    // eval, and both oracles are one kernel definition
     "q_bm25" ->
-      """WITH docs AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |d2 AS (
-        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs),
-        |stats AS (
-        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-        |    CAST(SUM(dl) AS DOUBLE) AS sum_dl,
-        |    CAST(SUM(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END)
-        |      AS DOUBLE) AS df_dup,
-        |    CAST(SUM(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)
-        |      AS DOUBLE) AS df_vector,
-        |    CAST(SUM(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END)
-        |      AS DOUBLE) AS df_query
-        |  FROM d2),
-        |scored AS (
-        |  SELECT doc_id, dl,
-        |    CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf_dup,
-        |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf_vector,
-        |    CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf_query,
-        |    n_docs, sum_dl / n_docs AS avgdl, df_dup, df_vector, df_query
-        |  FROM d2, stats)
-        |SELECT doc_id,
-        |  CAST(tf_dup AS BIGINT) AS tf_dup,
-        |  CAST(tf_vector AS BIGINT) AS tf_vector,
-        |  CAST(tf_query AS BIGINT) AS tf_query,
-        |  CAST(
-        |    CAST(round(ln(CAST(1 AS DOUBLE) +
-        |        (n_docs - df_dup + CAST(0.5 AS DOUBLE)) / (df_dup + CAST(0.5 AS DOUBLE))) *
-        |      (tf_dup * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)) /
-        |       (tf_dup + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
-        |        CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))), 9) AS DECIMAL(15,9)) +
-        |    CAST(round(ln(CAST(1 AS DOUBLE) +
-        |        (n_docs - df_vector + CAST(0.5 AS DOUBLE)) / (df_vector + CAST(0.5 AS DOUBLE))) *
-        |      (tf_vector * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)) /
-        |       (tf_vector + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
-        |        CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))), 9) AS DECIMAL(15,9)) +
-        |    CAST(round(ln(CAST(1 AS DOUBLE) +
-        |        (n_docs - df_query + CAST(0.5 AS DOUBLE)) / (df_query + CAST(0.5 AS DOUBLE))) *
-        |      (tf_query * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)) /
-        |       (tf_query + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
-        |        CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))), 9) AS DECIMAL(15,9))
-        |  AS DOUBLE) AS score
-        |FROM scored
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      s"""WITH ${bm25ScoredSqlDuck(Seq("dup", "vector", "query"))}
+         |SELECT * FROM bmfinal
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_retrieval_eval" -> {
+      val qs = Seq((0, Seq("dup", "vector")), (1, Seq("join", "window")),
+        (2, Seq("dup", "query")))
+      val ctes = qs.map { case (i, ts) => bm25ScoredSqlDuck(ts, i.toString) }
+      val ranked = qs.map { case (i, ts) =>
+        s"""r$i AS (
+           |  SELECT doc_id, score,
+           |    (${ts.map(t => s"tf_$t > 0").mkString(" AND ")}) AS rel,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           |  FROM bmfinal$i)""".stripMargin }
+      val metrics = qs.map { case (i, ts) =>
+        s"""m$i AS (
+           |  SELECT CAST($i AS BIGINT) AS qid, '${ts.mkString(" ")}' AS terms,
+           |    CAST(COUNT(CASE WHEN rel THEN 1 END) AS BIGINT) AS n_rel,
+           |    CAST(MIN(CASE WHEN rel THEN rk END) AS BIGINT) AS first_rel_rank,
+           |    CAST(COUNT(CASE WHEN rel AND rk <= 10 THEN 1 END) AS BIGINT) AS rel_at_10,
+           |    CAST(COUNT(CASE WHEN rel AND rk <= 50 THEN 1 END) AS BIGINT) AS rel_at_50
+           |  FROM r$i)""".stripMargin }
+      s"""WITH ${(ctes ++ ranked ++ metrics).mkString(",\n")}
+         |SELECT qid, terms, n_rel, first_rel_rank, rel_at_10, rel_at_50,
+         |  round(rel_at_10 / CAST(10 AS DOUBLE), 9) AS precision_at_10,
+         |  round(rel_at_50 / CAST(nullif(n_rel, 0) AS DOUBLE), 9) AS recall_at_50
+         |FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+         |ORDER BY qid""".stripMargin
+    },
 
     // the 3 rounds unrolled; each b_k is the 1-row argmax the Spark
     // driver collects, applied via the same sentinel-guarded replace.

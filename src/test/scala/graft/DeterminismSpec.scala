@@ -146,7 +146,11 @@ class DeterminismSpec extends AnyFunSuite {
     // + one round-9 cosine; q_tokenizer_fertility: the learned merges
     // come from corpus-global aggregations and the report is exact
     // integer sums — neither may move with layout
-    "q_embedding_drift", "q_tokenizer_fertility")
+    "q_embedding_drift", "q_tokenizer_fertility",
+    // retrieval eval: the BM25 score is the q_bm25 DECIMAL-sum
+    // technique; every metric is a broadcast-threshold count over a
+    // total-order key — a layout term means a tie broke differently
+    "q_retrieval_eval")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -98,6 +98,20 @@ class EmptyInputSpec extends AnyFunSuite {
     }
   }
 
+  test("q_retrieval_eval reports zero hits and a NULL first rank per query on empty") {
+    val rows =
+      try SparkEntry.queries("q_retrieval_eval")(spark, emptyDir).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.length == 3, "one report row per fixed query, even with no corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, "n_rel must be 0, not NULL")
+      assert(r.isNullAt(3), "first_rel_rank undefined without relevant docs")
+      assert(r.getLong(4) == 0L && r.getLong(5) == 0L)
+      assert(r.getDouble(6) == 0.0d, "precision@10 is 0/10, well-defined")
+      assert(r.isNullAt(7), "recall undefined when n_rel = 0")
+    }
+  }
+
   // constant-output reports stay well-defined on empty inputs, like
   // any monitoring system reporting on an empty day
   test("q_funnel emits its stage skeleton with zero counts on empty") {
