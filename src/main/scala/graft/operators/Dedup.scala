@@ -189,6 +189,19 @@ object Dedup extends graft.QueryPack {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Band-explode a (doc_id, sh, sigs) frame into (doc_id, sh, band,
+    * bkey) — the LSH bucket key layout shared by q_dedup_minhash's
+    * self-join and q_dedup_incremental's new-batch×index join. */
+  private def bandedSigs(c: DataFrame): DataFrame =
+    c.select(
+      col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(BANDS - 1)), b => struct(
+        b.as("band"),
+        md5(array_join(transform(
+          slice(col("sigs"), b * ROWS_PER_BAND + 1, lit(ROWS_PER_BAND)),
+          x => x.cast("string")), "|")).as("bkey")))).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
+
   /** Cluster formation shared by q_dedup_clusters and the spec's
     * chain-shaped stress graph: min-label propagation with a
     * diameter escape hatch to star contraction after `maxRounds`
@@ -295,14 +308,7 @@ object Dedup extends graft.QueryPack {
       // comparable to the exchange the join materializes anyway; the
       // harness unpersists between queries.
       c.persist()
-      val banded = c.select(
-        col("doc_id"), col("sh"),
-        explode(transform(sequence(lit(0), lit(BANDS - 1)), b => struct(
-          b.as("band"),
-          md5(array_join(transform(
-            slice(col("sigs"), b * ROWS_PER_BAND + 1, lit(ROWS_PER_BAND)),
-            x => x.cast("string")), "|")).as("bkey")))).as("bb"))
-        .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
+      val banded = bandedSigs(c)
       val l = banded.select(col("band"), col("bkey"),
         col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val r = banded.select(col("band"), col("bkey"),
@@ -314,6 +320,59 @@ object Dedup extends graft.QueryPack {
         .distinct()
         .filter(col("jaccard") >= 0.6)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Incremental dedup — the operational 100 TB mode: an ARRIVING
+    // BATCH (doc_id % 7 = 3 as the stable stand-in for today's crawl)
+    // admits against the ALREADY-INDEXED corpus instead of re-mining
+    // everything. Two probes, in precedence order: exact content-hash
+    // lookup, then the same minhash band kernel as q_dedup_minhash —
+    // but as a new×index equi-join, never a corpus self-join. At
+    // 100 TB the index side (content hashes + band signatures) is a
+    // stored table maintained by prior runs; per arriving batch the
+    // work is the batch's own signatures plus joins bounded by shared
+    // buckets — corpus-sized scans never re-run. Verdict per new doc:
+    // exact_dup (partner = min same-hash indexed doc), near_dup
+    // (partner = highest-jaccard indexed candidate, ties to the
+    // smallest id), or unique (admit).
+    "q_dedup_incremental" -> ((s, d) => {
+      val all = corpus(Tables(s, d, "documents"))
+      val newPred = col("doc_id") % 7 === 3
+      val hashed = all.select(col("doc_id"), md5(col("text")).as("h"))
+      val exact = hashed.filter(newPred)
+        .join(hashed.filter(!newPred).select(col("h"), col("doc_id").as("pid")),
+          Seq("h"))
+        .groupBy(col("doc_id")).agg(min(col("pid")).as("exact_partner"))
+      val c = all.withColumn("sh", shingles(col("text")))
+        .withColumn("sigs", minhashSigs(col("sh")))
+      c.persist()
+      val banded = bandedSigs(c)
+      val nearc = banded.filter(newPred)
+        .select(col("band"), col("bkey"), col("doc_id").as("nid"),
+          col("sh").as("sh_a"))
+        .join(banded.filter(!newPred)
+          .select(col("band"), col("bkey"), col("doc_id").as("iid"),
+            col("sh").as("sh_b")), Seq("band", "bkey"))
+        .select(col("nid"), col("iid"),
+          round(jaccard(col("sh_a"), col("sh_b")), 9).as("j"))
+        .distinct()
+        .filter(col("j") >= 0.6)
+      // best partner via one struct-max: (j desc, iid asc) — the same
+      // total-order-key trick as q_retrieval_eval, no rank window
+      val best = nearc.groupBy(col("nid"))
+        .agg(max(struct(col("j"), (-col("iid")).as("ni"))).as("b"))
+        .select(col("nid").as("doc_id"), (-col("b.ni")).as("near_partner"),
+          col("b.j").as("near_j"))
+      all.filter(newPred).select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left_outer")
+        .join(best, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("exact_partner").isNotNull, "exact_dup")
+            .when(col("near_partner").isNotNull, "near_dup")
+            .otherwise("unique").as("verdict"),
+          coalesce(col("exact_partner"), col("near_partner")).as("partner_id"),
+          when(col("exact_partner").isNull, col("near_j")).as("jaccard"))
+        .orderBy(col("doc_id"))
     }),
 
     // SimHash: 32-bit majority fingerprint — bit i is the sign of the
@@ -1101,6 +1160,39 @@ object Dedup extends graft.QueryPack {
        |  FROM cand
        |  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 9) >= $minJaccard)""".stripMargin
 
+  /** The minhash signature + band-key CTE chain over `corpus` — the
+    * oracle restatement of [[minhashSigs]] + [[bandedSigs]], shared by
+    * q_dedup_minhash and q_dedup_incremental. Yields CTE `banded`
+    * (doc_id, sh, band, bkey). */
+  private val minhashBandedSqlDuck: String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+       |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
+       |  FROM corpus),
+       |hx AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(sh, s -> [
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, 13), k ->
+       |          CAST(strpos('0123456789abcdef', substring(md5(s), k, 1)) - 1 AS BIGINT))),
+       |        (a, x) -> a * 16 + x),
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(13, 25), k ->
+       |          CAST(strpos('0123456789abcdef', substring(md5(s), k, 1)) - 1 AS BIGINT))),
+       |        (a, x) -> a * 16 + x)]) AS hx
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(range(0, $NUM_HASHES),
+       |      j -> list_min(list_transform(hx, h -> (h[1] + j * h[2]) % $MOD))) AS sigs
+       |  FROM hx),
+       |banded AS (
+       |  SELECT doc_id, sh, b AS band,
+       |    md5(array_to_string(sigs[b*$ROWS_PER_BAND+1 : b*$ROWS_PER_BAND+$ROWS_PER_BAND], '|')) AS bkey
+       |  FROM sigs, unnest(range(0, $BANDS)) AS t(b))""".stripMargin
+
   /** Inverted-index-with-cap decontamination in DuckDB — the shared
     * oracle of q_decontaminate and q_decontaminate_bloom. */
   private val decontaminateSqlDuck: String =
@@ -1141,33 +1233,7 @@ object Dedup extends graft.QueryPack {
 
     "q_dedup_minhash" ->
       s"""WITH $corpusSqlDuck,
-         |sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(
-         |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
-         |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS sh
-         |  FROM corpus),
-         |hx AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(sh, s -> [
-         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(range(1, 13), k ->
-         |          CAST(strpos('0123456789abcdef', substring(md5(s), k, 1)) - 1 AS BIGINT))),
-         |        (a, x) -> a * 16 + x),
-         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(range(13, 25), k ->
-         |          CAST(strpos('0123456789abcdef', substring(md5(s), k, 1)) - 1 AS BIGINT))),
-         |        (a, x) -> a * 16 + x)]) AS hx
-         |  FROM sh),
-         |sigs AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(range(0, $NUM_HASHES),
-         |      j -> list_min(list_transform(hx, h -> (h[1] + j * h[2]) % $MOD))) AS sigs
-         |  FROM hx),
-         |banded AS (
-         |  SELECT doc_id, sh, b AS band,
-         |    md5(array_to_string(sigs[b*$ROWS_PER_BAND+1 : b*$ROWS_PER_BAND+$ROWS_PER_BAND], '|')) AS bkey
-         |  FROM sigs, unnest(range(0, $BANDS)) AS t(b))
+         |$minhashBandedSqlDuck
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |        len(list_distinct(a.sh || b.sh)), 9) AS jaccard
@@ -1176,6 +1242,40 @@ object Dedup extends graft.QueryPack {
          |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |            len(list_distinct(a.sh || b.sh)), 9) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH $corpusSqlDuck,
+         |$minhashBandedSqlDuck,
+         |hashed AS (SELECT doc_id, md5(text) AS h FROM corpus),
+         |ex AS (
+         |  SELECT n.doc_id, MIN(i.doc_id) AS exact_partner
+         |  FROM hashed n JOIN hashed i ON n.h = i.h
+         |  WHERE n.doc_id % 7 = 3 AND i.doc_id % 7 <> 3
+         |  GROUP BY n.doc_id),
+         |nearc AS (
+         |  SELECT DISTINCT a.doc_id AS nid, b.doc_id AS iid,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          len(list_distinct(a.sh || b.sh)), 9) AS j
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |              len(list_distinct(a.sh || b.sh)), 9) >= 0.6),
+         |best AS (
+         |  SELECT nid AS doc_id, iid AS near_partner, j AS near_j
+         |  FROM (SELECT nid, iid, j,
+         |          row_number() OVER (PARTITION BY nid ORDER BY j DESC, iid) AS rk
+         |        FROM nearc) WHERE rk = 1)
+         |SELECT c.doc_id,
+         |  CASE WHEN ex.exact_partner IS NOT NULL THEN 'exact_dup'
+         |       WHEN best.near_partner IS NOT NULL THEN 'near_dup'
+         |       ELSE 'unique' END AS verdict,
+         |  COALESCE(ex.exact_partner, best.near_partner) AS partner_id,
+         |  CASE WHEN ex.exact_partner IS NULL THEN best.near_j END AS jaccard
+         |FROM (SELECT doc_id FROM corpus WHERE doc_id % 7 = 3) c
+         |LEFT JOIN ex USING (doc_id)
+         |LEFT JOIN best USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $corpusSqlDuck

@@ -17,6 +17,22 @@ object Extras extends graft.QueryPack {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
+  /** The z-order clustering frame shared by q_zorder_layout and
+    * q_zonemap_prune: events keyed by the two clustering dims (user
+    * bucket a, day bucket b), their interleaved-bit zkey and the
+    * 256-cell zcell. A narrow codegen projection — no shuffle. */
+  private def zorderEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables(s, d, "events").select(col("event_id"),
+      (col("user_id") % 256).as("a"),
+      (floor(unix_seconds(col("ts")) / 86400) % 256).as("b"))
+    val z = (0 until 8).map(i =>
+      shiftleft(shiftright(col("a"), i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(col("b"), i).bitwiseAND(1), 2 * i + 1))
+      .reduce(_ + _)
+    ev.withColumn("zkey", z.cast("long"))
+      .withColumn("zcell", shiftright(col("zkey"), 4).cast("long"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Small-file compaction planning — the OPTIMIZE/auto-compaction
@@ -695,18 +711,74 @@ object Extras extends graft.QueryPack {
     // The cell id is zkey >> 4 (256 cells over the 16-bit z-space),
     // a pure projection — no global row_number window, which would
     // funnel the corpus through one partition.
-    "q_zorder_layout" -> ((s, d) => {
-      val ev = Tables(s, d, "events").select(col("event_id"),
-        (col("user_id") % 256).as("a"),
-        (floor(unix_seconds(col("ts")) / 86400) % 256).as("b"))
-      val z = (0 until 8).map(i =>
-        shiftleft(shiftright(col("a"), i).bitwiseAND(1), 2 * i) +
-          shiftleft(shiftright(col("b"), i).bitwiseAND(1), 2 * i + 1))
-        .reduce(_ + _)
-      ev.withColumn("zkey", z.cast("long"))
-        .withColumn("zcell", shiftright(col("zkey"), 4).cast("long"))
+    "q_zorder_layout" -> ((s, d) =>
+      zorderEvents(s, d)
         .select(col("event_id"), col("zkey"), col("zcell"))
-        .orderBy(col("zkey"), col("event_id"))
+        .orderBy(col("zkey"), col("event_id"))),
+
+    // Zone-map pruning audit — WOULD the layout rewrite pay? Assign
+    // every row to a "file" under two layouts: ingestion order (256
+    // contiguous event_id chunks) and z-order (the q_zorder_layout
+    // cells — shared zorderEvents kernel, one definition). Build each
+    // file's zone map (min/max of both clustering dims — exactly what
+    // parquet footers carry), then for three fixed predicates (a-only,
+    // b-only, conjunctive) count which files a zone-map-aware reader
+    // skips and how many rows it still scans vs the rows that truly
+    // match. The 100 TB shape: zone maps are ONE file-count-sized
+    // aggregate per layout (≤512 rows total), predicates are a 3-row
+    // broadcast, and row-match truth is one more corpus agg — the
+    // audit never materializes a sort. The headline columns are
+    // skip_frac (files skipped) and read_amp (rows scanned per
+    // matching row) — the numbers that justify a z-order rewrite
+    // before anyone pays for it.
+    "q_zonemap_prune" -> ((s, d) => {
+      import s.implicits._
+      val ev = zorderEvents(s, d)
+      val maxId = ev.agg(max(col("event_id")).as("mx"))
+      // event_id*256 ≤ 2^53 at any realistic id, so the double
+      // division inside floor() is exact — same form in the oracle
+      val rows = ev.crossJoin(broadcast(maxId))
+        .withColumn("file_naive",
+          floor(col("event_id") * 256 / (col("mx") + 1)).cast("long"))
+      val stacked = rows.select(lit("naive").as("layout"),
+          col("file_naive").as("f"), col("a"), col("b"))
+        .unionByName(rows.select(lit("zorder").as("layout"),
+          col("zcell").as("f"), col("a"), col("b")))
+      val zones = stacked.groupBy(col("layout"), col("f"))
+        .agg(min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+          min(col("b")).as("min_b"), max(col("b")).as("max_b"),
+          count(lit(1)).as("n_rows"))
+      val preds = Seq[(String, Option[Long], Option[Long],
+          Option[Long], Option[Long])](
+        ("a_8_15", Some(8L), Some(15L), None, None),
+        ("b_20_23", None, None, Some(20L), Some(23L)),
+        ("both", Some(8L), Some(15L), Some(20L), Some(23L)))
+        .toDF("pred", "alo", "ahi", "blo", "bhi")
+      val zoneHit =
+        (col("alo").isNull || (col("max_a") >= col("alo") &&
+          col("min_a") <= col("ahi"))) &&
+        (col("blo").isNull || (col("max_b") >= col("blo") &&
+          col("min_b") <= col("bhi")))
+      val scan = zones.crossJoin(broadcast(preds))
+        .groupBy(col("layout"), col("pred"))
+        .agg(count(lit(1)).as("n_files"),
+          count(when(zoneHit, lit(1))).as("files_scanned"),
+          sum(when(zoneHit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+      val rowHit =
+        (col("alo").isNull || col("a").between(col("alo"), col("ahi"))) &&
+        (col("blo").isNull || col("b").between(col("blo"), col("bhi")))
+      val matched = rows.crossJoin(broadcast(preds))
+        .groupBy(col("pred"))
+        .agg(count(when(rowHit, lit(1))).as("rows_matched"))
+      scan.join(matched, Seq("pred"))
+        .select(col("layout"), col("pred"), col("n_files"),
+          col("files_scanned"), col("rows_scanned"), col("rows_matched"),
+          round(lit(1.0d) - col("files_scanned").cast("double") /
+            col("n_files").cast("double"), 9).as("skip_frac"),
+          round(col("rows_scanned").cast("double") /
+            nullif(col("rows_matched"), lit(0L)).cast("double"), 9)
+            .as("read_amp"))
+        .orderBy(col("layout"), col("pred"))
     }),
 
     // FULL OUTER join — the one outer-join shape the pack lacked:
@@ -1087,6 +1159,55 @@ object Extras extends graft.QueryPack {
         |z AS (SELECT event_id, CAST($zTermsSql AS BIGINT) AS zkey FROM ev)
         |SELECT event_id, zkey, CAST(zkey >> 4 AS BIGINT) AS zcell
         |FROM z ORDER BY zkey, event_id""".stripMargin,
+
+    "q_zonemap_prune" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id % 256 AS a,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) % 256 AS b
+        |  FROM events),
+        |z AS (SELECT event_id, a, b, CAST($zTermsSql AS BIGINT) AS zkey FROM ev),
+        |mx AS (SELECT MAX(event_id) AS mx FROM ev),
+        |rws AS (
+        |  SELECT event_id, a, b,
+        |    CAST(floor(event_id * 256 / (mx + 1)) AS BIGINT) AS file_naive,
+        |    CAST(zkey >> 4 AS BIGINT) AS file_z
+        |  FROM z, mx),
+        |stacked AS (
+        |  SELECT 'naive' AS layout, file_naive AS f, a, b FROM rws
+        |  UNION ALL
+        |  SELECT 'zorder', file_z, a, b FROM rws),
+        |zones AS (
+        |  SELECT layout, f, MIN(a) AS min_a, MAX(a) AS max_a,
+        |    MIN(b) AS min_b, MAX(b) AS max_b, COUNT(*) AS n_rows
+        |  FROM stacked GROUP BY layout, f),
+        |preds(pred, alo, ahi, blo, bhi) AS (VALUES
+        |  ('a_8_15', 8, 15, NULL, NULL),
+        |  ('b_20_23', NULL, NULL, 20, 23),
+        |  ('both', 8, 15, 20, 23)),
+        |scan AS (
+        |  SELECT layout, pred, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |    CAST(COUNT(CASE WHEN
+        |      (alo IS NULL OR (max_a >= alo AND min_a <= ahi)) AND
+        |      (blo IS NULL OR (max_b >= blo AND min_b <= bhi))
+        |      THEN 1 END) AS BIGINT) AS files_scanned,
+        |    CAST(SUM(CASE WHEN
+        |      (alo IS NULL OR (max_a >= alo AND min_a <= ahi)) AND
+        |      (blo IS NULL OR (max_b >= blo AND min_b <= bhi))
+        |      THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        |  FROM zones CROSS JOIN preds GROUP BY layout, pred),
+        |matched AS (
+        |  SELECT pred, CAST(COUNT(CASE WHEN
+        |      (alo IS NULL OR (a BETWEEN alo AND ahi)) AND
+        |      (blo IS NULL OR (b BETWEEN blo AND bhi))
+        |      THEN 1 END) AS BIGINT) AS rows_matched
+        |  FROM rws CROSS JOIN preds GROUP BY pred)
+        |SELECT layout, pred, n_files, files_scanned, rows_scanned,
+        |  rows_matched,
+        |  round(1 - files_scanned / CAST(n_files AS DOUBLE), 9) AS skip_frac,
+        |  round(rows_scanned / CAST(nullif(rows_matched, 0) AS DOUBLE), 9)
+        |    AS read_amp
+        |FROM scan JOIN matched USING (pred)
+        |ORDER BY layout, pred""".stripMargin,
 
     "q_scd2" ->
       """WITH log AS (

@@ -150,7 +150,13 @@ class DeterminismSpec extends AnyFunSuite {
     // retrieval eval: the BM25 score is the q_bm25 DECIMAL-sum
     // technique; every metric is a broadcast-threshold count over a
     // total-order key — a layout term means a tie broke differently
-    "q_retrieval_eval")
+    "q_retrieval_eval",
+    // incremental dedup: verdict precedence is pure, partners come
+    // from min/struct-max total orders over round-9 jaccards
+    "q_dedup_incremental",
+    // zone-map audit: pure integer grids until two final round-9
+    // ratios of exact counts
+    "q_zonemap_prune")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

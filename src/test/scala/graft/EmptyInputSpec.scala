@@ -87,7 +87,12 @@ class EmptyInputSpec extends AnyFunSuite {
     // snapshot drift of an empty corpus: two empty centroid grids
     // (q_tokenizer_fertility is excluded: the BPE learn needs a
     // corpus, like q_tokenize_bpe)
-    "q_embedding_drift")
+    "q_embedding_drift",
+    // incremental admission of an empty arriving batch against an
+    // empty index: no verdicts, not a crash
+    "q_dedup_incremental",
+    // zone maps of zero files: an empty audit, not a crash
+    "q_zonemap_prune")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {
