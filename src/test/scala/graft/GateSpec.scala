@@ -965,4 +965,86 @@ class GateSpec extends AnyFunSuite {
     }.sum
     assert(math.abs(ece.toDouble - bruteEce) < 1e-8)
   }
+
+  test("q_zonemap_prune: zone maps never false-negative, ratios restate the counts") {
+    val rows =
+      try graft.operators.Extras
+        .queries("q_zonemap_prune")(spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.length == 6, "2 layouts x 3 predicates")
+    rows.foreach { r =>
+      val nFiles = r.getLong(r.fieldIndex("n_files"))
+      val fs = r.getLong(r.fieldIndex("files_scanned"))
+      val rs = r.getLong(r.fieldIndex("rows_scanned"))
+      val rm = r.getLong(r.fieldIndex("rows_matched"))
+      assert(fs >= 0L && fs <= nFiles)
+      // THE zone-map contract: pruning may over-read, never under-read
+      assert(rs >= rm, s"${r.getString(0)}/${r.getString(1)}: scanned $rs < matched $rm")
+      assert(math.abs(r.getDouble(r.fieldIndex("skip_frac")) -
+        (1.0 - fs.toDouble / nFiles)) < 1e-9)
+      if (rm > 0)
+        assert(math.abs(r.getDouble(r.fieldIndex("read_amp")) -
+          rs.toDouble / rm) < 1e-9)
+    }
+    // row-match truth is layout-independent
+    rows.groupBy(_.getString(1)).values.foreach { g =>
+      assert(g.map(_.getLong(g.head.fieldIndex("rows_matched"))).distinct.size == 1)
+    }
+    // and the z-order layout must actually beat ingestion order on the
+    // non-clustered dim — otherwise the audit is vacuous on testdata
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byKey(("zorder", "a_8_15")).getLong(3) <
+      byKey(("naive", "a_8_15")).getLong(3),
+      "z-order should scan fewer files than ingestion order for the a-predicate")
+  }
+
+  test("q_dedup_incremental: verdicts agree with the standalone exact/minhash operators") {
+    def run(name: String) =
+      try graft.operators.Dedup.queries(name)(spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    val inc = run("q_dedup_incremental")
+    assert(inc.nonEmpty)
+    // brute corpus reconstruction (the oracle's corpus rule) for the
+    // exact path: text -> all ids, split by the arriving-batch rule
+    val docs =
+      try Tables(spark, TestSpark.sf, "documents")
+        .select("doc_id", "text").collect()
+      finally TestSpark.housekeeping()
+    val corpus = docs.flatMap { r =>
+      val id = r.getLong(0); val t = r.getString(1)
+      Seq((id, t)) ++
+        (if (id % 10 == 0) Seq((id + 100000L, t)) else Nil) ++
+        (if (id % 10 == 1)
+          Seq((id + 200000L, t.toLowerCase.split(" ", -1).drop(1).mkString(" ")))
+        else Nil)
+    }
+    val idxByText = corpus.filter(_._1 % 7 != 3).groupBy(_._2)
+      .map { case (t, xs) => t -> xs.map(_._1).min }
+    val newDocs = corpus.filter(_._1 % 7 == 3).toMap
+    assert(inc.map(_.getLong(0)).toSet == newDocs.keySet,
+      "exactly one verdict per arriving doc")
+    inc.foreach { r =>
+      val id = r.getLong(0)
+      val expected = idxByText.get(newDocs(id))
+      r.getString(1) match {
+        case "exact_dup" =>
+          assert(expected.contains(r.getLong(2)), s"doc $id exact partner")
+          assert(r.isNullAt(3), "exact verdicts carry no jaccard")
+        case v =>
+          assert(expected.isEmpty, s"doc $id should be exact_dup, was $v")
+      }
+    }
+    // near verdicts must be a subset of the standalone minhash pairs,
+    // with the identical jaccard (shared kernel, shared threshold)
+    val mh = run("q_dedup_minhash")
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    inc.filter(_.getString(1) == "near_dup").foreach { r =>
+      val (n, i) = (r.getLong(0), r.getLong(2))
+      val key = (math.min(n, i), math.max(n, i))
+      assert(mh.contains(key), s"near pair $key missing from q_dedup_minhash")
+      assert(math.abs(mh(key) - r.getDouble(3)) < 1e-12, s"jaccard differs for $key")
+    }
+    // non-degenerate: all three verdicts appear on testdata
+    assert(inc.map(_.getString(1)).toSet == Set("exact_dup", "near_dup", "unique"))
+  }
 }
