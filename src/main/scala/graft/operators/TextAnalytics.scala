@@ -130,6 +130,14 @@ object TextAnalytics extends graft.QueryPack {
         terms.map(contrib).reduce(_ + _).cast("double").as("score"): _*)
   }
 
+  /** NDCG rank discounts 1/log2(i+1) for i = 1..10, rounded at 9
+    * decimals — the ONE place the transcendental is evaluated; both
+    * the Spark plan and the generated oracle consume these as
+    * literals (q_ndcg). */
+  private[operators] val ndcgDiscounts: Seq[Double] =
+    (1 to 10).map(i =>
+      math.rint(1e9 / (math.log(i + 1.0) / math.log(2.0))) / 1e9)
+
   /** The scored CTE of [[bm25Scored]] restated for the DuckDB oracle,
     * parameterized on the term list — emitted verbatim into oracle SQL
     * so kernel and oracle stay one definition. Yields columns
@@ -1025,6 +1033,58 @@ object TextAnalytics extends graft.QueryPack {
       per.reduce(_ unionByName _).orderBy(col("qid"))
     }),
 
+    // NDCG@10 — the graded companion to q_retrieval_eval's binary
+    // metrics, over the same three fixed queries and the same shared
+    // BM25 kernel. Gain = number of query terms present (0/1/2); the
+    // rank discounts 1/log2(i+1) are computed ONCE in Scala
+    // ([[ndcgDiscounts]], round-9) and injected as literals into both
+    // the Spark plan and the generated oracle — engine log2
+    // implementations never enter the comparison. DCG is a DECIMAL
+    // sum of round-9 terms over the TakeOrdered(10) frame; IDCG needs
+    // no sort at all — with gains in {0,1,2} the ideal ranking is
+    // determined by the corpus gain HISTOGRAM (cnt2 twos, then cnt1
+    // ones), one 1-row aggregate. ndcg = one division of the two
+    // DECIMAL-sum doubles. Empty corpus → zero DCG/IDCG rows with a
+    // NULL ndcg, one row per query either way.
+    "q_ndcg" -> ((s, d) => {
+      val qs = Seq((0L, Seq("dup", "vector")), (1L, Seq("join", "window")),
+        (2L, Seq("dup", "query")))
+      val per = qs.map { case (qid, terms) =>
+        val gainE = terms.map(t => when(col(s"tf_$t") > 0L, 1L).otherwise(0L))
+          .reduce(_ + _)
+        val kd = bm25Scored(s, d, terms)
+          .withColumn("gain", gainE)
+          .select(col("doc_id"), col("score"), col("gain"))
+        val counts = kd.agg(
+          count(when(col("gain") === 2L, lit(1))).as("cnt2"),
+          count(when(col("gain") === 1L, lit(1))).as("cnt1"))
+        val top10 = kd.orderBy(col("score").desc, col("doc_id")).limit(10)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+        val discCol = ndcgDiscounts.zipWithIndex.foldLeft(lit(0.0d)) {
+          case (acc, (disc, i)) => when(col("rn") === (i + 1), lit(disc))
+            .otherwise(acc)
+        }
+        val dcg = top10.agg(coalesce(sum(
+          round(col("gain").cast("double") * discCol, 9)
+            .cast(DecimalType(15, 9))), lit(0).cast(DecimalType(15, 9)))
+          .as("dcg_dec"))
+        val idcgE = ndcgDiscounts.zipWithIndex.map { case (disc, i) =>
+          round(when(col("cnt2") >= (i + 1), 2.0d)
+            .when(col("cnt2") + col("cnt1") >= (i + 1), 1.0d)
+            .otherwise(0.0d) * lit(disc), 9).cast(DecimalType(15, 9))
+        }.reduce(_ + _)
+        counts.crossJoin(dcg)
+          .select(lit(qid).as("qid"), lit(terms.mkString(" ")).as("terms"),
+            col("cnt2"), col("cnt1"),
+            col("dcg_dec").cast("double").as("dcg_10"),
+            idcgE.cast("double").as("idcg_10"))
+          .withColumn("ndcg_10",
+            round(col("dcg_10") / nullif(col("idcg_10"), lit(0.0d)), 9))
+      }
+      per.reduce(_ unionByName _).orderBy(col("qid"))
+    }),
+
     // BPE tokenizer-training merges: the first 3 rounds of byte-pair
     // encoding over the corpus vocabulary (words weighted by frequency,
     // symbols = characters). Each round is ONE distributed weighted
@@ -1811,6 +1871,52 @@ object TextAnalytics extends graft.QueryPack {
          |SELECT qid, terms, n_rel, first_rel_rank, rel_at_10, rel_at_50,
          |  round(rel_at_10 / CAST(10 AS DOUBLE), 9) AS precision_at_10,
          |  round(rel_at_50 / CAST(nullif(n_rel, 0) AS DOUBLE), 9) AS recall_at_50
+         |FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+         |ORDER BY qid""".stripMargin
+    },
+
+    "q_ndcg" -> {
+      val qs = Seq((0, Seq("dup", "vector")), (1, Seq("join", "window")),
+        (2, Seq("dup", "query")))
+      val discRows = ndcgDiscounts.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, CAST($v AS DOUBLE))" }
+        .mkString(", ")
+      val ctes = qs.map { case (i, ts) => bm25ScoredSqlDuck(ts, i.toString) }
+      val graded = qs.map { case (i, ts) =>
+        s"""g$i AS (
+           |  SELECT doc_id, score,
+           |    ${ts.map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END")
+                  .mkString(" + ")} AS gain
+           |  FROM bmfinal$i),
+           |t$i AS (
+           |  SELECT gain, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           |  FROM g$i),
+           |c$i AS (
+           |  SELECT COUNT(CASE WHEN gain = 2 THEN 1 END) AS cnt2,
+           |         COUNT(CASE WHEN gain = 1 THEN 1 END) AS cnt1
+           |  FROM g$i),
+           |d$i AS (
+           |  SELECT COALESCE(SUM(CAST(round(CAST(gain AS DOUBLE) * disc, 9)
+           |           AS DECIMAL(15,9))), CAST(0 AS DECIMAL(15,9))) AS dcg_dec
+           |  FROM t$i JOIN disc ON t$i.rk = disc.rk
+           |  WHERE t$i.rk <= 10)""".stripMargin }
+      val idcgSql = ndcgDiscounts.zipWithIndex.map { case (v, i) =>
+        s"""CAST(round(CASE WHEN cnt2 >= ${i + 1} THEN CAST(2 AS DOUBLE)
+           |  WHEN cnt2 + cnt1 >= ${i + 1} THEN CAST(1 AS DOUBLE)
+           |  ELSE CAST(0 AS DOUBLE) END * CAST($v AS DOUBLE), 9)
+           |  AS DECIMAL(15,9))""".stripMargin
+      }.mkString(" +\n    ")
+      val metrics = qs.map { case (i, ts) =>
+        s"""m$i AS (
+           |  SELECT CAST($i AS BIGINT) AS qid, '${ts.mkString(" ")}' AS terms,
+           |    CAST(cnt2 AS BIGINT) AS cnt2, CAST(cnt1 AS BIGINT) AS cnt1,
+           |    CAST(dcg_dec AS DOUBLE) AS dcg_10,
+           |    CAST($idcgSql AS DOUBLE) AS idcg_10
+           |  FROM c$i, d$i)""".stripMargin }
+      s"""WITH disc(rk, disc) AS (VALUES $discRows),
+         |${(ctes ++ graded ++ metrics).mkString(",\n")}
+         |SELECT qid, terms, cnt2, cnt1, dcg_10, idcg_10,
+         |  round(dcg_10 / nullif(idcg_10, CAST(0 AS DOUBLE)), 9) AS ndcg_10
          |FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2)
          |ORDER BY qid""".stripMargin
     },

@@ -156,7 +156,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_dedup_incremental",
     // zone-map audit: pure integer grids until two final round-9
     // ratios of exact counts
-    "q_zonemap_prune")
+    "q_zonemap_prune",
+    // NDCG: DECIMAL sums of round-9 literal-discount terms over a
+    // TakeOrdered frame + a histogram-determined ideal — layout-free
+    "q_ndcg")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

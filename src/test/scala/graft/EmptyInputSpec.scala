@@ -103,6 +103,18 @@ class EmptyInputSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ndcg reports zero DCG/IDCG and NULL ndcg per query on empty") {
+    val rows =
+      try SparkEntry.queries("q_ndcg")(spark, emptyDir).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L)
+      assert(r.getDouble(4) == 0.0d && r.getDouble(5) == 0.0d)
+      assert(r.isNullAt(6), "ndcg undefined when IDCG = 0")
+    }
+  }
+
   test("q_retrieval_eval reports zero hits and a NULL first rank per query on empty") {
     val rows =
       try SparkEntry.queries("q_retrieval_eval")(spark, emptyDir).collect()

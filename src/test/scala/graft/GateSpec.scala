@@ -998,6 +998,56 @@ class GateSpec extends AnyFunSuite {
       "z-order should scan fewer files than ingestion order for the a-predicate")
   }
 
+  test("q_ndcg equals a brute NDCG from an independently re-derived BM25 ranking") {
+    // independent scorer: plain Scala BM25 with the operator's
+    // constants and the same round-9 DECIMAL-sum discipline
+    val docs =
+      try Tables(spark, TestSpark.sf, "documents").select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1).toSeq))
+      finally TestSpark.housekeeping()
+    val n = docs.size.toDouble
+    val sumDl = docs.map(_._2.size.toLong).sum.toDouble
+    def score(terms: Seq[String])(toks: Seq[String]): (Int, Double) = {
+      val dl = toks.size.toDouble
+      val avgdl = sumDl / n
+      val s = terms.map { t =>
+        val df = docs.count(_._2.contains(t)).toDouble
+        val tf = toks.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val satur = tf * 2.2 / (tf + 1.2 * (0.25 + dl * 0.75 / avgdl))
+        BigDecimal(math.rint(idf * satur * 1e9) / 1e9)
+      }.sum.toDouble
+      (terms.count(toks.contains), s)
+    }
+    val discounts = (1 to 10).map(i =>
+      math.rint(1e9 / (math.log(i + 1.0) / math.log(2.0))) / 1e9)
+    val rows =
+      try graft.operators.TextAnalytics
+        .queries("q_ndcg")(spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    val queries = Seq(Seq("dup", "vector"), Seq("join", "window"), Seq("dup", "query"))
+    rows.zip(queries).foreach { case (r, terms) =>
+      val graded = docs.map { case (id, toks) =>
+        val (g, s) = score(terms)(toks); (id, g, s)
+      }
+      // ranking with the operator's total order (score desc, id asc)
+      val ranked = graded.sortBy { case (id, _, s) => (-s, id) }
+      val dcg = ranked.take(10).zip(discounts)
+        .map { case ((_, g, _), d) => BigDecimal(math.rint(g * d * 1e9) / 1e9) }.sum
+      // sorted-ideal DCG — must equal the operator's histogram form
+      val ideal = graded.map(_._2).sorted.reverse.take(10).zip(discounts)
+        .map { case (g, d) => BigDecimal(math.rint(g * d * 1e9) / 1e9) }.sum
+      assert(r.getLong(r.fieldIndex("cnt2")) == graded.count(_._2 == 2).toLong)
+      assert(r.getLong(r.fieldIndex("cnt1")) == graded.count(_._2 == 1).toLong)
+      assert(math.abs(r.getDouble(r.fieldIndex("dcg_10")) - dcg.toDouble) < 1e-6)
+      assert(math.abs(r.getDouble(r.fieldIndex("idcg_10")) - ideal.toDouble) < 1e-6,
+        "histogram IDCG must equal the sorted-ideal DCG")
+      if (ideal > 0)
+        assert(math.abs(r.getDouble(r.fieldIndex("ndcg_10")) -
+          dcg.toDouble / ideal.toDouble) < 1e-6)
+    }
+  }
+
   test("q_dedup_incremental: verdicts agree with the standalone exact/minhash operators") {
     def run(name: String) =
       try graft.operators.Dedup.queries(name)(spark, TestSpark.sf).collect()
