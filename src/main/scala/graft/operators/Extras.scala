@@ -21,10 +21,18 @@ object Extras extends graft.QueryPack {
     * q_zonemap_prune: events keyed by the two clustering dims (user
     * bucket a, day bucket b), their interleaved-bit zkey and the
     * 256-cell zcell. A narrow codegen projection — no shuffle. */
-  private def zorderEvents(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables(s, d, "events").select(col("event_id"),
-      (col("user_id") % 256).as("a"),
-      (floor(unix_seconds(col("ts")) / 86400) % 256).as("b"))
+  private def zorderEvents(s: SparkSession, d: String): DataFrame =
+    zorderProject(Tables(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts")))
+
+  /** The projection half of the z-order kernel, over ANY frame with
+    * user_id and ts — batch (zorderEvents) or streaming
+    * (q_stream_zonemap maintains zone maps over the event stream with
+    * the identical cell definition). Adds a, b, zkey, zcell. */
+  private[operators] def zorderProject(df: DataFrame): DataFrame = {
+    val ev = df
+      .withColumn("a", col("user_id") % 256)
+      .withColumn("b", floor(unix_seconds(col("ts")) / 86400) % 256)
     val z = (0 until 8).map(i =>
       shiftleft(shiftright(col("a"), i).bitwiseAND(1), 2 * i) +
         shiftleft(shiftright(col("b"), i).bitwiseAND(1), 2 * i + 1))
@@ -933,7 +941,7 @@ object Extras extends graft.QueryPack {
   )
 
   /** The 16-term bit interleave, generated once for both engines. */
-  private def zTermsSql: String = (0 until 8).map(i =>
+  private[operators] def zTermsSql: String = (0 until 8).map(i =>
     s"((((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1}))")
     .mkString(" + ")
 

@@ -243,6 +243,31 @@ object StreamingGate extends graft.QueryPack {
     swapState(merged, state)
   }
 
+  /** The q_stream_zonemap state fold: merge a micro-batch's z-cell
+    * rows into persistent per-cell zone maps — a (MIN, MAX, SUM)
+    * monoid, the lakehouse-metadata member of the mergeable-state
+    * family: exactly how table-format file statistics accrete as data
+    * commits. State is cell-count-sized (≤4096 rows — the 12-bit
+    * cell space) at any stream length; batching-invariant because min/max/sum are associative;
+    * writes ride the crash-safe swap. */
+  def foldZoneMap(state: String)(batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
+    val bc = batch.groupBy(col("zcell"))
+      .agg(min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"),
+        count(lit(1)).as("n_rows"))
+    val merged =
+      if (new java.io.File(state).exists()) {
+        val prior = batch.sparkSession.read.parquet(state)
+        prior.unionByName(bc)
+          .groupBy(col("zcell"))
+          .agg(min(col("min_a")).as("min_a"), max(col("max_a")).as("max_a"),
+            min(col("min_b")).as("min_b"), max(col("max_b")).as("max_b"),
+            sum(col("n_rows")).as("n_rows"))
+      } else bc
+    swapState(merged, state)
+  }
+
   def foldBinCounts(state: String)(batch: DataFrame, id: Long): Unit = {
     recoverState(state)
     val bc = batch.groupBy(col("event_type"), col("bin"))
@@ -638,6 +663,30 @@ object StreamingGate extends graft.QueryPack {
             (col("below") + 1 <= col("n") * 0.5 + band)).as("within_bound"))
     }),
 
+    // Streaming zone-map maintenance — the FIFTEENTH oracle-gated
+    // streaming drain and the lakehouse member of the mergeable-state
+    // family: as event files commit, each micro-batch's rows fold
+    // into per-z-cell (MIN, MAX, SUM) zone maps through the
+    // crash-safe swap — exactly how a table format accretes file
+    // statistics at ingest time, and the live counterpart of
+    // q_zonemap_prune's batch audit (shared zorderProject kernel, one
+    // cell definition). State is cell-count-bounded (≤4096 rows) at any stream length; the
+    // drained maps must hash-equal the batch zone aggregate.
+    "q_stream_zonemap" -> ((s, d) => {
+      val state = freshDir("q_stream_zonemap") + "/zm"
+      val stream = Extras.zorderProject(
+        EventsStream.replay(s, d).select(col("user_id"), col("ts")))
+        .select(col("a"), col("b"), col("zcell"))
+      drain(s, stream, "append")(foldZoneMap(state))
+      import org.apache.spark.sql.types.LongType
+      readStateOr(s, state, Seq(
+        ("zcell", "zcell", LongType),
+        ("min_a", "min_a", LongType), ("max_a", "max_a", LongType),
+        ("min_b", "min_b", LongType), ("max_b", "max_b", LongType),
+        ("n_rows", "n_rows", LongType)))
+        .orderBy(col("zcell"))
+    }),
+
     // Streaming freshness monitor — the TENTH oracle-gated streaming
     // query and the third stream-maintained monitor: per-type
     // (last-seen timestamp, event count) folded as a (MAX, SUM)
@@ -862,6 +911,20 @@ object StreamingGate extends graft.QueryPack {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |  true AS counts_match, true AS within_bound
         |FROM events""".stripMargin,
+
+    // the drained per-cell maps re-derive the batch zone aggregate —
+    // the zorder-layout zones of q_zonemap_prune restated
+    "q_stream_zonemap" ->
+      s"""WITH ev AS (
+        |  SELECT user_id % 256 AS a,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) % 256 AS b
+        |  FROM events),
+        |z AS (SELECT a, b, CAST(${Extras.zTermsSql} AS BIGINT) AS zkey FROM ev)
+        |SELECT CAST(zkey >> 4 AS BIGINT) AS zcell,
+        |  MIN(a) AS min_a, MAX(a) AS max_a,
+        |  MIN(b) AS min_b, MAX(b) AS max_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM z GROUP BY zcell ORDER BY zcell""".stripMargin,
 
     // the drained (MAX, SUM) state re-derives the batch freshness
     // audit — q_freshness' oracle verbatim

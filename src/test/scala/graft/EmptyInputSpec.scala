@@ -91,8 +91,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // incremental admission of an empty arriving batch against an
     // empty index: no verdicts, not a crash
     "q_dedup_incremental",
-    // zone maps of zero files: an empty audit, not a crash
-    "q_zonemap_prune")
+    // zone maps of zero files: an empty audit, not a crash; the
+    // streamed maintenance of an empty stream is an empty state
+    "q_zonemap_prune", "q_stream_zonemap")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

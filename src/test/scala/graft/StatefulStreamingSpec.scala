@@ -291,6 +291,36 @@ class StatefulStreamingSpec extends AnyFunSuite {
       s"median $med outside the rank window (below=$below at_or_below=$atOrBelow)")
   }
 
+  test("zone-map (MIN,MAX,SUM) fold is batching-invariant and equals the one-shot aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 400).map(i =>
+      ((i * 13 % 7).toLong, (i * 31 % 256).toLong, (i * 17 % 30 + 11).toLong))
+    def foldWith(batching: Seq[Seq[(Long, Long, Long)]])
+        : Map[Long, (Long, Long, Long, Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-zmfold")
+        .toFile.getAbsolutePath + "/zm"
+      val ms = MemoryStream[(Long, Long, Long)]
+      val q = ms.toDS().toDF("zcell", "a", "b")
+        .writeStream.outputMode("append")
+        .foreachBatch(graft.operators.StreamingGate.foldZoneMap(dir) _)
+        .start()
+      batching.foreach { b => if (b.nonEmpty) ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(dir).collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    }
+    val oneShot = foldWith(Seq(rows))
+    val staggered = foldWith(Seq(rows.take(13), Seq.empty, rows.slice(13, 200),
+      rows.drop(200)))
+    assert(oneShot == staggered, "zone-map fold must be batching-invariant")
+    val exact = rows.groupBy(_._1).map { case (c, xs) =>
+      c -> (xs.map(_._2).min, xs.map(_._2).max,
+        xs.map(_._3).min, xs.map(_._3).max, xs.size.toLong)
+    }
+    assert(oneShot == exact)
+  }
+
   test("KLL fold with an all-empty prefix: count stays 0 (not NULL), then recovers exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
