@@ -788,6 +788,52 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("pr").desc, col("node")).limit(30)
     }),
 
+    // Label-propagation community detection (Raghavan, Albert & Kumara,
+    // Phys. Rev. E 2007), three SYNCHRONOUS rounds unrolled over the
+    // same customer↔supplier trade graph as q_pagerank: every node
+    // adopts the most frequent label among its neighbors, ties to the
+    // SMALLEST label — the deterministic variant of the usual
+    // random-tie LPA (a fixed round count + a total tie order is what
+    // makes the operator oracle-comparable; asynchronous/random LPA is
+    // not an operator, it's a dice roll). Each round is ONE edge-keyed
+    // shuffle join + one (node, label)-keyed count + one node-keyed
+    // argmax — the Pregel message layout, nothing driver-side, round
+    // count a plan constant. The argmax is max(struct(cnt, -label)):
+    // packed-long keys (q_pagerank rationale) make the tie order a
+    // plain integer order on 8-byte shuffle keys. Output is the
+    // community roll-up a curator reads: size + member mix of the top
+    // communities.
+    "q_label_propagation" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      // static across rounds — materialized once, the adjacency a
+      // Pregel engine keeps resident (q_pagerank rationale)
+      val edges = e0.unionAll(
+        e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+      var lab: DataFrame = edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node"))
+      for (_ <- 1 to 3) {
+        lab = edges.join(lab.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
+      }
+      lab.groupBy(col("lab"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+          sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+        .select(
+          when(col("lab") % 2 === 0, concat(lit("c"), expr("lab div 2")))
+            .otherwise(concat(lit("s"), expr("lab div 2"))).as("community"),
+          col("n_nodes"), col("n_customers"), col("n_suppliers"))
+        .orderBy(col("n_nodes").desc, col("community")).limit(25)
+    }),
+
     // Exact triangle counting by degree-ordered edge orientation
     // (node-iterator++ / the MapReduce layout of Suri & Vassilvitskii,
     // "Counting Triangles and the Curse of the Last Reducer", WWW'11):
@@ -2407,6 +2453,42 @@ object Analytic extends graft.QueryPack {
         |  FROM n LEFT JOIN c2 USING (node))
         |SELECT node, round(CAST(p AS DOUBLE) / 1000000000.0, 9) AS pr
         |FROM p2 ORDER BY pr DESC, node LIMIT 30""".stripMargin,
+
+    // same packed-long trade graph as q_pagerank, three unrolled
+    // rounds, same (cnt DESC, lab ASC) argmax tie order
+    "q_label_propagation" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+        |c1 AS (SELECT e.dst AS node, l0.lab, COUNT(*) AS cnt
+        |       FROM e JOIN l0 ON l0.node = e.src GROUP BY e.dst, l0.lab),
+        |l1 AS (SELECT node, lab FROM (
+        |  SELECT node, lab, ROW_NUMBER() OVER (
+        |    PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rk FROM c1)
+        |  WHERE rk = 1),
+        |c2 AS (SELECT e.dst AS node, l1.lab, COUNT(*) AS cnt
+        |       FROM e JOIN l1 ON l1.node = e.src GROUP BY e.dst, l1.lab),
+        |l2 AS (SELECT node, lab FROM (
+        |  SELECT node, lab, ROW_NUMBER() OVER (
+        |    PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rk FROM c2)
+        |  WHERE rk = 1),
+        |c3 AS (SELECT e.dst AS node, l2.lab, COUNT(*) AS cnt
+        |       FROM e JOIN l2 ON l2.node = e.src GROUP BY e.dst, l2.lab),
+        |l3 AS (SELECT node, lab FROM (
+        |  SELECT node, lab, ROW_NUMBER() OVER (
+        |    PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rk FROM c3)
+        |  WHERE rk = 1)
+        |SELECT CASE WHEN lab % 2 = 0 THEN 'c' || CAST(lab // 2 AS VARCHAR)
+        |            ELSE 's' || CAST(lab // 2 AS VARCHAR) END AS community,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_customers,
+        |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_suppliers
+        |FROM l3 GROUP BY lab
+        |ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin,
 
     // same 8×-thinned co-occurrence graph, same (degree, id) packed
     // orientation, same low-end wedge enumeration

@@ -399,6 +399,43 @@ object Dedup extends graft.QueryPack {
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       ngramPairs(s, d).orderBy(col("id_a"), col("id_b"))),
 
+    // Asymmetric-CONTAINMENT dedup (Broder's containment coefficient,
+    // SEQUENCES'97: C(A⊆B) = |sh(A)∩sh(B)| / |sh(A)|): the detector
+    // for sub-document duplication — an excerpt, a quoted article, a
+    // doc pasted inside a boilerplate wrapper — which symmetric
+    // Jaccard structurally MISSES (an excerpt at 40% of a doc has
+    // J ≈ 0.4, far under any dedup threshold, while its containment
+    // is ≈ 1). The fixture plants exactly that failure mode: a
+    // 40%-token-prefix tier (doc_id % 13 = 2, +300000) whose Jaccard
+    // to the original is the prefix fraction by construction. The
+    // query emits the pairs a Jaccard-only funnel SHIPS: rounded
+    // containment ≥ 0.9 AND rounded Jaccard < 0.6, with the contained
+    // side named. Scale posture: ONE projection over the SAME capped
+    // inverted-index candidate frame as q_dedup_ngram_jaccard
+    // (candPairsOf — shingle-keyed postings join, df cap, pair work
+    // proportional to shared shingles); containment adds zero new
+    // shuffles, and both divisions are single correctly-rounded IEEE
+    // ops on exact integers, bit-identical in both engines.
+    "q_containment_dedup" -> ((s, d) => {
+      val raw = Tables(s, d, "documents")
+      val excerpts = raw.filter(col("doc_id") % 13 === 2)
+        .select((col("doc_id") + 300000).as("doc_id"), col("source"),
+          expr("array_join(slice(split(text, ' '), 1, " +
+            "greatest(1, (size(split(text, ' ')) * 2) div 5)), ' ')")
+            .as("text"))
+      val docs = corpus(raw).unionByName(excerpts)
+      val ca = col("c").cast("double") / col("na")
+      val cb = col("c").cast("double") / col("nb")
+      candPairsOf(docs)
+        .select(col("id_a"), col("id_b"),
+          round(col("c").cast("double") /
+            (col("na") + col("nb") - col("c")), 9).as("jaccard"),
+          round(greatest(ca, cb), 9).as("containment"),
+          when(ca >= cb, "a_in_b").otherwise("b_in_a").as("direction"))
+        .filter(col("containment") >= 0.9 && col("jaccard") < 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Dedup threshold curve — the OTHER tuning sweep next to
     // q_lsh_tuning: how much of the corpus each Jaccard threshold
     // would remove. ONE pair frame at the widest threshold (0.5, same
@@ -988,11 +1025,13 @@ object Dedup extends graft.QueryPack {
   private[graft] def ngramPairsKernel(docs: DataFrame, cap: Int): DataFrame =
     ngramPairsOf(docs, cap)
 
-  /** The same kernel over any (doc_id, source, text) set — the funnel
-    * query runs it on stage-1 survivors instead of the full corpus. */
-  private def ngramPairsOf(docs: DataFrame,
-      cap: Int = SHINGLE_DF_CAP,
-      minJaccard: Double = 0.6): DataFrame = {
+  /** The capped inverted-index CANDIDATE frame over any (doc_id,
+    * source, text) set — (id_a, id_b, na, nb, c) with c = shared
+    * surviving shingles. The symmetric-Jaccard pair kernel and the
+    * asymmetric-containment kernel are two projections of this ONE
+    * frame, so their candidate generation cannot drift. */
+  private def candPairsOf(docs: DataFrame,
+      cap: Int = SHINGLE_DF_CAP): DataFrame = {
     val c = docs
       .withColumn("sh", shingles(col("text")))
       .withColumn("n", size(col("sh")))
@@ -1017,11 +1056,18 @@ object Dedup extends graft.QueryPack {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** The same kernel over any (doc_id, source, text) set — the funnel
+    * query runs it on stage-1 survivors instead of the full corpus. */
+  private def ngramPairsOf(docs: DataFrame,
+      cap: Int = SHINGLE_DF_CAP,
+      minJaccard: Double = 0.6): DataFrame =
+    candPairsOf(docs, cap)
       .select(col("id_a"), col("id_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 9)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-  }
 
   /** The dedup FUNNEL kernel over any (doc_id, source, text) frame
     * `c0` — the q_dedup_pipeline stages, extracted so the standalone
@@ -1134,10 +1180,10 @@ object Dedup extends graft.QueryPack {
     * checked definition on both sides. Expects a `corpus` CTE in scope. */
   private val ngramPairsSqlDuck: String = ngramPairsSqlDuckFrom("corpus")
 
-  /** The pair fragment over any (doc_id, source, text) CTE `src` — the
-    * funnel oracle runs it on `surv1`, mirroring [[ngramPairsOf]]. */
-  private def ngramPairsSqlDuckFrom(src: String,
-      minJaccard: Double = 0.6): String =
+  /** The candidate fragment over any (doc_id, source, text) CTE `src`
+    * — CTE chain sh/ex/sdf/kept/cand mirroring [[candPairsOf]]; `cand`
+    * carries (id_a, id_b, na, nb, c). */
+  private def candSqlDuckFrom(src: String): String =
     s"""sh AS (
        |  SELECT doc_id, source,
        |    list_distinct(list_transform(
@@ -1153,7 +1199,13 @@ object Dedup extends graft.QueryPack {
        |         COUNT(*) AS c
        |  FROM kept a JOIN kept b
        |    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)""".stripMargin
+
+  /** The pair fragment over any (doc_id, source, text) CTE `src` — the
+    * funnel oracle runs it on `surv1`, mirroring [[ngramPairsOf]]. */
+  private def ngramPairsSqlDuckFrom(src: String,
+      minJaccard: Double = 0.6): String =
+    s"""${candSqlDuckFrom(src)},
        |pairs AS (
        |  SELECT id_a, id_b,
        |         round(CAST(c AS DOUBLE) / (na + nb - c), 9) AS jaccard
@@ -1383,6 +1435,30 @@ object Dedup extends graft.QueryPack {
       s"""WITH $corpusSqlDuck,
          |$ngramPairsSqlDuck
          |SELECT id_a, id_b, jaccard FROM pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same corpus + a 40%-prefix excerpt tier, same capped candidate
+    // fragment, containment/Jaccard as two projections of `cand`
+    "q_containment_dedup" ->
+      s"""WITH $corpusSqlDuck,
+         |planted AS (
+         |  SELECT * FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id + 300000, source,
+         |    array_to_string((string_split(text, ' '))[1:greatest(1,
+         |      (len(string_split(text, ' ')) * 2) // 5)], ' ')
+         |  FROM documents WHERE doc_id % 13 = 2),
+         |${candSqlDuckFrom("planted")}
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / (na + nb - c), 9) AS jaccard,
+         |  round(greatest(CAST(c AS DOUBLE) / na,
+         |                 CAST(c AS DOUBLE) / nb), 9) AS containment,
+         |  CASE WHEN CAST(c AS DOUBLE) / na >= CAST(c AS DOUBLE) / nb
+         |       THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+         |FROM cand
+         |WHERE round(greatest(CAST(c AS DOUBLE) / na,
+         |                     CAST(c AS DOUBLE) / nb), 9) >= 0.9
+         |  AND round(CAST(c AS DOUBLE) / (na + nb - c), 9) < 0.6
          |ORDER BY id_a, id_b""".stripMargin,
 
     // same pairs prelude at the widest threshold, same pair-partner

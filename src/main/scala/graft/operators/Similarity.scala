@@ -145,6 +145,50 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // k-NN majority-label classification (Fix & Hodges 1951 / Cover &
+    // Hart 1967) — the label-transfer primitive a curation pipeline
+    // uses to propagate scarce human labels onto an unlabeled corpus
+    // (weak supervision / pseudo-labeling): eval half (vec_id odd)
+    // classified by its 5 nearest train-half (vec_id even) neighbors
+    // by round-9 cosine, majority vote with ties to the SMALLEST
+    // label, reported as the confusion matrix against the held-out
+    // true labels. Same broadcast-probe shape as q_ann_bruteforce —
+    // the eval batch is the broadcast side, the train corpus streams
+    // through once — and at 100 TB the brute-force candidate stage
+    // swaps for the q_ann_ivf coarse-quantizer kernel verbatim (the
+    // vote and confusion stages are candidate-source-agnostic). Vote
+    // argmax is max(struct(cnt, -label)): exact integers, no
+    // order-dependent float anywhere past the rounded sim.
+    "q_knn_classify" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"),
+          col("label").cast("long").as("label"))
+        .withColumn("nrm", norm(col("embedding")))
+      val q = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), col("label").as("qlabel"))
+      val t = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+          col("nrm").as("nnrm"), col("label").as("nlabel"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      t.join(broadcast(q))
+        .withColumn("sim",
+          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .groupBy(col("qid"), col("qlabel"), col("nlabel"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("qid"), col("qlabel"))
+        .agg(max(struct(col("cnt"), (-col("nlabel")).as("nl"))).as("m"))
+        .select(col("qlabel").as("true_label"),
+          (-col("m.nl")).as("pred_label"))
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_label"), col("pred_label"))
+    }),
+
     // Brute-force cosine top-5 for 10 query vectors (baseline).
     "q_ann_bruteforce" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -961,6 +1005,31 @@ object Similarity extends graft.QueryPack {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rk
          |  FROM sims) t
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // odd half classified by even half, same round-9 cosine, vote
+    // ties to the smallest label
+    "q_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
+         |             $normDuck AS nrm FROM embeddings),
+         |sims AS (
+         |  SELECT q.vec_id AS qid, q.label AS qlabel,
+         |    t.vec_id AS nid, t.label AS nlabel,
+         |    round(${dotDuck("q.embedding", "t.embedding")} / (q.nrm * t.nrm), 9) AS sim
+         |  FROM e q JOIN e t ON q.vec_id % 2 = 1 AND t.vec_id % 2 = 0),
+         |top5 AS (SELECT qid, qlabel, nlabel FROM (
+         |  SELECT qid, qlabel, nlabel,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |  FROM sims) t WHERE rk <= 5),
+         |votes AS (SELECT qid, qlabel, nlabel, COUNT(*) AS cnt
+         |          FROM top5 GROUP BY qid, qlabel, nlabel),
+         |pred AS (SELECT qid, qlabel, nlabel AS plabel FROM (
+         |  SELECT qid, qlabel, nlabel,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cnt DESC, nlabel) AS rk
+         |  FROM votes) t WHERE rk = 1)
+         |SELECT qlabel AS true_label, plabel AS pred_label,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM pred GROUP BY qlabel, plabel
+         |ORDER BY true_label, pred_label""".stripMargin,
 
     "q_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),

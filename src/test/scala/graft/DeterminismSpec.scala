@@ -159,7 +159,15 @@ class DeterminismSpec extends AnyFunSuite {
     "q_zonemap_prune",
     // NDCG: DECIMAL sums of round-9 literal-discount terms over a
     // TakeOrdered frame + a histogram-determined ideal — layout-free
-    "q_ndcg")
+    "q_ndcg",
+    // containment: two exact-integer divisions over the same capped
+    // candidate frame as q_dedup_ngram_jaccard (already pinned) — a
+    // layout term means the df-cap window counted partition-locally;
+    // knn: round-9 cosine ranks + a (cnt, -label) struct-max vote,
+    // both total orders; LPA: three unrolled rounds of count-argmax
+    // with the same struct-max total order — any layout dependence
+    // means a vote tie broke by arrival order instead of label
+    "q_containment_dedup", "q_knn_classify", "q_label_propagation")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -93,7 +93,12 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_dedup_incremental",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
-    "q_zonemap_prune", "q_stream_zonemap")
+    "q_zonemap_prune", "q_stream_zonemap",
+    // continuation leg: an empty corpus plants no excerpts and yields
+    // no candidate pairs; an empty embedding table has no eval half to
+    // classify; an empty trade graph has no nodes to label — all three
+    // must collapse to empty frames through their joins and windows
+    "q_containment_dedup", "q_knn_classify", "q_label_propagation")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

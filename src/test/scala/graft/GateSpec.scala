@@ -1097,4 +1097,140 @@ class GateSpec extends AnyFunSuite {
     // non-degenerate: all three verdicts appear on testdata
     assert(inc.map(_.getString(1)).toSet == Set("exact_dup", "near_dup", "unique"))
   }
+
+  test("q_containment_dedup equals a brute shingle-set recompute; excerpts caught") {
+    val out =
+      try graft.operators.Dedup.queries("q_containment_dedup")(spark, TestSpark.sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getString(4)))
+        .toSet
+      finally TestSpark.housekeeping()
+    assert(out.nonEmpty)
+    // independent corpus + shingle + cap + pair recompute (collect-based,
+    // plain Scala sets — no shared kernel code)
+    val docs =
+      try Tables(spark, TestSpark.sf, "documents")
+        .select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      finally TestSpark.housekeeping()
+    def prefix40(t: String): String = {
+      val w = t.split(" ", -1)
+      w.take(math.max(1, w.length * 2 / 5)).mkString(" ")
+    }
+    def lowerDropFirst(t: String): String =
+      t.toLowerCase(java.util.Locale.ROOT).split(" ", -1).drop(1).mkString(" ")
+    val corpus = docs.flatMap { case (id, src, t) =>
+      Seq((id, src, t)) ++
+        (if (id % 10 == 0) Seq((id + 100000L, src, t)) else Nil) ++
+        (if (id % 10 == 1) Seq((id + 200000L, src, lowerDropFirst(t))) else Nil) ++
+        (if (id % 13 == 2) Seq((id + 300000L, src, prefix40(t))) else Nil)
+    }
+    def sh3(t: String): Set[String] = {
+      val w = t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+      val k = math.max(w.length - 2, 1)
+      (0 until k).map(i => w.slice(i, math.min(i + 3, w.length)).mkString(" ")).toSet
+    }
+    val shOf = corpus.map { case (id, src, t) => (id, src) -> sh3(t) }.toMap
+    val df = corpus.flatMap { case (id, src, t) => sh3(t).map((src, _)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val brute = (for {
+      Seq((ida, srca, _), (idb, srcb, _)) <- corpus.sortBy(_._1).toSeq.combinations(2)
+      if srca == srcb
+      sa = shOf((ida, srca)); sb = shOf((idb, srcb))
+      c = sa.intersect(sb).count(s => df((srca, s)) <= 1000)
+      if c > 0
+      j = r9(c.toDouble / (sa.size + sb.size - c))
+      ca = c.toDouble / sa.size; cb = c.toDouble / sb.size
+      cont = r9(math.max(ca, cb))
+      if cont >= 0.9 && j < 0.6
+    } yield (ida, idb, j, cont, if (ca >= cb) "a_in_b" else "b_in_a")).toSet
+    assert(out == brute, s"operator ${out.size} rows vs brute ${brute.size}")
+    // the planted failure mode is actually caught: excerpt tiers appear
+    // with the excerpt named as the contained side
+    val planted = out.filter { case (a, b, _, _, _) => b == a + 300000L }
+    assert(planted.nonEmpty, "no planted excerpt pair detected")
+    planted.foreach { case (_, _, j, cont, dir) =>
+      assert(dir == "b_in_a", "excerpt must be the contained side")
+      assert(cont >= 0.9 && j < 0.6)
+    }
+  }
+
+  test("q_knn_classify equals a brute 5-NN majority vote; mass = eval count") {
+    val out =
+      try graft.operators.Similarity.queries("q_knn_classify")(spark, TestSpark.sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      finally TestSpark.housekeeping()
+    val vecs =
+      try Tables(spark, TestSpark.sf, "embeddings").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray,
+          r.getInt(2).toLong))
+      finally TestSpark.housekeeping()
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val train = vecs.filter(_._1 % 2 == 0)
+    val eval = vecs.filter(_._1 % 2 == 1)
+    val brute = eval.map { case (_, qv, qlab) =>
+      val qn = math.sqrt(dot(qv, qv))
+      val top5 = train
+        .map { case (nid, nv, nlab) =>
+          (r9(dot(qv, nv) / (qn * math.sqrt(dot(nv, nv)))), nid, nlab) }
+        .sortBy { case (sim, nid, _) => (-sim, nid) }.take(5)
+      val pred = top5.groupBy(_._3).toSeq
+        .map { case (lab, xs) => (xs.length, lab) }
+        .sortBy { case (cnt, lab) => (-cnt, lab) }.head._2
+      (qlab, pred)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out == brute)
+    assert(out.values.sum == eval.length.toLong,
+      "confusion mass must equal the eval-half count")
+  }
+
+  test("q_label_propagation equals a brute 3-round synchronous LPA roll-up") {
+    val out =
+      try graft.operators.Analytic.queries("q_label_propagation")(spark, TestSpark.sf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      finally TestSpark.housekeeping()
+    assert(out.nonEmpty)
+    val custOf =
+      try Tables(spark, TestSpark.sf, "orders")
+        .select("o_orderkey", "o_custkey").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally TestSpark.housekeeping()
+    val e0 =
+      try Tables(spark, TestSpark.sf, "lineitem")
+        .select("l_orderkey", "l_suppkey").collect()
+        .flatMap(r => custOf.get(r.getLong(0)).map(c => (c * 2, r.getLong(1) * 2 + 1)))
+        .distinct
+      finally TestSpark.housekeeping()
+    val edges = e0 ++ e0.map { case (s, d) => (d, s) }
+    val adj = edges.groupBy(_._2).map { case (dst, es) => dst -> es.map(_._1) }
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3)
+      lab = adj.map { case (node, nbrs) =>
+        node -> nbrs.map(lab).groupBy(identity).toSeq
+          .map { case (l, xs) => (xs.length, l) }
+          .sortBy { case (cnt, l) => (-cnt, l) }.head._2
+      }
+    val brute = lab.groupBy(_._2).map { case (l, members) =>
+      val nodes = members.keys.toSeq
+      (if (l % 2 == 0) s"c${l / 2}" else s"s${l / 2}",
+        nodes.size.toLong,
+        nodes.count(_ % 2 == 0).toLong,
+        nodes.count(_ % 2 == 1).toLong)
+    }.toSeq.sortBy { case (comm, n, _, _) => (-n, comm) }.take(25)
+    assert(out == brute)
+    // roll-up internal consistency: member mix partitions each community
+    out.foreach { case (_, n, nc, ns) => assert(nc + ns == n) }
+  }
 }
