@@ -106,6 +106,40 @@ object Analytic extends graft.QueryPack {
       .distinct()
   }
 
+  /** The symmetric customer↔supplier trade graph on packed-long node
+    * ids (customers even, suppliers odd) shared by q_pagerank /
+    * q_label_propagation / q_modularity. Persisted: the adjacency is
+    * static across iterative rounds — the frame a Pregel engine keeps
+    * resident (harness/suites clear caches between queries). */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+  }
+
+  /** Three synchronous smallest-label-tie LPA rounds over a symmetric
+    * `edges(src, dst)` frame → `(node, lab)`. See the
+    * q_label_propagation entry for the algorithm and scale rationale;
+    * factored out so q_modularity scores exactly the partition the
+    * gated LPA operator produces, not a re-derivation that could
+    * drift. */
+  private def lpaLabels(edges: DataFrame): DataFrame = {
+    var lab: DataFrame = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to 3) {
+      lab = edges.join(lab.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
+    }
+    lab
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Item-item collaborative filtering (the Amazon item-to-item
@@ -804,25 +838,7 @@ object Analytic extends graft.QueryPack {
     // community roll-up a curator reads: size + member mix of the top
     // communities.
     "q_label_propagation" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      // static across rounds — materialized once, the adjacency a
-      // Pregel engine keeps resident (q_pagerank rationale)
-      val edges = e0.unionAll(
-        e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
-      var lab: DataFrame = edges.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node"))
-      for (_ <- 1 to 3) {
-        lab = edges.join(lab.withColumnRenamed("node", "src"), Seq("src"))
-          .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("dst"))
-          .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
-          .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
-      }
+      val lab = lpaLabels(tradeEdges(s, d))
       lab.groupBy(col("lab"))
         .agg(count(lit(1)).as("n_nodes"),
           sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
@@ -832,6 +848,43 @@ object Analytic extends graft.QueryPack {
             .otherwise(concat(lit("s"), expr("lab div 2"))).as("community"),
           col("n_nodes"), col("n_customers"), col("n_suppliers"))
         .orderBy(col("n_nodes").desc, col("community")).limit(25)
+    }),
+
+    // Newman modularity scoring (Newman & Girvan, Phys. Rev. E 2004)
+    // of the LPA partition — the quality number a curator reads before
+    // trusting a community structure: Q = Σ_c [ e_c/2m − (d_c/2m)² ]
+    // where e_c counts intra-community directed edges and d_c sums
+    // member degrees. Shares tradeEdges/lpaLabels with
+    // q_label_propagation, so the scored partition IS the gated one.
+    // Plan shape: two broadcast-or-shuffle label joins onto the edge
+    // frame (the labeled-edge frame is one shuffle keyed by node),
+    // one per-community count/sum agg, one single-row total
+    // cross-joined back (broadcast — never a shuffle). Every term is
+    // exact integer arithmetic until the final division; the division
+    // operands are identical BIGINTs in both engines, so the rounded
+    // double is bit-stable across Spark and DuckDB.
+    "q_modularity" -> ((s, d) => {
+      val edges = tradeEdges(s, d)
+      val lab = lpaLabels(edges).persist()
+      val el = edges
+        .join(lab.select(col("node").as("src"), col("lab").as("slab")), Seq("src"))
+        .join(lab.select(col("node").as("dst"), col("lab").as("dlab")), Seq("dst"))
+      val perC = el.groupBy(col("slab").as("lab"))
+        .agg(count(lit(1)).as("deg_sum"),
+          sum(when(col("slab") === col("dlab"), 1L).otherwise(0L))
+            .as("intra_dir"))
+      val nNodes = lab.groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"))
+      val tot = perC.agg(sum(col("deg_sum")).as("m2"))
+      perC.join(nNodes, Seq("lab"))
+        .crossJoin(broadcast(tot))
+        .select(
+          when(col("lab") % 2 === 0, concat(lit("c"), expr("lab div 2")))
+            .otherwise(concat(lit("s"), expr("lab div 2"))).as("community"),
+          col("n_nodes"), col("intra_dir"), col("deg_sum"),
+          round(col("intra_dir").cast("double") / col("m2") -
+            (col("deg_sum").cast("double") / col("m2")) *
+            (col("deg_sum").cast("double") / col("m2")), 9).as("q_contrib"))
+        .orderBy(col("n_nodes").desc, col("community")).limit(20)
     }),
 
     // Exact triangle counting by degree-ordered edge orientation
@@ -2489,6 +2542,52 @@ object Analytic extends graft.QueryPack {
         |    AS n_suppliers
         |FROM l3 GROUP BY lab
         |ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin,
+
+    // same LPA CTE chain, then Newman's per-community Q terms on the
+    // labeled directed edge frame
+    "q_modularity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+        |c1 AS (SELECT e.dst AS node, l0.lab, COUNT(*) AS cnt
+        |       FROM e JOIN l0 ON l0.node = e.src GROUP BY e.dst, l0.lab),
+        |l1 AS (SELECT node, lab FROM (
+        |  SELECT node, lab, ROW_NUMBER() OVER (
+        |    PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rk FROM c1)
+        |  WHERE rk = 1),
+        |c2 AS (SELECT e.dst AS node, l1.lab, COUNT(*) AS cnt
+        |       FROM e JOIN l1 ON l1.node = e.src GROUP BY e.dst, l1.lab),
+        |l2 AS (SELECT node, lab FROM (
+        |  SELECT node, lab, ROW_NUMBER() OVER (
+        |    PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rk FROM c2)
+        |  WHERE rk = 1),
+        |c3 AS (SELECT e.dst AS node, l2.lab, COUNT(*) AS cnt
+        |       FROM e JOIN l2 ON l2.node = e.src GROUP BY e.dst, l2.lab),
+        |l3 AS (SELECT node, lab FROM (
+        |  SELECT node, lab, ROW_NUMBER() OVER (
+        |    PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rk FROM c3)
+        |  WHERE rk = 1),
+        |el AS (SELECT ls.lab AS slab, ld.lab AS dlab
+        |       FROM e JOIN l3 ls ON ls.node = e.src
+        |              JOIN l3 ld ON ld.node = e.dst),
+        |perc AS (SELECT slab AS lab,
+        |           CAST(COUNT(*) AS BIGINT) AS deg_sum,
+        |           CAST(SUM(CASE WHEN slab = dlab THEN 1 ELSE 0 END)
+        |                AS BIGINT) AS intra_dir
+        |         FROM el GROUP BY slab),
+        |nn AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |       FROM l3 GROUP BY lab),
+        |tot AS (SELECT CAST(SUM(deg_sum) AS BIGINT) AS m2 FROM perc)
+        |SELECT CASE WHEN lab % 2 = 0 THEN 'c' || CAST(lab // 2 AS VARCHAR)
+        |            ELSE 's' || CAST(lab // 2 AS VARCHAR) END AS community,
+        |  n_nodes, intra_dir, deg_sum,
+        |  ROUND(CAST(intra_dir AS DOUBLE) / m2 -
+        |        (CAST(deg_sum AS DOUBLE) / m2) *
+        |        (CAST(deg_sum AS DOUBLE) / m2), 9) AS q_contrib
+        |FROM perc JOIN nn USING (lab), tot
+        |ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin,
 
     // same 8×-thinned co-occurrence graph, same (degree, id) packed
     // orientation, same low-end wedge enumeration
