@@ -173,6 +173,49 @@ object Extras extends graft.QueryPack {
         .orderBy(col("nat"), col("bal_band"))
     }),
 
+    // t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    // last rung of the release-audit ladder: a class that is k-anon
+    // AND l-diverse still leaks when its sensitive DISTRIBUTION skews
+    // far from the corpus's. Per quasi-identifier class (nation ×
+    // balance band), total variation distance between the class's
+    // segment distribution and the global one:
+    // tvd = ½ Σ_seg |p_class(seg) − p_global(seg)|, the categorical
+    // instance of the paper's EMD. The sum runs over the FULL segment
+    // alphabet (absent cells contribute p_global/2), built as
+    // classes × broadcast(global-marginal) grid — category-grid sized,
+    // never corpus sized — left-joined to the observed cells. Scale
+    // shape: one corpus pass for cells (map-combinable), everything
+    // after is on the tiny class/segment grid; the ½ is folded into
+    // each contribution BEFORE its round-9 (a post-sum ×0.5 lands
+    // exactly on half-digits where Spark HALF_UP and DuckDB HALF_EVEN
+    // disagree), then contributions are DECIMAL-summed (the
+    // q_ldiversity discipline) — partitioning-invariant and
+    // engine-identical.
+    "q_tcloseness" -> ((s, d) => {
+      val T = 0.35
+      val base = Tables(s, d, "customer")
+        .select(col("c_nationkey").cast("long").as("nat"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_band"),
+          col("c_mktsegment").as("seg"))
+      val cells = base.groupBy(col("nat"), col("bal_band"), col("seg"))
+        .agg(count(lit(1)).as("c"))
+      val classes = cells.groupBy(col("nat"), col("bal_band"))
+        .agg(sum(col("c")).as("n"))
+      val glob = base.groupBy(col("seg")).agg(count(lit(1)).as("g"))
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("nn"))))
+      classes.crossJoin(broadcast(glob))
+        .join(cells, Seq("nat", "bal_band", "seg"), "left_outer")
+        .withColumn("contrib", round(abs(
+          coalesce(col("c"), lit(0L)).cast("double") / col("n") -
+            col("g").cast("double") / col("nn")) * 0.5d, 9))
+        .groupBy(col("nat"), col("bal_band"))
+        .agg(max(col("n")).as("n"),
+          sum(col("contrib").cast(DecimalType(24, 9)))
+            .cast("double").as("tvd"))
+        .withColumn("satisfies_t", col("tvd") <= T)
+        .orderBy(col("nat"), col("bal_band"))
+    }),
+
     // Snapshot diff — the data-versioning audit (what changed between
     // two loads of the same table): added / removed / changed rows via
     // ONE full-outer join on the key, comparing the tracked columns
@@ -1158,6 +1201,38 @@ object Extras extends graft.QueryPack {
         |    ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(24,9)))
         |    AS DOUBLE) >= ln(3.0) AS entropy_l
         |FROM wc GROUP BY nat, bal_band ORDER BY nat, bal_band""".stripMargin,
+
+    // same cell/class frames, same round-9 DECIMAL contribution sum;
+    // the grid join restates the full-alphabet semantics
+    "q_tcloseness" ->
+      """WITH base AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |cells AS (SELECT nat, bal_band, seg, CAST(COUNT(*) AS BIGINT) AS c
+        |          FROM base GROUP BY 1, 2, 3),
+        |cls AS (SELECT nat, bal_band, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM cells GROUP BY 1, 2),
+        |gm AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS g FROM base
+        |         GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+        |grid AS (
+        |  SELECT cls.nat, cls.bal_band, cls.n, gm.seg, gm.g, tot.nn
+        |  FROM cls, gm, tot),
+        |contrib AS (
+        |  SELECT grid.nat, grid.bal_band, grid.n,
+        |    ROUND(ABS(CAST(COALESCE(cells.c, 0) AS DOUBLE) / grid.n -
+        |              CAST(grid.g AS DOUBLE) / grid.nn) * 0.5, 9) AS ct
+        |  FROM grid LEFT JOIN cells
+        |    ON cells.nat = grid.nat AND cells.bal_band = grid.bal_band
+        |   AND cells.seg = grid.seg)
+        |SELECT nat, bal_band, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ct AS DECIMAL(24,9))) AS DOUBLE) AS tvd,
+        |  CAST(SUM(CAST(ct AS DECIMAL(24,9))) AS DOUBLE)
+        |    <= 0.35 AS satisfies_t
+        |FROM contrib GROUP BY nat, bal_band
+        |ORDER BY nat, bal_band""".stripMargin,
 
     "q_zorder_layout" ->
       s"""WITH ev AS (
