@@ -84,6 +84,44 @@ object Curation extends graft.QueryPack {
           col("reason").isNull.as("keep"), col("reason"),
           when(col("reason").isNull, col("bucket") % 32).as("shard"))
         .orderBy(col("doc_id"))
+    }),
+
+    // CCNet-style line-frequency boilerplate strip (Wenzek et al.,
+    // LREC'20 §3.2: drop paragraphs whose hash recurs across many
+    // documents — nav bars, footers, cookie banners). The corpus here
+    // has no newlines, so the "line" unit is the deterministic
+    // non-overlapping 5-token block (array-side `transform`+`slice`,
+    // NO token explode — one generator row per block, 5× fewer than
+    // per-token). A block seen in ≥3 DISTINCT documents is boilerplate.
+    // Plan shape: block build is a narrow codegen projection; the df
+    // table is one map-combinable (block → distinct-doc count) agg;
+    // the block↔df join shuffles on block text (at 100 TB you'd key
+    // both sides by a 128-bit content hash to make the shuffle key
+    // fixed-width — text keys here keep the oracle engine-identical);
+    // the per-doc roll-up is a uniform doc_id-keyed agg. No windows,
+    // no corpus-wide state.
+    "q_boilerplate_strip" -> ((s, d) => {
+      val M = 3
+      val blocks = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(t)-1) div 5), " +
+            "i -> concat_ws(' ', slice(t, i*5+1, 5)))"))
+          .as(Seq("b", "btxt")))
+        .withColumn("n_tok", size(split(col("btxt"), " ")).cast("long"))
+      val dfTable = blocks.groupBy(col("btxt"))
+        .agg(countDistinct(col("doc_id")).as("bdf"))
+      blocks.join(dfTable, Seq("btxt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("bdf") >= M, 1L).otherwise(0L)).as("n_boiler"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("bdf") < M, col("n_tok")).otherwise(0L))
+            .as("kept_tokens"))
+        .withColumn("boiler_ratio",
+          round((col("n_tokens") - col("kept_tokens")).cast("double") /
+            col("n_tokens"), 9))
+        .orderBy(col("doc_id"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -114,6 +152,30 @@ object Curation extends graft.QueryPack {
          |  LEFT JOIN freason f ON q.doc_id = f.doc_id)
          |SELECT doc_id, source, reason IS NULL AS keep, reason,
          |  CASE WHEN reason IS NULL THEN bucket % 32 END AS shard
-         |FROM m ORDER BY doc_id""".stripMargin
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // same 5-token non-overlapping blocks, same df>=3 boilerplate rule
+    "q_boilerplate_strip" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |blk AS (
+        |  SELECT doc_id,
+        |    array_to_string(t[(i*5+1):(i*5+5)], ' ') AS btxt,
+        |    CAST(len(t[(i*5+1):(i*5+5)]) AS BIGINT) AS n_tok
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, ((len(t)-1)//5)+1)) AS i FROM tk)),
+        |dfreq AS (
+        |  SELECT btxt, COUNT(DISTINCT doc_id) AS bdf FROM blk GROUP BY btxt)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN bdf >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN bdf < 3 THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens,
+        |  ROUND(CAST(SUM(CASE WHEN bdf >= 3 THEN n_tok ELSE 0 END)
+        |    AS DOUBLE) / SUM(n_tok), 9) AS boiler_ratio
+        |FROM blk JOIN dfreq USING (btxt)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
