@@ -674,6 +674,54 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("label"))
     }),
 
+    // Top principal component by POWER ITERATION over the centered
+    // embedding corpus (Mises & Pollaczek-Geiringer 1929; the
+    // distributed layout is Halko et al. 2011 §4's one-pass product):
+    // the spectral summary a curation pipeline reads before whitening,
+    // drift checks or low-rank compression. Three unrolled rounds of
+    // w ← Σᵢ cᵢ·(cᵢ·v), v ← w/‖w‖ — each round ONE map-side codegen
+    // dot + scale projection feeding the order-independent fixed-point
+    // VecSum aggregate (the q_kmeans discipline), so each round is a
+    // single 64-long reduction; only those 64 sums reach the driver
+    // between rounds (the "K×D values" precedent). Determinism end to
+    // end: μ from fixed-point sums, v₀ = 1/√64 = 0.125 exactly, and
+    // normalization as s_j/√(Σ s_j²) with the square-sum in exact
+    // DECIMAL/HUGEINT (the 1e6 scale cancels) — every iterate is
+    // bit-identical across partitionings and engines. The final round
+    // stays fully distributed (posexplode + DECIMAL norm crossJoin).
+    "q_pca_power" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ITERS = 3
+      val ee = Tables(s, d, "embeddings")
+        .select(col("embedding").cast("array<double>").as("v"))
+      val s0row = ee
+        .agg(graft.functions.VecSum.vecSumScaled(col("v"), DIM).as("s"),
+          count(lit(1)).as("n")).head()
+      val n = s0row.getLong(1)
+      val mu = s0row.getSeq[Long](0).map(sj => sj.toDouble / 1000000.0 / n)
+      val ce = ee
+        .withColumn("c", zip_with(col("v"), typedlit(mu), (a, b) => a - b))
+        .select(col("c")).persist()
+      def wSums(v: Seq[Double]): DataFrame = ce
+        .select(col("c"), dot(col("c"), typedlit(v)).as("p"))
+        .select(expr("transform(c, x -> x * p)").as("cp"))
+        .agg(graft.functions.VecSum.vecSumScaled(col("cp"), DIM).as("s"))
+      var v: Seq[Double] = Seq.fill(DIM)(0.125)
+      for (_ <- 1 until ITERS) {
+        val w = wSums(v).head().getSeq[Long](0)
+        val nrm = math.sqrt(w.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+        v = w.map(_.toDouble / nrm)
+      }
+      val wx = wSums(v).select(posexplode(col("s")).as(Seq("pos", "sv")))
+      val q = wx.agg(sum(col("sv").cast(DecimalType(38, 0)) *
+        col("sv").cast(DecimalType(38, 0))).as("q"))
+      wx.crossJoin(broadcast(q))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          round(col("sv").cast("double") / sqrt(col("q").cast("double")), 9)
+            .as("loading"))
+        .orderBy(col("dim"))
+    }),
+
     // Johnson-Lindenstrauss random projection: 64 → 16 dims through a
     // fixed ±1 matrix (seed 7, same stable-LCG constant trick as the
     // LSH planes), scaled by 1/√16 so pairwise distances are preserved
@@ -1397,6 +1445,61 @@ object Similarity extends graft.QueryPack {
          |  FROM cr JOIN cc USING (label))
          |SELECT label, n_ref, n_cur, drift_cos, drift_cos < 0.9 AS drifted
          |FROM jd ORDER BY label""".stripMargin,
+
+    // all three power rounds restated: same fixed-point μ and w sums,
+    // same s/√(Σs²) normalization in exact HUGEINT, v₀ = 0.125
+    "q_pca_power" -> {
+      val D1 = DIM + 1
+      // one w-round: per-dim fixed-point sum of c[dim]·p over `src`
+      def wCte(k: Int, pSrc: String): String =
+        s"""w$k AS (
+           |  SELECT dim,
+           |    SUM(CAST(ROUND(c[CAST(dim AS INTEGER)] * p * 1000000)
+           |        AS BIGINT)) AS s
+           |  FROM (SELECT c, p, unnest(range(1, $D1)) AS dim FROM $pSrc)
+           |  GROUP BY dim)""".stripMargin
+      def vCte(k: Int): String =
+        s"""v$k AS (
+           |  SELECT list(CAST(s AS DOUBLE) / sqrt(CAST(
+           |      (SELECT SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+           |       FROM w$k) AS DOUBLE)) ORDER BY dim) AS v
+           |  FROM w$k)""".stripMargin
+      def pCte(k: Int, vExpr: String): String =
+        s"""p$k AS (
+           |  SELECT c, list_sum(list_transform(range(1, $D1),
+           |    i -> c[i] * $vExpr)) AS p FROM ce${
+          if (k == 1) "" else s", v${k - 1}"})""".stripMargin
+      s"""WITH ee AS (
+         |  SELECT list_transform(range(1, $D1),
+         |    i -> CAST(embedding[i] AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ee),
+         |s0 AS (
+         |  SELECT dim,
+         |    SUM(CAST(ROUND(v[CAST(dim AS INTEGER)] * 1000000) AS BIGINT))
+         |      AS s
+         |  FROM (SELECT v, unnest(range(1, $D1)) AS dim FROM ee)
+         |  GROUP BY dim),
+         |muv AS (
+         |  SELECT list(CAST(s AS DOUBLE) / 1000000.0 / nn.n ORDER BY dim)
+         |    AS mu FROM s0, nn),
+         |ce AS (
+         |  SELECT list_transform(range(1, $D1), i -> v[i] - mu[i]) AS c
+         |  FROM ee, muv),
+         |${pCte(1, "0.125")},
+         |${wCte(1, "p1")},
+         |${vCte(1)},
+         |${pCte(2, s"v1.v[i]")},
+         |${wCte(2, "p2")},
+         |${vCte(2)},
+         |${pCte(3, s"v2.v[i]")},
+         |${wCte(3, "p3")},
+         |q3 AS (SELECT SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS q
+         |       FROM w3)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         |  ROUND(CAST(s AS DOUBLE) / sqrt(CAST(q AS DOUBLE)), 9) AS loading
+         |FROM w3, q3 ORDER BY dim""".stripMargin
+    },
 
     "q_exemplars" ->
       s"""WITH ee AS (
