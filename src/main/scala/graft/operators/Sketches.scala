@@ -240,6 +240,57 @@ object Sketches extends graft.QueryPack {
             (col("exact_cnt") - col("est")).cast("double") <=
               lit(2.0) * col("n").cast("double") / (K + 1)).as("within_bound"))
         .orderBy(col("item"))
+    }),
+
+    // Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005): the
+    // point-query frequency sketch next to Misra–Gries's top-k. Depth
+    // 3 × width 64, hash rows keyed by the house md5-bucket device —
+    // which makes this the ONE sketch whose estimates are exactly
+    // restatable in the oracle: cell counters are plain SUMs (fully
+    // order/merge-independent, unlike MG's prune-order-dependent
+    // counters), and both engines compute identical md5 cells. So the
+    // oracle checks est VALUES, not just a contract boolean — plus the
+    // two published guarantees (est ≥ exact always; overshoot ≤ 2eN/w)
+    // as constant-true columns. Scale shape: one item-keyed pre-agg
+    // (map-combinable) → a 3×64-cell grid agg — partials are
+    // sketch-sized, raw values never shuffle; probes are a 5-row
+    // broadcast join against the grid. The same skewed stream as
+    // q_sketch_topk, so collisions genuinely bite (500 items on 64
+    // cells ≈ 8 colliders/cell).
+    "q_sketch_countmin" -> ((s, d) => {
+      val R = 3; val W = 64
+      val item = when(col("doc_id") % 4 < 2,
+          concat(lit("hot_"), (col("doc_id") % 2).cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("mid_"), (col("doc_id") % 16).cast("string")))
+        .otherwise(concat(lit("cold_"), col("doc_id").cast("string")))
+      val cnt = Tables(s, d, "documents").select(item.as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("c"))
+      def cell = conv(substring(
+        md5(concat_ws("#", col("item"), col("r"))), 1, 8), 16, 10)
+        .cast("long") % W
+      val cells = cnt
+        .select(col("item"), col("c"),
+          explode(array((0 until R).map(lit(_)): _*)).as("r"))
+        .withColumn("cell", cell)
+        .groupBy(col("r"), col("cell")).agg(sum(col("c")).as("cell_sum"))
+      val n = cnt.agg(sum(col("c")).as("n"))
+      val top = cnt.orderBy(col("c").desc, col("item")).limit(5)
+        .select(col("item"), col("c").as("exact_cnt"))
+      top
+        .select(col("item"), col("exact_cnt"),
+          explode(array((0 until R).map(lit(_)): _*)).as("r"))
+        .withColumn("cell", cell)
+        .join(cells, Seq("r", "cell"))
+        .groupBy(col("item"), col("exact_cnt"))
+        .agg(min(col("cell_sum")).as("est"))
+        .crossJoin(broadcast(n))
+        .select(col("item"), col("exact_cnt"), col("est"),
+          (col("est") >= col("exact_cnt")).as("never_under"),
+          ((col("est") - col("exact_cnt")).cast("double") <=
+            lit(2.0 * math.E) * col("n").cast("double") / W)
+            .as("within_bound"))
+        .orderBy(col("item"))
     })
   )
 
@@ -305,6 +356,37 @@ object Sketches extends graft.QueryPack {
         |  SELECT item, COUNT(*) AS exact_cnt
         |  FROM stream GROUP BY item
         |  ORDER BY exact_cnt DESC, item LIMIT 2)
-        |ORDER BY item""".stripMargin
+        |ORDER BY item""".stripMargin,
+
+    // the full sketch restated: same md5 cells, same grid sums, same
+    // row-min — est is VALUE-checked, the guarantees constant-true
+    "q_sketch_countmin" ->
+      """WITH cnt AS (
+        |  SELECT CASE
+        |    WHEN doc_id % 4 < 2 THEN 'hot_' || CAST(doc_id % 2 AS VARCHAR)
+        |    WHEN doc_id % 4 = 2 THEN 'mid_' || CAST(doc_id % 16 AS VARCHAR)
+        |    ELSE 'cold_' || CAST(doc_id AS VARCHAR) END AS item,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |hashed AS (
+        |  SELECT item, c, r,
+        |    CAST(CAST('0x' || SUBSTRING(
+        |      md5(item || '#' || CAST(r AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 64 AS BIGINT) AS cell
+        |  FROM cnt, (SELECT unnest(range(0, 3)) AS r)),
+        |cells AS (
+        |  SELECT r, cell, CAST(SUM(c) AS BIGINT) AS cell_sum
+        |  FROM hashed GROUP BY r, cell),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+        |top AS (SELECT item, c AS exact_cnt FROM cnt
+        |        ORDER BY c DESC, item LIMIT 5),
+        |est AS (
+        |  SELECT h.item, t.exact_cnt, MIN(cells.cell_sum) AS est
+        |  FROM top t JOIN hashed h ON h.item = t.item
+        |  JOIN cells ON cells.r = h.r AND cells.cell = h.cell
+        |  GROUP BY h.item, t.exact_cnt)
+        |SELECT item, exact_cnt, est,
+        |  true AS never_under, true AS within_bound
+        |FROM est, nn ORDER BY item""".stripMargin
   )
 }
