@@ -216,6 +216,65 @@ object Extras extends graft.QueryPack {
         .orderBy(col("nat"), col("bal_band"))
     }),
 
+    // RFM segmentation (Hughes 1994; the direct-marketing scoring
+    // every CRM warehouse runs): per customer recency (days from
+    // their last order to the corpus high-water date), frequency
+    // (order count) and monetary (exact DECIMAL revenue sum — the
+    // q1_agg money discipline over the DOUBLE source column), each
+    // scored into exact rank quintiles WITHIN the customer's market
+    // segment — the per-source-partitioned window discipline of
+    // q_percentile_prune (a global unpartitioned ntile would funnel
+    // every customer through one task; segment keys keep the sort
+    // distributed). Rank ties break on custkey, so quintiles are
+    // total-order exact, and the score is pure integer arithmetic
+    // 5 − ((rk−1)·5 div n) — top rank scores 5 at any segment size.
+    // One orders pass (custkey-keyed agg), one customers join, three
+    // segment-partitioned windows; the corpus max date is the only
+    // broadcast.
+    "q_rfm" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val perCust = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2))
+            .as("monetary"))
+      val hw = o.agg(max(col("o_orderdate")).as("hwm"))
+      val base = perCust
+        .join(Tables(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("seg")), Seq("o_custkey"))
+        .crossJoin(broadcast(hw))
+        .select(col("o_custkey").as("custkey"), col("seg"),
+          datediff(col("hwm"), col("last_order")).cast("long")
+            .as("recency_days"),
+          col("frequency"), col("monetary"))
+      def wSeg(o: org.apache.spark.sql.Column*) =
+        Window.partitionBy(col("seg")).orderBy(o: _*)
+      val n = Window.partitionBy(col("seg"))
+      def score(rk: String) =
+        expr(s"5 - (($rk - 1) * 5) div n").cast("long")
+      base
+        .withColumn("n", count(lit(1)).over(n))
+        .withColumn("rk_r", row_number()
+          .over(wSeg(col("recency_days"), col("custkey"))).cast("long"))
+        .withColumn("rk_f", row_number()
+          .over(wSeg(col("frequency").desc, col("custkey"))).cast("long"))
+        .withColumn("rk_m", row_number()
+          .over(wSeg(col("monetary").desc, col("custkey"))).cast("long"))
+        .select(col("custkey"), col("seg"), col("recency_days"),
+          col("frequency"), col("monetary"),
+          score("rk_r").as("r_score"),
+          score("rk_f").as("f_score"),
+          score("rk_m").as("m_score"))
+        .withColumn("label",
+          when(col("r_score") === 5 && col("f_score") >= 4, "champion")
+            .when(col("f_score") >= 4, "loyal")
+            .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+            .when(col("r_score") <= 2, "hibernating")
+            .otherwise("regular"))
+        .orderBy(col("custkey"))
+    }),
+
     // Snapshot diff — the data-versioning audit (what changed between
     // two loads of the same table): added / removed / changed rows via
     // ONE full-outer join on the key, comparing the tracked columns
@@ -1233,6 +1292,46 @@ object Extras extends graft.QueryPack {
         |    <= 0.35 AS satisfies_t
         |FROM contrib GROUP BY nat, bal_band
         |ORDER BY nat, bal_band""".stripMargin,
+
+    // same custkey agg, same segment-partitioned rank quintiles, same
+    // integer score arithmetic and label CASE
+    "q_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey AS custkey, MAX(o_orderdate) AS last_order,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |      AS DECIMAL(18,2)) AS monetary
+        |  FROM orders GROUP BY 1),
+        |hw AS (SELECT MAX(o_orderdate) AS hwm FROM orders),
+        |base AS (
+        |  SELECT pc.custkey, c.c_mktsegment AS seg,
+        |    CAST(date_diff('day', CAST(pc.last_order AS DATE),
+        |      CAST(hw.hwm AS DATE)) AS BIGINT) AS recency_days,
+        |    pc.frequency, pc.monetary
+        |  FROM pc JOIN customer c ON c.c_custkey = pc.custkey, hw),
+        |rk AS (
+        |  SELECT base.*, COUNT(*) OVER (PARTITION BY seg) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY seg
+        |      ORDER BY recency_days, custkey) AS rk_r,
+        |    ROW_NUMBER() OVER (PARTITION BY seg
+        |      ORDER BY frequency DESC, custkey) AS rk_f,
+        |    ROW_NUMBER() OVER (PARTITION BY seg
+        |      ORDER BY monetary DESC, custkey) AS rk_m
+        |  FROM base),
+        |sc AS (
+        |  SELECT custkey, seg, recency_days, frequency, monetary,
+        |    CAST(5 - ((rk_r - 1) * 5) // n AS BIGINT) AS r_score,
+        |    CAST(5 - ((rk_f - 1) * 5) // n AS BIGINT) AS f_score,
+        |    CAST(5 - ((rk_m - 1) * 5) // n AS BIGINT) AS m_score
+        |  FROM rk)
+        |SELECT custkey, seg, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score = 5 AND f_score >= 4 THEN 'champion'
+        |       WHEN f_score >= 4 THEN 'loyal'
+        |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |       WHEN r_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS label
+        |FROM sc ORDER BY custkey""".stripMargin,
 
     "q_zorder_layout" ->
       s"""WITH ev AS (
