@@ -1039,8 +1039,111 @@ object Extras extends graft.QueryPack {
               9)).otherwise(lit(1.0d)).as("metric"),
           (col("satisfied") === col("n")).as("passed"))
         .orderBy(col("check"))
+    }),
+
+    // Shuffle-key skew audit — the pre-flight a 100 TB job runs before
+    // keying a join or aggregation: per candidate key, how heavy is
+    // the heaviest hash partition going to be? Per-key counts collapse
+    // to the count-of-counts grid (the q_good_turing / q_auc grid
+    // discipline), so the exact lower-median and p99 key weights come
+    // from ONE cumulative window over a grid-sized frame — never a
+    // keys-sized global sort. skew_factor = max/avg key weight decides
+    // the salting recommendation (cap 32, the shuffle-partition
+    // count): exactly the fan-out q_salted_agg then applies. All
+    // counts exact BIGINTs; the two shares are round-6 doubles of
+    // exact integers; quantiles are integer threshold picks (2·cum ≥
+    // n_keys, 100·cum ≥ 99·n_keys) — no float percentile.
+    "q_skew_audit" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val ev = Tables(s, d, "events")
+      skewLeg(li, "lineitem.l_partkey", col("l_partkey"))
+        .unionAll(skewLeg(li, "lineitem.l_suppkey", col("l_suppkey")))
+        .unionAll(skewLeg(ev, "events.user_id", col("user_id")))
+        .unionAll(skewLeg(ev, "events.event_type", col("event_type")))
+        .orderBy(col("shuffle_key"))
     })
   )
+
+  /** One (table, key) leg of the shuffle-skew audit — package-visible
+    * so specs can drive it with planted hot-key frames (the synthetic
+    * tables are too uniform to fire the salting branch). */
+  private[graft] def skewLeg(df: DataFrame, tag: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+        val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+        val grid = counts.groupBy(col("cnt"))
+          .agg(count(lit(1)).as("keys_at"))
+        val wCum = Window.orderBy(col("cnt"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val g = grid.withColumn("cum", sum(col("keys_at")).over(wCum))
+        val tot = g.agg(sum(col("keys_at")).as("n_keys"),
+          sum(col("cnt") * col("keys_at")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"))
+        // groupBy a constant (not a bare agg) so an empty table yields
+        // an empty audit row set, not a NULL row — EmptyInputSpec
+        g.crossJoin(tot).groupBy(lit(1).as("one"))
+          .agg(max(col("n_keys")).as("n_keys"),
+            max(col("n_rows")).as("n_rows"),
+            max(col("max_cnt")).as("max_cnt"),
+            min(when(col("cum") * 2 >= col("n_keys"), col("cnt")))
+              .as("median_cnt"),
+            min(when(col("cum") * 100 >= col("n_keys") * 99, col("cnt")))
+              .as("p99_cnt"))
+          .withColumn("skew_factor",
+            round(col("max_cnt").cast("double") * col("n_keys") /
+              col("n_rows"), 6))
+          .select(lit(tag).as("shuffle_key"), col("n_rows"), col("n_keys"),
+            col("max_cnt"), col("median_cnt"), col("p99_cnt"),
+            round(col("max_cnt").cast("double") / col("n_rows"), 6)
+              .as("top1_share"),
+            col("skew_factor"),
+            when(col("skew_factor") > 4.0d,
+              least(lit(32L), ceil(col("skew_factor")).cast("long")))
+              .otherwise(1L).as("salt_buckets"))
+  }
+
+  /** One (table, key) leg of the q_skew_audit oracle, suffix-named so
+    * all four legs share a single top-level WITH. */
+  private def skewLegSql(table: String, key: String, tag: String,
+                         i: Int): (String, String) = {
+    val ctes =
+      s"""counts_$i AS (
+         |  SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM $table GROUP BY $key),
+         |grid_$i AS (
+         |  SELECT cnt, CAST(COUNT(*) AS BIGINT) AS keys_at
+         |  FROM counts_$i GROUP BY cnt),
+         |g_$i AS (
+         |  SELECT cnt, keys_at,
+         |    CAST(SUM(keys_at) OVER (ORDER BY cnt
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM grid_$i),
+         |tot_$i AS (
+         |  SELECT CAST(SUM(keys_at) AS BIGINT) AS n_keys,
+         |    CAST(SUM(cnt * keys_at) AS BIGINT) AS n_rows,
+         |    MAX(cnt) AS max_cnt FROM g_$i),
+         |m_$i AS (
+         |  SELECT 1 AS one,
+         |    MAX(n_keys) AS n_keys, MAX(n_rows) AS n_rows,
+         |    MAX(max_cnt) AS max_cnt,
+         |    MIN(CASE WHEN 2 * cum >= n_keys THEN cnt END) AS median_cnt,
+         |    MIN(CASE WHEN 100 * cum >= 99 * n_keys THEN cnt END)
+         |      AS p99_cnt
+         |  FROM g_$i CROSS JOIN tot_$i GROUP BY 1)""".stripMargin
+    val sel =
+      s"""SELECT '$tag' AS shuffle_key, n_rows, n_keys, max_cnt,
+         |  median_cnt, p99_cnt,
+         |  round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top1_share,
+         |  round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 6)
+         |    AS skew_factor,
+         |  CASE WHEN round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 6)
+         |      > 4.0
+         |    THEN LEAST(32, CAST(CEIL(round(CAST(max_cnt AS DOUBLE)
+         |      * n_keys / n_rows, 6)) AS BIGINT))
+         |    ELSE 1 END AS salt_buckets
+         |FROM m_$i""".stripMargin
+    (ctes, sel)
+  }
 
   /** The 16-term bit interleave, generated once for both engines. */
   private[operators] def zTermsSql: String = (0 until 8).map(i =>
@@ -1718,6 +1821,20 @@ object Extras extends graft.QueryPack {
         |                    ROWS UNBOUNDED PRECEDING) AS last_purchase_us
         |  FROM merged) t
         |WHERE event_type = 'click'
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // four generated legs, one shared WITH; same grid/threshold forms
+    "q_skew_audit" -> {
+      val legs = Seq(
+        ("lineitem", "l_partkey", "lineitem.l_partkey"),
+        ("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+        ("events", "user_id", "events.user_id"),
+        ("events", "event_type", "events.event_type"))
+        .zipWithIndex.map { case ((t, k, tag), i) => skewLegSql(t, k, tag, i) }
+      s"""WITH ${legs.map(_._1).mkString(",\n")}
+         |SELECT * FROM (
+         |${legs.map(l => s"(${l._2})").mkString("\nUNION ALL\n")}
+         |) ORDER BY shuffle_key""".stripMargin
+    }
   )
 }

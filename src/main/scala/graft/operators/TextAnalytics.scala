@@ -411,6 +411,40 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // Good–Turing frequency-of-frequencies (Good 1953; the
+    // Gale–Sampson simple-GT presentation) per source — the corpus
+    // statistic behind "how much mass sits in words we have NOT seen
+    // yet": p_unseen = N₁/N (hapax share), the smoothed count
+    // r* = (r+1)·N_{r+1}/N_r for the low ranks, and coverage
+    // = 1 − N₁/N — what a mixture designer reads to judge whether a
+    // source's vocabulary is saturated or still growing (pairs with
+    // q_heaps_law's growth curve). Two map-combinable aggregations —
+    // (source, word) counts, then count-of-counts over the vocab-sized
+    // frame — and a 5-row conditional roll-up per source; the corpus
+    // never moves after the first agg. All counts exact BIGINTs, the
+    // three ratios round-9 doubles of exact integers.
+    "q_good_turing" -> ((s, d) => {
+      val freq = Tables(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+      freq.groupBy(col("source"))
+        .agg(sum(col("f")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(when(col("f") === 2, 1L).otherwise(0L)).as("n_dis"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"), col("n_dis"),
+          round(col("n_hapax").cast("double") / col("n_tokens"), 9)
+            .as("p_unseen"),
+          when(col("n_hapax") > 0,
+            round(lit(2.0) * col("n_dis") / col("n_hapax"), 9))
+            .as("r_star_1"),
+          round(lit(1.0) - col("n_hapax").cast("double") / col("n_tokens"),
+            9).as("coverage"))
+        .orderBy(col("source"))
+    }),
+
     // Pairwise source vocabulary overlap — the corpus-mixture design
     // matrix ("how redundant are these domains before I weight them"),
     // complementing q_js_divergence's per-source-vs-corpus drift with
@@ -1515,6 +1549,29 @@ object TextAnalytics extends graft.QueryPack {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
         |    AS zipf_slope
         |FROM moms ORDER BY rank""".stripMargin,
+
+    // same (source, word) counts, same count-of-counts roll-up
+    "q_good_turing" ->
+      """WITH freq AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY source, w),
+        |gt AS (
+        |  SELECT source,
+        |    CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax,
+        |    CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dis
+        |  FROM freq GROUP BY source)
+        |SELECT source, n_tokens, n_types, n_hapax, n_dis,
+        |  round(CAST(n_hapax AS DOUBLE) / n_tokens, 9) AS p_unseen,
+        |  CASE WHEN n_hapax > 0
+        |    THEN round(2.0 * n_dis / n_hapax, 9) END AS r_star_1,
+        |  round(1.0 - CAST(n_hapax AS DOUBLE) / n_tokens, 9) AS coverage
+        |FROM gt ORDER BY source""".stripMargin,
 
     // distinct vocab per source, word-keyed pair join, IE union
     "q_source_overlap" ->

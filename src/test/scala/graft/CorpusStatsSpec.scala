@@ -105,4 +105,30 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(slope < 0.0, "rank-frequency slope must be negative")
     TestSpark.housekeeping()
   }
+
+  test("q_good_turing: count ordering, mass identity, smoothed r*") {
+    val rows = graft.operators.TextAnalytics
+      .queries("q_good_turing")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tokens, types, hapax, dis) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(hapax <= types && types <= tokens, r.toString)
+      assert(dis <= types - hapax, "doubletons are non-hapax types")
+      val pUnseen = r.getDouble(5)
+      // p_unseen + coverage must reconstruct 1 (same rounding scale)
+      assert(math.abs(pUnseen + r.getDouble(7) - 1.0) < 2e-9)
+      assert(pUnseen >= 0.0 && pUnseen <= 1.0)
+      // Good–Turing smoothed count for r=1 recomputed in memory
+      if (hapax > 0) {
+        val expect = BigDecimal(2.0 * dis / hapax)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(6) == expect)
+        // simple GT discounts the hapax count: r* below the raw 2·N₂
+        // bound and, on any Zipfian corpus, below r+1 = 2
+        assert(r.getDouble(6) <= 2.0 * dis)
+      } else assert(r.isNullAt(6))
+    }
+  }
 }

@@ -167,7 +167,14 @@ class DeterminismSpec extends AnyFunSuite {
     // both total orders; LPA: three unrolled rounds of count-argmax
     // with the same struct-max total order — any layout dependence
     // means a vote tie broke by arrival order instead of label
-    "q_containment_dedup", "q_knn_classify", "q_label_propagation")
+    "q_containment_dedup", "q_knn_classify", "q_label_propagation",
+    // Good–Turing: every column is an exact BIGINT count over the
+    // (source, word) frequency grid or a round-9 ratio of two such
+    // counts — a layout term means a count was partition-local
+    "q_good_turing",
+    // skew audit: exact count-of-counts grids + integer threshold
+    // quantile picks — a layout term means a grid cumsum leaked
+    "q_skew_audit")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

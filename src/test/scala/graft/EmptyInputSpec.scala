@@ -98,7 +98,13 @@ class EmptyInputSpec extends AnyFunSuite {
     // no candidate pairs; an empty embedding table has no eval half to
     // classify; an empty trade graph has no nodes to label — all three
     // must collapse to empty frames through their joins and windows
-    "q_containment_dedup", "q_knn_classify", "q_label_propagation")
+    "q_containment_dedup", "q_knn_classify", "q_label_propagation",
+    // Good–Turing over an empty corpus: no words → no frequency grid
+    // → no per-source roll-up rows (not a division crash)
+    "q_good_turing",
+    // skew audit of empty tables: no keys → no count grid → no audit
+    // rows (the constant-group collapse, not a NULL-row agg)
+    "q_skew_audit")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

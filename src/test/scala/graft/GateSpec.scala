@@ -1233,4 +1233,43 @@ class GateSpec extends AnyFunSuite {
     // roll-up internal consistency: member mix partitions each community
     out.foreach { case (_, n, nc, ns) => assert(nc + ns == n) }
   }
+
+  test("q_skew_audit: quantile ordering and conservation on real keys") {
+    val rows =
+      try graft.operators.Extras.queries("q_skew_audit")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (nRows, nKeys, maxC, medC, p99C) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(medC <= p99C && p99C <= maxC && maxC <= nRows)
+      assert(nKeys <= nRows)
+      assert(r.getDouble(6) ==
+        BigDecimal(maxC.toDouble / nRows)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // avg key weight >= 1 ⇒ skew_factor (max/avg) <= max_cnt
+      assert(r.getDouble(7) >= 1.0 - 1e-6 && r.getDouble(7) <= maxC)
+    }
+  }
+
+  test("skewLeg: a planted 90%-hot key fires the capped salt branch") {
+    import spark.implicits._
+    // 900 rows of key 0 + 100 distinct singleton keys: n_keys=101,
+    // max=900, skew = 900*101/1000 = 90.9 -> ceil capped at 32
+    val df = (Seq.fill(900)(0L) ++ (1L to 100L)).toDF("k")
+      .repartition(7)
+    val r =
+      try graft.operators.Extras.skewLeg(df, "planted.k",
+        org.apache.spark.sql.functions.col("k")).collect().head
+      finally TestSpark.housekeeping()
+    assert(r.getLong(1) == 1000L && r.getLong(2) == 101L)
+    assert(r.getLong(3) == 900L)
+    assert(r.getLong(4) == 1L, "lower median of 101 counts is 1")
+    // ceil(0.99*101) = 100 and 100 of the 101 keys are singletons —
+    // even an extreme hot key hides from p99; max_cnt is the tell
+    assert(r.getLong(5) == 1L)
+    assert(r.getDouble(7) == 90.9)
+    assert(r.getLong(8) == 32L, "salt recommendation must cap at 32")
+  }
 }
