@@ -536,6 +536,62 @@ object Inference extends graft.QueryPack {
           round(col("d_num").cast("double") /
             nullif(col("n_pos") * col("n_neg"), lit(0L)).cast("double"), 9)
             .as("ks_d"))
+    }),
+
+    // Split conformal prediction audit (Vovk et al. 2005; the
+    // Papadopoulos split form) — the distribution-free coverage
+    // guarantee a labeling pipeline wraps around ANY scorer before
+    // trusting its decisions: calibrate a nonconformity quantile q̂ on
+    // a held-out split, then measure empirical coverage and average
+    // prediction-set size on the rest. Calibration uses an md5 bucket
+    // INDEPENDENT of the score's hash bits (chars 17-20 vs 1-13 of
+    // the same digest); nonconformity of the true label is integer
+    // (1e6−score for y=1, score for y=0); q̂ is the
+    // ⌈0.9·(n_cal+1)⌉-th order statistic picked off the
+    // count-of-nonconformity grid with the 10·cum ≥ 9·(n_cal+1)
+    // integer threshold — the q_auc grid discipline, never a
+    // corpus-sized sort. Eval is one broadcast of the 1-row q̂ onto
+    // the eval split; both headline ratios are round-9 doubles of
+    // exact integer counts. Exchangeability gives coverage ≥ 0.9 in
+    // expectation — the spec pins the planted fixture's realization.
+    "q_conformal" -> ((s, d) => {
+      val sc = plantedScores(s, d).withColumn("bucket",
+        conv(substring(md5(col("vec_id").cast("string")), 17, 4), 16, 10)
+          .cast("long"))
+      val cal = sc.filter(col("bucket") < 32768L)
+        .withColumn("a", when(col("y") === 1L, lit(1000000L) - col("score"))
+          .otherwise(col("score")))
+      val wCum = Window.orderBy(col("a"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val g = cal.groupBy(col("a")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+      val nCal = g.agg(sum(col("cnt")).as("n_cal"))
+      val qhat = g.crossJoin(nCal).groupBy(lit(1).as("one"))
+        .agg(max(col("n_cal")).as("n_cal"),
+          min(when(col("cum") * 10L >= (col("n_cal") + 1L) * 9L, col("a")))
+            .as("q_raw"))
+        // k > n_cal (tiny calibration split) ⇒ q̂ = ∞: the set is
+        // everything, coverage 1 — the honest conformal degenerate
+        .select(col("n_cal"),
+          coalesce(col("q_raw"), lit(1000000L)).as("q_hat"))
+      sc.filter(col("bucket") >= 32768L)
+        .crossJoin(broadcast(qhat))
+        .groupBy(col("n_cal"), col("q_hat"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when((col("y") === 1L &&
+              lit(1000000L) - col("score") <= col("q_hat")) ||
+            (col("y") === 0L && col("score") <= col("q_hat")), 1L)
+            .otherwise(0L)).as("n_covered"),
+          sum(when(lit(1000000L) - col("score") <= col("q_hat"), 1L)
+            .otherwise(0L) +
+            when(col("score") <= col("q_hat"), 1L).otherwise(0L))
+            .as("set_cells"))
+        .select(col("n_cal"), col("n_eval"), col("q_hat"),
+          lit(0.9d).as("target"),
+          round(col("n_covered").cast("double") / col("n_eval"), 9)
+            .as("coverage"),
+          round(col("set_cells").cast("double") / col("n_eval"), 9)
+            .as("avg_set_size"))
     }))
 
   /** Planted binary classifier over the embeddings corpus — the eval
@@ -909,5 +965,41 @@ object Inference extends graft.QueryPack {
         |SELECT resample, w_total, est_r, est_full,
         |  MAX(CASE WHEN rk = 2 THEN est_r END) OVER () AS ci_lo,
         |  MAX(CASE WHEN rk = 31 THEN est_r END) OVER () AS ci_hi
-        |FROM ranked, full_est ORDER BY resample""".stripMargin)
+        |FROM ranked, full_est ORDER BY resample""".stripMargin,
+
+    // same split bits, grid order statistic and set-membership counts
+    "q_conformal" ->
+      s"""WITH $plantedScoresDuck,
+         |sc AS (
+         |  SELECT *, CAST(('0x' ||
+         |      substr(md5(CAST(vec_id AS VARCHAR)), 17, 4)) AS BIGINT)
+         |    AS bucket
+         |  FROM scored),
+         |cal AS (
+         |  SELECT CASE WHEN y = 1 THEN 1000000 - score ELSE score END AS a
+         |  FROM sc WHERE bucket < 32768),
+         |g AS (
+         |  SELECT a, cnt,
+         |    CAST(SUM(cnt) OVER (ORDER BY a
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM (SELECT a, CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM cal GROUP BY a)),
+         |ncal AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_cal FROM g),
+         |qhat AS (
+         |  SELECT n_cal,
+         |    COALESCE(MIN(CASE WHEN 10 * cum >= 9 * (n_cal + 1) THEN a END),
+         |      1000000) AS q_hat
+         |  FROM g CROSS JOIN ncal GROUP BY n_cal)
+         |SELECT n_cal, CAST(COUNT(*) AS BIGINT) AS n_eval, q_hat,
+         |  CAST(0.9 AS DOUBLE) AS target,
+         |  round(CAST(SUM(CASE WHEN (y = 1 AND 1000000 - score <= q_hat)
+         |      OR (y = 0 AND score <= q_hat) THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 9) AS coverage,
+         |  round(CAST(SUM(
+         |      (CASE WHEN 1000000 - score <= q_hat THEN 1 ELSE 0 END) +
+         |      (CASE WHEN score <= q_hat THEN 1 ELSE 0 END)) AS DOUBLE)
+         |    / COUNT(*), 9) AS avg_set_size
+         |FROM sc CROSS JOIN qhat
+         |WHERE bucket >= 32768 GROUP BY n_cal, q_hat""".stripMargin)
 }

@@ -174,7 +174,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_good_turing",
     // skew audit: exact count-of-counts grids + integer threshold
     // quantile picks — a layout term means a grid cumsum leaked
-    "q_skew_audit")
+    "q_skew_audit",
+    // conformal: md5 split + integer nonconformity grid + one
+    // order-statistic threshold — the quartet's layout-free algebra
+    "q_conformal")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -104,7 +104,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_good_turing",
     // skew audit of empty tables: no keys → no count grid → no audit
     // rows (the constant-group collapse, not a NULL-row agg)
-    "q_skew_audit")
+    "q_skew_audit",
+    // conformal on an empty corpus: no calibration grid → no q̂ row →
+    // the eval cross join is empty (not a NULL-quantile crash)
+    "q_conformal")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

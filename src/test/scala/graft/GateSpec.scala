@@ -1272,4 +1272,46 @@ class GateSpec extends AnyFunSuite {
     assert(r.getDouble(7) == 90.9)
     assert(r.getLong(8) == 32L, "salt recommendation must cap at 32")
   }
+
+  test("q_conformal equals the brute split-conformal recompute") {
+    // independent re-derivation incl. the split bucket (md5 chars
+    // 17-20), so grid-algebra and plant bugs can't cancel
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = Tables(spark, TestSpark.sf, "embeddings")
+      .select("vec_id", "label").collect()
+    TestSpark.housekeeping()
+    val pts = rows.toSeq.map { r =>
+      val hex = md.digest(r.getLong(0).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      val u6 = java.lang.Long.parseLong(hex.take(13), 16) % 1000000L
+      val y = if (r.getInt(1) % 2 == 0) 1L else 0L
+      (y, y * 350000L + (u6 * 65L) / 100L,
+        java.lang.Long.parseLong(hex.substring(16, 20), 16))
+    }
+    val cal = pts.filter(_._3 < 32768L)
+      .map { case (y, s, _) => if (y == 1L) 1000000L - s else s }.sorted
+    val k = (9 * (cal.size + 1) + 9) / 10 // ceil(0.9·(n_cal+1))
+    val qHat = if (k <= cal.size) cal(k - 1) else 1000000L
+    val ev = pts.filter(_._3 >= 32768L)
+    val covered = ev.count { case (y, s, _) =>
+      if (y == 1L) 1000000L - s <= qHat else s <= qHat }
+    val cells = ev.map { case (_, s, _) =>
+      (if (1000000L - s <= qHat) 1 else 0) +
+        (if (s <= qHat) 1 else 0) }.sum
+    val r = run("q_conformal").head
+    assert(r.getLong(r.fieldIndex("n_cal")) == cal.size.toLong)
+    assert(r.getLong(r.fieldIndex("n_eval")) == ev.size.toLong)
+    assert(r.getLong(r.fieldIndex("q_hat")) == qHat,
+      "grid order statistic must equal the sorted calibration pick")
+    assert(math.abs(r.getDouble(r.fieldIndex("coverage")) -
+      covered.toDouble / ev.size) < 1e-9)
+    assert(math.abs(r.getDouble(r.fieldIndex("avg_set_size")) -
+      cells.toDouble / ev.size) < 1e-9)
+    // the planted fixture's realization is non-degenerate: near-target
+    // coverage with informative (not all-label) prediction sets
+    assert(r.getDouble(r.fieldIndex("coverage")) > 0.8)
+    assert(r.getDouble(r.fieldIndex("avg_set_size")) >= 1.0 &&
+      r.getDouble(r.fieldIndex("avg_set_size")) < 2.0)
+  }
 }
