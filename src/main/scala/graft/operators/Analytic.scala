@@ -971,6 +971,41 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("win_day"))
     }),
 
+    // Temporal burst detection (the z-score reduction of Kleinberg
+    // 2002's burst states) — which (event_type, day) cells spike
+    // against that type's own daily baseline? The corpus collapses to
+    // the (types × days) grid FIRST — one shuffle, grid-sized
+    // thereafter — and missing cells are explicit zeros (a type that
+    // skips a day must drag its mean down, not vanish from it): the
+    // grid is types·days rows at any corpus size. The z-score uses
+    // the common-denominator integer form z = (nd·c − Σc) /
+    // √(nd·Σc² − (Σc)²) — exact BIGINT moments, ONE sqrt, round-9 —
+    // so Σz per type is exactly 0 pre-round (the spec's invariant).
+    // Constant series (variance 0) yield NULL z, not a division blow.
+    "q_burst_detect" -> ((s, d) => {
+      val e = Tables(s, d, "events").select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      val c = e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(e.select(col("day")).distinct())
+      val f = grid.join(c, Seq("event_type", "day"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val m = f.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("cnt")).as("s1"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+      f.join(m, Seq("event_type"))
+        .withColumn("z",
+          when(col("nd") * col("s2") - col("s1") * col("s1") > 0L,
+            round((col("nd") * col("cnt") - col("s1")).cast("double") /
+              sqrt((col("nd") * col("s2") - col("s1") * col("s1"))
+                .cast("double")), 9)))
+        .select(col("event_type"), col("day"), col("cnt"), col("z"),
+          when(col("z") >= 2.0d, lit(true)).otherwise(lit(false))
+            .as("is_burst"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Event-transition matrix (first-order Markov counts): for each
     // user's ts-ordered event stream, count event_type → next
     // event_type transitions — the sequence-analytics primitive under
@@ -2651,6 +2686,36 @@ object Analytic extends graft.QueryPack {
         |SELECT win_day, COUNT(DISTINCT user_id) AS active_users_7d
         |FROM contrib JOIN days USING (win_day)
         |GROUP BY win_day ORDER BY win_day""".stripMargin,
+
+    // same zero-filled grid, same integer-moment z
+    "q_burst_detect" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY event_type, day),
+        |f AS (
+        |  SELECT g.event_type, g.day, COALESCE(c.cnt, 0) AS cnt
+        |  FROM (SELECT t.event_type, d.day
+        |        FROM (SELECT DISTINCT event_type FROM e) t
+        |        CROSS JOIN (SELECT DISTINCT day FROM e) d) g
+        |  LEFT JOIN c ON g.event_type = c.event_type AND g.day = c.day),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(cnt) AS BIGINT) AS s1,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        |  FROM f GROUP BY event_type)
+        |SELECT f.event_type, f.day, f.cnt,
+        |  CASE WHEN nd * s2 - s1 * s1 > 0 THEN
+        |    round(CAST(nd * cnt - s1 AS DOUBLE) /
+        |      sqrt(CAST(nd * s2 - s1 * s1 AS DOUBLE)), 9) END AS z,
+        |  CASE WHEN (CASE WHEN nd * s2 - s1 * s1 > 0 THEN
+        |      round(CAST(nd * cnt - s1 AS DOUBLE) /
+        |        sqrt(CAST(nd * s2 - s1 * s1 AS DOUBLE)), 9) END) >= 2.0
+        |    THEN TRUE ELSE FALSE END AS is_burst
+        |FROM f JOIN m USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_event_transitions" ->
       """SELECT event_type, next_type, COUNT(*) AS n FROM (

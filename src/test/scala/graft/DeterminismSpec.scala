@@ -177,7 +177,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_skew_audit",
     // conformal: md5 split + integer nonconformity grid + one
     // order-statistic threshold — the quartet's layout-free algebra
-    "q_conformal")
+    "q_conformal",
+    // bursts: zero-filled grid counts + exact BIGINT moments + one
+    // sqrt — a layout term means a grid cell double-counted
+    "q_burst_detect")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

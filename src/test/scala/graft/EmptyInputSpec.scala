@@ -107,7 +107,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_skew_audit",
     // conformal on an empty corpus: no calibration grid → no q̂ row →
     // the eval cross join is empty (not a NULL-quantile crash)
-    "q_conformal")
+    "q_conformal",
+    // bursts over an empty stream: no types × no days = empty grid
+    "q_burst_detect")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

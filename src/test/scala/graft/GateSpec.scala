@@ -1314,4 +1314,34 @@ class GateSpec extends AnyFunSuite {
     assert(r.getDouble(r.fieldIndex("avg_set_size")) >= 1.0 &&
       r.getDouble(r.fieldIndex("avg_set_size")) < 2.0)
   }
+
+  test("q_burst_detect: z equals brute per-type moments, sums to ~0") {
+    val rows =
+      try graft.operators.Analytic.queries("q_burst_detect")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    // the grid is rectangular: every type covers every day
+    assert(byType.values.map(_.length).toSet.size == 1)
+    byType.foreach { case (t, rs) =>
+      val nd = rs.length.toLong
+      val s1 = rs.map(_.getLong(2)).sum
+      val s2 = rs.map(r => r.getLong(2) * r.getLong(2)).sum
+      val varNum = nd * s2 - s1 * s1
+      var zSum = 0.0
+      rs.foreach { r =>
+        if (varNum > 0) {
+          val expect = BigDecimal((nd * r.getLong(2) - s1).toDouble /
+            math.sqrt(varNum.toDouble))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(r.getDouble(3) == expect, s"$t day=${r.getLong(1)}")
+          assert(r.getBoolean(4) == (r.getDouble(3) >= 2.0))
+          zSum += r.getDouble(3)
+        } else assert(r.isNullAt(3) && !r.getBoolean(4))
+      }
+      // Σ(nd·c − Σc) = 0 exactly; only round-9 residue survives
+      assert(math.abs(zSum) <= nd * 5e-10, s"$t zSum=$zSum")
+    }
+  }
 }
