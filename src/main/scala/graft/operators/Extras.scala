@@ -1041,6 +1041,50 @@ object Extras extends graft.QueryPack {
         .orderBy(col("check"))
     }),
 
+    // Embargo'd temporal split audit — the time-series counterpart of
+    // q_split_hash + q_split_leakage: train < t₁, a 5%-of-range
+    // embargo gap [t₁, t₂), test ≥ t₂ (the gap absorbs
+    // label-horizon bleed, the forecasting-CV discipline), with the
+    // leakage exposure measured as the share of TEST users who also
+    // have training history (entity leakage across a temporal cut —
+    // per-user state learned in train scores their test rows). Cuts
+    // are exact integer-µs arithmetic off a 1-row bounds broadcast;
+    // one shuffle on user_id builds the per-user split profile; the
+    // rollup is a 1-row constant-group agg (empty corpus → empty
+    // audit, not a NULL row).
+    "q_temporal_split" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val b = ev.groupBy(lit(1).as("one"))
+        .agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+        .select(
+          expr("mn + ((mx - mn) * 6) div 10").as("cut_train_us"),
+          expr("mn + ((mx - mn) * 13) div 20").as("cut_test_us"))
+      val u = ev.crossJoin(broadcast(b))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts_us") < col("cut_train_us"), 1L).otherwise(0L))
+            .as("nt"),
+          sum(when(col("ts_us") >= col("cut_train_us") &&
+            col("ts_us") < col("cut_test_us"), 1L).otherwise(0L)).as("ne"),
+          sum(when(col("ts_us") >= col("cut_test_us"), 1L).otherwise(0L))
+            .as("nx"))
+      u.groupBy(lit(1).as("one"))
+        .agg(sum(col("nt")).as("n_train"), sum(col("ne")).as("n_embargo"),
+          sum(col("nx")).as("n_test"),
+          sum(when(col("nt") > 0L, 1L).otherwise(0L)).as("users_train"),
+          sum(when(col("nx") > 0L, 1L).otherwise(0L)).as("users_test"),
+          sum(when(col("nt") > 0L && col("nx") > 0L, 1L).otherwise(0L))
+            .as("users_overlap"))
+        .crossJoin(broadcast(b))
+        .select(col("cut_train_us"), col("cut_test_us"), col("n_train"),
+          col("n_embargo"), col("n_test"), col("users_train"),
+          col("users_test"), col("users_overlap"),
+          round(col("users_overlap").cast("double") /
+            nullif(col("users_test"), lit(0L)).cast("double"), 9)
+            .as("leak_share"))
+    }),
+
     // Shuffle-key skew audit — the pre-flight a 100 TB job runs before
     // keying a join or aggregation: per candidate key, how heavy is
     // the heaviest hash partition going to be? Per-key counts collapse
@@ -1822,6 +1866,44 @@ object Extras extends graft.QueryPack {
         |  FROM merged) t
         |WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+
+    // same integer cuts, per-user profile, constant-group rollup
+    "q_temporal_split" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (
+        |  SELECT 1 AS one,
+        |    MIN(ts_us) + ((MAX(ts_us) - MIN(ts_us)) * 6) // 10
+        |      AS cut_train_us,
+        |    MIN(ts_us) + ((MAX(ts_us) - MIN(ts_us)) * 13) // 20
+        |      AS cut_test_us
+        |  FROM ev GROUP BY 1),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN ts_us < cut_train_us THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN ts_us >= cut_train_us
+        |      AND ts_us < cut_test_us THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+        |    CAST(SUM(CASE WHEN ts_us >= cut_test_us THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nx
+        |  FROM ev CROSS JOIN b GROUP BY user_id),
+        |r AS (
+        |  SELECT 1 AS one,
+        |    CAST(SUM(nt) AS BIGINT) AS n_train,
+        |    CAST(SUM(ne) AS BIGINT) AS n_embargo,
+        |    CAST(SUM(nx) AS BIGINT) AS n_test,
+        |    CAST(SUM(CASE WHEN nt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS users_train,
+        |    CAST(SUM(CASE WHEN nx > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS users_test,
+        |    CAST(SUM(CASE WHEN nt > 0 AND nx > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS users_overlap
+        |  FROM u GROUP BY 1)
+        |SELECT cut_train_us, cut_test_us, n_train, n_embargo, n_test,
+        |  users_train, users_test, users_overlap,
+        |  round(CAST(users_overlap AS DOUBLE) /
+        |    NULLIF(users_test, 0), 9) AS leak_share
+        |FROM r CROSS JOIN b""".stripMargin,
 
     // four generated legs, one shared WITH; same grid/threshold forms
     "q_skew_audit" -> {

@@ -180,7 +180,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_conformal",
     // bursts: zero-filled grid counts + exact BIGINT moments + one
     // sqrt — a layout term means a grid cell double-counted
-    "q_burst_detect")
+    "q_burst_detect",
+    // temporal split: integer-µs cuts off exact min/max bounds +
+    // per-user conditional counts — all total-order-free sums
+    "q_temporal_split")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

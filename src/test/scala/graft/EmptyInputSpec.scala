@@ -109,7 +109,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // the eval cross join is empty (not a NULL-quantile crash)
     "q_conformal",
     // bursts over an empty stream: no types × no days = empty grid
-    "q_burst_detect")
+    "q_burst_detect",
+    // temporal split of an empty stream: no bounds row → no cuts →
+    // empty audit (both rollups are constant-group collapses)
+    "q_temporal_split")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

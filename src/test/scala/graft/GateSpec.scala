@@ -1344,4 +1344,24 @@ class GateSpec extends AnyFunSuite {
       assert(math.abs(zSum) <= nd * 5e-10, s"$t zSum=$zSum")
     }
   }
+
+  test("q_temporal_split: conservation, cut ordering, leakage bounds") {
+    val (r, total) =
+      try {
+        val row = graft.operators.Extras.queries("q_temporal_split")(
+          spark, TestSpark.sf).collect().head
+        (row, Tables(spark, TestSpark.sf, "events").count())
+      } finally TestSpark.housekeeping()
+    val (t1, t2) = (r.getLong(0), r.getLong(1))
+    assert(t1 < t2, "embargo must be a real gap")
+    val (nTr, nEm, nTe) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nTr + nEm + nTe == total, "splits must partition the corpus")
+    assert(nTr > 0L && nTe > 0L, "both model splits populated")
+    val (uTr, uTe, uOv) = (r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(uOv <= math.min(uTr, uTe))
+    val leak = r.getDouble(8)
+    assert(leak >= 0.0 && leak <= 1.0)
+    assert(leak == BigDecimal(uOv.toDouble / uTe)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
