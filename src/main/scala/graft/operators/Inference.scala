@@ -236,6 +236,59 @@ object Inference extends graft.QueryPack {
           .as("var_reduction_pct"))
     }),
 
+    // Inverse-propensity-weighted treatment effect (Horvitz–Thompson
+    // 1952 via the stratified Hájek form) — the observational-data
+    // counterpart of q_cuped's experiment tooling: when treatment
+    // assignment is CONFOUNDED (here planted: the md5 coin's
+    // threshold rises with hour-of-day, and hour also shifts the
+    // outcome by +1000·hour cents), the naive treated-vs-control gap
+    // is biased; weighting each stratum by its exact empirical
+    // propensity recovers the planted +5000-cent effect. With exact
+    // per-stratum propensities the Hájek estimator reduces exactly to
+    // the stratified estimator Σ nₓ(ȳ₁ₓ−ȳ₀ₓ)/N — computed on the
+    // 24-row hour grid from one corpus pass; per-stratum terms are
+    // round-12 doubles of exact BIGINTs summed under DECIMAL(30,12)
+    // (the q_calibration ECE discipline), headline ATE broadcast back
+    // onto every row. A one-arm stratum yields a NULL term that the
+    // DECIMAL sum skips in both engines.
+    "q_ipw_ate" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("event_id").cast("string")),
+        1, 4), 16, 10).cast("long")
+      val cents = (col("value").cast(DecimalType(12, 2)) * 100)
+        .cast("long")
+      val base = Tables(s, d, "events")
+        .select(expr("(unix_micros(ts) div 3600000000) % 24").as("hour"),
+          bucket.as("b"), cents.as("c"))
+        .withColumn("t",
+          when(col("b") < (lit(16L) + col("hour")) * 1024L, 1L)
+            .otherwise(0L))
+        .withColumn("y",
+          col("c") + col("t") * 5000L + col("hour") * 1000L)
+      val wAll = Window.orderBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      base.groupBy(col("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("t")).as("n_t"),
+          sum(when(col("t") === 1L, col("y")).otherwise(0L)).as("s_t"),
+          sum(when(col("t") === 0L, col("y")).otherwise(0L)).as("s_c"))
+        .withColumn("n_total", sum(col("n")).over(wAll))
+        .withColumn("ate_term", round(col("n").cast("double") *
+          (col("s_t").cast("double") / nullif(col("n_t"), lit(0L)) -
+            col("s_c").cast("double") /
+              nullif(col("n") - col("n_t"), lit(0L))) /
+          col("n_total"), 12))
+        .withColumn("ate",
+          sum(col("ate_term").cast(DecimalType(30, 12))).over(wAll)
+            .cast("double"))
+        .select(col("hour"), col("n"), col("n_t"),
+          round(col("n_t").cast("double") / col("n"), 9).as("p_hat"),
+          round(col("s_t").cast("double") /
+            nullif(col("n_t"), lit(0L)), 9).as("mean_t"),
+          round(col("s_c").cast("double") /
+            nullif(col("n") - col("n_t"), lit(0L)), 9).as("mean_c"),
+          col("ate_term"), col("ate"))
+        .orderBy(col("hour"))
+    }),
+
     // Welch's unequal-variance t-test (Welch, Biometrika 1947) — the
     // parametric complement to q_permutation_test on the same two
     // cohorts: both moments come from ONE map-combinable aggregation
@@ -1001,5 +1054,40 @@ object Inference extends graft.QueryPack {
          |      (CASE WHEN score <= q_hat THEN 1 ELSE 0 END)) AS DOUBLE)
          |    / COUNT(*), 9) AS avg_set_size
          |FROM sc CROSS JOIN qhat
-         |WHERE bucket >= 32768 GROUP BY n_cal, q_hat""".stripMargin)
+         |WHERE bucket >= 32768 GROUP BY n_cal, q_hat""".stripMargin,
+
+    // same planted confounder, same stratified-Hájek algebra
+    "q_ipw_ate" ->
+      """WITH base AS (
+        |  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) AS b,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |yb AS (
+        |  SELECT hour, t, c + t * 5000 + hour * 1000 AS y FROM (
+        |    SELECT hour, c,
+        |      CASE WHEN b < (16 + hour) * 1024 THEN 1 ELSE 0 END AS t
+        |    FROM base)),
+        |strata AS (
+        |  SELECT hour, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(t) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS s_t,
+        |    CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS s_c
+        |  FROM yb GROUP BY hour),
+        |tm AS (
+        |  SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+        |    round(CAST(n AS DOUBLE) *
+        |      (CAST(s_t AS DOUBLE) / NULLIF(n_t, 0) -
+        |        CAST(s_c AS DOUBLE) / NULLIF(n - n_t, 0)) /
+        |      CAST(SUM(n) OVER () AS BIGINT), 12) AS ate_term
+        |  FROM strata)
+        |SELECT hour, n, n_t,
+        |  round(CAST(n_t AS DOUBLE) / n, 9) AS p_hat,
+        |  round(CAST(s_t AS DOUBLE) / NULLIF(n_t, 0), 9) AS mean_t,
+        |  round(CAST(s_c AS DOUBLE) / NULLIF(n - n_t, 0), 9) AS mean_c,
+        |  ate_term,
+        |  CAST(SUM(CAST(ate_term AS DECIMAL(30,12))) OVER () AS DOUBLE)
+        |    AS ate
+        |FROM tm ORDER BY hour""".stripMargin)
 }

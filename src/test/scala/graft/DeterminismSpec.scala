@@ -183,7 +183,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_burst_detect",
     // temporal split: integer-µs cuts off exact min/max bounds +
     // per-user conditional counts — all total-order-free sums
-    "q_temporal_split")
+    "q_temporal_split",
+    // IPW: md5 plant + exact stratum moments + round-12 terms summed
+    // under DECIMAL — the ECE window discipline
+    "q_ipw_ate")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -112,7 +112,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_burst_detect",
     // temporal split of an empty stream: no bounds row → no cuts →
     // empty audit (both rollups are constant-group collapses)
-    "q_temporal_split")
+    "q_temporal_split",
+    // IPW over an empty stream: no strata rows, not a 0/0 ATE
+    "q_ipw_ate")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

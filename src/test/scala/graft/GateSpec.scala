@@ -1364,4 +1364,48 @@ class GateSpec extends AnyFunSuite {
     assert(leak == BigDecimal(uOv.toDouble / uTe)
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("q_ipw_ate: brute strata recompute, deconfounding beats naive") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raw =
+      try Tables(spark, TestSpark.sf, "events")
+        .selectExpr("event_id", "(unix_micros(ts) div 3600000000) % 24",
+          "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS LONG)").collect()
+      finally TestSpark.housekeeping()
+    // independent plant re-derivation: JVM md5, plain arithmetic
+    val pts = raw.toSeq.map { r =>
+      val hex = md.digest(r.getLong(0).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString.take(4)
+      val hour = r.getLong(1)
+      val t = if (java.lang.Long.parseLong(hex, 16) < (16 + hour) * 1024)
+        1L else 0L
+      (hour, t, r.getLong(2) + t * 5000L + hour * 1000L)
+    }
+    val rows =
+      try graft.operators.Inference.queries("q_ipw_ate")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    val byHour = pts.groupBy(_._1)
+    assert(rows.map(_.getLong(0)).toSet == byHour.keySet)
+    rows.foreach { r =>
+      val g = byHour(r.getLong(0))
+      assert(r.getLong(1) == g.size.toLong)
+      assert(r.getLong(2) == g.count(_._2 == 1L).toLong,
+        s"hour=${r.getLong(0)} treated count")
+    }
+    // planted effect is +5000 cents; stratified IPW must land closer
+    // to it than the confounded naive gap does
+    val ate = rows.head.getDouble(rows.head.fieldIndex("ate"))
+    val (st, nt) = (pts.filter(_._2 == 1L).map(_._3).sum,
+      pts.count(_._2 == 1L).toLong)
+    val (sc2, nc) = (pts.filter(_._2 == 0L).map(_._3).sum,
+      pts.count(_._2 == 0L).toLong)
+    val naive = st.toDouble / nt - sc2.toDouble / nc
+    assert(math.abs(ate - 5000.0) < math.abs(naive - 5000.0),
+      s"ate=$ate naive=$naive — IPW failed to deconfound")
+    assert(math.abs(ate - 5000.0) < 1500.0, s"ate=$ate off-plant")
+    // every row broadcasts the same headline
+    rows.foreach(r => assert(r.getDouble(r.fieldIndex("ate")) == ate))
+  }
 }
