@@ -305,6 +305,48 @@ object TextAnalytics extends graft.QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // Unigram^0.75 negative sampling (Mikolov et al. 2013's noise
+    // distribution) — the draw an embedding-training pipeline makes
+    // millions of times per epoch, here as the deterministic table
+    // build + probe: each word's weight is freq^0.75 rounded at 3
+    // digits and scaled to an exact BIGINT (the q_weighted_sample
+    // libm-ULP discipline — the ONE transcendental is rounded before
+    // any arithmetic that must agree across engines), the cumulative
+    // weight table assigns each word a disjoint integer interval, and
+    // probe j for center c lands at (md5₂₀(c#j)·W) div 2²⁰ — a pure
+    // integer function, so the sample is reproducible under any
+    // layout or cluster size. Probes broadcast (centers × 5 rows);
+    // the vocab streams past them once. Scale note: the cumulative
+    // table build is a vocab-sized window sort (the q_zipf bucket) —
+    // at an extreme 1e9-type vocab it becomes a range-partitioned
+    // two-phase cumsum, same intervals, same probes.
+    "q_negative_sampling" -> ((s, d) => {
+      val freq = Tables(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val wt = freq.withColumn("wi",
+        round(pow(col("f"), 0.75d) * 1000, 0).cast("long"))
+      val wOrd = Window.orderBy(col("f").desc, col("w"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cumt = wt.withColumn("cum_hi", sum(col("wi")).over(wOrd))
+      val tot = wt.agg(sum(col("wi")).as("wsum"))
+      val probes = freq.orderBy(col("f").desc, col("w")).limit(20)
+        .select(col("w").as("center"))
+        .crossJoin(s.range(1, 6).select(col("id").as("j")))
+        .withColumn("u20", conv(substring(md5(concat(col("center"),
+          lit("#"), col("j").cast("string"))), 1, 5), 16, 10)
+          .cast("long"))
+        .crossJoin(broadcast(tot))
+        .withColumn("t", expr("(u20 * wsum) div 1048576"))
+      cumt.join(broadcast(probes),
+          col("t") >= col("cum_hi") - col("wi") && col("t") < col("cum_hi"))
+        .select(col("center"), col("j"), col("w").as("neg_word"),
+          col("f").as("neg_freq"),
+          (col("w") === col("center")).as("is_self"))
+        .orderBy(col("center"), col("j"))
+    }),
+
     // Hashing-trick vectorizer (Weinberger et al., ICML 2009) — the
     // fixed-width featurizer a training pipeline uses when the
     // vocabulary is unbounded: token → slot = md5 % 64, with a second
@@ -1549,6 +1591,37 @@ object TextAnalytics extends graft.QueryPack {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
         |    AS zipf_slope
         |FROM moms ORDER BY rank""".stripMargin,
+
+    // same rounded-then-scaled weights, intervals and integer probes
+    "q_negative_sampling" ->
+      """WITH freq AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |wt AS (
+        |  SELECT w, f,
+        |    CAST(round(power(f, 0.75) * 1000, 0) AS BIGINT) AS wi
+        |  FROM freq),
+        |cumt AS (
+        |  SELECT w, f, wi,
+        |    CAST(SUM(wi) OVER (ORDER BY f DESC, w
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hi
+        |  FROM wt),
+        |tot AS (SELECT CAST(SUM(wi) AS BIGINT) AS wsum FROM wt),
+        |probes AS (
+        |  SELECT center, j,
+        |    (CAST(('0x' || substr(md5(center || '#' ||
+        |        CAST(j AS VARCHAR)), 1, 5)) AS BIGINT) * wsum)
+        |      // 1048576 AS t
+        |  FROM (SELECT w AS center FROM freq ORDER BY f DESC, w LIMIT 20)
+        |  CROSS JOIN (SELECT unnest(range(1, 6)) AS j)
+        |  CROSS JOIN tot)
+        |SELECT center, j, c.w AS neg_word, c.f AS neg_freq,
+        |  (c.w = center) AS is_self
+        |FROM probes p JOIN cumt c
+        |  ON p.t >= c.cum_hi - c.wi AND p.t < c.cum_hi
+        |ORDER BY center, j""".stripMargin,
 
     // same (source, word) counts, same count-of-counts roll-up
     "q_good_turing" ->

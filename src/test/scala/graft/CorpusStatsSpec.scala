@@ -131,4 +131,45 @@ class CorpusStatsSpec extends AnyFunSuite {
       } else assert(r.isNullAt(6))
     }
   }
+
+  test("q_negative_sampling equals the brute interval-table recompute") {
+    // rebuild the whole sampler in memory: word counts from a plain
+    // split, JVM pow/md5, sequential interval assignment
+    val docs = graft.Tables(spark, TestSpark.sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    TestSpark.housekeeping()
+    val freq = docs.flatMap(_.toLowerCase.split(" ", -1))
+      .filter(_.nonEmpty).groupBy(identity)
+      .map { case (w, xs) => (w, xs.length.toLong) }
+    val ordered = freq.toSeq.sortBy { case (w, f) => (-f, w) }
+    val wi = ordered.map { case (w, f) =>
+      (w, f, math.round(math.pow(f.toDouble, 0.75) * 1000)) }
+    val wsum = wi.map(_._3).sum
+    val intervals = wi.scanLeft(("", 0L, 0L, 0L)) {
+      case ((_, _, _, hi), (w, f, x)) => (w, f, hi, hi + x)
+    }.drop(1) // (word, freq, lo, hi)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pick(t: Long) = intervals.find(i => t >= i._3 && t < i._4).get
+    val expect = ordered.take(20).map(_._1).flatMap { c =>
+      (1L to 5L).map { j =>
+        val hex = md.digest(s"$c#$j"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.take(5)
+        val t = java.lang.Long.parseLong(hex, 16) * wsum / 1048576L
+        val p = pick(t)
+        (c, j, p._1, p._2, p._1 == c)
+      }
+    }.sortBy { case (c, j, _, _, _) => (c, j) }
+    val rows =
+      try graft.operators.TextAnalytics.queries("q_negative_sampling")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.length == 100, "every probe hits exactly one interval")
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getString(2),
+      r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == expect)
+    // the draw follows the tilted unigram: heavier words dominate but
+    // don't monopolize (a degenerate table would emit one word)
+    assert(got.map(_._3).distinct.size > 5)
+  }
 }

@@ -186,7 +186,12 @@ class DeterminismSpec extends AnyFunSuite {
     "q_temporal_split",
     // IPW: md5 plant + exact stratum moments + round-12 terms summed
     // under DECIMAL — the ECE window discipline
-    "q_ipw_ate")
+    "q_ipw_ate",
+    // negative sampling: the one transcendental is rounded to an
+    // integer weight before the cumsum; probes are pure md5 integer
+    // functions — layout can only reorder the interval table build,
+    // which the (f desc, w) total order forbids
+    "q_negative_sampling")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

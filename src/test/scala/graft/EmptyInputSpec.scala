@@ -114,7 +114,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // empty audit (both rollups are constant-group collapses)
     "q_temporal_split",
     // IPW over an empty stream: no strata rows, not a 0/0 ATE
-    "q_ipw_ate")
+    "q_ipw_ate",
+    // negative sampling of an empty corpus: no vocab → no centers →
+    // no probes (the interval join never sees a NULL total)
+    "q_negative_sampling")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {
