@@ -1041,6 +1041,40 @@ object Extras extends graft.QueryPack {
         .orderBy(col("check"))
     }),
 
+    // UCB1 source-exploration scores (Auer et al. 2002) — the
+    // "which source does the next crawl/annotation batch come from"
+    // decision a curation loop makes from per-source reward history:
+    // ucb = mean_reward + √(2·ln N / n), optimism scaling inversely
+    // with how much a source has been tried. Reward here is the
+    // simplest useful gate (doc length in the trainable band); the
+    // estimator is the point. One grid aggregation per source, a
+    // 1-row total broadcast, and a 20-row rank window — the two
+    // transcendentals live in ONE identically-parenthesized round-9
+    // expression (the q_welch_ttest discipline). explore_rank is the
+    // dispatch order a scheduler reads off the top.
+    "q_bandit_ucb" -> ((s, d) => {
+      val g = Tables(s, d, "documents")
+        .select(col("source"),
+          when(col("n_chars") >= 200L && col("n_chars") <= 2000L, 1L)
+            .otherwise(0L).as("r"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("passes"))
+      val wAll = Window.orderBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("n_total", sum(col("n")).over(wAll))
+        .withColumn("mean_reward",
+          round(col("passes").cast("double") / col("n"), 9))
+        .withColumn("ucb",
+          round(col("passes").cast("double") / col("n") +
+            sqrt(lit(2.0d) * log(col("n_total").cast("double")) /
+              col("n")), 9))
+        .withColumn("explore_rank", row_number().over(
+          Window.orderBy(col("ucb").desc, col("source"))).cast("long"))
+        .select(col("source"), col("n"), col("passes"),
+          col("mean_reward"), col("ucb"), col("explore_rank"))
+        .orderBy(col("source"))
+    }),
+
     // Embargo'd temporal split audit — the time-series counterpart of
     // q_split_hash + q_split_leakage: train < t₁, a 5%-of-range
     // embargo gap [t₁, t₂), test ≥ t₂ (the gap absorbs
@@ -1866,6 +1900,24 @@ object Extras extends graft.QueryPack {
         |  FROM merged) t
         |WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+
+    // same gate, same one-expression round-9 optimism term
+    "q_bandit_ucb" ->
+      """WITH g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN n_chars >= 200 AND n_chars <= 2000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS passes
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+        |    round(CAST(passes AS DOUBLE) / n, 9) AS mean_reward,
+        |    round(CAST(passes AS DOUBLE) / n +
+        |      sqrt(2.0 * ln(CAST(n_total AS DOUBLE)) / n), 9) AS ucb
+        |  FROM g)
+        |SELECT source, n, passes, mean_reward, ucb,
+        |  CAST(row_number() OVER (ORDER BY ucb DESC, source) AS BIGINT)
+        |    AS explore_rank
+        |FROM t ORDER BY source""".stripMargin,
 
     // same integer cuts, per-user profile, constant-group rollup
     "q_temporal_split" ->

@@ -191,7 +191,10 @@ class DeterminismSpec extends AnyFunSuite {
     // integer weight before the cumsum; probes are pure md5 integer
     // functions — layout can only reorder the interval table build,
     // which the (f desc, w) total order forbids
-    "q_negative_sampling")
+    "q_negative_sampling",
+    // UCB: exact arm counts + one round-9 transcendental expression +
+    // a (ucb, source) total-order rank
+    "q_bandit_ucb")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -117,7 +117,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_ipw_ate",
     // negative sampling of an empty corpus: no vocab → no centers →
     // no probes (the interval join never sees a NULL total)
-    "q_negative_sampling")
+    "q_negative_sampling",
+    // bandit scores over an empty corpus: no arms, no NULL-ln row
+    "q_bandit_ucb")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

@@ -1408,4 +1408,29 @@ class GateSpec extends AnyFunSuite {
     // every row broadcasts the same headline
     rows.foreach(r => assert(r.getDouble(r.fieldIndex("ate")) == ate))
   }
+
+  test("q_bandit_ucb: UCB1 formula recompute, rank is a permutation") {
+    val rows =
+      try graft.operators.Extras.queries("q_bandit_ucb")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.nonEmpty)
+    val nTotal = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (n, p) = (r.getLong(1), r.getLong(2))
+      assert(p <= n)
+      val ucb = BigDecimal(p.toDouble / n +
+        math.sqrt(2.0 * math.log(nTotal.toDouble) / n))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == ucb, s"${r.getString(0)}")
+    }
+    // explore_rank is the (ucb desc, source) permutation
+    val ranked = rows.sortBy(r => (-r.getDouble(4), r.getString(0)))
+    assert(ranked.map(_.getLong(5)).toSeq == (1L to rows.length))
+    // equal-n arms (this corpus) ⇒ equal bonus ⇒ ucb order must
+    // degenerate to mean order — the formula's sanity anchor
+    if (rows.map(_.getLong(1)).distinct.length == 1)
+      assert(ranked.map(_.getDouble(3)).toSeq ==
+        ranked.map(_.getDouble(3)).sorted(Ordering[Double].reverse).toSeq)
+  }
 }
