@@ -1139,8 +1139,53 @@ object Extras extends graft.QueryPack {
         .unionAll(skewLeg(ev, "events.user_id", col("user_id")))
         .unionAll(skewLeg(ev, "events.event_type", col("event_type")))
         .orderBy(col("shuffle_key"))
+    }),
+
+    // Hill tail-index estimator (Hill 1975) over the same key-weight
+    // distributions q_skew_audit medians — the OTHER half of the skew
+    // pre-flight: not "how heavy is the heaviest key today" but "what
+    // power law is this key distribution drawn from", i.e. does the
+    // heaviest key GROW with the corpus (α ≤ 1: no mean; α < 2: no
+    // variance — salting becomes mandatory, not advisory). α̂ =
+    // k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) over the top k+1 = 51 key weights — a
+    // TakeOrdered of 51 rows (never a global sort; VERDICT's
+    // TakeOrderedAndProject discipline), ln terms rounded at 12 and
+    // summed under DECIMAL (rows tied with the reference contribute
+    // exactly 0, so ties cost nothing), one final round-9 division.
+    // A degenerate flat top (Σ = 0) yields NULL, not ∞.
+    "q_tail_index" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val ev = Tables(s, d, "events")
+      hillLeg(li, "lineitem.l_partkey", col("l_partkey"))
+        .unionAll(hillLeg(li, "lineitem.l_suppkey", col("l_suppkey")))
+        .unionAll(hillLeg(ev, "events.user_id", col("user_id")))
+        .unionAll(hillLeg(ev, "events.event_type", col("event_type")))
+        .orderBy(col("shuffle_key"))
     })
   )
+
+  /** One (table, key) leg of the Hill estimator, package-visible for
+    * planted-power-law specs. */
+  private[graft] def hillLeg(df: DataFrame, tag: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val top = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc).limit(51).select(col("cnt"))
+    val r = top.agg(count(lit(1)).as("m"), min(col("cnt")).as("ref"))
+    top.crossJoin(r)
+      .select(col("m"), col("ref"),
+        round(log(col("cnt").cast("double") / col("ref")), 12)
+          .cast(DecimalType(24, 12)).as("term"))
+      .groupBy(lit(1).as("one"))
+      .agg(max(col("m")).as("m"), max(col("ref")).as("x_ref"),
+        sum(col("term")).as("lnsum"))
+      .withColumn("alpha",
+        when(col("lnsum") > 0,
+          round((col("m") - 1).cast("double") /
+            col("lnsum").cast("double"), 9)))
+      .select(lit(tag).as("shuffle_key"), (col("m") - 1).as("k_order"),
+        col("x_ref"), col("alpha"),
+        (col("alpha") < 2.0d).as("infinite_variance"))
+  }
 
   /** One (table, key) leg of the shuffle-skew audit — package-visible
     * so specs can drive it with planted hot-key frames (the synthetic
@@ -1220,6 +1265,36 @@ object Extras extends graft.QueryPack {
          |      * n_keys / n_rows, 6)) AS BIGINT))
          |    ELSE 1 END AS salt_buckets
          |FROM m_$i""".stripMargin
+    (ctes, sel)
+  }
+
+  /** One (table, key) leg of the q_tail_index oracle, suffix-named so
+    * all four legs share a single top-level WITH. */
+  private def hillLegSql(table: String, key: String, tag: String,
+                         i: Int): (String, String) = {
+    val ctes =
+      s"""htop_$i AS (
+         |  SELECT cnt FROM (
+         |    SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |    FROM $table GROUP BY $key)
+         |  ORDER BY cnt DESC LIMIT 51),
+         |hr_$i AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m, MIN(cnt) AS ref
+         |  FROM htop_$i),
+         |hs_$i AS (
+         |  SELECT 1 AS one, MAX(m) AS m, MAX(ref) AS x_ref,
+         |    SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / ref), 12)
+         |      AS DECIMAL(24,12))) AS lnsum
+         |  FROM htop_$i CROSS JOIN hr_$i GROUP BY 1)""".stripMargin
+    val sel =
+      s"""SELECT '$tag' AS shuffle_key, m - 1 AS k_order, x_ref,
+         |  CASE WHEN lnsum > 0 THEN
+         |    round(CAST(m - 1 AS DOUBLE) / CAST(lnsum AS DOUBLE), 9)
+         |  END AS alpha,
+         |  (CASE WHEN lnsum > 0 THEN
+         |    round(CAST(m - 1 AS DOUBLE) / CAST(lnsum AS DOUBLE), 9)
+         |  END) < 2.0 AS infinite_variance
+         |FROM hs_$i""".stripMargin
     (ctes, sel)
   }
 
@@ -1965,6 +2040,20 @@ object Extras extends graft.QueryPack {
         ("events", "user_id", "events.user_id"),
         ("events", "event_type", "events.event_type"))
         .zipWithIndex.map { case ((t, k, tag), i) => skewLegSql(t, k, tag, i) }
+      s"""WITH ${legs.map(_._1).mkString(",\n")}
+         |SELECT * FROM (
+         |${legs.map(l => s"(${l._2})").mkString("\nUNION ALL\n")}
+         |) ORDER BY shuffle_key""".stripMargin
+    },
+
+    // same four legs through the Hill order-statistic form
+    "q_tail_index" -> {
+      val legs = Seq(
+        ("lineitem", "l_partkey", "lineitem.l_partkey"),
+        ("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+        ("events", "user_id", "events.user_id"),
+        ("events", "event_type", "events.event_type"))
+        .zipWithIndex.map { case ((t, k, tag), i) => hillLegSql(t, k, tag, i) }
       s"""WITH ${legs.map(_._1).mkString(",\n")}
          |SELECT * FROM (
          |${legs.map(l => s"(${l._2})").mkString("\nUNION ALL\n")}

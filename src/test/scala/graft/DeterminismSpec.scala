@@ -194,7 +194,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_negative_sampling",
     // UCB: exact arm counts + one round-9 transcendental expression +
     // a (ucb, source) total-order rank
-    "q_bandit_ucb")
+    "q_bandit_ucb",
+    // Hill: TakeOrdered count multisets are layout-free; round-12 ln
+    // terms summed under DECIMAL — tie rows contribute exactly 0
+    "q_tail_index")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

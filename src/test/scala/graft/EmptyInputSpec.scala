@@ -119,7 +119,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // no probes (the interval join never sees a NULL total)
     "q_negative_sampling",
     // bandit scores over an empty corpus: no arms, no NULL-ln row
-    "q_bandit_ucb")
+    "q_bandit_ucb",
+    // Hill over empty tables: empty top sets → no estimator rows
+    "q_tail_index")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

@@ -1433,4 +1433,36 @@ class GateSpec extends AnyFunSuite {
       assert(ranked.map(_.getDouble(3)).toSeq ==
         ranked.map(_.getDouble(3)).sorted(Ordering[Double].reverse).toSeq)
   }
+
+  test("q_tail_index: thin-tailed synthetic keys are NOT flagged") {
+    val rows =
+      try graft.operators.Extras.queries("q_tail_index")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 50L)
+      assert(!r.isNullAt(3) && r.getDouble(3) > 2.0,
+        s"${r.getString(0)}: near-uniform keys must read as thin-tailed")
+      assert(!r.getBoolean(4))
+    }
+  }
+
+  test("hillLeg: a planted alpha=1.5 power law is flagged infinite-variance") {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    // 60 keys whose counts follow c_r = 2000·r^(-2/3) — a Pareto tail
+    // with alpha = 1.5 (finite mean, infinite variance)
+    val df = spark.range(1, 61).select(col("id").as("k"),
+        expr("CAST(round(2000 * power(CAST(id AS DOUBLE), -2.0/3.0), 0)" +
+          " AS LONG)").as("c"))
+      .select(col("k"), explode(expr("sequence(1, c)")).as("i"))
+    val r =
+      try graft.operators.Extras.hillLeg(df, "planted", col("k"))
+        .collect().head
+      finally TestSpark.housekeeping()
+    assert(r.getLong(1) == 50L, "60 keys -> top 51 -> k = 50")
+    val alpha = r.getDouble(3)
+    assert(alpha > 1.0 && alpha < 2.0, s"alpha=$alpha off the plant")
+    assert(r.getBoolean(4), "alpha < 2 must flag infinite variance")
+  }
 }
