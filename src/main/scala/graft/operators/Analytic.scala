@@ -140,6 +140,31 @@ object Analytic extends graft.QueryPack {
     lab
   }
 
+  /** The zero-filled (type × day) burst grid + integer-moment z tail,
+    * shared by q_burst_detect (batch counts) and q_stream_burst (the
+    * drained per-day count state) so detector and monitor cannot
+    * drift. Input: (event_type, day, cnt) — one row per OCCUPIED
+    * cell; absent cells are refilled as zeros here. */
+  private[operators] def burstZ(c: DataFrame): DataFrame = {
+    val grid = c.select(col("event_type")).distinct()
+      .crossJoin(c.select(col("day")).distinct())
+    val f = grid.join(c, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val m = f.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+    f.join(m, Seq("event_type"))
+      .withColumn("z",
+        when(col("nd") * col("s2") - col("s1") * col("s1") > 0L,
+          round((col("nd") * col("cnt") - col("s1")).cast("double") /
+            sqrt((col("nd") * col("s2") - col("s1") * col("s1"))
+              .cast("double")), 9)))
+      .select(col("event_type"), col("day"), col("cnt"), col("z"),
+        when(col("z") >= 2.0d, lit(true)).otherwise(lit(false))
+          .as("is_burst"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Item-item collaborative filtering (the Amazon item-to-item
@@ -983,27 +1008,11 @@ object Analytic extends graft.QueryPack {
     // so Σz per type is exactly 0 pre-round (the spec's invariant).
     // Constant series (variance 0) yield NULL z, not a division blow.
     "q_burst_detect" -> ((s, d) => {
-      val e = Tables(s, d, "events").select(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
-      val c = e.groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val grid = e.select(col("event_type")).distinct()
-        .crossJoin(e.select(col("day")).distinct())
-      val f = grid.join(c, Seq("event_type", "day"), "left")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      val m = f.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("nd"), sum(col("cnt")).as("s1"),
-          sum(col("cnt") * col("cnt")).as("s2"))
-      f.join(m, Seq("event_type"))
-        .withColumn("z",
-          when(col("nd") * col("s2") - col("s1") * col("s1") > 0L,
-            round((col("nd") * col("cnt") - col("s1")).cast("double") /
-              sqrt((col("nd") * col("s2") - col("s1") * col("s1"))
-                .cast("double")), 9)))
-        .select(col("event_type"), col("day"), col("cnt"), col("z"),
-          when(col("z") >= 2.0d, lit(true)).otherwise(lit(false))
-            .as("is_burst"))
-        .orderBy(col("event_type"), col("day"))
+      burstZ(Tables(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt")))
     }),
 
     // Event-transition matrix (first-order Markov counts): for each
@@ -1899,6 +1908,52 @@ object Analytic extends graft.QueryPack {
         coalesce(when(col("n") >= ZSCORE_MIN_N && varNum > 0,
           abs(round(z, 9)) > 3.0), lit(false)).as("anomaly"))
         .orderBy(col("event_id"))
+    }),
+
+    // Exact 1-D Wasserstein (earth-mover) distance between each
+    // source's document-length distribution and the REST of the
+    // corpus — the metric-aware complement to q_psi_drift/
+    // q_js_divergence: divergences saturate when supports barely
+    // overlap, while W₁ = ∫|F_A − F_B|dx keeps measuring HOW FAR the
+    // mass must move (the units are characters). On an integer grid
+    // the integral is a SUM over distinct lengths: |cumA·nB − cumB·nA|
+    // ·Δx with the common-denominator trick keeping every term an
+    // exact BIGINT (one final round-9 division by nA·nB) — the
+    // q_ks_test numerator discipline, with the same rescale-to-
+    // DECIMAL(38,0) note at 10⁹⁺ rows/source. The complement CDF is
+    // corpus-cum − source-cum, so the whole audit is ONE corpus pass,
+    // a grid-sized window per source, and a 20-row output.
+    "q_wasserstein" -> ((s, d) => {
+      val doc = Tables(s, d, "documents")
+        .select(col("source"), col("n_chars").as("x"))
+      val c = doc.groupBy(col("source"), col("x"))
+        .agg(count(lit(1)).as("cnt"))
+      val wG = Window.orderBy(col("x"))
+      val grid = doc.groupBy(col("x")).agg(count(lit(1)).as("cnt_all"))
+        .withColumn("cum_all", sum(col("cnt_all")).over(
+          wG.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("dx", lead(col("x"), 1).over(wG) - col("x"))
+        .select(col("x"), col("cum_all"), col("dx"))
+      val srcs = doc.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val wS = Window.partitionBy(col("source")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      srcs.crossJoin(grid)
+        .join(c, Seq("source", "x"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("cum_src", sum(col("cnt")).over(wS))
+        .crossJoin(broadcast(doc.agg(count(lit(1)).as("n_all"))))
+        .withColumn("term",
+          (abs(col("cum_src") * (col("n_all") - col("n_src")) -
+            (col("cum_all") - col("cum_src")) * col("n_src")) *
+            coalesce(col("dx"), lit(0L))).cast(DecimalType(38, 0)))
+        .groupBy(col("source"), col("n_src"), col("n_all"))
+        .agg(sum(col("term")).as("tsum"))
+        .select(col("source"), col("n_src"),
+          (col("n_all") - col("n_src")).as("n_rest"),
+          round(col("tsum").cast("double") /
+            (col("n_src").cast("double") *
+              (col("n_all") - col("n_src")).cast("double")), 9).as("w1"))
+        .orderBy(col("source"))
     }),
 
     // Population Stability Index — the model-monitoring drift metric:
@@ -3199,6 +3254,38 @@ object Analytic extends graft.QueryPack {
 
     // same global min/max edges, same half split, same 1e-6 share
     // floor, same round-9 DECIMAL contribution sum
+    // same grid CDFs, same common-denominator integer terms
+    "q_wasserstein" ->
+      """WITH doc AS (SELECT source, n_chars AS x FROM documents),
+        |c AS (
+        |  SELECT source, x, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM doc GROUP BY source, x),
+        |grid AS (
+        |  SELECT x,
+        |    CAST(SUM(cnt_all) OVER (ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all,
+        |    lead(x) OVER (ORDER BY x) - x AS dx
+        |  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt_all
+        |        FROM doc GROUP BY x)),
+        |srcs AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+        |  FROM doc GROUP BY source),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM doc),
+        |filled AS (
+        |  SELECT s.source, s.n_src, g.x, g.cum_all, g.dx, n_all,
+        |    CAST(SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY s.source
+        |      ORDER BY g.x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_src
+        |  FROM srcs s CROSS JOIN grid g CROSS JOIN tot
+        |  LEFT JOIN c ON c.source = s.source AND c.x = g.x)
+        |SELECT source, n_src, n_all - n_src AS n_rest,
+        |  round(CAST(SUM(CAST(abs(cum_src * (n_all - n_src) -
+        |      (cum_all - cum_src) * n_src) * COALESCE(dx, 0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) /
+        |    (CAST(n_src AS DOUBLE) * CAST(n_all - n_src AS DOUBLE)), 9)
+        |    AS w1
+        |FROM filled GROUP BY source, n_src, n_all ORDER BY source""".stripMargin,
+
     "q_psi_drift" ->
       """WITH ev AS (
         |  SELECT event_type, epoch_us(ts) AS us,

@@ -893,10 +893,34 @@ object StreamingGate extends graft.QueryPack {
           col("contrib"), col("psi"))
         .orderBy(col("event_type"), col("bin"))
       }
+    }),
+
+    // Streaming burst monitor — the SIXTEENTH oracle-gated drain: the
+    // q_burst_detect detector run the way production runs it, with
+    // per-(type, day) counts accreted through foldBinCounts' merge
+    // monoid (crash-safe swap, |types × days|-bounded state) as event
+    // files commit, then the SAME burstZ grid/moment tail over the
+    // drained state — detector and monitor are one definition
+    // (Analytic.burstZ), and the drained output must hash-equal the
+    // batch detector under the batch oracle. Day-grained counts mean
+    // the monitor re-scores history each trigger only over the grid,
+    // never the corpus.
+    "q_stream_burst" -> ((s, d) => {
+      val state = freshDir("q_stream_burst") + "/st"
+      val stream = EventsStream.replay(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("bin"))
+      drain(s, stream, "append")(foldBinCounts(state))
+      Analytic.burstZ(readBinState(s, state, "day")
+        .withColumnRenamed("n", "cnt"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // the drained monitor must hash-equal the batch detector — the
+    // q_burst_detect oracle VERBATIM (one definition, two paths)
+    "q_stream_burst" -> Analytic.oracles("q_burst_detect"),
+
     // the restart-recovered drain must reconstruct EXACTLY the events
     // table: every planted cross-file duplicate deduped, nothing lost
     // to the crash, nothing double-emitted by the re-run batch

@@ -197,7 +197,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_bandit_ucb",
     // Hill: TakeOrdered count multisets are layout-free; round-12 ln
     // terms summed under DECIMAL — tie rows contribute exactly 0
-    "q_tail_index")
+    "q_tail_index",
+    // W1: zero-filled grid CDFs + exact BIGINT gap terms + one final
+    // round-9 division — the q_ks_test numerator algebra per source
+    "q_wasserstein")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -121,7 +121,12 @@ class EmptyInputSpec extends AnyFunSuite {
     // bandit scores over an empty corpus: no arms, no NULL-ln row
     "q_bandit_ucb",
     // Hill over empty tables: empty top sets → no estimator rows
-    "q_tail_index")
+    "q_tail_index",
+    // W1 of an empty corpus: no sources × no grid = no rows
+    "q_wasserstein",
+    // the streamed burst monitor of an empty stream: empty drained
+    // state → empty grid (the machinery still runs)
+    "q_stream_burst")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

@@ -1465,4 +1465,38 @@ class GateSpec extends AnyFunSuite {
     assert(alpha > 1.0 && alpha < 2.0, s"alpha=$alpha off the plant")
     assert(r.getBoolean(4), "alpha < 2 must flag infinite variance")
   }
+
+  test("q_wasserstein equals the brute CDF-gap integral per source") {
+    val raw =
+      try Tables(spark, TestSpark.sf, "documents")
+        .select("source", "n_chars").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      finally TestSpark.housekeeping()
+    val rows =
+      try graft.operators.Analytic.queries("q_wasserstein")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.map(_.getString(0)).toSet == raw.map(_._1).toSet)
+    val grid = raw.map(_._2).distinct.sorted
+    val nAll = raw.length.toLong
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val a = raw.filter(_._1 == src).map(_._2)
+      val (nA, nB) = (a.length.toLong, nAll - a.length)
+      assert(r.getLong(1) == nA && r.getLong(2) == nB)
+      // Σ |cumA·nB − cumB·nA|·Δx / (nA·nB), exact integers inside
+      var num = BigInt(0)
+      grid.zip(grid.tail).foreach { case (x, nx) =>
+        val cumA = a.count(_ <= x).toLong
+        val cumB = raw.count(p => p._1 != src && p._2 <= x).toLong
+        num += BigInt((cumA * nB - cumB * nA).abs) * (nx - x)
+      }
+      val expect = BigDecimal(num.toDouble / (nA.toDouble * nB))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expect, s"$src")
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // the audit must be non-degenerate: sources differ in length mix
+    assert(rows.map(_.getDouble(3)).max > 0.0)
+  }
 }
