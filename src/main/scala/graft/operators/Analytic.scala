@@ -360,6 +360,103 @@ object Analytic extends graft.QueryPack {
             9).as("assortativity"))
     }),
 
+    // Median/MAD robust anomaly audit (Hampel's 3·1.4826·MAD rule) —
+    // the heavy-tail-proof complement to q_zscore_anomaly's rolling
+    // z: mean/stddev move with the outliers they're hunting, the
+    // median and MAD don't (50% breakdown). Both medians come from
+    // the exact cents-value grid per type — cumulative window over a
+    // DOMAIN-bounded frame (≤ distinct cent values, whatever the
+    // corpus size), lower-median by the 2·cum ≥ n threshold, never a
+    // corpus sort. The flag itself is pure INTEGER arithmetic:
+    // |x−med|·10⁴ > 44478·MAD encodes 3·1.4826 exactly, so no float
+    // ever decides an anomaly. Per-type medians ride as 5-row
+    // broadcasts; output is the per-type summary a monitor pages on.
+    "q_mad_anomaly" -> ((s, d) => {
+      val cents = (col("value").cast(DecimalType(12, 2)) * 100)
+        .cast("long")
+      val ev = Tables(s, d, "events")
+        .select(col("event_type"), cents.as("c"))
+      def medOf(df: DataFrame, v: String, out: String): DataFrame = {
+        val g = df.groupBy(col("event_type"), col(v))
+          .agg(count(lit(1)).as("k"))
+        val wC = Window.partitionBy(col("event_type")).orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wT = Window.partitionBy(col("event_type"))
+        g.withColumn("cum", sum(col("k")).over(wC))
+          .withColumn("n", sum(col("k")).over(wT))
+          .groupBy(col("event_type"))
+          .agg(min(when(col("cum") * 2 >= col("n"), col(v))).as(out))
+      }
+      val med = medOf(ev, "c", "med")
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("dv", abs(col("c") - col("med")))
+      val mad = medOf(dev, "dv", "mad")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .withColumn("anom",
+          col("dv") * 10000L > col("mad") * 44478L)
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("anom"), 1L).otherwise(0L)).as("n_anom"))
+        .select(col("event_type"), col("n"),
+          col("med").as("median_cents"), col("mad").as("mad_cents"),
+          col("n_anom"),
+          round(col("n_anom").cast("double") / col("n"), 9)
+            .as("anom_rate"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Lagged CROSS-correlation between the daily click and purchase
+    // count series — the lead-lag diagnostic next to q_acf's
+    // self-correlation: does click volume predict purchase volume k
+    // days out (the attribution-window sizing read)? Same grid
+    // discipline as q_acf: the corpus collapses to the per-day
+    // two-series grid in ONE pass (conditional sums, absent days are
+    // absent for both series so no fill bias), lagged pairs come from
+    // a grid self equi-join on day+lag with the 7 lags a constant
+    // explode, and Pearson r per lag is exact BIGINT moments into a
+    // single round-9 division — sqrt of the PRODUCT of the two
+    // variance numerators keeps it one sqrt. |r|-argmax rides along
+    // as best_lag (ties to the smallest lag).
+    "q_cross_corr" -> ((s, d) => {
+      val cd = Tables(s, d, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("event_type"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val lags = s.range(-3, 4).select(col("id").as("lag"))
+      val pairs = cd.select(col("day"), col("x"))
+        .crossJoin(broadcast(lags))
+        .join(cd.select(col("day").as("yday"), col("y")),
+          col("day") + col("lag") === col("yday"))
+      val m = pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val num = m.col("n_pairs") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n_pairs") * col("syy") - col("sy") * col("sy")
+      m.withColumn("r",
+          when(vx > 0L && vy > 0L,
+            round(num.cast("double") /
+              sqrt((vx * vy).cast("double")), 9)))
+        // coalesce the rank key: engines disagree on NULL placement
+        // under DESC (Spark last, DuckDB first) — a degenerate lag
+        // must rank behind every real correlation in both
+        .withColumn("rk1", row_number().over(
+          Window.orderBy(coalesce(abs(col("r")), lit(-1.0d)).desc,
+            col("lag"))))
+        .withColumn("best_lag", max(when(col("rk1") === 1, col("lag")))
+          .over(Window.orderBy(lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("lag"), col("n_pairs"), col("r"), col("best_lag"))
+        .orderBy(col("lag"))
+    }),
+
     // Autocorrelation function of the hourly event-count series, per
     // event type at lags 1..24 — the seasonality diagnostic that
     // decides q_forecast_eval's h−24 shift (a daily cycle shows as an
@@ -2153,6 +2250,90 @@ object Analytic extends graft.QueryPack {
         |FROM m WHERE n > 0""".stripMargin,
 
     // same hour grid, lag equi-join, exact integer deviations
+    // same grid medians, same integer Hampel flag
+    "q_mad_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |mg AS (
+        |  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM ev GROUP BY event_type, c),
+        |mc AS (
+        |  SELECT event_type, c,
+        |    CAST(SUM(k) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(k) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM mg),
+        |med AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum * 2 >= n THEN c END) AS med
+        |  FROM mc GROUP BY event_type),
+        |dev AS (
+        |  SELECT ev.event_type, c, abs(c - med) AS dv
+        |  FROM ev JOIN med ON ev.event_type = med.event_type),
+        |dg AS (
+        |  SELECT event_type, dv, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM dev GROUP BY event_type, dv),
+        |dc AS (
+        |  SELECT event_type, dv,
+        |    CAST(SUM(k) OVER (PARTITION BY event_type ORDER BY dv
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(k) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM dg),
+        |mad AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum * 2 >= n THEN dv END) AS mad
+        |  FROM dc GROUP BY event_type)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MAX(med) AS median_cents, MAX(mad) AS mad_cents,
+        |  CAST(SUM(CASE WHEN dv * 10000 > mad * 44478 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anom,
+        |  round(CAST(SUM(CASE WHEN dv * 10000 > mad * 44478
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) AS anom_rate
+        |FROM dev d
+        |JOIN med ON d.event_type = med.event_type
+        |JOIN mad ON d.event_type = mad.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    // same two-series day grid, exact moments, coalesced rank key
+    "q_cross_corr" ->
+      """WITH cd AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY day),
+        |pairs AS (
+        |  SELECT l.lag, a.x, b.y
+        |  FROM cd a
+        |  CROSS JOIN (SELECT unnest(range(-3, 4)) AS lag) l
+        |  JOIN cd b ON a.day + l.lag = b.day),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY lag),
+        |t AS (
+        |  SELECT lag, n_pairs,
+        |    n_pairs * sxx - sx * sx AS vx,
+        |    n_pairs * syy - sy * sy AS vy,
+        |    CASE WHEN n_pairs * sxx - sx * sx > 0
+        |        AND n_pairs * syy - sy * sy > 0 THEN
+        |      round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |        sqrt(CAST((n_pairs * sxx - sx * sx) *
+        |          (n_pairs * syy - sy * sy) AS DOUBLE)), 9)
+        |    END AS r
+        |  FROM m)
+        |SELECT lag, n_pairs, r,
+        |  MAX(CASE WHEN rk = 1 THEN lag END) OVER () AS best_lag
+        |FROM (SELECT lag, n_pairs, r, row_number() OVER
+        |    (ORDER BY COALESCE(abs(r), -1.0) DESC, lag) AS rk FROM t)
+        |ORDER BY lag""".stripMargin,
+
     "q_acf" ->
       """WITH hourly AS (
         |  SELECT event_type,

@@ -200,7 +200,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_tail_index",
     // W1: zero-filled grid CDFs + exact BIGINT gap terms + one final
     // round-9 division — the q_ks_test numerator algebra per source
-    "q_wasserstein")
+    "q_wasserstein",
+    // cross-corr: exact moment sums over grid equi-joins + a coalesced
+    // rank key; MAD: grid threshold medians + an all-integer flag
+    "q_cross_corr", "q_mad_anomaly")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -126,7 +126,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_wasserstein",
     // the streamed burst monitor of an empty stream: empty drained
     // state → empty grid (the machinery still runs)
-    "q_stream_burst")
+    "q_stream_burst",
+    // cross-correlation of empty series: no days → no pairs → no lag
+    // rows; MAD of an empty stream: no value grid → no type rows
+    "q_cross_corr", "q_mad_anomaly")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

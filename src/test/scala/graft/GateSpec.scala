@@ -1499,4 +1499,73 @@ class GateSpec extends AnyFunSuite {
     // the audit must be non-degenerate: sources differ in length mix
     assert(rows.map(_.getDouble(3)).max > 0.0)
   }
+
+  test("q_cross_corr: brute Pearson per lag, pair-count conservation") {
+    val raw =
+      try Tables(spark, TestSpark.sf, "events")
+        .selectExpr("unix_micros(ts) div 86400000000", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      finally TestSpark.housekeeping()
+    val byDay = raw.groupBy(_._1).map { case (day, es) =>
+      day -> (es.count(_._2 == "click").toLong,
+        es.count(_._2 == "purchase").toLong) }
+    val rows =
+      try graft.operators.Analytic.queries("q_cross_corr")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.map(_.getLong(0)).toSeq == (-3L to 3L))
+    val rsByLag = rows.map { r =>
+      val lag = r.getLong(0)
+      val pairs = byDay.keys.toSeq.flatMap(day =>
+        byDay.get(day + lag).map(y => (byDay(day)._1, y._2)))
+      assert(r.getLong(1) == pairs.length.toLong, s"lag=$lag pairs")
+      val n = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      if (vx > 0 && vy > 0) {
+        val expect = BigDecimal((n * sxy - sx * sy).toDouble /
+          math.sqrt((vx * vy).toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(2) == expect, s"lag=$lag")
+        assert(math.abs(r.getDouble(2)) <= 1.0)
+      } else assert(r.isNullAt(2))
+      (lag, r.getDouble(2))
+    }
+    // best_lag is the |r| argmax (smallest lag on ties), on every row
+    val best = rsByLag.maxBy { case (l, r) => (math.abs(r), -l) }._1
+    rows.foreach(r => assert(r.getLong(3) == best))
+  }
+
+  test("q_mad_anomaly: brute median/MAD/Hampel recompute per type") {
+    val raw =
+      try Tables(spark, TestSpark.sf, "events")
+        .selectExpr("event_type",
+          "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS LONG)").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      finally TestSpark.housekeeping()
+    val rows =
+      try graft.operators.Analytic.queries("q_mad_anomaly")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.map(_.getString(0)).toSet == raw.map(_._1).toSet)
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.length - 1) / 2) // min v with 2·cum >= n
+    }
+    rows.foreach { r =>
+      val vs = raw.filter(_._1 == r.getString(0)).map(_._2)
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      assert(r.getLong(1) == vs.length.toLong)
+      assert(r.getLong(2) == med, s"${r.getString(0)} median")
+      assert(r.getLong(3) == mad, s"${r.getString(0)} mad")
+      val nAnom = vs.count(v => math.abs(v - med) * 10000L > mad * 44478L)
+      assert(r.getLong(4) == nAnom.toLong)
+      // robustness sanity: the rule flags a minority tail, not half
+      assert(r.getDouble(5) < 0.25)
+    }
+  }
 }
