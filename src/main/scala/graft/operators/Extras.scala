@@ -1041,6 +1041,50 @@ object Extras extends graft.QueryPack {
         .orderBy(col("check"))
     }),
 
+    // Join-cardinality estimation audit — the optimizer-model check
+    // an engine team runs before trusting a plan: for each candidate
+    // equi-join, the System-R uniformity estimate |A|·|B|/max(dA,dB)
+    // (Selinger 1979 — what Catalyst's BasicStatsPlanVisitor assumes)
+    // against the EXACT output size Σₖ cA(k)·cB(k), computed from the
+    // two per-key count grids joined on key — grid-sized work, the
+    // join itself never runs. err_ratio tells the planner where the
+    // uniformity assumption breaks (skew ⇒ underestimation ⇒ a
+    // broadcast that OOMs at 100 TB); per-key products are BIGINT
+    // with the q_ks_test DECIMAL(38,0) rescale note at extreme card.
+    "q_join_card" -> ((s, d) => {
+      def leg(a: DataFrame, ka: String, b: DataFrame, kb: String,
+              tag: String): DataFrame = {
+        val ca = a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("cA"))
+        val cb = b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("cB"))
+        val sa = ca.agg(sum(col("cA")).as("n_left"),
+          count(lit(1)).as("d_left"))
+        val sb = cb.agg(sum(col("cB")).as("n_right"),
+          count(lit(1)).as("d_right"))
+        val truth = ca.join(cb, Seq("k"))
+          .agg(sum(col("cA") * col("cB")).as("true_rows"))
+        sa.crossJoin(sb).crossJoin(truth)
+          .filter(col("n_left").isNotNull && col("n_right").isNotNull)
+          .select(lit(tag).as("join_key"), col("n_left"), col("n_right"),
+            col("d_left"), col("d_right"),
+            expr("(n_left * n_right) div greatest(d_left, d_right)")
+              .as("est_rows"),
+            coalesce(col("true_rows"), lit(0L)).as("true_rows"))
+          .withColumn("err_ratio",
+            round(col("est_rows").cast("double") /
+              nullif(col("true_rows"), lit(0L)).cast("double"), 9))
+      }
+      val li = Tables(s, d, "lineitem")
+      leg(li, "l_partkey", Tables(s, d, "part"), "p_partkey",
+          "lineitem*part")
+        .unionAll(leg(li, "l_suppkey", Tables(s, d, "supplier"),
+          "s_suppkey", "lineitem*supplier"))
+        .unionAll(leg(Tables(s, d, "orders"), "o_custkey",
+          Tables(s, d, "customer"), "c_custkey", "orders*customer"))
+        .unionAll(leg(Tables(s, d, "events"), "user_id",
+          Tables(s, d, "events"), "user_id", "events*events"))
+        .orderBy(col("join_key"))
+    }),
+
     // UCB1 source-exploration scores (Auer et al. 2002) — the
     // "which source does the next crawl/annotation batch come from"
     // decision a curation loop makes from per-source reward history:
@@ -1975,6 +2019,52 @@ object Extras extends graft.QueryPack {
         |  FROM merged) t
         |WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+
+    // four generated legs: grid joins for truth, System-R estimate
+    "q_join_card" -> {
+      val legs = Seq(
+        ("lineitem", "l_partkey", "part", "p_partkey", "lineitem*part"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey",
+          "lineitem*supplier"),
+        ("orders", "o_custkey", "customer", "c_custkey",
+          "orders*customer"),
+        ("events", "user_id", "events", "user_id", "events*events"))
+        .zipWithIndex.map { case ((ta, ka, tb, kb, tag), i) =>
+          val ctes =
+            s"""jca_$i AS (
+               |  SELECT $ka AS k, CAST(COUNT(*) AS BIGINT) AS ca
+               |  FROM $ta GROUP BY $ka),
+               |jcb_$i AS (
+               |  SELECT $kb AS k, CAST(COUNT(*) AS BIGINT) AS cb
+               |  FROM $tb GROUP BY $kb),
+               |jsa_$i AS (
+               |  SELECT CAST(SUM(ca) AS BIGINT) AS n_left,
+               |    CAST(COUNT(*) AS BIGINT) AS d_left FROM jca_$i),
+               |jsb_$i AS (
+               |  SELECT CAST(SUM(cb) AS BIGINT) AS n_right,
+               |    CAST(COUNT(*) AS BIGINT) AS d_right FROM jcb_$i),
+               |jtr_$i AS (
+               |  SELECT CAST(SUM(ca * cb) AS BIGINT) AS true_rows
+               |  FROM jca_$i JOIN jcb_$i USING (k))""".stripMargin
+          val sel =
+            s"""SELECT '$tag' AS join_key, n_left, n_right,
+               |  d_left, d_right,
+               |  (n_left * n_right) // greatest(d_left, d_right)
+               |    AS est_rows,
+               |  COALESCE(true_rows, 0) AS true_rows,
+               |  round(CAST((n_left * n_right) //
+               |      greatest(d_left, d_right) AS DOUBLE) /
+               |    NULLIF(COALESCE(true_rows, 0), 0), 9) AS err_ratio
+               |FROM jsa_$i CROSS JOIN jsb_$i CROSS JOIN jtr_$i
+               |WHERE n_left IS NOT NULL AND n_right IS NOT NULL"""
+              .stripMargin
+          (ctes, sel)
+        }
+      s"""WITH ${legs.map(_._1).mkString(",\n")}
+         |SELECT * FROM (
+         |${legs.map(l => s"(${l._2})").mkString("\nUNION ALL\n")}
+         |) ORDER BY join_key""".stripMargin
+    },
 
     // same gate, same one-expression round-9 optimism term
     "q_bandit_ucb" ->

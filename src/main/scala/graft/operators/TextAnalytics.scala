@@ -305,6 +305,42 @@ object TextAnalytics extends graft.QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // Differentially-private top-k word release via the exponential
+    // mechanism in its Gumbel-trick form (McSherry–Talwar 2007;
+    // Durfee–Rogers 2019 proved top-k-with-Gumbel ≡ iterated
+    // exponential mechanism) — the release a privacy-bound corpus
+    // report makes instead of q_tf_topk's exact one: each word's
+    // selection key is ε·f/(2Δ) + Gumbel(md5-uniform), TakeOrdered
+    // by key. Noise is deterministic-by-hash (the q_dp_counts device)
+    // so both engines draw the SAME mechanism sample; the key is
+    // round-9 DECIMAL'd before ordering (the q_weighted_sample libm
+    // discipline). true_rank rides along from a 10-row broadcast
+    // count against the vocab — the privacy-utility distortion is
+    // readable per released word. ε = 0.1, Δ = 1.
+    "q_dp_topk" -> ((s, d) => {
+      val M = math.pow(16, 13) // 2^52
+      val freq = Tables(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val u = (conv(substring(md5(col("w")), 1, 13), 16, 10)
+        .cast("double") + 1d) / lit(M + 1d)
+      val rel = freq
+        .withColumn("es_key",
+          round(lit(0.05d) * col("f") - log(-log(u)), 9)
+            .cast(DecimalType(18, 9)))
+        .orderBy(col("es_key").desc, col("w")).limit(10)
+      rel.join(freq.select(col("w").as("w2"), col("f").as("f2")),
+          col("f2") > col("f") ||
+            (col("f2") === col("f") && col("w2") < col("w")), "left")
+        .groupBy(col("w"), col("f"), col("es_key"))
+        .agg((count(col("w2")) + 1L).as("true_rank"))
+        .withColumn("release_rank", row_number().over(
+          Window.orderBy(col("es_key").desc, col("w"))).cast("long"))
+        .select(col("release_rank"), col("w"), col("f"), col("true_rank"))
+        .orderBy(col("release_rank"))
+    }),
+
     // Unigram^0.75 negative sampling (Mikolov et al. 2013's noise
     // distribution) — the draw an embedding-training pipeline makes
     // millions of times per epoch, here as the deterministic table
@@ -1591,6 +1627,30 @@ object TextAnalytics extends graft.QueryPack {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
         |    AS zipf_slope
         |FROM moms ORDER BY rank""".stripMargin,
+
+    // same hash-Gumbel keys, same 2^52-shifted uniform
+    "q_dp_topk" ->
+      """WITH freq AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |keyed AS (
+        |  SELECT w, f,
+        |    CAST(round(0.05 * f - ln(-ln(
+        |      (CAST(('0x' || substr(md5(w), 1, 13)) AS BIGINT) + 1.0)
+        |        / 4503599627370497.0)), 9) AS DECIMAL(18,9)) AS es_key
+        |  FROM freq),
+        |rel AS (
+        |  SELECT w, f, es_key,
+        |    CAST(row_number() OVER (ORDER BY es_key DESC, w) AS BIGINT)
+        |      AS release_rank
+        |  FROM keyed QUALIFY release_rank <= 10)
+        |SELECT release_rank, r.w, r.f,
+        |  CAST(1 + (SELECT COUNT(*) FROM freq q
+        |    WHERE q.f > r.f OR (q.f = r.f AND q.w < r.w)) AS BIGINT)
+        |    AS true_rank
+        |FROM rel r ORDER BY release_rank""".stripMargin,
 
     // same rounded-then-scaled weights, intervals and integer probes
     "q_negative_sampling" ->

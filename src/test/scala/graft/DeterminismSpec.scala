@@ -203,7 +203,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_wasserstein",
     // cross-corr: exact moment sums over grid equi-joins + a coalesced
     // rank key; MAD: grid threshold medians + an all-integer flag
-    "q_cross_corr", "q_mad_anomaly")
+    "q_cross_corr", "q_mad_anomaly",
+    // cardinality audit: exact grid sums and one integer div; DP topk:
+    // hash-Gumbel keys DECIMAL'd before the TakeOrdered
+    "q_join_card", "q_dp_topk")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

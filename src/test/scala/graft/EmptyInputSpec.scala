@@ -129,7 +129,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_stream_burst",
     // cross-correlation of empty series: no days → no pairs → no lag
     // rows; MAD of an empty stream: no value grid → no type rows
-    "q_cross_corr", "q_mad_anomaly")
+    "q_cross_corr", "q_mad_anomaly",
+    // cardinality audit of empty tables: NULL-sum legs filtered out;
+    // DP release of an empty vocab: nothing to sample
+    "q_join_card", "q_dp_topk")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

@@ -1568,4 +1568,80 @@ class GateSpec extends AnyFunSuite {
       assert(r.getDouble(5) < 0.25)
     }
   }
+
+  test("q_join_card: exact truth equals the brute grid product sum") {
+    def keysOf(t: String, k: String): Seq[Long] =
+      try Tables(spark, TestSpark.sf, t)
+        .selectExpr(s"CAST($k AS LONG)").collect().map(_.getLong(0)).toSeq
+      finally TestSpark.housekeeping()
+    val legs = Map(
+      "lineitem*part" -> (keysOf("lineitem", "l_partkey"),
+        keysOf("part", "p_partkey")),
+      "lineitem*supplier" -> (keysOf("lineitem", "l_suppkey"),
+        keysOf("supplier", "s_suppkey")),
+      "orders*customer" -> (keysOf("orders", "o_custkey"),
+        keysOf("customer", "c_custkey")),
+      "events*events" -> (keysOf("events", "user_id"),
+        keysOf("events", "user_id")))
+    val rows =
+      try graft.operators.Extras.queries("q_join_card")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.map(_.getString(0)).toSet == legs.keySet)
+    rows.foreach { r =>
+      val (a, b) = legs(r.getString(0))
+      val (ca, cb) = (a.groupBy(identity).view.mapValues(_.size.toLong),
+        b.groupBy(identity).view.mapValues(_.size.toLong))
+      assert(r.getLong(1) == a.size.toLong && r.getLong(2) == b.size.toLong)
+      assert(r.getLong(3) == ca.size.toLong && r.getLong(4) == cb.size.toLong)
+      val truth = ca.keys.toSeq.map(k =>
+        ca(k) * cb.getOrElse(k, 0L)).sum
+      assert(r.getLong(6) == truth, s"${r.getString(0)} truth")
+      val est = a.size.toLong * b.size.toLong /
+        math.max(ca.size.toLong, cb.size.toLong)
+      assert(r.getLong(5) == est, s"${r.getString(0)} estimate")
+      // self-join truth is Sigma c^2 >= n^2/d — uniformity UNDERestimates
+      // under any skew (Cauchy-Schwarz); est can never exceed truth here
+      if (r.getString(0) == "events*events")
+        assert(r.getLong(5) <= r.getLong(6))
+    }
+  }
+
+  test("q_dp_topk equals the brute hash-Gumbel mechanism sample") {
+    val docs =
+      try Tables(spark, TestSpark.sf, "documents")
+        .select("text").collect().map(_.getString(0))
+      finally TestSpark.housekeeping()
+    val freq = docs.flatMap(_.toLowerCase.split(" ", -1))
+      .filter(_.nonEmpty).groupBy(identity)
+      .map { case (w, xs) => (w, xs.length.toLong) }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val keyed = freq.toSeq.map { case (w, f) =>
+      val hex = md.digest(w.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) /
+        4503599627370497.0
+      val key = BigDecimal(0.05 * f - math.log(-math.log(u)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      (w, f, key)
+    }
+    val expect = keyed.sortBy { case (w, _, k) => (-k, w) }.take(10)
+    val ordered = freq.toSeq.sortBy { case (w, f) => (-f, w) }
+    val rows =
+      try graft.operators.TextAnalytics.queries("q_dp_topk")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.length == 10)
+    rows.zip(expect).foreach { case (r, (w, f, _)) =>
+      assert(r.getString(1) == w && r.getLong(2) == f,
+        s"rank ${r.getLong(0)}")
+      assert(r.getLong(3) == ordered.indexWhere(_._1 == w) + 1L,
+        s"true_rank of $w")
+    }
+    // utility at this epsilon: the release draws from the frequency
+    // HEAD (every true rank well inside the vocab), noise permitting
+    // reorderings — not the exact top-10 and not tail words
+    assert(rows.map(_.getLong(3)).max <= 100L)
+  }
 }
