@@ -1041,6 +1041,58 @@ object Extras extends graft.QueryPack {
         .orderBy(col("check"))
     }),
 
+    // Consistent-hashing elasticity audit (Karger et al. 1997) — the
+    // resharding cost a 100 TB store pays when the cluster grows:
+    // assign every doc to a shard under BOTH a 32-shard ring (8
+    // virtual nodes/shard, clockwise-successor rule with wraparound)
+    // and the 33-shard ring, and measure the moved share — ≈ 1/33
+    // for the ring versus ≈ 32/33 for naive doc_id % N, quantifying
+    // WHY a key-mod layout cannot rebalance. The vnode tables are
+    // 256/264-row broadcasts; successor lookup is a broadcast range
+    // join + (vh, shard) struct-min per key (lexicographic, so any
+    // 52-bit hash tie still breaks identically in both engines);
+    // nothing corpus-sized ever sorts.
+    "q_hash_ring" -> ((s, d) => {
+      def h(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+      val keys = Tables(s, d, "documents")
+        .select(col("doc_id"), h(col("doc_id").cast("string")).as("kh"))
+      def assign(n: Int, out: String): DataFrame = {
+        val vn = s.range(n).select(col("id").as("shard"))
+          .crossJoin(s.range(8).select(col("id").as("v")))
+          .select(col("shard"),
+            h(concat(lit("shard"), col("shard").cast("string"),
+              lit("#"), col("v").cast("string"))).as("vh"))
+        val wrap = vn.orderBy(col("vh"), col("shard")).limit(1)
+          .select(col("shard").as("wrap_shard"))
+        val succ = keys.join(broadcast(vn), col("vh") >= col("kh"))
+          .groupBy(col("doc_id"))
+          .agg(min(struct(col("vh"), col("shard"))).as("m"))
+          .select(col("doc_id"), col("m.shard").as("succ_shard"))
+        keys.select(col("doc_id"))
+          .join(succ, Seq("doc_id"), "left")
+          .crossJoin(broadcast(wrap))
+          .select(col("doc_id"),
+            coalesce(col("succ_shard"), col("wrap_shard")).as(out))
+      }
+      val ring = assign(32, "s32").join(assign(33, "s33"), Seq("doc_id"))
+        .groupBy(lit(1).as("one"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("s32") =!= col("s33"), 1L).otherwise(0L))
+            .as("n_moved"))
+      val mod = keys.groupBy(lit(1).as("one"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("doc_id") % 32 =!= col("doc_id") % 33, 1L)
+            .otherwise(0L)).as("n_moved"))
+      ring.select(lit("ring_vnodes").as("strategy"), col("n_keys"),
+          col("n_moved"))
+        .unionAll(mod.select(lit("mod_n").as("strategy"), col("n_keys"),
+          col("n_moved")))
+        .withColumn("moved_share",
+          round(col("n_moved").cast("double") / col("n_keys"), 9))
+        .orderBy(col("strategy"))
+    }),
+
     // Join-cardinality estimation audit — the optimizer-model check
     // an engine team runs before trusting a plan: for each candidate
     // equi-join, the System-R uniformity estimate |A|·|B|/max(dA,dB)
@@ -2019,6 +2071,54 @@ object Extras extends graft.QueryPack {
         |  FROM merged) t
         |WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+
+    // same vnode rings, successor rule as correlated ORDER/LIMIT picks
+    "q_hash_ring" ->
+      """WITH keys AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS kh
+        |  FROM documents),
+        |vn32 AS (
+        |  SELECT s.shard,
+        |    CAST(('0x' || substr(md5('shard' || CAST(s.shard AS VARCHAR)
+        |      || '#' || CAST(v.v AS VARCHAR)), 1, 13)) AS BIGINT) AS vh
+        |  FROM (SELECT unnest(range(0, 32)) AS shard) s
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS v) v),
+        |vn33 AS (
+        |  SELECT s.shard,
+        |    CAST(('0x' || substr(md5('shard' || CAST(s.shard AS VARCHAR)
+        |      || '#' || CAST(v.v AS VARCHAR)), 1, 13)) AS BIGINT) AS vh
+        |  FROM (SELECT unnest(range(0, 33)) AS shard) s
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS v) v),
+        |a AS (
+        |  SELECT doc_id,
+        |    COALESCE(
+        |      (SELECT shard FROM vn32 WHERE vh >= k.kh
+        |       ORDER BY vh, shard LIMIT 1),
+        |      (SELECT shard FROM vn32 ORDER BY vh, shard LIMIT 1))
+        |      AS s32,
+        |    COALESCE(
+        |      (SELECT shard FROM vn33 WHERE vh >= k.kh
+        |       ORDER BY vh, shard LIMIT 1),
+        |      (SELECT shard FROM vn33 ORDER BY vh, shard LIMIT 1))
+        |      AS s33
+        |  FROM keys k),
+        |ring AS (
+        |  SELECT 'ring_vnodes' AS strategy,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN s32 <> s33 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_moved
+        |  FROM a GROUP BY 1),
+        |m AS (
+        |  SELECT 'mod_n' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN doc_id % 32 <> doc_id % 33
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        |  FROM keys GROUP BY 1)
+        |SELECT strategy, n_keys, n_moved,
+        |  round(CAST(n_moved AS DOUBLE) / n_keys, 9) AS moved_share
+        |FROM (SELECT * FROM ring UNION ALL SELECT * FROM m)
+        |ORDER BY strategy""".stripMargin,
 
     // four generated legs: grid joins for truth, System-R estimate
     "q_join_card" -> {

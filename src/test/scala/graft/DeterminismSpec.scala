@@ -206,7 +206,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_cross_corr", "q_mad_anomaly",
     // cardinality audit: exact grid sums and one integer div; DP topk:
     // hash-Gumbel keys DECIMAL'd before the TakeOrdered
-    "q_join_card", "q_dp_topk")
+    "q_join_card", "q_dp_topk",
+    // ring: pure md5 successor picks with a lexicographic struct-min
+    // tie-break — assignment is a per-key pure function
+    "q_hash_ring")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -132,7 +132,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_cross_corr", "q_mad_anomaly",
     // cardinality audit of empty tables: NULL-sum legs filtered out;
     // DP release of an empty vocab: nothing to sample
-    "q_join_card", "q_dp_topk")
+    "q_join_card", "q_dp_topk",
+    // resharding audit of an empty key set: both strategy rollups
+    // collapse (constant-group), no 0/0 share
+    "q_hash_ring")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

@@ -1644,4 +1644,38 @@ class GateSpec extends AnyFunSuite {
     // reorderings — not the exact top-10 and not tail words
     assert(rows.map(_.getLong(3)).max <= 100L)
   }
+
+  test("q_hash_ring equals the brute ring walk; ring beats mod") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(x: String): Long = java.lang.Long.parseLong(
+      md.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString.take(13), 16)
+    def ring(n: Int): Seq[(Long, Long)] = (for {
+      s <- 0L until n.toLong; v <- 0L until 8L
+    } yield (h(s"shard$s#$v"), s)).sortBy(identity)
+    val (r32, r33) = (ring(32), ring(33))
+    def shardOf(r: Seq[(Long, Long)], kh: Long): Long =
+      r.find(_._1 >= kh).getOrElse(r.head)._2
+    val ids =
+      try Tables(spark, TestSpark.sf, "documents")
+        .select("doc_id").collect().map(_.getLong(0))
+      finally TestSpark.housekeeping()
+    val ringMoved = ids.count { id =>
+      val kh = h(id.toString)
+      shardOf(r32, kh) != shardOf(r33, kh)
+    }
+    val modMoved = ids.count(id => id % 32 != id % 33)
+    val rows =
+      try graft.operators.Extras.queries("q_hash_ring")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    val byStrat = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(byStrat("ring_vnodes") == (ids.length.toLong, ringMoved.toLong))
+    assert(byStrat("mod_n") == (ids.length.toLong, modMoved.toLong))
+    // the whole point: consistent hashing relocates a sliver, mod
+    // relocates nearly everything
+    assert(ringMoved * 5 < ids.length, "ring must move < 20% of keys")
+    assert(modMoved * 2 > ids.length, "mod must move > 50% of keys")
+  }
 }
