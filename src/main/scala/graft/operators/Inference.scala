@@ -236,6 +236,97 @@ object Inference extends graft.QueryPack {
           .as("var_reduction_pct"))
     }),
 
+    // Sample-ratio-mismatch check (the SRM guardrail of Fabijan et
+    // al. 2019 — the FIRST thing an experimentation platform tests,
+    // because a biased assignment invalidates every downstream
+    // metric): chi-square goodness-of-fit of the realized arm counts
+    // against the designed 50/50 split, per unit of randomization
+    // (users) AND per exposure (events) — the two can disagree, and
+    // that disagreement is itself a bug signature (activity-correlated
+    // assignment). Arms are the q_welch_ttest user_id % 2 coin; chi2
+    // = (a−b)²/(a+b) for two equal-expectation cells — ONE exact
+    // integer ratio, round-9; the flag is the 0.05 critical value
+    // 3.841459 as a literal, so no CDF crosses the engines.
+    "q_srm" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), (col("user_id") % 2).as("arm"))
+      val units = ev.select(col("user_id"), col("arm")).distinct()
+        .groupBy(lit("users").as("grain"))
+        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("a"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("b"))
+      val exposures = ev
+        .groupBy(lit("events").as("grain"))
+        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("a"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("b"))
+      units.unionAll(exposures)
+        .withColumn("chi2",
+          round(((col("a") - col("b")) * (col("a") - col("b")))
+            .cast("double") /
+            nullif(col("a") + col("b"), lit(0L)).cast("double"), 9))
+        .select(col("grain"), col("a"), col("b"), col("chi2"),
+          (col("chi2") > 3.841459d).as("srm_detected"))
+        .orderBy(col("grain"))
+    }),
+
+    // Difference-in-differences (Card–Krueger 1994's 2×2 design) —
+    // the quasi-experimental estimator when treatment switches ON at
+    // a known time for a known cohort: the treated arm's pre→post
+    // change minus the control arm's nets out both the level gap and
+    // the common trend. Cohort = the user_id % 2 coin; the switch =
+    // the exact time midpoint (the q_cuped device); a planted
+    // +3000-cent effect is added to post-period treated purchases so
+    // the estimator has a known target (the q_ipw_ate fixture
+    // discipline). All four cell means come from ONE conditional
+    // aggregation of exact cents; DiD is a single identically-
+    // parenthesized round-9 expression over the four exact ratios.
+    "q_did" -> ((s, d) => {
+      val cents = (col("value").cast(DecimalType(12, 2)) * 100)
+        .cast("long")
+      val ev = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("t"),
+          unix_micros(col("ts")).as("us"), cents.as("c"))
+      val rng = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val cells = ev.crossJoin(broadcast(rng))
+        .withColumn("post", (col("us") * 2 > col("lo") + col("hi"))
+          .cast("long"))
+        .withColumn("y", col("c") +
+          when(col("t") === 1L && col("post") === 1L, 3000L)
+            .otherwise(0L))
+        .groupBy(lit(1).as("one"))
+        .agg(
+          sum(when(col("t") === 1L && col("post") === 1L, col("y"))
+            .otherwise(0L)).as("s_t1"),
+          sum(when(col("t") === 1L && col("post") === 1L, 1L)
+            .otherwise(0L)).as("n_t1"),
+          sum(when(col("t") === 1L && col("post") === 0L, col("y"))
+            .otherwise(0L)).as("s_t0"),
+          sum(when(col("t") === 1L && col("post") === 0L, 1L)
+            .otherwise(0L)).as("n_t0"),
+          sum(when(col("t") === 0L && col("post") === 1L, col("y"))
+            .otherwise(0L)).as("s_c1"),
+          sum(when(col("t") === 0L && col("post") === 1L, 1L)
+            .otherwise(0L)).as("n_c1"),
+          sum(when(col("t") === 0L && col("post") === 0L, col("y"))
+            .otherwise(0L)).as("s_c0"),
+          sum(when(col("t") === 0L && col("post") === 0L, 1L)
+            .otherwise(0L)).as("n_c0"))
+      cells
+        .filter(col("n_t1") > 0L && col("n_t0") > 0L &&
+          col("n_c1") > 0L && col("n_c0") > 0L)
+        .select(col("n_t1"), col("n_t0"), col("n_c1"), col("n_c0"),
+          round(col("s_t1").cast("double") / col("n_t1") -
+            col("s_t0").cast("double") / col("n_t0"), 9)
+            .as("treated_delta"),
+          round(col("s_c1").cast("double") / col("n_c1") -
+            col("s_c0").cast("double") / col("n_c0"), 9)
+            .as("control_delta"),
+          round((col("s_t1").cast("double") / col("n_t1") -
+            col("s_t0").cast("double") / col("n_t0")) -
+            (col("s_c1").cast("double") / col("n_c1") -
+              col("s_c0").cast("double") / col("n_c0")), 9).as("did"))
+    }),
+
     // Inverse-propensity-weighted treatment effect (Horvitz–Thompson
     // 1952 via the stratified Hájek form) — the observational-data
     // counterpart of q_cuped's experiment tooling: when treatment
@@ -1055,6 +1146,77 @@ object Inference extends graft.QueryPack {
          |    / COUNT(*), 9) AS avg_set_size
          |FROM sc CROSS JOIN qhat
          |WHERE bucket >= 32768 GROUP BY n_cal, q_hat""".stripMargin,
+
+    // same coin, same two-cell exact chi-square
+    "q_srm" ->
+      """WITH ev AS (
+        |  SELECT user_id, user_id % 2 AS arm FROM events),
+        |units AS (
+        |  SELECT 'users' AS grain,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b
+        |  FROM (SELECT DISTINCT user_id, arm FROM ev)),
+        |exposures AS (
+        |  SELECT 'events' AS grain,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b
+        |  FROM ev)
+        |SELECT grain, a, b,
+        |  round(CAST((a - b) * (a - b) AS DOUBLE) / NULLIF(a + b, 0), 9)
+        |    AS chi2,
+        |  round(CAST((a - b) * (a - b) AS DOUBLE) / NULLIF(a + b, 0), 9)
+        |    > 3.841459 AS srm_detected
+        |FROM (SELECT * FROM units UNION ALL SELECT * FROM exposures)
+        |ORDER BY grain""".stripMargin,
+
+    // same midpoint split, same planted post-treated lift
+    "q_did" ->
+      """WITH ev AS (
+        |  SELECT user_id % 2 AS t, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |rng AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+        |yb AS (
+        |  SELECT t, post, c + CASE WHEN t = 1 AND post = 1
+        |    THEN 3000 ELSE 0 END AS y FROM (
+        |    SELECT t, c, CASE WHEN us * 2 > lo + hi THEN 1 ELSE 0 END
+        |      AS post
+        |    FROM ev CROSS JOIN rng)),
+        |cells AS (
+        |  SELECT 1 AS one,
+        |    CAST(SUM(CASE WHEN t = 1 AND post = 1 THEN y ELSE 0 END)
+        |      AS BIGINT) AS s_t1,
+        |    CAST(SUM(CASE WHEN t = 1 AND post = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t1,
+        |    CAST(SUM(CASE WHEN t = 1 AND post = 0 THEN y ELSE 0 END)
+        |      AS BIGINT) AS s_t0,
+        |    CAST(SUM(CASE WHEN t = 1 AND post = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t0,
+        |    CAST(SUM(CASE WHEN t = 0 AND post = 1 THEN y ELSE 0 END)
+        |      AS BIGINT) AS s_c1,
+        |    CAST(SUM(CASE WHEN t = 0 AND post = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c1,
+        |    CAST(SUM(CASE WHEN t = 0 AND post = 0 THEN y ELSE 0 END)
+        |      AS BIGINT) AS s_c0,
+        |    CAST(SUM(CASE WHEN t = 0 AND post = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c0
+        |  FROM yb GROUP BY 1)
+        |SELECT n_t1, n_t0, n_c1, n_c0,
+        |  round(CAST(s_t1 AS DOUBLE) / n_t1 -
+        |    CAST(s_t0 AS DOUBLE) / n_t0, 9) AS treated_delta,
+        |  round(CAST(s_c1 AS DOUBLE) / n_c1 -
+        |    CAST(s_c0 AS DOUBLE) / n_c0, 9) AS control_delta,
+        |  round((CAST(s_t1 AS DOUBLE) / n_t1 -
+        |    CAST(s_t0 AS DOUBLE) / n_t0) -
+        |    (CAST(s_c1 AS DOUBLE) / n_c1 -
+        |      CAST(s_c0 AS DOUBLE) / n_c0), 9) AS did
+        |FROM cells
+        |WHERE n_t1 > 0 AND n_t0 > 0 AND n_c1 > 0 AND n_c0 > 0"""
+        .stripMargin,
 
     // same planted confounder, same stratified-Hájek algebra
     "q_ipw_ate" ->

@@ -209,7 +209,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_join_card", "q_dp_topk",
     // ring: pure md5 successor picks with a lexicographic struct-min
     // tie-break — assignment is a per-key pure function
-    "q_hash_ring")
+    "q_hash_ring",
+    // SRM/DiD: exact conditional counts and identically-parenthesized
+    // round-9 cell-mean expressions — no order term anywhere
+    "q_srm", "q_did")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

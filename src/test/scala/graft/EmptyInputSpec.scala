@@ -135,7 +135,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_join_card", "q_dp_topk",
     // resharding audit of an empty key set: both strategy rollups
     // collapse (constant-group), no 0/0 share
-    "q_hash_ring")
+    "q_hash_ring",
+    // SRM of an empty assignment log: no grain rows; DiD with any
+    // empty cell (a fortiori an empty corpus): no estimate row
+    "q_srm", "q_did")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

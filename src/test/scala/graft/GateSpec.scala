@@ -1678,4 +1678,72 @@ class GateSpec extends AnyFunSuite {
     assert(ringMoved * 5 < ids.length, "ring must move < 20% of keys")
     assert(modMoved * 2 > ids.length, "mod must move > 50% of keys")
   }
+
+  test("q_srm: brute two-grain chi-square; balanced coin stays green") {
+    val raw =
+      try Tables(spark, TestSpark.sf, "events")
+        .select("user_id").collect().map(_.getLong(0))
+      finally TestSpark.housekeeping()
+    val rows =
+      try graft.operators.Inference.queries("q_srm")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.map(_.getString(0)).toSeq.sorted.toSeq ==
+      Seq("events", "users"))
+    rows.foreach { r =>
+      val (a, b) = r.getString(0) match {
+        case "events" => (raw.count(_ % 2 == 0).toLong,
+          raw.count(_ % 2 == 1).toLong)
+        case _ => (raw.distinct.count(_ % 2 == 0).toLong,
+          raw.distinct.count(_ % 2 == 1).toLong)
+      }
+      assert(r.getLong(1) == a && r.getLong(2) == b)
+      val chi2 = BigDecimal((a - b).toDouble * (a - b) / (a + b))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == chi2)
+      assert(r.getBoolean(4) == (chi2 > 3.841459))
+    }
+    // the UNIT-grain coin is fair by construction (user_id % 2), so
+    // users must stay green; the EVENTS grain is free to fire — and
+    // at this SF it does (562/438), the activity-correlated imbalance
+    // signature the two-grain design exists to separate
+    assert(!rows.find(_.getString(0) == "users").get.getBoolean(4),
+      "a fair unit coin must not trip unit-grain SRM")
+  }
+
+  test("q_did recovers the planted +3000-cent post-treated lift") {
+    val raw =
+      try Tables(spark, TestSpark.sf, "events")
+        .filter(org.apache.spark.sql.functions.col("event_type") ===
+          "purchase")
+        .selectExpr("user_id % 2", "unix_micros(ts)",
+          "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS LONG)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      finally TestSpark.housekeeping()
+    val (lo, hi) = (raw.map(_._2).min, raw.map(_._2).max)
+    val cells = raw.map { case (t, us, c) =>
+      val post = if (us * 2 > lo + hi) 1L else 0L
+      (t, post, c + (if (t == 1L && post == 1L) 3000L else 0L))
+    }
+    def mean(t: Long, p: Long): Double = {
+      val g = cells.filter(x => x._1 == t && x._2 == p).map(_._3)
+      g.sum.toDouble / g.length
+    }
+    val r =
+      try graft.operators.Inference.queries("q_did")(
+        spark, TestSpark.sf).collect().head
+      finally TestSpark.housekeeping()
+    Seq((1L, 1L, 0), (1L, 0L, 1), (0L, 1L, 2), (0L, 0L, 3)).foreach {
+      case (t, p, i) => assert(r.getLong(i) ==
+        cells.count(x => x._1 == t && x._2 == p).toLong)
+    }
+    val did = r.getDouble(6)
+    val expect = BigDecimal((mean(1, 1) - mean(1, 0)) -
+      (mean(0, 1) - mean(0, 0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(did == expect)
+    // the estimator must land near the plant (means of ~1000-row
+    // cells with ~10000-cent spread → s.e. a few hundred cents)
+    assert(math.abs(did - 3000.0) < 1500.0, s"did=$did off-plant")
+  }
 }
