@@ -520,4 +520,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), plan.take(3000))
     TestSpark.housekeeping()
   }
+
+  test("tail index: top-51 is a TakeOrdered, never a key-set sort") {
+    val df = graft.operators.Extras.queries("q_tail_index")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    TestSpark.housekeeping()
+  }
+
+  test("negative sampling: probes broadcast, the vocab streams once") {
+    val df = graft.operators.TextAnalytics.queries("q_negative_sampling")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the interval condition is a range — the ONLY sound physical
+    // shape is the 100-row probe side broadcast into a nested loop;
+    // a corpus-side sort-merge or cartesian over probes would be the
+    // scale bug
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    TestSpark.housekeeping()
+  }
+
+  test("hash ring: vnode successor joins broadcast, keys never sort") {
+    val df = graft.operators.Extras.queries("q_hash_ring")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    TestSpark.housekeeping()
+  }
+
+  test("join cardinality audit: grid equi-joins, no nested loop on grids") {
+    val df = graft.operators.Extras.queries("q_join_card")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // truth comes from count-grid equi-joins; the only NLJ-ish nodes
+    // allowed are the 1-row scalar cross joins
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    TestSpark.housekeeping()
+  }
 }
