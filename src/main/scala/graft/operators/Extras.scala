@@ -1041,6 +1041,61 @@ object Extras extends graft.QueryPack {
         .orderBy(col("check"))
     }),
 
+    // Equi-depth histogram build (the optimizer's statistics
+    // primitive — Piatetsky-Shapiro & Connell 1984; what ANALYZE
+    // TABLE materializes for selectivity estimation): 9 decile
+    // boundaries per numeric column via the SAME grid-threshold pick
+    // as the q_mad_anomaly median (min v with 10·cum ≥ k·n — a
+    // domain-bounded cents grid, never a corpus sort), then the EXACT
+    // per-bucket depths and depth_ratio = 10·n_bucket/n. On
+    // continuous data every ratio ≈ 1; heavy ties inflate one bucket
+    // and starve its neighbors — depth_ratio is the audit an
+    // optimizer reads before trusting uniform-within-bucket
+    // interpolation. Boundaries ride as a 1-row broadcast; bucket
+    // assignment is Σ(v > bₖ) over the 9-element literal array.
+    "q_equi_depth_hist" -> ((s, d) => {
+      def leg(df: DataFrame, v: org.apache.spark.sql.Column,
+              tag: String): DataFrame = {
+        val g = df.select(v.as("v")).groupBy(col("v"))
+          .agg(count(lit(1)).as("k"))
+        val wC = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val gg = g.withColumn("cum", sum(col("k")).over(wC))
+          .withColumn("n", sum(col("k")).over(
+            Window.orderBy(lit(1)).rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+        val aggs = (1 to 9).map(kk =>
+          min(when(col("cum") * 10 >= col("n") * kk, col("v")))
+            .as(s"b$kk")) :+ max(col("n")).as("n_total")
+        val bounds = gg.groupBy(lit(1).as("one"))
+          .agg(aggs.head, aggs.tail: _*)
+        val arr = array((1 to 9).map(kk => col(s"b$kk")): _*)
+        gg.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            (lit(1L) + (1 to 9).map(kk =>
+              when(col("v") > col(s"b$kk"), 1L).otherwise(0L))
+              .reduce(_ + _)).cast("long"))
+          .withColumn("hi_boundary",
+            when(col("bucket") <= 9L, element_at(arr, col("bucket")
+              .cast("int"))))
+          .groupBy(col("bucket"), col("hi_boundary"), col("n_total"))
+          .agg(sum(col("k")).as("n_bucket"))
+          .select(lit(tag).as("column_name"), col("bucket"),
+            col("hi_boundary"), col("n_bucket"),
+            round(col("n_bucket").cast("double") * 10 /
+              col("n_total"), 9).as("depth_ratio"))
+      }
+      val cents = (c: String) =>
+        (col(c).cast(DecimalType(12, 2)) * 100).cast("long")
+      leg(Tables(s, d, "lineitem"), cents("l_extendedprice"),
+          "lineitem.l_extendedprice")
+        .unionAll(leg(Tables(s, d, "orders"), cents("o_totalprice"),
+          "orders.o_totalprice"))
+        .unionAll(leg(Tables(s, d, "events"), cents("value"),
+          "events.value"))
+        .orderBy(col("column_name"), col("bucket"))
+    }),
+
     // Consistent-hashing elasticity audit (Karger et al. 1997) — the
     // resharding cost a 100 TB store pays when the cluster grows:
     // assign every doc to a shard under BOTH a 32-shard ring (8
@@ -2071,6 +2126,55 @@ object Extras extends graft.QueryPack {
         |  FROM merged) t
         |WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+
+    // three generated legs: grid thresholds, literal-array buckets
+    "q_equi_depth_hist" -> {
+      val legs = Seq(
+        ("lineitem", "l_extendedprice", "lineitem.l_extendedprice"),
+        ("orders", "o_totalprice", "orders.o_totalprice"),
+        ("events", "value", "events.value"))
+        .zipWithIndex.map { case ((t, vc, tag), i) =>
+          val bs = (1 to 9).map(kk =>
+            s"MIN(CASE WHEN cum * 10 >= n * $kk THEN v END) AS b$kk")
+            .mkString(",\n    ")
+          val bucketExpr = (1 to 9).map(kk =>
+            s"(CASE WHEN v > b$kk THEN 1 ELSE 0 END)").mkString(" + ")
+          val ctes =
+            s"""eg_$i AS (
+               |  SELECT v, CAST(COUNT(*) AS BIGINT) AS k FROM (
+               |    SELECT CAST(CAST($vc AS DECIMAL(12,2)) * 100
+               |      AS BIGINT) AS v FROM $t)
+               |  GROUP BY v),
+               |ec_$i AS (
+               |  SELECT v, k,
+               |    CAST(SUM(k) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               |      AS BIGINT) AS cum,
+               |    CAST(SUM(k) OVER () AS BIGINT) AS n
+               |  FROM eg_$i),
+               |eb_$i AS (
+               |  SELECT $bs,
+               |    MAX(n) AS n_total
+               |  FROM ec_$i)""".stripMargin
+          val sel =
+            s"""SELECT '$tag' AS column_name, bucket, hi_boundary,
+               |  CAST(SUM(k) AS BIGINT) AS n_bucket,
+               |  round(CAST(SUM(k) AS DOUBLE) * 10 / MAX(n_total), 9)
+               |    AS depth_ratio
+               |FROM (
+               |  SELECT k, n_total,
+               |    CAST(1 + $bucketExpr AS BIGINT) AS bucket,
+               |    CASE WHEN 1 + $bucketExpr <= 9 THEN
+               |      [b1, b2, b3, b4, b5, b6, b7, b8, b9]
+               |        [1 + $bucketExpr] END AS hi_boundary
+               |  FROM ec_$i CROSS JOIN eb_$i)
+               |GROUP BY bucket, hi_boundary""".stripMargin
+          (ctes, sel)
+        }
+      s"""WITH ${legs.map(_._1).mkString(",\n")}
+         |SELECT * FROM (
+         |${legs.map(l => s"(${l._2})").mkString("\nUNION ALL\n")}
+         |) ORDER BY column_name, bucket""".stripMargin
+    },
 
     // same vnode rings, successor rule as correlated ORDER/LIMIT picks
     "q_hash_ring" ->

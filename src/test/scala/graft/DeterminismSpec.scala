@@ -212,7 +212,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_hash_ring",
     // SRM/DiD: exact conditional counts and identically-parenthesized
     // round-9 cell-mean expressions — no order term anywhere
-    "q_srm", "q_did")
+    "q_srm", "q_did",
+    // equi-depth: grid-threshold boundary picks + exact bucket sums
+    "q_equi_depth_hist")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

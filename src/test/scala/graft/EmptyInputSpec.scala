@@ -138,7 +138,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_hash_ring",
     // SRM of an empty assignment log: no grain rows; DiD with any
     // empty cell (a fortiori an empty corpus): no estimate row
-    "q_srm", "q_did")
+    "q_srm", "q_did",
+    // histograms of empty columns: no value grid → no buckets
+    "q_equi_depth_hist")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

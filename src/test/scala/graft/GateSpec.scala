@@ -1746,4 +1746,39 @@ class GateSpec extends AnyFunSuite {
     // cells with ~10000-cent spread → s.e. a few hundred cents)
     assert(math.abs(did - 3000.0) < 1500.0, s"did=$did off-plant")
   }
+
+  test("q_equi_depth_hist: brute decile boundaries and bucket depths") {
+    val legs = Map(
+      "lineitem.l_extendedprice" -> ("lineitem", "l_extendedprice"),
+      "orders.o_totalprice" -> ("orders", "o_totalprice"),
+      "events.value" -> ("events", "value"))
+    val rows =
+      try graft.operators.Extras.queries("q_equi_depth_hist")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.map(_.getString(0)).toSet == legs.keySet)
+    legs.foreach { case (tag, (t, c)) =>
+      val vs =
+        try Tables(spark, TestSpark.sf, t)
+          .selectExpr(s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS LONG)")
+          .collect().map(_.getLong(0)).sorted
+        finally TestSpark.housekeeping()
+      val n = vs.length
+      // min v with 10·cum(v) >= k·n == the ceil(k·n/10)-th order stat
+      val bs = (1 to 9).map(k => vs((k * n + 9) / 10 - 1))
+      def bucket(x: Long): Long = 1L + bs.count(_ < x)
+      val byBucket = vs.groupBy(bucket).view.mapValues(_.length.toLong)
+      val got = rows.filter(_.getString(0) == tag)
+      assert(got.map(_.getLong(1)).toSet == byBucket.keySet)
+      got.foreach { r =>
+        val b = r.getLong(1)
+        assert(r.getLong(3) == byBucket(b), s"$tag bucket $b depth")
+        if (b <= 9) assert(r.getLong(2) == bs(b.toInt - 1),
+          s"$tag boundary $b")
+        else assert(r.isNullAt(2))
+        // continuous cents → near-perfect equi-depth
+        assert(math.abs(r.getDouble(4) - 1.0) < 0.05, s"$tag ratio")
+      }
+    }
+  }
 }
