@@ -305,6 +305,32 @@ object TextAnalytics extends graft.QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // Simpson diversity / effective-category count per source — the
+    // mixture-design read that says whether a source is a monoculture
+    // (one language dominating) or a genuine mix: λ = Σnᵢ²/N² is the
+    // probability two random docs share a language, and 1/λ is the
+    // EFFECTIVE number of languages (Hill number of order 2 — the
+    // ecology form of the concentration index next to q_gini's
+    // inequality form). All integer squares summed exactly (BIGINT;
+    // Σnᵢ² ≤ N² — the q_ks_test rescale note applies at 10⁹⁺
+    // rows/source), two round-9 divisions at the end.
+    "q_simpson_diversity" -> ((s, d) => {
+      val g = Tables(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("ni"))
+      g.groupBy(col("source"))
+        .agg(sum(col("ni")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          sum(col("ni") * col("ni")).as("ssq"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          round(col("ssq").cast("double") /
+            (col("n_docs") * col("n_docs")).cast("double"), 9)
+            .as("simpson"),
+          round((col("n_docs") * col("n_docs")).cast("double") /
+            col("ssq").cast("double"), 9).as("effective_langs"))
+        .orderBy(col("source"))
+    }),
+
     // Differentially-private top-k word release via the exponential
     // mechanism in its Gumbel-trick form (McSherry–Talwar 2007;
     // Durfee–Rogers 2019 proved top-k-with-Gumbel ≡ iterated
@@ -1627,6 +1653,23 @@ object TextAnalytics extends graft.QueryPack {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
         |    AS zipf_slope
         |FROM moms ORDER BY rank""".stripMargin,
+
+    // same exact squares, same two final divisions
+    "q_simpson_diversity" ->
+      """WITH g AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS ni
+        |  FROM documents GROUP BY source, lang),
+        |r AS (
+        |  SELECT source, CAST(SUM(ni) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |    CAST(SUM(ni * ni) AS BIGINT) AS ssq
+        |  FROM g GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |  round(CAST(ssq AS DOUBLE) /
+        |    CAST(n_docs * n_docs AS DOUBLE), 9) AS simpson,
+        |  round(CAST(n_docs * n_docs AS DOUBLE) /
+        |    CAST(ssq AS DOUBLE), 9) AS effective_langs
+        |FROM r ORDER BY source""".stripMargin,
 
     // same hash-Gumbel keys, same 2^52-shifted uniform
     "q_dp_topk" ->

@@ -172,4 +172,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     // don't monopolize (a degenerate table would emit one word)
     assert(got.map(_._3).distinct.size > 5)
   }
+
+  test("q_simpson_diversity: brute lambda, Hill-number bounds") {
+    val raw = graft.Tables(spark, TestSpark.sf, "documents")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    TestSpark.housekeeping()
+    val rows = graft.operators.TextAnalytics
+      .queries("q_simpson_diversity")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.map(_.getString(0)).toSet == raw.map(_._1).toSet)
+    rows.foreach { r =>
+      val g = raw.filter(_._1 == r.getString(0)).map(_._2)
+      val ni = g.groupBy(identity).map(_._2.length.toLong)
+      val (n, ssq) = (g.length.toLong, ni.map(x => x * x).sum)
+      assert(r.getLong(1) == n && r.getLong(2) == ni.size.toLong)
+      assert(r.getDouble(3) == BigDecimal(ssq.toDouble / (n * n))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // 1 <= effective languages <= observed languages
+      assert(r.getDouble(4) >= 1.0 - 1e-9)
+      assert(r.getDouble(4) <= ni.size.toDouble + 1e-9)
+    }
+  }
 }

@@ -214,7 +214,9 @@ class DeterminismSpec extends AnyFunSuite {
     // round-9 cell-mean expressions — no order term anywhere
     "q_srm", "q_did",
     // equi-depth: grid-threshold boundary picks + exact bucket sums
-    "q_equi_depth_hist")
+    "q_equi_depth_hist",
+    // Simpson: exact integer squares, two final divisions
+    "q_simpson_diversity")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -140,7 +140,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // empty cell (a fortiori an empty corpus): no estimate row
     "q_srm", "q_did",
     // histograms of empty columns: no value grid → no buckets
-    "q_equi_depth_hist")
+    "q_equi_depth_hist",
+    // diversity of an empty corpus: no (source, lang) grid
+    "q_simpson_diversity")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {
