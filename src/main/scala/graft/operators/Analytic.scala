@@ -360,6 +360,40 @@ object Analytic extends graft.QueryPack {
             9).as("assortativity"))
     }),
 
+    // SAX symbolization (Lin et al. 2003) of the per-type daily count
+    // series — the discretization that turns time series into text so
+    // the TEXT machinery (n-gram motifs, suffix dedup, LSH) applies
+    // to telemetry: z-normalize each type's series with the
+    // q_burst_detect exact-moment z, then map through the Gaussian
+    // quartile breakpoints ±0.6745 (literals in both engines) to a
+    // 4-letter alphabet, and assemble the per-type word in day order
+    // via an ORDER-PINNED aggregation (array_sort over (day, symbol)
+    // structs — never a collect_list ordering assumption). Output is
+    // one word per type plus the alphabet usage histogram folded in.
+    "q_sax_words" -> ((s, d) => {
+      val z = burstZ(Tables(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt")))
+      val sym = when(col("z").isNull, lit("b"))
+        .when(col("z") < -0.6745d, lit("a"))
+        .when(col("z") < 0.0d, lit("b"))
+        .when(col("z") < 0.6745d, lit("c"))
+        .otherwise(lit("d"))
+      z.withColumn("symbol", sym)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("day"), col("symbol")))),
+            x => x.getField("symbol")), "").as("sax_word"),
+          sum(when(col("symbol") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("symbol") === "b", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("symbol") === "c", 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("symbol") === "d", 1L).otherwise(0L)).as("n_d"))
+        .orderBy(col("event_type"))
+    }),
+
     // Median/MAD robust anomaly audit (Hampel's 3·1.4826·MAD rule) —
     // the heavy-tail-proof complement to q_zscore_anomaly's rolling
     // z: mean/stddev move with the outliers they're hunting, the
@@ -2250,6 +2284,50 @@ object Analytic extends graft.QueryPack {
         |FROM m WHERE n > 0""".stripMargin,
 
     // same hour grid, lag equi-join, exact integer deviations
+    // the burst grid/z CTEs restated, then breakpoints + ordered agg
+    "q_sax_words" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY event_type, day),
+        |f AS (
+        |  SELECT g.event_type, g.day, COALESCE(c.cnt, 0) AS cnt
+        |  FROM (SELECT t.event_type, d.day
+        |        FROM (SELECT DISTINCT event_type FROM e) t
+        |        CROSS JOIN (SELECT DISTINCT day FROM e) d) g
+        |  LEFT JOIN c ON g.event_type = c.event_type AND g.day = c.day),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(cnt) AS BIGINT) AS s1,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        |  FROM f GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN z IS NULL THEN 'b'
+        |         WHEN z < -0.6745 THEN 'a'
+        |         WHEN z < 0.0 THEN 'b'
+        |         WHEN z < 0.6745 THEN 'c'
+        |         ELSE 'd' END AS symbol
+        |  FROM (
+        |    SELECT f.event_type, f.day,
+        |      CASE WHEN nd * s2 - s1 * s1 > 0 THEN
+        |        round(CAST(nd * cnt - s1 AS DOUBLE) /
+        |          sqrt(CAST(nd * s2 - s1 * s1 AS DOUBLE)), 9) END AS z
+        |    FROM f JOIN m USING (event_type)))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  string_agg(symbol, '' ORDER BY day) AS sax_word,
+        |  CAST(SUM(CASE WHEN symbol = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_a,
+        |  CAST(SUM(CASE WHEN symbol = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_b,
+        |  CAST(SUM(CASE WHEN symbol = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_c,
+        |  CAST(SUM(CASE WHEN symbol = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_d
+        |FROM st GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // same grid medians, same integer Hampel flag
     "q_mad_anomaly" ->
       """WITH ev AS (

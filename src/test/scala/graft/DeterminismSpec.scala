@@ -216,7 +216,10 @@ class DeterminismSpec extends AnyFunSuite {
     // equi-depth: grid-threshold boundary picks + exact bucket sums
     "q_equi_depth_hist",
     // Simpson: exact integer squares, two final divisions
-    "q_simpson_diversity")
+    "q_simpson_diversity",
+    // SAX: the burst z (layout-free) through literal breakpoints +
+    // an array_sort-pinned word assembly — no collect order leaks
+    "q_sax_words")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

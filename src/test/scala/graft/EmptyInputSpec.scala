@@ -142,7 +142,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // histograms of empty columns: no value grid → no buckets
     "q_equi_depth_hist",
     // diversity of an empty corpus: no (source, lang) grid
-    "q_simpson_diversity")
+    "q_simpson_diversity",
+    // SAX of an empty stream: the empty burst grid symbolizes to
+    // no words
+    "q_sax_words")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

@@ -1747,6 +1747,44 @@ class GateSpec extends AnyFunSuite {
     assert(math.abs(did - 3000.0) < 1500.0, s"did=$did off-plant")
   }
 
+  test("q_sax_words: brute symbolization in day order; histogram folds") {
+    val raw =
+      try Tables(spark, TestSpark.sf, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      finally TestSpark.housekeeping()
+    val types = raw.map(_._1).distinct
+    val days = raw.map(_._2).distinct.sorted
+    val rows =
+      try graft.operators.Analytic.queries("q_sax_words")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    assert(rows.map(_.getString(0)).toSet == types.toSet)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val cnts = days.map(day =>
+        raw.count(p => p._1 == t && p._2 == day).toLong)
+      val nd = cnts.length.toLong
+      val (s1, s2) = (cnts.sum, cnts.map(x => x * x).sum)
+      val varNum = nd * s2 - s1 * s1
+      val word = cnts.map { c =>
+        if (varNum <= 0) "b" else {
+          val z = BigDecimal((nd * c - s1).toDouble /
+            math.sqrt(varNum.toDouble))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (z < -0.6745) "a" else if (z < 0.0) "b"
+          else if (z < 0.6745) "c" else "d"
+        }
+      }.mkString
+      assert(r.getLong(1) == nd)
+      assert(r.getString(2) == word, s"$t word")
+      Seq("a", "b", "c", "d").zipWithIndex.foreach { case (sym, i) =>
+        assert(r.getLong(3 + i) == word.count(_.toString == sym).toLong)
+      }
+      assert(r.getString(2).length == nd)
+    }
+  }
+
   test("q_equi_depth_hist: brute decile boundaries and bucket depths") {
     val legs = Map(
       "lineitem.l_extendedprice" -> ("lineitem", "l_extendedprice"),
