@@ -305,6 +305,36 @@ object TextAnalytics extends graft.QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
+    // Character-entropy quality gate (the Gopher/C4 family's
+    // incompressibility heuristic): per-doc Shannon entropy of the
+    // character distribution via the identity H = ln n − (Σ c·ln c)/n
+    // — counts stay exact integers, each c·ln c term is round-12 then
+    // DECIMAL-summed (the q_calibration ECE discipline), ONE compound
+    // round-9 expression at the end. Low entropy means keyboard-mash
+    // repetition or single-char padding — text an LM gains nothing
+    // from. The (doc, char) grid is ≤ alphabet-sized per doc; Spark's
+    // split("") emits a trailing empty element (Java limit -1
+    // semantics) that the length filter drops on both engines.
+    "q_entropy_gate" -> ((s, d) => {
+      val g = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+      g.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_chars"),
+          count(lit(1)).as("n_distinct"),
+          sum(round(col("c").cast("double") *
+            log(col("c").cast("double")), 12)
+            .cast(DecimalType(28, 12))).as("slog"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+          round(log(col("n_chars").cast("double")) -
+            col("slog").cast("double") / col("n_chars"), 9)
+            .as("entropy_nats"))
+        .withColumn("is_low_entropy", col("entropy_nats") < 2.5d)
+        .orderBy(col("doc_id"))
+    }),
+
     // Simpson diversity / effective-category count per source — the
     // mixture-design read that says whether a source is a monoculture
     // (one language dominating) or a genuine mix: λ = Σnᵢ²/N² is the
@@ -1653,6 +1683,27 @@ object TextAnalytics extends graft.QueryPack {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
         |    AS zipf_slope
         |FROM moms ORDER BY rank""".stripMargin,
+
+    // same identity, same round-12 term sums
+    "q_entropy_gate" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM chars WHERE length(ch) > 0 GROUP BY doc_id, ch),
+        |r AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)),
+        |      12) AS DECIMAL(28,12))) AS slog
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_chars, n_distinct,
+        |  round(ln(CAST(n_chars AS DOUBLE)) -
+        |    CAST(slog AS DOUBLE) / n_chars, 9) AS entropy_nats,
+        |  round(ln(CAST(n_chars AS DOUBLE)) -
+        |    CAST(slog AS DOUBLE) / n_chars, 9) < 2.5 AS is_low_entropy
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // same exact squares, same two final divisions
     "q_simpson_diversity" ->

@@ -194,4 +194,33 @@ class CorpusStatsSpec extends AnyFunSuite {
       assert(r.getDouble(4) <= ni.size.toDouble + 1e-9)
     }
   }
+
+  test("q_entropy_gate: brute per-doc Shannon H, max-entropy bound") {
+    val docs = graft.Tables(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    TestSpark.housekeeping()
+    val rows = graft.operators.TextAnalytics
+      .queries("q_entropy_gate")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.length == docs.length)
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val cs = byId(r.getLong(0)).toSeq.groupBy(identity)
+        .map(_._2.length.toLong)
+      val n = cs.sum
+      assert(r.getLong(1) == n && r.getLong(2) == cs.size.toLong)
+      var slog = BigDecimal(0)
+      cs.foreach { c =>
+        slog += BigDecimal(c.toDouble * math.log(c.toDouble))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val h = BigDecimal(math.log(n.toDouble) - slog.toDouble / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == h, s"doc ${r.getLong(0)}")
+      // 0 <= H <= ln(alphabet size), and the flag restates the cut
+      assert(h >= -1e-9 && h <= math.log(cs.size.toDouble) + 1e-9)
+      assert(r.getBoolean(4) == (h < 2.5))
+    }
+  }
 }

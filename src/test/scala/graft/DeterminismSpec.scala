@@ -219,7 +219,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_simpson_diversity",
     // SAX: the burst z (layout-free) through literal breakpoints +
     // an array_sort-pinned word assembly — no collect order leaks
-    "q_sax_words")
+    "q_sax_words",
+    // entropy gate: exact char counts, round-12 c·ln c DECIMAL sums
+    "q_entropy_gate")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -145,7 +145,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_simpson_diversity",
     // SAX of an empty stream: the empty burst grid symbolizes to
     // no words
-    "q_sax_words")
+    "q_sax_words",
+    // entropy of an empty corpus: no (doc, char) grid
+    "q_entropy_gate")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {
