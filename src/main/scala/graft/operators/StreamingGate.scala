@@ -913,6 +913,43 @@ object StreamingGate extends graft.QueryPack {
       drain(s, stream, "append")(foldBinCounts(state))
       Analytic.burstZ(readBinState(s, state, "day")
         .withColumnRenamed("n", "cnt"))
+    }),
+
+    // Continuous SRM monitoring — the SEVENTEENTH drain, because an
+    // experimentation platform checks sample-ratio health as
+    // exposures ARRIVE, not at readout: two streams fold per-arm
+    // counts through foldBinCounts' merge monoid (arm as the bin
+    // key) — raw exposures for the events grain, a streaming
+    // dropDuplicates("user_id") for the units grain (state bounded by
+    // the user universe, the q_stream_dedup posture) — and the
+    // drained states feed the SAME two-cell chi-square as q_srm,
+    // whose oracle gates this verbatim. One definition, two paths,
+    // two grains.
+    "q_stream_srm" -> ((s, d) => {
+      val base = freshDir("q_stream_srm")
+      val stExp = base + "/exp"
+      val stUsr = base + "/usr"
+      drain(s, EventsStream.replay(s, d)
+        .select(lit("events").as("event_type"),
+          (col("user_id") % 2).as("bin")),
+        "append")(foldBinCounts(stExp))
+      drain(s, EventsStream.replay(s, d)
+        .select(col("user_id"), (col("user_id") % 2).as("bin"))
+        .dropDuplicates("user_id")
+        .select(lit("users").as("event_type"), col("bin")),
+        "append")(foldBinCounts(stUsr))
+      readBinState(s, stExp, "arm")
+        .unionByName(readBinState(s, stUsr, "arm"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("arm") === 0L, col("n")).otherwise(0L)).as("a"),
+          sum(when(col("arm") === 1L, col("n")).otherwise(0L)).as("b"))
+        .withColumn("chi2",
+          round(((col("a") - col("b")) * (col("a") - col("b")))
+            .cast("double") /
+            nullif(col("a") + col("b"), lit(0L)).cast("double"), 9))
+        .select(col("event_type").as("grain"), col("a"), col("b"),
+          col("chi2"), (col("chi2") > 3.841459d).as("srm_detected"))
+        .orderBy(col("grain"))
     })
   )
 
@@ -920,6 +957,9 @@ object StreamingGate extends graft.QueryPack {
     // the drained monitor must hash-equal the batch detector — the
     // q_burst_detect oracle VERBATIM (one definition, two paths)
     "q_stream_burst" -> Analytic.oracles("q_burst_detect"),
+
+    // the streamed two-grain health check restates the batch q_srm
+    "q_stream_srm" -> Inference.oracles("q_srm"),
 
     // the restart-recovered drain must reconstruct EXACTLY the events
     // table: every planted cross-file duplicate deduped, nothing lost

@@ -147,7 +147,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // no words
     "q_sax_words",
     // entropy of an empty corpus: no (doc, char) grid
-    "q_entropy_gate")
+    "q_entropy_gate",
+    // streamed SRM of an empty exposure log: both grain folds drain
+    // to empty state → no grain rows
+    "q_stream_srm")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {
