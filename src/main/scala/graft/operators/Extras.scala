@@ -219,8 +219,10 @@ object Extras extends graft.QueryPack {
     // RFM segmentation (Hughes 1994; the direct-marketing scoring
     // every CRM warehouse runs): per customer recency (days from
     // their last order to the corpus high-water date), frequency
-    // (order count) and monetary (exact DECIMAL revenue sum — the
-    // q1_agg money discipline over the DOUBLE source column), each
+    // (order count) and monetary (exact DECIMAL revenue sum cast to
+    // double — the house sumMoney discipline; a DECIMAL(18,2) final
+    // column would hash-diverge because DuckDB's pandas bridge
+    // renders DECIMAL as float64, dropping trailing zeros), each
     // scored into exact rank quintiles WITHIN the customer's market
     // segment — the per-source-partitioned window discipline of
     // q_percentile_prune (a global unpartitioned ntile would funnel
@@ -236,7 +238,7 @@ object Extras extends graft.QueryPack {
       val perCust = o.groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_order"),
           count(lit(1)).as("frequency"),
-          sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2))
+          sum(dec(col("o_totalprice"))).cast("double")
             .as("monetary"))
       val hw = o.agg(max(col("o_orderdate")).as("hwm"))
       val base = perCust
@@ -1707,7 +1709,7 @@ object Extras extends graft.QueryPack {
         |  SELECT o_custkey AS custkey, MAX(o_orderdate) AS last_order,
         |    CAST(COUNT(*) AS BIGINT) AS frequency,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-        |      AS DECIMAL(18,2)) AS monetary
+        |      AS DOUBLE) AS monetary
         |  FROM orders GROUP BY 1),
         |hw AS (SELECT MAX(o_orderdate) AS hwm FROM orders),
         |base AS (

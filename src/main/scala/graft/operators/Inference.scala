@@ -1157,14 +1157,14 @@ object Inference extends graft.QueryPack {
         |      AS a,
         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS b
-        |  FROM (SELECT DISTINCT user_id, arm FROM ev)),
+        |  FROM (SELECT DISTINCT user_id, arm FROM ev) GROUP BY 1),
         |exposures AS (
         |  SELECT 'events' AS grain,
         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS a,
         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS b
-        |  FROM ev)
+        |  FROM ev GROUP BY 1)
         |SELECT grain, a, b,
         |  round(CAST((a - b) * (a - b) AS DOUBLE) / NULLIF(a + b, 0), 9)
         |    AS chi2,

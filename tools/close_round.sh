@@ -27,6 +27,11 @@ SPARK_GRAFT_CPUS=8 tools/run.sh graft.Verify /root/testdata/sf0.01 \
   /tmp/close_verify 2>/tmp/close_verify.log
 STRICT=1 python3 tools/check.py /root/testdata/sf0.01 /tmp/close_verify \
   | tail -2
+# Dtype-repr audit (VERDICT r9): no query output may carry a DECIMAL
+# final column — DuckDB's pandas bridge renders DECIMAL as float64, so
+# the driver's type+repr hash diverges on any trailing-zero value even
+# when tools/check.py's value canonicalization passes (the q_rfm class).
+python3 tools/dtype_audit.py /tmp/close_verify
 
 echo "=== 4/6 scalatest"
 sbt -batch test 2>&1 | tail -4
