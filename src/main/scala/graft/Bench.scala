@@ -6,8 +6,18 @@ object Bench {
     val spark = Harness.session(warm = true)
     def housekeeping(): Unit = Harness.housekeeping(spark)
 
+    // Optional comma-separated allowlist for targeted A/B legs
+    // (SPARK_GRAFT_ONLY=q_pagerank,q_modularity). Full runs leave it
+    // unset; filtered legs are for attribution, never archived as
+    // round benches.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(set) => SparkEntry.queries.filter { case (n, _) => set(n) }
+      case None      => SparkEntry.queries
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       // Some(seconds) on success, None on failure.
       def once(): Option[Double] = {
         val t0 = System.nanoTime()

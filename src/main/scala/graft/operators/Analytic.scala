@@ -126,16 +126,32 @@ object Analytic extends graft.QueryPack {
     * q_label_propagation entry for the algorithm and scale rationale;
     * factored out so q_modularity scores exactly the partition the
     * gated LPA operator produces, not a re-derivation that could
-    * drift. */
+    * drift. Each round ends in an eager localCheckpoint — the same
+    * pinned-adjacency discipline as q_pagerank's persisted edgesDeg:
+    * the label frame is tiny (one row per node) next to the edge
+    * frame, and truncating the lineage there means a downstream
+    * consumer that references the labels more than once (q_modularity
+    * joins them onto BOTH edge endpoints) can never replay an earlier
+    * round's edge join, and the optimizer never re-plans the unrolled
+    * round subtree. */
   private def lpaLabels(edges: DataFrame): DataFrame = {
-    var lab: DataFrame = edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node"))
-    for (_ <- 1 to 3) {
+    // Round 1 over identity labels degenerates algebraically: every
+    // neighbor holds its own (distinct) id, so all counts are 1 and
+    // the smallest-label tie-break picks min(neighbor id). That turns
+    // the initial nodes-distinct + join + two-level argmax (4 shuffles)
+    // into ONE map-side-combinable min agg (1 shuffle) — same labels,
+    // bit for bit (the round-2/3 unrolled form stays the oracle's).
+    var lab: DataFrame = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("lab"))
+      .select(col("dst").as("node"), col("lab"))
+      .localCheckpoint()
+    for (_ <- 2 to 3) {
       lab = edges.join(lab.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
+        .localCheckpoint()
     }
     lab
   }
@@ -1012,16 +1028,23 @@ object Analytic extends graft.QueryPack {
     // where e_c counts intra-community directed edges and d_c sums
     // member degrees. Shares tradeEdges/lpaLabels with
     // q_label_propagation, so the scored partition IS the gated one.
-    // Plan shape: two broadcast-or-shuffle label joins onto the edge
-    // frame (the labeled-edge frame is one shuffle keyed by node),
-    // one per-community count/sum agg, one single-row total
-    // cross-joined back (broadcast — never a shuffle). Every term is
-    // exact integer arithmetic until the final division; the division
-    // operands are identical BIGINTs in both engines, so the rounded
-    // double is bit-stable across Spark and DuckDB.
+    // Plan shape: two label equi-joins onto the persisted edge frame
+    // (node-keyed shuffles; labels come pre-pinned by lpaLabels'
+    // localCheckpoint), one per-community count/sum agg, one
+    // single-row total cross-joined back (broadcast — never a
+    // shuffle). An A/B'd alternative — compact (dst, slab) counts
+    // between the two label lookups — benched consistently SLOWER at
+    // sf0.1 (~6.5 s vs ~5.5 s): the extra edge-sized aggregation
+    // costs more than the cheaper dst-side join saves, so the direct
+    // two-join shape stays. Every term is exact integer arithmetic
+    // until the final division; the division operands are identical
+    // BIGINTs in both engines, so the rounded double is bit-stable
+    // across Spark and DuckDB.
     "q_modularity" -> ((s, d) => {
       val edges = tradeEdges(s, d)
-      val lab = lpaLabels(edges).persist()
+      // lpaLabels' final localCheckpoint already pins the label frame;
+      // no extra persist needed for the two endpoint joins below.
+      val lab = lpaLabels(edges)
       val el = edges
         .join(lab.select(col("node").as("src"), col("lab").as("slab")), Seq("src"))
         .join(lab.select(col("node").as("dst"), col("lab").as("dlab")), Seq("dst"))
