@@ -372,6 +372,78 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Incremental ANN admission — the vector twin of
+    // q_dedup_incremental and the operational 100 TB embedding-index
+    // mode: an ARRIVING BATCH (vec_id % 7 = 3, the same stable crawl
+    // stand-in) is queried/inserted against the STORED two-level IVF
+    // index of the already-indexed corpus WITHOUT re-clustering.
+    // The model (K1 = ceil(sqrt(K2)) heads routing K2 =
+    // ceil(sqrt(|index|)) lists) is sampled from the INDEX corpus
+    // only — a model built before the batch arrived cannot contain
+    // batch vectors — and ships as the same TwoLevelCentroidModel
+    // reference object as q_ann_ivf2, so per-batch-row assignment is
+    // O((K1 + maxGroup)·D) fused dot products inside ONE codegen
+    // node. Per new vector: route to its head group, probe the top-2
+    // lists within the group (the q_ann_ivf2 probe path), rank the
+    // index members of those lists by round-9 cosine, report top-3
+    // neighbors plus insert_cid — the list the vector is admitted
+    // into. At 100 TB the index side's assignments are a STORED
+    // column maintained by prior runs (recomputed here only because
+    // the sandbox has no persisted index, exactly q_dedup_incremental's
+    // documented posture); the per-batch work is batch assignment +
+    // a probe-list equi-join bounded by shared lists — corpus-sized
+    // scans never re-run, and the batch (the small side by
+    // construction) is the broadcast side of the probe join.
+    "q_ann_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = loadEmbeddings(s, d)
+      val newPred = col("vec_id") % 7 === 3
+      val index = e.filter(!newPred)
+      // Stored-model centroids: first K index vectors with
+      // vec_id >= 10 (prefix-nested, so l1 ⊂ l2 like q_ann_ivf2's).
+      // Driver collect of K = ceil(sqrt(|index|)) rows — the bounded
+      // scalar fetch of sampledCentroids, from the index side only.
+      def centsFrom(k: Int): Array[(Long, Seq[Double], Double)] =
+        index.filter(col("vec_id") >= 10)
+          .orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+          .sortBy(_._1)
+      val k2 = sqrtK(index.count())
+      // empty index → no stored model → nothing to admit against
+      // (EmptyInputSpec: an empty frame, not a zero-centroid kernel)
+      if (k2 == 0)
+        s.range(0).select(col("id").as("qid"),
+          col("id").as("insert_cid"), col("id").as("rk"),
+          col("id").as("nid"), col("id").as("centroid_id"),
+          col("id").cast("double").as("sim"))
+      else {
+      val model = graft.plans.VectorExpressions.twoLevelModel(
+        centsFrom(sqrtK(k2.toLong)), centsFrom(k2))
+      def assign(df: DataFrame): DataFrame = df.withColumn("arr",
+        graft.plans.VectorExpressions.twoLevelCentroidCosines(
+          col("embedding"), col("nrm"), model))
+      val cand = assign(index).select(col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("nrm").as("nnrm"),
+        (array_max(col("arr")).getField("negcid") * -1).as("centroid_id"))
+      val probes = assign(e.filter(newPred))
+        .withColumn("insert_cid",
+          array_max(col("arr")).getField("negcid") * -1)
+        .withColumn("p", explode(slice(reverse(array_sort(col("arr"))), 1, 2)))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), col("insert_cid"),
+          (col("p.negcid") * -1).as("probe_cid"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      cand.join(broadcast(probes), col("centroid_id") === col("probe_cid"))
+        .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("insert_cid"), col("rk"), col("nid"),
+          col("centroid_id"), col("sim"))
+        .orderBy(col("qid"), col("rk"))
+      }
+    }),
+
     // Greedy k-center seed selection (Gonzalez 1985, the classic
     // 2-approximation) — DIVERSITY sampling over the embedding corpus:
     // each round picks the vector FARTHEST from every center chosen so
@@ -1230,6 +1302,71 @@ object Similarity extends graft.QueryPack {
          |                            ORDER BY sim DESC, nid) AS BIGINT) AS rk
          |  FROM sims) t
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // q_ann_ivf2's two-stage restatement, with centroids drawn from
+    // the index corpus only (ROW_NUMBER-over-vec_id prefix, nested
+    // l1 ⊂ l2), index rows assigned, batch rows routed + probed
+    "q_ann_incremental" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+         |idx AS (SELECT * FROM e WHERE vec_id % 7 <> 3),
+         |newb AS (SELECT * FROM e WHERE vec_id % 7 = 3),
+         |k AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k2,
+         |             CAST(ceil(sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT) AS k1
+         |      FROM idx),
+         |cseq AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm,
+         |           ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+         |         FROM idx WHERE vec_id >= 10),
+         |l1 AS (SELECT cid, cv, cnrm FROM cseq, k WHERE rn <= k1),
+         |l2 AS (SELECT cid, cv, cnrm FROM cseq, k WHERE rn <= k2),
+         |route AS (
+         |  SELECT cid, l1cid FROM (
+         |    SELECT l2.cid, l1.cid AS l1cid,
+         |      ROW_NUMBER() OVER (PARTITION BY l2.cid ORDER BY
+         |        round(${dotDuck("l2.cv", "l1.cv")} / (l2.cnrm * l1.cnrm), 9)
+         |          DESC, l1.cid) AS rn
+         |    FROM l2 CROSS JOIN l1) t WHERE rn = 1),
+         |gi AS (
+         |  SELECT vec_id, embedding, nrm, l1cid FROM (
+         |    SELECT idx.vec_id, idx.embedding, idx.nrm, l1.cid AS l1cid,
+         |      ROW_NUMBER() OVER (PARTITION BY idx.vec_id ORDER BY
+         |        round(${dotDuck("idx.embedding", "l1.cv")} / (idx.nrm * l1.cnrm), 9)
+         |          DESC, l1.cid) AS rn
+         |    FROM idx CROSS JOIN l1) t WHERE rn = 1),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cid AS centroid_id FROM (
+         |    SELECT gi.vec_id, gi.embedding, gi.nrm, l2.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY gi.vec_id ORDER BY
+         |        round(${dotDuck("gi.embedding", "l2.cv")} / (gi.nrm * l2.cnrm), 9)
+         |          DESC, l2.cid) AS rn
+         |    FROM gi JOIN route r ON r.l1cid = gi.l1cid
+         |       JOIN l2 ON l2.cid = r.cid) t WHERE rn = 1),
+         |gq AS (
+         |  SELECT vec_id, embedding, nrm, l1cid FROM (
+         |    SELECT newb.vec_id, newb.embedding, newb.nrm, l1.cid AS l1cid,
+         |      ROW_NUMBER() OVER (PARTITION BY newb.vec_id ORDER BY
+         |        round(${dotDuck("newb.embedding", "l1.cv")} / (newb.nrm * l1.cnrm), 9)
+         |          DESC, l1.cid) AS rn
+         |    FROM newb CROSS JOIN l1) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm,
+         |    cid AS probe_cid, rn FROM (
+         |    SELECT gq.vec_id, gq.embedding, gq.nrm, l2.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY gq.vec_id ORDER BY
+         |        round(${dotDuck("gq.embedding", "l2.cv")} / (gq.nrm * l2.cnrm), 9)
+         |          DESC, l2.cid) AS rn
+         |    FROM gq JOIN route r ON r.l1cid = gq.l1cid
+         |       JOIN l2 ON l2.cid = r.cid) t WHERE rn <= 2),
+         |ins AS (SELECT qid, probe_cid AS insert_cid FROM probes WHERE rn = 1),
+         |sims AS (
+         |  SELECT p.qid, a.centroid_id, a.vec_id AS nid,
+         |    round(${dotDuck("p.qv", "a.embedding")} / (p.qnrm * a.nrm), 9) AS sim
+         |  FROM assigned a JOIN probes p ON a.centroid_id = p.probe_cid)
+         |SELECT t.qid, ins.insert_cid, rk, nid, centroid_id, sim FROM (
+         |  SELECT qid, centroid_id, nid, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY sim DESC, nid) AS BIGINT) AS rk
+         |  FROM sims) t JOIN ins ON ins.qid = t.qid
+         |WHERE rk <= 3 ORDER BY t.qid, rk""".stripMargin,
 
     // same planted CTEs as q_ann_recall, same IVF assignment CTEs as
     // q_ann_ivf, probe ranks generalized over the nprobe grid

@@ -229,6 +229,42 @@ object StreamingGate extends graft.QueryPack {
     swapState(merged, state)
   }
 
+  /** [[foldKll]] made idempotent under micro-batch REPLAY: the state
+    * row carries the last merged batch id, and a batch whose id is
+    * ≤ last_id is skipped instead of re-merged. This is the missing
+    * half of crash safety for merged-sketch state: swapState protects
+    * the rename window, but a death AFTER the swap and BEFORE the
+    * checkpoint commit makes the restarted stream re-deliver the same
+    * batch — and a sketch merge, unlike the batchId-keyed overwrite
+    * sink of q_stream_restart, is NOT naturally idempotent (the
+    * double-fold would double-count every row of the batch). The
+    * last_id probe is a 1-row driver read of the 1-row state — the
+    * fixpoint-probe budget. Batch ids from a pinned checkpoint are
+    * strictly increasing, so one high-water id suffices. */
+  private[graft] def foldKllIdem(state: String, k: Int)(
+      batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
+    val exists = new java.io.File(state).exists()
+    if (exists) {
+      val last = batch.sparkSession.read.parquet(state)
+        .agg(max(col("last_id"))).collect()(0).getLong(0)
+      if (last >= id) return // replayed batch — already merged
+    }
+    val bsk = batch.agg(
+      expr(s"kll_sketch_agg_bigint(cents, $k)").as("sk"),
+      count(lit(1)).as("n"))
+      .withColumn("last_id", lit(id))
+    val merged =
+      if (exists) {
+        val prior = batch.sparkSession.read.parquet(state)
+        prior.unionByName(bsk).agg(
+          expr(s"kll_merge_agg_bigint(sk, $k) FILTER (WHERE sk IS NOT NULL)")
+            .as("sk"),
+          sum(col("n")).as("n"), max(col("last_id")).as("last_id"))
+      } else bsk
+    swapState(merged, state)
+  }
+
   def foldTypeMax(state: String)(batch: DataFrame, id: Long): Unit = {
     recoverState(state)
     val bc = batch.groupBy(col("event_type"))
@@ -663,6 +699,96 @@ object StreamingGate extends graft.QueryPack {
             (col("below") + 1 <= col("n") * 0.5 + band)).as("within_bound"))
     }),
 
+    // Restart-recovery over MERGED-SKETCH state — the EIGHTEENTH
+    // oracle-gated drain: q_stream_restart's kill-and-resume protocol
+    // replayed over the KLL quantile fold, the remaining untested
+    // recovery surface (r9 verdict item 6). Three disjoint event
+    // slices as source files, maxFilesPerTrigger=1 → 3 micro-batches;
+    // the sink folds each batch's sketch into the ONE persistent
+    // state row through swapState, then dies AFTER the batch-1 swap
+    // and BEFORE the checkpoint commit — the exact window where a
+    // restarted stream re-delivers batch 1. The resumed drain must
+    // skip the replayed merge (foldKllIdem's last_id high-water) and
+    // fold only batch 2; counts_match then proves EXACTLY-ONCE
+    // semantics end to end (a lost batch undercounts, a double-fold
+    // overcounts — either flips the boolean), and within_bound is
+    // the same rank-window contract as q_stream_quantile. Death is
+    // planted in the sink, not the swap: the swap's own crash windows
+    // are spec'd by StatefulStreamingSpec's swapState kills.
+    "q_stream_quantile_restart" -> ((s, d) => {
+      val K = 200
+      val eps = 2.296 / math.pow(K.toDouble, 0.9)
+      val root = freshDir("q_stream_quantile_restart")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val ckpt = root + "/ckpt"
+      val state = root + "/qs"
+      val marker = new java.io.File(root, "killed")
+      val ev = Tables(s, d, "events")
+        .select(expr("cast(value * 100 as bigint)").as("cents"),
+          col("event_id"))
+      def writeFile(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(root, "tmp_" + name)
+        df.select(col("cents")).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file for $name"))
+        val dst = new java.io.File(src, name + ".parquet")
+        require(part.renameTo(dst), s"stage $name failed")
+        dst.setLastModified(mtime)
+        graft.Fs.deleteRec(tmp)
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      // disjoint slices covering the table exactly once — a sketch
+      // fold (unlike the dedup gate) must see every row exactly once
+      writeFile(ev.filter(col("event_id") % 3 === 0), "f1", t0)
+      writeFile(ev.filter(col("event_id") % 3 === 1), "f2", t0 + 2000)
+      writeFile(ev.filter(col("event_id") % 3 === 2), "f3", t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      def stream() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      def sink(dieAtBatch1: Boolean): (DataFrame, Long) => Unit =
+        (batch, id) => {
+          foldKllIdem(state, K)(batch, id)
+          if (dieAtBatch1 && id == 1 && marker.createNewFile())
+            sys.error("planted mid-drain failure (quantile restart gate)")
+        }
+      val died =
+        try { drainFrom(s, stream(), "append", ckpt)(sink(true)); false }
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+            true
+        }
+      require(died && marker.exists(),
+        "q_stream_quantile_restart: the first drain must die on " +
+          "batch 1 — the replay no longer produces multiple micro-batches")
+      drainFrom(s, stream(), "append", ckpt)(sink(false))
+      recoverState(state)
+      // n > 0 guard: an all-empty-batch history merges the NULL
+      // sketches into an EMPTY (non-null) KLL buffer, which
+      // get_quantile rejects — the CaseWhen short-circuit keeps the
+      // empty-stream path from ever evaluating it
+      val st = s.read.parquet(state)
+        .select(when(col("n") > 0L,
+          expr("kll_sketch_get_quantile_bigint(sk, 0.5)")).as("med"),
+          col("n"))
+      val cents = Tables(s, d, "events")
+        .select(expr("cast(value * 100 as bigint)").as("cents"))
+      val band = lit(2.0 * eps) * col("n")
+      cents.crossJoin(broadcast(st))
+        .groupBy(col("med"), col("n"))
+        .agg(
+          sum(when(col("cents") < col("med"), 1L).otherwise(0L)).as("below"),
+          sum(when(col("cents") <= col("med"), 1L).otherwise(0L))
+            .as("at_or_below"),
+          count(lit(1)).as("n_exact"))
+        .select(col("n"),
+          (col("n") === col("n_exact")).as("counts_match"),
+          ((col("at_or_below") >= col("n") * 0.5 - band) &&
+            (col("below") + 1 <= col("n") * 0.5 + band)).as("within_bound"))
+    }),
+
     // Streaming zone-map maintenance — the FIFTEENTH oracle-gated
     // streaming drain and the lakehouse member of the mergeable-state
     // family: as event files commit, each micro-batch's rows fold
@@ -972,6 +1098,14 @@ object StreamingGate extends graft.QueryPack {
     // count-conservation contracts are the constant-true booleans
     // (the q_sketch_kll oracle shape)
     "q_stream_quantile" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  true AS counts_match, true AS within_bound
+        |FROM events""".stripMargin,
+
+    // same contract as q_stream_quantile: a batch lost to the crash
+    // undercounts n, a double-folded replay overcounts — counts_match
+    // is the exactly-once proof
+    "q_stream_quantile_restart" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |  true AS counts_match, true AS within_bound
         |FROM events""".stripMargin,

@@ -153,6 +153,33 @@ class CentroidPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_incremental: batch-sized admission — broadcast batch probes, no cartesian, index-only model") {
+    // the operational contract of incremental admission: per arriving
+    // batch the work is the batch's own two-level assignment plus a
+    // probe-list equi-join where the BATCH is the broadcast (small)
+    // side — never a corpus self-join, never a re-clustered model
+    val df = graft.operators.Similarity
+      .queries("q_ann_incremental")(spark, TestSpark.sf)
+    // collect() first: executedPlan.toString then prints the AQE FINAL
+    // plan (the PlanShapeSpec convention)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe join lost its broadcast (batch side must broadcast): " +
+        plan.take(3000))
+    // every list id must come from the stored (index-side) model — a
+    // batch vec_id (% 7 = 3) appearing as a centroid means the model
+    // was rebuilt over data that arrived after it was trained
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) % 7 != 3, s"batch vector as insert list: $r")
+      assert(r.getLong(4) % 7 != 3, s"batch vector as neighbor list: $r")
+      assert(r.getLong(0) % 7 == 3, s"non-batch row admitted: $r")
+      assert(r.getLong(3) % 7 != 3, s"batch vector as index neighbor: $r")
+    }
+  }
+
   test("whole-stage codegen survives the kernel (no fallback projection)") {
     // Over parquet, not a local Seq — ConvertToLocalRelation folds a
     // LocalRelation projection at plan time and leaves no codegen span.

@@ -221,7 +221,13 @@ class DeterminismSpec extends AnyFunSuite {
     // an array_sort-pinned word assembly — no collect order leaks
     "q_sax_words",
     // entropy gate: exact char counts, round-12 c·ln c DECIMAL sums
-    "q_entropy_gate")
+    "q_entropy_gate",
+    // r10 incremental ANN admission: index-only sampled centroids are
+    // a sorted driver collect (layout-free), assignment/probing is
+    // the pinned two-level kernel, neighbor ranks are round-9 cosine
+    // + nid total orders — a layout term means a probe tie broke by
+    // arrival order
+    "q_ann_incremental")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

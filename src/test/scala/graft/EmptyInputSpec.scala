@@ -89,8 +89,13 @@ class EmptyInputSpec extends AnyFunSuite {
     // corpus, like q_tokenize_bpe)
     "q_embedding_drift",
     // incremental admission of an empty arriving batch against an
-    // empty index: no verdicts, not a crash
-    "q_dedup_incremental",
+    // empty index: no verdicts, not a crash (the ANN twin
+    // short-circuits on a zero-centroid stored model)
+    "q_dedup_incremental", "q_ann_incremental",
+    // kill-and-resume over empty sketch state: three empty files are
+    // still three micro-batches, the planted death and the recovery
+    // both still run, and the recovered gate frame is empty
+    "q_stream_quantile_restart",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

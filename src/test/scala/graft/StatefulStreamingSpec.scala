@@ -345,6 +345,29 @@ class StatefulStreamingSpec extends AnyFunSuite {
       "real data arriving after the empty prefix must fold exactly")
   }
 
+  test("foldKllIdem skips a replayed batch id and merges a fresh one exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the death-after-swap-before-commit window: the restarted stream
+    // re-delivers the last batch; the fold must treat ids ≤ last_id as
+    // already merged (a re-merge would double-count every row) while
+    // still folding the NEXT id
+    val dir = java.nio.file.Files.createTempDirectory("kllidem").toString + "/st"
+    def fold(xs: Seq[Long], id: Long): Unit =
+      graft.operators.StreamingGate.foldKllIdem(dir, 200)(
+        xs.toDF("cents"), id)
+    fold(Seq(1L, 2L, 3L), 0L)
+    fold(Seq(4L, 5L), 1L)
+    fold(Seq(4L, 5L), 1L) // the replay — must be a no-op
+    fold(Seq(1L, 2L, 3L), 0L) // an older id replayed — also a no-op
+    fold(Seq(6L), 2L)
+    val fin = spark.read.parquet(dir)
+      .select(col("n"), col("last_id")).collect()(0)
+    assert(fin.getLong(0) == 6L,
+      s"replays double-folded: n=${fin.getLong(0)}, want 6")
+    assert(fin.getLong(1) == 2L)
+  }
+
   // ---- swapState crash windows (r9): every gap in the write-tmp →
   // rename-aside → rename-in → drop-aside sequence must leave the
   // monitor recoverable. A crash is simulated by reproducing the
