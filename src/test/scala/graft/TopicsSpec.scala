@@ -123,4 +123,17 @@ class TopicsSpec extends AnyFunSuite {
   }
   private val PINNED_LDA_SF0001 =
     "b47b7fddab49a03d3ee548814d51f2d10f1545c2c5dce85c0c8a6badd5621bae"
+
+  test("degenerate-K oracle is impossible through the ML path: LDA rejects k=1") {
+    // The r10 probe behind the q_lda_topics declaration (Topics.scala):
+    // at K=1 the posterior collapses to the q_topics_per_doc closed
+    // form, which would make a DuckDB oracle exact — but Spark ML
+    // validates k > 1, so that upgrade path does not exist. If a
+    // future Spark release lifts the restriction, this pin fails and
+    // the rows-only declaration should be revisited.
+    val e = intercept[IllegalArgumentException] {
+      new org.apache.spark.ml.clustering.LDA().setK(1)
+    }
+    assert(e.getMessage.contains("invalid value"))
+  }
 }
