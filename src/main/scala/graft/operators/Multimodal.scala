@@ -326,6 +326,58 @@ object Multimodal extends graft.QueryPack {
         .groupBy(col("phash"))
         .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("min_doc"))
         .orderBy(col("phash"))
+    }),
+
+    // Image NEAR-dup matching at Hamming ≤ 2 over the 16-bit aHash —
+    // the multimodal member of the Hamming-join family next to
+    // q_simhash_hamming's text fingerprints: exact-collision grouping
+    // (q_image_phash) misses a one-bit flip from a resize artifact or
+    // a recompression, so near-dup image dedup pairs DISTINCT
+    // fingerprints within a small Hamming radius. Candidates come from
+    // the Manku pigeonhole split — 3 blocks (6+5+5 bits) for radius 2,
+    // so any qualifying pair agrees exactly on ≥1 block and surfaces
+    // from a block-keyed equi-join; popcount(xor) verifies, and the
+    // first-agreeing-block predicate (the q_simhash_hamming device)
+    // emits each pair once without a candidate-sized distinct. The
+    // join runs on the GROUPED fingerprint table, not images: at any
+    // corpus size the distinct-16-bit frame is domain-bounded (≤ 2^16
+    // rows), so the layout is safe outright — and it is the same
+    // pigeonhole layout a production 64-bit pHash needs, where the
+    // block join (not a bounded domain) is what prevents corpus².
+    "q_phash_hamming" -> ((s, d) => {
+      import s.implicits._
+      val ph = imageFixtures(s, Tables(s, d, "documents"))
+        .as[MediaRow]
+        .mapPartitions(_.grouped(64).flatMap(_.map(m =>
+          PhashRow(m.doc_id, imagePhash(m.content)))))
+        .toDF()
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("min_doc"))
+      val blocked = ph
+        .withColumn("blk", explode(sequence(lit(0), lit(2))))
+        .withColumn("bits", expr(
+          """cast(CASE WHEN blk = 0 THEN shiftright(phash, 10) & 63
+            |          WHEN blk = 1 THEN shiftright(phash, 5) & 31
+            |          ELSE phash & 31 END as int)""".stripMargin))
+      val l = blocked.select(col("blk"), col("bits"),
+        col("phash").as("ph_a"), col("n_images").as("n_images_a"))
+      val r = blocked.select(col("blk"), col("bits"),
+        col("phash").as("ph_b"), col("n_images").as("n_images_b"))
+      l.join(r, Seq("blk", "bits"))
+        .filter(col("ph_a") < col("ph_b"))
+        .filter(
+          col("blk") === 0 ||
+          (col("blk") === 1 && expr(
+            "shiftright(ph_a, 10) & 63 != shiftright(ph_b, 10) & 63")) ||
+          (col("blk") === 2 && expr(
+            """shiftright(ph_a, 10) & 63 != shiftright(ph_b, 10) & 63 and
+              |shiftright(ph_a, 5) & 31 != shiftright(ph_b, 5) & 31"""
+              .stripMargin)))
+        .select(col("ph_a"), col("ph_b"),
+          expr("cast(bit_count(ph_a ^ ph_b) as bigint)").as("hamming"),
+          col("n_images_a"), col("n_images_b"))
+        .filter(col("hamming") <= 2 && col("hamming") >= 1)
+        .orderBy(col("ph_a"), col("ph_b"))
     })
   )
 
@@ -414,6 +466,47 @@ object Multimodal extends graft.QueryPack {
         |SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_images,
         |  MIN(doc_id) AS min_doc
         |FROM ph GROUP BY phash ORDER BY phash""".stripMargin,
+
+    // same grouped-fingerprint table as q_image_phash, then the plain
+    // all-distinct-pairs Hamming filter — the oracle does not need the
+    // pigeonhole (the 16-bit domain is tiny in SQL); the Spark side
+    // must reproduce it from block-keyed candidates only
+    "q_phash_hamming" ->
+      s"""WITH $pixelPxSqlDuck,
+        |g AS (
+        |  SELECT doc_id, (x * 4) // w AS ci, (y * 4) // h AS cj,
+        |    (doc_id * 31 + x * 7 + y * 13) % 256 +
+        |    (doc_id * 17 + x * 3 + y * 5) % 256 +
+        |    (doc_id * 23 + x * 11 + y * 2) % 256 AS gray3
+        |  FROM px),
+        |cells AS (
+        |  SELECT doc_id, ci, cj, CAST(SUM(gray3) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g GROUP BY doc_id, ci, cj),
+        |tot AS (
+        |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS stot,
+        |    CAST(SUM(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY doc_id),
+        |bits AS (
+        |  SELECT cells.doc_id,
+        |    CASE WHEN s * n > stot * c
+        |         THEN 1 << CAST(ci * 4 + cj AS INTEGER) ELSE 0 END AS bit
+        |  FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
+        |ph AS (
+        |  SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
+        |  FROM bits GROUP BY doc_id),
+        |grp AS (
+        |  SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_images
+        |  FROM ph GROUP BY phash)
+        |SELECT a.phash AS ph_a, b.phash AS ph_b,
+        |  CAST(len(list_filter(range(0, 16), i ->
+        |    ((a.phash >> i) & 1) <> ((b.phash >> i) & 1))) AS BIGINT)
+        |    AS hamming,
+        |  a.n_images AS n_images_a, b.n_images AS n_images_b
+        |FROM grp a JOIN grp b ON a.phash < b.phash
+        |WHERE len(list_filter(range(0, 16), i ->
+        |    ((a.phash >> i) & 1) <> ((b.phash >> i) & 1))) BETWEEN 1 AND 2
+        |ORDER BY ph_a, ph_b""".stripMargin,
 
     // expected output of the real PNG decode, recomputed in closed form
     "q_multimodal_features" ->

@@ -605,6 +605,57 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // PQ codebook audit — usage histogram + quantization distortion
+    // per codeword, the health check a compressed-index deployment
+    // runs before trusting ADC rankings: a DEAD codeword (zero
+    // assignments) wastes code bits and a hot one with high mean d²
+    // means the quantizer can't represent its region (retrain signal).
+    // A planted-recall eval was considered and REJECTED as degenerate:
+    // at PQ_K=4 a 0.1·‖v‖ single-coordinate bump never moves a code,
+    // so ADC ties bury the planted ids and recall pins at 0 — the
+    // distortion surface is the real, non-degenerate signal. Same
+    // codebook, same (sub·sub + cw·cw) − sub·cw·2 kernel and the same
+    // round-9→DECIMAL discipline as q_ann_pq; assignment is the
+    // map-side argmin projection (no shuffle), the only aggregation
+    // is the 16-cell (m × code) grid, and the zero-fill grid join +
+    // per-m share window are grid-sized. Scale: one corpus pass, one
+    // grid agg — nothing grows faster than the corpus.
+    "q_pq_distortion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val cb = pqCodebook(s, d)
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      def sub(m: Int) = slice(col("embedding"), m * PQ_SUB + 1, PQ_SUB)
+      def d2(m: Int, k: Int): Column = {
+        val cw = typedlit(cb(m)(k))
+        (dot(sub(m), sub(m)) + dot(cw, cw)) - dot(sub(m), cw) * 2.0d
+      }
+      val best = (0 until PQ_M).map { m =>
+        val b = array_max(array((0 until PQ_K).map(k =>
+          struct((d2(m, k) * -1.0d).as("negd"), lit(-k).as("negk"))): _*))
+        struct(lit(m).cast("long").as("m"),
+          (b.getField("negk") * -1).cast("long").as("code"),
+          round(b.getField("negd") * -1.0d, 9).cast(DecimalType(18, 9))
+            .as("dr"))
+      }
+      val counts = e.select(explode(array(best: _*)).as("a"))
+        .select(col("a.m").as("m"), col("a.code").as("code"), col("a.dr").as("dr"))
+        .groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("n_assigned"), sum(col("dr")).as("sd"))
+      val grid = s.range(PQ_M).select(col("id").as("m"))
+        .crossJoin(s.range(PQ_K).select(col("id").as("code")))
+      val wM = Window.partitionBy(col("m"))
+      grid.join(counts, Seq("m", "code"), "left_outer")
+        .withColumn("n_assigned", coalesce(col("n_assigned"), lit(0L)))
+        .withColumn("tot", sum(col("n_assigned")).over(wM))
+        .select(col("m"), col("code"), col("n_assigned"),
+          round(col("sd").cast("double") / col("n_assigned"), 9).as("mean_d2"),
+          round(col("n_assigned").cast("double") / col("tot"), 9)
+            .as("usage_share"))
+        .orderBy(col("m"), col("code"))
+    }),
+
     // Per-label centroid (mean embedding) through the custom
     // TypedImperativeAggregate graft_vec_sum — the aggregate tier of
     // the Catalyst ladder, with map-side partials and elementwise
@@ -1473,6 +1524,46 @@ object Similarity extends graft.QueryPack {
          |                            ORDER BY approx, nid) AS BIGINT) AS rk
          |  FROM approx) t
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // same codebook/d² CTEs as q_ann_pq, argmin row kept WITH its d,
+    // grid zero-fill via the range cross join
+    "q_pq_distortion" ->
+      s"""WITH cw AS (SELECT CAST(vec_id - 10 AS INTEGER) AS k, embedding
+         |       FROM embeddings WHERE vec_id BETWEEN 10 AND ${9 + PQ_K}),
+         |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
+         |d2 AS (
+         |  SELECT e.vec_id, ms.m, cw.k,
+         |    (list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       CAST(e.embedding[ms.m*$PQ_SUB+i] AS DOUBLE) *
+         |       CAST(e.embedding[ms.m*$PQ_SUB+i] AS DOUBLE)))
+         |     + list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       CAST(cw.embedding[ms.m*$PQ_SUB+i] AS DOUBLE) *
+         |       CAST(cw.embedding[ms.m*$PQ_SUB+i] AS DOUBLE)))
+         |     - list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       CAST(e.embedding[ms.m*$PQ_SUB+i] AS DOUBLE) *
+         |       CAST(cw.embedding[ms.m*$PQ_SUB+i] AS DOUBLE))) * 2) AS d
+         |  FROM embeddings e, ms, cw),
+         |codes AS (
+         |  SELECT vec_id, m, k AS code, d FROM (
+         |    SELECT vec_id, m, k, d,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+         |    FROM d2) t WHERE rn = 1),
+         |agg AS (
+         |  SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(round(d, 9) AS DECIMAL(18,9))) AS sd
+         |  FROM codes GROUP BY m, code),
+         |grid AS (SELECT ms.m, ks.k AS code
+         |         FROM ms, (SELECT unnest(range(0, $PQ_K)) AS k) ks),
+         |tot AS (SELECT m, SUM(n) AS t FROM agg GROUP BY m)
+         |SELECT CAST(grid.m AS BIGINT) AS m,
+         |  CAST(grid.code AS BIGINT) AS code,
+         |  CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_assigned,
+         |  round(CAST(agg.sd AS DOUBLE) / agg.n, 9) AS mean_d2,
+         |  round(CAST(COALESCE(agg.n, 0) AS DOUBLE) / tot.t, 9)
+         |    AS usage_share
+         |FROM grid LEFT JOIN agg ON agg.m = grid.m AND agg.code = grid.code
+         |  LEFT JOIN tot ON tot.m = grid.m
+         |ORDER BY m, code""".stripMargin,
 
     "q_vec_centroid" ->
       s"""WITH el AS (

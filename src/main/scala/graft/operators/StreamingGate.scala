@@ -265,6 +265,33 @@ object StreamingGate extends graft.QueryPack {
     swapState(merged, state)
   }
 
+  /** The q_stream_hll state fold: merge a micro-batch's HLL sketch of
+    * user_id into ONE persistent (sketch, count) row — the fourth
+    * mergeable-summary fold next to KLL, Misra-Gries and the count/max
+    * monoids, and the cardinality member of the family: distinct-user
+    * state is O(2^lgK) bytes at any stream length where an exact
+    * streaming distinct (q_stream_srm's units grain) holds
+    * user-universe-bounded rows. HLL register-max merges are
+    * associative/commutative, so the fold is batching-invariant; the
+    * NULL-sketch FILTER scoping is foldKll's (empty batches keep n
+    * summing). */
+  private[graft] def foldHll(state: String, lgK: Int)(
+      batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
+    val bsk = batch.agg(
+      expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"),
+      count(lit(1)).as("n"))
+    val merged =
+      if (new java.io.File(state).exists()) {
+        val prior = batch.sparkSession.read.parquet(state)
+        prior.unionByName(bsk).agg(
+          expr(s"hll_union_agg(sk, false) FILTER (WHERE sk IS NOT NULL)")
+            .as("sk"),
+          sum(col("n")).as("n"))
+      } else bsk
+    swapState(merged, state)
+  }
+
   def foldTypeMax(state: String)(batch: DataFrame, id: Long): Unit = {
     recoverState(state)
     val bc = batch.groupBy(col("event_type"))
@@ -789,6 +816,45 @@ object StreamingGate extends graft.QueryPack {
             (col("below") + 1 <= col("n") * 0.5 + band)).as("within_bound"))
     }),
 
+    // Streaming distinct-cardinality monitor — the NINETEENTH
+    // oracle-gated drain and the cardinality member of the
+    // mergeable-summary family: per micro-batch, the batch's HLL
+    // sketch of user_id (Spark 4 native hll_* over the bundled
+    // DataSketches) unions into ONE persistent (sketch, count) row.
+    // This is how a 100 TB stream tracks "distinct users so far"
+    // without user-universe state: O(2^lgK) bytes forever, vs the
+    // exact dropDuplicates state q_stream_srm's units grain carries.
+    // The drained estimate must land within 4·rse (rse =
+    // 1.04/√2^lgK, the q_sketch_union contract — lgK=12 keeps this
+    // data in the sketch's exact sparse mode, so the boolean cannot
+    // flake) of the exact batch distinct, and the folded row count
+    // must equal the exact event count (no rows lost across
+    // batches/swaps). State writes ride swapState.
+    "q_stream_hll" -> ((s, d) => {
+      val LG_K = 12
+      val state = freshDir("q_stream_hll") + "/hs"
+      val stream = EventsStream.replay(s, d).select(col("user_id"))
+      drain(s, stream, "append")(foldHll(state, LG_K))
+      recoverState(state)
+      val st =
+        if (new java.io.File(state).exists())
+          s.read.parquet(state)
+            .select(when(col("n") > 0L,
+              expr("hll_sketch_estimate(sk)")).as("est"), col("n"))
+        else s.range(0).select(lit(null).cast("bigint").as("est"),
+          lit(0L).as("n"))
+      val exact = Tables(s, d, "events")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"),
+          count(lit(1)).as("n_exact"))
+      val band = lit(4 * 1.04 / math.sqrt((1 << LG_K).toDouble))
+      st.crossJoin(broadcast(exact))
+        .select(col("n"), col("exact_distinct"),
+          (col("n") === col("n_exact")).as("counts_match"),
+          (abs(col("est").cast("double") -
+            col("exact_distinct").cast("double")) <=
+            band * col("exact_distinct").cast("double")).as("within_bound"))
+    }),
+
     // Streaming zone-map maintenance — the FIFTEENTH oracle-gated
     // streaming drain and the lakehouse member of the mergeable-state
     // family: as event files commit, each micro-batch's rows fold
@@ -1107,6 +1173,15 @@ object StreamingGate extends graft.QueryPack {
     // is the exactly-once proof
     "q_stream_quantile_restart" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  true AS counts_match, true AS within_bound
+        |FROM events""".stripMargin,
+
+    // exact stream size + exact distinct; the fold-conservation and
+    // union-accuracy contracts are the constant-true booleans (the
+    // q_sketch_union / q_stream_quantile shape)
+    "q_stream_hll" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
         |  true AS counts_match, true AS within_bound
         |FROM events""".stripMargin,
 

@@ -180,6 +180,57 @@ class CentroidPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pq_distortion equals a plain-Scala recompute of the PQ assignment surface") {
+    import graft.Tables
+    // independent recompute with the house constants (M=4, K=4,
+    // SUB=16): codeword (m,k) = slice of embedding vec_id 10+k,
+    // assignment by (d² asc, k asc), d² in the kernel's association
+    val M = 4; val K = 4; val SUB = 16
+    def r9(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    val rows = Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cbRows = rows.filter { case (id, _) => id >= 10 && id < 10 + K }
+      .map(_._2)
+    def d2(v: Array[Double], m: Int, k: Int): Double = {
+      val a = v.slice(m * SUB, (m + 1) * SUB)
+      val c = cbRows(k).slice(m * SUB, (m + 1) * SUB)
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      (dot(a, a) + dot(c, c)) - dot(a, c) * 2.0
+    }
+    val agg = scala.collection.mutable.Map[(Long, Long),
+      (Long, java.math.BigDecimal)]()
+    for ((_, v) <- rows; m <- 0 until M) {
+      val best = (0 until K).minBy(k => (d2(v, m, k), k))
+      val key = (m.toLong, best.toLong)
+      val (n, s) = agg.getOrElse(key, (0L, java.math.BigDecimal.ZERO))
+      agg(key) = (n + 1, s.add(r9(d2(v, m, best))))
+    }
+    val tot = rows.length.toLong
+    val expected = (for (m <- 0L until M.toLong; c <- 0L until K.toLong)
+      yield {
+        val (n, s) = agg.getOrElse((m, c), (0L, java.math.BigDecimal.ZERO))
+        val mean = if (n == 0) null
+          else java.lang.Double.valueOf(
+            r9(s.doubleValue() / n).doubleValue())
+        (m, c, n, mean,
+          java.lang.Double.valueOf(r9(n.toDouble / tot).doubleValue()))
+      }).toSeq
+    val actual = graft.operators.Similarity
+      .queries("q_pq_distortion")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)),
+        java.lang.Double.valueOf(r.getDouble(4)))).toSeq
+    assert(actual == expected,
+      s"first diff: ${actual.zip(expected).find { case (a, b) => a != b }}")
+    // non-degenerate: assignments actually spread over codes
+    assert(agg.keys.map(_._2).toSet.size > 1,
+      "all rows landed on one codeword — vacuous distortion surface")
+  }
+
   test("whole-stage codegen survives the kernel (no fallback projection)") {
     // Over parquet, not a local Seq — ConvertToLocalRelation folds a
     // LocalRelation projection at plan time and leaves no codegen span.

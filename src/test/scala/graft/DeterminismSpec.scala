@@ -227,7 +227,13 @@ class DeterminismSpec extends AnyFunSuite {
     // the pinned two-level kernel, neighbor ranks are round-9 cosine
     // + nid total orders — a layout term means a probe tie broke by
     // arrival order
-    "q_ann_incremental")
+    "q_ann_incremental",
+    // r10 second leg: q_phash_hamming (pure integer bit arithmetic
+    // over the grouped fingerprint table — a layout term means a
+    // block candidate was emitted twice); q_pq_distortion (map-side
+    // argmin assignment + round-9→DECIMAL distortion sums + grid
+    // windows, the ECE discipline)
+    "q_phash_hamming", "q_pq_distortion")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

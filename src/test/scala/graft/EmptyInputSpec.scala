@@ -96,6 +96,12 @@ class EmptyInputSpec extends AnyFunSuite {
     // still three micro-batches, the planted death and the recovery
     // both still run, and the recovered gate frame is empty
     "q_stream_quantile_restart",
+    // the HLL fold on an empty stream: zero micro-batches, no state
+    // dir, an empty gate frame — not a crash
+    "q_stream_hll",
+    // near-dup image matching of an empty corpus: no fingerprints →
+    // no block candidates → no pairs
+    "q_phash_hamming",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

@@ -164,4 +164,25 @@ class MultimodalSpec extends AnyFunSuite {
       "the dedup grouping is vacuous on this fixture")
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
+
+  test("q_phash_hamming equals the all-pairs Hamming reference (pigeonhole is exact)") {
+    // independent JVM recompute: all distinct-fingerprint pairs at
+    // Hamming 1..2, straight from the q_image_phash groups — the
+    // block-join candidates must lose nothing (3 blocks cover radius
+    // 2 by pigeonhole) and emit nothing twice
+    val groups = graft.operators.Multimodal
+      .queries("q_image_phash")(TestSpark.spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (a, na) <- groups; (b, nb) <- groups if a < b
+      h = java.lang.Long.bitCount(a ^ b) if h >= 1 && h <= 2
+    } yield (a, b, h.toLong, na, nb)).sortBy(t => (t._1, t._2)).toSeq
+    val actual = graft.operators.Multimodal
+      .queries("q_phash_hamming")(TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(expected.nonEmpty, "fixture has no near-dup fingerprints — vacuous")
+    assert(actual == expected,
+      s"first diff: ${actual.zip(expected).find { case (x, y) => x != y }}")
+  }
 }

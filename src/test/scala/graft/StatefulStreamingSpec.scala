@@ -345,6 +345,34 @@ class StatefulStreamingSpec extends AnyFunSuite {
       "real data arriving after the empty prefix must fold exactly")
   }
 
+  test("HLL fold is batching-invariant and exact in sparse mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the mergeable-summary family contract, cardinality member: the
+    // final state must not depend on how the stream was batched, and
+    // below 2^lgK distinct keys the sketch is in exact sparse mode so
+    // the estimate IS the true distinct
+    val users = (0L until 300L).map(i => i % 97)
+    def foldWith(batching: Seq[Seq[Long]]): (Long, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory("hllfold")
+        .toFile.getAbsolutePath + "/hs"
+      batching.zipWithIndex.foreach { case (b, i) =>
+        graft.operators.StreamingGate.foldHll(dir, 12)(
+          b.toDF("user_id"), i.toLong)
+      }
+      val r = spark.read.parquet(dir)
+        .select(expr("cast(round(hll_sketch_estimate(sk)) as bigint)"),
+          col("n")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val oneShot = foldWith(Seq(users))
+    val staggered = foldWith(Seq(users.take(7), Seq.empty,
+      users.slice(7, 150), users.drop(150)))
+    assert(oneShot == staggered, "HLL fold must be batching-invariant")
+    assert(oneShot == ((97L, 300L)),
+      s"sparse-mode sketch must be exact: $oneShot, want (97, 300)")
+  }
+
   test("foldKllIdem skips a replayed batch id and merges a fresh one exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
