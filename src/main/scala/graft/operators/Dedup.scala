@@ -375,6 +375,42 @@ object Dedup extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Eval-split n-gram NOVELTY audit — the memorization-risk read a
+    // training pipeline takes before trusting held-out metrics: for
+    // each non-train split (the q_split_hash md5 buckets, restated
+    // verbatim so split membership is engine- and layout-free), what
+    // fraction of its DISTINCT word-trigrams never occurs in the
+    // train split. Low novelty means eval text is mostly assembled
+    // from memorized training n-grams and benchmark numbers measure
+    // recall, not generalization — the corpus-level complement of the
+    // per-doc q_decontaminate containment. Plan shape: one trigram
+    // explode + (split, gram) distinct, then a gram-keyed equi-join
+    // of the eval grams against the train gram set — inverted-index
+    // work ∝ shared grams, never corpus²; at 100 TB the train side
+    // takes the q_decontaminate_bloom broadcast-bloom prefilter
+    // verbatim if the eval side is small.
+    "q_ngram_coverage" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val docs = Tables(s, d, "documents")
+        .select(col("text"),
+          when(bucket < 58982, "train").when(bucket < 62259, "val")
+            .otherwise("test").as("split"))
+      val grams = docs
+        .select(col("split"), explode(shingles(col("text"))).as("g"))
+        .distinct()
+      val train = grams.filter(col("split") === "train")
+        .select(col("g"), lit(1L).as("seen"))
+      grams.filter(col("split") =!= "train")
+        .join(train, Seq("g"), "left_outer")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_ngrams"), count(col("seen")).as("n_seen"))
+        .select(col("split"), col("n_ngrams"), col("n_seen"),
+          round(lit(1.0d) -
+            col("n_seen").cast("double") / col("n_ngrams"), 9).as("novelty"))
+        .orderBy(col("split"))
+    }),
+
     // SimHash: 32-bit majority fingerprint — bit i is the sign of the
     // token-weighted sum of the top bit of md5 nibble i. Runs through
     // the codegen'd graft.functions.SimHash kernel: one digest per
@@ -1342,6 +1378,33 @@ object Dedup extends graft.QueryPack {
     // Same pigeonhole block join as the Spark plan (the all-pairs form
     // is quadratic even at oracle scale); hamming = positional char
     // diff count over the two bitstrings — identical to popcount(xor).
+    // same md5 split rule as q_split_hash, same distinct-trigram form
+    // as q_setsim_prefix, gram-keyed left join
+    "q_ngram_coverage" ->
+      """WITH sp AS (
+        |  SELECT text,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |              AS INTEGER) < 58982 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |              AS INTEGER) < 62259 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT split,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+        |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))))
+        |      AS g
+        |  FROM sp),
+        |train AS (SELECT g, 1 AS seen FROM grams WHERE split = 'train')
+        |SELECT e.split, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |  CAST(COUNT(train.seen) AS BIGINT) AS n_seen,
+        |  round(CAST(1 AS DOUBLE) -
+        |    CAST(COUNT(train.seen) AS DOUBLE) / COUNT(*), 9) AS novelty
+        |FROM grams e LEFT JOIN train ON train.g = e.g
+        |WHERE e.split <> 'train'
+        |GROUP BY e.split ORDER BY e.split""".stripMargin,
+
     "q_simhash_hamming" ->
       s"""WITH $corpusSqlDuck,
          |fp AS (

@@ -173,4 +173,45 @@ class DedupSpec extends AnyFunSuite {
     assert(prefixRows < fullRows,
       s"prefix index ($prefixRows postings) is not smaller than full ($fullRows)")
   }
+
+  test("q_ngram_coverage equals an independent JVM split+trigram recompute") {
+    import org.apache.spark.sql.functions._
+    // independent md5 (JVM MessageDigest), independent trigram loop —
+    // neither the operator's shingle UDF nor its split column is
+    // trusted
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val b = java.lang.Long.parseLong(md5hex(id.toString).take(4), 16)
+      if (b < 58982) "train" else if (b < 62259) "val" else "test"
+    }
+    def grams(text: String): Set[String] = {
+      val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+      val k = math.max(t.length - 2, 1)
+      (0 until k).map(i => t.slice(i, math.min(i + 3, t.length))
+        .mkString(" ")).toSet
+    }
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => splitOf(r.getLong(0)) -> grams(r.getString(1)))
+    val bySplit = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2).reduce(_ ++ _)
+    }
+    val train = bySplit.getOrElse("train", Set.empty)
+    def r9(v: Double) = BigDecimal(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq("test", "val").sorted.map { s =>
+      val g = bySplit(s); val seen = g.count(train.contains)
+      (s, g.size.toLong, seen.toLong, r9(1.0 - seen.toDouble / g.size))
+    }
+    val actual = Dedup.queries("q_ngram_coverage")(spark, TestSpark.sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(actual == expected, s"got $actual want $expected")
+    // non-degenerate: novelty strictly inside (0, 1) on this corpus
+    expected.foreach { case (_, _, _, nv) =>
+      assert(nv > 0.0 && nv < 1.0, s"degenerate novelty $nv")
+    }
+  }
 }

@@ -233,7 +233,10 @@ class DeterminismSpec extends AnyFunSuite {
     // block candidate was emitted twice); q_pq_distortion (map-side
     // argmin assignment + round-9→DECIMAL distortion sums + grid
     // windows, the ECE discipline)
-    "q_phash_hamming", "q_pq_distortion")
+    "q_phash_hamming", "q_pq_distortion",
+    // novelty audit: md5 split + distinct gram sets + exact counts —
+    // a layout term means a distinct leaked partition-local rows
+    "q_ngram_coverage")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -102,6 +102,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // near-dup image matching of an empty corpus: no fingerprints →
     // no block candidates → no pairs
     "q_phash_hamming",
+    // novelty audit of an empty corpus: no grams in any split → no
+    // split rows
+    "q_ngram_coverage",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",
