@@ -410,6 +410,41 @@ object Analytic extends graft.QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // SAX motif mining — the payoff of q_sax_words' text encoding:
+    // repeated length-4 SAX subwords across the per-type daily
+    // series are recurring temporal shapes (the Lin et al. motif
+    // primitive; on telemetry, a motif shared by many types is a
+    // platform-wide rhythm, one repeating within a type is that
+    // type's signature). Same (type, day, symbol) frame through the
+    // shared burstZ kernel and breakpoint literals; subwords come
+    // from three lead() steps over the per-type day order (grid-sized
+    // windows: types × days), counts are map-combinable aggs, and the
+    // motif domain is ≤ 4⁴ rows — nothing scales past the grid.
+    "q_sax_motifs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val z = burstZ(Tables(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt")))
+      val sym = when(col("z").isNull, lit("b"))
+        .when(col("z") < -0.6745d, lit("a"))
+        .when(col("z") < 0.0d, lit("b"))
+        .when(col("z") < 0.6745d, lit("c"))
+        .otherwise(lit("d"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      z.withColumn("symbol", sym)
+        .withColumn("motif", concat(col("symbol"),
+          lead(col("symbol"), 1).over(w), lead(col("symbol"), 2).over(w),
+          lead(col("symbol"), 3).over(w)))
+        .filter(col("motif").isNotNull && length(col("motif")) === 4)
+        .groupBy(col("motif"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("event_type")).as("n_types"))
+        .filter(col("n_occ") >= 2L)
+        .orderBy(col("n_occ").desc, col("motif"))
+    }),
+
     // Median/MAD robust anomaly audit (Hampel's 3·1.4826·MAD rule) —
     // the heavy-tail-proof complement to q_zscore_anomaly's rolling
     // z: mean/stddev move with the outliers they're hunting, the
@@ -2350,6 +2385,52 @@ object Analytic extends graft.QueryPack {
         |  CAST(SUM(CASE WHEN symbol = 'd' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_d
         |FROM st GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same z/symbol CTEs as q_sax_words, three LEADs over the per-type
+    // day order, NULL-propagating concat dropped like Spark's
+    "q_sax_motifs" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY event_type, day),
+        |f AS (
+        |  SELECT g.event_type, g.day, COALESCE(c.cnt, 0) AS cnt
+        |  FROM (SELECT t.event_type, d.day
+        |        FROM (SELECT DISTINCT event_type FROM e) t
+        |        CROSS JOIN (SELECT DISTINCT day FROM e) d) g
+        |  LEFT JOIN c ON g.event_type = c.event_type AND g.day = c.day),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(cnt) AS BIGINT) AS s1,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        |  FROM f GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN z IS NULL THEN 'b'
+        |         WHEN z < -0.6745 THEN 'a'
+        |         WHEN z < 0.0 THEN 'b'
+        |         WHEN z < 0.6745 THEN 'c'
+        |         ELSE 'd' END AS symbol
+        |  FROM (
+        |    SELECT f.event_type, f.day,
+        |      CASE WHEN nd * s2 - s1 * s1 > 0 THEN
+        |        round(CAST(nd * cnt - s1 AS DOUBLE) /
+        |          sqrt(CAST(nd * s2 - s1 * s1 AS DOUBLE)), 9) END AS z
+        |    FROM f JOIN m USING (event_type))),
+        |mw AS (
+        |  SELECT event_type, symbol ||
+        |    LEAD(symbol, 1) OVER (PARTITION BY event_type ORDER BY day) ||
+        |    LEAD(symbol, 2) OVER (PARTITION BY event_type ORDER BY day) ||
+        |    LEAD(symbol, 3) OVER (PARTITION BY event_type ORDER BY day)
+        |    AS motif
+        |  FROM st)
+        |SELECT motif, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM mw WHERE motif IS NOT NULL
+        |GROUP BY motif HAVING COUNT(*) >= 2
+        |ORDER BY n_occ DESC, motif""".stripMargin,
 
     // same grid medians, same integer Hampel flag
     "q_mad_anomaly" ->

@@ -236,7 +236,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_phash_hamming", "q_pq_distortion",
     // novelty audit: md5 split + distinct gram sets + exact counts —
     // a layout term means a distinct leaked partition-local rows
-    "q_ngram_coverage")
+    "q_ngram_coverage",
+    // motifs: grid windows over the layout-free symbol frame + exact
+    // counts
+    "q_sax_motifs")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -105,6 +105,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // novelty audit of an empty corpus: no grams in any split → no
     // split rows
     "q_ngram_coverage",
+    // motifs over an empty stream: empty grid → no windows → no rows
+    "q_sax_motifs",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

@@ -1785,6 +1785,34 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sax_motifs re-derives from q_sax_words' words (one kernel, two readers)") {
+    // the motif counts must be exactly the 4-gram multiset of the
+    // gated per-type words — a divergence means the two queries no
+    // longer share the symbolization
+    val words =
+      try graft.operators.Analytic.queries("q_sax_words")(
+        spark, TestSpark.sf).collect()
+        .map(r => r.getString(0) -> r.getString(2))
+      finally TestSpark.housekeeping()
+    val occ = for {
+      (t, w) <- words.toSeq
+      i <- 0 to w.length - 4
+    } yield (w.substring(i, i + 4), t)
+    val expected = occ.groupBy(_._1)
+      .map { case (m, xs) =>
+        (m, xs.size.toLong, xs.map(_._2).distinct.size.toLong) }
+      .filter(_._2 >= 2L).toSeq
+      .sortBy { case (m, n, _) => (-n, m) }
+    val actual =
+      try graft.operators.Analytic.queries("q_sax_motifs")(
+        spark, TestSpark.sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      finally TestSpark.housekeeping()
+    assert(expected.nonEmpty, "no repeated motifs on this fixture — vacuous")
+    assert(actual == expected,
+      s"first diff: ${actual.zip(expected).find { case (a, b) => a != b }}")
+  }
+
   test("q_equi_depth_hist: brute decile boundaries and bucket depths") {
     val legs = Map(
       "lineitem.l_extendedprice" -> ("lineitem", "l_extendedprice"),
