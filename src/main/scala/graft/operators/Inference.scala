@@ -21,6 +21,47 @@ object Inference extends graft.QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Delete-one-group jackknife (Quenouille/Tukey; the grouped form
+    // survey statistics runs) — the DETERMINISTIC resampling CI next
+    // to the md5-bootstrap: leave each SOURCE out once, recompute the
+    // corpus mean doc length, and read the spread of the g leave-out
+    // estimates as the standard error: SE² = (g−1)/g · Σ(θ̂ᵢ − θ̄)².
+    // No RNG anywhere — the resamples are the g group deletions, so
+    // the estimate is exactly reproducible on any engine or layout.
+    // Exactness device: every θ̂ᵢ = (S−Sᵢ)/(N−nᵢ) is fixed-point
+    // rounded to 1e-6 BIGINT BEFORE the variance algebra, which then
+    // runs as g·Σt² − (Σt)² in exact integers (the common-denominator
+    // discipline); doubles appear only in the final sqrt/round. Shape:
+    // one per-source agg, one 1-row broadcast total, one g-row final
+    // agg — the group count is the only cardinality anywhere.
+    "q_jackknife" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+      val per = docs.groupBy(col("source"))
+        .agg(sum(col("x")).as("si"), count(lit(1)).as("ni"))
+      val tot = per.agg(sum(col("si")).as("s"), sum(col("ni")).as("n"),
+        count(lit(1)).as("g"))
+      // t ≈ mean·1e6 ~ 5e8, so Σt² crosses Long's 9.2e18 at ~40
+      // groups and g·Σt² well before — DECIMAL(38,0) headroom (the
+      // q_pagerank device), mirrored by HUGEINT-wide decimals in the
+      // oracle.
+      val t = per.crossJoin(broadcast(tot))
+        .select(col("s"), col("n"), col("g"),
+          expr("cast(round((s - si) * cast(1000000 as double) / (n - ni)) as bigint)")
+            .cast(DecimalType(38, 0)).as("t"))
+      t.groupBy(col("s"), col("n"), col("g"))
+        .agg(sum(col("t")).cast(DecimalType(38, 0)).as("st"),
+          sum(col("t") * col("t")).cast(DecimalType(38, 0)).as("st2"))
+        .select(col("g").as("n_groups"),
+          round(col("s").cast("double") / col("n"), 9).as("theta_hat"),
+          round(sqrt(((col("g") - 1) * (col("g") * col("st2") -
+            col("st") * col("st"))).cast("double") /
+            (col("g") * col("g")).cast("double") / 1e12), 9).as("se_jack"))
+        .select(col("n_groups"), col("theta_hat"), col("se_jack"),
+          round(col("theta_hat") - lit(1.96d) * col("se_jack"), 9).as("ci_lo"),
+          round(col("theta_hat") + lit(1.96d) * col("se_jack"), 9).as("ci_hi"))
+    }),
+
     // Label aggregation — the annotation-QA step of a labeling
     // pipeline (RLHF preference labels, quality ratings): each event
     // is read as one annotator's label on an item (item = event_id
@@ -1146,6 +1187,35 @@ object Inference extends graft.QueryPack {
          |    / COUNT(*), 9) AS avg_set_size
          |FROM sc CROSS JOIN qhat
          |WHERE bucket >= 32768 GROUP BY n_cal, q_hat""".stripMargin,
+
+    // same per-source sums, same fixed-point t, HUGEINT where Spark
+    // holds DECIMAL(38,0) (the established headroom pairing)
+    "q_jackknife" ->
+      """WITH per AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS si,
+        |    CAST(COUNT(*) AS BIGINT) AS ni
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(si) AS BIGINT) AS s,
+        |  CAST(SUM(ni) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS g FROM per),
+        |t AS (
+        |  SELECT s, n, g,
+        |    CAST(CAST(round((s - si) * CAST(1000000 AS DOUBLE) / (n - ni))
+        |      AS BIGINT) AS HUGEINT) AS t
+        |  FROM per, tot),
+        |a AS (
+        |  SELECT s, n, g, SUM(t) AS st, SUM(t * t) AS st2
+        |  FROM t GROUP BY s, n, g),
+        |r AS (
+        |  SELECT CAST(g AS BIGINT) AS n_groups,
+        |    round(CAST(s AS DOUBLE) / n, 9) AS theta_hat,
+        |    round(sqrt(CAST((g - 1) * (g * st2 - st * st) AS DOUBLE) /
+        |      CAST(g * g AS DOUBLE) / 1e12), 9) AS se_jack
+        |  FROM a)
+        |SELECT n_groups, theta_hat, se_jack,
+        |  round(theta_hat - 1.96 * se_jack, 9) AS ci_lo,
+        |  round(theta_hat + 1.96 * se_jack, 9) AS ci_hi
+        |FROM r""".stripMargin,
 
     // same coin, same two-cell exact chi-square
     "q_srm" ->

@@ -239,7 +239,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_ngram_coverage",
     // motifs: grid windows over the layout-free symbol frame + exact
     // counts
-    "q_sax_motifs")
+    "q_sax_motifs",
+    // jackknife: exact integer sums, fixed-point t BEFORE the
+    // variance algebra, doubles only at the final sqrt
+    "q_jackknife")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -107,6 +107,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_ngram_coverage",
     // motifs over an empty stream: empty grid → no windows → no rows
     "q_sax_motifs",
+    // jackknife of an empty corpus: no groups → no leave-out frame →
+    // no estimate row (not a 0/0)
+    "q_jackknife",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

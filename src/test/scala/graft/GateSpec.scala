@@ -1785,6 +1785,37 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_jackknife equals a plain-Scala delete-one-source recompute") {
+    import org.apache.spark.sql.functions._
+    val per =
+      try Tables(spark, TestSpark.sf, "documents")
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars").cast("long")).as("si"),
+          count(lit(1)).as("ni"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      finally TestSpark.housekeeping()
+    val s = per.map(_._1).sum; val n = per.map(_._2).sum
+    val g = per.length.toLong
+    def r9(v: Double) = BigDecimal(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ts = per.map { case (si, ni) =>
+      math.round((s - si) * 1e6 / (n - ni)) }
+    val st = ts.map(BigInt(_)).sum
+    val st2 = ts.map(t => BigInt(t) * BigInt(t)).sum
+    val se = r9(math.sqrt(
+      (BigInt(g - 1) * (BigInt(g) * st2 - st * st)).toDouble /
+        (g * g).toDouble / 1e12))
+    val theta = r9(s.toDouble / n)
+    val row = run("q_jackknife").head
+    assert(row.getLong(0) == g)
+    assert(row.getDouble(1) == theta)
+    assert(row.getDouble(2) == se)
+    assert(row.getDouble(3) == r9(theta - 1.96 * se))
+    assert(row.getDouble(4) == r9(theta + 1.96 * se))
+    // non-degenerate: sources genuinely disagree, so the SE is real
+    assert(se > 0.0, "all leave-out means identical — vacuous fixture")
+  }
+
   test("q_sax_motifs re-derives from q_sax_words' words (one kernel, two readers)") {
     // the motif counts must be exactly the 4-gram multiset of the
     // gated per-type words — a divergence means the two queries no
