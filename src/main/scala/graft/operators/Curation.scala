@@ -122,6 +122,39 @@ object Curation extends graft.QueryPack {
           round((col("n_tokens") - col("kept_tokens")).cast("double") /
             col("n_tokens"), 9))
         .orderBy(col("doc_id"))
+    }),
+
+    // Class balancing — the label-skew repair of supervised curation
+    // (a classifier trained on a 10:1 label mix learns the prior, not
+    // the signal): every label downsampled to EXACTLY the minority
+    // count by keeping each class's lowest-md5 rows (the stable-key
+    // device: deterministic, engine- and layout-free, and a
+    // per-class uniform sample because md5 order is independent of
+    // any data order). The kept SET is pinned by a vec_id checksum,
+    // not just counts — a different-but-same-size sample would hash
+    // elsewhere. Scale: the per-label rank is one window partitioned
+    // by label (classes spread across executors; the in-class sort
+    // is the price of EXACT-count sampling — the constant-time
+    // md5-threshold alternative that trades exactness for no sort is
+    // q_mixture_sample's fraction rule); the minority count is a
+    // 1-row broadcast.
+    "q_class_balance" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val target = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("target"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      e.crossJoin(broadcast(target))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("keep", col("rk") <= col("target"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"),
+          sum(when(col("keep"), col("vec_id")).otherwise(0L))
+            .as("kept_checksum"))
+        .orderBy(col("label"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -176,6 +209,26 @@ object Curation extends graft.QueryPack {
         |  ROUND(CAST(SUM(CASE WHEN bdf >= 3 THEN n_tok ELSE 0 END)
         |    AS DOUBLE) / SUM(n_tok), 9) AS boiler_ratio
         |FROM blk JOIN dfreq USING (btxt)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same minority target, same (md5, vec_id) keep rank, same
+    // kept-set checksum
+    "q_class_balance" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |tgt AS (SELECT MIN(n) AS target FROM (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY label)),
+        |rk AS (
+        |  SELECT label, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+        |    target
+        |  FROM e, tgt)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_before,
+        |  CAST(SUM(CASE WHEN rk <= target THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after,
+        |  CAST(SUM(CASE WHEN rk <= target THEN vec_id ELSE 0 END) AS BIGINT)
+        |    AS kept_checksum
+        |FROM rk GROUP BY label ORDER BY label""".stripMargin
   )
 }

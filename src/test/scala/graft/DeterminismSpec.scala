@@ -242,7 +242,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_sax_motifs",
     // jackknife: exact integer sums, fixed-point t BEFORE the
     // variance algebra, doubles only at the final sqrt
-    "q_jackknife")
+    "q_jackknife",
+    // class balance: the keep set is a pure (md5, id) total-order
+    // prefix per label — a layout term means the rank window leaked
+    "q_class_balance")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -110,6 +110,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // jackknife of an empty corpus: no groups → no leave-out frame →
     // no estimate row (not a 0/0)
     "q_jackknife",
+    // class balance of an empty table: a NULL target against zero
+    // rows → no label rows
+    "q_class_balance",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

@@ -1785,6 +1785,38 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_class_balance equals a plain-Scala md5-rank recompute; classes exactly balanced") {
+    import org.apache.spark.sql.functions._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows =
+      try Tables(spark, TestSpark.sf, "embeddings")
+        .select(col("vec_id"), col("label").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      finally TestSpark.housekeeping()
+    val byLabel = rows.groupBy(_._2)
+    val target = byLabel.values.map(_.size).min
+    val expected = byLabel.toSeq.sortBy(_._1).map { case (l, xs) =>
+      val kept = xs.map(_._1)
+        .sortBy(id => (md5hex(id.toString), id)).take(target)
+      (l, xs.size.toLong, kept.size.toLong, kept.sum)
+    }
+    val actual =
+      try graft.operators.Curation.queries("q_class_balance")(
+        spark, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      finally TestSpark.housekeeping()
+    assert(actual == expected,
+      s"first diff: ${actual.zip(expected).find { case (a, b) => a != b }}")
+    // every class lands on exactly the minority count, and the fixture
+    // is genuinely skewed (some class actually shrinks)
+    assert(actual.map(_._3).distinct == Seq(target.toLong))
+    assert(actual.exists(r => r._2 > r._3),
+      "no class was downsampled — vacuous balance fixture")
+  }
+
   test("q_jackknife equals a plain-Scala delete-one-source recompute") {
     import org.apache.spark.sql.functions._
     val per =
