@@ -32,6 +32,94 @@ object Scalars extends graft.QueryPack {
     StructField("media", StructType(Seq(
       StructField("pk", StringType), StructField("likes", LongType)))))))))
 
+  /** The planted 3-dialect JSON column for the schema-drift audit
+    * pair (q_schema_drift / q_stream_schema_drift): three producer
+    * generations of the same event payload, with the drift classes a
+    * raw feed actually exhibits — a TYPE CHANGE (`user` ships as a
+    * number in dialects 0/2 and as a string in dialect 1), a NULLED
+    * field (`amount`/`tag` present-but-null), and an ADDED field
+    * (`extra` only in dialect 1). Built with to_json from the same
+    * event row the audit reads, so the oracle restates every count in
+    * closed form from event_id % 3 — the q_dom_extract analytic-oracle
+    * device (expected values derived from the row key, never from
+    * another parser). `amount` rides a DECIMAL(12,2) so its JSON
+    * rendering is plain fixed-point (a raw double could serialize
+    * scientific and misclassify). */
+  private[operators] def dialectJson: org.apache.spark.sql.Column = {
+    val keepNulls = Map("ignoreNullFields" -> "false")
+    when(col("event_id") % 3 === 0,
+      to_json(struct(col("user_id").as("user"),
+        col("value").cast(DecimalType(12, 2)).as("amount"),
+        col("event_type").as("tag")), keepNulls))
+      .when(col("event_id") % 3 === 1,
+        to_json(struct(col("user_id").cast("string").as("user"),
+          lit(null).cast("double").as("amount"), lit(true).as("extra")),
+          keepNulls))
+      .otherwise(
+        to_json(struct(col("user_id").as("user"),
+          lit(null).cast("string").as("tag")), keepNulls))
+  }
+
+  /** Audited key set — the DECLARED schema the raw feed is validated
+    * against (schema-drift audits check a contract, not discovery). */
+  private[operators] val schemaKeys = Seq("amount", "extra", "tag", "user")
+
+  /** Per-row (key, jtype) cells from the raw JSON TEXT: presence by
+    * `"key":` containment, type by value-shape regex (quoted → string,
+    * null/true/false literals, integer vs fixed-point number) — all
+    * in the RE2∩Java common subset, identical in DuckDB, and reliable
+    * because the planted payloads contain no escapes or embedded
+    * commas. One narrow projection + explode; no parser state. Shared
+    * by the batch audit and the streaming fold (one definition, two
+    * paths). */
+  private[operators] def schemaCells(ev: DataFrame): DataFrame = {
+    val withJ = ev.select(dialectJson.as("j"))
+    val cells = schemaKeys.map { k =>
+      val present = col("j").contains(s""""$k":""")
+      val v = regexp_extract(col("j"), s""""$k":(("[^"]*")|[^,}]+)""", 1)
+      val t = when(!present, lit(null).cast("string"))
+        .when(v === "null", "null")
+        .when(v.isin("true", "false"), "boolean")
+        .when(v.rlike("^-?[0-9]+$"), "bigint")
+        .when(v.rlike("^-?[0-9]+\\.[0-9]+$"), "double")
+        .otherwise("string")
+      struct(lit(k).as("key"), t.as("jtype"))
+    }
+    withJ.select(explode(array(cells: _*)).as("c"))
+      .select(col("c.key").as("key"), col("c.jtype").as("jtype"))
+      .filter(col("jtype").isNotNull)
+  }
+
+  /** The audit report over (key, jtype, n) counts — per declared key:
+    * presence/missing/null tallies, the per-type histogram, the
+    * dominant non-null type (struct-max tie: higher count, then the
+    * lexicographically LARGER type name — restated in the oracle) and
+    * the conflict flag (≥2 distinct non-null types = the producer
+    * fleet disagrees). Total rows come from the `user` key, present
+    * in every dialect by construction. Grid-sized everywhere. */
+  private[operators] def schemaReport(counts: DataFrame): DataFrame = {
+    val total = counts.filter(col("key") === "user")
+      .agg(sum(col("n")).as("total"))
+    counts.groupBy(col("key"))
+      .agg(sum(col("n")).as("n_present"),
+        sum(when(col("jtype") === "null", col("n")).otherwise(0L)).as("n_null"),
+        sum(when(col("jtype") === "bigint", col("n")).otherwise(0L)).as("n_bigint"),
+        sum(when(col("jtype") === "double", col("n")).otherwise(0L)).as("n_double"),
+        sum(when(col("jtype") === "boolean", col("n")).otherwise(0L)).as("n_boolean"),
+        sum(when(col("jtype") === "string", col("n")).otherwise(0L)).as("n_string"),
+        max(when(col("jtype") =!= "null", struct(col("n"), col("jtype"))))
+          .as("dom"),
+        count(when(col("jtype") =!= "null", lit(1))).as("n_types"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_present"),
+        (col("total") - col("n_present")).as("n_missing"),
+        col("n_null"), col("n_bigint"), col("n_double"),
+        col("n_boolean"), col("n_string"),
+        col("dom.jtype").as("dominant_type"),
+        (col("n_types") > 1L).as("type_conflict"))
+      .orderBy(col("key"))
+  }
+
   /** Recursive selector fallback (S6, news/elimparcial.js:49-60
     * `getContentFromSelectors`): try selectors in ORDER; the first one
     * with >= 1 match wins and contributes ALL of its matches; later
@@ -468,10 +556,67 @@ object Scalars extends graft.QueryPack {
           coalesce(col("a.graphql.post.like_count"), col("b.data.media.likes")).as("likes"),
           when(col("a.graphql").isNotNull, "graphql").otherwise("data").as("dialect"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Schema-drift audit over the planted 3-dialect raw feed
+    // ([[dialectJson]]): per declared key, presence/missing/null
+    // tallies, the per-type histogram, the dominant type and the
+    // conflict flag — the validation report an ingestion pipeline
+    // runs BEFORE from_json hard-codes a schema (q_json_dialect's
+    // dispatch assumes the dialects are known; this is how they get
+    // discovered when a producer drifts). One narrow cell projection
+    // + one (key × type) grid agg; grid-sized everywhere after.
+    "q_schema_drift" -> ((s, d) => {
+      val counts = schemaCells(Tables(s, d, "events"))
+        .groupBy(col("key"), col("jtype")).agg(count(lit(1)).as("n"))
+      schemaReport(counts)
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // the analytic closed form: every tally derives from event_id % 3
+    // (the plant is a pure function of the row key), so the oracle
+    // never parses JSON — if the Spark side's regex classifier drifts
+    // from the plant, the hash breaks
+    "q_schema_drift" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c0,
+        |    CAST(SUM(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events),
+        |r AS (
+        |  SELECT 'amount' AS key, c0 + c1 AS n_present,
+        |    n - (c0 + c1) AS n_missing, c1 AS n_null, 0 AS n_bigint,
+        |    c0 AS n_double, 0 AS n_boolean, 0 AS n_string,
+        |    CASE WHEN c0 > 0 THEN 'double' END AS dominant_type,
+        |    false AS type_conflict
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'extra', c1, n - c1, 0, 0, 0, c1, 0,
+        |    CASE WHEN c1 > 0 THEN 'boolean' END, false FROM c
+        |  UNION ALL
+        |  SELECT 'tag', c0 + c2, n - (c0 + c2), c2, 0, 0, 0, c0,
+        |    CASE WHEN c0 > 0 THEN 'string' END, false FROM c
+        |  UNION ALL
+        |  SELECT 'user', n, 0, 0, c0 + c2, 0, 0, c1,
+        |    CASE WHEN c0 + c2 = 0 AND c1 = 0 THEN NULL
+        |         WHEN c0 + c2 > c1 THEN 'bigint' ELSE 'string' END,
+        |    c0 + c2 > 0 AND c1 > 0 FROM c)
+        |SELECT key, CAST(n_present AS BIGINT) AS n_present,
+        |  CAST(n_missing AS BIGINT) AS n_missing,
+        |  CAST(n_null AS BIGINT) AS n_null,
+        |  CAST(n_bigint AS BIGINT) AS n_bigint,
+        |  CAST(n_double AS BIGINT) AS n_double,
+        |  CAST(n_boolean AS BIGINT) AS n_boolean,
+        |  CAST(n_string AS BIGINT) AS n_string,
+        |  dominant_type, type_conflict
+        |FROM r WHERE n_present > 0 ORDER BY key""".stripMargin,
+
     // same CCW edges, same integer cross-product membership
     "q_geo_fence" ->
       """WITH edges(fence, x1, y1, x2, y2) AS (VALUES

@@ -331,6 +331,24 @@ object StreamingGate extends graft.QueryPack {
     swapState(merged, state)
   }
 
+  /** The q_stream_schema_drift state fold: merge a micro-batch's
+    * (key, jtype) cells into persistent per-cell counts — the same
+    * count monoid as foldBinCounts on the schema-audit grid (keys ×
+    * type classes ≤ a few dozen rows at any stream length). */
+  def foldSchemaCells(state: String)(batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
+    val bc = batch.groupBy(col("key"), col("jtype"))
+      .agg(count(lit(1)).as("n"))
+    val merged =
+      if (new java.io.File(state).exists()) {
+        val prior = batch.sparkSession.read.parquet(state)
+        prior.unionByName(bc)
+          .groupBy(col("key"), col("jtype"))
+          .agg(sum(col("n")).as("n"))
+      } else bc
+    swapState(merged, state)
+  }
+
   def foldBinCounts(state: String)(batch: DataFrame, id: Long): Unit = {
     recoverState(state)
     val bc = batch.groupBy(col("event_type"), col("bin"))
@@ -855,6 +873,30 @@ object StreamingGate extends graft.QueryPack {
             band * col("exact_distinct").cast("double")).as("within_bound"))
     }),
 
+    // Streaming schema-drift monitor — the TWENTIETH oracle-gated
+    // drain: as raw-feed files commit, each micro-batch's (key, jtype)
+    // cells (the Scalars.schemaCells kernel — one definition, two
+    // paths) fold into the persistent audit grid, and the drained
+    // state feeds the same schemaReport as the batch q_schema_drift —
+    // gated by the same analytic oracle. This is how a live ingestion
+    // pipeline notices a producer drifting (user flipping to string,
+    // amount going null) WITHOUT re-scanning history: state is the
+    // (keys × type-classes) grid at any stream length, the fold a
+    // count monoid through the crash-safe swap.
+    "q_stream_schema_drift" -> ((s, d) => {
+      val state = freshDir("q_stream_schema_drift") + "/sc"
+      val stream = Scalars.schemaCells(EventsStream.replay(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type")))
+      drain(s, stream, "append")(foldSchemaCells(state))
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val counts = readStateOr(s, state, Seq(
+        ("key", "key", StringType),
+        ("jtype", "jtype", StringType),
+        ("n", "n", LongType)))
+      Scalars.schemaReport(counts)
+    }),
+
     // Streaming zone-map maintenance — the FIFTEENTH oracle-gated
     // streaming drain and the lakehouse member of the mergeable-state
     // family: as event files commit, each micro-batch's rows fold
@@ -1184,6 +1226,11 @@ object StreamingGate extends graft.QueryPack {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
         |  true AS counts_match, true AS within_bound
         |FROM events""".stripMargin,
+
+    // the drained audit grid re-derives the batch report — the
+    // q_schema_drift analytic oracle verbatim (one definition, two
+    // paths)
+    "q_stream_schema_drift" -> Scalars.oracles("q_schema_drift"),
 
     // the drained per-cell maps re-derive the batch zone aggregate —
     // the zorder-layout zones of q_zonemap_prune restated

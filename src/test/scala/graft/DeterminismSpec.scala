@@ -245,7 +245,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_jackknife",
     // class balance: the keep set is a pure (md5, id) total-order
     // prefix per label — a layout term means the rank window leaked
-    "q_class_balance")
+    "q_class_balance",
+    // schema drift: pure per-row regex cells + exact grid counts +
+    // a (n, type) struct-max total order
+    "q_schema_drift")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

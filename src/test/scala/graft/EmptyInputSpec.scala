@@ -113,6 +113,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // class balance of an empty table: a NULL target against zero
     // rows → no label rows
     "q_class_balance",
+    // schema audit of an empty feed: no cells → no key rows (batch);
+    // the streamed fold sees zero micro-batches → empty state → empty
+    // report
+    "q_schema_drift", "q_stream_schema_drift",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

@@ -1785,6 +1785,31 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_schema_drift detects all three planted drift classes") {
+    val rows =
+      try graft.operators.Scalars.queries("q_schema_drift")(
+        spark, TestSpark.sf).collect()
+        .map(r => r.getString(0) -> r).toMap
+      finally TestSpark.housekeeping()
+    // type change: user ships as number AND string → conflict
+    val user = rows("user")
+    assert(user.getBoolean(9), "user type conflict not detected")
+    assert(user.getLong(2) == 0L, "user is present in every dialect")
+    assert(user.getLong(4) > 0L && user.getLong(7) > 0L)
+    // nulled field: amount present-but-null in dialect 1, double in 0
+    val amount = rows("amount")
+    assert(amount.getString(8) == "double")
+    assert(amount.getLong(3) > 0L, "amount null tally empty")
+    assert(amount.getLong(2) > 0L, "amount missing tally empty")
+    assert(!amount.getBoolean(9), "null must not count as a type conflict")
+    // added field: extra only exists in dialect 1
+    val extra = rows("extra")
+    assert(extra.getString(8) == "boolean" && extra.getLong(2) > 0L)
+    // conservation: present + missing = total rows, per key
+    val n = Tables(spark, TestSpark.sf, "events").count()
+    rows.values.foreach(r => assert(r.getLong(1) + r.getLong(2) == n))
+  }
+
   test("q_class_balance equals a plain-Scala md5-rank recompute; classes exactly balanced") {
     import org.apache.spark.sql.functions._
     def md5hex(s: String): String =
