@@ -80,6 +80,23 @@ object TextAnalytics extends graft.QueryPack {
   private[operators] def sqlList(xs: Seq[String]): String =
     xs.map(x => "'" + x.replace("'", "''") + "'").mkString("(", ", ", ")")
 
+  /** The marker-word language scorer + fixed-tie argmax shared by
+    * q_lang_id (per-doc listing) and q_langid_eval (accuracy rollup) —
+    * one classifier definition, two readers. */
+  private def langScored(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def score(lang: String): Column =
+      size(filter(toks, t => t.isInCollection(langMarkers(lang)))).cast("long")
+    val en = score("en"); val es = score("es")
+    val fr = score("fr"); val de = score("de")
+    Tables(s, d, "documents").select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("s_en"), es.as("s_es"), fr.as("s_fr"), de.as("s_de"),
+      when(en >= es && en >= fr && en >= de, "en")
+        .when(es >= fr && es >= de, "es")
+        .when(fr >= de, "fr").otherwise("de").as("pred_lang"))
+  }
+
   /** Tokens of lowercased, whitespace-split text (T3+T4 simplified to the
     * testdata's already-clean text). */
   private[operators] def tokens(c: Column): Column = split(lower(c), " ")
@@ -854,18 +871,38 @@ object TextAnalytics extends graft.QueryPack {
     }),
 
     // Language ID: marker-word scoring, argmax with fixed tie order.
-    "q_lang_id" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      def score(lang: String): Column =
-        size(filter(toks, t => t.isInCollection(langMarkers(lang)))).cast("long")
-      val en = score("en"); val es = score("es"); val fr = score("fr"); val de = score("de")
-      Tables(s, d, "documents").select(
-        col("doc_id"), col("lang").as("labeled_lang"),
-        en.as("s_en"), es.as("s_es"), fr.as("s_fr"), de.as("s_de"),
-        when(en >= es && en >= fr && en >= de, "en")
-          .when(es >= fr && es >= de, "es")
-          .when(fr >= de, "fr").otherwise("de").as("pred_lang"))
-        .orderBy(col("doc_id"))
+    "q_lang_id" -> ((s, d) => langScored(s, d).orderBy(col("doc_id"))),
+
+    // Language-ID EVALUATION — the same marker-word classifier
+    // (shared langScored kernel: one definition, two readers) rolled
+    // up against the corpus's stored truth labels as per-language
+    // precision / recall / F1 off the confusion grid: the accuracy
+    // read a curator takes before trusting the heuristic to route
+    // documents into per-language pipelines. All three metrics are
+    // single divisions of exact grid counts (F1 = 2·tp/(n_true +
+    // n_pred), never the float p·r composition), rounded at 9.
+    // Grid-sized everywhere after the one (true × pred) count agg.
+    "q_langid_eval" -> ((s, d) => {
+      val grid = langScored(s, d)
+        .groupBy(col("labeled_lang").as("t"), col("pred_lang").as("p"))
+        .agg(count(lit(1)).as("n"))
+      val byTrue = grid.groupBy(col("t").as("lang"))
+        .agg(sum(col("n")).as("n_true"),
+          sum(when(col("p") === col("t"), col("n")).otherwise(0L)).as("tp"))
+      val byPred = grid.groupBy(col("p").as("lang"))
+        .agg(sum(col("n")).as("n_pred"))
+      byTrue.join(byPred, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("precision", when(col("n_pred") > 0L,
+          round(col("tp").cast("double") / col("n_pred"), 9)))
+        .withColumn("recall", when(col("n_true") > 0L,
+          round(col("tp").cast("double") / col("n_true"), 9)))
+        .withColumn("f1", when(col("n_true") + col("n_pred") > 0L,
+          round(lit(2.0d) * col("tp") / (col("n_true") + col("n_pred")), 9)))
+        .orderBy(col("lang"))
     }),
 
     // Document fingerprinting: whole-doc hash + min word-5-gram shingle
@@ -1998,6 +2035,43 @@ object TextAnalytics extends graft.QueryPack {
          |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
          |        FROM documents) x) y
          |ORDER BY doc_id""".stripMargin,
+
+    // same marker scoring + argmax restated, rolled to the confusion
+    // grid; F1 as the single-division 2·tp/(n_true + n_pred)
+    "q_langid_eval" ->
+      s"""WITH y AS (
+         |  SELECT lang AS t,
+         |    CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |         WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+         |         WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS p
+         |  FROM (SELECT lang,
+         |    CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("en"))})) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("es"))})) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("fr"))})) AS BIGINT) AS s_fr,
+         |    CAST(len(list_filter(toks, t -> t IN ${sqlList(langMarkers("de"))})) AS BIGINT) AS s_de
+         |    FROM (SELECT lang, string_split(lower(text), ' ') AS toks
+         |          FROM documents) x) z),
+         |grid AS (SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n
+         |         FROM y GROUP BY t, p),
+         |bt AS (SELECT t AS lang, CAST(SUM(n) AS BIGINT) AS n_true,
+         |         CAST(SUM(CASE WHEN p = t THEN n ELSE 0 END) AS BIGINT) AS tp
+         |       FROM grid GROUP BY t),
+         |bp AS (SELECT p AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+         |       FROM grid GROUP BY p),
+         |j AS (
+         |  SELECT COALESCE(bt.lang, bp.lang) AS lang,
+         |    COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+         |    COALESCE(tp, 0) AS tp
+         |  FROM bt FULL OUTER JOIN bp ON bt.lang = bp.lang)
+         |SELECT lang, n_true, n_pred, tp,
+         |  CASE WHEN n_pred > 0
+         |       THEN round(CAST(tp AS DOUBLE) / n_pred, 9) END AS precision,
+         |  CASE WHEN n_true > 0
+         |       THEN round(CAST(tp AS DOUBLE) / n_true, 9) END AS recall,
+         |  CASE WHEN n_true + n_pred > 0
+         |       THEN round(CAST(2 AS DOUBLE) * tp / (n_true + n_pred), 9)
+         |  END AS f1
+         |FROM j ORDER BY lang""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS doc_hash,

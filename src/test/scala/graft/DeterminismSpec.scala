@@ -248,7 +248,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_class_balance",
     // schema drift: pure per-row regex cells + exact grid counts +
     // a (n, type) struct-max total order
-    "q_schema_drift")
+    "q_schema_drift",
+    // lang-id eval: pure per-row classifier + exact confusion counts
+    // + single-division metrics
+    "q_langid_eval")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -117,6 +117,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // the streamed fold sees zero micro-batches → empty state → empty
     // report
     "q_schema_drift", "q_stream_schema_drift",
+    // lang-id eval of an empty corpus: empty confusion grid → no rows
+    "q_langid_eval",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

@@ -1785,6 +1785,42 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_langid_eval re-derives from the gated q_lang_id rows (one classifier, two readers)") {
+    val preds =
+      try graft.operators.TextAnalytics.queries("q_lang_id")(
+        spark, TestSpark.sf).collect()
+        .map(r => (r.getString(1), r.getString(6)))
+      finally TestSpark.housekeeping()
+    def r9(v: Double) = BigDecimal(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val langs = (preds.map(_._1) ++ preds.map(_._2)).distinct.sorted
+    val expected = langs.map { l =>
+      val nT = preds.count(_._1 == l).toLong
+      val nP = preds.count(_._2 == l).toLong
+      val tp = preds.count(x => x._1 == l && x._2 == l).toLong
+      (l, nT, nP, tp,
+        if (nP > 0) java.lang.Double.valueOf(r9(tp.toDouble / nP)) else null,
+        if (nT > 0) java.lang.Double.valueOf(r9(tp.toDouble / nT)) else null,
+        if (nT + nP > 0)
+          java.lang.Double.valueOf(r9(2.0 * tp / (nT + nP))) else null)
+    }.toSeq
+    val actual =
+      try graft.operators.TextAnalytics.queries("q_langid_eval")(
+        spark, TestSpark.sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)),
+          if (r.isNullAt(5)) null else java.lang.Double.valueOf(r.getDouble(5)),
+          if (r.isNullAt(6)) null else java.lang.Double.valueOf(r.getDouble(6))))
+        .toSeq
+      finally TestSpark.housekeeping()
+    assert(actual == expected,
+      s"first diff: ${actual.zip(expected).find { case (a, b) => a != b }}")
+    // non-degenerate: the heuristic is imperfect but far above chance
+    val f1s = actual.flatMap(r => Option(r._7).map(_.doubleValue()))
+    assert(f1s.exists(f => f > 0.3 && f < 1.0),
+      s"language-id eval degenerate: f1s=$f1s")
+  }
+
   test("q_schema_drift detects all three planted drift classes") {
     val rows =
       try graft.operators.Scalars.queries("q_schema_drift")(
