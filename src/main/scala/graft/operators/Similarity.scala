@@ -989,6 +989,91 @@ object Similarity extends graft.QueryPack {
         .select(col("vec_id"), col("centroid_id"),
           coalesce(col("is_dup"), lit(false)).as("dropped"))
         .orderBy(col("vec_id"))
+    }),
+
+    // The EMBEDDING-SIDE composed flagship (the r10 counterpart of
+    // q_curation_pipeline's text funnel): vector quality gate →
+    // semantic dedup → class balance → index/shard admission, in ONE
+    // oracle-checked plan with per-row FIRST-FAILING-STAGE
+    // attribution. Stage kernels are definitionally shared with the
+    // standalone queries: the dedup rule is q_semdedup's verbatim
+    // (sqrt-K sampled-centroid clusters, within-cluster ≥0.95 pairs,
+    // smallest id wins), the balance rule is q_class_balance's
+    // ((md5, id) rank prefix to the minority count), the shard key is
+    // q_split_hash's 16-bit md5 bucket. The corpus is the planted
+    // near-dup corpus (base ∪ +0.01-perturbed copies) with a
+    // DEGENERATE plant on top — vec_id % 41 = 7 rows zeroed, the
+    // broken-producer vectors (zero norm = undefined cosine) a real
+    // embedding table accumulates and the quality gate exists to stop
+    // BEFORE they poison the cosine stages. Stage order is the only
+    // correct one: dedup math divides by the norms quality guards,
+    // and balance targets must count the deduped class mass, not
+    // duplicates. Scale shape: quality is a narrow projection; dedup
+    // pairs are cluster-keyed (≈N^1.5 bound, no cartesian —
+    // PlanShapeSpec); balance is one per-label rank window; the
+    // corpus frame is persisted once for the survivor chain + final
+    // attribution join (the q_curation_pipeline persist lesson).
+    // Centroids come from the QUALITY SURVIVORS (first K ids ≥ 10 —
+    // a zero-norm centroid would NaN every cosine in its cluster),
+    // via the bounded q_ann_incremental collect device.
+    "q_embedding_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val zero = typedlit(Seq.fill(DIM)(0.0d))
+      val c = neardupCorpus(s, d)
+        .select(col("vec_id"),
+          when(col("vec_id") % 41 === 7, zero).otherwise(col("embedding"))
+            .as("embedding"))
+        .withColumn("nrm", norm(col("embedding")))
+        .persist()
+      val surv1 = c.filter(col("nrm") > 0.0d)
+      def centsFrom(k: Int): Array[(Long, Seq[Double], Double)] =
+        surv1.filter(col("vec_id") >= 10)
+          .orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+          .sortBy(_._1)
+      val cents = centsFrom(sqrtK(surv1.count()))
+      val assigned = surv1.withColumn("centroid_id",
+        array_max(centroidSimsArr(cents)).getField("negcid") * -1)
+      val l = assigned.select(col("centroid_id"), col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val r = assigned.select(col("centroid_id"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      val dup = l.join(r, Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9)
+          >= 0.95)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      val s2 = assigned.select(col("vec_id"), col("centroid_id"))
+        .join(dup, Seq("vec_id"), "left_outer")
+      // labels: a perturbed copy inherits its source vector's class
+      val lbl = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("orig"), col("label").cast("long").as("label"))
+      val withL = s2.filter(col("is_dup").isNull)
+        .withColumn("orig", when(col("vec_id") >= 100000L,
+          col("vec_id") - 100000L).otherwise(col("vec_id")))
+        .join(lbl, Seq("orig"))
+      val target = withL.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("target"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val s3 = withL.crossJoin(broadcast(target))
+        .withColumn("rk", row_number().over(w))
+        .select(col("vec_id"), (col("rk") <= col("target")).as("balanced"))
+      val bucket = conv(substring(md5(col("vec_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      c.select(col("vec_id"), col("nrm"))
+        .join(s2, Seq("vec_id"), "left_outer")
+        .join(s3, Seq("vec_id"), "left_outer")
+        .withColumn("reason",
+          when(col("nrm") === 0.0d, "degenerate")
+            .when(col("is_dup").isNotNull, "semantic_dup")
+            .when(!col("balanced"), "balance"))
+        .select(col("vec_id"), col("reason").isNull.as("keep"), col("reason"),
+          col("centroid_id"),
+          when(col("reason").isNull, bucket % 32).as("shard"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1864,6 +1949,83 @@ object Similarity extends graft.QueryPack {
          |SELECT a.vec_id, a.centroid_id,
          |  (d.vec_id IS NOT NULL) AS dropped
          |FROM assigned a LEFT JOIN dup d ON d.vec_id = a.vec_id
-         |ORDER BY a.vec_id""".stripMargin
+         |ORDER BY a.vec_id""".stripMargin,
+
+    // the composed funnel restated stage by stage: the q_semdedup
+    // corpus CTEs with the zero-plant on top, survivor-drawn
+    // centroids (ROW_NUMBER prefix), the same within-cluster pair
+    // rule, the q_class_balance rank rule over label-inherited
+    // survivors, the q_split_hash shard bucket — first-failing-stage
+    // CASE at the end
+    "q_embedding_pipeline" ->
+      s"""WITH corpus0 AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1,${DIM + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_transform(range(1,${DIM + 1}), i ->
+         |      CAST(embedding[i] AS DOUBLE) +
+         |      CASE WHEN i = 1 THEN CAST(0.01 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |corpus AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 41 = 7
+         |         THEN list_transform(range(1,${DIM + 1}), i -> CAST(0 AS DOUBLE))
+         |         ELSE embedding END AS embedding
+         |  FROM corpus0),
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM corpus),
+         |s1 AS (SELECT * FROM e WHERE nrm > 0),
+         |k AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM s1),
+         |cseq AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm,
+         |           ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+         |         FROM s1 WHERE vec_id >= 10),
+         |cents AS (SELECT cid, cv, cnrm FROM cseq, k WHERE rn <= k),
+         |scored AS (
+         |  SELECT s1.vec_id, s1.embedding, s1.nrm, c.cid,
+         |    round(${dotDuck("s1.embedding", "c.cv")} / (s1.nrm * c.cnrm), 9) AS csim
+         |  FROM s1 CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cid AS centroid_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  WHERE round(${dotDuck("a.embedding", "b.embedding")}
+         |              / (a.nrm * b.nrm), 9) >= 0.95),
+         |lbl AS (
+         |  SELECT a.vec_id, CAST(emb.label AS BIGINT) AS label
+         |  FROM assigned a JOIN embeddings emb
+         |    ON emb.vec_id = CASE WHEN a.vec_id >= 100000
+         |                         THEN a.vec_id - 100000 ELSE a.vec_id END
+         |  WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)),
+         |tgt AS (SELECT MIN(n) AS target FROM (
+         |  SELECT COUNT(*) AS n FROM lbl GROUP BY label)),
+         |bal AS (
+         |  SELECT vec_id, rk <= target AS balanced FROM (
+         |    SELECT vec_id, target,
+         |      ROW_NUMBER() OVER (PARTITION BY label
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |    FROM lbl, tgt) t),
+         |fin AS (
+         |  SELECT e.vec_id, e.nrm, a.centroid_id,
+         |    (d.vec_id IS NOT NULL) AS is_dup, b.balanced
+         |  FROM e LEFT JOIN assigned a ON a.vec_id = e.vec_id
+         |    LEFT JOIN dup d ON d.vec_id = e.vec_id
+         |    LEFT JOIN bal b ON b.vec_id = e.vec_id)
+         |SELECT vec_id, reason IS NULL AS keep, reason, centroid_id,
+         |  CASE WHEN reason IS NULL THEN
+         |    CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+         |      AS INTEGER) AS BIGINT) % 32 END AS shard
+         |FROM (
+         |  SELECT vec_id, centroid_id,
+         |    CASE WHEN nrm = 0 THEN 'degenerate'
+         |         WHEN is_dup THEN 'semantic_dup'
+         |         WHEN balanced = false THEN 'balance' END AS reason
+         |  FROM fin) t
+         |ORDER BY vec_id""".stripMargin
   )
 }

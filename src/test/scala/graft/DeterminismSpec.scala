@@ -251,7 +251,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q_schema_drift",
     // lang-id eval: pure per-row classifier + exact confusion counts
     // + single-division metrics
-    "q_langid_eval")
+    "q_langid_eval",
+    // embedding flagship: every stage is individually layout-free
+    // (round-9 cosines, md5 ranks, total-order ties) and the
+    // composition joins only on vec_id
+    "q_embedding_pipeline")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

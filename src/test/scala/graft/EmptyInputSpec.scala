@@ -119,6 +119,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_schema_drift", "q_stream_schema_drift",
     // lang-id eval of an empty corpus: empty confusion grid → no rows
     "q_langid_eval",
+    // embedding flagship on an empty table: empty corpus → zero
+    // centroids → every stage frame empty → no verdicts
+    "q_embedding_pipeline",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

@@ -1785,6 +1785,39 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_embedding_pipeline: stage attribution is consistent, ordered, and non-vacuous") {
+    import org.apache.spark.sql.functions._
+    val rows =
+      try graft.operators.Similarity.queries("q_embedding_pipeline")(
+        spark, TestSpark.sf).collect()
+      finally TestSpark.housekeeping()
+    val n = Tables(spark, TestSpark.sf, "embeddings").count()
+    val nPert = Tables(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") % 20 === 0).count()
+    // conservation: one verdict per corpus row
+    assert(rows.length.toLong == n + nPert)
+    val byReason = rows.groupBy(r =>
+      if (r.isNullAt(2)) "kept" else r.getString(2)).view.mapValues(_.length)
+    // every stage fires on this fixture — none of the gates is vacuous
+    Seq("degenerate", "semantic_dup", "balance", "kept").foreach { s =>
+      assert(byReason.getOrElse(s, 0) > 0, s"stage '$s' never fired: $byReason")
+    }
+    rows.foreach { r =>
+      val keep = r.getBoolean(1)
+      val reason = if (r.isNullAt(2)) null else r.getString(2)
+      assert(keep == (reason == null))
+      // degenerate rows never reached the cluster assignment; all
+      // later verdicts carry their list id
+      if (reason == "degenerate") assert(r.isNullAt(3))
+      else assert(!r.isNullAt(3))
+      // shard only on kept rows
+      assert(keep != r.isNullAt(4))
+      if (keep) assert(r.getLong(4) >= 0 && r.getLong(4) < 32)
+      // the zero-plant is exactly the degenerate set
+      assert((r.getLong(0) % 41 == 7) == (reason == "degenerate"))
+    }
+  }
+
   test("q_langid_eval re-derives from the gated q_lang_id rows (one classifier, two readers)") {
     val preds =
       try graft.operators.TextAnalytics.queries("q_lang_id")(

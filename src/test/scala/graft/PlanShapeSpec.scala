@@ -197,6 +197,21 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("embedding flagship: the composed funnel adds no cartesian product") {
+    // four stages, one plan: the only pair source is still the
+    // cluster-keyed self equi-join (q_semdedup's bound); quality is a
+    // narrow projection and balance a per-label window
+    val df = graft.operators.Similarity.queries("q_embedding_pipeline")(
+      spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // (a BroadcastNestedLoopJoin IS present and fine: the 1-row
+    // broadcast minority-target cross join — the q_class_balance
+    // device, never a pair source)
+    TestSpark.housekeeping() // the corpus frame persists
+  }
+
   test("k-means assignment is map-side: no join anywhere in the final plan") {
     // Assignment folds K literal centroids into a projection; the only
     // shuffles are the cluster aggregation and the verification sort.
