@@ -991,6 +991,48 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Hubness audit (Radovanović et al., JMLR 2010) — the embedding
+    // pathology ANN deployments inherit from high dimensionality: a
+    // few vectors ("hubs") appear in a disproportionate share of
+    // other points' nearest-neighbor lists, silently dominating
+    // retrieval and semantic-dedup decisions. k-occurrence is counted
+    // over the LIST-LOCAL kNN graph (each vector's top-3 by round-9
+    // cosine among its own IVF list-mates — the q_semdedup
+    // within-cluster pair bound, ≈N^1.5 work, never all-pairs: the
+    // honest 100 TB hubness estimate, since production kNN graphs are
+    // themselves IVF-candidate-restricted). Output: the top-20 hubs
+    // with their occurrence ratio vs the corpus mean (k_occ·N /
+    // total_picks; exact integers until one rounded division).
+    // TakeOrdered cut under the (k_occ desc, vec_id) total order.
+    "q_ann_hubness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = loadEmbeddings(s, d)
+      val cents = sampledCentroids(s, d,
+        sqrtK(Tables(s, d, "embeddings").count()))
+      val assigned = e.withColumn("centroid_id",
+        array_max(centroidSimsArr(cents)).getField("negcid") * -1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+      val l = assigned.select(col("centroid_id"), col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+      val r = assigned.select(col("centroid_id"), col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("nrm").as("nnrm"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      val occ = l.join(r, Seq("centroid_id"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("sim",
+          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .groupBy(col("nid")).agg(count(lit(1)).as("k_occ"))
+      val stats = occ.agg(sum(col("k_occ")).as("total_picks"))
+        .crossJoin(assigned.agg(count(lit(1)).as("n_vecs")))
+      occ.crossJoin(broadcast(stats))
+        .select(col("nid").as("vec_id"), col("k_occ"),
+          round(col("k_occ").cast("double") * col("n_vecs") /
+            col("total_picks"), 9).as("occ_ratio"))
+        .orderBy(col("k_occ").desc, col("vec_id")).limit(20)
+    }),
+
     // The EMBEDDING-SIDE composed flagship (the r10 counterpart of
     // q_curation_pipeline's text funnel): vector quality gate →
     // semantic dedup → class balance → index/shard admission, in ONE
@@ -1950,6 +1992,40 @@ object Similarity extends graft.QueryPack {
          |  (d.vec_id IS NOT NULL) AS dropped
          |FROM assigned a LEFT JOIN dup d ON d.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    // the q_ann_ivf assignment CTEs, within-list rank, occurrence
+    // counts, TakeOrdered under (k_occ DESC, vec_id)
+    "q_ann_hubness" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |          FROM e WHERE vec_id >= 10 AND vec_id < 10 +
+         |            (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+         |    round(${dotDuck("e.embedding", "c.cv")} / (e.nrm * c.cnrm), 9) AS csim
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cid AS centroid_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |knn AS (
+         |  SELECT nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |        round(${dotDuck("a.embedding", "b.embedding")}
+         |              / (a.nrm * b.nrm), 9) DESC, b.vec_id) AS rk
+         |    FROM assigned a JOIN assigned b
+         |      ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id) t
+         |  WHERE rk <= 3),
+         |occ AS (SELECT nid, CAST(COUNT(*) AS BIGINT) AS k_occ
+         |        FROM knn GROUP BY nid),
+         |st AS (SELECT CAST(SUM(k_occ) AS BIGINT) AS total_picks FROM occ),
+         |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assigned)
+         |SELECT nid AS vec_id, k_occ,
+         |  round(CAST(k_occ AS DOUBLE) * n_vecs / total_picks, 9) AS occ_ratio
+         |FROM occ, st, nv
+         |ORDER BY k_occ DESC, vec_id LIMIT 20""".stripMargin,
 
     // the composed funnel restated stage by stage: the q_semdedup
     // corpus CTEs with the zero-plant on top, survivor-drawn

@@ -255,7 +255,10 @@ class DeterminismSpec extends AnyFunSuite {
     // embedding flagship: every stage is individually layout-free
     // (round-9 cosines, md5 ranks, total-order ties) and the
     // composition joins only on vec_id
-    "q_embedding_pipeline")
+    "q_embedding_pipeline",
+    // hubness: round-9 cosine ranks + exact occurrence counts +
+    // a TakeOrdered total order
+    "q_ann_hubness")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -122,6 +122,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // embedding flagship on an empty table: empty corpus → zero
     // centroids → every stage frame empty → no verdicts
     "q_embedding_pipeline",
+    // hubness of an empty table: no lists → no kNN graph → no hubs
+    "q_ann_hubness",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

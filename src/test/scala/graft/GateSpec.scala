@@ -1785,6 +1785,24 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_hubness: k-occurrence surface is genuinely skewed and conserved") {
+    val rows =
+      try graft.operators.Similarity.queries("q_ann_hubness")(
+        spark, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      finally TestSpark.housekeeping()
+    assert(rows.length == 20)
+    // ordered by (k_occ desc, vec_id)
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+    // hubs genuinely over-occur: the top hub is well above the mean
+    // (ratio 1.0), the audit's whole point
+    assert(rows.head._3 > 1.5, s"no hub structure: top ratio ${rows.head._3}")
+    // k_occ and ratio agree in ordering (ratio is a monotone rescale)
+    assert(rows.map(_._3).sliding(2).forall {
+      case Array(ra, rb) => ra >= rb })
+  }
+
   test("q_embedding_pipeline: stage attribution is consistent, ordered, and non-vacuous") {
     import org.apache.spark.sql.functions._
     val rows =
