@@ -991,6 +991,46 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Per-dimension feature-health audit — the third leg of the
+    // embedding-table health family next to q_ann_hubness (neighbor
+    // pathology) and q_pq_distortion (codebook pathology): mean and
+    // population variance per coordinate, with a DEAD-DIM flag — a
+    // dimension whose variance collapsed (an encoder head that died,
+    // a normalization bug pinning a coordinate) silently wastes index
+    // bits and distorts every cosine. Dim 7 is PLANTED constant
+    // (0.5) in-query so the flag is non-vacuous at any SF; the plant
+    // is restated in the oracle. Exactness: coordinates fixed-point
+    // scaled to round(x·1e6) BIGINT BEFORE the moment algebra, which
+    // runs as n·Σs² − (Σs)² in DECIMAL(38,0) (HUGEINT in the oracle —
+    // the q_jackknife pairing); doubles only in the two final rounded
+    // divisions. Shape: one explode + a 64-row map-combinable grid
+    // agg (at 100 TB the same moments accumulate through a
+    // VecSum-style per-partition aggregate instead of the explode —
+    // the q_vec_centroid device; the explode keeps the oracle
+    // row-identical here).
+    "q_dim_audit" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val planted = expr(
+        s"""transform(cast(embedding as array<double>),
+           |  (x, i) -> CASE WHEN i = 6 THEN cast(0.5 as double)
+           |                 ELSE x END)""".stripMargin)
+      val cells = Tables(s, d, "embeddings")
+        .select(posexplode(planted).as(Seq("p", "x")))
+        .select((col("p") + 1).cast("long").as("dim"),
+          expr("cast(round(x * cast(1000000 as double)) as bigint)")
+            .cast(DecimalType(38, 0)).as("sv"))
+      cells.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("sv")).cast(DecimalType(38, 0)).as("s1"),
+          sum(col("sv") * col("sv")).cast(DecimalType(38, 0)).as("s2"))
+        .select(col("dim"), col("n"),
+          round((col("s1").cast("double") / col("n")) / 1e6, 9).as("mean"),
+          round((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * col("n")).cast("double") / 1e12, 9).as("variance"))
+        .withColumn("is_dead", col("variance") < 1e-4)
+        .orderBy(col("dim"))
+    }),
+
     // Hubness audit (Radovanović et al., JMLR 2010) — the embedding
     // pathology ANN deployments inherit from high dimensionality: a
     // few vectors ("hubs") appear in a disproportionate share of
@@ -1992,6 +2032,27 @@ object Similarity extends graft.QueryPack {
          |  (d.vec_id IS NOT NULL) AS dropped
          |FROM assigned a LEFT JOIN dup d ON d.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    // same dim-7 plant, same fixed-point moments, HUGEINT headroom
+    "q_dim_audit" ->
+      s"""WITH cells AS (
+         |  SELECT i AS dim,
+         |    CAST(CAST(round((CASE WHEN i = 7 THEN CAST(0.5 AS DOUBLE)
+         |                          ELSE CAST(embedding[i] AS DOUBLE) END)
+         |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS HUGEINT) AS sv
+         |  FROM embeddings, unnest(range(1, ${DIM + 1})) AS t(i)),
+         |g AS (
+         |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(sv) AS s1, SUM(sv * sv) AS s2
+         |  FROM cells GROUP BY dim),
+         |r AS (
+         |  SELECT CAST(dim AS BIGINT) AS dim, n,
+         |    round((CAST(s1 AS DOUBLE) / n) / 1e6, 9) AS mean,
+         |    round(CAST(n * s2 - s1 * s1 AS DOUBLE) /
+         |      CAST(n * n AS DOUBLE) / 1e12, 9) AS variance
+         |  FROM g)
+         |SELECT dim, n, mean, variance, variance < 0.0001 AS is_dead
+         |FROM r ORDER BY dim""".stripMargin,
 
     // the q_ann_ivf assignment CTEs, within-list rank, occurrence
     // counts, TakeOrdered under (k_occ DESC, vec_id)

@@ -231,6 +231,34 @@ class CentroidPlanSpec extends AnyFunSuite {
       "all rows landed on one codeword — vacuous distortion surface")
   }
 
+  test("q_dim_audit equals a plain-Scala fixed-point moment recompute; plant detected") {
+    import graft.Tables
+    def r9(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dims = rows.head.length
+    val expected = (1 to dims).map { d =>
+      val xs = rows.map(v => if (d == 7) 0.5 else v(d - 1))
+      val sv = xs.map(x => BigInt(math.round(x * 1e6)))
+      val n = xs.length.toLong
+      val s1 = sv.sum; val s2 = sv.map(s => s * s).sum
+      val mean = r9((s1.toDouble / n) / 1e6)
+      val vr = r9((BigInt(n) * s2 - s1 * s1).toDouble / (n * n).toDouble / 1e12)
+      (d.toLong, n, mean, vr, vr < 1e-4)
+    }
+    val actual = graft.operators.Similarity
+      .queries("q_dim_audit")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(actual == expected,
+      s"first diff: ${actual.zip(expected).find { case (a, b) => a != b }}")
+    // the planted dead dim is flagged, and ONLY it (live dims vary)
+    assert(actual.filter(_._5).map(_._1) == Seq(7L),
+      s"dead dims: ${actual.filter(_._5).map(_._1)}")
+  }
+
   test("whole-stage codegen survives the kernel (no fallback projection)") {
     // Over parquet, not a local Seq — ConvertToLocalRelation folds a
     // LocalRelation projection at plan time and leaves no codegen span.

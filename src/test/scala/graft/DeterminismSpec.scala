@@ -258,7 +258,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_embedding_pipeline",
     // hubness: round-9 cosine ranks + exact occurrence counts +
     // a TakeOrdered total order
-    "q_ann_hubness")
+    "q_ann_hubness",
+    // dim audit: fixed-point moments before the variance algebra —
+    // the q_jackknife discipline per coordinate
+    "q_dim_audit")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))
