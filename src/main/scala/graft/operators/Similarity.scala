@@ -101,6 +101,45 @@ object Similarity extends graft.QueryPack {
        |    ($planesDuck)[j][i] * CAST(embedding[i] AS DOUBLE))) >= 0
        |  THEN '1' ELSE '0' END), '')""".stripMargin
 
+  /** (dim, sv) fixed-point coordinate cells with the dim-7 constant
+    * plant — the shared kernel of the batch q_dim_audit and the
+    * q_stream_dim_audit fold (one definition, two paths). sv =
+    * round(x·1e6) BIGINT widened to DECIMAL(38,0) so the downstream
+    * moment algebra never wraps. */
+  private[operators] def dimCells(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val planted = expr(
+      """transform(cast(embedding as array<double>),
+        |  (x, i) -> CASE WHEN i = 6 THEN cast(0.5 as double)
+        |                 ELSE x END)""".stripMargin)
+    e.select(posexplode(planted).as(Seq("p", "x")))
+      .select((col("p") + 1).cast("long").as("dim"),
+        expr("cast(round(x * cast(1000000 as double)) as bigint)")
+          .cast(DecimalType(38, 0)).as("sv"))
+  }
+
+  /** One-pass per-dim moments (n, Σs, Σs²) off the cells — a sum
+    * monoid on the 64-row dim grid, so the STREAMING fold merges the
+    * same shapes by addition. */
+  private[operators] def dimMoments(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    cells.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sv")).cast(DecimalType(38, 0)).as("s1"),
+        sum(col("sv") * col("sv")).cast(DecimalType(38, 0)).as("s2"))
+  }
+
+  /** The audit report off (dim, n, s1, s2) moments — shared tail of
+    * both audit paths; doubles only in the two rounded divisions. */
+  private[operators] def dimReport(moments: DataFrame): DataFrame =
+    moments
+      .select(col("dim"), col("n"),
+        round((col("s1").cast("double") / col("n")) / 1e6, 9).as("mean"),
+        round((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * col("n")).cast("double") / 1e12, 9).as("variance"))
+      .withColumn("is_dead", col("variance") < 1e-4)
+      .orderBy(col("dim"))
+
   /** embeddings with vectors widened to array<double> + precomputed norm. */
   private def loadEmbeddings(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
@@ -1008,28 +1047,8 @@ object Similarity extends graft.QueryPack {
     // VecSum-style per-partition aggregate instead of the explode —
     // the q_vec_centroid device; the explode keeps the oracle
     // row-identical here).
-    "q_dim_audit" -> ((s, d) => {
-      import org.apache.spark.sql.types.DecimalType
-      val planted = expr(
-        s"""transform(cast(embedding as array<double>),
-           |  (x, i) -> CASE WHEN i = 6 THEN cast(0.5 as double)
-           |                 ELSE x END)""".stripMargin)
-      val cells = Tables(s, d, "embeddings")
-        .select(posexplode(planted).as(Seq("p", "x")))
-        .select((col("p") + 1).cast("long").as("dim"),
-          expr("cast(round(x * cast(1000000 as double)) as bigint)")
-            .cast(DecimalType(38, 0)).as("sv"))
-      cells.groupBy(col("dim"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("sv")).cast(DecimalType(38, 0)).as("s1"),
-          sum(col("sv") * col("sv")).cast(DecimalType(38, 0)).as("s2"))
-        .select(col("dim"), col("n"),
-          round((col("s1").cast("double") / col("n")) / 1e6, 9).as("mean"),
-          round((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
-            (col("n") * col("n")).cast("double") / 1e12, 9).as("variance"))
-        .withColumn("is_dead", col("variance") < 1e-4)
-        .orderBy(col("dim"))
-    }),
+    "q_dim_audit" -> ((s, d) =>
+      dimReport(dimMoments(dimCells(Tables(s, d, "embeddings"))))),
 
     // Hubness audit (Radovanović et al., JMLR 2010) — the embedding
     // pathology ANN deployments inherit from high dimensionality: a

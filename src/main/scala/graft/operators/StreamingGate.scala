@@ -331,6 +331,45 @@ object StreamingGate extends graft.QueryPack {
     swapState(merged, state)
   }
 
+  /** Stage one parquet file of a replayed multi-batch source: write
+    * `df` as a single part file under `src/name.parquet` with a pinned
+    * mtime (file order = arrival order under maxFilesPerTrigger=1).
+    * Shared by the restart gates and the sliced-replay drains. */
+  private def stageFile(root: String, src: java.io.File,
+      df: DataFrame, name: String, mtime: Long): Unit = {
+    val tmp = new java.io.File(root, "tmp_" + name)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val part = tmp.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file for $name"))
+    val dst = new java.io.File(src, name + ".parquet")
+    require(part.renameTo(dst), s"stage $name failed")
+    dst.setLastModified(mtime)
+    graft.Fs.deleteRec(tmp)
+  }
+
+  /** The q_stream_dim_audit state fold: merge a micro-batch's per-dim
+    * (n, Σs, Σs²) moments into the persistent 64-row grid by addition
+    * — the moments are a sum monoid (Similarity.dimMoments), so the
+    * fold is batching-invariant and the drained grid feeds the same
+    * dimReport as the batch audit. DECIMAL(38,0) state columns keep
+    * the squared sums exact at any stream length. */
+  def foldDimMoments(state: String)(batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
+    import org.apache.spark.sql.types.DecimalType
+    val bc = Similarity.dimMoments(Similarity.dimCells(batch))
+    val merged =
+      if (new java.io.File(state).exists()) {
+        val prior = batch.sparkSession.read.parquet(state)
+        prior.unionByName(bc)
+          .groupBy(col("dim"))
+          .agg(sum(col("n")).as("n"),
+            sum(col("s1")).cast(DecimalType(38, 0)).as("s1"),
+            sum(col("s2")).cast(DecimalType(38, 0)).as("s2"))
+      } else bc
+    swapState(merged, state)
+  }
+
   /** The q_stream_schema_drift state fold: merge a micro-batch's
     * (key, jtype) cells into persistent per-cell counts — the same
     * count monoid as foldBinCounts on the schema-audit grid (keys ×
@@ -873,6 +912,41 @@ object StreamingGate extends graft.QueryPack {
             band * col("exact_distinct").cast("double")).as("within_bound"))
     }),
 
+    // Streaming per-dimension moment maintenance — the TWENTY-FIRST
+    // oracle-gated drain: embedding batches arrive as files (vec_id
+    // % 3 slices, maxFilesPerTrigger=1 — the sliced-replay device of
+    // the restart gates), and each micro-batch's per-dim (n, Σs, Σs²)
+    // moments (the Similarity.dimCells/dimMoments kernels — one
+    // definition, two paths) fold into the persistent 64-row grid by
+    // addition. This is how a live embedding pipeline watches for a
+    // dying encoder head WITHOUT rescanning the corpus: the drained
+    // grid feeds the same dimReport and is gated by the batch
+    // q_dim_audit oracle verbatim. State is dim-grid-sized at any
+    // stream length; DECIMAL(38,0) sums stay exact forever.
+    "q_stream_dim_audit" -> ((s, d) => {
+      val root = freshDir("q_stream_dim_audit")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val state = root + "/dm"
+      val ev = Tables(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val t0 = System.currentTimeMillis() - 60000
+      stageFile(root, src, ev.filter(col("vec_id") % 3 === 0), "f1", t0)
+      stageFile(root, src, ev.filter(col("vec_id") % 3 === 1), "f2", t0 + 2000)
+      stageFile(root, src, ev.filter(col("vec_id") % 3 === 2), "f3", t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      drain(s, stream, "append")(foldDimMoments(state))
+      recoverState(state)
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val moments = readStateOr(s, state, Seq(
+        ("dim", "dim", LongType),
+        ("n", "n", LongType),
+        ("s1", "s1", DecimalType(38, 0)),
+        ("s2", "s2", DecimalType(38, 0))))
+      Similarity.dimReport(moments)
+    }),
+
     // Streaming schema-drift monitor — the TWENTIETH oracle-gated
     // drain: as raw-feed files commit, each micro-batch's (key, jtype)
     // cells (the Scalars.schemaCells kernel — one definition, two
@@ -1231,6 +1305,10 @@ object StreamingGate extends graft.QueryPack {
     // q_schema_drift analytic oracle verbatim (one definition, two
     // paths)
     "q_stream_schema_drift" -> Scalars.oracles("q_schema_drift"),
+
+    // the drained moment grid re-derives the batch audit — the
+    // q_dim_audit oracle verbatim
+    "q_stream_dim_audit" -> Similarity.oracles("q_dim_audit"),
 
     // the drained per-cell maps re-derive the batch zone aggregate —
     // the zorder-layout zones of q_zonemap_prune restated

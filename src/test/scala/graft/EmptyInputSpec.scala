@@ -124,8 +124,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_embedding_pipeline",
     // hubness of an empty table: no lists → no kNN graph → no hubs
     "q_ann_hubness",
-    // dim audit of an empty table: no cells → no dim rows
-    "q_dim_audit",
+    // dim audit of an empty table: no cells → no dim rows (batch);
+    // the streamed fold's three empty slices fold to an empty grid
+    "q_dim_audit", "q_stream_dim_audit",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

@@ -373,6 +373,30 @@ class StatefulStreamingSpec extends AnyFunSuite {
       s"sparse-mode sketch must be exact: $oneShot, want (97, 300)")
   }
 
+  test("dim-moment fold is batching-invariant (sum monoid on the dim grid)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new java.util.Random(5)
+    val rows = (0L until 90L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    def foldWith(batching: Seq[Seq[(Long, Seq[Double])]]): Set[(Long, Long, String, String)] = {
+      val dir = java.nio.file.Files.createTempDirectory("dimfold")
+        .toFile.getAbsolutePath + "/dm"
+      batching.zipWithIndex.foreach { case (b, i) =>
+        graft.operators.StreamingGate.foldDimMoments(dir)(
+          b.toDF("vec_id", "embedding"), i.toLong)
+      }
+      spark.read.parquet(dir).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString,
+          r.getDecimal(3).toPlainString)).toSet
+    }
+    val oneShot = foldWith(Seq(rows))
+    val staggered = foldWith(Seq(rows.take(11), Seq.empty,
+      rows.slice(11, 60), rows.drop(60)))
+    assert(oneShot == staggered, "dim-moment fold must be batching-invariant")
+    assert(oneShot.size == 8 && oneShot.forall(_._2 == 90L))
+  }
+
   test("foldKllIdem skips a replayed batch id and merges a fresh one exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
