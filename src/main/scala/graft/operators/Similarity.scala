@@ -130,14 +130,23 @@ object Similarity extends graft.QueryPack {
   }
 
   /** The audit report off (dim, n, s1, s2) moments — shared tail of
-    * both audit paths; doubles only in the two rounded divisions. */
+    * both audit paths. Mean and variance are reported in FIXED-POINT
+    * integer units (mean_e6 = micro-units, var_e12 = micro² units):
+    * scale-0 rounding is the only cross-engine-safe rounding of a
+    * RATIONAL value — s1/n at sf0.1 has denominator 20000 = 2⁵·5⁴, a
+    * terminating decimal that can land exactly on a 9th-digit half
+    * boundary where Spark's exact-BigDecimal HALF_UP and DuckDB's
+    * float-multiply round(x, 9) disagree by 1e-9 (observed at sf0.1);
+    * at scale 0 both engines agree on every double. The dead flag is
+    * then a pure integer compare (1e-4 · 1e12 = 1e8). */
   private[operators] def dimReport(moments: DataFrame): DataFrame =
     moments
       .select(col("dim"), col("n"),
-        round((col("s1").cast("double") / col("n")) / 1e6, 9).as("mean"),
-        round((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
-          (col("n") * col("n")).cast("double") / 1e12, 9).as("variance"))
-      .withColumn("is_dead", col("variance") < 1e-4)
+        expr("cast(round(cast(s1 as double) / n) as bigint)").as("mean_e6"),
+        expr("""cast(round(cast(n * s2 - s1 * s1 as double) /
+                (cast(n as double) * cast(n as double))) as bigint)""")
+          .as("var_e12"))
+      .withColumn("is_dead", col("var_e12") < 100000000L)
       .orderBy(col("dim"))
 
   /** embeddings with vectors widened to array<double> + precomputed norm. */
@@ -2052,7 +2061,8 @@ object Similarity extends graft.QueryPack {
          |FROM assigned a LEFT JOIN dup d ON d.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
 
-    // same dim-7 plant, same fixed-point moments, HUGEINT headroom
+    // same dim-7 plant, same fixed-point moments, HUGEINT headroom,
+    // same scale-0 integer reporting
     "q_dim_audit" ->
       s"""WITH cells AS (
          |  SELECT i AS dim,
@@ -2066,11 +2076,11 @@ object Similarity extends graft.QueryPack {
          |  FROM cells GROUP BY dim),
          |r AS (
          |  SELECT CAST(dim AS BIGINT) AS dim, n,
-         |    round((CAST(s1 AS DOUBLE) / n) / 1e6, 9) AS mean,
-         |    round(CAST(n * s2 - s1 * s1 AS DOUBLE) /
-         |      CAST(n * n AS DOUBLE) / 1e12, 9) AS variance
+         |    CAST(round(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS mean_e6,
+         |    CAST(round(CAST(n * s2 - s1 * s1 AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS var_e12
          |  FROM g)
-         |SELECT dim, n, mean, variance, variance < 0.0001 AS is_dead
+         |SELECT dim, n, mean_e6, var_e12, var_e12 < 100000000 AS is_dead
          |FROM r ORDER BY dim""".stripMargin,
 
     // the q_ann_ivf assignment CTEs, within-list rank, occurrence

@@ -233,8 +233,6 @@ class CentroidPlanSpec extends AnyFunSuite {
 
   test("q_dim_audit equals a plain-Scala fixed-point moment recompute; plant detected") {
     import graft.Tables
-    def r9(v: Double) = java.math.BigDecimal.valueOf(v)
-      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
     val rows = Tables(spark, TestSpark.sf, "embeddings")
       .select(col("embedding").cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -244,14 +242,19 @@ class CentroidPlanSpec extends AnyFunSuite {
       val sv = xs.map(x => BigInt(math.round(x * 1e6)))
       val n = xs.length.toLong
       val s1 = sv.sum; val s2 = sv.map(s => s * s).sum
-      val mean = r9((s1.toDouble / n) / 1e6)
-      val vr = r9((BigInt(n) * s2 - s1 * s1).toDouble / (n * n).toDouble / 1e12)
-      (d.toLong, n, mean, vr, vr < 1e-4)
+      // HALF_UP (away from zero), matching both engines — math.round
+      // rounds negative halves toward +inf and would disagree
+      def rnd0(v: Double) = java.math.BigDecimal.valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      val meanE6 = rnd0(s1.toDouble / n)
+      val varE12 = rnd0(
+        (BigInt(n) * s2 - s1 * s1).toDouble / (n.toDouble * n.toDouble))
+      (d.toLong, n, meanE6, varE12, varE12 < 100000000L)
     }
     val actual = graft.operators.Similarity
       .queries("q_dim_audit")(spark, TestSpark.sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3), r.getBoolean(4))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
     assert(actual == expected,
       s"first diff: ${actual.zip(expected).find { case (a, b) => a != b }}")
     // the planted dead dim is flagged, and ONLY it (live dims vary)
