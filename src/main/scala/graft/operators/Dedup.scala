@@ -146,6 +146,34 @@ object Dedup extends graft.QueryPack {
     base.unionByName(exactCopies).unionByName(nearCopies)
   }
 
+  /** Distinct (split, trigram) cells under the q_split_hash md5 rule —
+    * the shared kernel of the batch q_ngram_coverage and the
+    * q_stream_ngram_novelty fold (one definition, two paths). */
+  private[operators] def gramSplits(docs: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long")
+    docs.select(
+        when(bucket < 58982, "train").when(bucket < 62259, "val")
+          .otherwise("test").as("split"),
+        explode(shingles(col("text"))).as("g"))
+      .distinct()
+  }
+
+  /** The novelty report off the distinct (split, g) frame — shared
+    * tail of both novelty paths. */
+  private[operators] def noveltyReport(grams: DataFrame): DataFrame = {
+    val train = grams.filter(col("split") === "train")
+      .select(col("g"), lit(1L).as("seen"))
+    grams.filter(col("split") =!= "train")
+      .join(train, Seq("g"), "left_outer")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_ngrams"), count(col("seen")).as("n_seen"))
+      .select(col("split"), col("n_ngrams"), col("n_seen"),
+        round(lit(1.0d) -
+          col("n_seen").cast("double") / col("n_ngrams"), 9).as("novelty"))
+      .orderBy(col("split"))
+  }
+
   private[operators] val corpusSqlDuck: String =
     """corpus AS (
       |  SELECT doc_id, source, text FROM documents
@@ -389,27 +417,8 @@ object Dedup extends graft.QueryPack {
     // work ∝ shared grams, never corpus²; at 100 TB the train side
     // takes the q_decontaminate_bloom broadcast-bloom prefilter
     // verbatim if the eval side is small.
-    "q_ngram_coverage" -> ((s, d) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
-        16, 10).cast("long")
-      val docs = Tables(s, d, "documents")
-        .select(col("text"),
-          when(bucket < 58982, "train").when(bucket < 62259, "val")
-            .otherwise("test").as("split"))
-      val grams = docs
-        .select(col("split"), explode(shingles(col("text"))).as("g"))
-        .distinct()
-      val train = grams.filter(col("split") === "train")
-        .select(col("g"), lit(1L).as("seen"))
-      grams.filter(col("split") =!= "train")
-        .join(train, Seq("g"), "left_outer")
-        .groupBy(col("split"))
-        .agg(count(lit(1)).as("n_ngrams"), count(col("seen")).as("n_seen"))
-        .select(col("split"), col("n_ngrams"), col("n_seen"),
-          round(lit(1.0d) -
-            col("n_seen").cast("double") / col("n_ngrams"), 9).as("novelty"))
-        .orderBy(col("split"))
-    }),
+    "q_ngram_coverage" -> ((s, d) =>
+      noveltyReport(gramSplits(Tables(s, d, "documents")))),
 
     // SimHash: 32-bit majority fingerprint — bit i is the sign of the
     // token-weighted sum of the top bit of md5 nibble i. Runs through

@@ -348,6 +348,25 @@ object StreamingGate extends graft.QueryPack {
     graft.Fs.deleteRec(tmp)
   }
 
+  /** The q_stream_ngram_novelty state fold: accrete a micro-batch's
+    * distinct (split, trigram) cells into the persistent distinct set
+    * — set union IS the monoid, so the fold is batching-invariant by
+    * construction. State is DISTINCT-GRAM-sized (the exact-streaming-
+    * distinct posture of q_stream_srm's units grain: exact novelty
+    * accounting requires remembering what was seen; the O(sketch)
+    * alternative is an HLL per split, which prices totals but cannot
+    * answer per-gram membership). */
+  def foldGramSet(state: String)(batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
+    val bg = Dedup.gramSplits(batch)
+    val merged =
+      if (new java.io.File(state).exists()) {
+        val prior = batch.sparkSession.read.parquet(state)
+        prior.unionByName(bg).distinct()
+      } else bg
+    swapState(merged, state)
+  }
+
   /** The q_stream_dim_audit state fold: merge a micro-batch's per-dim
     * (n, Σs, Σs²) moments into the persistent 64-row grid by addition
     * — the moments are a sum monoid (Similarity.dimMoments), so the
@@ -912,6 +931,36 @@ object StreamingGate extends graft.QueryPack {
             band * col("exact_distinct").cast("double")).as("within_bound"))
     }),
 
+    // Streaming n-gram novelty — the TWENTY-SECOND oracle-gated drain
+    // and the decontamination family's live member: document batches
+    // arrive as file slices and each batch's distinct (split, trigram)
+    // cells (the Dedup.gramSplits kernel — one definition, two paths)
+    // accrete into the persistent distinct-gram set; the drained set
+    // feeds the same noveltyReport and is gated by the batch
+    // q_ngram_coverage oracle verbatim. This is how an ingestion
+    // pipeline watches eval-novelty decay live (training n-grams
+    // leaking into the eval stream) without rescanning history.
+    "q_stream_ngram_novelty" -> ((s, d) => {
+      val root = freshDir("q_stream_ngram_novelty")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val state = root + "/gs"
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val t0 = System.currentTimeMillis() - 60000
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 0), "f1", t0)
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 1), "f2", t0 + 2000)
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 2), "f3", t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      drain(s, stream, "append")(foldGramSet(state))
+      recoverState(state)
+      import org.apache.spark.sql.types.StringType
+      val grams = readStateOr(s, state, Seq(
+        ("split", "split", StringType), ("g", "g", StringType)))
+      Dedup.noveltyReport(grams)
+    }),
+
     // Streaming per-dimension moment maintenance — the TWENTY-FIRST
     // oracle-gated drain: embedding batches arrive as files (vec_id
     // % 3 slices, maxFilesPerTrigger=1 — the sliced-replay device of
@@ -1309,6 +1358,10 @@ object StreamingGate extends graft.QueryPack {
     // the drained moment grid re-derives the batch audit — the
     // q_dim_audit oracle verbatim
     "q_stream_dim_audit" -> Similarity.oracles("q_dim_audit"),
+
+    // the drained gram set re-derives the batch novelty audit — the
+    // q_ngram_coverage oracle verbatim
+    "q_stream_ngram_novelty" -> Dedup.oracles("q_ngram_coverage"),
 
     // the drained per-cell maps re-derive the batch zone aggregate —
     // the zorder-layout zones of q_zonemap_prune restated

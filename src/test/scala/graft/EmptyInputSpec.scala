@@ -127,6 +127,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // dim audit of an empty table: no cells → no dim rows (batch);
     // the streamed fold's three empty slices fold to an empty grid
     "q_dim_audit", "q_stream_dim_audit",
+    // streamed novelty of an empty corpus: empty gram set → no rows
+    "q_stream_ngram_novelty",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

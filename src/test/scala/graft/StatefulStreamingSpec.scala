@@ -373,6 +373,28 @@ class StatefulStreamingSpec extends AnyFunSuite {
       s"sparse-mode sketch must be exact: $oneShot, want (97, 300)")
   }
 
+  test("gram-set fold is batching-invariant (set union is the monoid)") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} shared tail"))
+    def foldWith(batching: Seq[Seq[(Long, String)]]): Set[(String, String)] = {
+      val dir = java.nio.file.Files.createTempDirectory("gramfold")
+        .toFile.getAbsolutePath + "/gs"
+      batching.zipWithIndex.foreach { case (b, i) =>
+        graft.operators.StreamingGate.foldGramSet(dir)(
+          b.toDF("doc_id", "text"), i.toLong)
+      }
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    val oneShot = foldWith(Seq(docs))
+    val staggered = foldWith(Seq(docs.take(9), Seq.empty,
+      docs.slice(9, 40), docs.drop(40)))
+    assert(oneShot == staggered, "gram-set fold must be batching-invariant")
+    assert(oneShot.nonEmpty && oneShot.map(_._1).subsetOf(
+      Set("train", "val", "test")))
+  }
+
   test("dim-moment fold is batching-invariant (sum monoid on the dim grid)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
