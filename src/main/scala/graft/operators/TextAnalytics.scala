@@ -111,19 +111,43 @@ object TextAnalytics extends graft.QueryPack {
     * are rounded at 9 decimals and summed as DECIMAL in fixed term
     * order (the q_lm_score technique), so Spark and DuckDB agree
     * bit-for-bit. */
-  private[operators] def bm25Scored(
-      s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
-    val K1 = 1.2d; val B = 0.75d
+  /** Tokenized (doc_id, toks, dl) frame the BM25 family scores. */
+  private[operators] def bm25Docs(s: SparkSession, d: String): DataFrame = {
     val toksE = tokens(col("text"))
-    val docs = Tables(s, d, "documents")
+    Tables(s, d, "documents")
       .select(col("doc_id"), toksE.as("toks"),
         size(toksE).cast("long").as("dl"))
-    val statAggs =
-      count(lit(1)).cast("double").as("n_docs") +:
-        sum(col("dl")).cast("double").as("sum_dl") +:
+  }
+
+  /** The stored-index statistics of a BM25 index over `docs`: one
+    * 1-row aggregate of EXACT LONGS (doc count, total length, per-term
+    * document frequency) — the mergeable form: two indexes' stats add
+    * component-wise, which is what q_bm25_incremental exploits. */
+  private[operators] def bm25Stats(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val aggs =
+      count(lit(1)).as("nd") +:
+        sum(col("dl")).as("sdl") +:
         terms.map(t => sum(when(array_contains(col("toks"), t), 1L)
-          .otherwise(0L)).cast("double").as(s"df_$t"))
-    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+          .otherwise(0L)).as(s"dfl_$t"))
+    docs.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private[operators] def bm25Scored(
+      s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
+    val docs = bm25Docs(s, d)
+    bm25ScoreWith(docs, bm25Stats(docs, terms), terms)
+  }
+
+  /** Score `docs` against `terms` under a GIVEN stats row (exact-long
+    * columns nd/sdl/dfl_<t>) — the kernel tail shared by the
+    * whole-corpus path and the incremental-admission path. */
+  private[operators] def bm25ScoreWith(docs: DataFrame, statsL: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val K1 = 1.2d; val B = 0.75d
+    val stats = statsL.select(
+      col("nd").cast("double").as("n_docs") +:
+        col("sdl").cast("double").as("sum_dl") +:
+        terms.map(t => col(s"dfl_$t").cast("double").as(s"df_$t")): _*)
     val scored = docs.crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl") / col("n_docs"))
     val tf = terms.map(t =>
@@ -1181,6 +1205,39 @@ object TextAnalytics extends graft.QueryPack {
       bm25Scored(s, d, Seq("dup", "vector", "query"))
         .orderBy(col("score").desc, col("doc_id")).limit(20)),
 
+    // Incremental IR-index admission — the retrieval member of the
+    // stored-index family next to q_dedup_incremental (minhash) and
+    // q_ann_incremental (IVF): an ARRIVING BATCH (doc_id % 7 = 3, the
+    // shared crawl stand-in) is scored under UPDATED corpus statistics
+    // obtained by MERGING the stored index stats with the batch's own
+    // — never by rescanning the index. bm25Stats is a 1-row vector of
+    // exact longs, so two indexes' stats add component-wise (df' =
+    // df_idx + df_batch, N' = N + n_b, Σdl' = Σdl + Σdl_b) — the
+    // posting-list-statistics merge every incremental search index
+    // performs at segment commit. Because the corpus IS index ∪
+    // batch, the merged stats equal the whole-corpus stats exactly,
+    // so the oracle is the q_bm25 kernel CTE filtered to batch docs —
+    // a structural equality, not a tolerance. Per-batch work: batch
+    // tokenization + two 1-row aggregates + a narrow scoring map
+    // (index side recomputed in-query only because the sandbox has no
+    // persisted index — the q_dedup_incremental posture).
+    "q_bm25_incremental" -> ((s, d) => {
+      val terms = Seq("dup", "vector", "query")
+      val docs = bm25Docs(s, d)
+      val newPred = col("doc_id") % 7 === 3
+      val idxStats = bm25Stats(docs.filter(!newPred), terms)
+      val batStats = bm25Stats(docs.filter(newPred), terms)
+        .select(col("nd").as("b_nd") +: col("sdl").as("b_sdl") +:
+          terms.map(t => col(s"dfl_$t").as(s"b_dfl_$t")): _*)
+      val merged = idxStats.crossJoin(broadcast(batStats))
+        .select((col("nd") + col("b_nd")).as("nd") +:
+          (col("sdl") + col("b_sdl")).as("sdl") +:
+          terms.map(t =>
+            (col(s"dfl_$t") + col(s"b_dfl_$t")).as(s"dfl_$t")): _*)
+      bm25ScoreWith(docs.filter(newPred), merged, terms)
+        .orderBy(col("doc_id"))
+    }),
+
     // Retrieval-quality eval — the IR twin of the q_auc/q_pr_curve
     // classification quartet: for three fixed queries (rare, common,
     // rare relevance sets), rank the corpus by BM25 (the scoring
@@ -2206,6 +2263,14 @@ object TextAnalytics extends graft.QueryPack {
       s"""WITH ${bm25ScoredSqlDuck(Seq("dup", "vector", "query"))}
          |SELECT * FROM bmfinal
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the merged stats equal the whole-corpus stats (corpus = index ∪
+    // batch), so the oracle is the q_bm25 kernel CTE filtered to the
+    // batch — structural equality, not a tolerance
+    "q_bm25_incremental" ->
+      s"""WITH ${bm25ScoredSqlDuck(Seq("dup", "vector", "query"))}
+         |SELECT * FROM bmfinal WHERE doc_id % 7 = 3
+         |ORDER BY doc_id""".stripMargin,
 
     "q_retrieval_eval" -> {
       val qs = Seq((0, Seq("dup", "vector")), (1, Seq("join", "window")),

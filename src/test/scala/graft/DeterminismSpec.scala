@@ -261,7 +261,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_ann_hubness",
     // dim audit: fixed-point moments before the variance algebra —
     // the q_jackknife discipline per coordinate
-    "q_dim_audit")
+    "q_dim_audit",
+    // incremental BM25: exact-long stat merges + the pinned kernel
+    "q_bm25_incremental")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

@@ -129,6 +129,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_dim_audit", "q_stream_dim_audit",
     // streamed novelty of an empty corpus: empty gram set → no rows
     "q_stream_ngram_novelty",
+    // incremental BM25 admission of an empty batch against an empty
+    // index: no scored rows
+    "q_bm25_incremental",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

@@ -1785,6 +1785,42 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bm25_incremental: merged index+batch stats equal whole-corpus stats; scores match q_bm25's kernel") {
+    import org.apache.spark.sql.functions._
+    // the merge property, checked on exact longs (the mergeable-stats
+    // contract the admission path depends on)
+    val docs =
+      try Tables(spark, TestSpark.sf, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      finally TestSpark.housekeeping()
+    val terms = Seq("dup", "vector", "query")
+    def stats(xs: Array[(Long, Seq[String])]) =
+      (xs.length.toLong, xs.map(_._2.length.toLong).sum,
+        terms.map(t => xs.count(_._2.contains(t)).toLong))
+    val (ni, si, di) = stats(docs.filter(_._1 % 7 != 3))
+    val (nb, sb, db) = stats(docs.filter(_._1 % 7 == 3))
+    val (nf, sf, df) = stats(docs)
+    assert(ni + nb == nf && si + sb == sf &&
+      di.zip(db).map { case (a, b) => a + b } == df)
+    // and the admitted batch's scores are exactly the whole-corpus
+    // kernel's scores for those docs (corpus = index ∪ batch)
+    val inc =
+      try graft.operators.TextAnalytics.queries("q_bm25_incremental")(
+        spark, TestSpark.sf).collect()
+        .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      finally TestSpark.housekeeping()
+    assert(inc.nonEmpty && inc.keySet.forall(_ % 7 == 3))
+    val full =
+      try graft.operators.TextAnalytics.queries("q_bm25")(
+        spark, TestSpark.sf).collect()
+        .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      finally TestSpark.housekeeping()
+    val overlap = inc.keySet.intersect(full.keySet)
+    assert(overlap.forall(k => inc(k) == full(k)),
+      "incremental scores diverge from the whole-corpus kernel")
+  }
+
   test("q_ann_hubness: k-occurrence surface is genuinely skewed and conserved") {
     val rows =
       try graft.operators.Similarity.queries("q_ann_hubness")(
