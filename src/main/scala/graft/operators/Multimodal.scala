@@ -328,6 +328,41 @@ object Multimodal extends graft.QueryPack {
         .orderBy(col("phash"))
     }),
 
+    // Image QUALITY GATE — the multimodal member of the
+    // first-failing-gate family (q_quality_gate for text,
+    // q_embedding_pipeline's degenerate stage for vectors): before
+    // multimodal training data is trusted, every image passes
+    // decodability (one corrupt payload must not kill a 100 TB scan —
+    // it must be ROUTED, the dead-letter discipline) and a
+    // minimum-dimension check. The corrupt plant truncates every
+    // 29th-keyed payload to 10 bytes (a real broken download: a PNG
+    // header without a body), exercising the REAL ImageIO failure
+    // path; the dimension rule bites naturally (the fixture's
+    // w ∈ [8,16], h ∈ [8,14] straddle the 10px floor). The oracle is
+    // fully analytic (dims from the fixture formula, the plant from
+    // the key): if the real decode disagrees with the contract,
+    // the hash breaks. Per-row decode in the same batched
+    // mapPartitions as the extract; binary never crosses a shuffle.
+    "q_image_gate" -> ((s, d) => {
+      import s.implicits._
+      val media = imageFixtures(s, Tables(s, d, "documents"))
+        .as[MediaRow]
+        .mapPartitions(_.map { m =>
+          if (m.doc_id % 29 == 5) MediaRow(m.doc_id, m.content.take(10))
+          else m
+        })
+      media
+        .mapPartitions(_.grouped(64).flatMap(_.map(m =>
+          decodeImage(m.doc_id, m.content))))
+        .toDF()
+        .select(col("doc_id"),
+          when(col("width") === 0, "undecodable")
+            .when(least(col("width"), col("height")) < 10, "too_small")
+            .as("reason"))
+        .select(col("doc_id"), col("reason").isNull.as("keep"), col("reason"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Image NEAR-dup matching at Hamming ≤ 2 over the 16-bit aHash —
     // the multimodal member of the Hamming-join family next to
     // q_simhash_hamming's text fingerprints: exact-collision grouping
@@ -466,6 +501,20 @@ object Multimodal extends graft.QueryPack {
         |SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_images,
         |  MIN(doc_id) AS min_doc
         |FROM ph GROUP BY phash ORDER BY phash""".stripMargin,
+
+    // fully analytic: the plant from the key, the dims from the
+    // fixture formula — the decode itself is the thing under test
+    "q_image_gate" ->
+      """SELECT doc_id,
+        |  reason IS NULL AS keep, reason
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 29 = 5 THEN 'undecodable'
+        |         WHEN least(8 + doc_id % 9, 8 + doc_id % 7) < 10
+        |           THEN 'too_small'
+        |    END AS reason
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
 
     // same grouped-fingerprint table as q_image_phash, then the plain
     // all-distinct-pairs Hamming filter — the oracle does not need the

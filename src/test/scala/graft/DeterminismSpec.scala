@@ -263,7 +263,9 @@ class DeterminismSpec extends AnyFunSuite {
     // the q_jackknife discipline per coordinate
     "q_dim_audit",
     // incremental BM25: exact-long stat merges + the pinned kernel
-    "q_bm25_incremental")
+    "q_bm25_incremental",
+    // image gate: per-row decode verdicts are pure row functions
+    "q_image_gate")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

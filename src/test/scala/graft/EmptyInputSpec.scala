@@ -132,6 +132,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // incremental BM25 admission of an empty batch against an empty
     // index: no scored rows
     "q_bm25_incremental",
+    // image gate of an empty corpus: no fixtures → no verdicts
+    "q_image_gate",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",

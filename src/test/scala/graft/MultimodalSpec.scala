@@ -165,6 +165,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
 
+  test("q_image_gate: the truncated plant genuinely fails the REAL decode; all verdicts fire") {
+    // decode-level check, independent of the query: a 10-byte PNG
+    // prefix must be rejected by ImageIO itself (the gate's
+    // 'undecodable' verdict rides the real failure path, not the key)
+    val truncated = graft.operators.Multimodal.genPng(34L).take(10)
+    val f = graft.operators.Multimodal.decodeImage(34L, truncated)
+    assert(f.width == 0 && f.height == 0)
+    val rows = graft.operators.Multimodal
+      .queries("q_image_gate")(TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    val byReason = rows.groupBy(_._3).view.mapValues(_.length)
+    Seq(null, "undecodable", "too_small").foreach { v =>
+      assert(byReason.getOrElse(v, 0) > 0, s"verdict '$v' never fired")
+    }
+    rows.foreach { case (id, keep, reason) =>
+      assert(keep == (reason == null))
+      assert((id % 29 == 5) == (reason == "undecodable"))
+    }
+  }
+
   test("q_phash_hamming equals the all-pairs Hamming reference (pigeonhole is exact)") {
     // independent JVM recompute: all distinct-fingerprint pairs at
     // Hamming 1..2, straight from the q_image_phash groups — the
