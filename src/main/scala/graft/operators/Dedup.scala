@@ -420,6 +420,52 @@ object Dedup extends graft.QueryPack {
     "q_ngram_coverage" -> ((s, d) =>
       noveltyReport(gramSplits(Tables(s, d, "documents")))),
 
+    // MOSS overlap pairing (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    // §4) — the PAIRING step the winnowing fingerprints exist for:
+    // two documents sharing ≥5 RARE fingerprints (df ≤ 20 — MOSS
+    // drops ubiquitous fingerprints for exactly this reason: a
+    // boilerplate k-gram shared by everyone carries no plagiarism
+    // signal and fans out quadratically) are overlap candidates,
+    // scored by containment c / min(|A|, |B|). Runs on the planted
+    // dedup corpus so exact/near copies make the pairing
+    // structurally non-vacuous at any SF. Plan shape: the codegen'd
+    // Winnow kernel per row, one fp-keyed inverted-index self-join
+    // (work ∝ shared rare fingerprints, bounded by df²/2 per fp —
+    // never corpus²), per-doc sizes from doc-keyed windows.
+    "q_winnow_overlap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fps = corpus(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowExpression.winnow(col("text")))
+            .as("fp"))
+      // sizes count INDEXED (rare) fingerprints only — MOSS's match
+      // denominator: an exact copy then scores containment 1.0
+      // instead of being diluted by the corpus-common fps the index
+      // drops
+      val sized = fps
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("df") <= 20L)
+        .withColumn("nfp",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      val l = sized.select(col("fp"), col("doc_id").as("id_a"),
+        col("nfp").as("na"))
+      val r = sized.select(col("fp"), col("doc_id").as("id_b"),
+        col("nfp").as("nb"))
+      l.join(r, Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5L)
+        // containment in micro-units: shared/min(|A|,|B|) is a
+        // rational with a data-dependent denominator — the r10
+        // scale-0 house rule (q_dim_audit's sf0.1 finding)
+        .select(col("id_a"), col("id_b"), col("shared"),
+          expr("""cast(round(shared * cast(1000000 as double) /
+                 least(na, nb)) as bigint)""").as("containment_e6"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash: 32-bit majority fingerprint — bit i is the sign of the
     // token-weighted sum of the top bit of md5 nibble i. Runs through
     // the codegen'd graft.functions.SimHash kernel: one digest per
@@ -1387,6 +1433,47 @@ object Dedup extends graft.QueryPack {
     // Same pigeonhole block join as the Spark plan (the all-pairs form
     // is quadratic even at oracle scale); hamming = positional char
     // diff count over the two bitstrings — identical to popcount(xor).
+    // the q_fingerprint_winnow rolling-hash/window CTEs over the
+    // planted corpus, then the same rare-fp inverted join
+    "q_winnow_overlap" ->
+      s"""WITH $corpusSqlDuck,
+         |positions AS (
+         |  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+         |  FROM corpus),
+         |hashes AS (
+         |  SELECT doc_id, i,
+         |    CAST(list_sum(list_transform(range(0, 8), j ->
+         |      ascii(substr(text, CAST(i + j AS INTEGER), 1)) *
+         |      ([27512614111, 887503681, 28629151, 923521,
+         |        29791, 961, 31, 1])[CAST(j + 1 AS INTEGER)])) AS BIGINT)
+         |      % 1048576 AS h
+         |  FROM positions),
+         |wins AS (
+         |  SELECT doc_id, i, h,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS nh
+         |  FROM hashes),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE i <= nh - 3),
+         |rare AS (
+         |  SELECT doc_id, fp FROM (
+         |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df
+         |    FROM fps) t WHERE df <= 20),
+         |sized AS (
+         |  SELECT doc_id, fp,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS nfp
+         |  FROM rare)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(COUNT(*) AS BIGINT) AS shared,
+         |  CAST(round(COUNT(*) * CAST(1000000 AS DOUBLE) /
+         |    least(MAX(a.nfp), MAX(b.nfp))) AS BIGINT) AS containment_e6
+         |FROM sized a
+         |JOIN sized b
+         |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING COUNT(*) >= 5
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // same md5 split rule as q_split_hash, same distinct-trigram form
     // as q_setsim_prefix, gram-keyed left join
     "q_ngram_coverage" ->

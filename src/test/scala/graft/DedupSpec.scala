@@ -174,6 +174,28 @@ class DedupSpec extends AnyFunSuite {
       s"prefix index ($prefixRows postings) is not smaller than full ($fullRows)")
   }
 
+  test("q_winnow_overlap: every planted exact copy pairs with its source at full containment") {
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.queries("q_winnow_overlap")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    TestSpark.housekeeping()
+    val exactSources =
+      Tables(spark, TestSpark.sf, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    assert(pairs.nonEmpty)
+    // a verbatim copy shares every rare fingerprint → containment 1.0
+    exactSources.foreach { src =>
+      val hit = pairs.find(p => p._1 == src && p._2 == src + 100000)
+      assert(hit.exists(_._3 == 1000000L),
+        s"exact copy pair ($src, ${src + 100000}) missing or diluted: $hit")
+    }
+    // and the detector is not vacuously all-ones — genuine partial
+    // overlaps exist below full containment
+    assert(pairs.exists(p => p._3 < 1000000L),
+      "every pair at full containment — the rare-fp index is degenerate")
+  }
+
   test("q_ngram_coverage equals an independent JVM split+trigram recompute") {
     import org.apache.spark.sql.functions._
     // independent md5 (JVM MessageDigest), independent trigram loop —

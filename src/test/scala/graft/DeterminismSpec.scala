@@ -265,7 +265,10 @@ class DeterminismSpec extends AnyFunSuite {
     // incremental BM25: exact-long stat merges + the pinned kernel
     "q_bm25_incremental",
     // image gate: per-row decode verdicts are pure row functions
-    "q_image_gate")
+    "q_image_gate",
+    // winnow overlap: codegen fingerprints + exact counts + a scale-0
+    // containment integer
+    "q_winnow_overlap")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

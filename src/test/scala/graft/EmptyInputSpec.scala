@@ -134,6 +134,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_bm25_incremental",
     // image gate of an empty corpus: no fixtures → no verdicts
     "q_image_gate",
+    // MOSS pairing of an empty corpus: no fingerprints → no pairs
+    "q_winnow_overlap",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",
