@@ -146,6 +146,50 @@ object Dedup extends graft.QueryPack {
     base.unionByName(exactCopies).unionByName(nearCopies)
   }
 
+  /** The Manku pigeonhole candidate-pair frame (id_a, id_b, hamming)
+    * at Hamming ≤ 3 over the planted corpus's 32-bit simhashes — the
+    * kernel shared by q_simhash_hamming (the pair listing) and
+    * q_hamming_curve (the radius sweep). The 32-bit fingerprint is
+    * base-2-parsed ONCE per document row (conv on the corpus-sized
+    * frame); everything downstream of the join — block key, xor,
+    * popcount, first-block dedup — is pure integer bit arithmetic in
+    * whole-stage codegen. A pair agreeing on several blocks surfaces
+    * once per block; it is emitted only from its FIRST agreeing block
+    * — a narrow integer predicate per candidate instead of a
+    * candidate-sized distinct() shuffle. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = corpus(Tables(s, d, "documents"))
+      .select(col("doc_id"),
+        graft.functions.SimHashExpression.simhash(col("text")).as("sh"))
+      .withColumn("f", expr("cast(conv(sh, 2, 10) as bigint)"))
+    val blocked = fp
+      .withColumn("blk", explode(sequence(lit(0), lit(3))))
+      .withColumn("bits",
+        expr("cast(shiftright(f, (3 - blk) * 8) & 255 as int)"))
+    val l = blocked.select(col("blk"), col("bits"),
+      col("doc_id").as("id_a"), col("f").as("f_a"))
+    val r = blocked.select(col("blk"), col("bits"),
+      col("doc_id").as("id_b"), col("f").as("f_b"))
+    l.join(r, Seq("blk", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(
+        col("blk") === 0 ||
+        (col("blk") === 1 && expr(
+          "shiftright(f_a, 24) & 255 != shiftright(f_b, 24) & 255")) ||
+        (col("blk") === 2 && expr(
+          """shiftright(f_a, 24) & 255 != shiftright(f_b, 24) & 255 and
+            |shiftright(f_a, 16) & 255 != shiftright(f_b, 16) & 255"""
+            .stripMargin)) ||
+        (col("blk") === 3 && expr(
+          """shiftright(f_a, 24) & 255 != shiftright(f_b, 24) & 255 and
+            |shiftright(f_a, 16) & 255 != shiftright(f_b, 16) & 255 and
+            |shiftright(f_a, 8) & 255 != shiftright(f_b, 8) & 255"""
+            .stripMargin)))
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(f_a ^ f_b) as bigint)").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   /** Distinct (split, trigram) cells under the q_split_hash md5 rule —
     * the shared kernel of the batch q_ngram_coverage and the
     * q_stream_ngram_novelty fold (one definition, two paths). */
@@ -850,41 +894,31 @@ object Dedup extends graft.QueryPack {
       // conv calls through the quadratic side of the join) and an HOF
       // first-block filter ran interpreted lambdas per candidate;
       // both measured far slower than this layout.
-      val fp = corpus(Tables(s, d, "documents"))
-        .select(col("doc_id"),
-          graft.functions.SimHashExpression.simhash(col("text")).as("sh"))
-        .withColumn("f", expr("cast(conv(sh, 2, 10) as bigint)"))
-      val blocked = fp
-        .withColumn("blk", explode(sequence(lit(0), lit(3))))
-        .withColumn("bits",
-          expr("cast(shiftright(f, (3 - blk) * 8) & 255 as int)"))
-      val l = blocked.select(col("blk"), col("bits"),
-        col("doc_id").as("id_a"), col("f").as("f_a"))
-      val r = blocked.select(col("blk"), col("bits"),
-        col("doc_id").as("id_b"), col("f").as("f_b"))
-      l.join(r, Seq("blk", "bits"))
-        .filter(col("id_a") < col("id_b"))
-        // a pair agreeing on several blocks surfaces once per block;
-        // emit it only from its FIRST agreeing block — a narrow
-        // integer predicate per candidate instead of a
-        // candidate-sized distinct() shuffle
-        .filter(
-          col("blk") === 0 ||
-          (col("blk") === 1 && expr(
-            "shiftright(f_a, 24) & 255 != shiftright(f_b, 24) & 255")) ||
-          (col("blk") === 2 && expr(
-            """shiftright(f_a, 24) & 255 != shiftright(f_b, 24) & 255 and
-              |shiftright(f_a, 16) & 255 != shiftright(f_b, 16) & 255"""
-              .stripMargin)) ||
-          (col("blk") === 3 && expr(
-            """shiftright(f_a, 24) & 255 != shiftright(f_b, 24) & 255 and
-              |shiftright(f_a, 16) & 255 != shiftright(f_b, 16) & 255 and
-              |shiftright(f_a, 8) & 255 != shiftright(f_b, 8) & 255"""
-              .stripMargin)))
-        .select(col("id_a"), col("id_b"),
-          expr("cast(bit_count(f_a ^ f_b) as bigint)").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy(col("id_a"), col("id_b"))
+      simhashPairs(s, d).orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash RADIUS tuning curve — the fingerprint member of the
+    // tuning-sweep family (LSH bands, dedup τ, IVF nprobe, now the
+    // Hamming radius): pair and affected-doc counts at r ∈ {1, 2, 3},
+    // all from ONE pigeonhole candidate frame (the q_simhash_hamming
+    // kernel — radii are nested by construction, so the curve is
+    // provably non-decreasing and the sweep costs one join). The
+    // radius prices the precision/recall trade a simhash deployment
+    // tunes: each extra bit of radius admits more true near-dups AND
+    // more hash collisions.
+    "q_hamming_curve" -> ((s, d) => {
+      val pairs = simhashPairs(s, d)
+        .withColumn("radius", explode(typedlit(Seq(1L, 2L, 3L))))
+        .filter(col("hamming") <= col("radius"))
+      val nPairs = pairs.groupBy(col("radius"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = pairs
+        .select(col("radius"), explode(array(col("id_a"), col("id_b")))
+          .as("id"))
+        .groupBy(col("radius"))
+        .agg(countDistinct(col("id")).as("n_docs_affected"))
+      nPairs.join(nDocs, Seq("radius"))
+        .orderBy(col("radius"))
     }),
 
     // Set-similarity join with PREFIX FILTERING (SSJoin / PPJoin,
@@ -1433,6 +1467,40 @@ object Dedup extends graft.QueryPack {
     // Same pigeonhole block join as the Spark plan (the all-pairs form
     // is quadratic even at oracle scale); hamming = positional char
     // diff count over the two bitstrings — identical to popcount(xor).
+    // the q_simhash_hamming pair CTEs swept over the radius grid
+    "q_hamming_curve" ->
+      s"""WITH $corpusSqlDuck,
+         |fp AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(range(1, 33), i ->
+         |      CASE WHEN list_sum(list_transform(string_split(lower(text), ' '),
+         |        w -> CASE WHEN strpos('0123456789abcdef', substring(md5(w), i, 1)) - 1 >= 8
+         |                  THEN 1 ELSE -1 END)) >= 0
+         |           THEN '1' ELSE '0' END), '') AS sh
+         |  FROM corpus),
+         |blocked AS (
+         |  SELECT doc_id, sh, b AS blk, substring(sh, b * 8 + 1, 8) AS bits
+         |  FROM fp, unnest(range(0, 4)) AS t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_filter(range(1, 33), i ->
+         |      substring(a.sh, i, 1) <> substring(b.sh, i, 1))) AS hamming
+         |  FROM blocked a JOIN blocked b
+         |    ON a.blk = b.blk AND a.bits = b.bits AND a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(1, 33), i ->
+         |      substring(a.sh, i, 1) <> substring(b.sh, i, 1))) <= 3),
+         |sweep AS (
+         |  SELECT CAST(r AS BIGINT) AS radius, id_a, id_b
+         |  FROM pairs, unnest(range(1, 4)) AS g(r)
+         |  WHERE hamming <= r)
+         |SELECT radius, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) FROM (
+         |     SELECT id_a AS id FROM sweep s2 WHERE s2.radius = sweep.radius
+         |     UNION ALL
+         |     SELECT id_b FROM sweep s3 WHERE s3.radius = sweep.radius) u)
+         |    AS n_docs_affected
+         |FROM sweep GROUP BY radius ORDER BY radius""".stripMargin,
+
     // the q_fingerprint_winnow rolling-hash/window CTEs over the
     // planted corpus, then the same rare-fp inverted join
     "q_winnow_overlap" ->

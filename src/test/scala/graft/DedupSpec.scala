@@ -174,6 +174,27 @@ class DedupSpec extends AnyFunSuite {
       s"prefix index ($prefixRows postings) is not smaller than full ($fullRows)")
   }
 
+  test("q_hamming_curve re-derives from the gated q_simhash_hamming pairs (one kernel, two readers)") {
+    val pairs = Dedup.queries("q_simhash_hamming")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    TestSpark.housekeeping()
+    val expected = (1L to 3L).map { rr =>
+      val in = pairs.filter(_._3 <= rr)
+      (rr, in.size.toLong,
+        (in.map(_._1) ++ in.map(_._2)).distinct.size.toLong)
+    }
+    val actual = Dedup.queries("q_hamming_curve")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    TestSpark.housekeeping()
+    assert(actual == expected, s"got $actual want $expected")
+    // nested radii: both counts non-decreasing, and the sweep is
+    // non-degenerate (the radius genuinely discriminates)
+    assert(actual.sliding(2).forall {
+      case Seq(a, b) => a._2 <= b._2 && a._3 <= b._3 })
+    assert(actual.head._2 < actual.last._2,
+      "every pair at radius 1 — the curve discriminates nothing")
+  }
+
   test("q_winnow_overlap: every planted exact copy pairs with its source at full containment") {
     import org.apache.spark.sql.functions._
     val pairs = Dedup.queries("q_winnow_overlap")(spark, TestSpark.sf)

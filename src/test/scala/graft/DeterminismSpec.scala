@@ -268,7 +268,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_image_gate",
     // winnow overlap: codegen fingerprints + exact counts + a scale-0
     // containment integer
-    "q_winnow_overlap")
+    "q_winnow_overlap",
+    // hamming curve: nested exact counts off the pinned pair kernel
+    "q_hamming_curve")
     .foreach { name =>
     test(s"$name is identical under 3 vs 17 shuffle partitions") {
       assert(runWith("3", name) == runWith("17", name))

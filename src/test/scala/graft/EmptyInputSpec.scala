@@ -136,6 +136,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_image_gate",
     // MOSS pairing of an empty corpus: no fingerprints → no pairs
     "q_winnow_overlap",
+    // radius sweep of an empty corpus: no pairs → no radius rows
+    "q_hamming_curve",
     // zone maps of zero files: an empty audit, not a crash; the
     // streamed maintenance of an empty stream is an empty state
     "q_zonemap_prune", "q_stream_zonemap",
