@@ -459,15 +459,21 @@ object Similarity extends graft.QueryPack {
           .sortBy(_._1)
       val k2 = sqrtK(index.count())
       // empty index → no stored model → nothing to admit against
-      // (EmptyInputSpec: an empty frame, not a zero-centroid kernel)
-      if (k2 == 0)
+      // (EmptyInputSpec: an empty frame, not a zero-centroid kernel).
+      // The second guard covers a NONEMPTY index whose rows all sit
+      // below the vec_id >= 10 centroid-eligibility floor: centsFrom
+      // would return zero centroids and the kernel's behavior on a
+      // zero-centroid model is undefined, while the oracle degrades
+      // cleanly to an empty frame — same short-circuit.
+      lazy val leaves = centsFrom(k2)
+      if (k2 == 0 || leaves.isEmpty)
         s.range(0).select(col("id").as("qid"),
           col("id").as("insert_cid"), col("id").as("rk"),
           col("id").as("nid"), col("id").as("centroid_id"),
           col("id").cast("double").as("sim"))
       else {
       val model = graft.plans.VectorExpressions.twoLevelModel(
-        centsFrom(sqrtK(k2.toLong)), centsFrom(k2))
+        centsFrom(sqrtK(k2.toLong)), leaves)
       def assign(df: DataFrame): DataFrame = df.withColumn("arr",
         graft.plans.VectorExpressions.twoLevelCentroidCosines(
           col("embedding"), col("nrm"), model))
@@ -1122,7 +1128,11 @@ object Similarity extends graft.QueryPack {
     // pairs are cluster-keyed (≈N^1.5 bound, no cartesian —
     // PlanShapeSpec); balance is one per-label rank window; the
     // corpus frame is persisted once for the survivor chain + final
-    // attribution join (the q_curation_pipeline persist lesson).
+    // attribution join (the q_curation_pipeline persist lesson); the
+    // returned frame is lazy so the query cannot unpersist it itself —
+    // the cache is reclaimed by Harness.housekeeping between queries
+    // (both Verify and Bench run it), the same documented reliance as
+    // q_setsim_prefix (Dedup.scala).
     // Centroids come from the QUALITY SURVIVORS (first K ids ≥ 10 —
     // a zero-norm centroid would NaN every cosine in its cluster),
     // via the bounded q_ann_incremental collect device.

@@ -245,24 +245,33 @@ object StreamingGate extends graft.QueryPack {
       batch: DataFrame, id: Long): Unit = {
     recoverState(state)
     val exists = new java.io.File(state).exists()
-    if (exists) {
-      val last = batch.sparkSession.read.parquet(state)
-        .agg(max(col("last_id"))).collect()(0).getLong(0)
-      if (last >= id) return // replayed batch — already merged
+    // Read the 1-row state ONCE: the same localCheckpointed frame
+    // serves both the last_id high-water probe and the union-merge
+    // prior (the probe collect materializes it), instead of two
+    // parquet reads per batch.
+    val prior: Option[DataFrame] =
+      if (exists)
+        Some(batch.sparkSession.read.parquet(state).localCheckpoint())
+      else None
+    val replayed = prior.exists { p =>
+      p.agg(max(col("last_id"))).collect()(0).getLong(0) >= id
     }
-    val bsk = batch.agg(
-      expr(s"kll_sketch_agg_bigint(cents, $k)").as("sk"),
-      count(lit(1)).as("n"))
-      .withColumn("last_id", lit(id))
-    val merged =
-      if (exists) {
-        val prior = batch.sparkSession.read.parquet(state)
-        prior.unionByName(bsk).agg(
-          expr(s"kll_merge_agg_bigint(sk, $k) FILTER (WHERE sk IS NOT NULL)")
-            .as("sk"),
-          sum(col("n")).as("n"), max(col("last_id")).as("last_id"))
-      } else bsk
-    swapState(merged, state)
+    if (!replayed) {
+      val bsk = batch.agg(
+        expr(s"kll_sketch_agg_bigint(cents, $k)").as("sk"),
+        count(lit(1)).as("n"))
+        .withColumn("last_id", lit(id))
+      val merged = prior match {
+        case Some(p) =>
+          p.unionByName(bsk).agg(
+            expr(
+              s"kll_merge_agg_bigint(sk, $k) FILTER (WHERE sk IS NOT NULL)")
+              .as("sk"),
+            sum(col("n")).as("n"), max(col("last_id")).as("last_id"))
+        case None => bsk
+      }
+      swapState(merged, state)
+    }
   }
 
   /** The q_stream_hll state fold: merge a micro-batch's HLL sketch of

@@ -1225,8 +1225,17 @@ object TextAnalytics extends graft.QueryPack {
       val terms = Seq("dup", "vector", "query")
       val docs = bm25Docs(s, d)
       val newPred = col("doc_id") % 7 === 3
-      val idxStats = bm25Stats(docs.filter(!newPred), terms)
-      val batStats = bm25Stats(docs.filter(newPred), terms)
+      // Totality: if either partition is empty its sum(dl)/sum(df) is
+      // NULL (count is not), and NULL would poison the component-wise
+      // merge while the oracle (whole-corpus kernel filtered to the
+      // batch) still scores — coalesce every summed stat to 0 so an
+      // empty index (or batch) merges as the additive identity.
+      def total(stats: DataFrame): DataFrame = stats.select(
+        col("nd") +: coalesce(col("sdl"), lit(0L)).as("sdl") +:
+          terms.map(t =>
+            coalesce(col(s"dfl_$t"), lit(0L)).as(s"dfl_$t")): _*)
+      val idxStats = total(bm25Stats(docs.filter(!newPred), terms))
+      val batStats = total(bm25Stats(docs.filter(newPred), terms))
         .select(col("nd").as("b_nd") +: col("sdl").as("b_sdl") +:
           terms.map(t => col(s"dfl_$t").as(s"b_dfl_$t")): _*)
       val merged = idxStats.crossJoin(broadcast(batStats))
