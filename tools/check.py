@@ -26,6 +26,20 @@ if len(sys.argv) > 3:  # dev-only: restrict to a comma-separated subset
     oracle = {k: v for k, v in oracle.items() if k in keep}
 fails = []
 
+# CHECK_JSON=<path>: also write a per-query report in the DRIVER'S
+# CORRECTNESS_r{N}.json schema (rows_match/schema_match/hash_match/
+# spark_rows/oracle_rows/err), so an empty driver artifact (the r10
+# failure mode) can be mechanically diffed against a same-code local
+# run instead of judged on a manual re-run.
+report = {}
+
+
+def record(name, **kw):
+    e = {"rows_match": None, "schema_match": None, "hash_match": None,
+         "spark_rows": None, "oracle_rows": None, "err": None}
+    e.update(kw)
+    report[name] = e
+
 def canon(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -41,19 +55,27 @@ for name in sorted(oracle):
     try:
         o = con.sql(sql).df()
     except Exception as e:
-        fails.append(name); print(f"FAIL {name}: oracle SQL error: {e}"); continue
+        fails.append(name); print(f"FAIL {name}: oracle SQL error: {e}")
+        record(name, err=f"oracle SQL error: {e}")
+        continue
     d = f"{out}/{name}"
     if not os.path.isdir(d):
-        fails.append(name); print(f"FAIL {name}: no spark output dir"); continue
+        fails.append(name); print(f"FAIL {name}: no spark output dir")
+        record(name, oracle_rows=len(o), err="no spark output dir")
+        continue
     s = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
     o, s = canon(o), canon(s)
     if list(o.columns) != list(s.columns):
         fails.append(name)
         print(f"FAIL {name}: columns oracle={list(o.columns)} spark={list(s.columns)}")
+        record(name, schema_match=False, rows_match=len(o) == len(s),
+               spark_rows=len(s), oracle_rows=len(o))
         continue
     if len(o) != len(s):
         fails.append(name)
         print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}")
+        record(name, schema_match=True, rows_match=False,
+               spark_rows=len(s), oracle_rows=len(o))
         continue
     ok = True
     for c in o.columns:
@@ -94,6 +116,8 @@ for name in sorted(oracle):
         if bhash(o) != bhash(s):
             print(f"FAIL {name}: STRICT byte-hash mismatch (type/repr level)")
             ok = False
+    record(name, schema_match=True, rows_match=True, hash_match=ok,
+           spark_rows=len(s), oracle_rows=len(o))
     if ok:
         print(f"PASS {name} ({len(o)} rows)")
     else:
@@ -101,4 +125,21 @@ for name in sorted(oracle):
 
 n = len(oracle)
 print(f"\n{n - len(fails)}/{n} PASS")
+
+if os.environ.get("CHECK_JSON"):
+    # rows-only queries (dumped by Verify but absent from oracle_sql
+    # .json) get the driver's weaker no_oracle row: spark_rows only.
+    for d in sorted(glob.glob(f"{out}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name in report:
+            continue
+        try:
+            nr = len(con.sql(f"SELECT * FROM read_parquet('{d}*.parquet')").df())
+        except Exception:
+            nr = None
+        record(name, spark_rows=nr, err="no_oracle")
+    with open(os.environ["CHECK_JSON"], "w") as f:
+        json.dump(report, f, indent=0, sort_keys=True)
+    print(f"report -> {os.environ['CHECK_JSON']}")
+
 sys.exit(1 if fails else 0)

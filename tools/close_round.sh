@@ -23,10 +23,16 @@ tools/run.sh graft.Smoke >/tmp/close_smoke.out 2>/dev/null
 head -2 /tmp/close_smoke.out
 
 echo "=== 3/6 full sf0.01 sweep + STRICT gate"
-SPARK_GRAFT_CPUS=8 tools/run.sh graft.Verify /root/testdata/sf0.01 \
+SPARK_GRAFT_CPUS=32 tools/run.sh graft.Verify /root/testdata/sf0.01 \
   /tmp/close_verify 2>/tmp/close_verify.log
-STRICT=1 python3 tools/check.py /root/testdata/sf0.01 /tmp/close_verify \
-  | tail -2
+# CHECK_JSON archives the per-query result in the DRIVER'S
+# CORRECTNESS_r{N}.json schema — the reconstruction-proof parity
+# artifact prescribed by VERDICT r10 after the driver's own artifact
+# arrived empty: an empty CORRECTNESS_r{N}.json can now be diffed
+# mechanically against the same-code local file.
+CHECK_JSON="tools/correctness_local_r${N}.json" STRICT=1 \
+  python3 tools/check.py /root/testdata/sf0.01 /tmp/close_verify \
+  | tail -3
 # Dtype-repr audit (VERDICT r9): no query output may carry a DECIMAL
 # final column — DuckDB's pandas bridge renders DECIMAL as float64, so
 # the driver's type+repr hash diverges on any trailing-zero value even
