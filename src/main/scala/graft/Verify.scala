@@ -1,8 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Batch queries run on SPARK_GRAFT_VERIFY_PAR concurrent lanes
+  * (default 8; 1 = the old strictly-sequential path). Rationale
+  * (VERDICT r10 item 1): the driver's correctness window blanked in
+  * r10 and the sequential sweep leaves a local[32] session mostly
+  * idle — one ~1 s query at a time. Safety of the lanes: every query
+  * is partition-count invariant by gate (DeterminismSpec), writes to
+  * its own outDir subdir, and no query registers session-global named
+  * state (no temp views / listeners; the BPE memo is a
+  * ConcurrentHashMap). Housekeeping moves from per-query to a barrier
+  * between WAVES of queries (an unpersist landing mid-flight on a
+  * sibling's cached frame is correctness-safe — Spark recomputes — so
+  * the barrier is about reclaiming state often enough, not about
+  * safety). The 22 q_stream_* drains keep the sequential lane +
+  * per-query housekeeping: each stages files, drains a real stream
+  * and (restart gates) plants a mid-drain death — semantics that are
+  * exactly today's under one-at-a-time execution. */
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [comma-separated query filter (dev only)]
@@ -11,9 +29,9 @@ object Verify {
       if (args.length > 2) args(2).split(",").toSet else Set.empty
     val spark = Harness.session()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+
+    def runQuery(name: String, fn: (SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -23,9 +41,38 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // memos kept: Verify measures results, not time (Harness scaladoc)
-      Harness.housekeeping(spark, clearMemos = false)
     }
+
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }.toSeq
+    val par =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt.max(1)
+    if (par == 1) {
+      selected.foreach { case (name, fn) =>
+        runQuery(name, fn)
+        // memos kept: Verify measures results, not time (Harness doc)
+        Harness.housekeeping(spark, clearMemos = false)
+      }
+    } else {
+      val (drains, batch) =
+        selected.partition(_._1.startsWith("q_stream_"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        batch.grouped(par * 4).foreach { wave =>
+          val futures = wave.map { case (name, fn) =>
+            pool.submit(new Runnable {
+              override def run(): Unit = runQuery(name, fn) })
+          }
+          futures.foreach(_.get())
+          Harness.housekeeping(spark, clearMemos = false)
+        }
+      } finally pool.shutdown()
+      drains.foreach { case (name, fn) =>
+        runQuery(name, fn)
+        Harness.housekeeping(spark, clearMemos = false)
+      }
+    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

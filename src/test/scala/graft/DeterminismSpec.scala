@@ -234,6 +234,10 @@ class DeterminismSpec extends AnyFunSuite {
     // argmin assignment + round-9→DECIMAL distortion sums + grid
     // windows, the ECE discipline)
     "q_phash_hamming", "q_pq_distortion",
+    // r11: 64-bit DCT pHash — exact fixed-point integer DCT + grouped
+    // fingerprint frame + pure bit arithmetic; a layout term means a
+    // pigeonhole candidate was emitted twice
+    "q_phash64_hamming",
     // novelty audit: md5 split + distinct gram sets + exact counts —
     // a layout term means a distinct leaked partition-local rows
     "q_ngram_coverage",

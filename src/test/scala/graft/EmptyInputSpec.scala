@@ -100,8 +100,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // dir, an empty gate frame — not a crash
     "q_stream_hll",
     // near-dup image matching of an empty corpus: no fingerprints →
-    // no block candidates → no pairs
-    "q_phash_hamming",
+    // no block candidates → no pairs (both hash widths)
+    "q_phash_hamming", "q_phash64_hamming",
     // novelty audit of an empty corpus: no grams in any split → no
     // split rows
     "q_ngram_coverage",

@@ -206,4 +206,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(actual == expected,
       s"first diff: ${actual.zip(expected).find { case (x, y) => x != y }}")
   }
+
+  test("imagePhash64: DCT kernel edge cases and the retouch plant's spread") {
+    // undecodable payloads fingerprint as -1, never throw
+    assert(Multimodal.imagePhash64(null) == -1L)
+    assert(Multimodal.imagePhash64(Array[Byte](1, 2, 3)) == -1L)
+    // the hash is a full 64-bit object: over the 500-doc corpus some
+    // hash must use the top block (bits 48..63) — i.e. the space is
+    // NOT domain-bounded like the 16-bit aHash
+    val hashes = (0L until 500L).map(d =>
+      Multimodal.imagePhash64(Multimodal.genPng(d)))
+    assert(hashes.exists(h => (h >>> 48) != 0L))
+    assert(hashes.distinct.length > 450,
+      "64-bit fingerprints should be nearly collision-free on 500 docs")
+    // the one-pixel retouch plant must land copies on BOTH sides of
+    // the radius-3 boundary (true accepts AND true rejects), and at
+    // least one exactly on it
+    val hams = (0L until 500L).filter(_ % 17 == 4).map { d =>
+      java.lang.Long.bitCount(
+        Multimodal.imagePhash64(Multimodal.genPng(d)) ^
+          Multimodal.imagePhash64(Multimodal.genPngNearDup(d)))
+    }
+    assert(hams.exists(h => h >= 1 && h <= 3), "no copy inside radius 3")
+    assert(hams.exists(_ > 3), "no copy outside radius 3")
+  }
+
+  test("q_phash64_hamming pigeonhole equals the all-pairs Hamming reference") {
+    // independent JVM recompute: hash every image (sources + the
+    // doc_id % 17 == 4 retouched copies) straight from the
+    // generators, group, and brute-force all distinct-hash pairs at
+    // Hamming 1..3 — the block-keyed candidates must lose nothing
+    // (4 × 16-bit blocks cover radius 3 by pigeonhole) and emit
+    // nothing twice
+    val nDocs = Tables(TestSpark.spark, TestSpark.sf, "documents").count()
+    val jvmHashes = (0L until nDocs).flatMap { d =>
+      val src = Multimodal.imagePhash64(Multimodal.genPng(d))
+      if (d % 17 == 4)
+        Seq(src, Multimodal.imagePhash64(Multimodal.genPngNearDup(d)))
+      else Seq(src)
+    }
+    val groups = jvmHashes.groupBy(identity).view
+      .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    val expected = (for {
+      (a, na) <- groups; (b, nb) <- groups if a < b
+      h = java.lang.Long.bitCount(a ^ b) if h >= 1 && h <= 3
+    } yield (a, b, h.toLong, na, nb)).sortBy(t => (t._1, t._2))
+    val actual = Multimodal
+      .queries("q_phash64_hamming")(TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(expected.nonEmpty, "fixture has no radius-3 pairs — vacuous")
+    assert(actual == expected,
+      s"first diff: ${actual.zip(expected).find { case (x, y) => x != y }}")
+  }
 }

@@ -184,6 +184,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("64-bit pHash pairs come from block-keyed joins only — no cartesian") {
+    // the 2^64 fingerprint domain means the distinct-hash frame is
+    // corpus-sized, so unlike the 16-bit aHash this join has no
+    // domain bound to hide behind — the pigeonhole equi-join IS the
+    // scale device and the plan must show a hash join on (blk, bits)
+    val df = graft.operators.Multimodal
+      .queries("q_phash64_hamming")(spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(3000))
+  }
+
   test("semdedup pairs form within clusters only — never a cross product") {
     // Centroid assignment is a map-side literal projection; the only
     // pair source is the self equi-join on centroid_id, whose fan-out
