@@ -659,6 +659,71 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // The COMPOSED IVF-PQ scan (VERDICT r10 item 3) — the production
+    // layout the PQ scaladoc names at Similarity's PQ section: coarse
+    // two-level routing (q_ann_ivf2's quantizer, nlist ~ sqrt(N))
+    // composed with in-list asymmetric-distance code scans (q_ann_pq's
+    // ADC, here at IVFPQ_K = 16 codewords). See [[ivfpqTopk]] for the
+    // full scale story; both halves are the suite's own kernels, so a
+    // bug in either surfaces in three queries at once.
+    "q_ann_ivfpq" -> ((s, d) =>
+      ivfpqTopk(s, d, loadEmbeddings(s, d)).orderBy(col("qid"), col("rk"))),
+
+    // IVF-PQ recall-vs-code-budget CURVE against exact L2 truth — the
+    // index-quality sweep that prices the COMPOSED approximation
+    // (list pruning × code quantization together, where q_ann_recall
+    // priced LSH and q_ivf_tuning priced list pruning alone), swept
+    // over the PQ model constant K ∈ {4, 16}. The two ends make the
+    // evaluator prove itself in BOTH directions: at K = 4 ADC ties
+    // bury the planted ids under low-id collisions (the documented
+    // q_pq_distortion finding, now measured: recall ≈ 0), at K = 16
+    // the code grid separates them (recall ≈ 1) — a non-degenerate
+    // curve whose spread IS the knob's price. Runs on the SAME
+    // planted corpus as q_ann_recall (three near-duplicates per query
+    // at reserved ids); truth is the exact L2 top-3 from a 10-row
+    // broadcast join (the documented offline-evaluation shape); hits
+    // must survive BOTH the probe prefilter and the ADC ranking.
+    // The two code budgets rerun assignment+encode (two corpus
+    // passes — a sweep cost, like q_ann_recall's shared-frame widths
+    // but without prefix nesting: codes at K=4 are NOT a prefix of
+    // codes at K=16). Macro window: 10-row per-K frame (grid-sized).
+    "q_ann_ivfpq_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = plantedCorpus(s, d)
+      val approxTop = Seq(4, 16).map { ck =>
+        ivfpqTopk(s, d, corpus, ck)
+          .select(lit(ck.toLong).as("a_code_k"),
+            col("qid").as("aqid"), col("nid").as("anid"))
+      }.reduce(_ unionByName _)
+      val q = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"))
+      val cand = corpus.select(col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("nrm").as("nnrm"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+      val exact = cand.join(broadcast(q), col("qid") =!= col("nid"))
+        .withColumn("d2", round(
+          col("qnrm") * col("qnrm") + col("nnrm") * col("nnrm")
+            - dot(col("qv"), col("nv")) * 2.0d, 9))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("nid"),
+          explode(typedlit(Seq(4L, 16L))).as("code_k"))
+      val wK = Window.partitionBy(col("code_k"))
+      exact
+        .join(approxTop,
+          col("code_k") === col("a_code_k") &&
+            col("qid") === col("aqid") && col("nid") === col("anid"),
+          "left_outer")
+        .groupBy(col("code_k"), col("qid"))
+        .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hits"))
+        .withColumn("recall", round(col("n_hits").cast("double") / 3.0, 6))
+        .withColumn("macro_recall",
+          round(sum(col("n_hits")).over(wK).cast("double") /
+            (lit(3.0) * count(lit(1)).over(wK)), 6))
+        .orderBy(col("code_k"), col("qid"))
+    }),
+
     // PQ codebook audit — usage histogram + quantization distortion
     // per codeword, the health check a compressed-index deployment
     // runs before trusting ADC rankings: a DEAD codeword (zero
@@ -1217,13 +1282,98 @@ object Similarity extends graft.QueryPack {
     * PQ_K=4 keeps the oracle-restated codebook small; the per-candidate
     * cost is M lookups regardless of PQ_K, so a fixed PQ_K creates no
     * quadratic term at 100×. */
-  private def pqCodebook(s: SparkSession, d: String): Array[Array[Seq[Double]]] = {
+  private def pqCodebook(s: SparkSession, d: String,
+      nCodes: Int = PQ_K): Array[Array[Seq[Double]]] = {
     val rows = loadEmbeddings(s, d)
-      .filter(col("vec_id").between(10, 9 + PQ_K))
+      .filter(col("vec_id").between(10, 9 + nCodes))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
-    Array.tabulate(PQ_M, PQ_K)((m, k) =>
+    Array.tabulate(PQ_M, nCodes)((m, k) =>
       rows(k)._2.slice(m * PQ_SUB, (m + 1) * PQ_SUB))
+  }
+
+  /** Codewords per subspace for the COMPOSED IVF-PQ scan. PQ_K = 4 is
+    * kept for q_ann_pq / q_pq_distortion (small oracle-restated
+    * codebook); the composed layout runs 16 because at K = 4 ADC ties
+    * bury any fine ranking (the documented q_pq_distortion finding —
+    * a K-4 code identifies only 256 cells over a 64-dim space). In
+    * production this is the fixed model constant 256 (one byte per
+    * code); it does NOT scale with N — list fan-out (sqrtK) does. */
+  private val IVFPQ_K = 16
+
+  /** The composed IVF-PQ scan — the production layout the PQ scaladoc
+    * names: the q_ann_ivf2 two-level coarse quantizer routes every
+    * vector to an inverted list, vectors are PQ-encoded ONCE (M=4
+    * one-byte codes, map-side argmin over the sampled codebook — the
+    * q_ann_pq device at IVFPQ_K codewords), and a query (vec_id < 10)
+    * probes the top-2 lists within its routed group scanning ONLY
+    * CODES: its M×K distance table rides the 10-row broadcast side
+    * and each in-list candidate costs M array lookups + M−1 DECIMAL
+    * adds — never a 64-dim scan, never a full-corpus pass. Raw-vector
+    * PQ (FAISS IVFPQ by_residual=false): residual encoding would tie
+    * the codebook to the coarse assignment and is a recall knob, not
+    * a layout change. Scale shape: assignment + encoding are narrow
+    * map-side projections (model/codebook are bounded driver fetches
+    * shipped as reference objects inside single codegen nodes); the
+    * only join is the probe-list equi-join with the query side
+    * broadcast; ranking is a per-qid window over in-list candidates.
+    * At 100 TB: codes are 64× less I/O than raw vectors and the probe
+    * join touches ~nprobe/nlist of them. */
+  private def ivfpqTopk(s: SparkSession, d: String,
+      corpus: DataFrame, nCodes: Int = IVFPQ_K): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val nIdx = Tables(s, d, "embeddings").count()
+    // totality: the model needs vec_ids 10..10+nCodes as codewords and
+    // at least one centroid — an empty/tiny index has no stored model,
+    // so the scan degrades to an empty frame (EmptyInputSpec), the
+    // q_ann_incremental guard posture
+    if (nIdx < 10L + nCodes)
+      return s.range(0).select(col("id").as("qid"), col("id").as("rk"),
+        col("id").as("nid"), col("id").as("centroid_id"),
+        col("id").cast("double").as("approx_d2"))
+    val k2 = sqrtK(nIdx)
+    val model = graft.plans.VectorExpressions.twoLevelModel(
+      sampledCentroids(s, d, sqrtK(k2.toLong)),
+      sampledCentroids(s, d, k2))
+    val cb = pqCodebook(s, d, nCodes)
+    val assigned = corpus.withColumn("arr",
+      graft.plans.VectorExpressions.twoLevelCentroidCosines(
+        col("embedding"), col("nrm"), model))
+      .withColumn("centroid_id",
+        array_max(col("arr")).getField("negcid") * -1)
+    def sub(m: Int) = slice(col("embedding"), m * PQ_SUB + 1, PQ_SUB)
+    def d2(m: Int, k: Int): Column = {
+      val cw = typedlit(cb(m)(k))
+      (dot(sub(m), sub(m)) + dot(cw, cw)) - dot(sub(m), cw) * 2.0d
+    }
+    val withCodes = (0 until PQ_M).foldLeft(assigned) { (df, m) =>
+      df.withColumn(s"c$m",
+        array_max(array((0 until nCodes).map(k =>
+          struct((d2(m, k) * -1.0d).as("negd"), lit(-k).as("negk"))): _*))
+          .getField("negk") * -1)
+    }
+    val cand = withCodes.select(
+      Seq(col("vec_id").as("nid"), col("centroid_id")) ++
+        (0 until PQ_M).map(m => col(s"c$m")): _*)
+    val probes = withCodes.filter(col("vec_id") < 10)
+      .withColumn("p", explode(slice(reverse(array_sort(col("arr"))), 1, 2)))
+      .select(
+        Seq(col("vec_id").as("qid"), (col("p.negcid") * -1).as("probe_cid")) ++
+          (0 until PQ_M).map(m =>
+            array((0 until nCodes).map(k =>
+              round(d2(m, k), 9).cast(DecimalType(18, 9))): _*)
+              .as(s"dtab$m")): _*)
+    val approx = (0 until PQ_M).map(m =>
+      element_at(col(s"dtab$m"), (col(s"c$m") + 1).cast("int"))).reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx"), col("nid"))
+    cand.join(broadcast(probes),
+        col("centroid_id") === col("probe_cid") && col("qid") =!= col("nid"))
+      .withColumn("approx", approx)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("centroid_id"),
+        col("approx").cast("double").as("approx_d2"))
   }
 
   /** Scale knob for the coarse quantizers: K = ceil(sqrt(N)) lists —
@@ -1729,6 +1879,203 @@ object Similarity extends graft.QueryPack {
          |                            ORDER BY approx, nid) AS BIGINT) AS rk
          |  FROM approx) t
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // the q_ann_ivf2 routing/assignment/probe CTEs composed with the
+    // q_ann_pq code/distance-table CTEs (at IVFPQ_K codewords), the
+    // candidate set restricted to the probed lists
+    "q_ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+         |k AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k2,
+         |             CAST(ceil(sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT) AS k1
+         |      FROM embeddings),
+         |l1 AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |       FROM e, k WHERE vec_id >= 10 AND vec_id < 10 + k1),
+         |l2 AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |       FROM e, k WHERE vec_id >= 10 AND vec_id < 10 + k2),
+         |route AS (
+         |  SELECT cid, l1cid FROM (
+         |    SELECT l2.cid, l1.cid AS l1cid,
+         |      ROW_NUMBER() OVER (PARTITION BY l2.cid ORDER BY
+         |        round(${dotDuck("l2.cv", "l1.cv")} / (l2.cnrm * l1.cnrm), 9)
+         |          DESC, l1.cid) AS rn
+         |    FROM l2 CROSS JOIN l1) t WHERE rn = 1),
+         |g AS (
+         |  SELECT vec_id, embedding, nrm, l1cid FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, l1.cid AS l1cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(${dotDuck("e.embedding", "l1.cv")} / (e.nrm * l1.cnrm), 9)
+         |          DESC, l1.cid) AS rn
+         |    FROM e CROSS JOIN l1) t WHERE rn = 1),
+         |scored AS (
+         |  SELECT g.vec_id, g.embedding, g.nrm, l2.cid,
+         |    round(${dotDuck("g.embedding", "l2.cv")} / (g.nrm * l2.cnrm), 9) AS csim
+         |  FROM g JOIN route r ON r.l1cid = g.l1cid JOIN l2 ON l2.cid = r.cid),
+         |assigned AS (
+         |  SELECT vec_id, cid AS centroid_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid AS probe_cid
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 10) t WHERE rn <= 2),
+         |cw AS (SELECT CAST(vec_id - 10 AS INTEGER) AS k, embedding
+         |       FROM embeddings WHERE vec_id BETWEEN 10 AND ${9 + IVFPQ_K}),
+         |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
+         |d2 AS (
+         |  SELECT e.vec_id, ms.m, cw.k,
+         |    (list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       CAST(e.embedding[ms.m*$PQ_SUB+i] AS DOUBLE) *
+         |       CAST(e.embedding[ms.m*$PQ_SUB+i] AS DOUBLE)))
+         |     + list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       CAST(cw.embedding[ms.m*$PQ_SUB+i] AS DOUBLE) *
+         |       CAST(cw.embedding[ms.m*$PQ_SUB+i] AS DOUBLE)))
+         |     - list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       CAST(e.embedding[ms.m*$PQ_SUB+i] AS DOUBLE) *
+         |       CAST(cw.embedding[ms.m*$PQ_SUB+i] AS DOUBLE))) * 2) AS d
+         |  FROM e, ms, cw),
+         |codes AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT vec_id, m, k, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |                                            ORDER BY d, k) AS rn
+         |    FROM d2) t WHERE rn = 1),
+         |qtab AS (
+         |  SELECT vec_id AS qid, m, k, CAST(round(d, 9) AS DECIMAL(18,9)) AS dd
+         |  FROM d2 WHERE vec_id < 10),
+         |candlist AS (
+         |  SELECT p.qid, a.vec_id AS nid, a.centroid_id
+         |  FROM assigned a JOIN probes p
+         |    ON a.centroid_id = p.probe_cid AND p.qid <> a.vec_id),
+         |approx AS (
+         |  SELECT cl.qid, cl.nid, cl.centroid_id, SUM(q.dd) AS approx
+         |  FROM candlist cl
+         |    JOIN codes c ON c.vec_id = cl.nid
+         |    JOIN qtab q ON q.qid = cl.qid AND q.m = c.m AND q.k = c.code
+         |  GROUP BY cl.qid, cl.nid, cl.centroid_id)
+         |SELECT qid, rk, nid, centroid_id,
+         |  CAST(approx AS DOUBLE) AS approx_d2 FROM (
+         |  SELECT qid, nid, centroid_id, approx,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY approx, nid) AS BIGINT) AS rk
+         |  FROM approx) t
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // the same composed pipeline on the q_ann_recall planted corpus,
+    // scored against the exact L2 top-3
+    "q_ann_ivfpq_recall" ->
+      s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+         |            FROM embeddings WHERE vec_id < 10),
+         |planted AS (
+         |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+         |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+         |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+         |aug AS (
+         |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+         |      CAST(embedding[i] AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM planted),
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
+         |k AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k2,
+         |             CAST(ceil(sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT) AS k1
+         |      FROM embeddings),
+         |l1 AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |       FROM e, k WHERE vec_id >= 10 AND vec_id < 10 + k1),
+         |l2 AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |       FROM e, k WHERE vec_id >= 10 AND vec_id < 10 + k2),
+         |route AS (
+         |  SELECT cid, l1cid FROM (
+         |    SELECT l2.cid, l1.cid AS l1cid,
+         |      ROW_NUMBER() OVER (PARTITION BY l2.cid ORDER BY
+         |        round(${dotDuck("l2.cv", "l1.cv")} / (l2.cnrm * l1.cnrm), 9)
+         |          DESC, l1.cid) AS rn
+         |    FROM l2 CROSS JOIN l1) t WHERE rn = 1),
+         |g AS (
+         |  SELECT vec_id, embedding, nrm, l1cid FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, l1.cid AS l1cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(${dotDuck("e.embedding", "l1.cv")} / (e.nrm * l1.cnrm), 9)
+         |          DESC, l1.cid) AS rn
+         |    FROM e CROSS JOIN l1) t WHERE rn = 1),
+         |scored AS (
+         |  SELECT g.vec_id, g.embedding, g.nrm, l2.cid,
+         |    round(${dotDuck("g.embedding", "l2.cv")} / (g.nrm * l2.cnrm), 9) AS csim
+         |  FROM g JOIN route r ON r.l1cid = g.l1cid JOIN l2 ON l2.cid = r.cid),
+         |assigned AS (
+         |  SELECT vec_id, cid AS centroid_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid AS probe_cid
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 10) t WHERE rn <= 2),
+         |cw AS (SELECT CAST(vec_id - 10 AS INTEGER) AS k, embedding
+         |       FROM embeddings WHERE vec_id BETWEEN 10 AND ${9 + IVFPQ_K}),
+         |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
+         |d2 AS (
+         |  SELECT e.vec_id, ms.m, cw.k,
+         |    (list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       CAST(e.embedding[ms.m*$PQ_SUB+i] AS DOUBLE) *
+         |       CAST(e.embedding[ms.m*$PQ_SUB+i] AS DOUBLE)))
+         |     + list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       CAST(cw.embedding[ms.m*$PQ_SUB+i] AS DOUBLE) *
+         |       CAST(cw.embedding[ms.m*$PQ_SUB+i] AS DOUBLE)))
+         |     - list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       CAST(e.embedding[ms.m*$PQ_SUB+i] AS DOUBLE) *
+         |       CAST(cw.embedding[ms.m*$PQ_SUB+i] AS DOUBLE))) * 2) AS d
+         |  FROM e, ms, cw),
+         |ks AS (SELECT * FROM (VALUES (4), (16)) t(code_k)),
+         |codes AS (
+         |  SELECT code_k, vec_id, m, k AS code FROM (
+         |    SELECT ks.code_k, d2.vec_id, d2.m, d2.k,
+         |      ROW_NUMBER() OVER (PARTITION BY ks.code_k, d2.vec_id, d2.m
+         |                         ORDER BY d2.d, d2.k) AS rn
+         |    FROM d2, ks WHERE d2.k < ks.code_k) t WHERE rn = 1),
+         |qtab AS (
+         |  SELECT vec_id AS qid, m, k, CAST(round(d, 9) AS DECIMAL(18,9)) AS dd
+         |  FROM d2 WHERE vec_id < 10),
+         |candlist AS (
+         |  SELECT p.qid, a.vec_id AS nid
+         |  FROM assigned a JOIN probes p
+         |    ON a.centroid_id = p.probe_cid AND p.qid <> a.vec_id),
+         |approx AS (
+         |  SELECT a_code_k, aqid, anid FROM (
+         |    SELECT t.code_k AS a_code_k, t.qid AS aqid, t.nid AS anid,
+         |      ROW_NUMBER() OVER (PARTITION BY t.code_k, t.qid
+         |                         ORDER BY t.approx, t.nid) AS rk
+         |    FROM (
+         |      SELECT c.code_k, cl.qid, cl.nid, SUM(q.dd) AS approx
+         |      FROM candlist cl
+         |        JOIN codes c ON c.vec_id = cl.nid
+         |        JOIN qtab q ON q.qid = cl.qid AND q.m = c.m AND q.k = c.code
+         |      GROUP BY c.code_k, cl.qid, cl.nid) t) u WHERE rk <= 3),
+         |exact AS (
+         |  SELECT ks.code_k, t.qid, t.nid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(q.nrm * q.nrm + c.nrm * c.nrm -
+         |          ${dotDuck("q.embedding", "c.embedding")} * 2, 9), c.vec_id)
+         |        AS rk
+         |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t, ks
+         |  WHERE rk <= 3),
+         |per_q AS (
+         |  SELECT exact.code_k, qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(anid) AS BIGINT) AS n_hits
+         |  FROM exact LEFT JOIN approx
+         |    ON exact.code_k = approx.a_code_k
+         |      AND exact.qid = approx.aqid AND exact.nid = approx.anid
+         |  GROUP BY exact.code_k, qid)
+         |SELECT CAST(code_k AS BIGINT) AS code_k, qid, n_exact, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / 3.0, 6) AS recall,
+         |  round(CAST(SUM(n_hits) OVER (PARTITION BY code_k) AS DOUBLE) /
+         |    (3.0 * COUNT(*) OVER (PARTITION BY code_k)), 6) AS macro_recall
+         |FROM per_q ORDER BY code_k, qid""".stripMargin,
 
     // same codebook/d² CTEs as q_ann_pq, argmin row kept WITH its d,
     // grid zero-fill via the range cross join

@@ -180,6 +180,70 @@ class CentroidPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_ivfpq: composed-scan cost bound — no cartesian, broadcast probe join, neighbors only from probed lists, ADC recomputed") {
+    import graft.Tables
+    val df = graft.operators.Similarity
+      .queries("q_ann_ivfpq")(spark, TestSpark.sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe join lost its broadcast (query side must broadcast): " +
+        plan.take(3000))
+    assert(rows.nonEmpty)
+    // independent plain-Scala recompute of the whole composed
+    // contract: two-level routing, top-2 in-group probes, PQ codes at
+    // IVFPQ_K = 16, and the per-row ADC sum — so a bug in the kernel
+    // and a bug in the oracle's restatement can't cancel
+    val e = Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    def r9(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    def nrm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def dotp(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      r9(dotp(a, b) / (nrm(a) * nrm(b))).doubleValue()
+    val k2 = math.ceil(math.sqrt(e.size.toDouble)).toInt
+    val k1 = math.ceil(math.sqrt(k2.toDouble)).toInt
+    val c2 = (10L until 10L + k2).map(id => id -> e(id))
+    val c1 = (10L until 10L + k1).map(id => id -> e(id))
+    def head(v: Seq[Double]) =
+      c1.maxBy { case (cid, cv) => (cos(v, cv), -cid) }._1
+    val route = c2.map { case (cid, cv) => cid -> head(cv) }.toMap
+    def groupLists(v: Seq[Double]) = {
+      val g = head(v); c2.filter { case (cid, _) => route(cid) == g }
+    }
+    def assign(v: Seq[Double]) =
+      groupLists(v).maxBy { case (cid, cv) => (cos(v, cv), -cid) }._1
+    def probes(v: Seq[Double]) = groupLists(v)
+      .sortBy { case (cid, cv) => (-cos(v, cv), cid) }.take(2).map(_._1)
+    // PQ codebook at the composed scan's 16 codewords
+    val M = 4; val K = 16; val SUB = 16
+    val cb = Array.tabulate(M, K)((m, k) =>
+      e(10L + k).slice(m * SUB, (m + 1) * SUB))
+    def d2(v: Seq[Double], m: Int, k: Int) = {
+      val s = v.slice(m * SUB, (m + 1) * SUB); val cw = cb(m)(k)
+      (dotp(s, s) + dotp(cw, cw)) - dotp(s, cw) * 2.0d
+    }
+    def codes(v: Seq[Double]) = (0 until M).map(m =>
+      (0 until K).minBy(k => (d2(v, m, k), k)))
+    def adc(q: Seq[Double], v: Seq[Double]) =
+      codes(v).zipWithIndex.map { case (c, m) => r9(d2(q, m, c)) }
+        .reduce(_ add _).doubleValue()
+    rows.foreach { r =>
+      val (qid, nid, cid, approx) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(cid == assign(e(nid)), s"wrong list for neighbor $nid")
+      assert(probes(e(qid)).contains(cid),
+        s"neighbor $nid from unprobed list $cid for query $qid")
+      assert(approx == adc(e(qid), e(nid)),
+        s"ADC mismatch for ($qid, $nid)")
+    }
+  }
+
   test("q_pq_distortion equals a plain-Scala recompute of the PQ assignment surface") {
     import graft.Tables
     // independent recompute with the house constants (M=4, K=4,

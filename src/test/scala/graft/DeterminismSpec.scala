@@ -238,6 +238,10 @@ class DeterminismSpec extends AnyFunSuite {
     // fingerprint frame + pure bit arithmetic; a layout term means a
     // pigeonhole candidate was emitted twice
     "q_phash64_hamming",
+    // r11: composed IVF-PQ — reference-object model/codebook, round-9
+    // cosines with lowest-cid ties, DECIMAL ADC sums, total-order
+    // ranks; the recall curve adds only exact L2 round-9 + counts
+    "q_ann_ivfpq", "q_ann_ivfpq_recall",
     // novelty audit: md5 split + distinct gram sets + exact counts —
     // a layout term means a distinct leaked partition-local rows
     "q_ngram_coverage",

@@ -92,6 +92,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // empty index: no verdicts, not a crash (the ANN twin
     // short-circuits on a zero-centroid stored model)
     "q_dedup_incremental", "q_ann_incremental",
+    // composed IVF-PQ over an empty index: no stored model (the
+    // 10+nCodes floor), scan and recall curve both degrade to empty
+    "q_ann_ivfpq", "q_ann_ivfpq_recall",
     // kill-and-resume over empty sketch state: three empty files are
     // still three micro-batches, the planted death and the recovery
     // both still run, and the recovered gate frame is empty
