@@ -193,15 +193,18 @@ object Dedup extends graft.QueryPack {
   /** Distinct (split, trigram) cells under the q_split_hash md5 rule —
     * the shared kernel of the batch q_ngram_coverage and the
     * q_stream_ngram_novelty fold (one definition, two paths). */
-  private[operators] def gramSplits(docs: DataFrame): DataFrame = {
+  /** The q_split_hash md5 bucket rule as a column — ONE definition for
+    * gramSplits and the theta-novelty drain's doc-count conservation. */
+  private[operators] def splitCol: Column = {
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
       16, 10).cast("long")
-    docs.select(
-        when(bucket < 58982, "train").when(bucket < 62259, "val")
-          .otherwise("test").as("split"),
-        explode(shingles(col("text"))).as("g"))
-      .distinct()
+    when(bucket < 58982, "train").when(bucket < 62259, "val")
+      .otherwise("test")
   }
+
+  private[operators] def gramSplits(docs: DataFrame): DataFrame =
+    docs.select(splitCol.as("split"), explode(shingles(col("text"))).as("g"))
+      .distinct()
 
   /** The novelty report off the distinct (split, g) frame — shared
     * tail of both novelty paths. */

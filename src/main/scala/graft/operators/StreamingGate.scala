@@ -376,6 +376,40 @@ object StreamingGate extends graft.QueryPack {
     swapState(merged, state)
   }
 
+  /** The q_stream_novelty_theta state fold — [[foldGramSet]]'s BOUNDED
+    * twin: instead of the exact distinct-gram set (the one drain state
+    * that grows with data), each batch's per-split gram THETA sketch
+    * unions into one persistent (split, sk, n_docs) row per split —
+    * O(2^lgK) bytes per split forever. Theta retains the k smallest
+    * gram hashes, a pure function of the accumulated gram SET, so the
+    * fold is batching-invariant in ESTIMATES too (not just bounds);
+    * cross-batch re-arrivals of a gram are absorbed by the sketch's
+    * distinct semantics. n_docs sums per split — the row-conservation
+    * probe (foldHll's `n` discipline). NULL-sketch FILTER keeps
+    * doc-only splits (all texts too short for a trigram) merging. */
+  def foldGramTheta(state: String, lgK: Int)(
+      batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
+    val bsk = Dedup.gramSplits(batch)
+      .groupBy(col("split"))
+      .agg(expr(s"theta_sketch_agg(g, $lgK)").as("sk"))
+    val dc = batch.select(Dedup.splitCol.as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+    val bstate = dc.join(bsk, Seq("split"), "left_outer")
+      .select(col("split"), col("sk"), col("n_docs"))
+    val merged =
+      if (new java.io.File(state).exists()) {
+        val prior = batch.sparkSession.read.parquet(state)
+        prior.unionByName(bstate)
+          .groupBy(col("split"))
+          .agg(
+            expr(s"theta_union_agg(sk, $lgK) FILTER (WHERE sk IS NOT NULL)")
+              .as("sk"),
+            sum(col("n_docs")).as("n_docs"))
+      } else bstate
+    swapState(merged, state)
+  }
+
   /** The q_stream_dim_audit state fold: merge a micro-batch's per-dim
     * (n, Σs, Σs²) moments into the persistent 64-row grid by addition
     * — the moments are a sum monoid (Similarity.dimMoments), so the
@@ -970,6 +1004,77 @@ object StreamingGate extends graft.QueryPack {
       Dedup.noveltyReport(grams)
     }),
 
+    // BOUNDED-state streaming novelty — the TWENTY-THIRD oracle-gated
+    // drain and q_stream_ngram_novelty's deployable twin (VERDICT r10
+    // item 4): the exact drain's distinct-gram set is the ONE drain
+    // state that grows with data (corpus-vocabulary-sized at 100 TB);
+    // here each batch folds per-split gram THETA sketches
+    // ([[foldGramTheta]]) — O(2^lgK) per split forever — and novelty
+    // comes from sketch SET ALGEBRA at report time:
+    // est_novel(split) = estimate(theta_difference(split_sk,
+    // train_sk)), the A-not-B the HLL family cannot express (the
+    // q_sketch_theta rationale, now as persistent stream state). The
+    // accuracy CONTRACT is the q_stream_hll pattern: folded doc
+    // counts must equal the exact per-split counts (row conservation
+    // across batches/swaps — counts_match), and both estimates must
+    // land within 4·rse(k=2^lgK) of the exact batch-kernel values
+    // (difference scaled by the exact |eval ∪ train| per the
+    // published error model) — deterministic booleans: theta retains
+    // the k smallest hashes, a pure function of the gram set, so the
+    // estimate cannot move between runs or batchings. Precondition
+    // shared with the exact twin: a corpus with a train split (the
+    // difference needs its B side; EmptyInputSpec covers the
+    // no-corpus case — empty state → empty report).
+    "q_stream_novelty_theta" -> ((s, d) => {
+      val LG_K = 12
+      val root = freshDir("q_stream_novelty_theta")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val state = root + "/ts"
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val t0 = System.currentTimeMillis() - 60000
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 0), "f1", t0)
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 1), "f2", t0 + 2000)
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 2), "f3", t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      drain(s, stream, "append")(foldGramTheta(state, LG_K))
+      recoverState(state)
+      import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+      val st = readStateOr(s, state, Seq(
+        ("split", "split", StringType), ("sk", "sk", BinaryType),
+        ("n_docs", "n_docs", LongType)))
+      val train = st.filter(col("split") === "train")
+        .select(col("sk").as("tsk"))
+      val est = st.filter(col("split") =!= "train")
+        .crossJoin(broadcast(train))
+        .select(col("split"), col("n_docs"),
+          expr("theta_sketch_estimate(sk)").as("est_ngrams"),
+          expr("theta_sketch_estimate(theta_difference(sk, tsk))")
+            .as("est_novel"))
+      val grams = Dedup.gramSplits(docs)
+      val exact = Dedup.noveltyReport(grams)
+        .select(col("split"), col("n_ngrams"), col("n_seen"))
+      val nTrain = grams.filter(col("split") === "train")
+        .agg(count(lit(1)).as("n_train"))
+      val docsExact = docs.select(Dedup.splitCol.as("split"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs_exact"))
+      val band = lit(4 * 1.04 / math.sqrt((1 << LG_K).toDouble))
+      est.join(exact, Seq("split"))
+        .join(docsExact, Seq("split"))
+        .crossJoin(broadcast(nTrain))
+        .select(col("split"), col("n_ngrams"), col("n_seen"),
+          (col("n_docs") === col("n_docs_exact")).as("counts_match"),
+          (abs(col("est_ngrams") - col("n_ngrams").cast("double")) <=
+            band * col("n_ngrams").cast("double")).as("ngrams_ok"),
+          (abs(col("est_novel") -
+            (col("n_ngrams") - col("n_seen")).cast("double")) <=
+            band * (col("n_ngrams") + col("n_train") - col("n_seen"))
+              .cast("double")).as("novel_ok"))
+        .orderBy(col("split"))
+    }),
+
     // Streaming per-dimension moment maintenance — the TWENTY-FIRST
     // oracle-gated drain: embedding batches arrive as files (vec_id
     // % 3 slices, maxFilesPerTrigger=1 — the sliced-replay device of
@@ -1371,6 +1476,33 @@ object StreamingGate extends graft.QueryPack {
     // the drained gram set re-derives the batch novelty audit — the
     // q_ngram_coverage oracle verbatim
     "q_stream_ngram_novelty" -> Dedup.oracles("q_ngram_coverage"),
+
+    // the q_ngram_coverage counting kernel (exact n_ngrams / n_seen
+    // per eval split) + the contract booleans stated as constants —
+    // the q_stream_hll oracle pattern
+    "q_stream_novelty_theta" ->
+      """WITH sp AS (
+        |  SELECT text,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |              AS INTEGER) < 58982 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |              AS INTEGER) < 62259 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT split,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+        |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))))
+        |      AS g
+        |  FROM sp),
+        |train AS (SELECT g, 1 AS seen FROM grams WHERE split = 'train')
+        |SELECT e.split, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |  CAST(COUNT(train.seen) AS BIGINT) AS n_seen,
+        |  TRUE AS counts_match, TRUE AS ngrams_ok, TRUE AS novel_ok
+        |FROM grams e LEFT JOIN train ON train.g = e.g
+        |WHERE e.split <> 'train'
+        |GROUP BY e.split ORDER BY e.split""".stripMargin,
 
     // the drained per-cell maps re-derive the batch zone aggregate —
     // the zorder-layout zones of q_zonemap_prune restated

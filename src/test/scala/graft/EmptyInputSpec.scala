@@ -106,8 +106,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // no block candidates → no pairs (both hash widths)
     "q_phash_hamming", "q_phash64_hamming",
     // novelty audit of an empty corpus: no grams in any split → no
-    // split rows
-    "q_ngram_coverage",
+    // split rows (exact batch kernel AND the bounded theta drain —
+    // zero batches leave no state, so the report frame is empty)
+    "q_ngram_coverage", "q_stream_novelty_theta",
     // motifs over an empty stream: empty grid → no windows → no rows
     "q_sax_motifs",
     // jackknife of an empty corpus: no groups → no leave-out frame →

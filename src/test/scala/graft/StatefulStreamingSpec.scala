@@ -395,6 +395,69 @@ class StatefulStreamingSpec extends AnyFunSuite {
       Set("train", "val", "test")))
   }
 
+  test("gram-theta fold: batching-invariant, exact in sparse mode, A-not-B novelty matches a plain-Scala recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 60L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} shared tail"))
+    def foldWith(batching: Seq[Seq[(Long, String)]])
+        : Map[String, (Long, Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("gramtheta")
+        .toFile.getAbsolutePath + "/ts"
+      batching.zipWithIndex.foreach { case (b, i) =>
+        graft.operators.StreamingGate.foldGramTheta(dir, 12)(
+          b.toDF("doc_id", "text"), i.toLong)
+      }
+      val st = spark.read.parquet(dir)
+      val train = st.filter(col("split") === "train")
+        .select(col("sk").as("tsk"))
+      st.crossJoin(broadcast(train))
+        .select(col("split"),
+          expr("theta_sketch_estimate(sk)").as("est"),
+          expr("theta_sketch_estimate(theta_difference(sk, tsk))")
+            .as("novel"),
+          col("n_docs")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    val oneShot = foldWith(Seq(docs))
+    val staggered = foldWith(Seq(docs.take(9), Seq.empty,
+      docs.slice(9, 40), docs.drop(40)))
+    assert(oneShot == staggered, "theta fold must be batching-invariant")
+    // independent plain-Scala recompute of the split rule (md5 hex
+    // bucket) and the distinct word trigrams per split — below 2^12
+    // distinct grams the sketch is in exact mode, so estimates must
+    // EQUAL the exact counts, and the A-not-B difference must equal
+    // the exact novel-gram count (not just land in a band)
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      val b = java.lang.Long.parseLong(hex, 16)
+      if (b < 58982) "train" else if (b < 62259) "val" else "test"
+    }
+    def gramsOf(text: String): Set[String] = {
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bySplit = docs.groupBy { case (id, _) => splitOf(id) }
+    val exactSets = bySplit.view
+      .mapValues(_.flatMap { case (_, t) => gramsOf(t) }.toSet).toMap
+    val trainSet = exactSets.getOrElse("train", Set.empty)
+    oneShot.foreach { case (split, (est, novel, nDocs)) =>
+      assert(est == exactSets(split).size.toLong,
+        s"$split: sparse-mode estimate must be exact")
+      assert(novel == (exactSets(split) -- trainSet).size.toLong,
+        s"$split: A-not-B must equal the exact novel count")
+      assert(nDocs == bySplit(split).size.toLong,
+        s"$split: doc-count conservation")
+    }
+    assert(oneShot.keySet == Set("train", "val", "test"))
+    assert(oneShot.exists { case (s, (_, novel, _)) =>
+      s != "train" && novel > 0 }, "plant is vacuous: no novel grams")
+  }
+
   test("dim-moment fold is batching-invariant (sum monoid on the dim grid)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
