@@ -410,6 +410,34 @@ object StreamingGate extends graft.QueryPack {
     swapState(merged, state)
   }
 
+  /** The q_stream_bm25_admission state fold: each arriving document
+    * slice tokenizes through the SAME bm25 kernel
+    * (TextAnalytics.bm25DocsFrom) and its 1-row stats vector
+    * (nd, Σdl, per-term df — EXACT LONGS) adds component-wise into
+    * the persistent index stats — the posting-list-statistics merge a
+    * search index performs at segment commit, run as a streaming
+    * fold. A pure sum monoid over longs: batching-invariant by
+    * construction, O(1 row) state forever. Empty slices coalesce
+    * their NULL sums to 0 (the q_bm25_incremental totality
+    * discipline) so they merge as the additive identity. */
+  def foldBm25Stats(state: String, terms: Seq[String])(
+      batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
+    val raw = TextAnalytics.bm25Stats(
+      TextAnalytics.bm25DocsFrom(batch), terms)
+    val bs = raw.select(
+      col("nd") +: coalesce(col("sdl"), lit(0L)).as("sdl") +:
+        terms.map(t => coalesce(col(s"dfl_$t"), lit(0L)).as(s"dfl_$t")): _*)
+    val merged =
+      if (new java.io.File(state).exists()) {
+        val prior = batch.sparkSession.read.parquet(state)
+        val aggs = sum(col("sdl")).as("sdl") +:
+          terms.map(t => sum(col(s"dfl_$t")).as(s"dfl_$t"))
+        prior.unionByName(bs).agg(sum(col("nd")).as("nd"), aggs: _*)
+      } else bs
+    swapState(merged, state)
+  }
+
   /** The q_stream_dim_audit state fold: merge a micro-batch's per-dim
     * (n, Σs, Σs²) moments into the persistent 64-row grid by addition
     * — the moments are a sum monoid (Similarity.dimMoments), so the
@@ -1004,6 +1032,49 @@ object StreamingGate extends graft.QueryPack {
       Dedup.noveltyReport(grams)
     }),
 
+    // STREAMING INDEX ADMISSION — the TWENTY-FOURTH oracle-gated
+    // drain (VERDICT r10 item 6): the suite's three stored-index
+    // admission modes (q_dedup_incremental / q_ann_incremental /
+    // q_bm25_incremental) are batch queries; this runs the retrieval
+    // one AS A STREAM. Document slices commit as micro-batches and
+    // each batch's exact-long stats vector folds into the persistent
+    // index statistics ([[foldBm25Stats]] — the segment-commit merge
+    // as a sum-monoid fold, 1-row state forever); at drain end the
+    // arriving batch (doc_id % 7 = 3, the shared crawl stand-in) is
+    // scored UNDER THE DRAINED STATS through the same bm25ScoreWith
+    // kernel. Because the stats are mergeable and the corpus is
+    // exactly what arrived, drained stats ≡ whole-corpus stats, so
+    // the gate is the batch q_bm25_incremental oracle VERBATIM — a
+    // structural equality, not a tolerance: one lost or double-merged
+    // slice moves every score's df/avgdl and fails the hash.
+    "q_stream_bm25_admission" -> ((s, d) => {
+      val terms = Seq("dup", "vector", "query")
+      val root = freshDir("q_stream_bm25_admission")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val state = root + "/bs"
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val t0 = System.currentTimeMillis() - 60000
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 0), "f1", t0)
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 1), "f2", t0 + 2000)
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 2), "f3", t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      drain(s, stream, "append")(foldBm25Stats(state, terms))
+      recoverState(state)
+      import org.apache.spark.sql.types.LongType
+      val stats = readStateOr(s, state,
+        ("nd", "nd", LongType) +: ("sdl", "sdl", LongType) +:
+          terms.map(t =>
+            (s"dfl_$t", s"dfl_$t",
+              LongType: org.apache.spark.sql.types.DataType)))
+      TextAnalytics.bm25ScoreWith(
+        TextAnalytics.bm25DocsFrom(docs.filter(col("doc_id") % 7 === 3)),
+        stats, terms)
+        .orderBy(col("doc_id"))
+    }),
+
     // BOUNDED-state streaming novelty — the TWENTY-THIRD oracle-gated
     // drain and q_stream_ngram_novelty's deployable twin (VERDICT r10
     // item 4): the exact drain's distinct-gram set is the ONE drain
@@ -1476,6 +1547,10 @@ object StreamingGate extends graft.QueryPack {
     // the drained gram set re-derives the batch novelty audit — the
     // q_ngram_coverage oracle verbatim
     "q_stream_ngram_novelty" -> Dedup.oracles("q_ngram_coverage"),
+
+    // the batch-admission oracle verbatim: drained mergeable stats ≡
+    // whole-corpus stats, so the gate is structural equality
+    "q_stream_bm25_admission" -> TextAnalytics.oracles("q_bm25_incremental"),
 
     // the q_ngram_coverage counting kernel (exact n_ngrams / n_seen
     // per eval split) + the contract booleans stated as constants —

@@ -112,11 +112,16 @@ object TextAnalytics extends graft.QueryPack {
     * order (the q_lm_score technique), so Spark and DuckDB agree
     * bit-for-bit. */
   /** Tokenized (doc_id, toks, dl) frame the BM25 family scores. */
-  private[operators] def bm25Docs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def bm25Docs(s: SparkSession, d: String): DataFrame =
+    bm25DocsFrom(Tables(s, d, "documents"))
+
+  /** [[bm25Docs]] over an arbitrary (doc_id, text) frame — the form a
+    * micro-batch feeds (q_stream_bm25_admission's fold tokenizes each
+    * arriving slice through the SAME kernel). */
+  private[operators] def bm25DocsFrom(docs: DataFrame): DataFrame = {
     val toksE = tokens(col("text"))
-    Tables(s, d, "documents")
-      .select(col("doc_id"), toksE.as("toks"),
-        size(toksE).cast("long").as("dl"))
+    docs.select(col("doc_id"), toksE.as("toks"),
+      size(toksE).cast("long").as("dl"))
   }
 
   /** The stored-index statistics of a BM25 index over `docs`: one

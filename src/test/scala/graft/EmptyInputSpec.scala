@@ -95,6 +95,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // composed IVF-PQ over an empty index: no stored model (the
     // 10+nCodes floor), scan and recall curve both degrade to empty
     "q_ann_ivfpq", "q_ann_ivfpq_recall",
+    // streaming admission of an empty corpus: zero batches leave no
+    // stats state and there is no arriving batch to score
+    "q_stream_bm25_admission",
     // kill-and-resume over empty sketch state: three empty files are
     // still three micro-batches, the planted death and the recovery
     // both still run, and the recovered gate frame is empty

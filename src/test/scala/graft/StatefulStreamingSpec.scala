@@ -395,6 +395,39 @@ class StatefulStreamingSpec extends AnyFunSuite {
       Set("train", "val", "test")))
   }
 
+  test("bm25-stats fold is batching-invariant and equals a plain-Scala stat recompute") {
+    import spark.implicits._
+    val terms = Seq("alpha", "beta")
+    val docs = (0L until 40L).map { i =>
+      (i, (Seq.fill((i % 4).toInt)("alpha") ++ Seq.fill((i % 3).toInt)("beta")
+        ++ Seq("pad", s"w$i")).mkString(" "))
+    }
+    def foldWith(batching: Seq[Seq[(Long, String)]]): Seq[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("bm25fold")
+        .toFile.getAbsolutePath + "/bs"
+      batching.zipWithIndex.foreach { case (b, i) =>
+        graft.operators.StreamingGate.foldBm25Stats(dir, terms)(
+          b.toDF("doc_id", "text"), i.toLong)
+      }
+      val r = spark.read.parquet(dir).collect()
+      assert(r.length == 1, "stats state must stay one row")
+      (0 until 4).map(r(0).getLong)
+    }
+    val oneShot = foldWith(Seq(docs))
+    val staggered = foldWith(Seq(docs.take(7), Seq.empty,
+      docs.slice(7, 25), docs.drop(25)))
+    assert(oneShot == staggered, "stats fold must be batching-invariant")
+    // independent recompute: whitespace tokens, dl = token count,
+    // df = docs containing the term at least once
+    val toks = docs.map { case (_, t) => t.split(" ").filter(_.nonEmpty) }
+    val expect = Seq(
+      docs.length.toLong,
+      toks.map(_.length.toLong).sum,
+      toks.count(_.contains("alpha")).toLong,
+      toks.count(_.contains("beta")).toLong)
+    assert(oneShot == expect, s"got $oneShot want $expect")
+  }
+
   test("gram-theta fold: batching-invariant, exact in sparse mode, A-not-B novelty matches a plain-Scala recompute") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
