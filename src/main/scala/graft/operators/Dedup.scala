@@ -162,6 +162,14 @@ object Dedup extends graft.QueryPack {
       .select(col("doc_id"),
         graft.functions.SimHashExpression.simhash(col("text")).as("sh"))
       .withColumn("f", expr("cast(conv(sh, 2, 10) as bigint)"))
+    simhashPairsFrom(fp)
+  }
+
+  /** The pigeonhole block join over a prepared (doc_id, f) fingerprint
+    * frame — factored so SkewJoinSpec can drive the REAL join layout
+    * with a planted boilerplate-heavy block key and pin the AQE skew
+    * split the q_simhash_hamming comment asserts. */
+  private[graft] def simhashPairsFrom(fp: DataFrame): DataFrame = {
     val blocked = fp
       .withColumn("blk", explode(sequence(lit(0), lit(3))))
       .withColumn("bits",
@@ -887,7 +895,10 @@ object Dedup extends graft.QueryPack {
     // q_dedup_simhash (fingerprints only) it emits the PAIRS. The 4×
     // block explode is a constant fan-out; a boilerplate-heavy block
     // value concentrates candidates on one join key, which at scale is
-    // an AQE skew split, not a plan change.
+    // an AQE skew split, not a plan change — TESTED, not just
+    // asserted: SkewJoinSpec plants a hot block key on this exact
+    // join layout (simhashPairsFrom) and pins the
+    // SortMergeJoin(skew=true) split.
     "q_simhash_hamming" -> ((s, d) => {
       // the 32-bit fingerprint is base-2-parsed ONCE per document row
       // (conv on the corpus-sized frame); everything downstream of the
