@@ -150,7 +150,7 @@ object Similarity extends graft.QueryPack {
       .orderBy(col("dim"))
 
   /** embeddings with vectors widened to array<double> + precomputed norm. */
-  private def loadEmbeddings(s: SparkSession, d: String): DataFrame =
+  private[operators] def loadEmbeddings(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       .withColumn("nrm", norm(col("embedding")))
@@ -442,61 +442,14 @@ object Similarity extends graft.QueryPack {
     // a probe-list equi-join bounded by shared lists — corpus-sized
     // scans never re-run, and the batch (the small side by
     // construction) is the broadcast side of the probe join.
-    "q_ann_incremental" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = loadEmbeddings(s, d)
-      val newPred = col("vec_id") % 7 === 3
-      val index = e.filter(!newPred)
-      // Stored-model centroids: first K index vectors with
-      // vec_id >= 10 (prefix-nested, so l1 ⊂ l2 like q_ann_ivf2's).
-      // Driver collect of K = ceil(sqrt(|index|)) rows — the bounded
-      // scalar fetch of sampledCentroids, from the index side only.
-      def centsFrom(k: Int): Array[(Long, Seq[Double], Double)] =
-        index.filter(col("vec_id") >= 10)
-          .orderBy(col("vec_id")).limit(k)
-          .select(col("vec_id"), col("embedding"), col("nrm")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
-          .sortBy(_._1)
-      val k2 = sqrtK(index.count())
-      // empty index → no stored model → nothing to admit against
-      // (EmptyInputSpec: an empty frame, not a zero-centroid kernel).
-      // The second guard covers a NONEMPTY index whose rows all sit
-      // below the vec_id >= 10 centroid-eligibility floor: centsFrom
-      // would return zero centroids and the kernel's behavior on a
-      // zero-centroid model is undefined, while the oracle degrades
-      // cleanly to an empty frame — same short-circuit.
-      lazy val leaves = centsFrom(k2)
-      if (k2 == 0 || leaves.isEmpty)
-        s.range(0).select(col("id").as("qid"),
-          col("id").as("insert_cid"), col("id").as("rk"),
-          col("id").as("nid"), col("id").as("centroid_id"),
-          col("id").cast("double").as("sim"))
-      else {
-      val model = graft.plans.VectorExpressions.twoLevelModel(
-        centsFrom(sqrtK(k2.toLong)), leaves)
-      def assign(df: DataFrame): DataFrame = df.withColumn("arr",
-        graft.plans.VectorExpressions.twoLevelCentroidCosines(
-          col("embedding"), col("nrm"), model))
-      val cand = assign(index).select(col("vec_id").as("nid"),
-        col("embedding").as("nv"), col("nrm").as("nnrm"),
-        (array_max(col("arr")).getField("negcid") * -1).as("centroid_id"))
-      val probes = assign(e.filter(newPred))
-        .withColumn("insert_cid",
-          array_max(col("arr")).getField("negcid") * -1)
-        .withColumn("p", explode(slice(reverse(array_sort(col("arr"))), 1, 2)))
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("nrm").as("qnrm"), col("insert_cid"),
-          (col("p.negcid") * -1).as("probe_cid"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-      cand.join(broadcast(probes), col("centroid_id") === col("probe_cid"))
-        .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("insert_cid"), col("rk"), col("nid"),
-          col("centroid_id"), col("sim"))
-        .orderBy(col("qid"), col("rk"))
-      }
-    }),
+    "q_ann_incremental" -> ((s, d) =>
+      annIndexModel(s, d) match {
+        case None => annAdmitEmpty(s)
+        case Some((model, cand)) =>
+          annAdmitWith(model, cand,
+            loadEmbeddings(s, d).filter(col("vec_id") % 7 === 3))
+            .orderBy(col("qid"), col("rk"))
+      }),
 
     // Greedy k-center seed selection (Gonzalez 1985, the classic
     // 2-approximation) — DIVERSITY sampling over the embedding corpus:
@@ -1375,6 +1328,86 @@ object Similarity extends graft.QueryPack {
       .select(col("qid"), col("rk"), col("nid"), col("centroid_id"),
         col("approx").cast("double").as("approx_d2"))
   }
+
+  // ---- stored-index ANN admission (q_ann_incremental + drain) ---------
+
+  /** The STORED index side of incremental ANN admission: the two-level
+    * model sampled from the INDEX corpus only (vec_id % 7 ≠ 3; a model
+    * built before the batch arrived cannot contain batch vectors —
+    * centroids are the first K index vectors with vec_id ≥ 10,
+    * prefix-nested like q_ann_ivf2's, fetched as the bounded
+    * K = ⌈√|index|⌉ driver collect) plus the index frame with its list
+    * assignment — the column a production index STORES and prior runs
+    * maintain (recomputed here only because the sandbox has no
+    * persisted index, the q_dedup_incremental posture). None when the
+    * index is empty or has no centroid-eligible rows: no stored model
+    * → nothing to admit against (EmptyInputSpec — an empty frame, not
+    * a zero-centroid kernel). ONE definition shared by the batch
+    * query and the streaming drain, which prepares this once and
+    * admits every micro-batch against it. */
+  private[operators] def annIndexModel(s: SparkSession, d: String)
+      : Option[(graft.plans.TwoLevelCentroidModel,
+        DataFrame)] = {
+    val e = loadEmbeddings(s, d)
+    val index = e.filter(!(col("vec_id") % 7 === 3))
+    def centsFrom(k: Int): Array[(Long, Seq[Double], Double)] =
+      index.filter(col("vec_id") >= 10)
+        .orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+        .sortBy(_._1)
+    val k2 = sqrtK(index.count())
+    lazy val leaves = centsFrom(k2)
+    if (k2 == 0 || leaves.isEmpty) None
+    else {
+      val model = graft.plans.VectorExpressions.twoLevelModel(
+        centsFrom(sqrtK(k2.toLong)), leaves)
+      val cand = index.withColumn("arr",
+          graft.plans.VectorExpressions.twoLevelCentroidCosines(
+            col("embedding"), col("nrm"), model))
+        .select(col("vec_id").as("nid"),
+          col("embedding").as("nv"), col("nrm").as("nnrm"),
+          (array_max(col("arr")).getField("negcid") * -1).as("centroid_id"))
+      Some((model, cand))
+    }
+  }
+
+  /** Admit a batch of (vec_id, embedding, nrm) rows against the stored
+    * model: route each to its head group, probe the top-2 lists within
+    * the group (the q_ann_ivf2 probe path), rank the index members of
+    * those lists by round-9 cosine, report top-3 neighbors plus
+    * insert_cid — the list the vector is admitted into. Per-batch
+    * work: batch assignment (one codegen node) + a probe-list
+    * equi-join bounded by shared lists, with the batch (the small side
+    * by construction) broadcast. UNORDERED — callers order or append. */
+  private[operators] def annAdmitWith(
+      model: graft.plans.TwoLevelCentroidModel,
+      cand: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = batch.withColumn("arr",
+        graft.plans.VectorExpressions.twoLevelCentroidCosines(
+          col("embedding"), col("nrm"), model))
+      .withColumn("insert_cid",
+        array_max(col("arr")).getField("negcid") * -1)
+      .withColumn("p", explode(slice(reverse(array_sort(col("arr"))), 1, 2)))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("insert_cid"),
+        (col("p.negcid") * -1).as("probe_cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    cand.join(broadcast(probes), col("centroid_id") === col("probe_cid"))
+      .withColumn("sim",
+        round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("insert_cid"), col("rk"), col("nid"),
+        col("centroid_id"), col("sim"))
+  }
+
+  private[operators] def annAdmitEmpty(s: SparkSession): DataFrame =
+    s.range(0).select(col("id").as("qid"),
+      col("id").as("insert_cid"), col("id").as("rk"),
+      col("id").as("nid"), col("id").as("centroid_id"),
+      col("id").cast("double").as("sim"))
 
   /** Scale knob for the coarse quantizers: K = ceil(sqrt(N)) lists —
     * the standard IVF parameterization (nlist ~ sqrt(N), the published

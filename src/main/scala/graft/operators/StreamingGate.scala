@@ -1075,6 +1075,54 @@ object StreamingGate extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING VECTOR ADMISSION — the TWENTY-FIFTH oracle-gated
+    // drain, completing the stored-index admission trio AS STREAMS
+    // (q_stream_bm25_admission = the stats-fold member; this is the
+    // static-model member): the two-level IVF model and the index's
+    // list assignments are prepared ONCE before the drain
+    // (Similarity.annIndexModel — the stored column prior runs
+    // maintain, localCheckpointed so micro-batches reuse it instead
+    // of re-deriving the index side), then each arriving vector slice
+    // is admitted through the SAME annAdmitWith kernel as the batch
+    // query and lands in a batchId-keyed OVERWRITE sink — the
+    // exactly-once foreachBatch pattern of q_stream_restart, so a
+    // replayed batch rewrites its own output instead of duplicating
+    // rows. Per-vector admission depends only on the vector and the
+    // static index, so the union over batches ≡ the batch query over
+    // all new vectors: the gate is the q_ann_incremental oracle
+    // VERBATIM. Per-batch work is batch-sized (assignment is one
+    // codegen node; the probe join broadcasts the batch).
+    "q_stream_ann_admission" -> ((s, d) => {
+      val root = freshDir("q_stream_ann_admission")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val out = root + "/out"
+      val newVecs = Similarity.loadEmbeddings(s, d)
+        .filter(col("vec_id") % 7 === 3)
+      Similarity.annIndexModel(s, d) match {
+        case None => Similarity.annAdmitEmpty(s)
+        case Some((model, candRaw)) =>
+          val cand = candRaw.localCheckpoint()
+          val t0 = System.currentTimeMillis() - 60000
+          stageFile(root, src,
+            newVecs.filter(col("vec_id") % 3 === 0), "f1", t0)
+          stageFile(root, src,
+            newVecs.filter(col("vec_id") % 3 === 1), "f2", t0 + 2000)
+          stageFile(root, src,
+            newVecs.filter(col("vec_id") % 3 === 2), "f3", t0 + 4000)
+          val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+          val stream = s.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+          drain(s, stream, "append") { (batch, id) =>
+            Similarity.annAdmitWith(model, cand, batch)
+              .write.mode("overwrite").parquet(s"$out/b$id")
+            ()
+          }
+          s.read.parquet(out + "/b*")
+            .orderBy(col("qid"), col("rk"))
+      }
+    }),
+
     // BOUNDED-state streaming novelty — the TWENTY-THIRD oracle-gated
     // drain and q_stream_ngram_novelty's deployable twin (VERDICT r10
     // item 4): the exact drain's distinct-gram set is the ONE drain
@@ -1551,6 +1599,10 @@ object StreamingGate extends graft.QueryPack {
     // the batch-admission oracle verbatim: drained mergeable stats ≡
     // whole-corpus stats, so the gate is structural equality
     "q_stream_bm25_admission" -> TextAnalytics.oracles("q_bm25_incremental"),
+
+    // per-vector admission depends only on the vector + the static
+    // stored index, so batches union to the batch query exactly
+    "q_stream_ann_admission" -> Similarity.oracles("q_ann_incremental"),
 
     // the q_ngram_coverage counting kernel (exact n_ngrams / n_seen
     // per eval split) + the contract booleans stated as constants —

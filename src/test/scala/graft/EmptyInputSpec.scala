@@ -96,8 +96,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // 10+nCodes floor), scan and recall curve both degrade to empty
     "q_ann_ivfpq", "q_ann_ivfpq_recall",
     // streaming admission of an empty corpus: zero batches leave no
-    // stats state and there is no arriving batch to score
-    "q_stream_bm25_admission",
+    // stats state and there is no arriving batch to score; the vector
+    // twin short-circuits on the missing stored model before staging
+    "q_stream_bm25_admission", "q_stream_ann_admission",
     // kill-and-resume over empty sketch state: three empty files are
     // still three micro-batches, the planted death and the recovery
     // both still run, and the recovered gate frame is empty
