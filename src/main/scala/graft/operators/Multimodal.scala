@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -569,7 +569,91 @@ object Multimodal extends graft.QueryPack {
           .filter(col("phash") =!= -1L)
           .groupBy(col("phash"))
           .agg(count(lit(1)).as("n_images")))
-        .orderBy(col("ph_a"), col("ph_b")))
+        .orderBy(col("ph_a"), col("ph_b"))),
+
+    // CROSS-MODAL dedup attribution — the composed multimodal
+    // flagship: image near-dup CANDIDATES (the 64-bit pHash space —
+    // exact-collision pairs within a hash group ∪ radius-3 pairs from
+    // the pigeonhole join, both reusing the q_phash64_hamming
+    // kernels) are verified against the TEXT modality with exact
+    // per-pair trigram Jaccard, and each pair gets the verdict a
+    // multimodal curator acts on: `dup_both` (same image AND same
+    // prose — a true duplicate document, drop one) vs `image_only`
+    // (same image under different prose — a reused stock asset, keep
+    // both texts, dedup the media store). The retouched-copy plant
+    // populates dup_both (a copy shares its source's text verbatim →
+    // Jaccard 1.0) and background hash collisions populate image_only
+    // (unrelated prose → Jaccard ≈ 0), so BOTH verdicts fire. Scale
+    // shape: text work is proportional to the CANDIDATE PAIR list
+    // (image-bounded), never doc² — the gram joins fan out only over
+    // the paired docs' shingle sets; jaccard reports in micro-units
+    // (scale-0 fixed point, the r10 data-dependent-denominator house
+    // rule). Copies map to their source text via the id − 1,000,000
+    // fixture rule before the gram join.
+    "q_crossmodal_dedup" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val phAll = phash64Corpus(s, docs).filter(col("phash") =!= -1L)
+      // Group-size cap (the q_winnow_overlap df <= 20 device, same
+      // named reason): a hash shared by dozens of images is a
+      // DEGENERATE asset class (the fixture grows groups of 100+ at
+      // sf0.1) that carries no pairing signal and fans out
+      // quadratically in doc pairs — those groups are already fully
+      // described by the q_image_phash grouping report; pair-level
+      // attribution only runs where pairs are informative.
+      val grouped = phAll.groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_images"))
+        .filter(col("n_images") <= 20L)
+      val ph = phAll.join(grouped.select(col("phash")), Seq("phash"),
+        "left_semi")
+      val same = ph.select(col("phash"), col("doc_id").as("id_a"))
+        .join(ph.select(col("phash"), col("doc_id").as("id_b")),
+          Seq("phash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+      val cross = phash64Pairs(grouped)
+        .select(col("ph_a"), col("ph_b"), col("hamming"))
+        .join(ph.select(col("phash").as("ph_a"), col("doc_id").as("ida")),
+          Seq("ph_a"))
+        .join(ph.select(col("phash").as("ph_b"), col("doc_id").as("idb")),
+          Seq("ph_b"))
+        .select(least(col("ida"), col("idb")).as("id_a"),
+          greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+      def src(c: Column) =
+        when(c >= 1000000L, c - 1000000L).otherwise(c)
+      val cand = same.unionByName(cross)
+        .withColumn("src_a", src(col("id_a")))
+        .withColumn("src_b", src(col("id_b")))
+      val grams = docs.select(col("doc_id"),
+        explode(Dedup.shingleUdf(col("text"))).as("g"))
+      val sizes = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val inter = cand
+        .join(grams.select(col("doc_id").as("src_a"), col("g")),
+          Seq("src_a"))
+        .join(grams.select(col("doc_id").as("src_b"), col("g")),
+          Seq("src_b", "g"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val union = col("n_grams_a") + col("n_grams_b") - col("n_common")
+      cand
+        .join(sizes.select(col("doc_id").as("src_a"),
+          col("n_grams").as("n_grams_a")), Seq("src_a"), "left_outer")
+        .join(sizes.select(col("doc_id").as("src_b"),
+          col("n_grams").as("n_grams_b")), Seq("src_b"), "left_outer")
+        .join(inter, Seq("id_a", "id_b"), "left_outer")
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          coalesce(col("n_grams_a"), lit(0L)).as("n_grams_a"),
+          coalesce(col("n_grams_b"), lit(0L)).as("n_grams_b"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .withColumn("jaccard_e6",
+          when(union === 0L, lit(0L)).otherwise(
+            round(lit(1000000.0d) * col("n_common") / union.cast("double"))
+              .cast("long")))
+        .withColumn("verdict",
+          when(col("jaccard_e6") >= 500000L, "dup_both")
+            .otherwise("image_only"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
   )
 
   /** The radius-3 pigeonhole pair join over a GROUPED 64-bit
@@ -634,6 +718,65 @@ object Multimodal extends graft.QueryPack {
       |    sum((doc_id * 17 + x * 3 + y * 5) % 256) AS sg,
       |    sum((doc_id * 23 + x * 11 + y * 2) % 256) AS sb
       |  FROM px GROUP BY doc_id, w, h)""".stripMargin
+
+  /** Shared oracle prefix: the bit-exact per-image 64-bit DCT pHash
+    * replay (scaled cosine table → pixel grid incl. the retouched
+    * copies → separable integer passes → HUGEINT-folded signed hash),
+    * ending at ph(doc_id, phash) — ONE definition for the
+    * q_phash64_hamming and q_crossmodal_dedup oracles. */
+  private val phash64SqlDuck: String =
+    """ct AS (
+        |  SELECT n, k, x,
+        |    CAST(FLOOR(COS(PI()*(2*x+1)*k/(2*n))*100000 + 0.5) AS BIGINT)
+        |      AS v
+        |  FROM range(8, 17) tn(n), range(0, 8) tk(k), range(0, 16) tx(x)
+        |  WHERE x < n),
+        |d AS (
+        |  SELECT doc_id, doc_id AS src, 8 + doc_id % 9 AS w,
+        |    8 + doc_id % 7 AS h, FALSE AS cp
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 8 + doc_id % 9,
+        |    8 + doc_id % 7, TRUE
+        |  FROM documents WHERE doc_id % 17 = 4),
+        |xs AS (SELECT doc_id, src, w, h, cp, unnest(range(0, w)) AS x
+        |  FROM d),
+        |px AS (SELECT doc_id, src, w, h, cp, x, unnest(range(0, h)) AS y
+        |  FROM xs),
+        |g AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    CASE WHEN cp AND x = 0 AND y = 0 THEN 0 ELSE
+        |      (src * 31 + x * 7 + y * 13) % 256 +
+        |      (src * 17 + x * 3 + y * 5) % 256 +
+        |      (src * 23 + x * 11 + y * 2) % 256 END AS gray3
+        |  FROM px),
+        |rt AS (
+        |  SELECT g.doc_id, g.h, ct.k, g.y,
+        |    CAST(SUM(g.gray3 * ct.v) AS BIGINT) AS r
+        |  FROM g JOIN ct ON ct.n = g.w AND ct.x = g.x
+        |  GROUP BY g.doc_id, g.h, ct.k, g.y),
+        |co AS (
+        |  SELECT rt.doc_id, rt.k, ct.k AS l,
+        |    CAST(SUM(rt.r * ct.v) AS BIGINT) AS c
+        |  FROM rt JOIN ct ON ct.n = rt.h AND ct.x = rt.y
+        |  GROUP BY rt.doc_id, rt.k, ct.k),
+        |tot AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN k = 0 AND l = 0 THEN 0 ELSE c END)
+        |      AS BIGINT) AS s
+        |  FROM co GROUP BY doc_id),
+        |hs AS (
+        |  SELECT co.doc_id,
+        |    SUM(CASE WHEN (co.k <> 0 OR co.l <> 0) AND 63 * co.c > tot.s
+        |      THEN (1::HUGEINT << CAST(co.k * 8 + co.l AS INTEGER))
+        |      ELSE 0::HUGEINT END) AS hraw
+        |  FROM co JOIN tot USING (doc_id) GROUP BY co.doc_id),
+        |ph AS (
+        |  SELECT doc_id, CAST(CASE WHEN hraw >= (1::HUGEINT << 63)
+        |    THEN hraw - (1::HUGEINT << 64) ELSE hraw END AS BIGINT)
+        |    AS phash
+        |  FROM hs)"""
+      .stripMargin
 
   def oracles: Map[String, String] = Map(
     // same 4×4 block-average grid over the closed-form pixels, same
@@ -757,57 +900,7 @@ object Multimodal extends graft.QueryPack {
     // Hamming filter — the Spark side must reproduce it from
     // block-keyed pigeonhole candidates only.
     "q_phash64_hamming" ->
-      """WITH ct AS (
-        |  SELECT n, k, x,
-        |    CAST(FLOOR(COS(PI()*(2*x+1)*k/(2*n))*100000 + 0.5) AS BIGINT)
-        |      AS v
-        |  FROM range(8, 17) tn(n), range(0, 8) tk(k), range(0, 16) tx(x)
-        |  WHERE x < n),
-        |d AS (
-        |  SELECT doc_id, doc_id AS src, 8 + doc_id % 9 AS w,
-        |    8 + doc_id % 7 AS h, FALSE AS cp
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, doc_id, 8 + doc_id % 9,
-        |    8 + doc_id % 7, TRUE
-        |  FROM documents WHERE doc_id % 17 = 4),
-        |xs AS (SELECT doc_id, src, w, h, cp, unnest(range(0, w)) AS x
-        |  FROM d),
-        |px AS (SELECT doc_id, src, w, h, cp, x, unnest(range(0, h)) AS y
-        |  FROM xs),
-        |g AS (
-        |  SELECT doc_id, w, h, x, y,
-        |    CASE WHEN cp AND x = 0 AND y = 0 THEN 0 ELSE
-        |      (src * 31 + x * 7 + y * 13) % 256 +
-        |      (src * 17 + x * 3 + y * 5) % 256 +
-        |      (src * 23 + x * 11 + y * 2) % 256 END AS gray3
-        |  FROM px),
-        |rt AS (
-        |  SELECT g.doc_id, g.h, ct.k, g.y,
-        |    CAST(SUM(g.gray3 * ct.v) AS BIGINT) AS r
-        |  FROM g JOIN ct ON ct.n = g.w AND ct.x = g.x
-        |  GROUP BY g.doc_id, g.h, ct.k, g.y),
-        |co AS (
-        |  SELECT rt.doc_id, rt.k, ct.k AS l,
-        |    CAST(SUM(rt.r * ct.v) AS BIGINT) AS c
-        |  FROM rt JOIN ct ON ct.n = rt.h AND ct.x = rt.y
-        |  GROUP BY rt.doc_id, rt.k, ct.k),
-        |tot AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN k = 0 AND l = 0 THEN 0 ELSE c END)
-        |      AS BIGINT) AS s
-        |  FROM co GROUP BY doc_id),
-        |hs AS (
-        |  SELECT co.doc_id,
-        |    SUM(CASE WHEN (co.k <> 0 OR co.l <> 0) AND 63 * co.c > tot.s
-        |      THEN (1::HUGEINT << CAST(co.k * 8 + co.l AS INTEGER))
-        |      ELSE 0::HUGEINT END) AS hraw
-        |  FROM co JOIN tot USING (doc_id) GROUP BY co.doc_id),
-        |ph AS (
-        |  SELECT doc_id, CAST(CASE WHEN hraw >= (1::HUGEINT << 63)
-        |    THEN hraw - (1::HUGEINT << 64) ELSE hraw END AS BIGINT)
-        |    AS phash
-        |  FROM hs),
+      s"""WITH $phash64SqlDuck,
         |grp AS (
         |  SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_images
         |  FROM ph GROUP BY phash)
@@ -817,6 +910,62 @@ object Multimodal extends graft.QueryPack {
         |FROM grp a JOIN grp b ON a.phash < b.phash
         |WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 1 AND 3
         |ORDER BY ph_a, ph_b""".stripMargin,
+
+    // image candidates as ONE all-doc-pairs Hamming filter over the
+    // shared hash replay (the oracle does not need the pigeonhole or
+    // the same-hash/cross-hash split), text side as exact per-pair
+    // trigram Jaccard with the copy -> source id rule
+    "q_crossmodal_dedup" ->
+      s"""WITH $phash64SqlDuck,
+        |capped AS (
+        |  SELECT ph.doc_id, ph.phash FROM ph
+        |  JOIN (SELECT phash FROM ph GROUP BY phash
+        |        HAVING COUNT(*) <= 20) ok USING (phash)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |  FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |tg AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(lower(text),' ')) - 2, 1) + 1),
+        |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))))
+        |      AS g
+        |  FROM documents),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM tg GROUP BY doc_id),
+        |withsrc AS (
+        |  SELECT id_a, id_b, hamming,
+        |    CASE WHEN id_a >= 1000000 THEN id_a - 1000000 ELSE id_a END
+        |      AS src_a,
+        |    CASE WHEN id_b >= 1000000 THEN id_b - 1000000 ELSE id_b END
+        |      AS src_b
+        |  FROM pairs),
+        |inter AS (
+        |  SELECT w.id_a, w.id_b, CAST(COUNT(*) AS BIGINT) AS nc
+        |  FROM withsrc w JOIN tg ga ON ga.doc_id = w.src_a
+        |                 JOIN tg gb ON gb.doc_id = w.src_b AND gb.g = ga.g
+        |  GROUP BY w.id_a, w.id_b),
+        |scored AS (
+        |  SELECT w.id_a, w.id_b, w.hamming,
+        |    COALESCE(sa.n, 0) AS n_grams_a, COALESCE(sb.n, 0) AS n_grams_b,
+        |    COALESCE(i.nc, 0) AS n_common,
+        |    CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+        |              - COALESCE(i.nc, 0) = 0 THEN 0
+        |      ELSE CAST(ROUND(1000000.0 * COALESCE(i.nc, 0) /
+        |        CAST(COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+        |             - COALESCE(i.nc, 0) AS DOUBLE)) AS BIGINT) END
+        |      AS jaccard_e6
+        |  FROM withsrc w
+        |    LEFT JOIN sz sa ON sa.doc_id = w.src_a
+        |    LEFT JOIN sz sb ON sb.doc_id = w.src_b
+        |    LEFT JOIN inter i ON i.id_a = w.id_a AND i.id_b = w.id_b)
+        |SELECT id_a, id_b, hamming, n_grams_a, n_grams_b, n_common,
+        |  jaccard_e6,
+        |  CASE WHEN jaccard_e6 >= 500000 THEN 'dup_both'
+        |       ELSE 'image_only' END AS verdict
+        |FROM scored ORDER BY id_a, id_b""".stripMargin,
 
     // expected output of the real PNG decode, recomputed in closed form
     "q_multimodal_features" ->

@@ -242,6 +242,9 @@ class DeterminismSpec extends AnyFunSuite {
     // cosines with lowest-cid ties, DECIMAL ADC sums, total-order
     // ranks; the recall curve adds only exact L2 round-9 + counts
     "q_ann_ivfpq", "q_ann_ivfpq_recall",
+    // r11: cross-modal attribution — exact integer hash pairs + exact
+    // gram counts + positive-only scale-0 rounding
+    "q_crossmodal_dedup",
     // novelty audit: md5 split + distinct gram sets + exact counts —
     // a layout term means a distinct leaked partition-local rows
     "q_ngram_coverage",

@@ -107,8 +107,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // dir, an empty gate frame — not a crash
     "q_stream_hll",
     // near-dup image matching of an empty corpus: no fingerprints →
-    // no block candidates → no pairs (both hash widths)
-    "q_phash_hamming", "q_phash64_hamming",
+    // no block candidates → no pairs (both hash widths, and the
+    // cross-modal composition on top of them)
+    "q_phash_hamming", "q_phash64_hamming", "q_crossmodal_dedup",
     // novelty audit of an empty corpus: no grams in any split → no
     // split rows (exact batch kernel AND the bounded theta drain —
     // zero batches leave no state, so the report frame is empty)

@@ -259,4 +259,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(actual == expected,
       s"first diff: ${actual.zip(expected).find { case (x, y) => x != y }}")
   }
+
+  test("q_crossmodal_dedup equals a plain-Scala hash+trigram recompute; both verdicts fire") {
+    val spark = TestSpark.spark
+    val nDocs = Tables(spark, TestSpark.sf, "documents").count()
+    val texts = Tables(spark, TestSpark.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // hashes incl. copies, then the group-size-20 cap and all pairs
+    // at Hamming <= 3
+    val hashes = (0L until nDocs).flatMap { d =>
+      val src = (d, Multimodal.imagePhash64(Multimodal.genPng(d)))
+      if (d % 17 == 4)
+        Seq(src, (d + 1000000L,
+          Multimodal.imagePhash64(Multimodal.genPngNearDup(d))))
+      else Seq(src)
+    }
+    val groupN = hashes.groupBy(_._2).view.mapValues(_.length).toMap
+    val capped = hashes.filter { case (_, h) => groupN(h) <= 20 }
+    // trigram sets mirroring ngramStrings: lowercase, split(" ", -1),
+    // max(len-2, 1) windows clamped at the end
+    def gramsOf(text: String): Set[String] = {
+      val t = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+      val k = math.max(t.length - 2, 1)
+      (0 until k).map(i => t.slice(i, math.min(i + 3, t.length))
+        .mkString(" ")).toSet
+    }
+    val gsets = texts.view.mapValues(gramsOf).toMap
+    def srcOf(id: Long) = if (id >= 1000000L) id - 1000000L else id
+    val expected = (for {
+      (ida, ha) <- capped; (idb, hb) <- capped if ida < idb
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= 3
+    } yield {
+      val (ga, gb) = (gsets(srcOf(ida)), gsets(srcOf(idb)))
+      val nc = (ga intersect gb).size
+      val un = ga.size + gb.size - nc
+      val j = if (un == 0) 0L else math.round(1000000.0 * nc / un)
+      (ida, idb, ham.toLong, ga.size.toLong, gb.size.toLong, nc.toLong,
+        j, if (j >= 500000L) "dup_both" else "image_only")
+    }).sortBy(t => (t._1, t._2))
+    val actual = Multimodal
+      .queries("q_crossmodal_dedup")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSeq
+    assert(actual == expected,
+      s"first diff: ${actual.zip(expected).find { case (x, y) => x != y }}")
+    assert(expected.exists(_._8 == "dup_both"), "dup_both never fires")
+    assert(expected.exists(_._8 == "image_only"), "image_only never fires")
+  }
 }
