@@ -21,6 +21,94 @@ object Inference extends graft.QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Bradley–Terry pairwise-preference strengths (Hunter 2004's MM
+    // iteration, two rounds unrolled) — the ESTIMATION member of the
+    // preference-data family after q_label_vote (aggregate) and
+    // q_label_kappa (agreement): given pairwise outcomes, recover a
+    // per-contestant strength s_i — the Elo-class primitive an RLHF
+    // pipeline runs over preference pairs before trusting them as
+    // reward signal (a contestant whose strength defies its win rate
+    // flags label noise). Matches are deterministic fixture pairs:
+    // each order's first two lineitems compete (distinct suppliers
+    // only), winner = higher extendedprice, exact-DECIMAL compare,
+    // ties to the lower suppkey. MM update s_i ← w_i / Σ_j n_ij /
+    // (s_i + s_j) from s = 1, each round's denominators summed as
+    // scale-12 fixed-point integers (round(1e12·n/(s_i+s_j)) at
+    // SCALE 0 — the r10 house rule: these are rationals with
+    // data-dependent denominators, and scale-0 rounding of the
+    // identical IEEE double is the only cross-engine-safe rounding)
+    // under DECIMAL(38,0) headroom, and strengths REPORTED in
+    // micro-units for the same reason. Scale shape: one corpus-sized
+    // match extraction (an orderkey equi-join), then everything is
+    // participant-grid-sized — the (i,j) match grid, two grid joins
+    // per MM round, and a participants-sized rank window (named
+    // device: 100 rows at any corpus size the supplier dimension
+    // allows). Two winless contestants can never have played each
+    // other (their match had a winner), so s_i + s_j > 0 on every
+    // grid row by construction.
+    "q_bt_strength" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey").cast("long").as("supp"),
+          col("l_extendedprice").as("px"))
+      val a = li.filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("supp").as("sa"), col("px").as("pa"))
+      val b = li.filter(col("l_linenumber") === 2)
+        .select(col("l_orderkey"), col("supp").as("sb"), col("px").as("pb"))
+      val m = a.join(b, Seq("l_orderkey"))
+        .filter(col("sa") =!= col("sb"))
+        .select(col("sa"), col("sb"),
+          when(col("pa") > col("pb") ||
+            (col("pa") === col("pb") && col("sa") < col("sb")),
+            col("sa")).otherwise(col("sb")).as("winner"))
+      val wins = m
+        .select(explode(array(col("sa"), col("sb"))).as("supp"),
+          col("winner"))
+        .groupBy(col("supp"))
+        .agg(count(lit(1)).as("n_matches"),
+          sum(when(col("winner") === col("supp"), 1L).otherwise(0L))
+            .as("wins"))
+      val grid = m
+        .select(least(col("sa"), col("sb")).as("lo"),
+          greatest(col("sa"), col("sb")).as("hi"))
+        .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("n"))
+      val dir = grid.select(col("lo").as("i"), col("hi").as("j"), col("n"))
+        .unionByName(
+          grid.select(col("hi").as("i"), col("lo").as("j"), col("n")))
+      // one MM round: strengths in micro-units in → micro-units out
+      def mmRound(se6: DataFrame): DataFrame = {
+        val den = dir
+          .join(se6.select(col("supp").as("i"),
+            (col("s_e6").cast("double") / lit(1000000.0d)).as("si")),
+            Seq("i"))
+          .join(se6.select(col("supp").as("j"),
+            (col("s_e6").cast("double") / lit(1000000.0d)).as("sj")),
+            Seq("j"))
+          .select(col("i"),
+            round(lit(1.0e12d) * col("n") / (col("si") + col("sj")))
+              .cast(DecimalType(38, 0)).as("t"))
+          .groupBy(col("i"))
+          .agg(sum(col("t")).cast(DecimalType(38, 0)).as("den"))
+        wins.join(den, wins("supp") === den("i"), "left_outer")
+          .select(wins("supp"),
+            when(col("wins") === 0L || col("den").isNull, lit(0L))
+              .otherwise(round(lit(1000000.0d) * col("wins") /
+                (col("den").cast("double") / lit(1.0e12d))).cast("long"))
+              .as("s_e6"))
+      }
+      val s0 = wins.select(col("supp"), lit(1000000L).as("s_e6"))
+      val s1 = mmRound(s0)
+      val s2 = mmRound(s1)
+      val w = Window.orderBy(col("s2_e6").desc, col("supp"))
+      wins
+        .join(s1.select(col("supp"), col("s_e6").as("s1_e6")), Seq("supp"))
+        .join(s2.select(col("supp"), col("s_e6").as("s2_e6")), Seq("supp"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("supp"), col("n_matches"), col("wins"),
+          col("s1_e6"), col("s2_e6"), col("rk"))
+        .orderBy(col("rk"))
+    }),
+
     // Delete-one-group jackknife (Quenouille/Tukey; the grouped form
     // survey statistics runs) — the DETERMINISTIC resampling CI next
     // to the md5-bootstrap: leave each SOURCE out once, recompute the
@@ -816,6 +904,65 @@ object Inference extends graft.QueryPack {
       |  FROM embeddings)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // the two MM rounds unrolled, scale-12 fixed-point denominators
+    // under HUGEINT-capable sums, micro-unit strengths — every
+    // division in the identical association as the Spark plan
+    "q_bt_strength" ->
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey AS sa, l_extendedprice AS pa
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |l2 AS (
+        |  SELECT l_orderkey, l_suppkey AS sb, l_extendedprice AS pb
+        |  FROM lineitem WHERE l_linenumber = 2),
+        |m AS (
+        |  SELECT sa, sb,
+        |    CASE WHEN pa > pb OR (pa = pb AND sa < sb) THEN sa
+        |         ELSE sb END AS winner
+        |  FROM l1 JOIN l2 USING (l_orderkey) WHERE sa <> sb),
+        |wins AS (
+        |  SELECT supp, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |    CAST(SUM(CASE WHEN winner = supp THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wins
+        |  FROM (SELECT unnest([sa, sb]) AS supp, winner FROM m) t
+        |  GROUP BY supp),
+        |grid AS (
+        |  SELECT least(sa, sb) AS lo, greatest(sa, sb) AS hi,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM m GROUP BY 1, 2),
+        |dir AS (
+        |  SELECT lo AS i, hi AS j, n FROM grid
+        |  UNION ALL SELECT hi, lo, n FROM grid),
+        |den1 AS (
+        |  SELECT i, SUM(CAST(ROUND(1000000000000.0 * n / (1.0 + 1.0))
+        |    AS BIGINT)) AS den
+        |  FROM dir GROUP BY i),
+        |s1 AS (
+        |  SELECT supp, CASE WHEN wins = 0 OR den IS NULL THEN 0
+        |    ELSE CAST(ROUND(1000000.0 * wins /
+        |      (CAST(den AS DOUBLE) / 1000000000000.0)) AS BIGINT) END
+        |    AS s_e6
+        |  FROM wins LEFT JOIN den1 ON den1.i = wins.supp),
+        |den2 AS (
+        |  SELECT dir.i, SUM(CAST(ROUND(1000000000000.0 * dir.n /
+        |    (si.s_e6 / 1000000.0 + sj.s_e6 / 1000000.0)) AS BIGINT))
+        |    AS den
+        |  FROM dir JOIN s1 si ON si.supp = dir.i
+        |           JOIN s1 sj ON sj.supp = dir.j
+        |  GROUP BY dir.i),
+        |s2 AS (
+        |  SELECT supp, CASE WHEN wins = 0 OR den IS NULL THEN 0
+        |    ELSE CAST(ROUND(1000000.0 * wins /
+        |      (CAST(den AS DOUBLE) / 1000000000000.0)) AS BIGINT) END
+        |    AS s_e6
+        |  FROM wins LEFT JOIN den2 ON den2.i = wins.supp)
+        |SELECT CAST(wins.supp AS BIGINT) AS supp, n_matches, wins,
+        |  s1.s_e6 AS s1_e6, s2.s_e6 AS s2_e6,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY s2.s_e6 DESC, wins.supp)
+        |    AS BIGINT) AS rk
+        |FROM wins JOIN s1 ON s1.supp = wins.supp
+        |          JOIN s2 ON s2.supp = wins.supp
+        |ORDER BY rk""".stripMargin,
 
     "q_auc" ->
       s"""WITH $plantedScoresDuck,

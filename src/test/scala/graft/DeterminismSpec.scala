@@ -245,6 +245,10 @@ class DeterminismSpec extends AnyFunSuite {
     // r11: cross-modal attribution — exact integer hash pairs + exact
     // gram counts + positive-only scale-0 rounding
     "q_crossmodal_dedup",
+    // r11: Bradley–Terry — exact match/grid counts, scale-12
+    // fixed-point MM denominators under DECIMAL(38,0), micro-unit
+    // strengths, total-order rank
+    "q_bt_strength",
     // novelty audit: md5 split + distinct gram sets + exact counts —
     // a layout term means a distinct leaked partition-local rows
     "q_ngram_coverage",

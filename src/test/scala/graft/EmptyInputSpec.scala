@@ -119,6 +119,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // jackknife of an empty corpus: no groups → no leave-out frame →
     // no estimate row (not a 0/0)
     "q_jackknife",
+    // Bradley–Terry over an empty table: no matches → no participants
+    // → no strength rows (not a 0/0 MM step)
+    "q_bt_strength",
     // class balance of an empty table: a NULL target against zero
     // rows → no label rows
     "q_class_balance",

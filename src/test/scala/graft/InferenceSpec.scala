@@ -118,4 +118,75 @@ class InferenceSpec extends AnyFunSuite {
     val half = nas.sum.toDouble / nas.length
     nas.foreach(na => assert(math.abs(na - half) < 5 * math.sqrt(half) + 10))
   }
+
+  test("q_bt_strength equals a plain-Scala two-round MM recompute; strengths track evidence") {
+    import org.apache.spark.sql.functions._
+    // independent recompute: extract the matches straight from the
+    // table, run Hunter's MM twice with the same scale-12 fixed-point
+    // denominators and micro-unit strengths — so a bug in the grid
+    // algebra and a bug in the oracle's restatement can't cancel
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+      .filter(col("l_linenumber") <= 2)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey").cast("long"),
+        col("l_extendedprice").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getString(3)))).toList
+    val byOrder = li.groupBy(_._1)
+    // all l1 × l2 combinations per order — the equi-join's semantics
+    // (the test SF carries duplicate (orderkey, linenumber) rows, so
+    // an order can contribute several matches)
+    val matches: Seq[(Long, Long, Long)] = byOrder.values.flatMap { rows =>
+      val firsts = rows.filter(_._2 == 1)
+      val seconds = rows.filter(_._2 == 2)
+      firsts.flatMap { a =>
+        seconds.withFilter(b => a._3 != b._3).map { b =>
+          val (sa, pa, sb, pb) = (a._3, a._4, b._3, b._4)
+          val winner = if (pa > pb || (pa == pb && sa < sb)) sa else sb
+          (sa, sb, winner)
+        }
+      }
+    }.toSeq
+    val supps = matches.flatMap(m => Seq(m._1, m._2)).distinct.sorted
+    val wins = supps.map(s0 =>
+      s0 -> matches.count(_._3 == s0).toLong).toMap
+    val nm = supps.map(s0 =>
+      s0 -> matches.count(m => m._1 == s0 || m._2 == s0).toLong).toMap
+    val nij = matches.groupBy(m =>
+      (math.min(m._1, m._2), math.max(m._1, m._2)))
+      .view.mapValues(_.length.toLong).toMap
+    def mm(se6: Map[Long, Long]): Map[Long, Long] = supps.map { i =>
+      val den = nij.collect {
+        case ((lo, hi), n) if lo == i || hi == i =>
+          val j = if (lo == i) hi else lo
+          val si = se6(i).toDouble / 1000000.0
+          val sj = se6(j).toDouble / 1000000.0
+          math.round(1.0e12 * n / (si + sj))
+      }.sum
+      i -> (if (wins(i) == 0L || den == 0L) 0L
+      else math.round(1000000.0 * wins(i) / (den.toDouble / 1.0e12)))
+    }.toMap
+    val s1 = mm(supps.map(_ -> 1000000L).toMap)
+    val s2 = mm(s1)
+    val rows = run("q_bt_strength")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSet == supps.toSet)
+    rows.foreach { case (supp, n, w, s1e, s2e, _) =>
+      assert(n == nm(supp), s"n_matches($supp)")
+      assert(w == wins(supp), s"wins($supp)")
+      assert(s1e == s1(supp), s"s1($supp)")
+      assert(s2e == s2(supp), s"s2($supp)")
+    }
+    // ranks follow (s2 desc, supp) exactly
+    val expectRk = rows.sortBy(t => (-t._5, t._1)).map(_._1)
+    assert(rows.sortBy(_._6).map(_._1).toSeq == expectRk.toSeq)
+    // the estimator is non-degenerate on the fixture: strengths
+    // spread, and the top-ranked contestant out-wins the bottom
+    val byRank = rows.sortBy(_._6)
+    assert(rows.map(_._5).distinct.length > rows.length / 2)
+    assert(byRank.head._3.toDouble / byRank.head._2 >
+      byRank.last._3.toDouble / math.max(byRank.last._2, 1))
+  }
 }
