@@ -285,6 +285,67 @@ object Dedup extends graft.QueryPack {
           x => x.cast("string")), "|")).as("bkey")))).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
 
+  /** The STORED index side of incremental dedup: content hashes and
+    * banded minhash signatures of the already-indexed corpus
+    * (doc_id % 7 ≠ 3) — the tables a 100 TB deployment maintains
+    * across runs and the sandbox recomputes only because nothing
+    * persists between queries (the documented posture). ONE
+    * definition shared by the batch q_dedup_incremental and the
+    * streaming q_stream_dedup_admission, which prepares these once
+    * and admits every micro-batch against them. */
+  private[operators] def dedupIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val index = corpus(Tables(s, d, "documents"))
+      .filter(!(col("doc_id") % 7 === 3))
+    val hashedIdx = index
+      .select(md5(col("text")).as("h"), col("doc_id").as("pid"))
+    val bandedIdx = bandedSigs(index
+      .withColumn("sh", shingles(col("text")))
+      .withColumn("sigs", minhashSigs(col("sh"))))
+      .select(col("band"), col("bkey"), col("doc_id").as("iid"),
+        col("sh").as("sh_b"))
+    (hashedIdx, bandedIdx)
+  }
+
+  /** Admit a batch of (doc_id, text) rows against the stored dedup
+    * index. Two probes in precedence order: exact content-hash
+    * lookup, then the minhash band kernel as a batch×index equi-join
+    * (never a corpus self-join); verdict per new doc: exact_dup
+    * (partner = min same-hash indexed doc), near_dup (highest-jaccard
+    * indexed candidate, ties to the smallest id via the struct-max
+    * total-order key — no rank window), or unique (admit). Per-batch
+    * work = the batch's own signatures + joins bounded by shared
+    * buckets. UNORDERED — callers order or append. */
+  private[operators] def dedupAdmit(batch: DataFrame,
+      hashedIdx: DataFrame, bandedIdx: DataFrame): DataFrame = {
+    val exact = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(hashedIdx, Seq("h"))
+      .groupBy(col("doc_id")).agg(min(col("pid")).as("exact_partner"))
+    val nearc = bandedSigs(batch
+      .withColumn("sh", shingles(col("text")))
+      .withColumn("sigs", minhashSigs(col("sh"))))
+      .select(col("band"), col("bkey"), col("doc_id").as("nid"),
+        col("sh").as("sh_a"))
+      .join(bandedIdx, Seq("band", "bkey"))
+      .select(col("nid"), col("iid"),
+        round(jaccard(col("sh_a"), col("sh_b")), 9).as("j"))
+      .distinct()
+      .filter(col("j") >= 0.6)
+    val best = nearc.groupBy(col("nid"))
+      .agg(max(struct(col("j"), (-col("iid")).as("ni"))).as("b"))
+      .select(col("nid").as("doc_id"), (-col("b.ni")).as("near_partner"),
+        col("b.j").as("near_j"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left_outer")
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_partner").isNotNull, "exact_dup")
+          .when(col("near_partner").isNotNull, "near_dup")
+          .otherwise("unique").as("verdict"),
+        coalesce(col("exact_partner"), col("near_partner")).as("partner_id"),
+        when(col("exact_partner").isNull, col("near_j")).as("jaccard"))
+  }
+
   /** Cluster formation shared by q_dedup_clusters and the spec's
     * chain-shaped stress graph: min-label propagation with a
     * diameter escape hatch to star contraction after `maxRounds`
@@ -419,42 +480,10 @@ object Dedup extends graft.QueryPack {
     // (partner = highest-jaccard indexed candidate, ties to the
     // smallest id), or unique (admit).
     "q_dedup_incremental" -> ((s, d) => {
-      val all = corpus(Tables(s, d, "documents"))
-      val newPred = col("doc_id") % 7 === 3
-      val hashed = all.select(col("doc_id"), md5(col("text")).as("h"))
-      val exact = hashed.filter(newPred)
-        .join(hashed.filter(!newPred).select(col("h"), col("doc_id").as("pid")),
-          Seq("h"))
-        .groupBy(col("doc_id")).agg(min(col("pid")).as("exact_partner"))
-      val c = all.withColumn("sh", shingles(col("text")))
-        .withColumn("sigs", minhashSigs(col("sh")))
-      c.persist()
-      val banded = bandedSigs(c)
-      val nearc = banded.filter(newPred)
-        .select(col("band"), col("bkey"), col("doc_id").as("nid"),
-          col("sh").as("sh_a"))
-        .join(banded.filter(!newPred)
-          .select(col("band"), col("bkey"), col("doc_id").as("iid"),
-            col("sh").as("sh_b")), Seq("band", "bkey"))
-        .select(col("nid"), col("iid"),
-          round(jaccard(col("sh_a"), col("sh_b")), 9).as("j"))
-        .distinct()
-        .filter(col("j") >= 0.6)
-      // best partner via one struct-max: (j desc, iid asc) — the same
-      // total-order-key trick as q_retrieval_eval, no rank window
-      val best = nearc.groupBy(col("nid"))
-        .agg(max(struct(col("j"), (-col("iid")).as("ni"))).as("b"))
-        .select(col("nid").as("doc_id"), (-col("b.ni")).as("near_partner"),
-          col("b.j").as("near_j"))
-      all.filter(newPred).select(col("doc_id"))
-        .join(exact, Seq("doc_id"), "left_outer")
-        .join(best, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          when(col("exact_partner").isNotNull, "exact_dup")
-            .when(col("near_partner").isNotNull, "near_dup")
-            .otherwise("unique").as("verdict"),
-          coalesce(col("exact_partner"), col("near_partner")).as("partner_id"),
-          when(col("exact_partner").isNull, col("near_j")).as("jaccard"))
+      val (hashedIdx, bandedIdx) = dedupIndex(s, d)
+      dedupAdmit(
+        corpus(Tables(s, d, "documents")).filter(col("doc_id") % 7 === 3),
+        hashedIdx, bandedIdx)
         .orderBy(col("doc_id"))
     }),
 

@@ -1075,6 +1075,47 @@ object StreamingGate extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING DEDUP ADMISSION — the TWENTY-SIXTH oracle-gated
+    // drain, completing ALL THREE stored-index admission modes as
+    // streams (bm25 = stats fold #24, ANN = static vector model #25,
+    // and now minhash dedup): the index's content hashes and banded
+    // signatures are prepared ONCE (Dedup.dedupIndex — the stored
+    // tables prior runs maintain, localCheckpointed so micro-batches
+    // probe them instead of re-mining the corpus), each arriving
+    // document slice gets its verdicts through the SAME Dedup
+    // .dedupAdmit kernel as the batch query, and results land in the
+    // batchId-keyed OVERWRITE sink (exactly-once under replay, the
+    // q_stream_restart pattern). Per-doc verdicts depend only on the
+    // doc and the static index, so the union over batches ≡ the
+    // batch query: gated by the q_dedup_incremental oracle VERBATIM.
+    "q_stream_dedup_admission" -> ((s, d) => {
+      val root = freshDir("q_stream_dedup_admission")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val out = root + "/out"
+      val newDocs = Dedup.corpus(Tables(s, d, "documents"))
+        .filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("text"))
+      val (hashedIdxRaw, bandedIdxRaw) = Dedup.dedupIndex(s, d)
+      val hashedIdx = hashedIdxRaw.localCheckpoint()
+      val bandedIdx = bandedIdxRaw.localCheckpoint()
+      val t0 = System.currentTimeMillis() - 60000
+      stageFile(root, src, newDocs.filter(col("doc_id") % 3 === 0), "f1", t0)
+      stageFile(root, src, newDocs.filter(col("doc_id") % 3 === 1), "f2",
+        t0 + 2000)
+      stageFile(root, src, newDocs.filter(col("doc_id") % 3 === 2), "f3",
+        t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      drain(s, stream, "append") { (batch, id) =>
+        Dedup.dedupAdmit(batch, hashedIdx, bandedIdx)
+          .write.mode("overwrite").parquet(s"$out/b$id")
+        ()
+      }
+      s.read.parquet(out + "/b*").orderBy(col("doc_id"))
+    }),
+
     // STREAMING VECTOR ADMISSION — the TWENTY-FIFTH oracle-gated
     // drain, completing the stored-index admission trio AS STREAMS
     // (q_stream_bm25_admission = the stats-fold member; this is the
@@ -1603,6 +1644,9 @@ object StreamingGate extends graft.QueryPack {
     // per-vector admission depends only on the vector + the static
     // stored index, so batches union to the batch query exactly
     "q_stream_ann_admission" -> Similarity.oracles("q_ann_incremental"),
+
+    // same argument for per-document dedup verdicts
+    "q_stream_dedup_admission" -> Dedup.oracles("q_dedup_incremental"),
 
     // the q_ngram_coverage counting kernel (exact n_ngrams / n_seen
     // per eval split) + the contract booleans stated as constants —

@@ -97,8 +97,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_ann_ivfpq", "q_ann_ivfpq_recall",
     // streaming admission of an empty corpus: zero batches leave no
     // stats state and there is no arriving batch to score; the vector
-    // twin short-circuits on the missing stored model before staging
+    // twin short-circuits on the missing stored model before staging;
+    // the dedup twin probes empty index frames and admits nothing
     "q_stream_bm25_admission", "q_stream_ann_admission",
+    "q_stream_dedup_admission",
     // kill-and-resume over empty sketch state: three empty files are
     // still three micro-batches, the planted death and the recovery
     // both still run, and the recovered gate frame is empty
