@@ -640,42 +640,20 @@ object Similarity extends graft.QueryPack {
     // passes — a sweep cost, like q_ann_recall's shared-frame widths
     // but without prefix nesting: codes at K=4 are NOT a prefix of
     // codes at K=16). Macro window: 10-row per-K frame (grid-sized).
-    "q_ann_ivfpq_recall" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val corpus = plantedCorpus(s, d)
-      val approxTop = Seq(4, 16).map { ck =>
-        ivfpqTopk(s, d, corpus, ck)
-          .select(lit(ck.toLong).as("a_code_k"),
-            col("qid").as("aqid"), col("nid").as("anid"))
-      }.reduce(_ unionByName _)
-      val q = corpus.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("nrm").as("qnrm"))
-      val cand = corpus.select(col("vec_id").as("nid"),
-        col("embedding").as("nv"), col("nrm").as("nnrm"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
-      val exact = cand.join(broadcast(q), col("qid") =!= col("nid"))
-        .withColumn("d2", round(
-          col("qnrm") * col("qnrm") + col("nnrm") * col("nnrm")
-            - dot(col("qv"), col("nv")) * 2.0d, 9))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("nid"),
-          explode(typedlit(Seq(4L, 16L))).as("code_k"))
-      val wK = Window.partitionBy(col("code_k"))
-      exact
-        .join(approxTop,
-          col("code_k") === col("a_code_k") &&
-            col("qid") === col("aqid") && col("nid") === col("anid"),
-          "left_outer")
-        .groupBy(col("code_k"), col("qid"))
-        .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hits"))
-        .withColumn("recall", round(col("n_hits").cast("double") / 3.0, 6))
-        .withColumn("macro_recall",
-          round(sum(col("n_hits")).over(wK).cast("double") /
-            (lit(3.0) * count(lit(1)).over(wK)), 6))
-        .orderBy(col("code_k"), col("qid"))
-    }),
+    "q_ann_ivfpq_recall" -> ((s, d) =>
+      ivfpqRecallCurve(s, d, residual = false)),
+
+    // The RESIDUAL twin of the recall curve — the recall knob the
+    // composed scan's own comment names (FAISS IVFPQ
+    // by_residual=true, the production default): identical sweep,
+    // identical truth, the only change is WHAT the codebook
+    // quantizes (v − c(v) instead of v). Run side by side with
+    // q_ann_ivfpq_recall this makes the knob a measured number at
+    // both code budgets rather than a named possibility — at K = 4
+    // it prices whether spending the 2-bit codes on within-list
+    // displacement escapes the documented raw-PQ tie burial.
+    "q_ann_ivfpq_residual" -> ((s, d) =>
+      ivfpqRecallCurve(s, d, residual = true)),
 
     // PQ codebook audit — usage histogram + quantization distortion
     // per codeword, the health check a compressed-index deployment
@@ -1273,34 +1251,83 @@ object Similarity extends graft.QueryPack {
     * At 100 TB: codes are 64× less I/O than raw vectors and the probe
     * join touches ~nprobe/nlist of them. */
   private def ivfpqTopk(s: SparkSession, d: String,
-      corpus: DataFrame, nCodes: Int = IVFPQ_K): DataFrame = {
+      corpus: DataFrame, nCodes: Int = IVFPQ_K,
+      residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val nIdx = Tables(s, d, "embeddings").count()
-    // totality: the model needs vec_ids 10..10+nCodes as codewords and
-    // at least one centroid — an empty/tiny index has no stored model,
+    val k2 = sqrtK(nIdx)
+    // totality: the model needs codeword-source vec_ids (10..10+K raw;
+    // 10+k2..10+k2+K residual — beyond the centroid range) and at
+    // least one centroid — an empty/tiny index has no stored model,
     // so the scan degrades to an empty frame (EmptyInputSpec), the
     // q_ann_incremental guard posture
-    if (nIdx < 10L + nCodes)
+    if (nIdx < 10L + nCodes || (residual && nIdx < 10L + k2 + nCodes))
       return s.range(0).select(col("id").as("qid"), col("id").as("rk"),
         col("id").as("nid"), col("id").as("centroid_id"),
         col("id").cast("double").as("approx_d2"))
-    val k2 = sqrtK(nIdx)
+    val leaves = sampledCentroids(s, d, k2)
     val model = graft.plans.VectorExpressions.twoLevelModel(
-      sampledCentroids(s, d, sqrtK(k2.toLong)),
-      sampledCentroids(s, d, k2))
-    val cb = pqCodebook(s, d, nCodes)
+      sampledCentroids(s, d, sqrtK(k2.toLong)), leaves)
     val assigned = corpus.withColumn("arr",
       graft.plans.VectorExpressions.twoLevelCentroidCosines(
         col("embedding"), col("nrm"), model))
       .withColumn("centroid_id",
         array_max(col("arr")).getField("negcid") * -1)
-    def sub(m: Int) = slice(col("embedding"), m * PQ_SUB + 1, PQ_SUB)
+    val probeBase = assigned.filter(col("vec_id") < 10)
+      .withColumn("p", explode(slice(reverse(array_sort(col("arr"))), 1, 2)))
+      .withColumn("probe_cid", col("p.negcid") * -1)
+
+    // (encodeCol, codebook, candFrame, probeFrame): the RAW variant
+    // quantizes vectors directly; the RESIDUAL variant (FAISS IVFPQ
+    // by_residual=true, the production default) quantizes v − c(v) —
+    // the codebook spends its bits on within-list displacement instead
+    // of re-describing list location, and a query's distance table is
+    // built per PROBED LIST from q − c_list (each probe row carries
+    // its own list's table; the probe equi-join guarantees a candidate
+    // only ever meets its matching-list table). Residual codeword
+    // sources sit BEYOND the centroid range (ids 10+k2 .. 10+k2+K):
+    // the raw codebook's sources (ids 10..10+K) ARE the leaf
+    // centroids, and a centroid's residual under its own assignment
+    // is the ZERO vector — a residual codebook sampled there is
+    // identically zero, every ADC sum constant, and recall pins at 0
+    // (measured; the degenerate-sampling analog of q_ann_recall's r7
+    // finding). Residuals come through the KERNEL assignment as a
+    // K-row bounded collect, so the codebook cannot drift from the
+    // scan's own routing.
+    val (cand0, probes0, cb) =
+      if (!residual) {
+        (assigned, probeBase, pqCodebook(s, d, nCodes))
+      } else {
+        import s.implicits._
+        val centDim = leaves.map { case (cid, v, _) => (cid, v) }.toSeq
+          .toDF("ccid", "cvec")
+        def withRes(df: DataFrame, cidCol: String): DataFrame =
+          df.join(broadcast(centDim), col(cidCol) === col("ccid"))
+            .withColumn("enc",
+              zip_with(col("embedding"), col("cvec"), (a, b) => a - b))
+            .drop("ccid", "cvec")
+        val cbRes: Array[Array[Seq[Double]]] = {
+          val rows = withRes(
+            assigned.filter(
+              col("vec_id") >= 10L + k2 && col("vec_id") < 10L + k2 + nCodes),
+            "centroid_id")
+            .select(col("vec_id"), col("enc")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+            .sortBy(_._1)
+          Array.tabulate(PQ_M, nCodes)((m, k) =>
+            rows(k)._2.slice(m * PQ_SUB, (m + 1) * PQ_SUB))
+        }
+        (withRes(assigned, "centroid_id"), withRes(probeBase, "probe_cid"),
+          cbRes)
+      }
+    val encCol = if (residual) col("enc") else col("embedding")
+    def sub(m: Int) = slice(encCol, m * PQ_SUB + 1, PQ_SUB)
     def d2(m: Int, k: Int): Column = {
       val cw = typedlit(cb(m)(k))
       (dot(sub(m), sub(m)) + dot(cw, cw)) - dot(sub(m), cw) * 2.0d
     }
-    val withCodes = (0 until PQ_M).foldLeft(assigned) { (df, m) =>
+    val withCodes = (0 until PQ_M).foldLeft(cand0) { (df, m) =>
       df.withColumn(s"c$m",
         array_max(array((0 until nCodes).map(k =>
           struct((d2(m, k) * -1.0d).as("negd"), lit(-k).as("negk"))): _*))
@@ -1309,10 +1336,9 @@ object Similarity extends graft.QueryPack {
     val cand = withCodes.select(
       Seq(col("vec_id").as("nid"), col("centroid_id")) ++
         (0 until PQ_M).map(m => col(s"c$m")): _*)
-    val probes = withCodes.filter(col("vec_id") < 10)
-      .withColumn("p", explode(slice(reverse(array_sort(col("arr"))), 1, 2)))
+    val probes = probes0
       .select(
-        Seq(col("vec_id").as("qid"), (col("p.negcid") * -1).as("probe_cid")) ++
+        Seq(col("vec_id").as("qid"), col("probe_cid")) ++
           (0 until PQ_M).map(m =>
             array((0 until nCodes).map(k =>
               round(d2(m, k), 9).cast(DecimalType(18, 9))): _*)
@@ -1327,6 +1353,49 @@ object Similarity extends graft.QueryPack {
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk"), col("nid"), col("centroid_id"),
         col("approx").cast("double").as("approx_d2"))
+  }
+
+  /** The K ∈ {4, 16} recall-vs-code-budget curve against exact L2
+    * top-3 truth on the shared planted corpus — ONE definition for
+    * the raw (q_ann_ivfpq_recall) and residual (q_ann_ivfpq_residual)
+    * variants; see the q_ann_ivfpq_recall comment for the sweep's
+    * design rationale. */
+  private def ivfpqRecallCurve(s: SparkSession, d: String,
+      residual: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = plantedCorpus(s, d)
+    val approxTop = Seq(4, 16).map { ck =>
+      ivfpqTopk(s, d, corpus, ck, residual)
+        .select(lit(ck.toLong).as("a_code_k"),
+          col("qid").as("aqid"), col("nid").as("anid"))
+    }.reduce(_ unionByName _)
+    val q = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val cand = corpus.select(col("vec_id").as("nid"),
+      col("embedding").as("nv"), col("nrm").as("nnrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+    val exact = cand.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("d2", round(
+        col("qnrm") * col("qnrm") + col("nnrm") * col("nnrm")
+          - dot(col("qv"), col("nv")) * 2.0d, 9))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"),
+        explode(typedlit(Seq(4L, 16L))).as("code_k"))
+    val wK = Window.partitionBy(col("code_k"))
+    exact
+      .join(approxTop,
+        col("code_k") === col("a_code_k") &&
+          col("qid") === col("aqid") && col("nid") === col("anid"),
+        "left_outer")
+      .groupBy(col("code_k"), col("qid"))
+      .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / 3.0, 6))
+      .withColumn("macro_recall",
+        round(sum(col("n_hits")).over(wK).cast("double") /
+          (lit(3.0) * count(lit(1)).over(wK)), 6))
+      .orderBy(col("code_k"), col("qid"))
   }
 
   // ---- stored-index ANN admission (q_ann_incremental + drain) ---------
@@ -1498,6 +1567,63 @@ object Similarity extends graft.QueryPack {
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Shared oracle prefix for the planted-corpus IVF-PQ recall
+    * sweeps: the q_ann_recall planted corpus + the q_ann_ivf2
+    * two-level routing/assignment/probe CTEs, ending at probes(qid,
+    * probe_cid) — ONE definition for the raw and residual variants. */
+  private lazy val ivfpqPlantedPrefixDuck: String =
+    s"""q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+         |            FROM embeddings WHERE vec_id < 10),
+         |planted AS (
+         |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+         |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+         |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+         |aug AS (
+         |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+         |      CAST(embedding[i] AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM planted),
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
+         |k AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k2,
+         |             CAST(ceil(sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT) AS k1
+         |      FROM embeddings),
+         |l1 AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |       FROM e, k WHERE vec_id >= 10 AND vec_id < 10 + k1),
+         |l2 AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |       FROM e, k WHERE vec_id >= 10 AND vec_id < 10 + k2),
+         |route AS (
+         |  SELECT cid, l1cid FROM (
+         |    SELECT l2.cid, l1.cid AS l1cid,
+         |      ROW_NUMBER() OVER (PARTITION BY l2.cid ORDER BY
+         |        round(${dotDuck("l2.cv", "l1.cv")} / (l2.cnrm * l1.cnrm), 9)
+         |          DESC, l1.cid) AS rn
+         |    FROM l2 CROSS JOIN l1) t WHERE rn = 1),
+         |g AS (
+         |  SELECT vec_id, embedding, nrm, l1cid FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, l1.cid AS l1cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(${dotDuck("e.embedding", "l1.cv")} / (e.nrm * l1.cnrm), 9)
+         |          DESC, l1.cid) AS rn
+         |    FROM e CROSS JOIN l1) t WHERE rn = 1),
+         |scored AS (
+         |  SELECT g.vec_id, g.embedding, g.nrm, l2.cid,
+         |    round(${dotDuck("g.embedding", "l2.cv")} / (g.nrm * l2.cnrm), 9) AS csim
+         |  FROM g JOIN route r ON r.l1cid = g.l1cid JOIN l2 ON l2.cid = r.cid),
+         |assigned AS (
+         |  SELECT vec_id, cid AS centroid_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid AS probe_cid
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY csim DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 10) t WHERE rn <= 2)"""
+      .stripMargin
 
   def oracles: Map[String, String] = Map(
     // both rankings from one sims CTE; the LSH side is the same frame
@@ -1998,56 +2124,7 @@ object Similarity extends graft.QueryPack {
     // the same composed pipeline on the q_ann_recall planted corpus,
     // scored against the exact L2 top-3
     "q_ann_ivfpq_recall" ->
-      s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
-         |            FROM embeddings WHERE vec_id < 10),
-         |planted AS (
-         |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
-         |    list_transform(range(1, ${DIM + 1}), i ->
-         |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
-         |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
-         |  FROM q0, (VALUES (1), (2), (3)) t(c)),
-         |aug AS (
-         |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
-         |      CAST(embedding[i] AS DOUBLE)) AS embedding
-         |  FROM embeddings
-         |  UNION ALL SELECT vec_id, embedding FROM planted),
-         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
-         |k AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k2,
-         |             CAST(ceil(sqrt(ceil(sqrt(COUNT(*))))) AS BIGINT) AS k1
-         |      FROM embeddings),
-         |l1 AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
-         |       FROM e, k WHERE vec_id >= 10 AND vec_id < 10 + k1),
-         |l2 AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
-         |       FROM e, k WHERE vec_id >= 10 AND vec_id < 10 + k2),
-         |route AS (
-         |  SELECT cid, l1cid FROM (
-         |    SELECT l2.cid, l1.cid AS l1cid,
-         |      ROW_NUMBER() OVER (PARTITION BY l2.cid ORDER BY
-         |        round(${dotDuck("l2.cv", "l1.cv")} / (l2.cnrm * l1.cnrm), 9)
-         |          DESC, l1.cid) AS rn
-         |    FROM l2 CROSS JOIN l1) t WHERE rn = 1),
-         |g AS (
-         |  SELECT vec_id, embedding, nrm, l1cid FROM (
-         |    SELECT e.vec_id, e.embedding, e.nrm, l1.cid AS l1cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        round(${dotDuck("e.embedding", "l1.cv")} / (e.nrm * l1.cnrm), 9)
-         |          DESC, l1.cid) AS rn
-         |    FROM e CROSS JOIN l1) t WHERE rn = 1),
-         |scored AS (
-         |  SELECT g.vec_id, g.embedding, g.nrm, l2.cid,
-         |    round(${dotDuck("g.embedding", "l2.cv")} / (g.nrm * l2.cnrm), 9) AS csim
-         |  FROM g JOIN route r ON r.l1cid = g.l1cid JOIN l2 ON l2.cid = r.cid),
-         |assigned AS (
-         |  SELECT vec_id, cid AS centroid_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                                 ORDER BY csim DESC, cid) AS rn
-         |    FROM scored) t WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS qid, cid AS probe_cid
-         |  FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                                 ORDER BY csim DESC, cid) AS rn
-         |    FROM scored WHERE vec_id < 10) t WHERE rn <= 2),
+      s"""WITH $ivfpqPlantedPrefixDuck,
          |cw AS (SELECT CAST(vec_id - 10 AS INTEGER) AS k, embedding
          |       FROM embeddings WHERE vec_id BETWEEN 10 AND ${9 + IVFPQ_K}),
          |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
@@ -2087,6 +2164,101 @@ object Similarity extends graft.QueryPack {
          |      FROM candlist cl
          |        JOIN codes c ON c.vec_id = cl.nid
          |        JOIN qtab q ON q.qid = cl.qid AND q.m = c.m AND q.k = c.code
+         |      GROUP BY c.code_k, cl.qid, cl.nid) t) u WHERE rk <= 3),
+         |exact AS (
+         |  SELECT ks.code_k, t.qid, t.nid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(q.nrm * q.nrm + c.nrm * c.nrm -
+         |          ${dotDuck("q.embedding", "c.embedding")} * 2, 9), c.vec_id)
+         |        AS rk
+         |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t, ks
+         |  WHERE rk <= 3),
+         |per_q AS (
+         |  SELECT exact.code_k, qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(anid) AS BIGINT) AS n_hits
+         |  FROM exact LEFT JOIN approx
+         |    ON exact.code_k = approx.a_code_k
+         |      AND exact.qid = approx.aqid AND exact.nid = approx.anid
+         |  GROUP BY exact.code_k, qid)
+         |SELECT CAST(code_k AS BIGINT) AS code_k, qid, n_exact, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / 3.0, 6) AS recall,
+         |  round(CAST(SUM(n_hits) OVER (PARTITION BY code_k) AS DOUBLE) /
+         |    (3.0 * COUNT(*) OVER (PARTITION BY code_k)), 6) AS macro_recall
+         |FROM per_q ORDER BY code_k, qid""".stripMargin,
+
+    // the residual twin: codewords are residuals of the sources
+    // BEYOND the centroid range (10+k2 .. 10+k2+16) under their
+    // kernel assignment, candidates encode v − c(v), and each query's
+    // distance table is built per probed list from q − c_list
+    "q_ann_ivfpq_residual" ->
+      s"""WITH $ivfpqPlantedPrefixDuck,
+         |cwres AS (
+         |  SELECT CAST(cs.vec_id - 10 - k.k2 AS INTEGER) AS k,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      cs.embedding[i] - l2.cv[i]) AS rw
+         |  FROM e cs
+         |    JOIN assigned a ON a.vec_id = cs.vec_id
+         |    JOIN l2 ON l2.cid = a.centroid_id, k
+         |  WHERE cs.vec_id >= 10 + k.k2 AND cs.vec_id < 10 + k.k2 + $IVFPQ_K),
+         |cande AS (
+         |  SELECT a.vec_id, a.centroid_id,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      e.embedding[i] - l2.cv[i]) AS rv
+         |  FROM assigned a
+         |    JOIN e ON e.vec_id = a.vec_id
+         |    JOIN l2 ON l2.cid = a.centroid_id),
+         |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
+         |d2 AS (
+         |  SELECT c.vec_id, ms.m, cw.k,
+         |    (list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       c.rv[ms.m*$PQ_SUB+i] * c.rv[ms.m*$PQ_SUB+i]))
+         |     + list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       cw.rw[ms.m*$PQ_SUB+i] * cw.rw[ms.m*$PQ_SUB+i]))
+         |     - list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |       c.rv[ms.m*$PQ_SUB+i] * cw.rw[ms.m*$PQ_SUB+i])) * 2) AS d
+         |  FROM cande c, ms, cwres cw),
+         |ks AS (SELECT * FROM (VALUES (4), (16)) t(code_k)),
+         |codes AS (
+         |  SELECT code_k, vec_id, m, k AS code FROM (
+         |    SELECT ks.code_k, d2.vec_id, d2.m, d2.k,
+         |      ROW_NUMBER() OVER (PARTITION BY ks.code_k, d2.vec_id, d2.m
+         |                         ORDER BY d2.d, d2.k) AS rn
+         |    FROM d2, ks WHERE d2.k < ks.code_k) t WHERE rn = 1),
+         |qd AS (
+         |  SELECT p.qid, p.probe_cid,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      qe.embedding[i] - l2.cv[i]) AS rq
+         |  FROM probes p
+         |    JOIN e qe ON qe.vec_id = p.qid
+         |    JOIN l2 ON l2.cid = p.probe_cid),
+         |qtab AS (
+         |  SELECT qd.qid, qd.probe_cid, ms.m, cw.k,
+         |    CAST(round(
+         |      (list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |         qd.rq[ms.m*$PQ_SUB+i] * qd.rq[ms.m*$PQ_SUB+i]))
+         |       + list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |         cw.rw[ms.m*$PQ_SUB+i] * cw.rw[ms.m*$PQ_SUB+i]))
+         |       - list_sum(list_transform(range(1, ${PQ_SUB + 1}), i ->
+         |         qd.rq[ms.m*$PQ_SUB+i] * cw.rw[ms.m*$PQ_SUB+i])) * 2), 9)
+         |      AS DECIMAL(18,9)) AS dd
+         |  FROM qd, ms, cwres cw),
+         |candlist AS (
+         |  SELECT p.qid, a.vec_id AS nid, a.centroid_id
+         |  FROM assigned a JOIN probes p
+         |    ON a.centroid_id = p.probe_cid AND p.qid <> a.vec_id),
+         |approx AS (
+         |  SELECT a_code_k, aqid, anid FROM (
+         |    SELECT t.code_k AS a_code_k, t.qid AS aqid, t.nid AS anid,
+         |      ROW_NUMBER() OVER (PARTITION BY t.code_k, t.qid
+         |                         ORDER BY t.approx, t.nid) AS rk
+         |    FROM (
+         |      SELECT c.code_k, cl.qid, cl.nid, SUM(q.dd) AS approx
+         |      FROM candlist cl
+         |        JOIN codes c ON c.vec_id = cl.nid
+         |        JOIN qtab q ON q.qid = cl.qid
+         |          AND q.probe_cid = cl.centroid_id
+         |          AND q.m = c.m AND q.k = c.code
          |      GROUP BY c.code_k, cl.qid, cl.nid) t) u WHERE rk <= 3),
          |exact AS (
          |  SELECT ks.code_k, t.qid, t.nid FROM (

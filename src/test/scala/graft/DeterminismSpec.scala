@@ -241,7 +241,7 @@ class DeterminismSpec extends AnyFunSuite {
     // r11: composed IVF-PQ — reference-object model/codebook, round-9
     // cosines with lowest-cid ties, DECIMAL ADC sums, total-order
     // ranks; the recall curve adds only exact L2 round-9 + counts
-    "q_ann_ivfpq", "q_ann_ivfpq_recall",
+    "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_ann_ivfpq_residual",
     // r11: cross-modal attribution — exact integer hash pairs + exact
     // gram counts + positive-only scale-0 rounding
     "q_crossmodal_dedup",
