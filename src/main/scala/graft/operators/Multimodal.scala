@@ -592,35 +592,9 @@ object Multimodal extends graft.QueryPack {
     // fixture rule before the gram join.
     "q_crossmodal_dedup" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      val phAll = phash64Corpus(s, docs).filter(col("phash") =!= -1L)
-      // Group-size cap (the q_winnow_overlap df <= 20 device, same
-      // named reason): a hash shared by dozens of images is a
-      // DEGENERATE asset class (the fixture grows groups of 100+ at
-      // sf0.1) that carries no pairing signal and fans out
-      // quadratically in doc pairs — those groups are already fully
-      // described by the q_image_phash grouping report; pair-level
-      // attribution only runs where pairs are informative.
-      val grouped = phAll.groupBy(col("phash"))
-        .agg(count(lit(1)).as("n_images"))
-        .filter(col("n_images") <= 20L)
-      val ph = phAll.join(grouped.select(col("phash")), Seq("phash"),
-        "left_semi")
-      val same = ph.select(col("phash"), col("doc_id").as("id_a"))
-        .join(ph.select(col("phash"), col("doc_id").as("id_b")),
-          Seq("phash"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
-      val cross = phash64Pairs(grouped)
-        .select(col("ph_a"), col("ph_b"), col("hamming"))
-        .join(ph.select(col("phash").as("ph_a"), col("doc_id").as("ida")),
-          Seq("ph_a"))
-        .join(ph.select(col("phash").as("ph_b"), col("doc_id").as("idb")),
-          Seq("ph_b"))
-        .select(least(col("ida"), col("idb")).as("id_a"),
-          greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
       def src(c: Column) =
         when(c >= 1000000L, c - 1000000L).otherwise(c)
-      val cand = same.unionByName(cross)
+      val cand = phash64DocPairs(s, docs)
         .withColumn("src_a", src(col("id_a")))
         .withColumn("src_b", src(col("id_b")))
       val grams = docs.select(col("doc_id"),
@@ -653,8 +627,65 @@ object Multimodal extends graft.QueryPack {
           when(col("jaccard_e6") >= 500000L, "dup_both")
             .otherwise("image_only"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Image near-dup CLUSTER formation — completes the image-identity
+    // ladder: q_image_phash groups exact fingerprints,
+    // q_phash64_hamming pairs near fingerprints, this forms the
+    // transitive components a media-store dedup acts on (a retouch
+    // chain A~B~C is ONE asset even when A and C sit beyond radius 3
+    // of each other). Components come from the SAME hybrid min-label/
+    // star-contraction kernel as the text-side q_dedup_clusters
+    // (Dedup.clustersHybrid — one definition, two modalities) over
+    // the shared capped pair frame; cluster_id = component-minimum
+    // doc_id, which IS the canonical asset (keep-smallest-id, the
+    // house keeper rule). Singleton images never enter the pair
+    // graph and need no row — the report lists exactly the images
+    // with a dedup decision to make.
+    "q_image_dedup_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = phash64DocPairs(s, Tables(s, d, "documents"))
+      val cl = Dedup.clustersHybrid(pairs.select(col("id_a"), col("id_b")))
+      val wC = Window.partitionBy(col("cluster_id"))
+      cl.withColumn("n_members", count(lit(1)).over(wC))
+        .select(col("doc_id"), col("cluster_id"), col("n_members"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** DOC-level image near-dup candidate pairs at Hamming ≤ 3:
+    * exact-collision pairs within a hash group ∪ radius-3 pairs from
+    * the pigeonhole join, both under the group-size ≤ 20 cap (the
+    * q_winnow_overlap df-cap device, same named reason: a hash shared
+    * by dozens of images is a DEGENERATE asset class — the fixture
+    * grows 100+-image groups at sf0.1 — that carries no pairing
+    * signal and fans out quadratically; those groups stay fully
+    * described by the q_image_phash grouping report). ONE definition
+    * shared by q_crossmodal_dedup (text verification) and
+    * q_image_dedup_clusters (component formation). */
+  private def phash64DocPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+    val phAll = phash64Corpus(s, docs).filter(col("phash") =!= -1L)
+    val grouped = phAll.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_images"))
+      .filter(col("n_images") <= 20L)
+    val ph = phAll.join(grouped.select(col("phash")), Seq("phash"),
+      "left_semi")
+    val same = ph.select(col("phash"), col("doc_id").as("id_a"))
+      .join(ph.select(col("phash"), col("doc_id").as("id_b")),
+        Seq("phash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    val cross = phash64Pairs(grouped)
+      .select(col("ph_a"), col("ph_b"), col("hamming"))
+      .join(ph.select(col("phash").as("ph_a"), col("doc_id").as("ida")),
+        Seq("ph_a"))
+      .join(ph.select(col("phash").as("ph_b"), col("doc_id").as("idb")),
+        Seq("ph_b"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+    same.unionByName(cross)
+  }
 
   /** The radius-3 pigeonhole pair join over a GROUPED 64-bit
     * fingerprint frame (phash, n_images) — factored so MultimodalSpec
@@ -776,6 +807,21 @@ object Multimodal extends graft.QueryPack {
         |    THEN hraw - (1::HUGEINT << 64) ELSE hraw END AS BIGINT)
         |    AS phash
         |  FROM hs)"""
+      .stripMargin
+
+  /** Shared oracle CTEs: the group-size-capped doc-level Hamming ≤ 3
+    * pair frame over the hash replay — used by the q_crossmodal_dedup
+    * and q_image_dedup_clusters oracles. */
+  private val phash64PairsSqlDuck: String =
+    """capped AS (
+        |  SELECT ph.doc_id, ph.phash FROM ph
+        |  JOIN (SELECT phash FROM ph GROUP BY phash
+        |        HAVING COUNT(*) <= 20) ok USING (phash)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |  FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3)"""
       .stripMargin
 
   def oracles: Map[String, String] = Map(
@@ -917,15 +963,7 @@ object Multimodal extends graft.QueryPack {
     // trigram Jaccard with the copy -> source id rule
     "q_crossmodal_dedup" ->
       s"""WITH $phash64SqlDuck,
-        |capped AS (
-        |  SELECT ph.doc_id, ph.phash FROM ph
-        |  JOIN (SELECT phash FROM ph GROUP BY phash
-        |        HAVING COUNT(*) <= 20) ok USING (phash)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-        |  FROM capped a JOIN capped b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |$phash64PairsSqlDuck,
         |tg AS (
         |  SELECT doc_id,
         |    unnest(list_distinct(list_transform(
@@ -966,6 +1004,28 @@ object Multimodal extends graft.QueryPack {
         |  CASE WHEN jaccard_e6 >= 500000 THEN 'dup_both'
         |       ELSE 'image_only' END AS verdict
         |FROM scored ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure over the same capped pair frame (the
+    // q_dedup_clusters recursive-CTE device); cluster_id = component
+    // minimum
+    "q_image_dedup_clusters" ->
+      s"""WITH RECURSIVE $phash64SqlDuck,
+        |$phash64PairsSqlDuck,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
+        |cl AS (
+        |  SELECT node AS doc_id, MIN(r) AS cluster_id
+        |  FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+        |    AS n_members,
+        |  doc_id = cluster_id AS is_canonical
+        |FROM cl ORDER BY doc_id""".stripMargin,
 
     // expected output of the real PNG decode, recomputed in closed form
     "q_multimodal_features" ->

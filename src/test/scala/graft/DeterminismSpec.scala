@@ -243,8 +243,9 @@ class DeterminismSpec extends AnyFunSuite {
     // ranks; the recall curve adds only exact L2 round-9 + counts
     "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_ann_ivfpq_residual",
     // r11: cross-modal attribution — exact integer hash pairs + exact
-    // gram counts + positive-only scale-0 rounding
-    "q_crossmodal_dedup",
+    // gram counts + positive-only scale-0 rounding; cluster formation
+    // adds only the layout-free min-label kernel
+    "q_crossmodal_dedup", "q_image_dedup_clusters",
     // r11: Bradley–Terry — exact match/grid counts, scale-12
     // fixed-point MM denominators under DECIMAL(38,0), micro-unit
     // strengths, total-order rank

@@ -308,4 +308,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(expected.exists(_._8 == "dup_both"), "dup_both never fires")
     assert(expected.exists(_._8 == "image_only"), "image_only never fires")
   }
+
+  test("q_image_dedup_clusters equals a plain-Scala union-find over the brute pair graph") {
+    val spark = TestSpark.spark
+    val nDocs = Tables(spark, TestSpark.sf, "documents").count()
+    val hashes = (0L until nDocs).flatMap { d =>
+      val src = (d, Multimodal.imagePhash64(Multimodal.genPng(d)))
+      if (d % 17 == 4)
+        Seq(src, (d + 1000000L,
+          Multimodal.imagePhash64(Multimodal.genPngNearDup(d))))
+      else Seq(src)
+    }
+    val groupN = hashes.groupBy(_._2).view.mapValues(_.length).toMap
+    val capped = hashes.filter { case (_, h) => groupN(h) <= 20 }
+    val pairs = for {
+      (ida, ha) <- capped; (idb, hb) <- capped if ida < idb
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb)
+    // union-find with path compression — independent of the query's
+    // propagation/star-contraction kernel
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = members.map(m => m -> find(m)).toMap
+    val sizes = expect.values.groupBy(identity).view.mapValues(_.size).toMap
+    val rows = Multimodal
+      .queries("q_image_dedup_clusters")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSet == expect.keySet)
+    rows.foreach { case (doc, cl, n, canon) =>
+      assert(cl == expect(doc), s"cluster($doc)")
+      assert(n == sizes(expect(doc)).toLong, s"n_members($doc)")
+      assert(canon == (doc == cl))
+    }
+    // non-vacuous: a transitive chain exists — some cluster is larger
+    // than any single radius-3 neighborhood could explain trivially
+    assert(rows.nonEmpty && rows.map(_._3).max >= 3,
+      "no multi-member chain — cluster formation is vacuous")
+  }
 }
