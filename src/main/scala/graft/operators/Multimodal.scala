@@ -634,18 +634,29 @@ object Multimodal extends graft.QueryPack {
     // q_phash64_hamming pairs near fingerprints, this forms the
     // transitive components a media-store dedup acts on (a retouch
     // chain A~B~C is ONE asset even when A and C sit beyond radius 3
-    // of each other). Components come from the SAME hybrid min-label/
-    // star-contraction kernel as the text-side q_dedup_clusters
-    // (Dedup.clustersHybrid — one definition, two modalities) over
-    // the shared capped pair frame; cluster_id = component-minimum
-    // doc_id, which IS the canonical asset (keep-smallest-id, the
-    // house keeper rule). Singleton images never enter the pair
-    // graph and need no row — the report lists exactly the images
-    // with a dedup decision to make.
+    // of each other). Components come from the STAR-CONTRACTION
+    // kernel (Dedup.ccStars, Kiveris et al. SoCC'14 — one definition,
+    // two modalities), NOT the label-propagation default: the image
+    // graph is exactly the diameter case that kernel exists for —
+    // radius-3 chains through hash space grow a 240-member component
+    // at sf0.1, and one-hop-per-round propagation paid the component
+    // RADIUS in shuffle rounds (measured 11.5 s; star contraction's
+    // diameter-independent alternations settle at ~4.6 s idle on the
+    // same graph — the remaining cost is the per-round fixed overhead
+    // every graph fixpoint pays at sf0.1, the q_sssp/q_modularity
+    // band). cluster_id = component-minimum doc_id, which IS the
+    // canonical asset (keep-smallest-id, the house keeper rule).
+    // localCheckpoint before the fixpoint: the pair lineage includes
+    // the full PNG generate+decode+hash pass, which no round should
+    // replay. Singleton images never enter the pair graph and need
+    // no row — the report lists exactly the images with a dedup
+    // decision to make.
     "q_image_dedup_clusters" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val pairs = phash64DocPairs(s, Tables(s, d, "documents"))
-      val cl = Dedup.clustersHybrid(pairs.select(col("id_a"), col("id_b")))
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val cl = Dedup.ccStars(pairs.toDF("src", "dst"))
+        .toDF("doc_id", "cluster_id")
       val wC = Window.partitionBy(col("cluster_id"))
       cl.withColumn("n_members", count(lit(1)).over(wC))
         .select(col("doc_id"), col("cluster_id"), col("n_members"),
