@@ -199,6 +199,25 @@ object Multimodal extends graft.QueryPack {
         new java.io.ByteArrayInputStream(content))
       catch { case _: java.io.IOException => null }
     if (img == null) return -1L
+    phash64Of(img)
+  }
+
+  /** Decode ONCE, report dims + 64-bit hash — the single-pass form the
+    * composed media pipeline uses (gate verdicts need dims, dedup
+    * stages need the hash; a 100 TB scan decodes each payload once). */
+  case class MediaInfo(img_id: Long, width: Long, height: Long, phash: Long)
+  def imageInfo(id: Long, content: Array[Byte]): MediaInfo = {
+    val img =
+      if (content == null || content.isEmpty) null
+      else try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+    if (img == null) MediaInfo(id, 0L, 0L, -1L)
+    else MediaInfo(id, img.getWidth.toLong, img.getHeight.toLong,
+      phash64Of(img))
+  }
+
+  private def phash64Of(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth
     val h = img.getHeight
     if (w < 8 || w > 16 || h < 8 || h > 16) return -1L
@@ -662,6 +681,91 @@ object Multimodal extends graft.QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("n_members"),
           (col("doc_id") === col("cluster_id")).as("is_canonical"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The composed MEDIA curation pipeline — the multimodal member of
+    // the composed-flagship family (q_dedup_pipeline for text,
+    // q_embedding_pipeline for vectors): decodability gate → exact
+    // fingerprint dedup → transitive near-dup canonicalization, ONE
+    // oracle-checked plan with a first-failing-stage `reason` per
+    // image, each stage consuming the prior stage's SURVIVORS.
+    //   1. gate      — undecodable (the q_image_gate truncation plant,
+    //                  here keyed on the IMAGE id so copies gate
+    //                  independently) then too_small (min dim < 10);
+    //                  dims and hash come from ONE decode (imageInfo —
+    //                  a 100 TB scan decodes each payload once).
+    //   2. exact_dup — identical 64-bit hash among gate survivors;
+    //                  smallest image id survives (partner = keeper).
+    //   3. near_dup  — radius-3 components among the per-hash keepers
+    //                  via the pigeonhole pair join + star contraction
+    //                  (each surviving hash is now UNIQUE, so the
+    //                  degenerate-group cap is unnecessary by
+    //                  construction — stage 2 already collapsed every
+    //                  group to one representative; the quadratic
+    //                  fan-out the cap guarded cannot occur);
+    //                  non-canonical members drop (partner = the
+    //                  component-minimum canonical).
+    // Kernels definitionally shared with q_image_gate /
+    // q_phash64_hamming / q_image_dedup_clusters — a bug in any stage
+    // surfaces in two queries at once.
+    "q_media_pipeline" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, d, "documents")
+      val info = docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.grouped(64).flatMap(_.flatMap { id =>
+          def gated(imgId: Long, png: Array[Byte]) =
+            imageInfo(imgId,
+              if (imgId % 29 == 5) png.take(10) else png)
+          val rows = scala.collection.mutable.ArrayBuffer(
+            gated(id, genPng(id)))
+          if (id % 17 == 4)
+            rows += gated(id + 1000000L, genPngNearDup(id))
+          rows
+        }))
+        .toDF()
+      val gate1 = info.withColumn("reason",
+        when(col("width") === 0L, "undecodable")
+          .when(least(col("width"), col("height")) < 10L, "too_small"))
+      val s1 = gate1.filter(col("reason").isNull)
+        .select(col("img_id"), col("phash"))
+      val keep2 = s1.groupBy(col("phash"))
+        .agg(min(col("img_id")).as("keeper"), count(lit(1)).as("n"))
+      val exactDrop = s1
+        .join(keep2, Seq("phash"))
+        .filter(col("img_id") =!= col("keeper"))
+        .select(col("img_id"), col("keeper").as("partner_id"),
+          lit("exact_dup").as("reason2"))
+      val s2grouped = keep2
+        .select(col("phash"), lit(1L).as("n_images"))
+      val pairs = phash64Pairs(s2grouped)
+        .select(col("ph_a"), col("ph_b"))
+        .join(keep2.select(col("phash").as("ph_a"),
+          col("keeper").as("id_a")), Seq("ph_a"))
+        .join(keep2.select(col("phash").as("ph_b"),
+          col("keeper").as("id_b")), Seq("ph_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .localCheckpoint()
+      val clusters = Dedup.ccStars(pairs.toDF("src", "dst"))
+        .toDF("img_id", "cluster_id")
+      val nearDrop = clusters.filter(col("img_id") =!= col("cluster_id"))
+        .select(col("img_id"), col("cluster_id").as("partner_id"),
+          lit("near_dup").as("reason3"))
+      gate1.select(col("img_id"), col("reason"))
+        .join(exactDrop.select(col("img_id"),
+          col("partner_id").as("p2"), col("reason2")),
+          Seq("img_id"), "left_outer")
+        .join(nearDrop.select(col("img_id"),
+          col("partner_id").as("p3"), col("reason3")),
+          Seq("img_id"), "left_outer")
+        .select(col("img_id"),
+          coalesce(col("reason"), col("reason2"), col("reason3"))
+            .as("reason"),
+          coalesce(col("p2"), col("p3")).as("partner_id"))
+        .select(col("img_id"), col("reason").isNull.as("keep"),
+          col("reason"), col("partner_id"))
+        .orderBy(col("img_id"))
     })
   )
 
@@ -1015,6 +1119,54 @@ object Multimodal extends graft.QueryPack {
         |  CASE WHEN jaccard_e6 >= 500000 THEN 'dup_both'
         |       ELSE 'image_only' END AS verdict
         |FROM scored ORDER BY id_a, id_b""".stripMargin,
+
+    // the three stages restated: analytic gate (truncation by image
+    // key, dims by formula), hash replay filtered to gate survivors,
+    // exact groups, then transitive closure over the per-hash
+    // keepers' radius-3 pairs
+    "q_media_pipeline" ->
+      s"""WITH RECURSIVE $phash64SqlDuck,
+        |gate1 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 29 = 5 THEN 'undecodable'
+        |    WHEN least(w, h) < 10 THEN 'too_small' END AS reason
+        |  FROM d),
+        |ph1 AS (
+        |  SELECT ph.doc_id, ph.phash FROM ph
+        |  JOIN gate1 USING (doc_id) WHERE gate1.reason IS NULL),
+        |keep2 AS (
+        |  SELECT phash, MIN(doc_id) AS keeper FROM ph1 GROUP BY phash),
+        |exact AS (
+        |  SELECT ph1.doc_id, k.keeper FROM ph1
+        |  JOIN keep2 k USING (phash) WHERE ph1.doc_id <> k.keeper),
+        |pairs AS (
+        |  SELECT least(a.keeper, b.keeper) AS id_a,
+        |    greatest(a.keeper, b.keeper) AS id_b
+        |  FROM keep2 a JOIN keep2 b ON a.phash < b.phash
+        |  WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 1 AND 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
+        |cl AS (
+        |  SELECT node AS doc_id, MIN(r) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |near AS (
+        |  SELECT doc_id, cluster_id FROM cl WHERE doc_id <> cluster_id),
+        |verdicts AS (
+        |  SELECT g.doc_id AS img_id,
+        |    CASE WHEN g.reason IS NOT NULL THEN g.reason
+        |         WHEN e.keeper IS NOT NULL THEN 'exact_dup'
+        |         WHEN n.cluster_id IS NOT NULL THEN 'near_dup' END
+        |      AS reason,
+        |    COALESCE(e.keeper, n.cluster_id) AS partner_id
+        |  FROM gate1 g
+        |    LEFT JOIN exact e ON e.doc_id = g.doc_id
+        |    LEFT JOIN near n ON n.doc_id = g.doc_id)
+        |SELECT img_id, reason IS NULL AS keep, reason, partner_id
+        |FROM verdicts ORDER BY img_id""".stripMargin,
 
     // transitive closure over the same capped pair frame (the
     // q_dedup_clusters recursive-CTE device); cluster_id = component

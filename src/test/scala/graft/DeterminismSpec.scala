@@ -245,7 +245,7 @@ class DeterminismSpec extends AnyFunSuite {
     // r11: cross-modal attribution — exact integer hash pairs + exact
     // gram counts + positive-only scale-0 rounding; cluster formation
     // adds only the layout-free min-label kernel
-    "q_crossmodal_dedup", "q_image_dedup_clusters",
+    "q_crossmodal_dedup", "q_image_dedup_clusters", "q_media_pipeline",
     // r11: Bradley–Terry — exact match/grid counts, scale-12
     // fixed-point MM denominators under DECIMAL(38,0), micro-unit
     // strengths, total-order rank

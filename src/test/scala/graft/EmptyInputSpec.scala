@@ -112,7 +112,7 @@ class EmptyInputSpec extends AnyFunSuite {
     // no block candidates → no pairs (both hash widths, and the
     // cross-modal composition on top of them)
     "q_phash_hamming", "q_phash64_hamming", "q_crossmodal_dedup",
-    "q_image_dedup_clusters",
+    "q_image_dedup_clusters", "q_media_pipeline",
     // novelty audit of an empty corpus: no grams in any split → no
     // split rows (exact batch kernel AND the bounded theta drain —
     // zero batches leave no state, so the report frame is empty)

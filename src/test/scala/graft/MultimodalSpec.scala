@@ -353,4 +353,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.map(_._3).max >= 3,
       "no multi-member chain — cluster formation is vacuous")
   }
+
+  test("q_media_pipeline: stage attribution invariants — each stage consumes the prior's survivors") {
+    val rows = Multimodal
+      .queries("q_media_pipeline")(TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3))))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every image of the media corpus (sources + copies) is attributed
+    val nDocs = Tables(TestSpark.spark, TestSpark.sf, "documents").count()
+    val expectIds = (0L until nDocs).flatMap(d =>
+      if (d % 17 == 4) Seq(d, d + 1000000L) else Seq(d)).toSet
+    assert(rows.map(_._1).toSet == expectIds)
+    // all verdict classes fire, keep <-> reason null, partners only on
+    // dup verdicts
+    Seq(null, "undecodable", "too_small", "exact_dup", "near_dup")
+      .foreach(v => assert(rows.exists(_._3 == v), s"verdict '$v' silent"))
+    rows.foreach { case (id, keep, reason, partner) =>
+      assert(keep == (reason == null))
+      assert((partner != null) ==
+        (reason == "exact_dup" || reason == "near_dup"))
+      // gate stage is purely analytic: the truncation plant by image
+      // key, the dim floor by the fixture formula on the SOURCE id
+      val src = if (id >= 1000000L) id - 1000000L else id
+      if (id % 29 == 5) assert(reason == "undecodable", s"$id")
+      else if (math.min(8 + src % 9, 8 + src % 7) < 10)
+        assert(reason == "too_small", s"$id")
+      else assert(reason == null || reason == "exact_dup" ||
+        reason == "near_dup", s"$id")
+    }
+    // dup partners must themselves be SURVIVING keepers (keep or a
+    // near_dup canonical that keeps) and smaller than the member
+    rows.filter(_._3 == "exact_dup").foreach { case (id, _, _, p) =>
+      assert(p < id, s"exact partner not the smaller id: $id -> $p")
+      val pr = byId(p.longValue)
+      assert(pr._3 == null || pr._3 == "near_dup",
+        s"exact partner $p was itself dropped before stage 2: ${pr._3}")
+    }
+    rows.filter(_._3 == "near_dup").foreach { case (id, _, _, p) =>
+      assert(p < id, s"canonical not the component min: $id -> $p")
+      assert(byId(p.longValue)._2, s"canonical $p does not keep")
+    }
+  }
 }
