@@ -492,7 +492,81 @@ object StreamingGate extends graft.QueryPack {
     swapState(merged, state)
   }
 
+  /** The q_stream_media_gate state fold: each arriving document slice
+    * generates its media (sources + retouched copies, with the
+    * q_image_gate truncation plant keyed on the IMAGE id), REALLY
+    * decodes it (Multimodal.imageInfo — the one-decode kernel), and
+    * folds the per-verdict counts into the persistent 3-row grid by
+    * summation — the count monoid, batching-invariant, O(verdicts)
+    * state forever. The decode runs INSIDE the fold: this is the
+    * drain where executor-side binary work crosses the streaming
+    * boundary, not just row arithmetic. */
+  def foldMediaGate(state: String)(batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
+    val s = batch.sparkSession
+    import s.implicits._
+    val bc = batch.select(col("doc_id")).as[Long]
+      .mapPartitions(_.grouped(64).flatMap(_.flatMap { d =>
+        def gated(imgId: Long, png: Array[Byte]) =
+          Multimodal.imageInfo(imgId,
+            if (imgId % 29 == 5) png.take(10) else png)
+        val rows = scala.collection.mutable.ArrayBuffer(
+          gated(d, Multimodal.genPng(d)))
+        if (d % 17 == 4)
+          rows += gated(d + 1000000L, Multimodal.genPngNearDup(d))
+        rows
+      }))
+      .toDF()
+      .select(when(col("width") === 0L, "undecodable")
+        .when(least(col("width"), col("height")) < 10L, "too_small")
+        .otherwise("ok").as("reason"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+    val merged =
+      if (new java.io.File(state).exists()) {
+        val prior = s.read.parquet(state)
+        prior.unionByName(bc)
+          .groupBy(col("reason")).agg(sum(col("n")).as("n"))
+      } else bc
+    swapState(merged, state)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // STREAMING MEDIA GATE — the TWENTY-SEVENTH oracle-gated drain and
+    // the multimodal member of the drain family: document slices
+    // arrive, each batch's images are generated and REALLY decoded
+    // executor-side inside the fold ([[foldMediaGate]] — binary work
+    // crossing the streaming boundary, not just row arithmetic), and
+    // the per-verdict counts accrete into a 3-row count-monoid grid.
+    // This is how an ingestion pipeline watches decode health live (a
+    // codec regression or a corrupted upstream batch shows as an
+    // undecodable spike) without rescanning the media store. The
+    // oracle is fully analytic — the truncation plant from the image
+    // key, the dims from the fixture formula over sources ∪ copies —
+    // so a decode that disagrees with the contract fails the hash,
+    // exactly q_image_gate's discipline at the aggregate grain.
+    "q_stream_media_gate" -> ((s, d) => {
+      val root = freshDir("q_stream_media_gate")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val state = root + "/mg"
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+      val t0 = System.currentTimeMillis() - 60000
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 0), "f1", t0)
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 1), "f2",
+        t0 + 2000)
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 2), "f3",
+        t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      drain(s, stream, "append")(foldMediaGate(state))
+      recoverState(state)
+      import org.apache.spark.sql.types.{LongType, StringType}
+      readStateOr(s, state, Seq(
+        ("reason", "reason", StringType), ("n", "n", LongType)))
+        .orderBy(col("reason"))
+    }),
 
     // Stream-STATIC dim enrichment — the remaining streaming join
     // surface (stream-stream is q_stream_join): every micro-batch
@@ -1647,6 +1721,22 @@ object StreamingGate extends graft.QueryPack {
 
     // same argument for per-document dedup verdicts
     "q_stream_dedup_admission" -> Dedup.oracles("q_dedup_incremental"),
+
+    // fully analytic: the truncation plant from the image key, the
+    // dims from the fixture formula over sources ∪ copies — the
+    // q_image_gate discipline at the aggregate grain
+    "q_stream_media_gate" ->
+      """WITH media AS (
+        |  SELECT doc_id AS img_id, doc_id AS src FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 17 = 4)
+        |SELECT CASE WHEN img_id % 29 = 5 THEN 'undecodable'
+        |         WHEN least(8 + src % 9, 8 + src % 7) < 10
+        |           THEN 'too_small'
+        |         ELSE 'ok' END AS reason,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM media GROUP BY 1 ORDER BY reason""".stripMargin,
 
     // the q_ngram_coverage counting kernel (exact n_ngrams / n_seen
     // per eval split) + the contract booleans stated as constants —

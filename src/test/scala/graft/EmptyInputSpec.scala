@@ -101,6 +101,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // the dedup twin probes empty index frames and admits nothing
     "q_stream_bm25_admission", "q_stream_ann_admission",
     "q_stream_dedup_admission",
+    // media gate of an empty stream: zero batches, no count grid
+    "q_stream_media_gate",
     // kill-and-resume over empty sketch state: three empty files are
     // still three micro-batches, the planted death and the recovery
     // both still run, and the recovered gate frame is empty

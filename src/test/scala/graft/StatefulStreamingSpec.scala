@@ -395,6 +395,38 @@ class StatefulStreamingSpec extends AnyFunSuite {
       Set("train", "val", "test")))
   }
 
+  test("media-gate fold: batching-invariant, real decode matches the analytic contract") {
+    import spark.implicits._
+    val ids = (0L until 60L)
+    def foldWith(batching: Seq[Seq[Long]]): Map[String, Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("mediagate")
+        .toFile.getAbsolutePath + "/mg"
+      batching.zipWithIndex.foreach { case (b, i) =>
+        graft.operators.StreamingGate.foldMediaGate(dir)(
+          b.toDF("doc_id"), i.toLong)
+      }
+      spark.read.parquet(dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val oneShot = foldWith(Seq(ids))
+    val staggered = foldWith(Seq(ids.take(9), Seq.empty,
+      ids.slice(9, 40), ids.drop(40)))
+    assert(oneShot == staggered, "media-gate fold must be batching-invariant")
+    // the REAL decode under the fold must reproduce the analytic
+    // contract: truncation plant by image key, dims by formula
+    val media = ids.flatMap(d =>
+      if (d % 17 == 4) Seq((d, d), (d + 1000000L, d)) else Seq((d, d)))
+    def reason(img: Long, src: Long): String =
+      if (img % 29 == 5) "undecodable"
+      else if (math.min(8 + src % 9, 8 + src % 7) < 10) "too_small"
+      else "ok"
+    val expect = media.groupBy { case (img, src) => reason(img, src) }
+      .view.mapValues(_.size.toLong).toMap
+    assert(oneShot == expect, s"got $oneShot want $expect")
+    assert(expect.keySet == Set("ok", "too_small", "undecodable"),
+      "a verdict class is silent on this fixture")
+  }
+
   test("bm25-stats fold is batching-invariant and equals a plain-Scala stat recompute") {
     import spark.implicits._
     val terms = Seq("alpha", "beta")
