@@ -769,12 +769,20 @@ object Multimodal extends graft.QueryPack {
     })
   )
 
+  /** Group-size cap for the pHash pair frames — a hash shared by more
+    * images than this is a DEGENERATE asset class that fans out
+    * quadratically (the `graft.shingle.df.cap` discipline). Sysprop so
+    * MultimodalSpec can exercise the cut at a second value (cap=2);
+    * read per call so engine and oracle always agree. */
+  private def phashGroupCap: Int =
+    sys.props.getOrElse("graft.phash.group.cap", "20").toInt
+
   /** DOC-level image near-dup candidate pairs at Hamming ≤ 3:
     * exact-collision pairs within a hash group ∪ radius-3 pairs from
-    * the pigeonhole join, both under the group-size ≤ 20 cap (the
-    * q_winnow_overlap df-cap device, same named reason: a hash shared
-    * by dozens of images is a DEGENERATE asset class — the fixture
-    * grows 100+-image groups at sf0.1 — that carries no pairing
+    * the pigeonhole join, both under the group-size ≤ [[phashGroupCap]]
+    * cap (the q_winnow_overlap df-cap device, same named reason: a hash
+    * shared by dozens of images is a DEGENERATE asset class — the
+    * fixture grows 100+-image groups at sf0.1 — that carries no pairing
     * signal and fans out quadratically; those groups stay fully
     * described by the q_image_phash grouping report). ONE definition
     * shared by q_crossmodal_dedup (text verification) and
@@ -783,7 +791,7 @@ object Multimodal extends graft.QueryPack {
     val phAll = phash64Corpus(s, docs).filter(col("phash") =!= -1L)
     val grouped = phAll.groupBy(col("phash"))
       .agg(count(lit(1)).as("n_images"))
-      .filter(col("n_images") <= 20L)
+      .filter(col("n_images") <= phashGroupCap.toLong)
     val ph = phAll.join(grouped.select(col("phash")), Seq("phash"),
       "left_semi")
     val same = ph.select(col("phash"), col("doc_id").as("id_a"))
@@ -926,12 +934,14 @@ object Multimodal extends graft.QueryPack {
 
   /** Shared oracle CTEs: the group-size-capped doc-level Hamming ≤ 3
     * pair frame over the hash replay — used by the q_crossmodal_dedup
-    * and q_image_dedup_clusters oracles. */
-  private val phash64PairsSqlDuck: String =
-    """capped AS (
+    * and q_image_dedup_clusters oracles. `def` (not val) so the
+    * interpolated [[phashGroupCap]] tracks the sysprop per call, same
+    * as the engine side. */
+  private def phash64PairsSqlDuck: String =
+    s"""capped AS (
         |  SELECT ph.doc_id, ph.phash FROM ph
         |  JOIN (SELECT phash FROM ph GROUP BY phash
-        |        HAVING COUNT(*) <= 20) ok USING (phash)),
+        |        HAVING COUNT(*) <= $phashGroupCap) ok USING (phash)),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming

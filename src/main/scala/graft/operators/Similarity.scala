@@ -1261,7 +1261,15 @@ object Similarity extends graft.QueryPack {
     // 10+k2..10+k2+K residual — beyond the centroid range) and at
     // least one centroid — an empty/tiny index has no stored model,
     // so the scan degrades to an empty frame (EmptyInputSpec), the
-    // q_ann_incremental guard posture
+    // q_ann_incremental guard posture.
+    // FIXTURE-SIZE PRECONDITION (ADVICE r11): the DuckDB oracles do
+    // NOT mirror this floor — on a tiny-but-nonempty corpus (between
+    // 1 and 10+nCodes−1 rows, e.g. 11-25 embeddings) DuckDB would
+    // build a partial codebook and emit rows while this guard returns
+    // empty. The pinned fixtures never sit in that band (sf0.001 has
+    // 600 embeddings; EmptyInputSpec covers the fully-empty end), so
+    // greenness holds; anyone pointing these queries at a custom
+    // corpus must provide ≥ 10+nCodes (+k2 for residual) vectors.
     if (nIdx < 10L + nCodes || (residual && nIdx < 10L + k2 + nCodes))
       return s.range(0).select(col("id").as("qid"), col("id").as("rk"),
         col("id").as("nid"), col("id").as("centroid_id"),

@@ -1740,7 +1740,14 @@ object StreamingGate extends graft.QueryPack {
 
     // the q_ngram_coverage counting kernel (exact n_ngrams / n_seen
     // per eval split) + the contract booleans stated as constants —
-    // the q_stream_hll oracle pattern
+    // the q_stream_hll oracle pattern. DEBUGGING NOTE (ADVICE r11): the
+    // theta ESTIMATES are never cross-checked here, so a fixture or
+    // datasketches-version change that pushes an estimate outside the
+    // 4·rse band surfaces as an opaque STRICT hash mismatch on this
+    // row. If this oracle goes red, read the Spark-side boolean columns
+    // first — counts_match / ngrams_ok / novel_ok (computed against the
+    // 4·rse band in the query body above) localize which contract
+    // broke before any hash diffing.
     "q_stream_novelty_theta" ->
       """WITH sp AS (
         |  SELECT text,

@@ -39,7 +39,15 @@ object AlertSink {
     }
 
   /** Append a batch's alert rows (alert IS NOT NULL) to the durable
-    * alert table — usable directly as a foreachBatch sink. */
+    * alert table — usable directly as a foreachBatch sink.
+    *
+    * CARDINALITY CONTRACT (why coalesce(1) is safe): alerts ≪ rows —
+    * a sentinel fires on the rare login-wall/poison page, so a batch
+    * contributes a handful of alert rows at most and one output file
+    * beats a directory of empties. The coalesce(1) would be a
+    * single-task funnel ONLY under a sentinel storm across a wide
+    * batch; if alerts ever became O(rows), drop the coalesce and let
+    * the write inherit the batch's partitioning. */
   def writeAlerts(alertDir: String)(batch: DataFrame, id: Long): Unit =
     batch.filter(col("alert").isNotNull)
       .coalesce(1).write.mode("append").parquet(alertDir)

@@ -309,6 +309,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(expected.exists(_._8 == "image_only"), "image_only never fires")
   }
 
+  test("graft.phash.group.cap: the pair frame honors the sysprop, exercised at cap=2") {
+    // The q_winnow_overlap df-cap discipline (VERDICT r11 item 4): the
+    // group-size cut must be the SYSPROP, not a baked literal — run the
+    // pair-producing query at cap=2 against a brute recompute that
+    // applies the same cap, and require the cut to be non-vacuous
+    // (cap=2 drops pairs that cap=20 keeps on this fixture).
+    val spark = TestSpark.spark
+    val nDocs = Tables(spark, TestSpark.sf, "documents").count()
+    val hashes = (0L until nDocs).flatMap { d =>
+      val src = (d, Multimodal.imagePhash64(Multimodal.genPng(d)))
+      if (d % 17 == 4)
+        Seq(src, (d + 1000000L,
+          Multimodal.imagePhash64(Multimodal.genPngNearDup(d))))
+      else Seq(src)
+    }
+    val groupN = hashes.groupBy(_._2).view.mapValues(_.length).toMap
+    def brutePairs(cap: Int): Seq[(Long, Long, Long)] = {
+      val capped = hashes.filter { case (_, h) => groupN(h) <= cap }
+      (for {
+        (ida, ha) <- capped; (idb, hb) <- capped if ida < idb
+        ham = java.lang.Long.bitCount(ha ^ hb) if ham <= 3
+      } yield (ida, idb, ham.toLong)).sortBy(t => (t._1, t._2))
+    }
+    val at20 = brutePairs(20)
+    val at2 = brutePairs(2)
+    assert(at2.size < at20.size,
+      s"cap=2 cuts nothing on this fixture (${at2.size} vs ${at20.size})")
+    sys.props("graft.phash.group.cap") = "2"
+    try {
+      val actual = Multimodal
+        .queries("q_crossmodal_dedup")(spark, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(actual == at2,
+        s"first diff: ${actual.zip(at2).find { case (x, y) => x != y }}")
+      // oracle side tracks the same sysprop (def, interpolated per call)
+      assert(Multimodal.oracles("q_crossmodal_dedup").contains("<= 2"),
+        "oracle SQL does not interpolate the cap")
+    } finally sys.props.remove("graft.phash.group.cap")
+  }
+
   test("q_image_dedup_clusters equals a plain-Scala union-find over the brute pair graph") {
     val spark = TestSpark.spark
     val nDocs = Tables(spark, TestSpark.sf, "documents").count()

@@ -49,9 +49,9 @@ class SkewJoinSpec extends AnyFunSuite {
   test("simhash pigeonhole join: a boilerplate-heavy block key is an AQE skew split, not a plan change") {
     // The q_simhash_hamming comment asserts this (VERDICT r10 item 7);
     // here it runs on the REAL join layout (Dedup.simhashPairsFrom):
-    // 90% of a 40k-doc fingerprint frame shares one TOP 8-bit block —
+    // 90% of a 4k-doc fingerprint frame shares one TOP 8-bit block —
     // the boilerplate-header shape — while scattering in the low 24
-    // bits, so ONE (blk=0, bits) join key carries ~36k candidate rows
+    // bits, so ONE (blk=0, bits) join key carries ~3.6k candidate rows
     // and the other block keys stay thin. With production-shaped
     // thresholds scaled to the test shuffle, AQE must split that
     // partition at runtime; the plan stays the same block-keyed
