@@ -951,6 +951,101 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Scalar-quantization RECALL curve (VERDICT r11 item 7) — the
+    // retrieval-cost companion q_quantize_int8 lacks: int8 storage
+    // reports reconstruction MSE, but what a deployment buys or loses
+    // is recall@k, so this sweep prices the SAME per-dimension
+    // symmetric quantizer (scale = max|v_d| / levels, code =
+    // round(v/sc), reconstruction = code·sc) at bits ∈ {2, 4, 8}
+    // (levels 1 / 7 / 127) against the exact float cosine truth on the
+    // q_ann_recall planted corpus, at BOTH k ∈ {1, 3}. The scan is
+    // ASYMMETRIC (FAISS SQ convention: query stays float, candidates
+    // are reconstructed), so the curve isolates what quantizing the
+    // INDEX costs. MEASURED shape (the honest two-part finding, pinned
+    // in NearDupSpec): recall@3 is 1.0 at EVERY bits level — even
+    // 3-level reconstruction keeps the 0.995-vs-0.3 plant margin, so
+    // set-retrieval of coarse near-dups is free — while recall@1 (the
+    // WITHIN-plant ordering: which of a query's three near-identical
+    // plants is nearest) degrades under quantization, and int8 itself
+    // pays a measurable @1 cost (~0.7 macro at sf0.01): sub-step sim
+    // margins scramble. Not monotone in bits by construction —
+    // quantization grids are not nested (unlike LSH prefixes / probe
+    // lists), so 4-bit can lose an ordering 2-bit accidentally kept.
+    // Candidates whose reconstruction is the ZERO vector are
+    // unrankable under a cosine scorer and are dropped on both sides
+    // (rnrm > 0 — only reachable at bits=2 where sub-half-scale
+    // coordinates all snap to 0). Scale shape: scales are one 64-row
+    // aggregate broadcast as a 1-row dim; reconstruction is a narrow
+    // per-row projection per bits value (no shuffle); ranking is the
+    // 10-query broadcast offline-evaluation join of q_ann_recall
+    // (documented eval harness, not the serving path); the final frame
+    // is grid-sized (3 bits × 2 k × 10 queries).
+    "q_sq8_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = plantedCorpus(s, d)
+      val mxs = corpus
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(max(abs(col("x"))).as("mx"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("sm"))
+        .select(transform(col("sm"), t => t.getField("mx")).as("mxs"))
+      val q = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"))
+      // exact float truth ranked once, then replicated per (bits, k)
+      // cell and cut at depth k (the q_ann_recall truth shape)
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      val exact = corpus
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+          col("nrm").as("nnrm"))
+        .join(broadcast(q), col("qid") =!= col("nid"))
+        .withColumn("sim",
+          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("qid"), col("nid"), col("rk"),
+          explode(typedlit(Seq(2L, 4L, 8L))).as("n_bits"))
+        .select(col("qid"), col("nid"), col("rk"), col("n_bits"),
+          explode(typedlit(Seq(1L, 3L))).as("k"))
+        .filter(col("rk") <= col("k"))
+      // quantized index: reconstruct candidates at each bits level
+      // (levels as exact literals, NOT pow() — cross-engine parity)
+      val recon = corpus.crossJoin(broadcast(mxs))
+        .select(col("vec_id").as("anid"), col("embedding"), col("mxs"),
+          explode(typedlit(Seq((2L, 1.0d), (4L, 7.0d), (8L, 127.0d))))
+            .as("bl"))
+        .select(col("anid"), col("bl._1").as("abits"),
+          expr("""zip_with(embedding, mxs, (x, m) ->
+            |  round(x / (m / bl._2)) * (m / bl._2))""".stripMargin)
+            .as("rv"))
+        .withColumn("rnrm", norm(col("rv")))
+        .filter(col("rnrm") > 0.0d)
+      val wa = Window.partitionBy(col("abits"), col("aqid"))
+        .orderBy(col("sim").desc, col("anid"))
+      val approx = recon
+        .join(broadcast(q.select(col("qid").as("aqid"), col("qv"),
+          col("qnrm"))), col("aqid") =!= col("anid"))
+        .withColumn("sim",
+          round(dot(col("qv"), col("rv")) / (col("qnrm") * col("rnrm")), 9))
+        .withColumn("ark", row_number().over(wa)).filter(col("ark") <= 3)
+        .select(col("abits"), col("aqid"), col("anid"), col("ark"),
+          explode(typedlit(Seq(1L, 3L))).as("ak"))
+        .filter(col("ark") <= col("ak"))
+        .select(col("abits"), col("ak"), col("aqid"), col("anid"))
+      val wB = Window.partitionBy(col("n_bits"), col("k"))
+      exact
+        .join(approx,
+          col("n_bits") === col("abits") && col("k") === col("ak") &&
+            col("qid") === col("aqid") && col("nid") === col("anid"),
+          "left_outer")
+        .groupBy(col("n_bits"), col("k"), col("qid"))
+        .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hits"))
+        .withColumn("recall",
+          round(col("n_hits").cast("double") / col("n_exact"), 6))
+        .withColumn("macro_recall",
+          round(sum(col("n_hits")).over(wB).cast("double") /
+            sum(col("n_exact")).over(wB), 6))
+        .orderBy(col("n_bits"), col("k"), col("qid"))
+    }),
+
     // Embedding-cosine near-dup over corpus ∪ perturbed copies.
     // Candidate generation is BUCKETED (SURVEY §9: "candidate generation
     // always through a hash-bucket key"): every vector lands in its 8-bit
@@ -2565,6 +2660,78 @@ object Similarity extends graft.QueryPack {
          |  CAST(list_sum(list_transform(range(1, ${DIM + 1}), i ->
          |    ABS(ROUND(v[i] / scales[i])))) AS BIGINT) AS code_l1
          |FROM ee, sc ORDER BY vec_id""".stripMargin,
+
+    // Same quantizer algebra as q_quantize_int8 (scale = max|v_d|/lv,
+    // ROUND(v/sc)·sc reconstruction), swept over the exact-literal
+    // levels and k ∈ {1, 3}, asymmetric cosine vs the float truth —
+    // the q_ann_recall oracle shape with (bits, k) for width;
+    // zero-norm reconstructions dropped (rnrm > 0) as on the Spark
+    // side
+    "q_sq8_recall" ->
+      s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+         |            FROM embeddings WHERE vec_id < 10),
+         |planted AS (
+         |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+         |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+         |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+         |aug AS (
+         |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+         |      CAST(embedding[i] AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM planted),
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
+         |mx AS (
+         |  SELECT dim, MAX(ABS(embedding[CAST(dim AS INTEGER)])) AS m
+         |  FROM (SELECT unnest(range(1, ${DIM + 1})) AS dim, embedding FROM e)
+         |  GROUP BY dim),
+         |sc0 AS (SELECT list(m ORDER BY dim) AS mxs FROM mx),
+         |bs AS (SELECT * FROM (VALUES (2, CAST(1.0 AS DOUBLE)),
+         |                             (4, CAST(7.0 AS DOUBLE)),
+         |                             (8, CAST(127.0 AS DOUBLE))) t(bits, lv)),
+         |ks AS (SELECT * FROM (VALUES (1), (3)) t(k)),
+         |rc AS (
+         |  SELECT e.vec_id AS anid, bs.bits AS abits,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      ROUND(e.embedding[i] / (mxs[i] / lv)) * (mxs[i] / lv)) AS rv
+         |  FROM e, sc0, bs),
+         |rn AS (
+         |  SELECT anid, abits, rv,
+         |    sqrt(list_sum(list_transform(range(1, ${DIM + 1}),
+         |      i -> rv[i] * rv[i]))) AS rnrm
+         |  FROM rc),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm
+         |       FROM e WHERE vec_id < 10),
+         |approx AS (
+         |  SELECT abits, ks.k AS ak, aqid, anid FROM (
+         |    SELECT rn.abits, qs.qid AS aqid, rn.anid,
+         |      ROW_NUMBER() OVER (PARTITION BY rn.abits, qs.qid ORDER BY
+         |        round(${dotDuck("qs.qv", "rn.rv")} / (qs.qnrm * rn.rnrm), 9)
+         |          DESC, rn.anid) AS rk
+         |    FROM rn JOIN qs ON qs.qid <> rn.anid
+         |    WHERE rn.rnrm > 0) t, ks WHERE rk <= ks.k),
+         |exact AS (
+         |  SELECT bs.bits AS n_bits, ks.k, t.qid, t.nid FROM (
+         |    SELECT qs.qid, c.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+         |        round(${dotDuck("qs.qv", "c.embedding")} / (qs.qnrm * c.nrm), 9)
+         |          DESC, c.vec_id) AS rk
+         |    FROM qs JOIN e c ON qs.qid <> c.vec_id) t, bs, ks
+         |  WHERE rk <= ks.k),
+         |per_q AS (
+         |  SELECT n_bits, k, qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(anid) AS BIGINT) AS n_hits
+         |  FROM exact LEFT JOIN approx
+         |    ON exact.n_bits = approx.abits AND exact.k = approx.ak
+         |      AND exact.qid = approx.aqid AND exact.nid = approx.anid
+         |  GROUP BY n_bits, k, qid)
+         |SELECT CAST(n_bits AS BIGINT) AS n_bits, CAST(k AS BIGINT) AS k,
+         |  qid, n_exact, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall,
+         |  round(CAST(SUM(n_hits) OVER (PARTITION BY n_bits, k) AS DOUBLE) /
+         |    SUM(n_exact) OVER (PARTITION BY n_bits, k), 6) AS macro_recall
+         |FROM per_q ORDER BY n_bits, k, qid""".stripMargin,
 
     // Same candidate definition as the Spark side: signature Hamming
     // distance <= 1 (same planes via bucketDuck) + exact-cosine verify,

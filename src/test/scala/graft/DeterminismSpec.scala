@@ -242,6 +242,10 @@ class DeterminismSpec extends AnyFunSuite {
     // cosines with lowest-cid ties, DECIMAL ADC sums, total-order
     // ranks; the recall curve adds only exact L2 round-9 + counts
     "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_ann_ivfpq_residual",
+    // r12: scalar-quantization recall sweep — per-dim max scales are
+    // exact aggregates, reconstruction is per-element, ranks are
+    // total-ordered (round-9 sim DESC, nid)
+    "q_sq8_recall",
     // r11: cross-modal attribution — exact integer hash pairs + exact
     // gram counts + positive-only scale-0 rounding; cluster formation
     // adds only the layout-free min-label kernel

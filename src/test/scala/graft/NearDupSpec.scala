@@ -143,6 +143,36 @@ class NearDupSpec extends AnyFunSuite {
     assert(rows.filter(_.getLong(0) == 4L).map(_.getLong(3)).sum > 0L)
   }
 
+  test("q_sq8_recall: set recall free at every bits level, @1 ordering pays") {
+    // columns: n_bits, k, qid, n_exact, n_hits, recall, macro_recall
+    val rows = graft.operators.Similarity
+      .queries("q_sq8_recall")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq == Seq(2L, 4L, 8L))
+    assert(rows.map(_.getLong(1)).distinct.sorted.toSeq == Seq(1L, 3L))
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1), "truth depth must equal k")
+      assert(r.getLong(4) <= r.getLong(3))
+      val rec = BigDecimal(r.getLong(4).toDouble / r.getLong(3).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == rec)
+    }
+    val mrec = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(6))
+      .toMap
+    // part 1 of the measured finding: recall@3 is PERFECT at every
+    // bits level — even 3-level reconstruction keeps the 0.995-vs-0.3
+    // plant margin, so set retrieval of coarse near-dups is free
+    Seq(2L, 4L, 8L).foreach(b =>
+      assert(mrec((b, 3L)) == 1.0, s"@3 not free at bits=$b"))
+    // part 2: recall@1 (within-plant ordering) is NOT free — coarse
+    // bits scramble sub-step sim margins, and even int8 pays some of
+    // the cost; non-degenerate in both directions
+    assert(mrec((2L, 1L)) < 1.0, "degenerate: 2-bit @1 ordering free")
+    assert(mrec((8L, 1L)) > 0.0, "degenerate: int8 @1 recall zero")
+    assert(mrec((8L, 1L)) > mrec((2L, 1L)),
+      "int8 must order better than 2-bit at @1")
+  }
+
   test("q_ann_recall: nested candidate sets make hits monotone in width") {
     // columns: width, qid, n_exact, n_hits, recall, macro_recall
     val rows = graft.operators.Similarity
