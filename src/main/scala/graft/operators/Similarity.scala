@@ -655,6 +655,13 @@ object Similarity extends graft.QueryPack {
     "q_ann_ivfpq_residual" -> ((s, d) =>
       ivfpqRecallCurve(s, d, residual = true)),
 
+    // The TRAINED-quantizer re-measurement of the residual knob
+    // (VERDICT r11 item 1): both variants at both code budgets under
+    // a Lloyd-trained single-level coarse quantizer — see
+    // [[ivfpqLloydRecall]] for the full design and the measured
+    // finding.
+    "q_ann_ivfpq_lloyd" -> ((s, d) => ivfpqLloydRecall(s, d)),
+
     // PQ codebook audit — usage histogram + quantization distortion
     // per codeword, the health check a compressed-index deployment
     // runs before trusting ADC rankings: a DEAD codeword (zero
@@ -1458,6 +1465,220 @@ object Similarity extends graft.QueryPack {
         col("approx").cast("double").as("approx_d2"))
   }
 
+  /** Two exact Lloyd rounds over `corpus` (the q_kmeans unroll at
+    * K = k2): seeds are the embeddings of vec_id 10..10+k2-1, each
+    * round is one kernel assignment (exact d² = (v·v + c·c) − v·c·2,
+    * ties → lowest cid) plus one fixed-point VecSum re-estimation
+    * (order-independent Long sums — reproducible and oracle-exact).
+    * Returns the TRAINED centroids (what FAISS calls the coarse
+    * quantizer after train()); empty clusters drop out, keeping their
+    * seed cid labels on the survivors. Driver traffic: k2 rows per
+    * round — the sampledCentroids collect bound. */
+  private def lloydCentroids(corpus: DataFrame, k2: Int): Seq[(Int, Seq[Double])] = {
+    def assign(c: Seq[(Int, Seq[Double])]): DataFrame =
+      corpus.withColumn("best",
+          array_min(graft.plans.VectorExpressions.centroidL2(col("embedding"), c)))
+        .withColumn("cluster", col("best.k"))
+    def reest(a: DataFrame): Seq[(Int, Seq[Double])] =
+      a.groupBy(col("cluster"))
+        .agg(graft.functions.VecSum.vecSumScaled(col("embedding"), DIM).as("sums"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toSeq
+          .map(sv => sv.toDouble / r.getLong(2).toDouble / 1000000.0)))
+        .sortBy(_._1).toSeq
+    val c0 = corpus
+      .filter(col("vec_id") >= 10 && col("vec_id") < lit(10L + k2))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => ((r.getLong(0) - 10).toInt, r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    reest(assign(reest(assign(c0))))
+  }
+
+  /** The Lloyd-trained IVF-PQ recall sweep (VERDICT r11 item 1) —
+    * re-measures FAISS's by_residual knob with a TRAINED coarse
+    * quantizer, closing the r11 finding that residual encoding
+    * underperforms raw under *sampled* centroids (non-Lloyd centroids
+    * don't shrink residuals; Similarity's residual-curve comment named
+    * the cause). Layout: single-level IVF (the classic FAISS IVF) at
+    * nlist = ⌈√N⌉, centroids from [[lloydCentroids]] (two exact
+    * q_kmeans rounds over the planted corpus), index assignment +
+    * nprobe=2 probes by exact d² under the trained model, then the
+    * q_ann_ivfpq ADC scan at code budgets K ∈ {4, 16} for BOTH
+    * variants in one frame, scored against the exact L2 top-3 — so
+    * "residual ≥ raw at equal code budget" is one artifact, not a
+    * cross-query diff. Codebooks stay sampled (raw: ids 10..10+K-1;
+    * residual: the ids-beyond-the-centroid-range discipline,
+    * 10+k2..10+k2+K-1, encoded v − c(v) under the TRAINED assignment),
+    * so the only change vs q_ann_ivfpq_recall/_residual is the trained
+    * quantizer — the knob is isolated. Scale shape: three Lloyd/index
+    * assignment passes (K-independent kernel, k2-row driver fetches),
+    * four encode passes (2 variants × 2 K — sweep cost, like the
+    * recall curves), probe equi-joins with the 10-row query side
+    * broadcast, grid-sized output (2×2×10). */
+  private def ivfpqLloydRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    import s.implicits._
+    val nIdx = Tables(s, d, "embeddings").count()
+    val k2 = sqrtK(nIdx)
+    // totality: centroid seeds + beyond-range residual codeword
+    // sources must exist (the ivfpqTopk guard posture; same
+    // fixture-size precondition note applies)
+    if (nIdx < 10L + k2 + IVFPQ_K)
+      return s.range(0).select(lit("").as("variant"),
+        col("id").as("code_k"), col("id").as("qid"),
+        col("id").as("n_exact"), col("id").as("n_hits"),
+        col("id").cast("double").as("recall"),
+        col("id").cast("double").as("macro_recall"))
+    val corpus = plantedCorpus(s, d).persist()
+    val cents = lloydCentroids(corpus, k2)
+    // index assignment + nprobe=2 probes under the TRAINED model
+    val arr = graft.plans.VectorExpressions.centroidL2(col("embedding"), cents)
+    val assigned = corpus.withColumn("arr", arr)
+      .withColumn("centroid_id", array_min(col("arr")).getField("k"))
+      .drop("arr")
+    val probeBase = corpus.filter(col("vec_id") < 10)
+      .withColumn("arr", arr)
+      .withColumn("p", explode(slice(array_sort(col("arr")), 1, 2)))
+      .withColumn("probe_cid", col("p.k"))
+      .drop("arr", "p")
+    val centDim = cents.toDF("ccid", "cvec")
+    def withRes(df: DataFrame, cidCol: String): DataFrame =
+      df.join(broadcast(centDim), col(cidCol) === col("ccid"))
+        .withColumn("enc",
+          zip_with(col("embedding"), col("cvec"), (a, b) => a - b))
+        .drop("ccid", "cvec")
+    // codebooks (sampled, prefix-nested: K=4 is the first 4 rows of
+    // K=16): raw from ids 10..10+K-1, residual from the beyond-range
+    // sources' encodings under the trained assignment
+    def slices(rows: Array[(Long, Seq[Double])], ck: Int): Array[Array[Seq[Double]]] =
+      Array.tabulate(PQ_M, ck)((m, k) =>
+        rows(k)._2.slice(m * PQ_SUB, (m + 1) * PQ_SUB))
+    val rawRows = corpus
+      .filter(col("vec_id") >= 10 && col("vec_id") < lit(10L + IVFPQ_K))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    val resRows = withRes(
+        assigned.filter(col("vec_id") >= lit(10L + k2) &&
+          col("vec_id") < lit(10L + k2 + IVFPQ_K)), "centroid_id")
+      .select(col("vec_id"), col("enc")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    // per-subspace codebook Lloyd (FAISS ProductQuantizer::train): two
+    // rounds of per-m argmin assignment (same d² form, ties → lowest
+    // code) + fixed-point VecSum re-estimation over the 16-dim
+    // subvectors; an EMPTY code cell keeps its previous-round codeword
+    // (the COALESCE rule, restated by the oracle's grid join). Both
+    // variants train identically on their own encodings, so the
+    // residual-vs-raw comparison stays fair. Driver traffic:
+    // PQ_M × ck rows per round.
+    def trainCb(encFrame: DataFrame, encCol: Column,
+        seed: Array[Array[Seq[Double]]], ck: Int): Array[Array[Seq[Double]]] = {
+      var cb = seed
+      def subOf(m: Int) = slice(encCol, m * PQ_SUB + 1, PQ_SUB)
+      (1 to 2).foreach { _ =>
+        val cbNow = cb
+        def d2t(m: Int, k: Int): Column = {
+          val cw = typedlit(cbNow(m)(k))
+          (dot(subOf(m), subOf(m)) + dot(cw, cw)) - dot(subOf(m), cw) * 2.0d
+        }
+        val cells = encFrame.select(explode(array((0 until PQ_M).map { m =>
+            val code = array_max(array((0 until ck).map(k =>
+              struct((d2t(m, k) * -1.0d).as("negd"), lit(-k).as("negk"))): _*))
+              .getField("negk") * -1
+            struct(lit(m).as("m"), code.as("code"), subOf(m).as("sub"))
+          }: _*)).as("a"))
+          .select(col("a.m").as("m"), col("a.code").as("code"),
+            col("a.sub").as("sub"))
+          .groupBy(col("m"), col("code"))
+          .agg(graft.functions.VecSum.vecSumScaled(col("sub"), PQ_SUB).as("sums"),
+            count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toSeq
+            .map(sv => sv.toDouble / r.getLong(3).toDouble / 1000000.0)))
+          .map(t => (t._1, t._2) -> t._3).toMap
+        cb = Array.tabulate(PQ_M, ck)((m, k) =>
+          cells.getOrElse((m, k), cbNow(m)(k)))
+      }
+      cb
+    }
+    // one ADC pass (the ivfpqTopk scan at a single level) per cell
+    def adcTop(variant: String, ck: Int): DataFrame = {
+      val residual = variant == "residual"
+      val encFrameForTrain =
+        if (residual) withRes(assigned, "centroid_id") else assigned
+      val encColForTrain = if (residual) col("enc") else col("embedding")
+      val cb = trainCb(encFrameForTrain, encColForTrain,
+        slices(if (residual) resRows else rawRows, ck), ck)
+      val (cand0, probes0) =
+        if (!residual) (assigned, probeBase)
+        else (withRes(assigned, "centroid_id"), withRes(probeBase, "probe_cid"))
+      val encCol = if (residual) col("enc") else col("embedding")
+      def sub(m: Int) = slice(encCol, m * PQ_SUB + 1, PQ_SUB)
+      def d2(m: Int, k: Int): Column = {
+        val cw = typedlit(cb(m)(k))
+        (dot(sub(m), sub(m)) + dot(cw, cw)) - dot(sub(m), cw) * 2.0d
+      }
+      val withCodes = (0 until PQ_M).foldLeft(cand0) { (df, m) =>
+        df.withColumn(s"c$m",
+          array_max(array((0 until ck).map(k =>
+            struct((d2(m, k) * -1.0d).as("negd"), lit(-k).as("negk"))): _*))
+            .getField("negk") * -1)
+      }
+      val cand = withCodes.select(
+        Seq(col("vec_id").as("nid"), col("centroid_id")) ++
+          (0 until PQ_M).map(m => col(s"c$m")): _*)
+      val probes = probes0.select(
+        Seq(col("vec_id").as("qid"), col("probe_cid")) ++
+          (0 until PQ_M).map(m =>
+            array((0 until ck).map(k =>
+              round(d2(m, k), 9).cast(DecimalType(18, 9))): _*)
+              .as(s"dtab$m")): _*)
+      val approx = (0 until PQ_M).map(m =>
+        element_at(col(s"dtab$m"), (col(s"c$m") + 1).cast("int"))).reduce(_ + _)
+      val w = Window.partitionBy(col("qid")).orderBy(col("approx"), col("nid"))
+      cand.join(broadcast(probes),
+          col("centroid_id") === col("probe_cid") && col("qid") =!= col("nid"))
+        .withColumn("approx", approx)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(lit(variant).as("avariant"), lit(ck.toLong).as("a_code_k"),
+          col("qid").as("aqid"), col("nid").as("anid"))
+    }
+    val approxTop = (for (v <- Seq("raw", "residual"); ck <- Seq(4, 16))
+      yield adcTop(v, ck)).reduce(_ unionByName _)
+    val q = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val cand = corpus.select(col("vec_id").as("nid"),
+      col("embedding").as("nv"), col("nrm").as("nnrm"))
+    val wx = Window.partitionBy(col("qid")).orderBy(col("d2x"), col("nid"))
+    val exact = cand.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("d2x", round(
+        col("qnrm") * col("qnrm") + col("nnrm") * col("nnrm")
+          - dot(col("qv"), col("nv")) * 2.0d, 9))
+      .withColumn("rk", row_number().over(wx))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"),
+        explode(typedlit(Seq("raw", "residual"))).as("variant"))
+      .select(col("variant"), col("qid"), col("nid"),
+        explode(typedlit(Seq(4L, 16L))).as("code_k"))
+    val wV = Window.partitionBy(col("variant"), col("code_k"))
+    exact
+      .join(approxTop,
+        col("variant") === col("avariant") &&
+          col("code_k") === col("a_code_k") &&
+          col("qid") === col("aqid") && col("nid") === col("anid"),
+        "left_outer")
+      .groupBy(col("variant"), col("code_k"), col("qid"))
+      .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / 3.0, 6))
+      .withColumn("macro_recall",
+        round(sum(col("n_hits")).over(wV).cast("double") /
+          (lit(3.0) * count(lit(1)).over(wV)), 6))
+      .orderBy(col("variant"), col("code_k"), col("qid"))
+  }
+
   /** The K ∈ {4, 16} recall-vs-code-budget curve against exact L2
     * top-3 truth on the shared planted corpus — ONE definition for
     * the raw (q_ann_ivfpq_recall) and residual (q_ann_ivfpq_residual)
@@ -1728,7 +1949,213 @@ object Similarity extends graft.QueryPack {
          |    FROM scored WHERE vec_id < 10) t WHERE rn <= 2)"""
       .stripMargin
 
+  /** Generated oracle for q_ann_ivfpq_lloyd — the full unroll, every
+    * stage restated in the house CTE shapes: coarse Lloyd
+    * (c0→a1→c1→a2→c2, the q_kmeans CTEs at K = ⌈√N⌉ over the planted
+    * corpus), trained assignment + nprobe=2 probes, per-subspace
+    * codebook Lloyd (two rounds per (variant, K) cell; an empty code
+    * cell keeps its previous-round codeword via the grid COALESCE),
+    * final ADC codes/tables, candidates restricted to probed lists,
+    * exact L2 top-3 truth. Helpers generate the repeated rounds (the
+    * q_pca_power precedent). */
+  private lazy val ivfpqLloydDuck: String = {
+    val D1 = DIM + 1
+    val S1 = PQ_SUB + 1
+    def coarseD2(v: String, c: String) =
+      s"""(list_sum(list_transform(range(1, $D1), i -> $v[i] * $v[i]))
+         |         + list_sum(list_transform(range(1, $D1), i -> $c[i] * $c[i])))
+         |        - list_sum(list_transform(range(1, $D1), i -> $v[i] * $c[i])) * 2""".stripMargin
+    def assignCte(out: String, cents: String) =
+      s"""$out AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${coarseD2("e.embedding", "c.cv")}, c.cid) AS rn
+         |    FROM e, $cents c) t WHERE rn = 1)""".stripMargin
+    def reestCte(src: String, sOut: String, cOut: String) =
+      s"""$sOut AS (
+         |  SELECT cid, dim,
+         |    SUM(CAST(ROUND(embedding[CAST(dim AS INTEGER)] * 1000000) AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM (SELECT cid, unnest(range(1, $D1)) AS dim, embedding FROM $src)
+         |  GROUP BY cid, dim),
+         |$cOut AS (
+         |  SELECT cid, list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY dim) AS cv
+         |  FROM $sOut GROUP BY cid)""".stripMargin
+    def pqD2Cte(out: String, encCte: String, cbCte: String) =
+      s"""$out AS (
+         |  SELECT E.vec_id, w.m, w.k,
+         |    (list_sum(list_transform(range(1, $S1), i ->
+         |       E.enc[w.m*$PQ_SUB+i] * E.enc[w.m*$PQ_SUB+i]))
+         |     + list_sum(list_transform(range(1, $S1), i -> w.w[i] * w.w[i]))
+         |     - list_sum(list_transform(range(1, $S1), i ->
+         |       E.enc[w.m*$PQ_SUB+i] * w.w[i])) * 2) AS d
+         |  FROM $encCte E, $cbCte w)""".stripMargin
+    def codesCte(out: String, dCte: String) =
+      s"""$out AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT vec_id, m, k, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |                                            ORDER BY d, k) AS rn
+         |    FROM $dCte) t WHERE rn = 1)""".stripMargin
+    def trainRound(tag: String, encCte: String, prevCb: String, outCb: String) =
+      s"""${pqD2Cte(s"d_$tag", encCte, prevCb)},
+         |${codesCte(s"asg_$tag", s"d_$tag")},
+         |cell_$tag AS (
+         |  SELECT m, code, dim,
+         |    SUM(CAST(ROUND(enc[m*$PQ_SUB+CAST(dim AS INTEGER)] * 1000000)
+         |        AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM (SELECT a.m, a.code, E.enc, unnest(range(1, $S1)) AS dim
+         |        FROM asg_$tag a JOIN $encCte E ON E.vec_id = a.vec_id)
+         |  GROUP BY m, code, dim),
+         |agg_$tag AS (
+         |  SELECT m, code, list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY dim) AS w
+         |  FROM cell_$tag GROUP BY m, code),
+         |$outCb AS (
+         |  SELECT p.m, p.k, COALESCE(g.w, p.w) AS w
+         |  FROM $prevCb p LEFT JOIN agg_$tag g ON g.m = p.m AND g.code = p.k)"""
+        .stripMargin
+    // one trained-codebook chain + final codes per (variant, K) cell
+    def cellCtes(v: String, ck: Int): String = {
+      val seed =
+        if (v == "raw")
+          s"""cw_${v}_${ck}_0 AS (
+             |  SELECT ms.m, CAST(e.vec_id - 10 AS INTEGER) AS k,
+             |    list_transform(range(1, $S1), i ->
+             |      e.embedding[ms.m*$PQ_SUB+i]) AS w
+             |  FROM e, ms WHERE e.vec_id >= 10 AND e.vec_id < ${10 + ck})"""
+            .stripMargin
+        else
+          s"""cw_${v}_${ck}_0 AS (
+             |  SELECT ms.m, CAST(r.vec_id - 10 - kk.k2 AS INTEGER) AS k,
+             |    list_transform(range(1, $S1), i -> r.enc[ms.m*$PQ_SUB+i]) AS w
+             |  FROM encres r, ms, k kk
+             |  WHERE r.vec_id >= 10 + kk.k2 AND r.vec_id < 10 + kk.k2 + $ck)"""
+            .stripMargin
+      val enc = if (v == "raw") "encraw" else "encres"
+      Seq(seed,
+        trainRound(s"${v}_${ck}_1", enc, s"cw_${v}_${ck}_0", s"cw_${v}_${ck}_1"),
+        trainRound(s"${v}_${ck}_2", enc, s"cw_${v}_${ck}_1", s"cw_${v}_${ck}_2"),
+        pqD2Cte(s"df_${v}_$ck", enc, s"cw_${v}_${ck}_2"),
+        codesCte(s"codes_${v}_$ck", s"df_${v}_$ck")).mkString(",\n")
+    }
+    // per-cell query distance tables + probed-list ADC ranking
+    def qtabCte(v: String, ck: Int): String =
+      if (v == "raw")
+        s"""qtab_${v}_$ck AS (
+           |  SELECT vec_id AS qid, m, k, CAST(round(d, 9) AS DECIMAL(18,9)) AS dd
+           |  FROM df_${v}_$ck WHERE vec_id < 10)""".stripMargin
+      else
+        s"""qtab_${v}_$ck AS (
+           |  SELECT qd.qid, qd.probe_cid, w.m, w.k,
+           |    CAST(round(
+           |      (list_sum(list_transform(range(1, $S1), i ->
+           |         qd.enc[w.m*$PQ_SUB+i] * qd.enc[w.m*$PQ_SUB+i]))
+           |       + list_sum(list_transform(range(1, $S1), i -> w.w[i] * w.w[i]))
+           |       - list_sum(list_transform(range(1, $S1), i ->
+           |         qd.enc[w.m*$PQ_SUB+i] * w.w[i])) * 2), 9)
+           |      AS DECIMAL(18,9)) AS dd
+           |  FROM qd, cw_${v}_${ck}_2 w)""".stripMargin
+    def apCte(v: String, ck: Int): String = {
+      val resJoin = if (v == "raw") ""
+        else " AND q.probe_cid = cl.cid"
+      s"""ap_${v}_$ck AS (
+         |  SELECT qid AS aqid, nid AS anid FROM (
+         |    SELECT t.qid, t.nid,
+         |      ROW_NUMBER() OVER (PARTITION BY t.qid
+         |                         ORDER BY t.approx, t.nid) AS rk
+         |    FROM (
+         |      SELECT cl.qid, cl.nid, SUM(q.dd) AS approx
+         |      FROM candlist cl
+         |        JOIN codes_${v}_$ck c ON c.vec_id = cl.nid
+         |        JOIN qtab_${v}_$ck q ON q.qid = cl.qid
+         |          AND q.m = c.m AND q.k = c.code$resJoin
+         |      GROUP BY cl.qid, cl.nid) t) u WHERE rk <= 3)""".stripMargin
+    }
+    val cells = for (v <- Seq("raw", "residual"); ck <- Seq(4, 16))
+      yield Seq(cellCtes(v, ck), qtabCte(v, ck), apCte(v, ck)).mkString(",\n")
+    s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+       |            FROM embeddings WHERE vec_id < 10),
+       |planted AS (
+       |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+       |    list_transform(range(1, $D1), i ->
+       |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+       |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+       |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+       |aug AS (
+       |  SELECT vec_id, list_transform(range(1, $D1), i ->
+       |      CAST(embedding[i] AS DOUBLE)) AS embedding
+       |  FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM planted),
+       |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
+       |k AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k2
+       |      FROM embeddings),
+       |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
+       |c0 AS (SELECT CAST(vec_id - 10 AS INTEGER) AS cid, embedding AS cv
+       |       FROM e, k WHERE vec_id >= 10 AND vec_id < 10 + k2),
+       |${assignCte("a1", "c0")},
+       |${reestCte("a1", "s1", "c1")},
+       |${assignCte("a2", "c1")},
+       |${reestCte("a2", "s2", "c2")},
+       |${assignCte("a3", "c2")},
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS probe_cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${coarseD2("e.embedding", "c.cv")}, c.cid) AS rn
+       |    FROM e, c2 c WHERE e.vec_id < 10) t WHERE rn <= 2),
+       |encraw AS (SELECT vec_id, embedding AS enc FROM a3),
+       |encres AS (
+       |  SELECT a.vec_id, a.cid,
+       |    list_transform(range(1, $D1), i -> a.embedding[i] - c.cv[i]) AS enc
+       |  FROM a3 a JOIN c2 c ON c.cid = a.cid),
+       |qd AS (
+       |  SELECT p.qid, p.probe_cid,
+       |    list_transform(range(1, $D1), i -> qe.embedding[i] - c.cv[i]) AS enc
+       |  FROM probes p
+       |    JOIN e qe ON qe.vec_id = p.qid
+       |    JOIN c2 c ON c.cid = p.probe_cid),
+       |candlist AS (
+       |  SELECT p.qid, a.vec_id AS nid, a.cid
+       |  FROM a3 a JOIN probes p
+       |    ON a.cid = p.probe_cid AND p.qid <> a.vec_id),
+       |${cells.mkString(",\n")},
+       |approx AS (
+       |  SELECT 'raw' AS avariant, 4 AS a_code_k, * FROM ap_raw_4
+       |  UNION ALL SELECT 'raw', 16, * FROM ap_raw_16
+       |  UNION ALL SELECT 'residual', 4, * FROM ap_residual_4
+       |  UNION ALL SELECT 'residual', 16, * FROM ap_residual_16),
+       |vs AS (SELECT * FROM (VALUES ('raw'), ('residual')) t(variant)),
+       |ks AS (SELECT * FROM (VALUES (4), (16)) t(code_k)),
+       |exact AS (
+       |  SELECT vs.variant, ks.code_k, t.qid, t.nid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(q.nrm * q.nrm + c.nrm * c.nrm -
+       |          ${dotDuck("q.embedding", "c.embedding")} * 2, 9), c.vec_id)
+       |        AS rk
+       |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t,
+       |    vs, ks
+       |  WHERE rk <= 3),
+       |per_q AS (
+       |  SELECT exact.variant, exact.code_k, qid,
+       |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |    CAST(COUNT(anid) AS BIGINT) AS n_hits
+       |  FROM exact LEFT JOIN approx
+       |    ON exact.variant = approx.avariant
+       |      AND exact.code_k = approx.a_code_k
+       |      AND exact.qid = approx.aqid AND exact.nid = approx.anid
+       |  GROUP BY exact.variant, exact.code_k, qid)
+       |SELECT variant, CAST(code_k AS BIGINT) AS code_k, qid, n_exact, n_hits,
+       |  round(CAST(n_hits AS DOUBLE) / 3.0, 6) AS recall,
+       |  round(CAST(SUM(n_hits) OVER (PARTITION BY variant, code_k) AS DOUBLE) /
+       |    (3.0 * COUNT(*) OVER (PARTITION BY variant, code_k)), 6)
+       |    AS macro_recall
+       |FROM per_q ORDER BY variant, code_k, qid""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_ann_ivfpq_lloyd" -> ivfpqLloydDuck,
     // both rankings from one sims CTE; the LSH side is the same frame
     // prefix-filtered per width (nested candidate sets by construction)
     "q_ann_recall" ->

@@ -244,8 +244,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_ann_ivfpq_residual",
     // r12: scalar-quantization recall sweep — per-dim max scales are
     // exact aggregates, reconstruction is per-element, ranks are
-    // total-ordered (round-9 sim DESC, nid)
-    "q_sq8_recall",
+    // total-ordered (round-9 sim DESC, nid); the Lloyd-trained IVF-PQ
+    // sweep adds fixed-point re-estimation (order-independent VecSum)
+    // and exact-d² assignment with lowest-cid ties at every stage
+    "q_sq8_recall", "q_ann_ivfpq_lloyd",
     // r11: cross-modal attribution — exact integer hash pairs + exact
     // gram counts + positive-only scale-0 rounding; cluster formation
     // adds only the layout-free min-label kernel

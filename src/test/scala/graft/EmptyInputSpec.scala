@@ -96,8 +96,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // 10+nCodes floor), scan and recall curve both degrade to empty
     "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_ann_ivfpq_residual",
     // r12: scalar-quantization recall sweep of an empty corpus — no
-    // queries, no scales, an empty grid
-    "q_sq8_recall",
+    // queries, no scales, an empty grid; the Lloyd-trained IVF-PQ
+    // sweep short-circuits on the missing stored model (same floor
+    // as q_ann_ivfpq)
+    "q_sq8_recall", "q_ann_ivfpq_lloyd",
     // streaming admission of an empty corpus: zero batches leave no
     // stats state and there is no arriving batch to score; the vector
     // twin short-circuits on the missing stored model before staging;

@@ -143,6 +143,33 @@ class NearDupSpec extends AnyFunSuite {
     assert(rows.filter(_.getLong(0) == 4L).map(_.getLong(3)).sum > 0L)
   }
 
+  test("q_ann_ivfpq_lloyd: trained quantizer recovers the residual knob") {
+    // columns: variant, code_k, qid, n_exact, n_hits, recall,
+    // macro_recall. The r11 finding was that residual encoding
+    // UNDERPERFORMS raw under sampled centroids; with the Lloyd-trained
+    // coarse quantizer + trained codebooks it must match or beat raw at
+    // EVERY code budget — and strictly win at the discriminating K=4
+    // budget, where raw must also pay a visible cost (< 1.0) or the
+    // comparison measures nothing.
+    val rows = graft.operators.Similarity
+      .queries("q_ann_ivfpq_lloyd")(spark, TestSpark.sf).collect()
+    TestSpark.housekeeping()
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq ==
+      Seq("raw", "residual"))
+    assert(rows.map(_.getLong(1)).distinct.sorted.toSeq == Seq(4L, 16L))
+    rows.foreach(r => assert(r.getLong(3) == 3L && r.getLong(4) <= 3L))
+    val mrec = rows.map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(6))
+      .toMap
+    Seq(4L, 16L).foreach(ck =>
+      assert(mrec(("residual", ck)) >= mrec(("raw", ck)),
+        s"residual lost to raw at K=$ck: ${mrec(("residual", ck))} < " +
+          s"${mrec(("raw", ck))}"))
+    assert(mrec(("raw", 4L)) < 1.0, "degenerate: raw @K=4 pays nothing")
+    assert(mrec(("residual", 4L)) > mrec(("raw", 4L)),
+      "residual must strictly win at the discriminating K=4 budget")
+    assert(mrec(("residual", 16L)) > 0.9, "K=16 must be near-exact")
+  }
+
   test("q_sq8_recall: set recall free at every bits level, @1 ordering pays") {
     // columns: n_bits, k, qid, n_exact, n_hits, recall, macro_recall
     val rows = graft.operators.Similarity
