@@ -662,6 +662,75 @@ object Similarity extends graft.QueryPack {
     // finding.
     "q_ann_ivfpq_lloyd" -> ((s, d) => ivfpqLloydRecall(s, d)),
 
+    // Graph-based ANN — the missing production index family (VERDICT
+    // r11 item 2): a deterministic NN-Descent k-NN graph (see
+    // [[nnDescentEdges]] for the full design — md5-seeded same-block
+    // init, capped reverse-neighbor local join, fixed 2 rounds). The
+    // k-NN graph IS the all-nodes ANN answer (HNSW/NSW search walks
+    // exactly this structure); this query reports the converged
+    // neighbor lists of the 10 query nodes ranked by round-9 cosine.
+    // Scale: each round is ≤ N·(2k)² candidate sims through equi-joins
+    // only — no cartesian, hub fan-out bounded by the md5 reverse cap,
+    // seed-block width a sysprop that grows like graft.lsh.planes.
+    "q_ann_graph" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nodes = nnNodes(loadEmbeddings(s, d)
+        .withColumn("bucket", bucketCol(col("embedding"))))
+      val last = nnDescentEdges(nodes, rounds = 2).last
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+      nnScored(last.filter(col("src") < 10), nodes)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("src").as("qid"), col("rk"), col("dst").as("nid"),
+          col("sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // The descent-rounds recall curve of the graph index — recall@3
+    // vs exact truth on the q_ann_recall planted corpus at rounds
+    // 0 (md5 seed), 1, 2. Non-degenerate by the same planting (the
+    // exact top-3 is the planted set by construction) and provably
+    // monotone in rounds (see [[nnDescentEdges]]: k=4 ≥ 3 and each
+    // round keeps the top-k of a superset, so found planted neighbors
+    // can never be evicted) — the spec pins both ends. Same output
+    // shape as q_ann_recall with the round index as the swept knob.
+    "q_ann_graph_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nodes = nnNodes(plantedCorpus(s, d)
+        .withColumn("bucket", bucketCol(col("embedding"))))
+      val w = Window.partitionBy(col("rnd"), col("src"))
+        .orderBy(col("sim").desc, col("dst"))
+      val ranked = nnDescentEdges(nodes, rounds = 2).zipWithIndex
+        .map { case (df, i) =>
+          nnScored(df.filter(col("src") < 10), nodes)
+            .withColumn("rnd", lit(i)) }
+        .reduce(_ unionByName _)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("rnd").as("arnd"), col("src").as("aqid"),
+          col("dst").as("anid"))
+      val truth = nodes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          explode(typedlit(Seq(1, 2, 3))).as("c"))
+        .select(col("qid"),
+          (lit(1000000L) + col("qid") * 10 + col("c")).as("nid"),
+          explode(typedlit(Seq(0, 1, 2))).as("rnd"))
+      val wW = org.apache.spark.sql.expressions.Window.partitionBy(col("rnd"))
+      truth
+        .join(ranked,
+          col("rnd") === col("arnd") && col("qid") === col("aqid") &&
+            col("nid") === col("anid"),
+          "left_outer")
+        .groupBy(col("rnd"), col("qid"))
+        .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hits"))
+        .withColumn("recall", round(col("n_hits").cast("double") / 3.0, 6))
+        .withColumn("macro_recall",
+          round(sum(col("n_hits")).over(wW).cast("double") /
+            (lit(3.0) * count(lit(1)).over(wW)), 6))
+        .select(col("rnd").cast("long").as("rnd"), col("qid"),
+          col("n_exact"), col("n_hits"), col("recall"), col("macro_recall"))
+        .orderBy(col("rnd"), col("qid"))
+    }),
+
     // PQ codebook audit — usage histogram + quantization distortion
     // per codeword, the health check a compressed-index deployment
     // runs before trusting ADC rankings: a DEAD codeword (zero
@@ -1830,6 +1899,152 @@ object Similarity extends graft.QueryPack {
     base.unionByName(planted)
   }
 
+  // ---- graph-based ANN: NN-Descent (q_ann_graph) -----------------------
+
+  /** Init-block prefix width (chars of the LSH bucket signature) for the
+    * NN-Descent seed graph — read PER CALL (the graft.phash.group.cap
+    * discipline) so specs can exercise coarser/finer seeding. Default 4
+    * of the 8-char signature → 16 seed blocks on the test corpus; at
+    * corpus scale the width grows with log2(N) exactly like
+    * graft.lsh.planes, keeping within-block seed work constant. */
+  private def nnInitWidth: Int =
+    sys.props.get("graft.nndescent.init.width").map(_.toInt).getOrElse(4)
+
+  /** NN-Descent neighbor count (k of the k-NN graph). 4 ≥ the planted-
+    * truth depth 3, which makes per-query recall provably monotone in
+    * rounds: each round keeps the top-k of a SUPERSET of the previous
+    * edge set, and the 3 planted near-dups outrank every noise pair,
+    * so once found they can never be evicted from a k=4 list. */
+  private val NN_K = 4
+
+  /** Corpus rows widened to NN-Descent node frame: (vec_id, embedding,
+    * nrm, blk) where blk is the first [[nnInitWidth]] chars of the
+    * hyperplane signature. localCheckpointed — every round joins it
+    * twice. */
+  private def nnNodes(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"), col("nrm"),
+        substring(col("bucket"), 1, nnInitWidth).as("blk"))
+      .localCheckpoint()
+
+  /** NN-Descent (Dong, Charikar & Li, WWW'11) with every source of
+    * randomness replaced by a deterministic total order, which is what
+    * makes a graph ANN index DuckDB-oracle-able at all:
+    *
+    *   - seed graph: per node, the k=[[NN_K]] same-block peers ranked
+    *     by md5(src||'|'||dst) — the md5 rank is the "random sample"
+    *     (the q_split_hash device), identical on both engines;
+    *   - reverse-neighbor sampling (the paper's ρ·K cap): top-k
+    *     REVERSE edges per node under the same md5 order — this is the
+    *     bound that keeps hub nodes from exploding the local join
+    *     (without it a node with R reverse edges contributes R²
+    *     candidate pairs; with it ≤ (2k)² = 64);
+    *   - local join: all ordered pairs of distinct neighbors sharing a
+    *     pivot in the capped bidirectional graph — pure equi-join on
+    *     the pivot, no cartesian anywhere;
+    *   - update: per node, top-k of (current ∪ candidate) edges by
+    *     (round-9 cosine DESC, dst) — a window, not a float argmax.
+    *
+    * Each round is ≤ N·(2k)² candidate sims through two hash joins to
+    * the node frame — shuffle-partitioned, hub-bounded, and
+    * localCheckpointed so no round replays the last (the iterative-
+    * kernel discipline of q_modularity/q_sssp). Rounds are FIXED (no
+    * convergence probe) because the oracle unrolls them as chained
+    * CTEs — the q_kcenter_seeds/BPE unroll precedent.
+    *
+    * Returns the edge frame (src, dst) per round: element 0 is the
+    * md5-seeded graph, element i the graph after i descent rounds. */
+  private def nnDescentEdges(nodes: DataFrame, rounds: Int): Seq[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    val k = NN_K
+    val pairH = md5(concat_ws("|", col("src"), col("dst")))
+    val wH = Window.partitionBy(col("src")).orderBy(col("h"), col("dst"))
+    val init = nodes.select(col("vec_id").as("src"), col("blk"))
+      .join(nodes.select(col("vec_id").as("dst"), col("blk").as("blk2")),
+        col("blk") === col("blk2") && col("src") =!= col("dst"))
+      .withColumn("h", pairH)
+      .withColumn("rk", row_number().over(wH))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[DataFrame](init)
+    var cur = init
+    (1 to rounds).foreach { _ =>
+      val rev = cur.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("h", pairH)
+        .withColumn("rk", row_number().over(wH))
+        .filter(col("rk") <= k)
+        .select(col("src"), col("dst"))
+      val bi = cur.union(rev).distinct()
+      val share = bi.select(col("src").as("u"), col("dst").as("a"))
+        .join(bi.select(col("src").as("u"), col("dst").as("b")), Seq("u"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("src"), col("b").as("dst"))
+      val cand = cur.union(share).distinct()
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+      cur = nnScored(cand, nodes)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      out += cur
+    }
+    out.toSeq
+  }
+
+  /** The [[nnDescentEdges]] rounds unrolled as chained DuckDB CTEs
+    * (the q_kcenter_seeds/BPE unroll precedent). Expects an
+    * `e(vec_id, embedding, nrm)` CTE in scope; emits `nodes` and
+    * `e0..e{rounds}`. Width read per call like the Spark side, so a
+    * spec-time sysprop flip keeps both engines in lockstep. */
+  private def nnDescentDuck(rounds: Int): String = {
+    val k = NN_K
+    val init =
+      s"""nodes AS (SELECT vec_id, embedding, nrm,
+         |  substr($bucketDuck, 1, $nnInitWidth) AS blk FROM e),
+         |e0 AS (SELECT src, dst FROM (
+         |  SELECT l.vec_id AS src, r.vec_id AS dst,
+         |    ROW_NUMBER() OVER (PARTITION BY l.vec_id ORDER BY
+         |      md5(CAST(l.vec_id AS VARCHAR) || '|' || CAST(r.vec_id AS VARCHAR)),
+         |      r.vec_id) AS rk
+         |  FROM nodes l JOIN nodes r ON l.blk = r.blk AND l.vec_id <> r.vec_id) t
+         | WHERE rk <= $k)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""rev$i AS (SELECT src, dst FROM (
+         |  SELECT g.dst AS src, g.src AS dst,
+         |    ROW_NUMBER() OVER (PARTITION BY g.dst ORDER BY
+         |      md5(CAST(g.dst AS VARCHAR) || '|' || CAST(g.src AS VARCHAR)),
+         |      g.src) AS rk
+         |  FROM e${i - 1} g) t WHERE rk <= $k),
+         |bi$i AS (SELECT src, dst FROM e${i - 1}
+         |         UNION SELECT src, dst FROM rev$i),
+         |cand$i AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT b1.dst AS src, b2.dst AS dst
+         |  FROM bi$i b1 JOIN bi$i b2 ON b1.src = b2.src AND b1.dst <> b2.dst
+         |  UNION ALL SELECT src, dst FROM e${i - 1}) t),
+         |e$i AS (SELECT src, dst FROM (
+         |  SELECT c.src, c.dst,
+         |    ROW_NUMBER() OVER (PARTITION BY c.src ORDER BY
+         |      round(${dotDuck("a.embedding", "b.embedding")} /
+         |        (a.nrm * b.nrm), 9) DESC, c.dst) AS rk
+         |  FROM cand$i c JOIN nodes a ON a.vec_id = c.src
+         |                JOIN nodes b ON b.vec_id = c.dst) t WHERE rk <= $k)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** (src, dst) pairs joined back to the node frame for the round-9
+    * cosine — the shared scoring step of the descent update and the
+    * final ranking. */
+  private def nnScored(pairs: DataFrame, nodes: DataFrame): DataFrame =
+    pairs
+      .join(nodes.select(col("vec_id").as("src"), col("embedding").as("sv"),
+        col("nrm").as("snrm")), "src")
+      .join(nodes.select(col("vec_id").as("dst"), col("embedding").as("dv"),
+        col("nrm").as("dnrm")), "dst")
+      .withColumn("sim",
+        round(dot(col("sv"), col("dv")) / (col("snrm") * col("dnrm")), 9))
+      .select(col("src"), col("dst"), col("sim"))
+
   private def sqrtK(n: Long): Int = math.ceil(math.sqrt(n.toDouble)).toInt
 
   /** K DETERMINISTIC sampled centroids (the embeddings of vec_id
@@ -2156,6 +2371,68 @@ object Similarity extends graft.QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_ann_ivfpq_lloyd" -> ivfpqLloydDuck,
+
+    // NN-Descent unrolled (see nnDescentDuck); final graph ranked by
+    // the same round-9 cosine used inside the rounds
+    "q_ann_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+         |${nnDescentDuck(2)}
+         |SELECT qid, rk, nid, sim FROM (
+         |  SELECT g.src AS qid, g.dst AS nid,
+         |    round(${dotDuck("a.embedding", "b.embedding")} /
+         |      (a.nrm * b.nrm), 9) AS sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY g.src ORDER BY
+         |      round(${dotDuck("a.embedding", "b.embedding")} /
+         |        (a.nrm * b.nrm), 9) DESC, g.dst) AS BIGINT) AS rk
+         |  FROM e2 g JOIN nodes a ON a.vec_id = g.src
+         |            JOIN nodes b ON b.vec_id = g.dst
+         |  WHERE g.src < 10) t
+         |ORDER BY qid, rk""".stripMargin,
+
+    // the planted-corpus prefix (q_ann_recall verbatim) feeding the
+    // same unroll; recall measured per round against the planted truth
+    "q_ann_graph_recall" ->
+      s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+         |            FROM embeddings WHERE vec_id < 10),
+         |planted AS (
+         |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+         |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+         |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+         |aug AS (
+         |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+         |      CAST(embedding[i] AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM planted),
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
+         |${nnDescentDuck(2)},
+         |g AS (SELECT 0 AS rnd, src, dst FROM e0
+         |      UNION ALL SELECT 1, src, dst FROM e1
+         |      UNION ALL SELECT 2, src, dst FROM e2),
+         |ranked AS (SELECT rnd, qid, nid FROM (
+         |  SELECT g.rnd, g.src AS qid, g.dst AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY g.rnd, g.src ORDER BY
+         |      round(${dotDuck("a.embedding", "b.embedding")} /
+         |        (a.nrm * b.nrm), 9) DESC, g.dst) AS rk
+         |  FROM g JOIN nodes a ON a.vec_id = g.src
+         |         JOIN nodes b ON b.vec_id = g.dst
+         |  WHERE g.src < 10) t WHERE rk <= 3),
+         |truth AS (SELECT q0.vec_id AS qid,
+         |    1000000 + q0.vec_id * 10 + c AS nid, rnd
+         |  FROM q0, (VALUES (1), (2), (3)) t(c),
+         |       (VALUES (0), (1), (2)) r(rnd)),
+         |per_q AS (
+         |  SELECT truth.rnd, truth.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(ranked.nid) AS BIGINT) AS n_hits
+         |  FROM truth LEFT JOIN ranked ON ranked.rnd = truth.rnd
+         |    AND ranked.qid = truth.qid AND ranked.nid = truth.nid
+         |  GROUP BY truth.rnd, truth.qid)
+         |SELECT CAST(rnd AS BIGINT) AS rnd, qid, n_exact, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / 3.0, 6) AS recall,
+         |  round(CAST(SUM(n_hits) OVER (PARTITION BY rnd) AS DOUBLE) /
+         |    (3.0 * COUNT(*) OVER (PARTITION BY rnd)), 6) AS macro_recall
+         |FROM per_q ORDER BY rnd, qid""".stripMargin,
     // both rankings from one sims CTE; the LSH side is the same frame
     // prefix-filtered per width (nested candidate sets by construction)
     "q_ann_recall" ->
