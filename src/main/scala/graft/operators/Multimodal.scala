@@ -590,6 +590,20 @@ object Multimodal extends graft.QueryPack {
           .agg(count(lit(1)).as("n_images")))
         .orderBy(col("ph_a"), col("ph_b"))),
 
+    // Image-identity ADMISSION — the batch twin of the crossmodal
+    // streaming admission drain (VERDICT r11 item 5): arriving docs'
+    // images (doc % 7 = 3, copies travel with their source) admitted
+    // against the stored [[phashIndex]] through the shared pigeonhole
+    // kernel ([[phashAdmit]]). Completes the admission family's
+    // fourth modality: text stats (bm25), vectors (ann), text dedup
+    // (minhash), and now media identity.
+    "q_phash_admission" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+      phashAdmit(s, docs.filter(col("doc_id") % 7 === 3),
+        phashIndex(s, docs))
+        .orderBy(col("img_id"))
+    }),
+
     // CROSS-MODAL dedup attribution — the composed multimodal
     // flagship: image near-dup CANDIDATES (the 64-bit pHash space —
     // exact-collision pairs within a hash group ∪ radius-3 pairs from
@@ -808,6 +822,73 @@ object Multimodal extends graft.QueryPack {
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
     same.unionByName(cross)
+  }
+
+  /** The stored image-identity index: (phash, min_id) over every image
+    * of the NON-arriving documents (doc-level % 7 split, the
+    * q_dedup_incremental convention — a doc's retouched copy travels
+    * with its source doc). Aggregated to distinct hashes BEFORE any
+    * probe join, so a degenerate hash group (100+ images at sf0.1)
+    * costs the index one row, not a fan-out — which is why admission
+    * needs no [[phashGroupCap]]: the quadratic group risk the cap
+    * guards in pair mining cannot occur against an agg-collapsed
+    * side. */
+  private[operators] def phashIndex(s: SparkSession, docs: DataFrame): DataFrame =
+    phash64Corpus(s, docs.filter(col("doc_id") % 7 =!= 3))
+      .filter(col("phash") =!= -1L)
+      .groupBy(col("phash")).agg(min(col("doc_id")).as("min_id"))
+
+  /** Image admission through the pigeonhole kernel: the batch docs'
+    * images are generated, REAL-decoded and hashed batch-side
+    * (batch-sized work), then each distinct new hash probes the
+    * static index for Hamming ≤ 3 — exact duplicates ARE the
+    * hamming-0 case (equal hashes agree on every block, so exactly
+    * the blk-0 row survives the first-agreeing-block predicate; no
+    * separate exact path). Verdict per image: exact_dup / near_dup /
+    * unique with the canonical partner (min index id at the best
+    * (hamming, id) rank). Per-image verdicts depend only on the image
+    * and the static index, so a union over arbitrary batch slicing ≡
+    * the whole-batch query — the admission-drain contract. */
+  private[operators] def phashAdmit(s: SparkSession, batchDocs: DataFrame,
+      idxh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ph = phash64Corpus(s, batchDocs).filter(col("phash") =!= -1L)
+    def blocked(df: DataFrame, c: String) = df
+      .withColumn("blk", explode(sequence(lit(0), lit(3))))
+      .withColumn("bits",
+        expr(s"cast(shiftright($c, (3 - blk) * 16) & 65535 as int)"))
+    val l = blocked(ph.select(col("phash").as("ph_n")).distinct(), "ph_n")
+    val r = blocked(idxh.select(col("phash").as("ph_i"), col("min_id")), "ph_i")
+    val matched = l.join(r, Seq("blk", "bits"))
+      .filter(
+        col("blk") === 0 ||
+        (col("blk") === 1 && expr(
+          "shiftright(ph_n, 48) & 65535 != shiftright(ph_i, 48) & 65535")) ||
+        (col("blk") === 2 && expr(
+          """shiftright(ph_n, 48) & 65535 != shiftright(ph_i, 48) & 65535 and
+            |shiftright(ph_n, 32) & 65535 != shiftright(ph_i, 32) & 65535"""
+            .stripMargin)) ||
+        (col("blk") === 3 && expr(
+          """shiftright(ph_n, 48) & 65535 != shiftright(ph_i, 48) & 65535 and
+            |shiftright(ph_n, 32) & 65535 != shiftright(ph_i, 32) & 65535 and
+            |shiftright(ph_n, 16) & 65535 != shiftright(ph_i, 16) & 65535"""
+            .stripMargin)))
+      .withColumn("hamming",
+        expr("cast(bit_count(ph_n ^ ph_i) as bigint)"))
+      .filter(col("hamming") <= 3)
+    val best = matched
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("ph_n"))
+          .orderBy(col("hamming"), col("min_id"))))
+      .filter(col("rk") === 1)
+      .select(col("ph_n").as("phash"), col("min_id").as("partner_id"),
+        col("hamming"))
+    ph.join(best, Seq("phash"), "left_outer")
+      .select(col("doc_id").as("img_id"),
+        when(col("hamming") === 0L, "exact_dup")
+          .when(col("hamming").isNotNull, "near_dup")
+          .otherwise("unique").as("verdict"),
+        col("partner_id"), col("hamming"))
   }
 
   /** The radius-3 pigeonhole pair join over a GROUPED 64-bit
@@ -1070,6 +1151,39 @@ object Multimodal extends graft.QueryPack {
     // 1L << 63. The oracle pair join is the plain all-distinct-pairs
     // Hamming filter — the Spark side must reproduce it from
     // block-keyed pigeonhole candidates only.
+    // the same hash replay restricted to the admission split (src doc
+    // % 7 — an image id >= 1e6 is the retouched copy of id - 1e6 and
+    // travels with its source doc); the oracle does not need the
+    // pigeonhole: a plain new x index Hamming filter over distinct
+    // hashes is the same set
+    "q_phash_admission" ->
+      s"""WITH $phash64SqlDuck,
+        |newimg AS (
+        |  SELECT doc_id AS img_id, phash FROM ph
+        |  WHERE (CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+        |         ELSE doc_id END) % 7 = 3),
+        |idx AS (
+        |  SELECT phash, MIN(doc_id) AS min_id FROM ph
+        |  WHERE (CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+        |         ELSE doc_id END) % 7 <> 3
+        |  GROUP BY phash),
+        |best AS (
+        |  SELECT img_id, partner_id, hamming FROM (
+        |    SELECT n.img_id, i.min_id AS partner_id,
+        |      CAST(bit_count(xor(n.phash, i.phash)) AS BIGINT) AS hamming,
+        |      ROW_NUMBER() OVER (PARTITION BY n.img_id ORDER BY
+        |        bit_count(xor(n.phash, i.phash)), i.min_id) AS rk
+        |    FROM newimg n JOIN idx i
+        |      ON bit_count(xor(n.phash, i.phash)) <= 3) t
+        |  WHERE rk = 1)
+        |SELECT n.img_id,
+        |  CASE WHEN best.hamming = 0 THEN 'exact_dup'
+        |       WHEN best.hamming IS NOT NULL THEN 'near_dup'
+        |       ELSE 'unique' END AS verdict,
+        |  best.partner_id, best.hamming
+        |FROM newimg n LEFT JOIN best USING (img_id)
+        |ORDER BY img_id""".stripMargin,
+
     "q_phash64_hamming" ->
       s"""WITH $phash64SqlDuck,
         |grp AS (

@@ -1190,6 +1190,46 @@ object StreamingGate extends graft.QueryPack {
       s.read.parquet(out + "/b*").orderBy(col("doc_id"))
     }),
 
+    // STREAMING MEDIA-IDENTITY ADMISSION — the TWENTY-EIGHTH
+    // oracle-gated drain and the crossmodal member of the admission
+    // family (VERDICT r11 item 5; bm25 = stats fold #24, ANN = static
+    // vector model #25, minhash dedup #26, and now the 64-bit pHash
+    // index): the stored image-identity index (Multimodal.phashIndex
+    // — distinct hashes + canonical partner, agg-collapsed BEFORE any
+    // probe) is prepared ONCE and localCheckpointed; each arriving
+    // document slice generates, REAL-decodes and hashes its own
+    // images batch-side and probes the static index through the SAME
+    // pigeonhole kernel as the batch query (Multimodal.phashAdmit),
+    // landing verdicts in the batchId-keyed OVERWRITE sink (exactly-
+    // once under replay, the q_stream_restart pattern). Per-image
+    // verdicts depend only on the image and the static index, so the
+    // union over batches ≡ the batch query: gated by the
+    // q_phash_admission oracle VERBATIM.
+    "q_stream_phash_admission" -> ((s, d) => {
+      val root = freshDir("q_stream_phash_admission")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val out = root + "/out"
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+      val newDocs = docs.filter(col("doc_id") % 7 === 3)
+      val idxh = Multimodal.phashIndex(s, docs).localCheckpoint()
+      val t0 = System.currentTimeMillis() - 60000
+      stageFile(root, src, newDocs.filter(col("doc_id") % 3 === 0), "f1", t0)
+      stageFile(root, src, newDocs.filter(col("doc_id") % 3 === 1), "f2",
+        t0 + 2000)
+      stageFile(root, src, newDocs.filter(col("doc_id") % 3 === 2), "f3",
+        t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      drain(s, stream, "append") { (batch, id) =>
+        Multimodal.phashAdmit(s, batch, idxh)
+          .write.mode("overwrite").parquet(s"$out/b$id")
+        ()
+      }
+      s.read.parquet(out + "/b*").orderBy(col("img_id"))
+    }),
+
     // STREAMING VECTOR ADMISSION — the TWENTY-FIFTH oracle-gated
     // drain, completing the stored-index admission trio AS STREAMS
     // (q_stream_bm25_admission = the stats-fold member; this is the
@@ -1721,6 +1761,7 @@ object StreamingGate extends graft.QueryPack {
 
     // same argument for per-document dedup verdicts
     "q_stream_dedup_admission" -> Dedup.oracles("q_dedup_incremental"),
+    "q_stream_phash_admission" -> Multimodal.oracles("q_phash_admission"),
 
     // fully analytic: the truncation plant from the image key, the
     // dims from the fixture formula over sources ∪ copies — the
