@@ -108,6 +108,12 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_stream_dedup_admission",
     // media gate of an empty stream: zero batches, no count grid
     "q_stream_media_gate",
+    // r12: NN-Descent over an empty corpus — no nodes, no seed blocks,
+    // no edges at any round, an empty graph / recall frame; image
+    // admission probes an empty stored index and admits nothing (batch
+    // and drain); compaction exec short-circuits on an empty manifest
+    "q_ann_graph", "q_ann_graph_recall", "q_phash_admission",
+    "q_stream_phash_admission", "q_compaction_exec",
     // kill-and-resume over empty sketch state: three empty files are
     // still three micro-batches, the planted death and the recovery
     // both still run, and the recovered gate frame is empty
