@@ -731,6 +731,102 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("rnd"), col("qid"))
     }),
 
+    // NSW beam SEARCH over the converged NN-Descent graph — the query
+    // path of the graph index family (build = q_ann_graph, quality =
+    // q_ann_graph_recall, this = search): from one deterministic
+    // entry node (min-md5 non-query node, the fixed entry point a
+    // flat NSW keeps), each query walks 3 fixed hops over the
+    // SYMMETRIZED graph keeping a beam of the best-so-far VISITED
+    // nodes per width, swept over beam ∈ {1, 2, 4, 8} in ONE
+    // relational chain (beam is a column — rk <= beam — not an
+    // unrolled dimension). Result = recall@3 of the cumulative
+    // visited set vs the planted truth. Per-hop work is
+    // |beam|·degree(≤2k) candidate rows per query through equi-joins
+    // on the edge key — the bounded navigating-search cost that makes
+    // graph indexes the production default at corpus scale.
+    "q_ann_beam" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nodes = nnNodes(plantedCorpus(s, d)
+        .withColumn("bucket", bucketCol(col("embedding"))))
+      val e2 = nnDescentEdges(nodes, rounds = 2).last
+      val wH = Window.partitionBy(col("src")).orderBy(col("h"), col("dst"))
+      val rev = e2.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("h", md5(concat_ws("|", col("src"), col("dst"))))
+        .withColumn("rk", row_number().over(wH))
+        .filter(col("rk") <= NN_K)
+        .select(col("src"), col("dst"))
+      val g = e2.union(rev).distinct().localCheckpoint()
+      val qs = nodes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), col("blk").as("qblk"))
+      // ROUTED entry per query: the min-md5 non-self node of the
+      // query's own seed block — the flat stand-in for HNSW's upper
+      // layers, whose whole job is delivering a block-local entry
+      // (a single global entry was measured flat at recall 0.1:
+      // greedy ascent has no gradient over near-orthogonal noise)
+      val wE = Window.partitionBy(col("qid")).orderBy(col("h"), col("node"))
+      val entry = qs.select(col("qid"), col("qblk"))
+        .join(nodes.select(col("vec_id").as("node"), col("blk")),
+          col("blk") === col("qblk") && col("node") =!= col("qid"))
+        .withColumn("h", md5(concat_ws("|", col("qid"), col("node"))))
+        .withColumn("rk", row_number().over(wE))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("node"))
+      var visited = entry
+        .withColumn("beam", explode(typedlit(Seq(1, 2, 4, 8))))
+        .select(col("beam"), col("qid"), col("node"))
+        .localCheckpoint()
+      val score = (v: DataFrame) => v
+        .join(nodes.select(col("vec_id").as("node"),
+          col("embedding").as("nv"), col("nrm").as("nnrm")), "node")
+        .join(qs, "qid")
+        .withColumn("sim",
+          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
+        .select(col("beam"), col("qid"), col("node"), col("sim"))
+      val wB = Window.partitionBy(col("beam"), col("qid"))
+        .orderBy(col("sim").desc, col("node"))
+      (1 to 7).foreach { h =>
+        val frontier = score(visited)
+          .withColumn("rk", row_number().over(wB))
+          .filter(col("rk") <= col("beam"))
+          .select(col("beam"), col("qid"), col("node"))
+        val cand = frontier.join(g, col("node") === col("src"))
+          .filter(col("dst") =!= col("qid"))
+          .select(col("beam"), col("qid"), col("dst").as("node"))
+        visited = visited.union(cand).distinct()
+        // cut lineage every 3rd hop only: the visited frames are
+        // query-grid-sized (≤ |q|·beam·hops·2k rows), so the plan-tree
+        // growth is what needs bounding, not recompute — per-hop
+        // eager checkpoints were measured pure overhead here
+        if (h % 3 == 0 || h == 7) visited = visited.localCheckpoint()
+      }
+      val ranked = score(visited)
+        .withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= 3)
+        .select(col("beam").as("abeam"), col("qid").as("aqid"),
+          col("node").as("anid"))
+      val truth = qs.select(col("qid"),
+          explode(typedlit(Seq(1, 2, 3))).as("c"))
+        .select(col("qid"),
+          (lit(1000000L) + col("qid") * 10 + col("c")).as("nid"),
+          explode(typedlit(Seq(1, 2, 4, 8))).as("beam"))
+      val wW = Window.partitionBy(col("beam"))
+      truth
+        .join(ranked,
+          col("beam") === col("abeam") && col("qid") === col("aqid") &&
+            col("nid") === col("anid"),
+          "left_outer")
+        .groupBy(col("beam"), col("qid"))
+        .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hits"))
+        .withColumn("recall", round(col("n_hits").cast("double") / 3.0, 6))
+        .withColumn("macro_recall",
+          round(sum(col("n_hits")).over(wW).cast("double") /
+            (lit(3.0) * count(lit(1)).over(wW)), 6))
+        .select(col("beam").cast("long").as("beam"), col("qid"),
+          col("n_exact"), col("n_hits"), col("recall"), col("macro_recall"))
+        .orderBy(col("beam"), col("qid"))
+    }),
+
     // PQ codebook audit — usage histogram + quantization distortion
     // per codeword, the health check a compressed-index deployment
     // runs before trusting ADC rankings: a DEAD codeword (zero
@@ -1999,9 +2095,9 @@ object Similarity extends graft.QueryPack {
   private def nnDescentDuck(rounds: Int): String = {
     val k = NN_K
     val init =
-      s"""nodes AS (SELECT vec_id, embedding, nrm,
+      s"""nodes AS MATERIALIZED (SELECT vec_id, embedding, nrm,
          |  substr($bucketDuck, 1, $nnInitWidth) AS blk FROM e),
-         |e0 AS (SELECT src, dst FROM (
+         |e0 AS MATERIALIZED (SELECT src, dst FROM (
          |  SELECT l.vec_id AS src, r.vec_id AS dst,
          |    ROW_NUMBER() OVER (PARTITION BY l.vec_id ORDER BY
          |      md5(CAST(l.vec_id AS VARCHAR) || '|' || CAST(r.vec_id AS VARCHAR)),
@@ -2021,7 +2117,7 @@ object Similarity extends graft.QueryPack {
          |  SELECT b1.dst AS src, b2.dst AS dst
          |  FROM bi$i b1 JOIN bi$i b2 ON b1.src = b2.src AND b1.dst <> b2.dst
          |  UNION ALL SELECT src, dst FROM e${i - 1}) t),
-         |e$i AS (SELECT src, dst FROM (
+         |e$i AS MATERIALIZED (SELECT src, dst FROM (
          |  SELECT c.src, c.dst,
          |    ROW_NUMBER() OVER (PARTITION BY c.src ORDER BY
          |      round(${dotDuck("a.embedding", "b.embedding")} /
@@ -2030,6 +2126,53 @@ object Similarity extends graft.QueryPack {
          |                JOIN nodes b ON b.vec_id = c.dst) t WHERE rk <= $k)""".stripMargin
     }
     (init +: steps).mkString(",\n")
+  }
+
+  /** The q_ann_beam search unrolled: symmetrized graph over e2, routed
+    * per-query entries, `hops` frontier/expand CTE pairs with beam as
+    * a COLUMN (rk <= beam — all widths in one chain), ending at
+    * v{hops}(beam, qid, node) = the cumulative visited set. Expects
+    * the [[nnDescentDuck]] CTEs (nodes, e0..e2) in scope. */
+  private def nnBeamDuck(hops: Int): String = {
+    val k = NN_K
+    val simOrd =
+      s"""round(${dotDuck("q.qv", "n.embedding")} /
+         |        (q.qnrm * n.nrm), 9) DESC, v.node""".stripMargin
+    val head =
+      s"""rev AS (SELECT src, dst FROM (
+         |  SELECT g.dst AS src, g.src AS dst,
+         |    ROW_NUMBER() OVER (PARTITION BY g.dst ORDER BY
+         |      md5(CAST(g.dst AS VARCHAR) || '|' || CAST(g.src AS VARCHAR)),
+         |      g.src) AS rk
+         |  FROM e2 g) t WHERE rk <= $k),
+         |g AS MATERIALIZED (SELECT src, dst FROM e2 UNION SELECT src, dst FROM rev),
+         |qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm,
+         |         blk AS qblk FROM nodes WHERE vec_id < 10),
+         |ent AS (SELECT qid, node FROM (
+         |  SELECT q.qid, n.vec_id AS node,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |      md5(CAST(q.qid AS VARCHAR) || '|' || CAST(n.vec_id AS VARCHAR)),
+         |      n.vec_id) AS rk
+         |  FROM qs q JOIN nodes n ON n.blk = q.qblk AND n.vec_id <> q.qid) t
+         | WHERE rk = 1),
+         |beams AS (SELECT * FROM (VALUES (1), (2), (4), (8)) b(beam)),
+         |v0 AS MATERIALIZED (SELECT b.beam, e.qid, e.node FROM ent e, beams b)""".stripMargin
+    val steps = (1 to hops).map { i =>
+      s"""f$i AS (SELECT beam, qid, node FROM (
+         |  SELECT v.beam, v.qid, v.node,
+         |    ROW_NUMBER() OVER (PARTITION BY v.beam, v.qid ORDER BY
+         |      $simOrd) AS rk
+         |  FROM v${i - 1} v JOIN nodes n ON n.vec_id = v.node
+         |                   JOIN qs q ON q.qid = v.qid) t
+         | WHERE rk <= beam),
+         |v$i AS MATERIALIZED (SELECT DISTINCT beam, qid, node FROM (
+         |  SELECT beam, qid, node FROM v${i - 1}
+         |  UNION ALL
+         |  SELECT f.beam, f.qid, g.dst
+         |  FROM f$i f JOIN g ON g.src = f.node
+         |  WHERE g.dst <> f.qid) t)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
   }
 
   /** (src, dst) pairs joined back to the node frame for the round-9
@@ -2388,6 +2531,47 @@ object Similarity extends graft.QueryPack {
          |            JOIN nodes b ON b.vec_id = g.dst
          |  WHERE g.src < 10) t
          |ORDER BY qid, rk""".stripMargin,
+
+    // the graph unroll + the beam-search unroll; recall of the
+    // cumulative visited set per beam width against the planted truth
+    "q_ann_beam" ->
+      s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+         |            FROM embeddings WHERE vec_id < 10),
+         |planted AS (
+         |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+         |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+         |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+         |aug AS (
+         |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+         |      CAST(embedding[i] AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM planted),
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
+         |${nnDescentDuck(2)},
+         |${nnBeamDuck(7)},
+         |ranked AS (SELECT beam, qid, nid FROM (
+         |  SELECT v.beam, v.qid, v.node AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.beam, v.qid ORDER BY
+         |      round(${dotDuck("q.qv", "n.embedding")} /
+         |        (q.qnrm * n.nrm), 9) DESC, v.node) AS rk
+         |  FROM v7 v JOIN nodes n ON n.vec_id = v.node
+         |            JOIN qs q ON q.qid = v.qid) t WHERE rk <= 3),
+         |truth AS (SELECT q0.vec_id AS qid,
+         |    1000000 + q0.vec_id * 10 + c AS nid, beam
+         |  FROM q0, (VALUES (1), (2), (3)) t(c), beams),
+         |per_q AS (
+         |  SELECT truth.beam, truth.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(ranked.nid) AS BIGINT) AS n_hits
+         |  FROM truth LEFT JOIN ranked ON ranked.beam = truth.beam
+         |    AND ranked.qid = truth.qid AND ranked.nid = truth.nid
+         |  GROUP BY truth.beam, truth.qid)
+         |SELECT CAST(beam AS BIGINT) AS beam, qid, n_exact, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / 3.0, 6) AS recall,
+         |  round(CAST(SUM(n_hits) OVER (PARTITION BY beam) AS DOUBLE) /
+         |    (3.0 * COUNT(*) OVER (PARTITION BY beam)), 6) AS macro_recall
+         |FROM per_q ORDER BY beam, qid""".stripMargin,
 
     // the planted-corpus prefix (q_ann_recall verbatim) feeding the
     // same unroll; recall measured per round against the planted truth

@@ -112,8 +112,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // no edges at any round, an empty graph / recall frame; image
     // admission probes an empty stored index and admits nothing (batch
     // and drain); compaction exec short-circuits on an empty manifest
-    "q_ann_graph", "q_ann_graph_recall", "q_phash_admission",
-    "q_stream_phash_admission", "q_compaction_exec",
+    "q_ann_graph", "q_ann_graph_recall", "q_ann_beam",
+    "q_phash_admission", "q_stream_phash_admission", "q_compaction_exec",
     // kill-and-resume over empty sketch state: three empty files are
     // still three micro-batches, the planted death and the recovery
     // both still run, and the recovered gate frame is empty

@@ -59,6 +59,35 @@ class GraphAnnSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("q_ann_beam: recall non-decreasing in beam width, widest beam reaches the graph's own recall ceiling, no cartesian") {
+    val df = graft.operators.Similarity
+      .queries("q_ann_beam")(spark, TestSpark.sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(rows.length == 40, s"4 beams x 10 queries, got ${rows.length}")
+    val macroHits = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    // macro recall must never decrease as the beam widens (measured
+    // property pinned on the deterministic fixture — beam search has
+    // no per-query nesting guarantee, but the macro curve does hold
+    // here and a regression means the search or graph changed)
+    Seq(1L, 2L, 4L, 8L).sliding(2).foreach { case Seq(a, b) =>
+      assert(macroHits(b) >= macroHits(a),
+        s"macro recall regressed from beam $a to $b: $macroHits")
+    }
+    // the widest beam must recover everything the index knows: its
+    // hits equal the converged round-2 graph recall (0.67 macro on
+    // this fixture) — search is lossless against its own index
+    val graphHits = recallRows().filter(_._1 == 2L).map(_._3).sum
+    assert(macroHits(8L) == graphHits,
+      s"beam-8 search (${macroHits(8L)}) != graph ceiling ($graphHits)")
+    // and the curve is non-degenerate: width must buy something
+    assert(macroHits(8L) > macroHits(1L),
+      s"beam width bought nothing: $macroHits")
+    TestSpark.housekeeping()
+  }
+
   test("graft.nndescent.init.width knob: fine blocks seed high, coarse blocks recover by descent (both engines read it per call)") {
     val dflt = recallRows().groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val old = sys.props.get("graft.nndescent.init.width")
