@@ -20,7 +20,16 @@ import java.nio.file.{Files, Paths}
   * safety). The 22 q_stream_* drains keep the sequential lane +
   * per-query housekeeping: each stages files, drains a real stream
   * and (restart gates) plants a mid-drain death — semantics that are
-  * exactly today's under one-at-a-time execution. */
+  * exactly today's under one-at-a-time execution.
+  *
+  * MEMORY ENVELOPE (ADVICE r11): with wave-barrier housekeeping, up
+  * to a full 32-query wave of persisted frames can accumulate before
+  * an unpersist. Validated at sf0.1 (r12): the full parallel sweep
+  * peaks at ~11.3 GiB RSS against the 16 GiB default heap — the lane
+  * count is sized for sf≤0.1 dev sweeps; at materially larger SFs
+  * either raise SPARK_DRIVER_MEM or drop SPARK_GRAFT_VERIFY_PAR
+  * toward 1 (byte-parity with the sequential path is proven, so the
+  * knob is purely an envelope trade). */
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [comma-separated query filter (dev only)]

@@ -25,6 +25,58 @@ object Extras extends graft.QueryPack {
     zorderProject(Tables(s, d, "events")
       .select(col("event_id"), col("user_id"), col("ts")))
 
+  /** Context length of the q_seq_pack training-sequence layout. */
+  private[operators] val PACK_CTX = 128L
+
+  /** (source, doc_id, tok) from a documents frame — whitespace tokens,
+    * the q_token_stats kernel (one definition, batch + drain). */
+  private[operators] def seqPackToks(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"),
+      size(TextAnalytics.tokens(col("text"))).cast("long").as("tok"))
+
+  /** The packing kernel: per-source prefix-sum spans OFFSET by `off`
+    * (source, off — the tokens already packed before this frame; empty
+    * for the batch query, the drain's carried state otherwise), each
+    * doc exploded over the ≤ ceil(tok/CTX)+1 sequences it touches,
+    * aggregated to per-(source, seq_id) partials. Every partial column
+    * is a MONOID (sum/sum/min/max/sum), which is exactly what lets the
+    * streaming fold merge a batch's partials into the carried open
+    * sequence. */
+  private[operators] def seqPackAgg(toks: DataFrame, off: DataFrame): DataFrame = {
+    val CTX = PACK_CTX
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    toks
+      .join(off, Seq("source"), "left_outer")
+      .withColumn("off", coalesce(col("off"), lit(0L)))
+      .withColumn("start",
+        col("off") + coalesce(sum(col("tok"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("fin", col("start") + col("tok"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"start div $CTX"),
+          expr(s"(fin - 1) div $CTX"))))
+      .withColumn("seg",
+        least(col("fin"), (col("seq_id") + 1) * CTX) -
+          greatest(col("start"), col("seq_id") * CTX))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr(s"start div $CTX") === col("seq_id"), 1L)
+          .otherwise(0L)).as("n_doc_starts"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("seg")).as("n_tokens"))
+  }
+
+  /** Final report shape over per-seq partials (shared batch/drain). */
+  private[operators] def seqPackReport(agg: DataFrame): DataFrame =
+    agg
+      .withColumn("fill_ratio",
+        round(col("n_tokens").cast("double") / PACK_CTX.toDouble, 6))
+      .select(col("source"), col("seq_id").cast("long").as("seq_id"),
+        col("n_docs"), col("n_doc_starts"), col("first_doc"),
+        col("last_doc"), col("n_tokens"), col("fill_ratio"))
+      .orderBy(col("source"), col("seq_id"))
+
   /** The projection half of the z-order kernel, over ANY frame with
     * user_id and ts — batch (zorderEvents) or streaming
     * (q_stream_zonemap maintains zone maps over the event stream with
@@ -614,6 +666,26 @@ object Extras extends graft.QueryPack {
     // rescales the weight unit with its corpus. One grid agg, one
     // 1-row broadcast, two windows over the |sources|-row grid —
     // nothing scales with the corpus beyond the first agg.
+    // Sequence PACKING — the concat-and-cut step that turns a curated
+    // corpus into fixed-length training sequences (the GPT/LLaMA
+    // pretraining layout: documents concatenate in manifest order and
+    // the stream is cut every CTX tokens; what a trainer actually
+    // consumes is this table, not documents). Per source — each
+    // source is its own pack stream, which is both the real layout
+    // (packing runs per shard) and what keeps the prefix-sum window
+    // partitioned instead of single-task at 100 TB. Each doc spans
+    // seqs floor(start/CTX)..floor((end-1)/CTX) (≤ ceil(tok/CTX)+1 —
+    // bounded explode, no join), and the report carries the stats a
+    // training stack sizes attention masks and loss weighting by:
+    // docs touching the sequence, docs STARTING in it (boundary
+    // segments for the block-diagonal mask), token fill. Whitespace
+    // tokens = the q_token_stats kernel (one definition).
+    "q_seq_pack" -> ((s, d) => {
+      val toks = seqPackToks(Tables(s, d, "documents"))
+      seqPackReport(seqPackAgg(toks, toks.limit(0)
+        .select(col("source"), col("tok").as("off"))))
+    }),
+
     "q_token_budget" -> ((s, d) => {
       val B = 10000000L
       val wAll = Window.orderBy(lit(1)).rowsBetween(
@@ -2053,8 +2125,41 @@ object Extras extends graft.QueryPack {
         |FROM g ORDER BY shard""".stripMargin,
 
     // same floor/mod apportionment, same (rem desc, source) tiebreak
+    // same prefix-sum spans, same bounded unnest over the seq range,
+    // integer token arithmetic end-to-end
+    "q_seq_pack" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |spans AS (
+        |  SELECT source, doc_id, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS strt
+        |  FROM toks),
+        |x AS (
+        |  SELECT source, doc_id, tok, strt, strt + tok AS fin,
+        |    unnest(range(CAST(strt // 128 AS BIGINT),
+        |      CAST((strt + tok - 1) // 128 + 1 AS BIGINT))) AS seq_id
+        |  FROM spans),
+        |seg AS (
+        |  SELECT source, seq_id, doc_id, strt,
+        |    LEAST(fin, (seq_id + 1) * 128) -
+        |      GREATEST(strt, seq_id * 128) AS seg
+        |  FROM x)
+        |SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN strt // 128 = seq_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_doc_starts,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  CAST(SUM(seg) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(seg) AS DOUBLE) / 128.0, 6) AS fill_ratio
+        |FROM seg GROUP BY source, seq_id
+        |ORDER BY source, seq_id""".stripMargin,
+
     "q_token_budget" ->
-      """WITH src AS (
+"""WITH src AS (
         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
         |  FROM documents GROUP BY source),
         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM src),

@@ -164,6 +164,87 @@ object StreamingGate extends graft.QueryPack {
     * any stream length and the fold is batching-invariant (max and
     * sum are associative/commutative — asserted in
     * StatefulStreamingSpec). */
+  /** The q_stream_seq_pack state fold — the first ORDER-DEPENDENT
+    * member of the fold family (every prior fold is a commutative
+    * monoid; packing is not: a doc's sequence assignment depends on
+    * every token that arrived before it). State per source:
+    * `cum_tok` (tokens packed so far — the pack cursor) plus the ONE
+    * open sequence's partial aggregates (oseq_id = -1 sentinel when
+    * the cursor sits exactly on a boundary). Each batch packs its
+    * slice OFFSET by the carried cursor through the shared
+    * Extras.seqPackAgg kernel, merges the carried open partials into
+    * the matching seq row (every partial column is a monoid — the
+    * kernel's design contract), EMITS the sequences the batch closed
+    * into the batchId-keyed overwrite sink, and carries the new open
+    * tail. State is |sources|-sized forever; emitted ∪ final flush ≡
+    * the batch q_seq_pack given in-order arrival (which the staged
+    * doc-id-RANGE slices guarantee — the % 3 slicing of the other
+    * drains would scramble the pack order). */
+  def foldSeqPack(state: String, out: String)(
+      batch: DataFrame, id: Long): Unit = {
+    recoverState(state)
+    val s = batch.sparkSession
+    val CTX = Extras.PACK_CTX
+    val toks = Extras.seqPackToks(batch)
+    val prior =
+      if (new java.io.File(state).exists()) Some(s.read.parquet(state))
+      else None
+    val off = prior.map(_.select(col("source"), col("cum_tok").as("off")))
+      .getOrElse(toks.limit(0).select(col("source"), col("tok").as("off")))
+    val aggB = Extras.seqPackAgg(toks, off)
+    val openRows = prior.map(_.filter(col("oseq_id") >= 0L)
+        .select(col("source"), col("oseq_id").as("seq_id"),
+          col("o_n_docs").as("n_docs"),
+          col("o_n_doc_starts").as("n_doc_starts"),
+          col("o_first_doc").as("first_doc"),
+          col("o_last_doc").as("last_doc"),
+          col("o_n_tokens").as("n_tokens")))
+      .getOrElse(aggB.limit(0))
+    val merged = aggB.unionByName(openRows)
+      .groupBy(col("source"), col("seq_id"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_doc_starts")).as("n_doc_starts"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .localCheckpoint()
+    import org.apache.spark.sql.expressions.Window
+    val wS = Window.partitionBy(col("source")).orderBy(col("seq_id").desc)
+    val marked = merged
+      .withColumn("rk", row_number().over(wS))
+      .withColumn("open", col("rk") === 1 && col("n_tokens") < CTX)
+    marked.filter(!col("open"))
+      .select(col("source"), col("seq_id"), col("n_docs"),
+        col("n_doc_starts"), col("first_doc"), col("last_doc"),
+        col("n_tokens"))
+      .write.mode("overwrite").parquet(s"$out/b$id")
+    val btok = toks.groupBy(col("source")).agg(sum(col("tok")).as("btok"))
+    val cumPrior = prior.map(_.select(col("source"), col("cum_tok")))
+      .getOrElse(btok.limit(0).select(col("source"),
+        col("btok").as("cum_tok")))
+    val cumNew = cumPrior.join(btok, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("cum_tok"), lit(0L)) +
+          coalesce(col("btok"), lit(0L))).as("cum_tok"))
+    val newState = cumNew
+      .join(marked.filter(col("open"))
+        .select(col("source"), col("seq_id").as("oseq_id"),
+          col("n_docs").as("o_n_docs"),
+          col("n_doc_starts").as("o_n_doc_starts"),
+          col("first_doc").as("o_first_doc"),
+          col("last_doc").as("o_last_doc"),
+          col("n_tokens").as("o_n_tokens")),
+        Seq("source"), "left_outer")
+      .select(col("source"), col("cum_tok"),
+        coalesce(col("oseq_id"), lit(-1L)).as("oseq_id"),
+        coalesce(col("o_n_docs"), lit(0L)).as("o_n_docs"),
+        coalesce(col("o_n_doc_starts"), lit(0L)).as("o_n_doc_starts"),
+        coalesce(col("o_first_doc"), lit(-1L)).as("o_first_doc"),
+        coalesce(col("o_last_doc"), lit(-1L)).as("o_last_doc"),
+        coalesce(col("o_n_tokens"), lit(0L)).as("o_n_tokens"))
+    swapState(newState, state)
+  }
+
   /** Crash-safe state swap shared by the parquet-state folds: write
     * the merged frame to `state_tmp`, rename the prior state ASIDE
     * (`state_old`) rather than deleting it, rename tmp into place,
@@ -1190,6 +1271,53 @@ object StreamingGate extends graft.QueryPack {
       s.read.parquet(out + "/b*").orderBy(col("doc_id"))
     }),
 
+    // STREAMING SEQUENCE PACKING — the TWENTY-NINTH oracle-gated
+    // drain and the first ORDER-DEPENDENT state fold (see
+    // [[foldSeqPack]]): the concat-and-cut training layout built
+    // incrementally as document slices arrive IN ORDER (doc-id-RANGE
+    // staged files — packing is the one pipeline stage where arrival
+    // order is semantics), per-source pack cursor + open-sequence
+    // partials as |sources|-sized state, closed sequences emitted
+    // per batch, open tails flushed at the end. emitted ∪ flush ≡
+    // the batch q_seq_pack — gated by its oracle VERBATIM.
+    "q_stream_seq_pack" -> ((s, d) => {
+      val root = freshDir("q_stream_seq_pack")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val out = root + "/out"
+      val state = root + "/sp"
+      val docs = Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+      val mxRow = docs.agg(max(col("doc_id"))).first()
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      val (t1, t2) = (mx / 3, 2 * mx / 3)
+      val t0 = System.currentTimeMillis() - 60000
+      stageFile(root, src, docs.filter(col("doc_id") <= t1), "f1", t0)
+      stageFile(root, src,
+        docs.filter(col("doc_id") > t1 && col("doc_id") <= t2), "f2",
+        t0 + 2000)
+      stageFile(root, src, docs.filter(col("doc_id") > t2), "f3",
+        t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      drain(s, stream, "append")(foldSeqPack(state, out))
+      recoverState(state)
+      import org.apache.spark.sql.types.LongType
+      import org.apache.spark.sql.types.StringType
+      val flush = readStateOr(s, state, Seq(
+          ("source", "source", StringType),
+          ("oseq_id", "seq_id", LongType),
+          ("o_n_docs", "n_docs", LongType),
+          ("o_n_doc_starts", "n_doc_starts", LongType),
+          ("o_first_doc", "first_doc", LongType),
+          ("o_last_doc", "last_doc", LongType),
+          ("o_n_tokens", "n_tokens", LongType)))
+        .filter(col("seq_id") >= 0L)
+      Extras.seqPackReport(
+        s.read.parquet(out + "/b*").unionByName(flush))
+    }),
+
     // STREAMING MEDIA-IDENTITY ADMISSION — the TWENTY-EIGHTH
     // oracle-gated drain and the crossmodal member of the admission
     // family (VERDICT r11 item 5; bm25 = stats fold #24, ANN = static
@@ -1762,6 +1890,7 @@ object StreamingGate extends graft.QueryPack {
     // same argument for per-document dedup verdicts
     "q_stream_dedup_admission" -> Dedup.oracles("q_dedup_incremental"),
     "q_stream_phash_admission" -> Multimodal.oracles("q_phash_admission"),
+    "q_stream_seq_pack" -> Extras.oracles("q_seq_pack"),
 
     // fully analytic: the truncation plant from the image key, the
     // dims from the fixture formula over sources ∪ copies — the

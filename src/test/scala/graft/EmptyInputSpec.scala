@@ -114,6 +114,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // and drain); compaction exec short-circuits on an empty manifest
     "q_ann_graph", "q_ann_graph_recall", "q_ann_beam",
     "q_phash_admission", "q_stream_phash_admission", "q_compaction_exec",
+    // packing an empty corpus: no tokens, no sequences — batch and
+    // the order-dependent drain (zero-row staged files still drain;
+    // the pack cursor state stays empty)
+    "q_seq_pack", "q_stream_seq_pack",
     // kill-and-resume over empty sketch state: three empty files are
     // still three micro-batches, the planted death and the recovery
     // both still run, and the recovered gate frame is empty
