@@ -45,25 +45,36 @@ object HtmlDom {
   private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "param", "source", "track", "wbr")
 
-  /** HTML5 implied end tags on SIBLING OPENS (the common subset): an
-    * opening tag in this map closes stack-top elements in its value
-    * set before it opens, so `<ul><li>a<li>b</ul>` yields sibling
-    * `li`s — textContent ('a','b') like jsdom — not nested ones
-    * ('ab','b'). The loop form handles the cascades (`<tr>` closes an
-    * open `td` AND the `tr` above it). Deliberately top-of-stack only:
-    * the full spec's scoped search (e.g. `<li><div><li>` closing
-    * through the div) is not reproduced — fixture markup with
-    * unclosed siblings behind block wrappers should close them
-    * explicitly. */
-  private val impliedClosedBy: Map[String, Set[String]] = Map(
-    "li" -> Set("li"),
-    "p" -> Set("p"),
-    "dt" -> Set("dt", "dd"),
-    "dd" -> Set("dt", "dd"),
-    "option" -> Set("option"),
-    "tr" -> Set("td", "th", "tr"),
-    "td" -> Set("td", "th"),
-    "th" -> Set("td", "th"))
+  /** HTML5 implied end tags on SIBLING OPENS: an opening tag in this
+    * map closes stack-top elements in its value set before it opens,
+    * so `<ul><li>a<li>b</ul>` yields sibling `li`s — textContent
+    * ('a','b') like jsdom — not nested ones ('ab','b'). The loop form
+    * handles the cascades (`<tr>` closes an open `td` AND the `tr`
+    * above it). Includes the HTML5 p-closing block set (r12 — closes
+    * the r9-documented `<p>a<div>` gap): every block-level open in
+    * [[closesP]] ends an open `<p>` at top-of-stack, so the block is
+    * the paragraph's SIBLING, as jsdom parses it. Still deliberately
+    * top-of-stack only: the full spec's scoped search (`<li><div><li>`
+    * or `<p><b>x<div>` closing through the wrapper) is not reproduced
+    * — fixture markup with unclosed siblings behind OTHER open
+    * wrappers should close them explicitly. */
+  private val closesP = Set("address", "article", "aside", "blockquote",
+    "details", "div", "dl", "fieldset", "figcaption", "figure", "footer",
+    "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hgroup", "hr",
+    "main", "menu", "nav", "ol", "p", "pre", "section", "table", "ul")
+  private val impliedClosedBy: Map[String, Set[String]] = {
+    val sibling = Map(
+      "li" -> Set("li"),
+      "dt" -> Set("dt", "dd"),
+      "dd" -> Set("dt", "dd"),
+      "option" -> Set("option"),
+      "tr" -> Set("td", "th", "tr"),
+      "td" -> Set("td", "th"),
+      "th" -> Set("td", "th"))
+    closesP.foldLeft(sibling) { (m, t) =>
+      m.updated(t, m.getOrElse(t, Set.empty) + "p")
+    }
+  }
 
   private def isNameChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '-' || c == '_' || c == ':'

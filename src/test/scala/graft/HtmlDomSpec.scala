@@ -125,4 +125,17 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(HtmlDom.selectAttrs(html, "button", "disabled") == Seq(""))
     assert(HtmlDom.selectAttrs(html, "button", "data-title") == Seq("Spaced"))
   }
+
+  test("block opens close an open <p> (HTML5 p-closing set — the r9 gap)") {
+    // div is the paragraph's SIBLING, not its child: p's text is 'a'
+    assert(HtmlDom.selectTexts("<p>a<div>b</div>", "p") == Seq("a"))
+    assert(HtmlDom.selectTexts("<p>a<div>b</div>", "p div") == Seq())
+    // cascades through the whole block set, including headings and hr
+    assert(HtmlDom.selectTexts("<p>x<h2>t</h2><p>y<ul><li>i</ul>", "p")
+      == Seq("x", "y"))
+    // top-of-stack only (documented): a p behind an open inline
+    // wrapper is NOT closed — the spec's scoped search is out of scope
+    assert(HtmlDom.selectTexts("<p><b>x<div>d</div></b></p>", "p")
+      == Seq("xd"))
+  }
 }
