@@ -679,7 +679,12 @@ object Extras extends graft.QueryPack {
     // training stack sizes attention masks and loss weighting by:
     // docs touching the sequence, docs STARTING in it (boundary
     // segments for the block-diagonal mask), token fill. Whitespace
-    // tokens = the q_token_stats kernel (one definition).
+    // tokens = the q_token_stats kernel (one definition). NOT
+    // q_pack_sequences: that one bins WHOLE docs into ~budget-sized
+    // shards (no splitting, bins overflow); this is the token-exact
+    // cut where a doc straddles sequence boundaries — the layout the
+    // trainer's data loader consumes vs the shard plan the storage
+    // layer writes.
     "q_seq_pack" -> ((s, d) => {
       val toks = seqPackToks(Tables(s, d, "documents"))
       seqPackReport(seqPackAgg(toks, toks.limit(0)

@@ -256,6 +256,12 @@ class DeterminismSpec extends AnyFunSuite {
     // fixed-point MM denominators under DECIMAL(38,0), micro-unit
     // strengths, total-order rank
     "q_bt_strength",
+    // r12: NN-Descent — md5-seeded init, md5-capped reverse edges and
+    // round-9 top-k updates are all total orders, so the CONVERGED
+    // GRAPH (and the beam walk over it) must be layout-free; seq_pack
+    // adds the order-dependent prefix-sum spans (a layout term would
+    // scramble every sequence boundary downstream of it)
+    "q_ann_graph", "q_ann_beam", "q_seq_pack",
     // novelty audit: md5 split + distinct gram sets + exact counts —
     // a layout term means a distinct leaked partition-local rows
     "q_ngram_coverage",
