@@ -26,11 +26,11 @@ object Extras extends graft.QueryPack {
       .select(col("event_id"), col("user_id"), col("ts")))
 
   /** Context length of the q_seq_pack training-sequence layout. */
-  private[operators] val PACK_CTX = 128L
+  private[graft] val PACK_CTX = 128L
 
   /** (source, doc_id, tok) from a documents frame — whitespace tokens,
     * the q_token_stats kernel (one definition, batch + drain). */
-  private[operators] def seqPackToks(docs: DataFrame): DataFrame =
+  private[graft] def seqPackToks(docs: DataFrame): DataFrame =
     docs.select(col("source"), col("doc_id"),
       size(TextAnalytics.tokens(col("text"))).cast("long").as("tok"))
 
@@ -42,7 +42,7 @@ object Extras extends graft.QueryPack {
     * is a MONOID (sum/sum/min/max/sum), which is exactly what lets the
     * streaming fold merge a batch's partials into the carried open
     * sequence. */
-  private[operators] def seqPackAgg(toks: DataFrame, off: DataFrame): DataFrame = {
+  private[graft] def seqPackAgg(toks: DataFrame, off: DataFrame): DataFrame = {
     val CTX = PACK_CTX
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     toks
@@ -68,7 +68,7 @@ object Extras extends graft.QueryPack {
   }
 
   /** Final report shape over per-seq partials (shared batch/drain). */
-  private[operators] def seqPackReport(agg: DataFrame): DataFrame =
+  private[graft] def seqPackReport(agg: DataFrame): DataFrame =
     agg
       .withColumn("fill_ratio",
         round(col("n_tokens").cast("double") / PACK_CTX.toDouble, 6))

@@ -49,6 +49,44 @@ class SeqPackSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("foldSeqPack: invariant across ORDERED slicings (1, 2 and 5 cuts), not just the drain's 3") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).first().getLong(0)
+    def drainWith(cuts: Int): Array[String] = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"seqpack_inv_$cuts").toFile.getAbsolutePath
+      val state = root + "/st"
+      val out = root + "/out"
+      val bounds = (0 to cuts).map(i => mx * i / cuts)
+      bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        val slice = docs.filter(
+          (if (i == 0) col("doc_id") >= 0L else col("doc_id") > lo) &&
+            col("doc_id") <= hi)
+        graft.operators.StreamingGate.foldSeqPack(state, out)(slice, i.toLong)
+      }
+      val emitted = spark.read.parquet(out + "/b*")
+      val st = spark.read.parquet(state).filter(col("oseq_id") >= 0L)
+        .select(col("source"), col("oseq_id").as("seq_id"),
+          col("o_n_docs").as("n_docs"),
+          col("o_n_doc_starts").as("n_doc_starts"),
+          col("o_first_doc").as("first_doc"),
+          col("o_last_doc").as("last_doc"),
+          col("o_n_tokens").as("n_tokens"))
+      val r = graft.operators.Extras.seqPackReport(emitted.unionByName(st))
+        .collect().map(_.toString).sorted
+      graft.Fs.deleteRec(new java.io.File(root))
+      r
+    }
+    val one = drainWith(1)
+    val two = drainWith(2)
+    val five = drainWith(5)
+    assert(one.sameElements(two), "1-cut vs 2-cut packing diverged")
+    assert(one.sameElements(five), "1-cut vs 5-cut packing diverged")
+    TestSpark.housekeeping()
+  }
+
   test("q_stream_seq_pack: drained layout equals the batch layout and state stays |sources|-sized") {
     val batch = graft.operators.Extras
       .queries("q_seq_pack")(spark, TestSpark.sf)
