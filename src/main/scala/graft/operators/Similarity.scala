@@ -748,59 +748,13 @@ object Similarity extends graft.QueryPack {
       import org.apache.spark.sql.expressions.Window
       val nodes = nnNodes(plantedCorpus(s, d)
         .withColumn("bucket", bucketCol(col("embedding"))))
-      val e2 = nnDescentEdges(nodes, rounds = 2).last
-      val wH = Window.partitionBy(col("src")).orderBy(col("h"), col("dst"))
-      val rev = e2.select(col("dst").as("src"), col("src").as("dst"))
-        .withColumn("h", md5(concat_ws("|", col("src"), col("dst"))))
-        .withColumn("rk", row_number().over(wH))
-        .filter(col("rk") <= NN_K)
-        .select(col("src"), col("dst"))
-      val g = e2.union(rev).distinct().localCheckpoint()
+      val g = nnSearchGraph(nnDescentEdges(nodes, rounds = 2).last)
       val qs = nodes.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("nrm").as("qnrm"), col("blk").as("qblk"))
-      // ROUTED entry per query: the min-md5 non-self node of the
-      // query's own seed block — the flat stand-in for HNSW's upper
-      // layers, whose whole job is delivering a block-local entry
-      // (a single global entry was measured flat at recall 0.1:
-      // greedy ascent has no gradient over near-orthogonal noise)
-      val wE = Window.partitionBy(col("qid")).orderBy(col("h"), col("node"))
-      val entry = qs.select(col("qid"), col("qblk"))
-        .join(nodes.select(col("vec_id").as("node"), col("blk")),
-          col("blk") === col("qblk") && col("node") =!= col("qid"))
-        .withColumn("h", md5(concat_ws("|", col("qid"), col("node"))))
-        .withColumn("rk", row_number().over(wE))
-        .filter(col("rk") === 1)
-        .select(col("qid"), col("node"))
-      var visited = entry
-        .withColumn("beam", explode(typedlit(Seq(1, 2, 4, 8))))
-        .select(col("beam"), col("qid"), col("node"))
-        .localCheckpoint()
-      val score = (v: DataFrame) => v
-        .join(nodes.select(col("vec_id").as("node"),
-          col("embedding").as("nv"), col("nrm").as("nnrm")), "node")
-        .join(qs, "qid")
-        .withColumn("sim",
-          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
-        .select(col("beam"), col("qid"), col("node"), col("sim"))
       val wB = Window.partitionBy(col("beam"), col("qid"))
         .orderBy(col("sim").desc, col("node"))
-      (1 to 7).foreach { h =>
-        val frontier = score(visited)
-          .withColumn("rk", row_number().over(wB))
-          .filter(col("rk") <= col("beam"))
-          .select(col("beam"), col("qid"), col("node"))
-        val cand = frontier.join(g, col("node") === col("src"))
-          .filter(col("dst") =!= col("qid"))
-          .select(col("beam"), col("qid"), col("dst").as("node"))
-        visited = visited.union(cand).distinct()
-        // cut lineage every 3rd hop only: the visited frames are
-        // query-grid-sized (≤ |q|·beam·hops·2k rows), so the plan-tree
-        // growth is what needs bounding, not recompute — per-hop
-        // eager checkpoints were measured pure overhead here
-        if (h % 3 == 0 || h == 7) visited = visited.localCheckpoint()
-      }
-      val ranked = score(visited)
+      val ranked = beamWalk(nodes, g, qs, Seq(1, 2, 4, 8), hops = 7)
         .withColumn("rk", row_number().over(wB))
         .filter(col("rk") <= 3)
         .select(col("beam").as("abeam"), col("qid").as("aqid"),
@@ -825,6 +779,34 @@ object Similarity extends graft.QueryPack {
         .select(col("beam").cast("long").as("beam"), col("qid"),
           col("n_exact"), col("n_hits"), col("recall"), col("macro_recall"))
         .orderBy(col("beam"), col("qid"))
+    }),
+
+    // Graph-index ADMISSION — the insert path that makes the graph a
+    // MAINTAINED index (how HNSW/NSW actually grows: a new vector
+    // beam-searches the existing graph and links to the best visited
+    // nodes): new vectors (vec_id % 7 = 3, the house admission split)
+    // walk the STORED graph built over the index side only and emit
+    // their k=4 links — per-vector work is one routed-entry probe +
+    // 7 bounded hops, never an index rebuild, never a corpus join.
+    // Completes the family ladder the other index families have:
+    // build (q_ann_graph) → quality (recall) → search (beam) → ADMIT.
+    "q_ann_graph_admission" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val all = loadEmbeddings(s, d)
+        .withColumn("bucket", bucketCol(col("embedding")))
+      val nodes = nnNodes(all.filter(col("vec_id") % 7 =!= 3))
+      val g = nnSearchGraph(nnDescentEdges(nodes, rounds = 2).last)
+      val qs = all.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"),
+          substring(col("bucket"), 1, nnInitWidth).as("qblk"))
+      val wB = Window.partitionBy(col("beam"), col("qid"))
+        .orderBy(col("sim").desc, col("node"))
+      beamWalk(nodes, g, qs, Seq(8), hops = 7)
+        .withColumn("rk", row_number().over(wB).cast("long"))
+        .filter(col("rk") <= NN_K)
+        .select(col("qid"), col("rk"), col("node").as("nid"), col("sim"))
+        .orderBy(col("qid"), col("rk"))
     }),
 
     // PQ codebook audit — usage histogram + quantization distortion
@@ -2133,7 +2115,7 @@ object Similarity extends graft.QueryPack {
     * a COLUMN (rk <= beam — all widths in one chain), ending at
     * v{hops}(beam, qid, node) = the cumulative visited set. Expects
     * the [[nnDescentDuck]] CTEs (nodes, e0..e2) in scope. */
-  private def nnBeamDuck(hops: Int): String = {
+  private def nnBeamDuck(hops: Int, beams: Seq[Int], qsSql: String): String = {
     val k = NN_K
     val simOrd =
       s"""round(${dotDuck("q.qv", "n.embedding")} /
@@ -2146,8 +2128,7 @@ object Similarity extends graft.QueryPack {
          |      g.src) AS rk
          |  FROM e2 g) t WHERE rk <= $k),
          |g AS MATERIALIZED (SELECT src, dst FROM e2 UNION SELECT src, dst FROM rev),
-         |qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm,
-         |         blk AS qblk FROM nodes WHERE vec_id < 10),
+         |qs AS MATERIALIZED ($qsSql),
          |ent AS (SELECT qid, node FROM (
          |  SELECT q.qid, n.vec_id AS node,
          |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
@@ -2155,7 +2136,7 @@ object Similarity extends graft.QueryPack {
          |      n.vec_id) AS rk
          |  FROM qs q JOIN nodes n ON n.blk = q.qblk AND n.vec_id <> q.qid) t
          | WHERE rk = 1),
-         |beams AS (SELECT * FROM (VALUES (1), (2), (4), (8)) b(beam)),
+         |beams AS (SELECT * FROM (VALUES ${beams.map(b => s"($b)").mkString(", ")}) b(beam)),
          |v0 AS MATERIALIZED (SELECT b.beam, e.qid, e.node FROM ent e, beams b)""".stripMargin
     val steps = (1 to hops).map { i =>
       s"""f$i AS (SELECT beam, qid, node FROM (
@@ -2173,6 +2154,76 @@ object Similarity extends graft.QueryPack {
          |  WHERE g.dst <> f.qid) t)""".stripMargin
     }
     (head +: steps).mkString(",\n")
+  }
+
+  /** Symmetrized search graph over a converged edge frame: edges ∪
+    * md5-capped reverse edges (the same ρK hub bound as the descent's
+    * local join), distinct, localCheckpointed — NSW's undirected
+    * links. */
+  private def nnSearchGraph(e2: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wH = Window.partitionBy(col("src")).orderBy(col("h"), col("dst"))
+    val rev = e2.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("h", md5(concat_ws("|", col("src"), col("dst"))))
+      .withColumn("rk", row_number().over(wH))
+      .filter(col("rk") <= NN_K)
+      .select(col("src"), col("dst"))
+    e2.union(rev).distinct().localCheckpoint()
+  }
+
+  /** Cumulative-visited NSW beam walk, shared by q_ann_beam (the
+    * swept-width query path) and q_ann_graph_admission (the insert
+    * path). `qs` = (qid, qv, qnrm, qblk); queries need NOT be graph
+    * members. ROUTED entry per query: the min-md5 non-self node of
+    * the query's seed block — the flat stand-in for HNSW's upper
+    * layers, whose whole job is delivering a block-local entry (a
+    * single GLOBAL entry was measured flat at recall 0.1: greedy
+    * ascent has no gradient over near-orthogonal noise). Each hop
+    * re-ranks the cumulative visited set per (beam, qid), expands the
+    * top-beam frontier over the graph's edges, and unions — per-hop
+    * work is |beam|·degree(≤2k) candidate rows per query through
+    * equi-joins on the edge key. Returns the SCORED visited set
+    * (beam, qid, node, sim). */
+  private def beamWalk(nodes: DataFrame, g: DataFrame, qs: DataFrame,
+      beams: Seq[Int], hops: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wE = Window.partitionBy(col("qid")).orderBy(col("h"), col("node"))
+    val entry = qs.select(col("qid"), col("qblk"))
+      .join(nodes.select(col("vec_id").as("node"), col("blk")),
+        col("blk") === col("qblk") && col("node") =!= col("qid"))
+      .withColumn("h", md5(concat_ws("|", col("qid"), col("node"))))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("node"))
+    var visited = entry
+      .withColumn("beam", explode(typedlit(beams)))
+      .select(col("beam"), col("qid"), col("node"))
+      .localCheckpoint()
+    val score = (v: DataFrame) => v
+      .join(nodes.select(col("vec_id").as("node"),
+        col("embedding").as("nv"), col("nrm").as("nnrm")), "node")
+      .join(qs.select(col("qid"), col("qv"), col("qnrm")), "qid")
+      .withColumn("sim",
+        round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 9))
+      .select(col("beam"), col("qid"), col("node"), col("sim"))
+    val wB = Window.partitionBy(col("beam"), col("qid"))
+      .orderBy(col("sim").desc, col("node"))
+    (1 to hops).foreach { h =>
+      val frontier = score(visited)
+        .withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= col("beam"))
+        .select(col("beam"), col("qid"), col("node"))
+      val cand = frontier.join(g, col("node") === col("src"))
+        .filter(col("dst") =!= col("qid"))
+        .select(col("beam"), col("qid"), col("dst").as("node"))
+      visited = visited.union(cand).distinct()
+      // cut lineage every 3rd hop only: the visited frames are
+      // query-grid-sized (≤ |q|·beam·hops·2k rows), so the plan-tree
+      // growth is what needs bounding, not recompute — per-hop
+      // eager checkpoints were measured pure overhead here
+      if (h % 3 == 0 || h == hops) visited = visited.localCheckpoint()
+    }
+    score(visited)
   }
 
   /** (src, dst) pairs joined back to the node frame for the round-9
@@ -2532,6 +2583,27 @@ object Similarity extends graft.QueryPack {
          |  WHERE g.src < 10) t
          |ORDER BY qid, rk""".stripMargin,
 
+    // the index-side graph unroll + a single-beam walk for OUTSIDE
+    // vectors; links = top-k of the visited set
+    "q_ann_graph_admission" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm
+         |           FROM embeddings WHERE vec_id % 7 <> 3),
+         |${nnDescentDuck(2)},
+         |${nnBeamDuck(7, Seq(8),
+               s"SELECT vec_id AS qid, embedding AS qv, $normDuck AS qnrm, " +
+                 s"substr($bucketDuck, 1, $nnInitWidth) AS qblk " +
+                 "FROM embeddings WHERE vec_id % 7 = 3")}
+         |SELECT qid, rk, nid, sim FROM (
+         |  SELECT v.qid, v.node AS nid,
+         |    round(${dotDuck("q.qv", "n.embedding")} /
+         |      (q.qnrm * n.nrm), 9) AS sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY v.qid ORDER BY
+         |      round(${dotDuck("q.qv", "n.embedding")} /
+         |        (q.qnrm * n.nrm), 9) DESC, v.node) AS BIGINT) AS rk
+         |  FROM v7 v JOIN nodes n ON n.vec_id = v.node
+         |            JOIN qs q ON q.qid = v.qid) t
+         |WHERE rk <= ${NN_K} ORDER BY qid, rk""".stripMargin,
+
     // the graph unroll + the beam-search unroll; recall of the
     // cumulative visited set per beam width against the planted truth
     "q_ann_beam" ->
@@ -2550,7 +2622,9 @@ object Similarity extends graft.QueryPack {
          |  UNION ALL SELECT vec_id, embedding FROM planted),
          |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
          |${nnDescentDuck(2)},
-         |${nnBeamDuck(7)},
+         |${nnBeamDuck(7, Seq(1, 2, 4, 8),
+             "SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm, " +
+               "blk AS qblk FROM nodes WHERE vec_id < 10")},
          |ranked AS (SELECT beam, qid, nid FROM (
          |  SELECT v.beam, v.qid, v.node AS nid,
          |    ROW_NUMBER() OVER (PARTITION BY v.beam, v.qid ORDER BY

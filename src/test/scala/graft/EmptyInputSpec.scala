@@ -113,6 +113,7 @@ class EmptyInputSpec extends AnyFunSuite {
     // admission probes an empty stored index and admits nothing (batch
     // and drain); compaction exec short-circuits on an empty manifest
     "q_ann_graph", "q_ann_graph_recall", "q_ann_beam",
+    "q_ann_graph_admission",
     "q_phash_admission", "q_stream_phash_admission", "q_compaction_exec",
     // packing an empty corpus: no tokens, no sequences — batch and
     // the order-dependent drain (zero-row staged files still drain;

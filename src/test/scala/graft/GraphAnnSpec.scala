@@ -88,6 +88,28 @@ class GraphAnnSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("q_ann_graph_admission: links only to index-side nodes, <= k ranked links per new vector, no index rebuild shapes") {
+    val df = graft.operators.Similarity
+      .queries("q_ann_graph_admission")(spark, TestSpark.sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // new vectors are the % 7 = 3 split; every link must land on a
+      // stored index node — a % 7 = 3 nid means the walk leaked an
+      // arriving vector into the graph
+      assert(r.getLong(0) % 7 == 3, s"non-arriving qid admitted: $r")
+      assert(r.getLong(2) % 7 != 3, s"link to a non-index node: $r")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val rks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(rks == (1L to rks.length).toSeq && rks.length <= 4,
+        s"bad link ranks for qid=$qid: $rks")
+    }
+    TestSpark.housekeeping()
+  }
+
   test("graft.nndescent.init.width knob: fine blocks seed high, coarse blocks recover by descent (both engines read it per call)") {
     val dflt = recallRows().groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val old = sys.props.get("graft.nndescent.init.width")
