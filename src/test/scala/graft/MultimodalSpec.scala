@@ -207,6 +207,47 @@ class MultimodalSpec extends AnyFunSuite {
       s"first diff: ${actual.zip(expected).find { case (x, y) => x != y }}")
   }
 
+  test("q_phash_admission equals the all-pairs admission reference (exact = hamming-0 of the same join)") {
+    // independent JVM recompute: hash every image on both sides of
+    // the doc-level % 7 split, then per new image the best
+    // (hamming <= 3, min partner) by brute force over ALL index
+    // hashes — the pigeonhole + agg-collapsed index must lose
+    // nothing, and exact dups must surface as hamming 0 with the
+    // smallest index id sharing the hash
+    def imgs(p: Long => Boolean): Seq[(Long, Long)] =
+      (0L until 500L).filter(p).flatMap { d =>
+        val base = Seq(d -> Multimodal.imagePhash64(Multimodal.genPng(d)))
+        if (d % 17 == 4)
+          base :+ ((d + 1000000L) ->
+            Multimodal.imagePhash64(Multimodal.genPngNearDup(d)))
+        else base
+      }.filter(_._2 != -1L)
+    val idx = imgs(_ % 7 != 3)
+    val idxByHash = idx.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val expected = imgs(_ % 7 == 3).map { case (id, h) =>
+      val best = idxByHash.toSeq
+        .map { case (ih, mid) => (java.lang.Long.bitCount(h ^ ih).toLong, mid) }
+        .filter(_._1 <= 3L).sorted.headOption
+      best match {
+        case Some((0L, mid)) => (id, "exact_dup", mid, 0L)
+        case Some((hm, mid)) => (id, "near_dup", mid, hm)
+        case None => (id, "unique", -1L, -1L)
+      }
+    }.sortBy(_._1)
+    val actual = graft.operators.Multimodal
+      .queries("q_phash_admission")(TestSpark.spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(expected.exists(_._2 == "exact_dup") &&
+      expected.exists(_._2 == "unique"),
+      "fixture degenerate — not all verdict classes fire")
+    assert(actual == expected,
+      s"first diff: ${actual.zip(expected).find { case (x, y) => x != y }}")
+    TestSpark.housekeeping()
+  }
+
   test("imagePhash64: DCT kernel edge cases and the retouch plant's spread") {
     // undecodable payloads fingerprint as -1, never throw
     assert(Multimodal.imagePhash64(null) == -1L)
