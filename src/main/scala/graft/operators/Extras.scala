@@ -42,7 +42,11 @@ object Extras extends graft.QueryPack {
     * is a MONOID (sum/sum/min/max/sum), which is exactly what lets the
     * streaming fold merge a batch's partials into the carried open
     * sequence. */
-  private[graft] def seqPackAgg(toks: DataFrame, off: DataFrame): DataFrame = {
+  /** The seg-level frame under [[seqPackAgg]]: one row per (sequence,
+    * doc) overlap with its exact token span — the DATALOADER INDEX
+    * (q_seq_manifest reports it directly; the per-seq report
+    * aggregates it). */
+  private[graft] def seqPackSpans(toks: DataFrame, off: DataFrame): DataFrame = {
     val CTX = PACK_CTX
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     toks
@@ -58,6 +62,11 @@ object Extras extends graft.QueryPack {
       .withColumn("seg",
         least(col("fin"), (col("seq_id") + 1) * CTX) -
           greatest(col("start"), col("seq_id") * CTX))
+  }
+
+  private[graft] def seqPackAgg(toks: DataFrame, off: DataFrame): DataFrame = {
+    val CTX = PACK_CTX
+    seqPackSpans(toks, off)
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(expr(s"start div $CTX") === col("seq_id"), 1L)
@@ -689,6 +698,27 @@ object Extras extends graft.QueryPack {
       val toks = seqPackToks(Tables(s, d, "documents"))
       seqPackReport(seqPackAgg(toks, toks.limit(0)
         .select(col("source"), col("tok").as("off"))))
+    }),
+
+    // The pack MANIFEST — the per-(sequence, doc) segment index a
+    // training dataloader actually seeks by (q_seq_pack's per-seq
+    // aggregates can't rebuild a loss mask; this table can): for
+    // every document segment, its sequence, offset within the
+    // sequence, token count and whether the doc STARTS here (the
+    // block-diagonal mask boundary). Same kernel frame as q_seq_pack
+    // one groupBy earlier — one definition, two report grains.
+    "q_seq_manifest" -> ((s, d) => {
+      val CTX = PACK_CTX
+      val toks = seqPackToks(Tables(s, d, "documents"))
+      seqPackSpans(toks, toks.limit(0)
+          .select(col("source"), col("tok").as("off")))
+        .select(col("source"), col("seq_id").cast("long").as("seq_id"),
+          col("doc_id"),
+          (greatest(col("start"), col("seq_id") * CTX) -
+            col("seq_id") * CTX).as("off_in_seq"),
+          col("seg").as("seg_tokens"),
+          (expr(s"start div $CTX") === col("seq_id")).as("is_doc_start"))
+        .orderBy(col("source"), col("seq_id"), col("off_in_seq"))
     }),
 
     "q_token_budget" -> ((s, d) => {
@@ -2162,6 +2192,31 @@ object Extras extends graft.QueryPack {
         |  round(CAST(SUM(seg) AS DOUBLE) / 128.0, 6) AS fill_ratio
         |FROM seg GROUP BY source, seq_id
         |ORDER BY source, seq_id""".stripMargin,
+
+    // the seg frame one GROUP BY earlier, reported at segment grain
+    "q_seq_manifest" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |spans AS (
+        |  SELECT source, doc_id, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS strt
+        |  FROM toks),
+        |x AS (
+        |  SELECT source, doc_id, tok, strt, strt + tok AS fin,
+        |    unnest(range(CAST(strt // 128 AS BIGINT),
+        |      CAST((strt + tok - 1) // 128 + 1 AS BIGINT))) AS seq_id
+        |  FROM spans)
+        |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(GREATEST(strt, seq_id * 128) - seq_id * 128 AS BIGINT)
+        |    AS off_in_seq,
+        |  CAST(LEAST(fin, (seq_id + 1) * 128) -
+        |    GREATEST(strt, seq_id * 128) AS BIGINT) AS seg_tokens,
+        |  strt // 128 = seq_id AS is_doc_start
+        |FROM x ORDER BY source, seq_id, off_in_seq""".stripMargin,
 
     "q_token_budget" ->
 """WITH src AS (

@@ -118,7 +118,7 @@ class EmptyInputSpec extends AnyFunSuite {
     // packing an empty corpus: no tokens, no sequences — batch and
     // the order-dependent drain (zero-row staged files still drain;
     // the pack cursor state stays empty)
-    "q_seq_pack", "q_stream_seq_pack",
+    "q_seq_pack", "q_stream_seq_pack", "q_seq_manifest",
     // kill-and-resume over empty sketch state: three empty files are
     // still three micro-batches, the planted death and the recovery
     // both still run, and the recovered gate frame is empty

@@ -49,6 +49,35 @@ class SeqPackSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("q_seq_manifest: segment grain re-aggregates to the q_seq_pack report exactly") {
+    val man = graft.operators.Extras
+      .queries("q_seq_manifest")(spark, TestSpark.sf).collect()
+    val pack = graft.operators.Extras
+      .queries("q_seq_pack")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val reAgg = man.groupBy(r => (r.getString(0), r.getLong(1))).view
+      .mapValues { rs =>
+        (rs.length.toLong,
+          rs.count(_.getBoolean(5)).toLong,
+          rs.map(_.getLong(2)).min, rs.map(_.getLong(2)).max,
+          rs.map(_.getLong(4)).sum)
+      }.toMap
+    assert(reAgg == pack, "manifest does not re-aggregate to the pack report")
+    // segments tile each sequence exactly: offsets + lengths chain
+    man.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (k, rs) =>
+      val ordered = rs.sortBy(_.getLong(3))
+      var cursor = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(3) == cursor, s"$k: gap/overlap at ${r.getLong(3)}")
+        cursor += r.getLong(4)
+      }
+      assert(cursor <= CTX, s"$k: sequence overfilled to $cursor")
+    }
+    TestSpark.housekeeping()
+  }
+
   test("foldSeqPack: invariant across ORDERED slicings (1, 2 and 5 cuts), not just the drain's 3") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, TestSpark.sf, "documents")
