@@ -6,10 +6,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
   * Batch queries run on SPARK_GRAFT_VERIFY_PAR concurrent lanes
-  * (default 8; 1 = the old strictly-sequential path). Rationale
-  * (VERDICT r10 item 1): the driver's correctness window blanked in
-  * r10 and the sequential sweep leaves a local[32] session mostly
-  * idle — one ~1 s query at a time. Safety of the lanes: every query
+  * (default 1 = the strictly-sequential, envelope-safe path; the
+  * builder's own sweeps opt into 8 via close_round.sh). Rationale for
+  * the DEFAULT flipping back to 1 (VERDICT r12 item 1): the driver's
+  * CORRECTNESS artifact came back empty in 2 of the last 3 rounds
+  * while the code was green both times — the driver-facing path must
+  * be the most conservative one, and byte-parity between the lanes
+  * and the sequential path is proven, so parallelism is purely a
+  * dev-loop speed knob. Safety of the lanes: every query
   * is partition-count invariant by gate (DeterminismSpec), writes to
   * its own outDir subdir, and no query registers session-global named
   * state (no temp views / listeners; the BPE memo is a
@@ -39,15 +43,19 @@ object Verify {
     val spark = Harness.session()
     new java.io.File(outDir).mkdirs()
 
+    val nOk = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def runQuery(name: String, fn: (SparkSession, String)
         => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        nOk.incrementAndGet()
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
       } catch { case e: Throwable =>
+        failed.add(name)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -55,7 +63,7 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }.toSeq
     val par =
-      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt.max(1)
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "1").toInt.max(1)
     if (par == 1) {
       selected.foreach { case (name, fn) =>
         runQuery(name, fn)
@@ -102,6 +110,15 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Loud, machine-parseable summary on BOTH streams (VERDICT r12
+    // item 1): if the driver's artifact window ever blanks again, the
+    // run's ground truth is greppable from either captured stream.
+    val summary = s"[verify] SUMMARY ok=${nOk.get()} " +
+      s"fail=${failed.size()} total=${selected.size}" +
+      (if (failed.isEmpty) ""
+       else " failed=" + failed.toArray.mkString(","))
+    System.err.println(summary)
+    println(summary)
     spark.stop()
   }
 }

@@ -53,7 +53,9 @@ object HtmlDom {
     * above it). Includes the HTML5 p-closing block set (r12 — closes
     * the r9-documented `<p>a<div>` gap): every block-level open in
     * [[closesP]] ends an open `<p>` at top-of-stack, so the block is
-    * the paragraph's SIBLING, as jsdom parses it. Still deliberately
+    * the paragraph's SIBLING, as jsdom parses it; r13 extends the
+    * same rule to `li`/`dt`/`dd`, which HTML5 also defines as
+    * p-closing despite not being block opens. Still deliberately
     * top-of-stack only: the full spec's scoped search (`<li><div><li>`
     * or `<p><b>x<div>` closing through the wrapper) is not reproduced
     * — fixture markup with unclosed siblings behind OTHER open
@@ -63,10 +65,13 @@ object HtmlDom {
     "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hgroup", "hr",
     "main", "menu", "nav", "ol", "p", "pre", "section", "table", "ul")
   private val impliedClosedBy: Map[String, Set[String]] = {
+    // li/dt/dd also carry "p": per HTML5 these start tags close an
+    // open <p> even though they are not block-level closesP members —
+    // `<ul><p>a<li>b</ul>` makes the li the p's SIBLING (ADVICE r12).
     val sibling = Map(
-      "li" -> Set("li"),
-      "dt" -> Set("dt", "dd"),
-      "dd" -> Set("dt", "dd"),
+      "li" -> Set("li", "p"),
+      "dt" -> Set("dt", "dd", "p"),
+      "dd" -> Set("dt", "dd", "p"),
       "option" -> Set("option"),
       "tr" -> Set("td", "th", "tr"),
       "td" -> Set("td", "th"),

@@ -56,6 +56,14 @@ object Extras extends graft.QueryPack {
         col("off") + coalesce(sum(col("tok"))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("fin", col("start") + col("tok"))
+      // zero-token guard (ADVICE r12): a tok=0 doc whose start sits on
+      // a CTX boundary would make fin-1 < start and Spark's sequence()
+      // emit a DESCENDING phantom pair where DuckDB's range() is
+      // empty. Unreachable while tokens() >= 1, but pinned here (and
+      // as WHERE tok > 0 in the oracles) so a tokenizer change can't
+      // resurface the divergence. The filter sits AFTER the window, so
+      // prefix sums are unchanged (tok=0 contributes nothing).
+      .filter(col("tok") > 0L)
       .withColumn("seq_id",
         explode(sequence(expr(s"start div $CTX"),
           expr(s"(fin - 1) div $CTX"))))
@@ -140,8 +148,13 @@ object Extras extends graft.QueryPack {
     // q_compaction_plan manifest is actually REWRITTEN through the
     // graft-objects staged two-phase commit (one compacted object per
     // bin), read back from the committed objects, and gated on
-    // CONSERVATION — row count and an order-sensitive content
-    // checksum must survive the rewrite bit-for-bit. The oracle
+    // CONSERVATION — row count and an ORDER-SENSITIVE content
+    // checksum must survive the rewrite bit-for-bit: each record's
+    // ordinal within its bin (doc_id rank = payload array index) is
+    // folded into the per-record hash on both engines, so a rewrite
+    // that reorders records inside the committed object flips the
+    // gate even though the summed combine is commutative (ADVICE
+    // r12). The oracle
     // restates the pre-image stats from the manifest and pins the
     // post columns as their conserved values (the q_stream_hll
     // constant-contract pattern): a lost row, a truncated payload or
@@ -182,36 +195,62 @@ object Extras extends graft.QueryPack {
           col("source") === r.getString(0) &&
             col("doc_id") >= r.getLong(1) && col("doc_id") <= r.getLong(2))
         .reduce(_ || _)
-      val chk = (id: org.apache.spark.sql.Column,
+      val US = "\u001f"; val RS = "\u001e"
+      // ordinal-aware record hash: pos is the record's rank within its
+      // bin (0-based doc_id order = payload array index), so the
+      // checksum detects in-object REORDERS, not just content loss
+      val chk = (pos: org.apache.spark.sql.Column,
+          id: org.apache.spark.sql.Column,
           txt: org.apache.spark.sql.Column) =>
-        conv(substring(md5(concat_ws("|", id, txt)), 1, 8), 16, 10)
+        conv(substring(md5(concat_ws("|", pos, id, txt)), 1, 8), 16, 10)
           .cast("long")
       val binDocs = docs.filter(rangeCond)
       val outDir = java.nio.file.Files
         .createTempDirectory("graft_compaction_exec").toFile.getAbsolutePath
+      try {
       binDocs
         .groupBy(col("source"))
         .agg(array_sort(collect_list(struct(col("doc_id"), col("text"))))
           .as("recs"))
         .select(concat(col("source"), lit("_bin0")).as("key"),
-          array_join(transform(col("recs"), r =>
-            concat_ws("", r.getField("doc_id"), col("source"),
-              r.getField("text"))), "").as("payload"))
+          array_join(transform(col("recs"), (r, i) =>
+            concat_ws(US, i, r.getField("doc_id"), col("source"),
+              r.getField("text"))), RS).as("payload"))
         .write.format("graft-objects").mode("overwrite").save(outDir)
-      val post = s.read.option("lineSep", "").text(outDir)
+      // post-side stats come from the actually-committed objects; the
+      // agg is |sources| rows (metadata-scale, like the range
+      // manifest), so it is materialized EAGERLY — which lets the temp
+      // staging dir be reclaimed right here instead of accumulating
+      // /tmp debris across bench/verify runs (ADVICE r12)
+      val postRows = s.read.option("lineSep", RS).text(outDir)
         .select(input_file_name().as("obj"),
-          split(col("value"), "").as("f"))
-        .select(col("obj"), col("f").getItem(0).cast("long").as("doc_id"),
-          col("f").getItem(1).as("source"), col("f").getItem(2).as("text"))
+          // explicit limit -1 keeps trailing empty fields: a record
+          // with empty text parses as text="" and hashes identically
+          // to the pre-side, not as a spurious conservation failure
+          split(col("value"), US, -1).as("f"))
+        .select(col("obj"), col("f").getItem(0).cast("long").as("pos"),
+          col("f").getItem(1).cast("long").as("doc_id"),
+          col("f").getItem(2).as("source"), col("f").getItem(3).as("text"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_rows_post"),
           countDistinct(col("obj")).as("n_objects_post"),
-          sum(chk(col("doc_id"), col("text"))).as("checksum_post"))
+          sum(chk(col("pos"), col("doc_id"), col("text")))
+            .as("checksum_post"))
+        .collect().toSeq
+      // finally, not just the happy path: a failed write/read must
+      // not strand the staging dir either (ADVICE r12)
+      import s.implicits._
+      val post = postRows
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toDF("source", "n_rows_post", "n_objects_post", "checksum_post")
+      val wBin = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       binDocs
+        .withColumn("pos", row_number().over(wBin).cast("long") - 1L)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_files_pre"),
           sum(col("n_chars")).as("bytes_pre"),
-          sum(chk(col("doc_id"), col("text"))).as("checksum_pre"))
+          sum(chk(col("pos"), col("doc_id"), col("text")))
+            .as("checksum_pre"))
         .join(post, Seq("source"), "left_outer")
         .select(col("source"), lit(0L).as("bin"), col("n_files_pre"),
           col("bytes_pre"),
@@ -219,10 +258,15 @@ object Extras extends graft.QueryPack {
           coalesce(col("n_rows_post"), lit(0L)).as("n_rows_post"),
           col("checksum_pre"),
           coalesce(col("checksum_post"), lit(0L)).as("checksum_post"),
-          (col("n_rows_post") === col("n_files_pre") &&
-            col("checksum_post") === col("checksum_pre") &&
-            col("n_objects_post") === 1L).as("conserved"))
+          // coalesced inputs: a missed post join reads as a REAL
+          // boolean false, not a NULL (ADVICE r12)
+          (coalesce(col("n_rows_post"), lit(0L)) === col("n_files_pre") &&
+            coalesce(col("checksum_post"), lit(0L)) ===
+              col("checksum_pre") &&
+            coalesce(col("n_objects_post"), lit(0L)) === 1L)
+            .as("conserved"))
         .orderBy(col("source"))
+      } finally graft.Fs.deleteRec(new java.io.File(outDir))
       }
     }),
 
@@ -1705,7 +1749,10 @@ object Extras extends graft.QueryPack {
     // pre-image stats restated from the manifest; post columns pinned
     // as their conserved values (the q_stream_hll constant-contract
     // pattern) — Spark computes them from the actually-committed
-    // objects, so any rewrite loss reds this row
+    // objects, so any rewrite loss reds this row. The per-record hash
+    // folds in the record's 0-based ordinal within its bin (r13), so
+    // the summed checksum is order-sensitive despite the commutative
+    // combine.
     "q_compaction_exec" ->
       """WITH manifest AS (
         |  SELECT source, doc_id, n_chars, text,
@@ -1714,7 +1761,10 @@ object Extras extends graft.QueryPack {
         |      AS cum_prev
         |  FROM documents),
         |b0 AS (SELECT source, doc_id, n_chars,
-        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |         CAST(('0x' || substr(md5(
+        |           CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |             ORDER BY doc_id) - 1 AS VARCHAR)
+        |           || '|' || CAST(doc_id AS VARCHAR) || '|' ||
         |           text), 1, 8)) AS BIGINT) AS chk
         |       FROM manifest WHERE cum_prev // 16384 = 0)
         |SELECT source, CAST(0 AS BIGINT) AS bin,
@@ -2177,7 +2227,7 @@ object Extras extends graft.QueryPack {
         |  SELECT source, doc_id, tok, strt, strt + tok AS fin,
         |    unnest(range(CAST(strt // 128 AS BIGINT),
         |      CAST((strt + tok - 1) // 128 + 1 AS BIGINT))) AS seq_id
-        |  FROM spans),
+        |  FROM spans WHERE tok > 0),
         |seg AS (
         |  SELECT source, seq_id, doc_id, strt,
         |    LEAST(fin, (seq_id + 1) * 128) -
@@ -2209,7 +2259,7 @@ object Extras extends graft.QueryPack {
         |  SELECT source, doc_id, tok, strt, strt + tok AS fin,
         |    unnest(range(CAST(strt // 128 AS BIGINT),
         |      CAST((strt + tok - 1) // 128 + 1 AS BIGINT))) AS seq_id
-        |  FROM spans)
+        |  FROM spans WHERE tok > 0)
         |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
         |  CAST(GREATEST(strt, seq_id * 128) - seq_id * 128 AS BIGINT)
         |    AS off_in_seq,

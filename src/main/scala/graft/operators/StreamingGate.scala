@@ -1462,6 +1462,12 @@ object StreamingGate extends graft.QueryPack {
         .agg(count(lit(1)).as("n_train"))
       val docsExact = docs.select(Dedup.splitCol.as("split"))
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs_exact"))
+      // DEBUGGING (VERDICT r12 item 3): the oracle pins the three
+      // booleans below as TRUE constants, so a sketch-estimate drift
+      // outside the 4·rse band surfaces as an opaque STRICT hash
+      // mismatch — when this row reds, inspect counts_match /
+      // ngrams_ok / novel_ok in the Spark output first; whichever is
+      // false names the broken contract before any hash diffing.
       val band = lit(4 * 1.04 / math.sqrt((1 << LG_K).toDouble))
       est.join(exact, Seq("split"))
         .join(docsExact, Seq("split"))

@@ -66,4 +66,32 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) <= 0.05 * math.max(1.0, exact.abs),
       s"exact=$exact approx=$approx")
   }
+
+  test("ivfpq small-corpus floor: tiny-but-nonempty band is pinned " +
+      "(VERDICT r12 item 2)") {
+    // 12 embeddings sit inside the 11..25 band the r12 verdict flagged:
+    // below every ivfpq floor (raw K=4 needs 14, K=16 needs 26, lloyd
+    // needs 10+⌈√12⌉+16=30). The engine guards return empty / zero-hit
+    // frames here, and since r13 the DuckDB oracles restate the SAME
+    // count floor, so both engines agree on this corpus too — this
+    // test pins the engine half of that equivalence.
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiny-emb")
+      .toFile.getAbsolutePath
+    Tables(spark, TestSpark.sf, "embeddings")
+      .orderBy(col("vec_id")).limit(12).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      assert(SparkEntry.queries("q_ann_ivfpq")(spark, dir).count() == 0L)
+      assert(SparkEntry.queries("q_ann_ivfpq_lloyd")(spark, dir)
+        .count() == 0L)
+      // the recall curves keep their exact-truth rows but every code
+      // budget is below its floor, so hits are identically zero
+      Seq("q_ann_ivfpq_recall", "q_ann_ivfpq_residual").foreach { q =>
+        val rows = SparkEntry.queries(q)(spark, dir).collect()
+        assert(rows.nonEmpty, q)
+        assert(rows.forall(r => r.getLong(r.fieldIndex("n_hits")) == 0L),
+          s"$q: expected zero hits below the floor")
+      }
+    } finally graft.Fs.deleteRec(new java.io.File(dir))
+  }
 }

@@ -138,4 +138,16 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(HtmlDom.selectTexts("<p><b>x<div>d</div></b></p>", "p")
       == Seq("xd"))
   }
+
+  test("li/dt/dd also close an open <p> (ADVICE r12)") {
+    // the li is the p's sibling under the ul, as jsdom parses it
+    assert(HtmlDom.selectTexts("<ul><p>a<li>b</ul>", "p") == Seq("a"))
+    assert(HtmlDom.selectTexts("<ul><p>a<li>b</ul>", "p li") == Seq())
+    assert(HtmlDom.selectTexts("<ul><p>a<li>b</ul>", "ul li") == Seq("b"))
+    // same for the definition-list pair
+    assert(HtmlDom.selectTexts("<dl><p>t<dt>k<dd>v</dl>", "p")
+      == Seq("t"))
+    assert(HtmlDom.selectTexts("<dl><p>t<dt>k<dd>v</dl>", "dl dt")
+      == Seq("k"))
+  }
 }

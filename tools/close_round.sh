@@ -23,8 +23,10 @@ tools/run.sh graft.Smoke >/tmp/close_smoke.out 2>/dev/null
 head -2 /tmp/close_smoke.out
 
 echo "=== 3/6 full sf0.01 sweep + STRICT gate"
-SPARK_GRAFT_CPUS=32 tools/run.sh graft.Verify /root/testdata/sf0.01 \
-  /tmp/close_verify 2>/tmp/close_verify.log
+# PAR=8 is the builder's opt-in dev-loop speedup; the DEFAULT is the
+# sequential envelope-safe path the driver sees (VERDICT r12 item 1).
+SPARK_GRAFT_VERIFY_PAR=8 SPARK_GRAFT_CPUS=32 tools/run.sh graft.Verify \
+  /root/testdata/sf0.01 /tmp/close_verify 2>/tmp/close_verify.log
 # CHECK_JSON archives the per-query result in the DRIVER'S
 # CORRECTNESS_r{N}.json schema — the reconstruction-proof parity
 # artifact prescribed by VERDICT r10 after the driver's own artifact
