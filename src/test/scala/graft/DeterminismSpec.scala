@@ -261,7 +261,8 @@ class DeterminismSpec extends AnyFunSuite {
     // GRAPH (and the beam walk over it) must be layout-free; seq_pack
     // adds the order-dependent prefix-sum spans (a layout term would
     // scramble every sequence boundary downstream of it)
-    "q_ann_graph", "q_ann_beam", "q_ann_graph_admission", "q_seq_pack",
+    "q_ann_graph", "q_ann_beam", "q_ann_graph_admission", "q_ann_layered",
+    "q_seq_pack",
     // novelty audit: md5 split + distinct gram sets + exact counts —
     // a layout term means a distinct leaked partition-local rows
     "q_ngram_coverage",
