@@ -1435,6 +1435,96 @@ object TextAnalytics extends graft.QueryPack {
     })
   ) ++ extraQueries
 
+  /** Unigram-LM seed floor (2-gram weighted count) and prune width
+    * (2-grams kept) — grid constants of q_unigram_lm, restated
+    * verbatim in the oracle. */
+  private val UNI_FLOOR = 5L
+  private val UNI_KEEP = 16
+
+  /** One Viterbi-EM round of q_unigram_lm: exact piece counts of
+    * every word's single best segmentation under the given piece
+    * probabilities. Costs round9(-ln p) come from two vocabulary
+    * joins (collected into position order; unknown 2-grams read the
+    * sentinel — a word is always single-char segmentable, so the
+    * sentinel never wins); the min-plus DP and its backtrack run as
+    * ARRAY FOLDS (`aggregate` over positions — per-row codegen work,
+    * no shuffle, any word length). Path costs are SUMS of the round-9
+    * constants — no per-step rounding, so both engines compare
+    * bit-identical doubles; ties prefer the single-char step (strict
+    * < for the 2-gram). Returns (piece, cnt BIGINT) — exact integers,
+    * bit-stable under any partitioning. */
+  private def uniViterbiCounts(words: DataFrame, probs: DataFrame)
+      : DataFrame = {
+    val BIG = 1e15d
+    val pos = words
+      .select(col("w"), col("cw"), col("cs"), col("n"),
+        explode(sequence(lit(1), col("n"))).as("i"))
+      .withColumn("c1", element_at(col("cs"), col("i")))
+      .withColumn("g2", when(col("i") >= 2,
+        concat(element_at(col("cs"), col("i") - 1),
+          element_at(col("cs"), col("i")))))
+    val costs = probs.select(col("piece"),
+      round(-log(col("p")), 9).as("cost"))
+    val withC = pos
+      .join(costs.select(col("piece").as("c1"), col("cost").as("k1")),
+        Seq("c1"), "left_outer")
+      .join(costs.select(col("piece").as("g2"), col("cost").as("k2")),
+        Seq("g2"), "left_outer")
+      .groupBy(col("w"), col("cw"), col("cs"), col("n"))
+      .agg(array_sort(collect_list(struct(col("i"),
+        coalesce(col("k1"), lit(BIG)).as("k1"),
+        coalesce(col("k2"), lit(BIG)).as("k2")))).as("ks"))
+      .withColumn("k1s", transform(col("ks"), x => x.getField("k1")))
+      .withColumn("k2s", transform(col("ks"), x => x.getField("k2")))
+      .drop("ks")
+    // forward min-plus: vs = [v0 .. vn];
+    // v_i = least(v_{i-1} + k1_i, v_{i-2} + k2_i)
+    val withV = withC.withColumn("vs",
+      aggregate(sequence(lit(1), col("n")), array(lit(0.0d)),
+        (acc, i) => concat(acc, array(least(
+          element_at(acc, i) + element_at(col("k1s"), i),
+          when(i >= 2,
+            element_at(acc, i - 1) + element_at(col("k2s"), i))
+            .otherwise(lit(BIG)))))))
+    // choice at i: the 2-gram step iff STRICTLY cheaper (ties take
+    // the single — the deterministic tie rule both engines share)
+    val withCh = withV.withColumn("chs",
+      transform(sequence(lit(1), col("n")), i =>
+        when(i >= 2 &&
+          element_at(col("vs"), i - 1) + element_at(col("k2s"), i) <
+            element_at(col("vs"), i) + element_at(col("k1s"), i),
+          lit(2)).otherwise(lit(1))))
+    // backtrack fold: walk pos from n by the chosen step widths,
+    // collecting 2-gram and single positions (n iterations, no-ops
+    // once pos reaches 0)
+    val bt = withCh.withColumn("bt",
+      aggregate(sequence(lit(1), col("n")),
+        struct(col("n").as("pos"),
+          array().cast("array<int>").as("gs"),
+          array().cast("array<int>").as("ss")),
+        (acc, _) => {
+          val pos = acc.getField("pos")
+          val take2 = element_at(col("chs"), pos) === 2
+          when(pos <= 0, acc).otherwise(
+            when(take2, struct((pos - 2).as("pos"),
+              concat(acc.getField("gs"), array(pos)).as("gs"),
+              acc.getField("ss").as("ss")))
+            .otherwise(struct((pos - 1).as("pos"),
+              acc.getField("gs").as("gs"),
+              concat(acc.getField("ss"), array(pos)).as("ss"))))
+        }))
+    val sRows = bt.select(col("cw"), col("cs"),
+        explode(col("bt.ss")).as("i"))
+      .select(element_at(col("cs"), col("i")).as("piece"), col("cw"))
+    val gRows = bt.select(col("cw"), col("cs"),
+        explode(col("bt.gs")).as("i"))
+      .select(concat(element_at(col("cs"), col("i") - 1),
+        element_at(col("cs"), col("i"))).as("piece"), col("cw"))
+    sRows.unionByName(gRows)
+      .groupBy(col("piece"))
+      .agg(sum(col("cw")).as("cnt"))
+  }
+
   /** BPE token count of one word column under the learned merge
     * table — the ENCODE kernel, shared by q_tokenize_bpe (per-doc) and
     * q_tokenizer_fertility (per-source) so the audit and the tokenizer
@@ -1559,6 +1649,103 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("pmi").desc, col("gram")).limit(20)
     }),
 
+    // Unigram-LM tokenizer training (Kudo, ACL 2018 — the
+    // SentencePiece algorithm; VERDICT r12 item 4): the OTHER
+    // tokenizer-training family next to q_bpe_merges, so a pipeline
+    // can choose between merge-based (BPE) and probabilistic
+    // (unigram) vocabularies from measured output. Pieces are single
+    // chars (required symbols — never pruned, SentencePiece's
+    // required-character rule) plus corpus 2-grams with weighted
+    // count >= UNI_FLOOR. Estimation is VITERBI (hard) EM: the
+    // E-step assigns each word its single best segmentation under
+    // min-plus costs round9(-ln p) — path costs are SUMS of round-9
+    // constants with no per-step rounding, so both engines compare
+    // bit-identical doubles and the piece counts come out as EXACT
+    // INTEGERS × exact word frequencies. Soft forward-backward
+    // expected counts were implemented first and REJECTED, measured:
+    // a sum-product lattice needs a round() after every fused
+    // multiply-add, the HALF_UP/HALF_EVEN boundary between the
+    // engines' double rounding bites once per ~1e5 chained steps and
+    // drifts e_cnt by 2.4e-6 at sf0.001 — and 9-decimal fixed point
+    // underflows the lattice mass of every word past ~8 chars.
+    // Min-plus over exact cost constants has neither failure mode at
+    // any word length. Ties prefer the single-char step
+    // (deterministic, both engines strict-<). Round 1 scores the
+    // seed vocabulary; the PRUNE keeps the UNI_KEEP best 2-grams by
+    // (count desc, piece); round 2 re-segments under the survivors'
+    // re-normalized probabilities (mass redistributes onto kept
+    // pieces). Scale: everything is vocabulary-sized after the one
+    // corpus pass building the word-frequency table (the
+    // q_bpe_merges shape); the Viterbi DP and backtrack are per-row
+    // array folds over word length — no shuffle, no recursion in the
+    // engine. Output: (rnd, piece, len, cnt, prob_in, kept);
+    // UnigramLmSpec pins the prune-round invariants.
+    "q_unigram_lm" -> ((s, d) => {
+      val words = Tables(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        .withColumn("cs", regexp_extract_all(col("w"), lit("."), lit(0)))
+        .withColumn("n", size(col("cs")))
+        .persist()
+      val singles = words
+        .select(explode(col("cs")).as("piece"), col("cw"))
+        .groupBy(col("piece")).agg(sum(col("cw")).as("sc"))
+      val grams = words.filter(col("n") >= 2)
+        .select(explode(transform(sequence(lit(2), col("n")), i =>
+          concat(element_at(col("cs"), i - 1), element_at(col("cs"), i))))
+          .as("piece"), col("cw"))
+        .groupBy(col("piece")).agg(sum(col("cw")).as("sc"))
+        .filter(col("sc") >= UNI_FLOOR)
+      val vocab0 = singles.unionByName(grams)
+      val s0 = vocab0.agg(sum(col("sc")).as("tot"))
+      val probs0 = vocab0.crossJoin(broadcast(s0))
+        .select(col("piece"),
+          round(col("sc").cast("double") / col("tot"), 9).as("p"))
+        .localCheckpoint()
+      // rounds report the round's FULL vocabulary (a piece the Viterbi
+      // paths never used reads cnt = 0 — it competes in the prune and
+      // its seed mass stays visible), and the M-step is ADD-ONE
+      // smoothed over the kept set: p = (cnt+1)/(ktot+|kept|). The
+      // smoothing IS the required-character guarantee across rounds —
+      // a single char whose round-1 occurrences were all absorbed by
+      // grams would otherwise re-enter round 2 at p = 0 (infinite
+      // cost) and any word forced to use it would fall out of the
+      // count table, breaking the char-conservation law UnigramLmSpec
+      // pins (measured: 86194 of 125717 chars covered before the fix).
+      val c1 = uniViterbiCounts(words, probs0)
+      val kept1 = vocab0.select(col("piece"))
+        .join(c1, Seq("piece"), "left_outer")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("len", length(col("piece")).cast("long"))
+        .withColumn("grk",
+          when(col("len") === 2L, row_number().over(
+            Window.partitionBy(col("len"))
+              .orderBy(col("cnt").desc, col("piece")))))
+        .withColumn("kept", col("len") === 1L ||
+          coalesce(col("grk") <= UNI_KEEP, lit(false)))
+        .localCheckpoint()
+      val keptAgg = kept1.filter(col("kept"))
+        .agg(sum(col("cnt")).as("ktot"), count(lit(1)).as("nk"))
+      val probs1 = kept1.filter(col("kept"))
+        .crossJoin(broadcast(keptAgg))
+        .select(col("piece"),
+          round((col("cnt") + 1L).cast("double") /
+            (col("ktot") + col("nk")).cast("double"), 9).as("p"))
+        .localCheckpoint()
+      val c2 = uniViterbiCounts(words, probs1)
+      val r1 = kept1.join(probs0, Seq("piece"))
+        .select(lit(1L).as("rnd"), col("piece"), col("len"),
+          col("cnt"), col("p").as("prob_in"), col("kept"))
+      val r2 = kept1.filter(col("kept")).select(col("piece"), col("len"))
+        .join(c2, Seq("piece"), "left_outer")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .join(probs1, Seq("piece"))
+        .select(lit(2L).as("rnd"), col("piece"), col("len"),
+          col("cnt"), col("p").as("prob_in"), lit(true).as("kept"))
+      r1.unionByName(r2).orderBy(col("rnd"), col("piece"))
+    }),
+
     // Winnowing fingerprints (SIGMOD 2003 / MOSS): rolling K-gram
     // Rabin-Karp hash + sliding-window minima through the codegen'd
     // graft.functions.Winnow expression — O(n) per document inside
@@ -1668,6 +1855,52 @@ object TextAnalytics extends graft.QueryPack {
   /** The BPE learn CTE prefix (w0..b3) shared by the q_bpe_merges and
     * q_tokenize_bpe oracles — the same 3 unrolled rounds the Spark
     * driver loop runs. */
+  /** One q_unigram_lm Viterbi round as DuckDB CTEs
+    * (suffix-parameterized like descentStepsDuck): lattice positions
+    * joined to `$probsCte`'s round-9 log-costs, the min-plus DP and
+    * its backtrack as RECURSIVE CTEs — the same no-per-step-rounding
+    * recurrence the engine folds — ending at exact integer counts
+    * `cnt$sfx(piece, cnt)`. */
+  private def uniRoundDuck(sfx: String, probsCte: String): String =
+    s"""ucosts$sfx AS MATERIALIZED (SELECT piece, round(-ln(p), 9) AS cost
+       |  FROM $probsCte),
+       |pos$sfx AS MATERIALIZED (
+       |  SELECT x.w, x.cw, x.n, x.i,
+       |    x.cs[CAST(x.i AS INTEGER)] AS c1,
+       |    CASE WHEN x.i >= 2 THEN x.cs[CAST(x.i - 1 AS INTEGER)] ||
+       |      x.cs[CAST(x.i AS INTEGER)] END AS g2,
+       |    COALESCE(ka.cost, 1e15) AS k1, COALESCE(kb.cost, 1e15) AS k2
+       |  FROM uposx x
+       |  LEFT JOIN ucosts$sfx ka ON ka.piece = x.cs[CAST(x.i AS INTEGER)]
+       |  LEFT JOIN ucosts$sfx kb ON x.i >= 2 AND
+       |    kb.piece = x.cs[CAST(x.i - 1 AS INTEGER)] ||
+       |      x.cs[CAST(x.i AS INTEGER)]),
+       |vit$sfx(w, i, v, vm1) AS (
+       |  SELECT w, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+       |    CAST(1e15 AS DOUBLE) FROM uwords
+       |  UNION ALL
+       |  SELECT p.w, p.i,
+       |    least(vr.v + p.k1,
+       |      CASE WHEN p.i >= 2 THEN vr.vm1 + p.k2 ELSE 1e15 END),
+       |    vr.v
+       |  FROM vit$sfx vr JOIN pos$sfx p ON p.w = vr.w AND p.i = vr.i + 1),
+       |bt$sfx(w, pos, piece) AS (
+       |  SELECT w, n, CAST(NULL AS VARCHAR) FROM uwords
+       |  UNION ALL
+       |  SELECT b.w,
+       |    CASE WHEN b.pos >= 2 AND v2.v + p.k2 < v1.v + p.k1
+       |         THEN b.pos - 2 ELSE b.pos - 1 END,
+       |    CASE WHEN b.pos >= 2 AND v2.v + p.k2 < v1.v + p.k1
+       |         THEN p.g2 ELSE p.c1 END
+       |  FROM bt$sfx b
+       |  JOIN pos$sfx p ON p.w = b.w AND p.i = b.pos
+       |  JOIN vit$sfx v1 ON v1.w = b.w AND v1.i = b.pos - 1
+       |  LEFT JOIN vit$sfx v2 ON v2.w = b.w AND v2.i = b.pos - 2
+       |  WHERE b.pos > 0),
+       |cnt$sfx AS (SELECT b.piece, CAST(SUM(ww.cw) AS BIGINT) AS cnt
+       |  FROM bt$sfx b JOIN uwords ww ON ww.w = b.w
+       |  WHERE b.piece IS NOT NULL GROUP BY b.piece)""".stripMargin
+
   private val bpeLearnSqlDuck: String =
     """w0 AS (
         |  SELECT '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'
@@ -1713,6 +1946,60 @@ object TextAnalytics extends graft.QueryPack {
         |b3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the Viterbi EM restated: recursive-CTE min-plus DP + backtrack
+    // per word, exact integer counts, prune grid, both rounds
+    "q_unigram_lm" ->
+      s"""WITH RECURSIVE uwords AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw,
+         |    regexp_extract_all(w, '.') AS cs,
+         |    CAST(len(regexp_extract_all(w, '.')) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+         |        FROM documents) t
+         |  WHERE length(w) > 0 GROUP BY w),
+         |usingles AS (SELECT piece, CAST(SUM(cw) AS BIGINT) AS sc FROM (
+         |    SELECT unnest(cs) AS piece, cw FROM uwords) t GROUP BY piece),
+         |ugrams AS (SELECT piece, sc FROM (
+         |    SELECT piece, CAST(SUM(cw) AS BIGINT) AS sc FROM (
+         |      SELECT unnest(list_transform(range(2, n + 1), i ->
+         |        cs[CAST(i - 1 AS INTEGER)] || cs[CAST(i AS INTEGER)]))
+         |        AS piece, cw
+         |      FROM uwords WHERE n >= 2) t GROUP BY piece) u
+         |  WHERE sc >= $UNI_FLOOR),
+         |uvocab0 AS (SELECT * FROM usingles UNION ALL SELECT * FROM ugrams),
+         |uprobs0 AS (SELECT piece,
+         |    round(CAST(sc AS DOUBLE) /
+         |      (SELECT CAST(SUM(sc) AS DOUBLE) FROM uvocab0), 9) AS p
+         |  FROM uvocab0),
+         |uposx AS MATERIALIZED (SELECT w, cw, n, cs,
+         |  unnest(range(1, n + 1)) AS i
+         |          FROM uwords),
+         |${uniRoundDuck("1", "uprobs0")},
+         |ukept1 AS MATERIALIZED (
+         |  SELECT piece, cnt, CAST(length(piece) AS BIGINT) AS len,
+         |    (length(piece) = 1 OR COALESCE(rk <= $UNI_KEEP, FALSE)) AS kept
+         |  FROM (SELECT v.piece, COALESCE(c.cnt, 0) AS cnt,
+         |          CASE WHEN length(v.piece) = 2 THEN
+         |            ROW_NUMBER() OVER (PARTITION BY length(v.piece)
+         |              ORDER BY COALESCE(c.cnt, 0) DESC, v.piece) END AS rk
+         |        FROM uvocab0 v LEFT JOIN cnt1 c ON c.piece = v.piece) t),
+         |uprobs1 AS MATERIALIZED (
+         |  SELECT piece, round(CAST(cnt + 1 AS DOUBLE) /
+         |      (SELECT CAST(SUM(cnt) + COUNT(*) AS DOUBLE)
+         |       FROM ukept1 WHERE kept), 9) AS p
+         |  FROM ukept1 WHERE kept),
+         |${uniRoundDuck("2", "uprobs1")}
+         |SELECT CAST(1 AS BIGINT) AS rnd, k.piece, k.len, k.cnt,
+         |  p0.p AS prob_in, k.kept
+         |FROM ukept1 k JOIN uprobs0 p0 ON p0.piece = k.piece
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), k.piece, k.len,
+         |  COALESCE(c2.cnt, 0) AS cnt, p1.p, TRUE
+         |FROM ukept1 k
+         |LEFT JOIN cnt2 c2 ON c2.piece = k.piece
+         |JOIN uprobs1 p1 ON p1.piece = k.piece
+         |WHERE k.kept
+         |ORDER BY rnd, piece""".stripMargin,
+
     // same checkpoints, first-occurrence frame, grid OLS
     "q_heaps_law" ->
       """WITH docs AS (

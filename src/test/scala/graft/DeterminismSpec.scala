@@ -263,6 +263,10 @@ class DeterminismSpec extends AnyFunSuite {
     // scramble every sequence boundary downstream of it)
     "q_ann_graph", "q_ann_beam", "q_ann_graph_admission", "q_ann_layered",
     "q_seq_pack",
+    // r13: Viterbi unigram trainer — exact integer counts from
+    // min-plus folds over round-9 cost constants (no per-step
+    // rounding), exact-count prune grid, smoothed single-round ratios
+    "q_unigram_lm",
     // novelty audit: md5 split + distinct gram sets + exact counts —
     // a layout term means a distinct leaked partition-local rows
     "q_ngram_coverage",

@@ -115,8 +115,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_ann_graph", "q_ann_graph_recall", "q_ann_beam",
     "q_ann_graph_admission",
     // r13: the layered A/B over an empty corpus — no nodes, an empty
-    // upper sample (sqrtK(0)=0), both arms' walks empty
-    "q_ann_layered",
+    // upper sample (sqrtK(0)=0), both arms' walks empty; the unigram
+    // trainer degrades to an empty piece table (no driver argmax to
+    // crash, unlike BPE's excluded learn loop)
+    "q_ann_layered", "q_unigram_lm",
     "q_phash_admission", "q_stream_phash_admission", "q_compaction_exec",
     // packing an empty corpus: no tokens, no sequences — batch and
     // the order-dependent drain (zero-row staged files still drain;
