@@ -45,39 +45,56 @@ object HtmlDom {
   private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "param", "source", "track", "wbr")
 
-  /** HTML5 implied end tags on SIBLING OPENS: an opening tag in this
-    * map closes stack-top elements in its value set before it opens,
-    * so `<ul><li>a<li>b</ul>` yields sibling `li`s — textContent
-    * ('a','b') like jsdom — not nested ones ('ab','b'). The loop form
-    * handles the cascades (`<tr>` closes an open `td` AND the `tr`
-    * above it). Includes the HTML5 p-closing block set (r12 — closes
-    * the r9-documented `<p>a<div>` gap): every block-level open in
-    * [[closesP]] ends an open `<p>` at top-of-stack, so the block is
-    * the paragraph's SIBLING, as jsdom parses it; r13 extends the
-    * same rule to `li`/`dt`/`dd`, which HTML5 also defines as
-    * p-closing despite not being block opens. Still deliberately
-    * top-of-stack only: the full spec's scoped search (`<li><div><li>`
-    * or `<p><b>x<div>` closing through the wrapper) is not reproduced
-    * — fixture markup with unclosed siblings behind OTHER open
-    * wrappers should close them explicitly. */
+  /** HTML5 implied end tags on SIBLING OPENS, with the spec's SCOPED
+    * SEARCH (r13 — closes the long-documented top-of-stack-only gap):
+    * an opening tag in this map scans the open-element stack downward
+    * for a tag in its `targets` set, STOPPING at its scope-boundary
+    * set, and closes everything above and including the match; the
+    * loop form handles cascades (`<tr>` closes an open `td` AND the
+    * `tr` above it — each iteration pops at least one element). So
+    * `<ul><li>a<li>b</ul>` yields sibling `li`s ('a','b' like jsdom),
+    * `<ul><li>a<div>b<li>c` closes the first li THROUGH the open div
+    * (div is not a list-scope boundary), `<p><b>x<div>` closes the p
+    * through the open inline wrapper (button scope), and
+    * `<p>a<button><p>b` does NOT close the outer p (button IS its
+    * scope boundary) — all as jsdom parses them. Includes the HTML5
+    * p-closing block set ([[closesP]], r12) plus `li`/`dt`/`dd`,
+    * which HTML5 also defines as p-closing (ADVICE r12).
+    * `boundaries = None` means top-of-stack only (`option`, per
+    * spec). The one remaining documented divergence from the full
+    * treebuilder is formatting-element RECONSTRUCTION (the adoption
+    * agency): after `<p><b>x<div>d`, jsdom reopens the `<b>` inside
+    * the div — here the div's text is a bare 'd'. The reference's
+    * pages exercise none of that. */
   private val closesP = Set("address", "article", "aside", "blockquote",
     "details", "div", "dl", "fieldset", "figcaption", "figure", "footer",
     "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hgroup", "hr",
     "main", "menu", "nav", "ol", "p", "pre", "section", "table", "ul")
-  private val impliedClosedBy: Map[String, Set[String]] = {
-    // li/dt/dd also carry "p": per HTML5 these start tags close an
-    // open <p> even though they are not block-level closesP members —
-    // `<ul><p>a<li>b</ul>` makes the li the p's SIBLING (ADVICE r12).
+
+  /** The base "in scope" boundary set (HTML5 §13.2.4.2, the elements
+    * every scope variant stops at); variants extend it. td/th stay
+    * listed even where they are also TARGETS — the scan checks
+    * targets before boundaries, so a match at the boundary tag still
+    * closes. */
+  private val inScopeBase = Set("html", "table", "template", "caption",
+    "td", "th", "applet", "object", "marquee")
+
+  private final case class CloseRule(targets: Set[String],
+      boundaries: Option[Set[String]])
+
+  private val impliedClosedBy: Map[String, CloseRule] = {
+    val button = inScopeBase + "button" // button scope (p), ~"special"
     val sibling = Map(
-      "li" -> Set("li", "p"),
-      "dt" -> Set("dt", "dd", "p"),
-      "dd" -> Set("dt", "dd", "p"),
-      "option" -> Set("option"),
-      "tr" -> Set("td", "th", "tr"),
-      "td" -> Set("td", "th"),
-      "th" -> Set("td", "th"))
+      "li" -> CloseRule(Set("li", "p"), Some(button ++ Set("ol", "ul"))),
+      "dt" -> CloseRule(Set("dt", "dd", "p"), Some(button)),
+      "dd" -> CloseRule(Set("dt", "dd", "p"), Some(button)),
+      "option" -> CloseRule(Set("option"), None),
+      "tr" -> CloseRule(Set("td", "th", "tr"), Some(inScopeBase)),
+      "td" -> CloseRule(Set("td", "th"), Some(inScopeBase)),
+      "th" -> CloseRule(Set("td", "th"), Some(inScopeBase)))
     closesP.foldLeft(sibling) { (m, t) =>
-      m.updated(t, m.getOrElse(t, Set.empty) + "p")
+      if (m.contains(t)) m
+      else m.updated(t, CloseRule(Set("p"), Some(button)))
     }
   }
 
@@ -157,10 +174,37 @@ object HtmlDom {
           val ts = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
           val tag = lower.substring(ts, j)
-          impliedClosedBy.get(tag).foreach { closable =>
-            while (stack.nonEmpty && closable(nodes(stack.last).tag)) {
-              nodes(stack.last).innerEnd = i
-              stack.remove(stack.length - 1)
+          impliedClosedBy.get(tag).foreach { rule =>
+            var repeat = true
+            while (repeat) {
+              repeat = false
+              rule.boundaries match {
+                case None => // top-of-stack only (option)
+                  if (stack.nonEmpty && rule.targets(nodes(stack.last).tag)) {
+                    nodes(stack.last).innerEnd = i
+                    stack.remove(stack.length - 1)
+                    repeat = true
+                  }
+                case Some(bounds) =>
+                  var k = stack.length - 1
+                  var found = -1
+                  var stop = false
+                  while (k >= 0 && !stop && found < 0) {
+                    val t = nodes(stack(k)).tag
+                    if (rule.targets(t)) found = k
+                    else if (bounds(t)) stop = true
+                    else k -= 1
+                  }
+                  if (found >= 0) {
+                    var t2 = stack.length - 1
+                    while (t2 >= found) {
+                      nodes(stack(t2)).innerEnd = i
+                      stack.remove(t2)
+                      t2 -= 1
+                    }
+                    repeat = true
+                  }
+              }
             }
           }
           val attrs = Map.newBuilder[String, String]

@@ -48,10 +48,10 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(HtmlDom.selectTexts(table, "tr") == Seq("ab", "c"))
     assert(HtmlDom.selectTexts(
       "<select><option>x<option>y</select>", "option") == Seq("x", "y"))
-    // documented limitation: a block wrapper shields the sibling rule
-    // (top-of-stack only, not the spec's scoped search)
+    // r13 (was the documented top-of-stack limitation): the second li
+    // now closes its sibling THROUGH the open div — scoped search
     assert(HtmlDom.selectTexts("<li>a<div>w<li>b</div></li>", "li") ==
-      Seq("awb", "b"))
+      Seq("aw", "b"))
   }
 
   test("unclosed element closes at EOF; comment and script are not markup") {
@@ -133,10 +133,33 @@ class HtmlDomSpec extends AnyFunSuite {
     // cascades through the whole block set, including headings and hr
     assert(HtmlDom.selectTexts("<p>x<h2>t</h2><p>y<ul><li>i</ul>", "p")
       == Seq("x", "y"))
-    // top-of-stack only (documented): a p behind an open inline
-    // wrapper is NOT closed — the spec's scoped search is out of scope
+    // scoped search (r13): the p closes THROUGH the open inline
+    // wrapper — the div is the paragraph's sibling, as jsdom parses
+    // it (the b is closed with the p; jsdom's adoption agency would
+    // reopen it inside the div — the one documented divergence)
     assert(HtmlDom.selectTexts("<p><b>x<div>d</div></b></p>", "p")
-      == Seq("xd"))
+      == Seq("x"))
+    assert(HtmlDom.selectTexts("<p><b>x<div>d</div></b></p>", "div")
+      == Seq("d"))
+  }
+
+  test("scoped implied closes: through non-boundary wrappers, stopped at scope boundaries (r13)") {
+    // li closes its open sibling THROUGH the open div (div is not a
+    // list-scope boundary): the first li contains the div, the second
+    // is its sibling
+    assert(HtmlDom.selectTexts("<ul><li>a<div>b</div><li>c</ul>", "ul li")
+      == Seq("ab", "c"))
+    assert(HtmlDom.selectTexts("<ul><li>a<div>b<li>c</ul>", "ul li")
+      == Seq("ab", "c"))
+    // button IS a p scope boundary: the outer p is NOT closed by a p
+    // opened inside the button — the inner p nests
+    assert(HtmlDom.selectTexts("<p>a<button><p>b</button></p>", "p p")
+      == Seq("b"))
+    // table scope: a td in another CELL is out of reach — the inner
+    // table's td does not close the outer one
+    assert(HtmlDom.selectTexts(
+      "<table><tr><td>x<table><tr><td>y</td></tr></table>z</td></tr></table>",
+      "td td") == Seq("y"))
   }
 
   test("li/dt/dd also close an open <p> (ADVICE r12)") {
