@@ -1441,6 +1441,130 @@ object TextAnalytics extends graft.QueryPack {
   private val UNI_FLOOR = 5L
   private val UNI_KEEP = 16
 
+  /** The q_unigram_lm trainer frames, shared with q_unigram_encode:
+    * word-frequency table, seed vocabulary + probs, the pruned
+    * round-1 table (full vocabulary with exact counts; singles
+    * protected, top-UNI_KEEP 2-grams) and the add-one-smoothed
+    * post-prune probabilities round 2 / the encoder run under. The
+    * M-step smoothing is the required-character guarantee across
+    * rounds — a single char whose round-1 occurrences were all
+    * absorbed by grams would otherwise re-enter round 2 at p = 0
+    * (infinite cost) and any word forced to use it would fall out of
+    * the count table, breaking the char-conservation law
+    * UnigramLmSpec pins (measured: 86194/125717 chars pre-fix). */
+  private final case class UniTrain(words: DataFrame, probs0: DataFrame,
+      kept1: DataFrame, probs1: DataFrame)
+
+  private def uniTrainFrames(s: SparkSession, d: String): UniTrain = {
+    val words = Tables(s, d, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .withColumn("cs", regexp_extract_all(col("w"), lit("."), lit(0)))
+      .withColumn("n", size(col("cs")))
+      .persist()
+    val singles = words
+      .select(explode(col("cs")).as("piece"), col("cw"))
+      .groupBy(col("piece")).agg(sum(col("cw")).as("sc"))
+    val grams = words.filter(col("n") >= 2)
+      .select(explode(transform(sequence(lit(2), col("n")), i =>
+        concat(element_at(col("cs"), i - 1), element_at(col("cs"), i))))
+        .as("piece"), col("cw"))
+      .groupBy(col("piece")).agg(sum(col("cw")).as("sc"))
+      .filter(col("sc") >= UNI_FLOOR)
+    val vocab0 = singles.unionByName(grams)
+    val s0 = vocab0.agg(sum(col("sc")).as("tot"))
+    val probs0 = vocab0.crossJoin(broadcast(s0))
+      .select(col("piece"),
+        round(col("sc").cast("double") / col("tot"), 9).as("p"))
+      .localCheckpoint()
+    // the round reports the FULL vocabulary: a piece the Viterbi
+    // paths never used reads cnt = 0 — it competes in the prune and
+    // its seed mass stays visible
+    val c1 = uniViterbiCounts(words, probs0)
+    val kept1 = vocab0.select(col("piece"))
+      .join(c1, Seq("piece"), "left_outer")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("len", length(col("piece")).cast("long"))
+      .withColumn("grk",
+        when(col("len") === 2L, row_number().over(
+          Window.partitionBy(col("len"))
+            .orderBy(col("cnt").desc, col("piece")))))
+      .withColumn("kept", col("len") === 1L ||
+        coalesce(col("grk") <= UNI_KEEP, lit(false)))
+      .localCheckpoint()
+    val keptAgg = kept1.filter(col("kept"))
+      .agg(sum(col("cnt")).as("ktot"), count(lit(1)).as("nk"))
+    val probs1 = kept1.filter(col("kept"))
+      .crossJoin(broadcast(keptAgg))
+      .select(col("piece"),
+        round((col("cnt") + 1L).cast("double") /
+          (col("ktot") + col("nk")).cast("double"), 9).as("p"))
+      .localCheckpoint()
+    UniTrain(words, probs0, kept1, probs1)
+  }
+
+  /** The trained unigram COST table (piece → round9(−ln p) under the
+    * post-prune smoothed model) as a collected map — vocabulary-sized
+    * (singles + UNI_KEEP grams), memoized per dataset exactly like
+    * the BPE merge table so a sweep running both unigram queries pays
+    * the corpus-pass trainer once. */
+  private val uniCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, Double]]()
+
+  private def trainedUnigramCosts(s: SparkSession, d: String)
+      : Map[String, Double] = {
+    def fp(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(p => s"${p.getName}{${fp(p)}}").mkString(",")
+      else s"${f.length()}:${f.lastModified()}"
+    val key = s"$d|${fp(new java.io.File(d, "documents.parquet"))}"
+    uniCache.computeIfAbsent(key, _ =>
+      uniTrainFrames(s, d).probs1
+        .select(col("piece"), round(-log(col("p")), 9).as("cost"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+  }
+
+  /** Viterbi piece count of one word column under a LITERAL cost
+    * map — the unigram ENCODE kernel (the bpeCountCol analog): the
+    * same min-plus fold as [[uniViterbiCounts]] with costs read from
+    * the broadcast literal instead of a join, and the backtrack
+    * collapsed to a step counter. */
+  private def uniPieceCountCol(costs: Map[String, Double])(
+      w: Column): Column = {
+    val BIG = 1e15d
+    val cm = typedlit(costs)
+    val cs = regexp_extract_all(w, lit("."), lit(0))
+    val n = size(cs)
+    val k1s = transform(cs, c => coalesce(element_at(cm, c), lit(BIG)))
+    val k2s = transform(sequence(lit(1), n), i =>
+      when(i >= 2, coalesce(element_at(cm,
+        concat(element_at(cs, i - 1), element_at(cs, i))), lit(BIG)))
+        .otherwise(lit(BIG)))
+    val vs = aggregate(sequence(lit(1), n), array(lit(0.0d)),
+      (acc, i) => concat(acc, array(least(
+        element_at(acc, i) + element_at(k1s, i),
+        when(i >= 2, element_at(acc, i - 1) + element_at(k2s, i))
+          .otherwise(lit(BIG))))))
+    val chs = transform(sequence(lit(1), n), i =>
+      when(i >= 2 &&
+        element_at(vs, i - 1) + element_at(k2s, i) <
+          element_at(vs, i) + element_at(k1s, i),
+        lit(2)).otherwise(lit(1)))
+    aggregate(sequence(lit(1), n),
+      struct(n.as("pos"), lit(0L).as("cnt")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        when(pos <= 0, acc).otherwise(
+          when(element_at(chs, pos) === 2,
+            struct((pos - 2).as("pos"),
+              (acc.getField("cnt") + 1L).as("cnt")))
+          .otherwise(struct((pos - 1).as("pos"),
+            (acc.getField("cnt") + 1L).as("cnt"))))
+      }).getField("cnt")
+  }
+
   /** One Viterbi-EM round of q_unigram_lm: exact piece counts of
     * every word's single best segmentation under the given piece
     * probabilities. Costs round9(-ln p) come from two vocabulary
@@ -1556,7 +1680,7 @@ object TextAnalytics extends graft.QueryPack {
   /** Drop JVM-side memos. Bench calls this between timed reps so every
     * measurement pays its true cost; Verify/specs keep the memo (they
     * measure correctness, not time). */
-  def clearMemos(): Unit = bpeCache.clear()
+  def clearMemos(): Unit = { bpeCache.clear(); uniCache.clear() }
   private def learnBpeMerges(s: SparkSession, d: String)
       : Seq[(Long, String, String, Long)] = {
     // fingerprint handles ALL layouts: a single file (length+mtime), a
@@ -1681,69 +1805,43 @@ object TextAnalytics extends graft.QueryPack {
     // engine. Output: (rnd, piece, len, cnt, prob_in, kept);
     // UnigramLmSpec pins the prune-round invariants.
     "q_unigram_lm" -> ((s, d) => {
-      val words = Tables(s, d, "documents")
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-        .withColumn("cs", regexp_extract_all(col("w"), lit("."), lit(0)))
-        .withColumn("n", size(col("cs")))
-        .persist()
-      val singles = words
-        .select(explode(col("cs")).as("piece"), col("cw"))
-        .groupBy(col("piece")).agg(sum(col("cw")).as("sc"))
-      val grams = words.filter(col("n") >= 2)
-        .select(explode(transform(sequence(lit(2), col("n")), i =>
-          concat(element_at(col("cs"), i - 1), element_at(col("cs"), i))))
-          .as("piece"), col("cw"))
-        .groupBy(col("piece")).agg(sum(col("cw")).as("sc"))
-        .filter(col("sc") >= UNI_FLOOR)
-      val vocab0 = singles.unionByName(grams)
-      val s0 = vocab0.agg(sum(col("sc")).as("tot"))
-      val probs0 = vocab0.crossJoin(broadcast(s0))
-        .select(col("piece"),
-          round(col("sc").cast("double") / col("tot"), 9).as("p"))
-        .localCheckpoint()
-      // rounds report the round's FULL vocabulary (a piece the Viterbi
-      // paths never used reads cnt = 0 — it competes in the prune and
-      // its seed mass stays visible), and the M-step is ADD-ONE
-      // smoothed over the kept set: p = (cnt+1)/(ktot+|kept|). The
-      // smoothing IS the required-character guarantee across rounds —
-      // a single char whose round-1 occurrences were all absorbed by
-      // grams would otherwise re-enter round 2 at p = 0 (infinite
-      // cost) and any word forced to use it would fall out of the
-      // count table, breaking the char-conservation law UnigramLmSpec
-      // pins (measured: 86194 of 125717 chars covered before the fix).
-      val c1 = uniViterbiCounts(words, probs0)
-      val kept1 = vocab0.select(col("piece"))
-        .join(c1, Seq("piece"), "left_outer")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-        .withColumn("len", length(col("piece")).cast("long"))
-        .withColumn("grk",
-          when(col("len") === 2L, row_number().over(
-            Window.partitionBy(col("len"))
-              .orderBy(col("cnt").desc, col("piece")))))
-        .withColumn("kept", col("len") === 1L ||
-          coalesce(col("grk") <= UNI_KEEP, lit(false)))
-        .localCheckpoint()
-      val keptAgg = kept1.filter(col("kept"))
-        .agg(sum(col("cnt")).as("ktot"), count(lit(1)).as("nk"))
-      val probs1 = kept1.filter(col("kept"))
-        .crossJoin(broadcast(keptAgg))
-        .select(col("piece"),
-          round((col("cnt") + 1L).cast("double") /
-            (col("ktot") + col("nk")).cast("double"), 9).as("p"))
-        .localCheckpoint()
-      val c2 = uniViterbiCounts(words, probs1)
-      val r1 = kept1.join(probs0, Seq("piece"))
+      val t = uniTrainFrames(s, d)
+      val c2 = uniViterbiCounts(t.words, t.probs1)
+      val r1 = t.kept1.join(t.probs0, Seq("piece"))
         .select(lit(1L).as("rnd"), col("piece"), col("len"),
           col("cnt"), col("p").as("prob_in"), col("kept"))
-      val r2 = kept1.filter(col("kept")).select(col("piece"), col("len"))
+      val r2 = t.kept1.filter(col("kept")).select(col("piece"), col("len"))
         .join(c2, Seq("piece"), "left_outer")
         .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-        .join(probs1, Seq("piece"))
+        .join(t.probs1, Seq("piece"))
         .select(lit(2L).as("rnd"), col("piece"), col("len"),
           col("cnt"), col("p").as("prob_in"), lit(true).as("kept"))
       r1.unionByName(r2).orderBy(col("rnd"), col("piece"))
+    }),
+
+    // The ENCODE side of the unigram tokenizer — q_tokenize_bpe's
+    // twin under the TRAINED unigram model (the post-prune smoothed
+    // probabilities q_unigram_lm's round 2 runs under): every
+    // document is Viterbi-segmented and its piece count reported
+    // next to the whitespace token count. Learn is the corpus-pass
+    // trainer above (memoized per dataset like the BPE merges —
+    // the trained model is vocabulary-sized, ~40 rows); APPLY is a
+    // pure narrow map with the cost table inlined as a literal map —
+    // at 100 TB the learned vocab broadcasts and rows never shuffle
+    // to tokenize, exactly the q_tokenize_bpe posture. Counts are
+    // exact integers (the min-plus fold; no per-step rounding).
+    "q_unigram_encode" -> ((s, d) => {
+      val costs = trainedUnigramCosts(s, d)
+      val toksF = filter(tokens(col("text")), w => length(w) > 0)
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          size(toksF).cast("long").as("n_ws_tokens"),
+          aggregate(toksF, lit(0L), (acc, w) =>
+            acc + uniPieceCountCol(costs)(w)).as("n_pieces"))
+        .withColumn("pieces_per_word",
+          when(col("n_ws_tokens") > 0,
+            round(col("n_pieces").cast("double") / col("n_ws_tokens"), 9)))
+        .orderBy(col("doc_id"))
     }),
 
     // Winnowing fingerprints (SIGMOD 2003 / MOSS): rolling K-gram
@@ -1855,6 +1953,49 @@ object TextAnalytics extends graft.QueryPack {
   /** The BPE learn CTE prefix (w0..b3) shared by the q_bpe_merges and
     * q_tokenize_bpe oracles — the same 3 unrolled rounds the Spark
     * driver loop runs. */
+  /** The q_unigram_lm TRAINING prefix (seed vocab → round-1 Viterbi
+    * counts → prune → smoothed post-prune probs `uprobs1`) — shared
+    * by the q_unigram_lm and q_unigram_encode oracles. */
+  private lazy val uniTrainDuck: String =
+    s"""uwords AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw,
+       |    regexp_extract_all(w, '.') AS cs,
+       |    CAST(len(regexp_extract_all(w, '.')) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents) t
+       |  WHERE length(w) > 0 GROUP BY w),
+       |usingles AS (SELECT piece, CAST(SUM(cw) AS BIGINT) AS sc FROM (
+       |    SELECT unnest(cs) AS piece, cw FROM uwords) t GROUP BY piece),
+       |ugrams AS (SELECT piece, sc FROM (
+       |    SELECT piece, CAST(SUM(cw) AS BIGINT) AS sc FROM (
+       |      SELECT unnest(list_transform(range(2, n + 1), i ->
+       |        cs[CAST(i - 1 AS INTEGER)] || cs[CAST(i AS INTEGER)]))
+       |        AS piece, cw
+       |      FROM uwords WHERE n >= 2) t GROUP BY piece) u
+       |  WHERE sc >= $UNI_FLOOR),
+       |uvocab0 AS (SELECT * FROM usingles UNION ALL SELECT * FROM ugrams),
+       |uprobs0 AS (SELECT piece,
+       |    round(CAST(sc AS DOUBLE) /
+       |      (SELECT CAST(SUM(sc) AS DOUBLE) FROM uvocab0), 9) AS p
+       |  FROM uvocab0),
+       |uposx AS MATERIALIZED (SELECT w, cw, n, cs,
+       |  unnest(range(1, n + 1)) AS i
+       |        FROM uwords),
+       |${uniRoundDuck("1", "uprobs0")},
+       |ukept1 AS MATERIALIZED (
+       |  SELECT piece, cnt, CAST(length(piece) AS BIGINT) AS len,
+       |    (length(piece) = 1 OR COALESCE(rk <= $UNI_KEEP, FALSE)) AS kept
+       |  FROM (SELECT v.piece, COALESCE(c.cnt, 0) AS cnt,
+       |          CASE WHEN length(v.piece) = 2 THEN
+       |            ROW_NUMBER() OVER (PARTITION BY length(v.piece)
+       |              ORDER BY COALESCE(c.cnt, 0) DESC, v.piece) END AS rk
+       |        FROM uvocab0 v LEFT JOIN cnt1 c ON c.piece = v.piece) t),
+       |uprobs1 AS MATERIALIZED (
+       |  SELECT piece, round(CAST(cnt + 1 AS DOUBLE) /
+       |      (SELECT CAST(SUM(cnt) + COUNT(*) AS DOUBLE)
+       |       FROM ukept1 WHERE kept), 9) AS p
+       |  FROM ukept1 WHERE kept)""".stripMargin
+
   /** One q_unigram_lm Viterbi round as DuckDB CTEs
     * (suffix-parameterized like descentStepsDuck): lattice positions
     * joined to `$probsCte`'s round-9 log-costs, the min-plus DP and
@@ -1949,44 +2090,7 @@ object TextAnalytics extends graft.QueryPack {
     // the Viterbi EM restated: recursive-CTE min-plus DP + backtrack
     // per word, exact integer counts, prune grid, both rounds
     "q_unigram_lm" ->
-      s"""WITH RECURSIVE uwords AS MATERIALIZED (
-         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw,
-         |    regexp_extract_all(w, '.') AS cs,
-         |    CAST(len(regexp_extract_all(w, '.')) AS BIGINT) AS n
-         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
-         |        FROM documents) t
-         |  WHERE length(w) > 0 GROUP BY w),
-         |usingles AS (SELECT piece, CAST(SUM(cw) AS BIGINT) AS sc FROM (
-         |    SELECT unnest(cs) AS piece, cw FROM uwords) t GROUP BY piece),
-         |ugrams AS (SELECT piece, sc FROM (
-         |    SELECT piece, CAST(SUM(cw) AS BIGINT) AS sc FROM (
-         |      SELECT unnest(list_transform(range(2, n + 1), i ->
-         |        cs[CAST(i - 1 AS INTEGER)] || cs[CAST(i AS INTEGER)]))
-         |        AS piece, cw
-         |      FROM uwords WHERE n >= 2) t GROUP BY piece) u
-         |  WHERE sc >= $UNI_FLOOR),
-         |uvocab0 AS (SELECT * FROM usingles UNION ALL SELECT * FROM ugrams),
-         |uprobs0 AS (SELECT piece,
-         |    round(CAST(sc AS DOUBLE) /
-         |      (SELECT CAST(SUM(sc) AS DOUBLE) FROM uvocab0), 9) AS p
-         |  FROM uvocab0),
-         |uposx AS MATERIALIZED (SELECT w, cw, n, cs,
-         |  unnest(range(1, n + 1)) AS i
-         |          FROM uwords),
-         |${uniRoundDuck("1", "uprobs0")},
-         |ukept1 AS MATERIALIZED (
-         |  SELECT piece, cnt, CAST(length(piece) AS BIGINT) AS len,
-         |    (length(piece) = 1 OR COALESCE(rk <= $UNI_KEEP, FALSE)) AS kept
-         |  FROM (SELECT v.piece, COALESCE(c.cnt, 0) AS cnt,
-         |          CASE WHEN length(v.piece) = 2 THEN
-         |            ROW_NUMBER() OVER (PARTITION BY length(v.piece)
-         |              ORDER BY COALESCE(c.cnt, 0) DESC, v.piece) END AS rk
-         |        FROM uvocab0 v LEFT JOIN cnt1 c ON c.piece = v.piece) t),
-         |uprobs1 AS MATERIALIZED (
-         |  SELECT piece, round(CAST(cnt + 1 AS DOUBLE) /
-         |      (SELECT CAST(SUM(cnt) + COUNT(*) AS DOUBLE)
-         |       FROM ukept1 WHERE kept), 9) AS p
-         |  FROM ukept1 WHERE kept),
+      s"""WITH RECURSIVE $uniTrainDuck,
          |${uniRoundDuck("2", "uprobs1")}
          |SELECT CAST(1 AS BIGINT) AS rnd, k.piece, k.len, k.cnt,
          |  p0.p AS prob_in, k.kept
@@ -1999,6 +2103,29 @@ object TextAnalytics extends graft.QueryPack {
          |JOIN uprobs1 p1 ON p1.piece = k.piece
          |WHERE k.kept
          |ORDER BY rnd, piece""".stripMargin,
+
+    // the trained model's round-2 backtrack already carries every
+    // word's best segmentation — per-word piece counts fall out of
+    // bt2 for free, then one doc-words join
+    "q_unigram_encode" ->
+      s"""WITH RECURSIVE $uniTrainDuck,
+         |${uniRoundDuck("2", "uprobs1")},
+         |wp AS (SELECT b.w, CAST(COUNT(b.piece) AS BIGINT) AS k
+         |       FROM bt2 b WHERE b.piece IS NOT NULL GROUP BY b.w),
+         |docw AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |    FROM documents) t WHERE length(w) > 0),
+         |agg AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws,
+         |    CAST(SUM(wp.k) AS BIGINT) AS n_p
+         |  FROM docw d JOIN wp ON wp.w = d.w GROUP BY d.doc_id)
+         |SELECT doc.doc_id,
+         |  COALESCE(agg.n_ws, 0) AS n_ws_tokens,
+         |  COALESCE(agg.n_p, 0) AS n_pieces,
+         |  CASE WHEN COALESCE(agg.n_ws, 0) > 0 THEN
+         |    round(CAST(agg.n_p AS DOUBLE) / agg.n_ws, 9) END
+         |    AS pieces_per_word
+         |FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
 
     // same checkpoints, first-occurrence frame, grid OLS
     "q_heaps_law" ->

@@ -266,7 +266,7 @@ class DeterminismSpec extends AnyFunSuite {
     // r13: Viterbi unigram trainer — exact integer counts from
     // min-plus folds over round-9 cost constants (no per-step
     // rounding), exact-count prune grid, smoothed single-round ratios
-    "q_unigram_lm",
+    "q_unigram_lm", "q_unigram_encode",
     // novelty audit: md5 split + distinct gram sets + exact counts —
     // a layout term means a distinct leaked partition-local rows
     "q_ngram_coverage",

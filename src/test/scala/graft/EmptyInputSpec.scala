@@ -118,7 +118,7 @@ class EmptyInputSpec extends AnyFunSuite {
     // upper sample (sqrtK(0)=0), both arms' walks empty; the unigram
     // trainer degrades to an empty piece table (no driver argmax to
     // crash, unlike BPE's excluded learn loop)
-    "q_ann_layered", "q_unigram_lm",
+    "q_ann_layered", "q_unigram_lm", "q_unigram_encode",
     "q_phash_admission", "q_stream_phash_admission", "q_compaction_exec",
     // packing an empty corpus: no tokens, no sequences — batch and
     // the order-dependent drain (zero-row staged files still drain;

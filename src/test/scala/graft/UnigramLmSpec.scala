@@ -78,4 +78,24 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(p2 >= p1, s"piece total shrank across the prune: $p1 -> $p2")
     TestSpark.housekeeping()
   }
+
+  test("encode = train: q_unigram_encode piece totals equal the round-2 counts exactly") {
+    val enc = graft.operators.TextAnalytics
+      .queries("q_unigram_encode")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.nonEmpty)
+    // both count the SAME best segmentations (one definition, two
+    // grains): sum over docs of pieces == sum over pieces of round-2
+    // counts — an integer identity, not an approximation
+    val encTotal = enc.map(_._3).sum
+    val r2Total = rows.filter(_._1 == 2L).map(_._4).sum
+    assert(encTotal == r2Total,
+      s"encode total $encTotal != round-2 count total $r2Total")
+    // per-doc bounds: pieces within [ws-token chars / 2, chars]
+    enc.filter(_._2 > 0).foreach { case (id, ws, np) =>
+      assert(np >= ws, s"doc $id: fewer pieces than words")
+    }
+    TestSpark.housekeeping()
+  }
 }
