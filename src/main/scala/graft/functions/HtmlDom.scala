@@ -61,11 +61,10 @@ object HtmlDom {
     * p-closing block set ([[closesP]], r12) plus `li`/`dt`/`dd`,
     * which HTML5 also defines as p-closing (ADVICE r12).
     * `boundaries = None` means top-of-stack only (`option`, per
-    * spec). The one remaining documented divergence from the full
-    * treebuilder is formatting-element RECONSTRUCTION (the adoption
-    * agency): after `<p><b>x<div>d`, jsdom reopens the `<b>` inside
-    * the div — here the div's text is a bare 'd'. The reference's
-    * pages exercise none of that. */
+    * spec). Formatting elements popped en route to the target are
+    * RECONSTRUCTED inside the triggering element — see
+    * [[formattingTags]] for the rule and its one documented
+    * simplification. */
   private val closesP = Set("address", "article", "aside", "blockquote",
     "details", "div", "dl", "fieldset", "figcaption", "figure", "footer",
     "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hgroup", "hr",
@@ -81,6 +80,19 @@ object HtmlDom {
 
   private final case class CloseRule(targets: Set[String],
       boundaries: Option[Set[String]])
+
+  /** HTML5 active-formatting elements (§13.2.4.3): when a scoped
+    * implied close pops one of these on its way to the target, the
+    * treebuilder RECONSTRUCTS it inside the element that triggered
+    * the close — `<p><b>x<div>d` reopens the `<b>` around 'd', as
+    * jsdom parses it (r13; closes the adoption-agency divergence the
+    * scoped-search change documented). Reconstruction here is
+    * open-tag-triggered: the lazy text-triggered variant (`<p><b>x
+    * </p>y` reopening b around bare trailing text) is the remaining
+    * documented simplification — fixture markup never leaves
+    * formatting elements open across an explicit block close. */
+  private val formattingTags = Set("a", "b", "big", "code", "em",
+    "font", "i", "nobr", "s", "small", "strike", "strong", "tt", "u")
 
   private val impliedClosedBy: Map[String, CloseRule] = {
     val button = inScopeBase + "button" // button scope (p), ~"special"
@@ -174,6 +186,7 @@ object HtmlDom {
           val ts = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
           val tag = lower.substring(ts, j)
+          val reformat = ArrayBuffer.empty[(String, Map[String, String])]
           impliedClosedBy.get(tag).foreach { rule =>
             var repeat = true
             while (repeat) {
@@ -196,6 +209,16 @@ object HtmlDom {
                     else k -= 1
                   }
                   if (found >= 0) {
+                    // formatting elements popped en route to the
+                    // target reopen inside the triggering element
+                    // (outermost first, preserving nesting order)
+                    var f = found
+                    while (f < stack.length) {
+                      val nd = nodes(stack(f))
+                      if (formattingTags(nd.tag))
+                        reformat += ((nd.tag, nd.attrs))
+                      f += 1
+                    }
                     var t2 = stack.length - 1
                     while (t2 >= found) {
                       nodes(stack(t2)).innerEnd = i
@@ -262,6 +285,18 @@ object HtmlDom {
               node.innerEnd = -1 // open until its close tag / EOF
               stack += nodes.length - 1
             }
+          }
+          // reopen the formatting elements the implied close popped:
+          // inside the trigger if it is a container, as following
+          // siblings if it was void/self-closing (the <hr> case);
+          // their own close tags (or EOF) end the clones normally
+          reformat.foreach { case (ftag, fattrs) =>
+            val clone = new Node(ftag, fattrs,
+              if (stack.isEmpty) -1 else stack.last)
+            clone.innerStart = j
+            clone.innerEnd = -1
+            nodes += clone
+            stack += nodes.length - 1
           }
           i = j
         } else i += 1 // stray '<' is text

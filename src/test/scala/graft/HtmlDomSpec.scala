@@ -135,12 +135,32 @@ class HtmlDomSpec extends AnyFunSuite {
       == Seq("x", "y"))
     // scoped search (r13): the p closes THROUGH the open inline
     // wrapper — the div is the paragraph's sibling, as jsdom parses
-    // it (the b is closed with the p; jsdom's adoption agency would
-    // reopen it inside the div — the one documented divergence)
+    // it, and the formatting <b> is RECONSTRUCTED inside the div
     assert(HtmlDom.selectTexts("<p><b>x<div>d</div></b></p>", "p")
       == Seq("x"))
     assert(HtmlDom.selectTexts("<p><b>x<div>d</div></b></p>", "div")
       == Seq("d"))
+    assert(HtmlDom.selectTexts("<p><b>x<div>d</div></b></p>", "div b")
+      == Seq("d"))
+  }
+
+  test("formatting-element reconstruction on implied closes (r13)") {
+    // nested formatting reopens in nesting order inside the trigger
+    assert(HtmlDom.selectTexts("<p><b><i>x<div>d</div>", "div b i")
+      == Seq("d"))
+    // attributes survive the clone
+    assert(HtmlDom.selectAttrs(
+      "<p><b class=\"k\">x<div>d</div>", "div b", "class") == Seq("k"))
+    // sibling li: the open <b> continues into the second item
+    assert(HtmlDom.selectTexts("<ul><li><b>a<li>b</ul>", "li b")
+      == Seq("a", "b"))
+    // void trigger: <hr> closes the p, the b reopens as a sibling
+    // after it and wraps the trailing text
+    assert(HtmlDom.selectTexts("<div><p><b>x<hr>y</div>", "div b")
+      == Seq("x", "y"))
+    // non-formatting wrappers are NOT reconstructed
+    assert(HtmlDom.selectTexts("<p><span>x<div>d</div>", "div span")
+      == Seq())
   }
 
   test("scoped implied closes: through non-boundary wrappers, stopped at scope boundaries (r13)") {
