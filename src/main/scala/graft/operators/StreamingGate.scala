@@ -1271,6 +1271,45 @@ object StreamingGate extends graft.QueryPack {
       s.read.parquet(out + "/b*").orderBy(col("doc_id"))
     }),
 
+    // STREAMING TOKENIZER ENCODE — the THIRTIETH oracle-gated drain:
+    // a trained tokenizer served as a STORED MODEL to a stream, the
+    // way a live ingest actually tokenizes (the model trains offline,
+    // the stream only APPLIES it). The unigram cost table is prepared
+    // ONCE (memoized, vocabulary-sized) and inlined as a literal map;
+    // each arriving document slice Viterbi-counts its own pieces
+    // through the SAME uniPieceCountCol kernel as the batch query and
+    // lands in the batchId-keyed OVERWRITE sink (exactly-once under
+    // replay, the q_stream_restart pattern). Per-doc counts depend
+    // only on the doc and the static model, so the union over batches
+    // ≡ the batch query: gated by the q_unigram_encode oracle
+    // VERBATIM (fifth served-model modality after bm25 stats, ANN
+    // vectors, minhash text and media identity).
+    "q_stream_unigram_encode" -> ((s, d) => {
+      val root = freshDir("q_stream_unigram_encode")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val out = root + "/out"
+      // train (memoized) BEFORE the drain: the stream only applies
+      TextAnalytics.trainedUnigramModelFor(s, d)
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val t0 = System.currentTimeMillis() - 60000
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 0), "f1", t0)
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 1), "f2",
+        t0 + 2000)
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 2), "f3",
+        t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      drain(s, stream, "append") { (batch, id) =>
+        TextAnalytics.unigramEncodeFrame(batch)
+          .write.mode("overwrite").parquet(s"$out/b$id")
+        ()
+      }
+      s.read.parquet(out + "/b*").orderBy(col("doc_id"))
+    }),
+
     // STREAMING SEQUENCE PACKING — the TWENTY-NINTH oracle-gated
     // drain and the first ORDER-DEPENDENT state fold (see
     // [[foldSeqPack]]): the concat-and-cut training layout built
@@ -1913,6 +1952,8 @@ object StreamingGate extends graft.QueryPack {
     // same argument for per-document dedup verdicts
     "q_stream_dedup_admission" -> Dedup.oracles("q_dedup_incremental"),
     "q_stream_phash_admission" -> Multimodal.oracles("q_phash_admission"),
+    "q_stream_unigram_encode" ->
+      TextAnalytics.oracles("q_unigram_encode"),
     "q_stream_seq_pack" -> Extras.oracles("q_seq_pack"),
 
     // fully analytic: the truncation plant from the image key, the

@@ -1512,6 +1512,35 @@ object TextAnalytics extends graft.QueryPack {
   private val uniCache = new java.util.concurrent.ConcurrentHashMap[
     String, Map[String, Double]]()
 
+  /** The most recently trained cost table, for the streaming drain:
+    * q_stream_unigram_encode's foreachBatch body cannot re-derive the
+    * dataset dir, so [[unigramEncodeFrame]] reads the model trained by
+    * the enclosing query invocation (set here; the drain stages files
+    * from the same dataset, so the model is the right one). */
+  @volatile private var lastUnigramCosts: Map[String, Double] = Map.empty
+
+  private[operators] def trainedUnigramModelFor(s: SparkSession,
+      d: String): Map[String, Double] = {
+    val m = trainedUnigramCosts(s, d)
+    lastUnigramCosts = m
+    m
+  }
+
+  /** ENCODE one (doc_id, text) frame under the last-trained unigram
+    * model — the shared kernel of q_unigram_encode and streaming
+    * drain #30 (one definition, two paths). */
+  private[operators] def unigramEncodeFrame(docs: DataFrame): DataFrame = {
+    val costs = lastUnigramCosts
+    val toksF = filter(tokens(col("text")), w => length(w) > 0)
+    docs.select(col("doc_id"),
+        size(toksF).cast("long").as("n_ws_tokens"),
+        aggregate(toksF, lit(0L), (acc, w) =>
+          acc + uniPieceCountCol(costs)(w)).as("n_pieces"))
+      .withColumn("pieces_per_word",
+        when(col("n_ws_tokens") > 0,
+          round(col("n_pieces").cast("double") / col("n_ws_tokens"), 9)))
+  }
+
   private def trainedUnigramCosts(s: SparkSession, d: String)
       : Map[String, Double] = {
     def fp(f: java.io.File): String =
@@ -1831,16 +1860,11 @@ object TextAnalytics extends graft.QueryPack {
     // to tokenize, exactly the q_tokenize_bpe posture. Counts are
     // exact integers (the min-plus fold; no per-step rounding).
     "q_unigram_encode" -> ((s, d) => {
-      val costs = trainedUnigramCosts(s, d)
-      val toksF = filter(tokens(col("text")), w => length(w) > 0)
-      Tables(s, d, "documents")
-        .select(col("doc_id"),
-          size(toksF).cast("long").as("n_ws_tokens"),
-          aggregate(toksF, lit(0L), (acc, w) =>
-            acc + uniPieceCountCol(costs)(w)).as("n_pieces"))
-        .withColumn("pieces_per_word",
-          when(col("n_ws_tokens") > 0,
-            round(col("n_pieces").cast("double") / col("n_ws_tokens"), 9)))
+      // the model trains on the FULL corpus (memoized), then apply is
+      // a pure narrow map — one definition, batch + drain #30
+      trainedUnigramModelFor(s, d)
+      Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        .transform(unigramEncodeFrame)
         .orderBy(col("doc_id"))
     }),
 

@@ -124,6 +124,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // the order-dependent drain (zero-row staged files still drain;
     // the pack cursor state stays empty)
     "q_seq_pack", "q_stream_seq_pack", "q_seq_manifest",
+    // r13: encoding an empty corpus under an empty trained model —
+    // zero-row staged files still drain, the apply map never fires
+    "q_stream_unigram_encode",
     // kill-and-resume over empty sketch state: three empty files are
     // still three micro-batches, the planted death and the recovery
     // both still run, and the recovered gate frame is empty
