@@ -1528,14 +1528,28 @@ object TextAnalytics extends graft.QueryPack {
 
   /** ENCODE one (doc_id, text) frame under the last-trained unigram
     * model — the shared kernel of q_unigram_encode and streaming
-    * drain #30 (one definition, two paths). */
+    * drain #30 (one definition, two paths). The Viterbi fold runs
+    * ONCE PER DISTINCT WORD of the frame, then joins back to the
+    * exploded occurrences (exactly the oracle's wp-join shape): the
+    * nested higher-order fold is interpreted (non-codegen), so
+    * per-OCCURRENCE evaluation was measured minutes-slow at sf0.1 on
+    * the one-split fixture file, while the distinct-word frame is
+    * vocabulary-shaped and shuffle-parallel — and arriving drain
+    * batches with NOVEL words still segment (the fold needs only the
+    * cost literal, not a trained word list). */
   private[operators] def unigramEncodeFrame(docs: DataFrame): DataFrame = {
     val costs = lastUnigramCosts
-    val toksF = filter(tokens(col("text")), w => length(w) > 0)
-    docs.select(col("doc_id"),
-        size(toksF).cast("long").as("n_ws_tokens"),
-        aggregate(toksF, lit(0L), (acc, w) =>
-          acc + uniPieceCountCol(costs)(w)).as("n_pieces"))
+    val dw = docs.select(col("doc_id"),
+      explode(filter(tokens(col("text")), w => length(w) > 0)).as("w"))
+    val wp = dw.select(col("w")).distinct()
+      .withColumn("k", uniPieceCountCol(costs)(col("w")))
+    val agg = dw.join(wp, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("k")).as("n_p"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_ws"), lit(0L)).as("n_ws_tokens"),
+        coalesce(col("n_p"), lit(0L)).as("n_pieces"))
       .withColumn("pieces_per_word",
         when(col("n_ws_tokens") > 0,
           round(col("n_pieces").cast("double") / col("n_ws_tokens"), 9)))
