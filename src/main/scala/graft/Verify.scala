@@ -62,6 +62,11 @@ object Verify {
 
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }.toSeq
+    // oracle_sql.json is written BEFORE the sweep (r13): if the run is
+    // killed mid-window, the driver's check still sees the oracle map
+    // and reports per-query FAILURES for missing dumps — a diagnosable
+    // partial artifact instead of the r10/r12 empty {}.
+    writeOracles(outDir, only)
     val par =
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "1").toInt.max(1)
     if (par == 1) {
@@ -90,26 +95,6 @@ object Verify {
       }
     }
 
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    // Under a dev filter, write only the filtered subset: a full
-    // oracle_sql.json next to a partial dump would let an unfiltered
-    // check.py compare other queries against STALE parquet from an
-    // earlier run and false-PASS.
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Loud, machine-parseable summary on BOTH streams (VERDICT r12
     // item 1): if the driver's artifact window ever blanks again, the
     // run's ground truth is greppable from either captured stream.
@@ -120,5 +105,29 @@ object Verify {
     System.err.println(summary)
     println(summary)
     spark.stop()
+  }
+
+  /** Dump the (possibly filtered) oracle map. JSON string escape:
+    * backslash, quote, and ALL control chars (<0x20) — a tab or CR in
+    * builder-authored SQL would otherwise make the driver's json.load
+    * fail and silently zero the round's correctness. Under a dev
+    * filter, write only the filtered subset: a full oracle_sql.json
+    * next to a partial dump would let an unfiltered check.py compare
+    * other queries against STALE parquet from an earlier run and
+    * false-PASS. */
+  private def writeOracles(outDir: String, only: Set[String]): Unit = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }
 }
