@@ -73,8 +73,9 @@ object Bench {
       val la = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .split(" ").take(3).mkString(",")
-      val steal = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu "))
+      val steal = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.find(_.startsWith("cpu "))
         .map(_.trim.split("\\s+")).filter(_.length > 8)
         .map(_(8)).getOrElse("0")
       s""""loadavg":[$la],"steal_ticks":$steal"""

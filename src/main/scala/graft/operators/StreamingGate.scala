@@ -1289,8 +1289,10 @@ object StreamingGate extends graft.QueryPack {
       val src = new java.io.File(root, "src")
       src.mkdirs()
       val out = root + "/out"
-      // train (memoized) BEFORE the drain: the stream only applies
-      TextAnalytics.trainedUnigramModelFor(s, d)
+      // train (memoized) BEFORE the drain: the stream only applies —
+      // the map is captured in the foreachBatch closure, so the drain
+      // can never encode under a model trained for another dataset
+      val model = TextAnalytics.trainedUnigramModelFor(s, d)
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("text"))
       val t0 = System.currentTimeMillis() - 60000
@@ -1303,7 +1305,7 @@ object StreamingGate extends graft.QueryPack {
       val stream = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1).parquet(src.getPath)
       drain(s, stream, "append") { (batch, id) =>
-        TextAnalytics.unigramEncodeFrame(batch)
+        TextAnalytics.unigramEncodeFrame(model)(batch)
           .write.mode("overwrite").parquet(s"$out/b$id")
         ()
       }

@@ -1512,23 +1512,16 @@ object TextAnalytics extends graft.QueryPack {
   private val uniCache = new java.util.concurrent.ConcurrentHashMap[
     String, Map[String, Double]]()
 
-  /** The most recently trained cost table, for the streaming drain:
-    * q_stream_unigram_encode's foreachBatch body cannot re-derive the
-    * dataset dir, so [[unigramEncodeFrame]] reads the model trained by
-    * the enclosing query invocation (set here; the drain stages files
-    * from the same dataset, so the model is the right one). */
-  @volatile private var lastUnigramCosts: Map[String, Double] = Map.empty
-
   private[operators] def trainedUnigramModelFor(s: SparkSession,
-      d: String): Map[String, Double] = {
-    val m = trainedUnigramCosts(s, d)
-    lastUnigramCosts = m
-    m
-  }
+      d: String): Map[String, Double] =
+    trainedUnigramCosts(s, d)
 
-  /** ENCODE one (doc_id, text) frame under the last-trained unigram
-    * model — the shared kernel of q_unigram_encode and streaming
-    * drain #30 (one definition, two paths). The Viterbi fold runs
+  /** ENCODE one (doc_id, text) frame under an explicitly-passed
+    * trained unigram cost map — the shared kernel of
+    * q_unigram_encode and streaming drain #30 (one definition, two
+    * paths; each caller trains via [[trainedUnigramModelFor]] and
+    * hands its map in, so concurrent multi-dataset sweeps can never
+    * encode under the wrong model). The Viterbi fold runs
     * ONCE PER DISTINCT WORD of the frame, then joins back to the
     * exploded occurrences (exactly the oracle's wp-join shape): the
     * nested higher-order fold is interpreted (non-codegen), so
@@ -1537,8 +1530,11 @@ object TextAnalytics extends graft.QueryPack {
     * vocabulary-shaped and shuffle-parallel — and arriving drain
     * batches with NOVEL words still segment (the fold needs only the
     * cost literal, not a trained word list). */
-  private[operators] def unigramEncodeFrame(docs: DataFrame): DataFrame = {
-    val costs = lastUnigramCosts
+  private[graft] def unigramEncodeFrame(
+      costs: Map[String, Double])(docs: DataFrame): DataFrame = {
+    require(costs.nonEmpty,
+      "unigramEncodeFrame needs a trained cost map — call " +
+        "trainedUnigramModelFor(s, d) and pass its result")
     val dw = docs.select(col("doc_id"),
       explode(filter(tokens(col("text")), w => length(w) > 0)).as("w"))
     val wp = dw.select(col("w")).distinct()
@@ -1876,9 +1872,9 @@ object TextAnalytics extends graft.QueryPack {
     "q_unigram_encode" -> ((s, d) => {
       // the model trains on the FULL corpus (memoized), then apply is
       // a pure narrow map — one definition, batch + drain #30
-      trainedUnigramModelFor(s, d)
+      val model = trainedUnigramModelFor(s, d)
       Tables(s, d, "documents").select(col("doc_id"), col("text"))
-        .transform(unigramEncodeFrame)
+        .transform(unigramEncodeFrame(model))
         .orderBy(col("doc_id"))
     }),
 

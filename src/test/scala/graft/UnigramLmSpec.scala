@@ -98,4 +98,16 @@ class UnigramLmSpec extends AnyFunSuite {
     }
     TestSpark.housekeeping()
   }
+
+  test("encode kernel refuses an untrained (empty) cost map") {
+    // the model is threaded explicitly (no process-global handoff);
+    // an empty map means the caller skipped training — fail loudly
+    // instead of segmenting everything at the unknown-piece sentinel
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalytics.unigramEncodeFrame(Map.empty)(docs)
+    }
+    assert(e.getMessage.contains("trained cost map"))
+  }
 }
