@@ -14,6 +14,11 @@
 set -e -o pipefail
 cd "$(dirname "$0")/.."
 N="${1:-X}"
+# freshness stamp: the correctness mirror must be written AFTER this
+# moment or the close fails (VERDICT r13 item 1 — the mirror is the
+# round's primary hard correctness signal; a stale copy from an earlier
+# run must not satisfy the gate)
+STAMP=$(mktemp)
 
 echo "=== 1/6 compile"
 sbt -batch compile | tail -2
@@ -35,6 +40,29 @@ SPARK_GRAFT_VERIFY_PAR=8 SPARK_GRAFT_CPUS=32 tools/run.sh graft.Verify \
 CHECK_JSON="tools/correctness_local_r${N}.json" STRICT=1 \
   python3 tools/check.py /root/testdata/sf0.01 /tmp/close_verify \
   | tail -3
+# HARD GATE: the mirror must exist, be newer than the run's start, and
+# be all-green. Parse ok/total out of it for the close commit message.
+MIRROR="tools/correctness_local_r${N}.json"
+[ "$MIRROR" -nt "$STAMP" ] || {
+  echo "CLOSE-GATE FAIL: $MIRROR missing or stale"; exit 1; }
+GATE=$(python3 - "$MIRROR" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+# triple-green = oracle-compared and all three gates match; the two
+# terminally-declared rows-only queries (err == "no_oracle", nonzero
+# spark rows) are counted separately, never as failures
+ok = sum(1 for v in d.values()
+         if v.get("err") is None and v.get("rows_match")
+         and v.get("schema_match") and v.get("hash_match"))
+declared = sum(1 for v in d.values()
+               if v.get("err") == "no_oracle" and (v.get("spark_rows") or 0) > 0)
+print(f"{ok}/{len(d) - declared} oracle PASS, {declared} declared rows-only, {len(d)} total")
+sys.exit(0 if ok + declared == len(d) and ok > 0 else 1)
+EOF
+) || { echo "CLOSE-GATE FAIL: mirror not all-green ($GATE)"; exit 1; }
+VOK=$(grep -o 'SUMMARY ok=[0-9]* fail=[0-9]* total=[0-9]*' \
+  /tmp/close_verify.log | tail -1)
+echo "CLOSE-GATE: STRICT $GATE PASS ($VOK)"
 # Dtype-repr audit (VERDICT r9): no query output may carry a DECIMAL
 # final column — DuckDB's pandas bridge renders DECIMAL as float64, so
 # the driver's type+repr hash diverges on any trailing-zero value even
@@ -42,7 +70,9 @@ CHECK_JSON="tools/correctness_local_r${N}.json" STRICT=1 \
 python3 tools/dtype_audit.py /tmp/close_verify
 
 echo "=== 4/6 scalatest"
-sbt -batch test 2>&1 | tail -4
+sbt -batch test 2>&1 | tail -4 | tee /tmp/close_test.out
+TESTLINE=$(grep -o 'succeeded [0-9]*' /tmp/close_test.out | tail -1)
+TESTN="${TESTLINE#succeeded }"
 
 echo "=== 5/6 bench cpus=32 leg"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
@@ -56,4 +86,21 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=8 \
 cp bench_full.json "tools/bench_full_cpus8_r${N}close.json"
 python3 tools/frozen_total.py bench_full.json
 
-echo "=== round close protocol complete"
+# Rewrite the README status line (the single line after the
+# close-gate-status marker) so the round's hard numbers are greppable
+# in the repo itself, then print the line the close commit message must
+# carry (VERDICT r13 item 1: the close commit contains N_ok/N_total).
+STATUS="**Status**: r${N} close — STRICT oracle ${GATE}; ${VOK}; scalatest ${TESTN}/${TESTN} green."
+python3 - "$STATUS" <<'EOF'
+import sys
+lines = open("README.md").read().splitlines(keepends=True)
+for i, l in enumerate(lines):
+    if "close-gate-status" in l:
+        lines[i + 1] = sys.argv[1] + "\n"
+        break
+else:
+    sys.exit("close-gate-status marker missing from README.md")
+open("README.md", "w").writelines(lines)
+EOF
+echo "CLOSE-GATE: r${N} STRICT ${GATE}; ${VOK}; scalatest ${TESTN} green"
+echo "=== round close protocol complete (put the CLOSE-GATE line in the close commit message)"
