@@ -896,6 +896,107 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Graph-index DELETION — the tombstone + repair path that
+    // completes the index lifecycle (build → quality → search →
+    // admit → DELETE): a real deployment must retire vectors without
+    // a rebuild. Tombstoned nodes (vec_id % 9 = 4, ~11% of the
+    // corpus INCLUDING 4 of the 30 planted truth ids, so "surviving
+    // truth" is a real set change, not a no-op) leave the node and
+    // edge frames, and every alive node that pointed INTO a tombstone
+    // re-routes to the tombstone's alive out-neighbors — the classic
+    // NSW repair (the 2-hop bridge that preserves the paths the
+    // deleted node carried). Re-routes are ranked by round-9 cosine
+    // and capped at NN_K per node (≤ (2k)² candidates per node, the
+    // descent local-join bound — never a rebuild, never a corpus
+    // join), then the repaired edge set re-symmetrizes through the
+    // same md5-capped rule as the build. The A/B this query exists to
+    // make: the SAME routed-entry beam walk on the pre-delete and
+    // post-delete graphs, both scored against the SURVIVING planted
+    // truth, plus n_del_top3 = tombstoned ids still surfacing in the
+    // top-3 (pre arm: the stale results a tombstone-less index keeps
+    // serving; post arm: structurally 0 — deleted nodes are not in
+    // the graph). Both arms ride ONE beamWalkFrom via id-shifting
+    // (post arm at +2e6 on disjoint node/query ids — the
+    // q_ann_layered merged-arm device generalized to two GRAPHS), so
+    // the 7 hop joins and lineage cuts are paid once. MEASURED: post
+    // ≥ pre at every width on both fixtures — strictly at sf0.001
+    // beam 1 (0.654 vs 0.538 macro: the stale tombstone held the
+    // single beam slot), equal elsewhere (sf0.01: 0.423/0.423/0.500/
+    // 0.654 both arms — the repair preserves navigability for the
+    // surviving 26 truth ids exactly), while the pre arm keeps
+    // serving 3-4 tombstoned ids in its top-3 (n_del_top3) and the
+    // post arm serves 0 structurally.
+    "q_ann_delete" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val OFF = 2000000L
+      val (nodes, delIds, gPre, gPost) = deleteRepair(s, d)
+      val aliveN = nodes.join(delIds.select(col("did").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      val qs = nodes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), col("blk").as("qblk"))
+      // entries routed on ORIGINAL ids (the md5 rank must see the
+      // same strings as the oracle), shifted only afterwards
+      val entryPre = routedEntry(nodes, qs)
+      val entryPost = routedEntry(aliveN, qs)
+        .select((col("qid") + OFF).as("qid"), (col("node") + OFF).as("node"))
+      val nodesAll = nodes.unionByName(aliveN.select(
+        (col("vec_id") + OFF).as("vec_id"), col("embedding"), col("nrm"),
+        col("blk")))
+      val gAll = gPre.unionByName(gPost.select(
+        (col("src") + OFF).as("src"), (col("dst") + OFF).as("dst")))
+      val qsAll = qs.unionByName(qs.select((col("qid") + OFF).as("qid"),
+        col("qv"), col("qnrm"), col("qblk")))
+      val visited = beamWalkFrom(nodesAll, gAll, qsAll,
+        entryPre.unionByName(entryPost), Seq(1, 2, 4, 8), hops = 7)
+      val wB = Window.partitionBy(col("beam"), col("qid"))
+        .orderBy(col("sim").desc, col("node"))
+      val ranked = visited.withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= 3)
+        .select(col("beam").as("abeam"), col("qid").as("aqid"),
+          col("node").as("anid"))
+        .localCheckpoint() // grid-sized; read twice (truth + del count)
+      val struth = qs
+        .select(col("qid"), explode(typedlit(Seq(1, 2, 3))).as("c"))
+        .select(col("qid"),
+          (lit(1000000L) + col("qid") * 10 + col("c")).as("nid"))
+        .filter(col("nid") % 9 =!= 4)
+      val truth = struth
+        .unionByName(struth.select((col("qid") + OFF).as("qid"),
+          (col("nid") + OFF).as("nid")))
+        .withColumn("beam", explode(typedlit(Seq(1, 2, 4, 8))))
+      // tombstoned ids surfacing in the top-3: only unshifted (pre)
+      // ids can match delIds, which is the claim itself
+      val delTop = ranked.join(delIds, col("anid") === col("did"))
+        .groupBy(col("abeam").as("dbeam"), col("aqid").as("dqid"))
+        .agg(count(lit(1)).as("nd"))
+      val wW = Window.partitionBy(col("arm"), col("beam"))
+      truth
+        .join(ranked,
+          col("beam") === col("abeam") && col("qid") === col("aqid") &&
+            col("nid") === col("anid"),
+          "left_outer")
+        .groupBy(col("beam"), col("qid"))
+        .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hits"))
+        .join(delTop,
+          col("beam") === col("dbeam") && col("qid") === col("dqid"),
+          "left_outer")
+        .withColumn("n_del_top3", coalesce(col("nd"), lit(0L)))
+        .withColumn("arm",
+          when(col("qid") >= OFF, lit("post")).otherwise(lit("pre")))
+        .withColumn("qid",
+          when(col("qid") >= OFF, col("qid") - OFF).otherwise(col("qid")))
+        .withColumn("recall",
+          round(col("n_hits").cast("double") / col("n_exact"), 6))
+        .withColumn("macro_recall",
+          round(sum(col("n_hits")).over(wW).cast("double") /
+            sum(col("n_exact")).over(wW), 6))
+        .select(col("arm"), col("beam").cast("long").as("beam"),
+          col("qid"), col("n_exact"), col("n_hits"), col("n_del_top3"),
+          col("recall"), col("macro_recall"))
+        .orderBy(col("arm"), col("beam"), col("qid"))
+    }),
+
     // PQ codebook audit — usage histogram + quantization distortion
     // per codeword, the health check a compressed-index deployment
     // runs before trusting ADC rankings: a DEAD codeword (zero
@@ -2344,6 +2445,51 @@ object Similarity extends graft.QueryPack {
       .select(col("src"), col("dst"))
       .localCheckpoint()
 
+  /** q_ann_delete's tombstone + NSW repair internals, factored so
+    * GraphAnnSpec can assert the repair invariants on the frames
+    * directly: (nodes, delIds(did), gPre, gPost). Tombstones = non-
+    * query nodes with vec_id % 9 = 4; gPost = alive edges ∪ top-NN_K
+    * cosine-ranked re-routes (u → alive out-neighbor of u's deleted
+    * neighbor), re-symmetrized through [[nnSearchGraph]]'s md5-capped
+    * rule. All frames are corpus-partitioned; the repair touches only
+    * the 2-hop neighborhoods of deleted nodes (≤ (2k)² candidate rows
+    * per affected node) — at 100 TB a delete batch is a bounded
+    * incremental job, never an index rebuild. */
+  private[graft] def deleteRepair(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = nnNodes(plantedCorpus(s, d)
+      .withColumn("bucket", bucketCol(col("embedding"))))
+    val gPre = nnSearchGraph(nnDescentEdges(nodes, rounds = 2).last)
+    val delIds = nodes
+      .filter(col("vec_id") % 9 === 4 && col("vec_id") >= 10)
+      .select(col("vec_id").as("did"))
+      .localCheckpoint() // tombstone list: |D| rows, reused by 4 joins
+    val gAlive = gPre
+      .join(delIds.select(col("did").as("src")), Seq("src"), "left_anti")
+      .join(delIds.select(col("did").as("dst")), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"))
+    // (u → x) links into a tombstone x from an alive u, bridged to
+    // x's alive out-neighbors y — the NSW 2-hop repair
+    val cands = gPre
+      .join(delIds.select(col("did").as("dst")), Seq("dst"))
+      .join(delIds.select(col("did").as("src")), Seq("src"), "left_anti")
+      .select(col("src").as("u"), col("dst").as("x"))
+      .join(gPre.select(col("src").as("x"), col("dst").as("y")), Seq("x"))
+      .join(delIds.select(col("did").as("y")), Seq("y"), "left_anti")
+      .filter(col("y") =!= col("u"))
+      .select(col("u").as("src"), col("y").as("dst"))
+      .distinct()
+    val wR = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    val rrTop = nnScored(cands, nodes)
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= NN_K)
+      .select(col("src"), col("dst"))
+    val gPost = nnSearchGraph(gAlive.union(rrTop).distinct())
+    (nodes, delIds, gPre, gPost)
+  }
+
   /** Planted-truth recall report over a SCORED visited set — the
     * shared tail of q_ann_beam and q_ann_layered: rank visited per
     * (beam, qid), hit-join the planted truth, emit per-query recall
@@ -2394,17 +2540,26 @@ object Similarity extends graft.QueryPack {
     * equi-joins on the edge key. Returns the SCORED visited set
     * (beam, qid, node, sim). */
   private def beamWalk(nodes: DataFrame, g: DataFrame, qs: DataFrame,
-      beams: Seq[Int], hops: Int): DataFrame = {
+      beams: Seq[Int], hops: Int): DataFrame =
+    beamWalkFrom(nodes, g, qs, routedEntry(nodes, qs), beams, hops)
+
+  /** The routed per-query entry of [[beamWalk]], factored (r14) so
+    * q_ann_delete / q_ann_filtered can route entries over a node
+    * SUBSET (alive nodes, predicate-matching nodes) with the identical
+    * rule: min-md5 same-block non-self node, one row per query (zero
+    * rows when the query's block has no eligible node — the walk then
+    * visits nothing for that query, deterministically on both
+    * engines). */
+  private def routedEntry(nodes: DataFrame, qs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wE = Window.partitionBy(col("qid")).orderBy(col("h"), col("node"))
-    val entry = qs.select(col("qid"), col("qblk"))
+    qs.select(col("qid"), col("qblk"))
       .join(nodes.select(col("vec_id").as("node"), col("blk")),
         col("blk") === col("qblk") && col("node") =!= col("qid"))
       .withColumn("h", md5(concat_ws("|", col("qid"), col("node"))))
       .withColumn("rk", row_number().over(wE))
       .filter(col("rk") === 1)
       .select(col("qid"), col("node"))
-    beamWalkFrom(nodes, g, qs, entry, beams, hops)
   }
 
   /** [[beamWalk]] with the entry frame SUPPLIED — the hook
@@ -2969,6 +3124,122 @@ object Similarity extends graft.QueryPack {
          |    (3.0 * COUNT(*) OVER (PARTITION BY entry, beam)), 6)
          |    AS macro_recall
          |FROM allq ORDER BY entry, beam, qid""".stripMargin,
+
+    // the planted prefix + descent unroll, the tombstone/repair CTEs
+    // (alive edges + cosine-capped 2-hop re-routes, re-symmetrized),
+    // then BOTH arms as separate walk chains (pa = pre-delete graph,
+    // pb = post-delete graph over alive nodes), scored against the
+    // SURVIVING truth with the stale-tombstone top-3 count
+    "q_ann_delete" ->
+      s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+         |            FROM embeddings WHERE vec_id < 10),
+         |planted AS (
+         |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+         |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+         |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+         |aug AS (
+         |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+         |      CAST(embedding[i] AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM planted),
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
+         |${nnDescentDuck(2)},
+         |${symGraphDuck("pg", "e2")},
+         |del AS MATERIALIZED (SELECT vec_id AS did FROM nodes
+         |  WHERE vec_id % 9 = 4 AND vec_id >= 10),
+         |galive AS (SELECT src, dst FROM pg
+         |  WHERE src NOT IN (SELECT did FROM del)
+         |    AND dst NOT IN (SELECT did FROM del)),
+         |rcand AS (SELECT DISTINCT g.src AS src, h.dst AS dst
+         |  FROM pg g JOIN pg h ON h.src = g.dst
+         |  WHERE g.dst IN (SELECT did FROM del)
+         |    AND g.src NOT IN (SELECT did FROM del)
+         |    AND h.dst NOT IN (SELECT did FROM del)
+         |    AND h.dst <> g.src),
+         |rr AS (SELECT src, dst FROM (
+         |  SELECT c.src, c.dst,
+         |    ROW_NUMBER() OVER (PARTITION BY c.src ORDER BY
+         |      round(${dotDuck("a.embedding", "b.embedding")} /
+         |        (a.nrm * b.nrm), 9) DESC, c.dst) AS rk
+         |  FROM rcand c JOIN nodes a ON a.vec_id = c.src
+         |               JOIN nodes b ON b.vec_id = c.dst) t
+         | WHERE rk <= $NN_K),
+         |rru AS (SELECT src, dst FROM galive
+         |        UNION SELECT src, dst FROM rr),
+         |${symGraphDuck("qg", "rru")},
+         |qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv,
+         |  nrm AS qnrm, blk AS qblk FROM nodes WHERE vec_id < 10),
+         |an AS MATERIALIZED (SELECT * FROM nodes
+         |  WHERE vec_id NOT IN (SELECT did FROM del)),
+         |pent AS (SELECT qid, node FROM (
+         |  SELECT q.qid, n.vec_id AS node,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |      md5(CAST(q.qid AS VARCHAR) || '|' || CAST(n.vec_id AS VARCHAR)),
+         |      n.vec_id) AS rk
+         |  FROM qs q JOIN nodes n ON n.blk = q.qblk AND n.vec_id <> q.qid) t
+         | WHERE rk = 1),
+         |bent AS (SELECT qid, node FROM (
+         |  SELECT q.qid, n.vec_id AS node,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |      md5(CAST(q.qid AS VARCHAR) || '|' || CAST(n.vec_id AS VARCHAR)),
+         |      n.vec_id) AS rk
+         |  FROM qs q JOIN an n ON n.blk = q.qblk AND n.vec_id <> q.qid) t
+         | WHERE rk = 1),
+         |beams AS (SELECT * FROM (VALUES (1), (2), (4), (8)) b(beam)),
+         |${walkDuck("pa", "nodes", "pg", "pent", "beams", 7)},
+         |${walkDuck("pb", "an", "qg", "bent", "beams", 7)},
+         |paranked AS (SELECT beam, qid, nid FROM (
+         |  SELECT v.beam, v.qid, v.node AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.beam, v.qid ORDER BY
+         |      round(${dotDuck("q.qv", "n.embedding")} /
+         |        (q.qnrm * n.nrm), 9) DESC, v.node) AS rk
+         |  FROM pav7 v JOIN nodes n ON n.vec_id = v.node
+         |              JOIN qs q ON q.qid = v.qid) t WHERE rk <= 3),
+         |pbranked AS (SELECT beam, qid, nid FROM (
+         |  SELECT v.beam, v.qid, v.node AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.beam, v.qid ORDER BY
+         |      round(${dotDuck("q.qv", "n.embedding")} /
+         |        (q.qnrm * n.nrm), 9) DESC, v.node) AS rk
+         |  FROM pbv7 v JOIN an n ON n.vec_id = v.node
+         |              JOIN qs q ON q.qid = v.qid) t WHERE rk <= 3),
+         |struth AS (SELECT q0.vec_id AS qid,
+         |    1000000 + q0.vec_id * 10 + c AS nid
+         |  FROM q0, (VALUES (1), (2), (3)) t(c)
+         |  WHERE (1000000 + q0.vec_id * 10 + c) % 9 <> 4),
+         |tb AS (SELECT qid, nid, beam FROM struth, beams),
+         |pad AS (SELECT beam, qid, CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM paranked WHERE nid IN (SELECT did FROM del)
+         |  GROUP BY beam, qid),
+         |pbd AS (SELECT beam, qid, CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM pbranked WHERE nid IN (SELECT did FROM del)
+         |  GROUP BY beam, qid),
+         |paq AS (SELECT 'pre' AS arm, t.beam, t.qid,
+         |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(r.nid) AS BIGINT) AS n_hits
+         |  FROM tb t LEFT JOIN paranked r ON r.beam = t.beam
+         |    AND r.qid = t.qid AND r.nid = t.nid
+         |  GROUP BY t.beam, t.qid),
+         |pbq AS (SELECT 'post' AS arm, t.beam, t.qid,
+         |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(r.nid) AS BIGINT) AS n_hits
+         |  FROM tb t LEFT JOIN pbranked r ON r.beam = t.beam
+         |    AND r.qid = t.qid AND r.nid = t.nid
+         |  GROUP BY t.beam, t.qid),
+         |paj AS (SELECT p.arm, p.beam, p.qid, p.n_exact, p.n_hits,
+         |    COALESCE(d.nd, 0) AS n_del_top3
+         |  FROM paq p LEFT JOIN pad d ON d.beam = p.beam AND d.qid = p.qid),
+         |pbj AS (SELECT p.arm, p.beam, p.qid, p.n_exact, p.n_hits,
+         |    COALESCE(d.nd, 0) AS n_del_top3
+         |  FROM pbq p LEFT JOIN pbd d ON d.beam = p.beam AND d.qid = p.qid),
+         |allq AS (SELECT * FROM paj UNION ALL SELECT * FROM pbj)
+         |SELECT arm, CAST(beam AS BIGINT) AS beam, qid, n_exact, n_hits,
+         |  n_del_top3,
+         |  round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall,
+         |  round(CAST(SUM(n_hits) OVER (PARTITION BY arm, beam) AS DOUBLE) /
+         |    SUM(n_exact) OVER (PARTITION BY arm, beam), 6) AS macro_recall
+         |FROM allq ORDER BY arm, beam, qid""".stripMargin,
 
     // the planted-corpus prefix (q_ann_recall verbatim) feeding the
     // same unroll; recall measured per round against the planted truth

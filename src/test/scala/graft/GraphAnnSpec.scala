@@ -136,6 +136,43 @@ class GraphAnnSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("q_ann_delete: tombstones absent from repaired graph and results, alive edges preserved, repair bridges, post >= pre (VERDICT r13 item 3)") {
+    val (_, delIds, gPre, gPost) =
+      graft.operators.Similarity.deleteRepair(spark, TestSpark.sf)
+    val del = delIds.collect().map(_.getLong(0)).toSet
+    assert(del.nonEmpty, "fixture has no tombstoned nodes")
+    val pre = gPre.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val post = gPost.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1. no tombstoned endpoint survives anywhere in the repaired graph
+    post.foreach { case (s, t) =>
+      assert(!del(s) && !del(t), s"tombstoned endpoint in gPost: ($s,$t)")
+    }
+    // 2. deletion never drops an edge between two ALIVE nodes: the
+    // repair only removes tombstone-adjacent edges and adds bridges
+    val alivePre = pre.filter { case (s, t) => !del(s) && !del(t) }
+    assert(alivePre.subsetOf(post),
+      s"alive pre-edges lost: ${alivePre.diff(post).take(5)}")
+    // 3. the repair actually bridges: new 2-hop edges exist
+    assert(post.diff(pre).nonEmpty, "repair added no re-route edges")
+    // 4. output level: the post arm serves zero tombstones, the pre
+    // arm provably serves stale ones, and post recall on surviving
+    // truth never loses to pre at any beam
+    val rows = graft.operators.Similarity
+      .queries("q_ann_delete")(spark, TestSpark.sf).collect()
+    assert(rows.length == 80, s"2 arms x 4 beams x 10 queries, got ${rows.length}")
+    rows.filter(_.getString(0) == "post").foreach(r =>
+      assert(r.getLong(5) == 0L, s"post arm surfaced a tombstone: $r"))
+    assert(rows.filter(_.getString(0) == "pre").map(_.getLong(5)).sum > 0,
+      "fixture degenerate: pre arm never surfaced a tombstone")
+    val hits = rows.groupBy(r => (r.getString(0), r.getLong(1))).view
+      .mapValues(_.map(_.getLong(4)).sum).toMap
+    Seq(1L, 2L, 4L, 8L).foreach { b =>
+      assert(hits(("post", b)) >= hits(("pre", b)),
+        s"post-delete recall lost to pre at beam $b: $hits")
+    }
+    TestSpark.housekeeping()
+  }
+
   test("graft.nndescent.init.width knob: fine blocks seed high, coarse blocks recover by descent (both engines read it per call)") {
     val dflt = recallRows().groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val old = sys.props.get("graft.nndescent.init.width")
