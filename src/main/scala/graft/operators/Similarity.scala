@@ -997,6 +997,169 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("arm"), col("beam"), col("qid"))
     }),
 
+    // FILTERED (attribute-constrained) ANN — the most common
+    // production vector-search need: top-k under a metadata predicate
+    // (here the embeddings' class label at three selectivities:
+    // lt5 ≈ 50%, lt2 ≈ 20%, eq0 ≈ 10%). The A/B prices the two
+    // query-time policies against EXACT brute-force constrained truth
+    // (top-3 among matching nodes — the denominator a filtered-search
+    // benchmark must use; planted truth can't serve here because the
+    // plant carries no label):
+    //   - postfilter: walk the FULL stored graph, then keep only
+    //     matching visited nodes — navigability intact, but beam
+    //     slots and hop work are spent on non-matching nodes
+    //     (n_visited vs n_match_visited is the waste, printed);
+    //   - induced (in-walk): walk only the predicate-induced SUBGRAPH
+    //     of the same stored index (edges with both endpoints
+    //     matching, entry routed over matching nodes) — every visit
+    //     counts, but edges vanish with selectivity² and the walk
+    //     fragments.
+    // No rebuild in either arm: the index is built once; filtering is
+    // query-time frame algebra — exactly what a 100 TB deployment
+    // does (per-predicate index rebuilds are not an option). All four
+    // walks (1 full + 3 induced) ride ONE beamWalkFrom via the
+    // id-shift device at offsets i·2e6. MEASURED (sf0.01 macro /
+    // mean-visited, beam 8; sf0.001 agrees): the textbook RECALL
+    // crossover does NOT materialize on this near-orthogonal noise
+    // corpus — postfilter ≥ induced at EVERY selectivity (lt5 0.133
+    // vs 0.100, lt2 0.200 vs 0.167, eq0 0.100 vs 0.067) for the same
+    // reason the r12 layered-routing hypothesis failed: block-
+    // locality is the only navigable structure here, so removing
+    // nodes from the walk only severs paths. What IS measured is the
+    // COST structure the crossover story rests on: postfilter's
+    // visits are flat and selectivity-independent (28.5/query at
+    // every pred — the SAME walk, sliced three ways) but mostly
+    // wasted at low selectivity (3.5 of 28.5 matching at eq0 — an
+    // 8× overspend), while the induced walk's visits are all-
+    // matching yet COLLAPSE as the subgraph thins (11.6 → 3.8 → 2.0
+    // for lt5 → lt2 → eq0: a k=4 graph keeps ~k·sel edges/node, so
+    // below sel ≈ 2/k the walk is entry + one neighbor — the
+    // fragmentation is directly visible in n_visited). Production
+    // rule derived: route through non-matching nodes and eat the
+    // wasted visits (ACORN-style predicate-agnostic expansion —
+    // exactly the postfilter arm's semantics), because the induced
+    // subgraph stops percolating long before the predicate gets
+    // genuinely selective.
+    "q_ann_filtered" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val OFF = 2000000L
+      val all = loadEmbeddings(s, d)
+        .withColumn("bucket", bucketCol(col("embedding")))
+      val nodes = nnNodes(all)
+      val labels = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val g = nnSearchGraph(nnDescentEdges(nodes, rounds = 2).last)
+      val qs = nodes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), col("blk").as("qblk"))
+      val preds: Seq[(String, Column)] = Seq(
+        ("lt5", col("label") < 5),
+        ("lt2", col("label") < 2),
+        ("eq0", col("label") === 0))
+      val beams = Seq(4, 8)
+      // arm 0 = the full-graph walk; arms 1..3 = the pred-induced
+      // subgraph walks, id-shifted (entries routed on ORIGINAL ids —
+      // the md5 rank must see the oracle's strings — then shifted)
+      val armed = preds.zipWithIndex.map { case ((_, p), i) =>
+        val off = OFF * (i + 1)
+        val mn = nodes.join(
+          labels.filter(p).select(col("vec_id")), Seq("vec_id"), "left_semi")
+        val gI = g
+          .join(mn.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+          .join(mn.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+        (mn.select((col("vec_id") + off).as("vec_id"), col("embedding"),
+            col("nrm"), col("blk")),
+          gI.select((col("src") + off).as("src"), (col("dst") + off).as("dst")),
+          qs.select((col("qid") + off).as("qid"), col("qv"), col("qnrm"),
+            col("qblk")),
+          routedEntry(mn, qs)
+            .select((col("qid") + off).as("qid"), (col("node") + off).as("node")))
+      }
+      val nodesAll = (nodes +: armed.map(_._1)).reduce(_ unionByName _)
+      val gAll = (g +: armed.map(_._2)).reduce(_ unionByName _)
+      val qsAll = (qs +: armed.map(_._3)).reduce(_ unionByName _)
+      val entryAll = (routedEntry(nodes, qs) +: armed.map(_._4))
+        .reduce(_ unionByName _)
+      val visited = beamWalkFrom(nodesAll, gAll, qsAll, entryAll, beams,
+        hops = 7).localCheckpoint() // grid-sized; sliced 6 ways below
+      // postfilter rows: the ONE full walk, tagged per predicate with
+      // its match flag read off the label join
+      val v0 = visited.filter(col("qid") < OFF)
+        .join(labels.select(col("vec_id").as("node"), col("label")),
+          Seq("node"))
+      val tagged0 = preds.map { case (nm, p) =>
+        v0.select(lit("postfilter").as("strategy"), lit(nm).as("pred"),
+          col("beam"), col("qid"), col("node"), col("sim"), p.as("m"))
+      }.reduce(_ unionByName _)
+      val taggedI = preds.zipWithIndex.map { case ((nm, _), i) =>
+        val off = OFF * (i + 1)
+        visited.filter(col("qid") >= off && col("qid") < off + 10)
+          .select(lit("induced").as("strategy"), lit(nm).as("pred"),
+            col("beam"), (col("qid") - off).as("qid"),
+            (col("node") - off).as("node"), col("sim"), lit(true).as("m"))
+      }.reduce(_ unionByName _)
+      val allV = tagged0.unionByName(taggedI).localCheckpoint()
+      val counts = allV
+        .groupBy(col("strategy").as("cs"), col("pred").as("cp"),
+          col("beam").as("cb"), col("qid").as("cq"))
+        .agg(count(lit(1)).as("n_visited"),
+          sum(when(col("m"), 1L).otherwise(0L)).as("n_match_visited"))
+      val wR = Window
+        .partitionBy(col("strategy"), col("pred"), col("beam"), col("qid"))
+        .orderBy(col("sim").desc, col("node"))
+      val ranked = allV.filter(col("m"))
+        .withColumn("rk", row_number().over(wR))
+        .filter(col("rk") <= 3)
+        .select(col("strategy").as("rs"), col("pred").as("rp"),
+          col("beam").as("rb"), col("qid").as("rq"), col("node").as("rnid"))
+      // EXACT constrained truth: brute-force top-3 among matching
+      // nodes per (pred, query) — 10 broadcast queries against one
+      // corpus scan, the q_ann_flat baseline shape
+      val bsims = nodes.join(labels, Seq("vec_id"))
+        .crossJoin(broadcast(qs.select(col("qid"), col("qv"), col("qnrm"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", round(
+          dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")), 9))
+      val wT = Window.partitionBy(col("pred"), col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val truth = preds.map { case (nm, p) =>
+        bsims.filter(p).withColumn("pred", lit(nm))
+      }.reduce(_ unionByName _)
+        .withColumn("rk", row_number().over(wT))
+        .filter(col("rk") <= 3)
+        .select(col("pred"), col("qid"), col("vec_id").as("nid"))
+        .withColumn("strategy",
+          explode(typedlit(Seq("postfilter", "induced"))))
+        .withColumn("beam", explode(typedlit(beams)))
+      val wW = Window.partitionBy(col("strategy"), col("pred"), col("beam"))
+      truth
+        .join(ranked,
+          col("strategy") === col("rs") && col("pred") === col("rp") &&
+            col("beam") === col("rb") && col("qid") === col("rq") &&
+            col("nid") === col("rnid"),
+          "left_outer")
+        .groupBy(col("strategy"), col("pred"), col("beam"), col("qid"))
+        .agg(count(lit(1)).as("n_exact"), count(col("rnid")).as("n_hits"))
+        .join(counts,
+          col("strategy") === col("cs") && col("pred") === col("cp") &&
+            col("beam") === col("cb") && col("qid") === col("cq"),
+          "left_outer")
+        .withColumn("n_visited", coalesce(col("n_visited"), lit(0L)))
+        .withColumn("n_match_visited",
+          coalesce(col("n_match_visited"), lit(0L)))
+        .withColumn("recall",
+          round(col("n_hits").cast("double") / col("n_exact"), 6))
+        .withColumn("macro_recall",
+          round(sum(col("n_hits")).over(wW).cast("double") /
+            sum(col("n_exact")).over(wW), 6))
+        .select(col("strategy"), col("pred"),
+          col("beam").cast("long").as("beam"), col("qid"),
+          col("n_visited"), col("n_match_visited"), col("n_exact"),
+          col("n_hits"), col("recall"), col("macro_recall"))
+        .orderBy(col("strategy"), col("pred"), col("beam"), col("qid"))
+    }),
+
     // PQ codebook audit — usage histogram + quantization distortion
     // per codeword, the health check a compressed-index deployment
     // runs before trusting ADC rankings: a DEAD codeword (zero
@@ -3240,6 +3403,113 @@ object Similarity extends graft.QueryPack {
          |  round(CAST(SUM(n_hits) OVER (PARTITION BY arm, beam) AS DOUBLE) /
          |    SUM(n_exact) OVER (PARTITION BY arm, beam), 6) AS macro_recall
          |FROM allq ORDER BY arm, beam, qid""".stripMargin,
+
+    // the descent unroll over the raw corpus + label table, ONE full
+    // walk chain (pf) and one induced-subgraph chain per predicate
+    // (i1..i3: matching nodes, induced edges, matching-routed entry),
+    // brute-force constrained truth, shared report algebra
+    "q_ann_filtered" -> {
+      val predsD = Seq(("lt5", "label < 5"), ("lt2", "label < 2"),
+        ("eq0", "label = 0"))
+      val perPred = predsD.zipWithIndex.map { case ((_, cond), i0) =>
+        val i = i0 + 1
+        s"""mn$i AS MATERIALIZED (SELECT n.* FROM nodes n
+           |  JOIN lab l ON l.vec_id = n.vec_id WHERE l.$cond),
+           |g$i AS MATERIALIZED (SELECT src, dst FROM fg
+           |  WHERE src IN (SELECT vec_id FROM mn$i)
+           |    AND dst IN (SELECT vec_id FROM mn$i)),
+           |ent$i AS (SELECT qid, node FROM (
+           |  SELECT q.qid, n.vec_id AS node,
+           |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+           |      md5(CAST(q.qid AS VARCHAR) || '|' || CAST(n.vec_id AS VARCHAR)),
+           |      n.vec_id) AS rk
+           |  FROM qs q JOIN mn$i n ON n.blk = q.qblk AND n.vec_id <> q.qid) t
+           | WHERE rk = 1),
+           |${walkDuck(s"i$i", s"mn$i", s"g$i", s"ent$i", "beams", 7)},
+           |iv$i AS (SELECT 'induced' AS strategy,
+           |    '${predsD(i0)._1}' AS pred, v.beam, v.qid, v.node,
+           |    round(${dotDuck("q.qv", "n.embedding")} /
+           |      (q.qnrm * n.nrm), 9) AS sim, TRUE AS m
+           |  FROM i${i}v7 v JOIN mn$i n ON n.vec_id = v.node
+           |                 JOIN qs q ON q.qid = v.qid)""".stripMargin
+      }.mkString(",\n")
+      val pfArms = predsD.map { case (nm, cond) =>
+        s"""SELECT 'postfilter' AS strategy, '$nm' AS pred, beam, qid,
+           |    node, sim, ($cond) AS m FROM pfv""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      val truthArms = predsD.map { case (nm, cond) =>
+        s"""SELECT '$nm' AS pred, qid, nid FROM (
+           |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY sim DESC, nid) AS rk FROM bs WHERE $cond) t
+           | WHERE rk <= 3""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding, $normDuck AS nrm
+         |           FROM embeddings),
+         |lab AS MATERIALIZED (SELECT vec_id, label FROM embeddings),
+         |${nnDescentDuck(2)},
+         |${symGraphDuck("fg", "e2")},
+         |qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv,
+         |  nrm AS qnrm, blk AS qblk FROM nodes WHERE vec_id < 10),
+         |beams AS (SELECT * FROM (VALUES (4), (8)) b(beam)),
+         |pfent AS (SELECT qid, node FROM (
+         |  SELECT q.qid, n.vec_id AS node,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |      md5(CAST(q.qid AS VARCHAR) || '|' || CAST(n.vec_id AS VARCHAR)),
+         |      n.vec_id) AS rk
+         |  FROM qs q JOIN nodes n ON n.blk = q.qblk AND n.vec_id <> q.qid) t
+         | WHERE rk = 1),
+         |${walkDuck("pf", "nodes", "fg", "pfent", "beams", 7)},
+         |pfv AS (SELECT v.beam, v.qid, v.node,
+         |    round(${dotDuck("q.qv", "n.embedding")} /
+         |      (q.qnrm * n.nrm), 9) AS sim, l.label AS label
+         |  FROM pfv7 v JOIN nodes n ON n.vec_id = v.node
+         |              JOIN qs q ON q.qid = v.qid
+         |              JOIN lab l ON l.vec_id = v.node),
+         |$perPred,
+         |allv AS ($pfArms
+         |  UNION ALL SELECT * FROM iv1
+         |  UNION ALL SELECT * FROM iv2
+         |  UNION ALL SELECT * FROM iv3),
+         |counts AS (SELECT strategy, pred, beam, qid,
+         |    CAST(COUNT(*) AS BIGINT) AS n_visited,
+         |    CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match_visited
+         |  FROM allv GROUP BY strategy, pred, beam, qid),
+         |ranked AS (SELECT strategy, pred, beam, qid, node FROM (
+         |  SELECT strategy, pred, beam, qid, node,
+         |    ROW_NUMBER() OVER (PARTITION BY strategy, pred, beam, qid
+         |      ORDER BY sim DESC, node) AS rk
+         |  FROM allv WHERE m) t WHERE rk <= 3),
+         |bs AS (SELECT q.qid, n.vec_id AS nid, l.label,
+         |    round(${dotDuck("q.qv", "n.embedding")} /
+         |      (q.qnrm * n.nrm), 9) AS sim
+         |  FROM nodes n JOIN lab l ON l.vec_id = n.vec_id, qs q
+         |  WHERE n.vec_id <> q.qid),
+         |truth0 AS ($truthArms),
+         |grid AS (SELECT s.strategy, t.pred, b.beam, t.qid, t.nid
+         |  FROM truth0 t,
+         |       (VALUES ('postfilter'), ('induced')) s(strategy), beams b),
+         |perq AS (SELECT g.strategy, g.pred, g.beam, g.qid,
+         |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(r.node) AS BIGINT) AS n_hits
+         |  FROM grid g LEFT JOIN ranked r ON r.strategy = g.strategy
+         |    AND r.pred = g.pred AND r.beam = g.beam AND r.qid = g.qid
+         |    AND r.node = g.nid
+         |  GROUP BY g.strategy, g.pred, g.beam, g.qid)
+         |SELECT p.strategy, p.pred, CAST(p.beam AS BIGINT) AS beam, p.qid,
+         |  CAST(COALESCE(c.n_visited, 0) AS BIGINT) AS n_visited,
+         |  CAST(COALESCE(c.n_match_visited, 0) AS BIGINT)
+         |    AS n_match_visited,
+         |  p.n_exact, p.n_hits,
+         |  round(CAST(p.n_hits AS DOUBLE) / p.n_exact, 6) AS recall,
+         |  round(CAST(SUM(p.n_hits) OVER
+         |      (PARTITION BY p.strategy, p.pred, p.beam) AS DOUBLE) /
+         |    SUM(p.n_exact) OVER (PARTITION BY p.strategy, p.pred, p.beam),
+         |    6) AS macro_recall
+         |FROM perq p LEFT JOIN counts c ON c.strategy = p.strategy
+         |  AND c.pred = p.pred AND c.beam = p.beam AND c.qid = p.qid
+         |ORDER BY p.strategy, p.pred, p.beam, p.qid""".stripMargin
+    },
 
     // the planted-corpus prefix (q_ann_recall verbatim) feeding the
     // same unroll; recall measured per round against the planted truth

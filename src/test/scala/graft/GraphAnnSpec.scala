@@ -173,6 +173,45 @@ class GraphAnnSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("q_ann_filtered: one shared full walk, all-matching induced visits that thin with selectivity, postfilter never loses here (VERDICT r13 item 4)") {
+    val rows = graft.operators.Similarity
+      .queries("q_ann_filtered")(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // (strategy, pred, beam, qid, n_visited, n_match, n_exact, n_hits)
+    assert(rows.length == 120, s"2x3x2x10 grid, got ${rows.length}")
+    rows.foreach(r => assert(r._7 == 3L, s"constrained truth not 3: $r"))
+    // structural: the induced walk only ever visits matching nodes
+    rows.filter(_._1 == "induced").foreach(r =>
+      assert(r._5 == r._6, s"induced visited a non-matching node: $r"))
+    // structural: postfilter slices ONE walk, so its per-query visit
+    // count is selectivity-independent (identical across preds)
+    rows.filter(_._1 == "postfilter").groupBy(r => (r._3, r._4)).foreach {
+      case (k, rs) =>
+        assert(rs.map(_._5).distinct.length == 1,
+          s"postfilter n_visited varies across preds at $k: $rs")
+    }
+    // measured, both fixtures: the induced subgraph thins with
+    // selectivity (k·sel edges/node), so its mean visits strictly
+    // shrink lt5 -> lt2 -> eq0 at beam 8
+    def meanVisited(p: String) = {
+      val v = rows.filter(r => r._1 == "induced" && r._2 == p && r._3 == 8L)
+      v.map(_._5).sum.toDouble / v.length
+    }
+    assert(meanVisited("lt5") > meanVisited("lt2") &&
+      meanVisited("lt2") > meanVisited("eq0"),
+      s"induced visits did not thin: ${Seq("lt5", "lt2", "eq0").map(meanVisited)}")
+    // measured, both fixtures: on the near-orthogonal noise corpus
+    // predicate-agnostic routing (postfilter) never loses recall to
+    // the induced walk — the documented no-crossover refutation
+    val hits = rows.groupBy(r => (r._1, r._2, r._3)).view
+      .mapValues(_.map(_._8).sum).toMap
+    for (p <- Seq("lt5", "lt2", "eq0"); b <- Seq(4L, 8L))
+      assert(hits(("postfilter", p, b)) >= hits(("induced", p, b)),
+        s"induced beat postfilter at ($p, $b): $hits")
+    TestSpark.housekeeping()
+  }
+
   test("graft.nndescent.init.width knob: fine blocks seed high, coarse blocks recover by descent (both engines read it per call)") {
     val dflt = recallRows().groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val old = sys.props.get("graft.nndescent.init.width")
