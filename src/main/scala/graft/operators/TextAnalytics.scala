@@ -1435,27 +1435,48 @@ object TextAnalytics extends graft.QueryPack {
     })
   ) ++ extraQueries
 
-  /** Unigram-LM seed floor (2-gram weighted count) and prune width
-    * (2-grams kept) — grid constants of q_unigram_lm, restated
-    * verbatim in the oracle. */
+  /** Unigram-LM seed floor (2-gram weighted count) — a grid constant
+    * of q_unigram_lm, restated verbatim in the oracle. */
   private val UNI_FLOOR = 5L
-  private val UNI_KEEP = 16
+
+  /** The PRUNE SCHEDULE (VERDICT r13 item 5): how many 2-grams each
+    * EM round keeps, the way real SentencePiece shrinks toward its
+    * target vocabulary by a per-round percentage instead of one hard
+    * cut. Non-increasing by construction (a prune can only remove);
+    * read PER CALL (the graft.phash.group.cap discipline) so specs
+    * exercise a second schedule, and embedded into the generated
+    * oracle SQL from the same read — both engines in lockstep under
+    * any setting. Default 24 → 16: round 1 scores the full seed
+    * vocabulary and keeps 24 grams, round 2 re-scores under the
+    * survivors' smoothed model and keeps 16, and the final report
+    * round re-segments under the end model. */
+  private def uniKeepSchedule: Seq[Int] = {
+    val sched = sys.props.get("graft.unigram.keep")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(24, 16))
+    require(sched.nonEmpty && sched.forall(_ > 0) &&
+      sched.sliding(2).forall(p => p.length < 2 || p(1) <= p(0)),
+      s"graft.unigram.keep must be a non-increasing positive schedule, got $sched")
+    sched
+  }
 
   /** The q_unigram_lm trainer frames, shared with q_unigram_encode:
-    * word-frequency table, seed vocabulary + probs, the pruned
-    * round-1 table (full vocabulary with exact counts; singles
-    * protected, top-UNI_KEEP 2-grams) and the add-one-smoothed
-    * post-prune probabilities round 2 / the encoder run under. The
-    * M-step smoothing is the required-character guarantee across
-    * rounds — a single char whose round-1 occurrences were all
-    * absorbed by grams would otherwise re-enter round 2 at p = 0
-    * (infinite cost) and any word forced to use it would fall out of
-    * the count table, breaking the char-conservation law
+    * word-frequency table, then one (kept_r, probs_{r-1}) pair per
+    * schedule round — kept_r is round r's pre-prune vocabulary with
+    * exact Viterbi counts under the incoming model (singles
+    * protected, top-keep_r 2-grams survive) — plus the final
+    * add-one-smoothed post-prune probabilities the encoder runs
+    * under. The M-step smoothing is the required-character guarantee
+    * across rounds — a single char whose occurrences were all
+    * absorbed by grams would otherwise re-enter the next round at
+    * p = 0 (infinite cost) and any word forced to use it would fall
+    * out of the count table, breaking the char-conservation law
     * UnigramLmSpec pins (measured: 86194/125717 chars pre-fix). */
-  private final case class UniTrain(words: DataFrame, probs0: DataFrame,
-      kept1: DataFrame, probs1: DataFrame)
+  private final case class UniTrain(words: DataFrame,
+      rounds: Seq[(DataFrame, DataFrame)], probsFinal: DataFrame)
 
   private def uniTrainFrames(s: SparkSession, d: String): UniTrain = {
+    val schedule = uniKeepSchedule
     val words = Tables(s, d, "documents")
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
@@ -1474,41 +1495,49 @@ object TextAnalytics extends graft.QueryPack {
       .filter(col("sc") >= UNI_FLOOR)
     val vocab0 = singles.unionByName(grams)
     val s0 = vocab0.agg(sum(col("sc")).as("tot"))
-    val probs0 = vocab0.crossJoin(broadcast(s0))
+    var probs = vocab0.crossJoin(broadcast(s0))
       .select(col("piece"),
         round(col("sc").cast("double") / col("tot"), 9).as("p"))
       .localCheckpoint()
-    // the round reports the FULL vocabulary: a piece the Viterbi
-    // paths never used reads cnt = 0 — it competes in the prune and
-    // its seed mass stays visible
-    val c1 = uniViterbiCounts(words, probs0)
-    val kept1 = vocab0.select(col("piece"))
-      .join(c1, Seq("piece"), "left_outer")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      .withColumn("len", length(col("piece")).cast("long"))
-      .withColumn("grk",
-        when(col("len") === 2L, row_number().over(
-          Window.partitionBy(col("len"))
-            .orderBy(col("cnt").desc, col("piece")))))
-      .withColumn("kept", col("len") === 1L ||
-        coalesce(col("grk") <= UNI_KEEP, lit(false)))
-      .localCheckpoint()
-    val keptAgg = kept1.filter(col("kept"))
-      .agg(sum(col("cnt")).as("ktot"), count(lit(1)).as("nk"))
-    val probs1 = kept1.filter(col("kept"))
-      .crossJoin(broadcast(keptAgg))
-      .select(col("piece"),
-        round((col("cnt") + 1L).cast("double") /
-          (col("ktot") + col("nk")).cast("double"), 9).as("p"))
-      .localCheckpoint()
-    UniTrain(words, probs0, kept1, probs1)
+    var vocab = vocab0.select(col("piece"))
+    val rounds = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFrame, DataFrame)]
+    schedule.foreach { keep =>
+      // each round reports its FULL incoming vocabulary: a piece the
+      // Viterbi paths never used reads cnt = 0 — it competes in the
+      // prune and its mass stays visible
+      val c = uniViterbiCounts(words, probs)
+      val kept = vocab
+        .join(c, Seq("piece"), "left_outer")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("len", length(col("piece")).cast("long"))
+        .withColumn("grk",
+          when(col("len") === 2L, row_number().over(
+            Window.partitionBy(col("len"))
+              .orderBy(col("cnt").desc, col("piece")))))
+        .withColumn("kept", col("len") === 1L ||
+          coalesce(col("grk") <= keep, lit(false)))
+        .localCheckpoint()
+      rounds += ((kept, probs))
+      val keptAgg = kept.filter(col("kept"))
+        .agg(sum(col("cnt")).as("ktot"), count(lit(1)).as("nk"))
+      probs = kept.filter(col("kept"))
+        .crossJoin(broadcast(keptAgg))
+        .select(col("piece"),
+          round((col("cnt") + 1L).cast("double") /
+            (col("ktot") + col("nk")).cast("double"), 9).as("p"))
+        .localCheckpoint()
+      vocab = kept.filter(col("kept")).select(col("piece"))
+    }
+    UniTrain(words, rounds.toSeq, probs)
   }
 
   /** The trained unigram COST table (piece → round9(−ln p) under the
-    * post-prune smoothed model) as a collected map — vocabulary-sized
-    * (singles + UNI_KEEP grams), memoized per dataset exactly like
-    * the BPE merge table so a sweep running both unigram queries pays
-    * the corpus-pass trainer once. */
+    * final post-prune smoothed model) as a collected map —
+    * vocabulary-sized (singles + the schedule's last keep width),
+    * memoized per (dataset, schedule) exactly like the BPE merge
+    * table so a sweep running both unigram queries pays the
+    * corpus-pass trainer once. */
   private val uniCache = new java.util.concurrent.ConcurrentHashMap[
     String, Map[String, Double]]()
 
@@ -1558,9 +1587,12 @@ object TextAnalytics extends graft.QueryPack {
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
           .map(p => s"${p.getName}{${fp(p)}}").mkString(",")
       else s"${f.length()}:${f.lastModified()}"
-    val key = s"$d|${fp(new java.io.File(d, "documents.parquet"))}"
+    // schedule in the key: a spec-time sysprop flip must retrain, not
+    // read a model memoized under another schedule
+    val key = s"$d|${uniKeepSchedule.mkString(",")}|" +
+      fp(new java.io.File(d, "documents.parquet"))
     uniCache.computeIfAbsent(key, _ =>
-      uniTrainFrames(s, d).probs1
+      uniTrainFrames(s, d).probsFinal
         .select(col("piece"), round(-log(col("p")), 9).as("cost"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
   }
@@ -1833,9 +1865,12 @@ object TextAnalytics extends graft.QueryPack {
     // underflows the lattice mass of every word past ~8 chars.
     // Min-plus over exact cost constants has neither failure mode at
     // any word length. Ties prefer the single-char step
-    // (deterministic, both engines strict-<). Round 1 scores the
-    // seed vocabulary; the PRUNE keeps the UNI_KEEP best 2-grams by
-    // (count desc, piece); round 2 re-segments under the survivors'
+    // (deterministic, both engines strict-<). Rounds follow the
+    // PRUNE SCHEDULE [[uniKeepSchedule]] (default 24 → 16,
+    // graft.unigram.keep, the SentencePiece shrink-toward-target
+    // discipline): round r scores the incoming vocabulary and keeps
+    // the schedule's r-th-best 2-gram count by (count desc, piece);
+    // a final report round re-segments under the end model's
     // re-normalized probabilities (mass redistributes onto kept
     // pieces). Scale: everything is vocabulary-sized after the one
     // corpus pass building the word-frequency table (the
@@ -1845,17 +1880,22 @@ object TextAnalytics extends graft.QueryPack {
     // UnigramLmSpec pins the prune-round invariants.
     "q_unigram_lm" -> ((s, d) => {
       val t = uniTrainFrames(s, d)
-      val c2 = uniViterbiCounts(t.words, t.probs1)
-      val r1 = t.kept1.join(t.probs0, Seq("piece"))
-        .select(lit(1L).as("rnd"), col("piece"), col("len"),
-          col("cnt"), col("p").as("prob_in"), col("kept"))
-      val r2 = t.kept1.filter(col("kept")).select(col("piece"), col("len"))
-        .join(c2, Seq("piece"), "left_outer")
+      val n = t.rounds.length
+      val perRound = t.rounds.zipWithIndex.map { case ((kept, pin), i) =>
+        kept.join(pin, Seq("piece"))
+          .select(lit((i + 1).toLong).as("rnd"), col("piece"), col("len"),
+            col("cnt"), col("p").as("prob_in"), col("kept"))
+      }
+      val cF = uniViterbiCounts(t.words, t.probsFinal)
+      val last = t.rounds.last._1.filter(col("kept"))
+        .select(col("piece"), col("len"))
+        .join(cF, Seq("piece"), "left_outer")
         .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-        .join(t.probs1, Seq("piece"))
-        .select(lit(2L).as("rnd"), col("piece"), col("len"),
+        .join(t.probsFinal, Seq("piece"))
+        .select(lit((n + 1).toLong).as("rnd"), col("piece"), col("len"),
           col("cnt"), col("p").as("prob_in"), lit(true).as("kept"))
-      r1.unionByName(r2).orderBy(col("rnd"), col("piece"))
+      (perRound :+ last).reduce(_ unionByName _)
+        .orderBy(col("rnd"), col("piece"))
     }),
 
     // The ENCODE side of the unigram tokenizer — q_tokenize_bpe's
@@ -1987,48 +2027,59 @@ object TextAnalytics extends graft.QueryPack {
   /** The BPE learn CTE prefix (w0..b3) shared by the q_bpe_merges and
     * q_tokenize_bpe oracles — the same 3 unrolled rounds the Spark
     * driver loop runs. */
-  /** The q_unigram_lm TRAINING prefix (seed vocab → round-1 Viterbi
-    * counts → prune → smoothed post-prune probs `uprobs1`) — shared
-    * by the q_unigram_lm and q_unigram_encode oracles. */
-  private lazy val uniTrainDuck: String =
-    s"""uwords AS MATERIALIZED (
-       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw,
-       |    regexp_extract_all(w, '.') AS cs,
-       |    CAST(len(regexp_extract_all(w, '.')) AS BIGINT) AS n
-       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
-       |        FROM documents) t
-       |  WHERE length(w) > 0 GROUP BY w),
-       |usingles AS (SELECT piece, CAST(SUM(cw) AS BIGINT) AS sc FROM (
-       |    SELECT unnest(cs) AS piece, cw FROM uwords) t GROUP BY piece),
-       |ugrams AS (SELECT piece, sc FROM (
-       |    SELECT piece, CAST(SUM(cw) AS BIGINT) AS sc FROM (
-       |      SELECT unnest(list_transform(range(2, n + 1), i ->
-       |        cs[CAST(i - 1 AS INTEGER)] || cs[CAST(i AS INTEGER)]))
-       |        AS piece, cw
-       |      FROM uwords WHERE n >= 2) t GROUP BY piece) u
-       |  WHERE sc >= $UNI_FLOOR),
-       |uvocab0 AS (SELECT * FROM usingles UNION ALL SELECT * FROM ugrams),
-       |uprobs0 AS (SELECT piece,
-       |    round(CAST(sc AS DOUBLE) /
-       |      (SELECT CAST(SUM(sc) AS DOUBLE) FROM uvocab0), 9) AS p
-       |  FROM uvocab0),
-       |uposx AS MATERIALIZED (SELECT w, cw, n, cs,
-       |  unnest(range(1, n + 1)) AS i
-       |        FROM uwords),
-       |${uniRoundDuck("1", "uprobs0")},
-       |ukept1 AS MATERIALIZED (
-       |  SELECT piece, cnt, CAST(length(piece) AS BIGINT) AS len,
-       |    (length(piece) = 1 OR COALESCE(rk <= $UNI_KEEP, FALSE)) AS kept
-       |  FROM (SELECT v.piece, COALESCE(c.cnt, 0) AS cnt,
-       |          CASE WHEN length(v.piece) = 2 THEN
-       |            ROW_NUMBER() OVER (PARTITION BY length(v.piece)
-       |              ORDER BY COALESCE(c.cnt, 0) DESC, v.piece) END AS rk
-       |        FROM uvocab0 v LEFT JOIN cnt1 c ON c.piece = v.piece) t),
-       |uprobs1 AS MATERIALIZED (
-       |  SELECT piece, round(CAST(cnt + 1 AS DOUBLE) /
-       |      (SELECT CAST(SUM(cnt) + COUNT(*) AS DOUBLE)
-       |       FROM ukept1 WHERE kept), 9) AS p
-       |  FROM ukept1 WHERE kept)""".stripMargin
+  /** The q_unigram_lm TRAINING prefix (seed vocab, then per schedule
+    * round r: Viterbi counts under uprobs{r-1} → prune at the round's
+    * keep width → smoothed post-prune probs uprobs{r}) — shared by
+    * the q_unigram_lm and q_unigram_encode oracles. A def: the
+    * schedule is re-read per call, so a spec-time sysprop flip keeps
+    * both engines in lockstep. */
+  private def uniTrainDuck: String = {
+    val head =
+      s"""uwords AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw,
+         |    regexp_extract_all(w, '.') AS cs,
+         |    CAST(len(regexp_extract_all(w, '.')) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+         |        FROM documents) t
+         |  WHERE length(w) > 0 GROUP BY w),
+         |usingles AS (SELECT piece, CAST(SUM(cw) AS BIGINT) AS sc FROM (
+         |    SELECT unnest(cs) AS piece, cw FROM uwords) t GROUP BY piece),
+         |ugrams AS (SELECT piece, sc FROM (
+         |    SELECT piece, CAST(SUM(cw) AS BIGINT) AS sc FROM (
+         |      SELECT unnest(list_transform(range(2, n + 1), i ->
+         |        cs[CAST(i - 1 AS INTEGER)] || cs[CAST(i AS INTEGER)]))
+         |        AS piece, cw
+         |      FROM uwords WHERE n >= 2) t GROUP BY piece) u
+         |  WHERE sc >= $UNI_FLOOR),
+         |uvocab0 AS (SELECT * FROM usingles UNION ALL SELECT * FROM ugrams),
+         |uprobs0 AS (SELECT piece,
+         |    round(CAST(sc AS DOUBLE) /
+         |      (SELECT CAST(SUM(sc) AS DOUBLE) FROM uvocab0), 9) AS p
+         |  FROM uvocab0),
+         |uposx AS MATERIALIZED (SELECT w, cw, n, cs,
+         |  unnest(range(1, n + 1)) AS i
+         |        FROM uwords)""".stripMargin
+    val steps = uniKeepSchedule.zipWithIndex.map { case (keep, i0) =>
+      val r = i0 + 1
+      s"""${uniRoundDuck(s"$r", s"uprobs${r - 1}")},
+         |ukept$r AS MATERIALIZED (
+         |  SELECT piece, cnt, CAST(length(piece) AS BIGINT) AS len,
+         |    (length(piece) = 1 OR COALESCE(rk <= $keep, FALSE)) AS kept
+         |  FROM (SELECT v.piece, COALESCE(c.cnt, 0) AS cnt,
+         |          CASE WHEN length(v.piece) = 2 THEN
+         |            ROW_NUMBER() OVER (PARTITION BY length(v.piece)
+         |              ORDER BY COALESCE(c.cnt, 0) DESC, v.piece) END AS rk
+         |        FROM uvocab${r - 1} v
+         |        LEFT JOIN cnt$r c ON c.piece = v.piece) t),
+         |uvocab$r AS (SELECT piece, cnt AS sc FROM ukept$r WHERE kept),
+         |uprobs$r AS MATERIALIZED (
+         |  SELECT piece, round(CAST(cnt + 1 AS DOUBLE) /
+         |      (SELECT CAST(SUM(cnt) + COUNT(*) AS DOUBLE)
+         |       FROM ukept$r WHERE kept), 9) AS p
+         |  FROM ukept$r WHERE kept)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
 
   /** One q_unigram_lm Viterbi round as DuckDB CTEs
     * (suffix-parameterized like descentStepsDuck): lattice positions
@@ -2122,30 +2173,37 @@ object TextAnalytics extends graft.QueryPack {
 
   def oracles: Map[String, String] = Map(
     // the Viterbi EM restated: recursive-CTE min-plus DP + backtrack
-    // per word, exact integer counts, prune grid, both rounds
-    "q_unigram_lm" ->
+    // per word, exact integer counts, the prune-schedule rounds plus
+    // the final re-segmentation round
+    "q_unigram_lm" -> {
+      val n = uniKeepSchedule.length
+      val perRound = (1 to n).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS rnd, k.piece, k.len, k.cnt,
+           |  p.p AS prob_in, k.kept
+           |FROM ukept$r k JOIN uprobs${r - 1} p ON p.piece = k.piece""".stripMargin
+      }.mkString("\nUNION ALL\n")
       s"""WITH RECURSIVE $uniTrainDuck,
-         |${uniRoundDuck("2", "uprobs1")}
-         |SELECT CAST(1 AS BIGINT) AS rnd, k.piece, k.len, k.cnt,
-         |  p0.p AS prob_in, k.kept
-         |FROM ukept1 k JOIN uprobs0 p0 ON p0.piece = k.piece
+         |${uniRoundDuck(s"${n + 1}", s"uprobs$n")}
+         |$perRound
          |UNION ALL
-         |SELECT CAST(2 AS BIGINT), k.piece, k.len,
-         |  COALESCE(c2.cnt, 0) AS cnt, p1.p, TRUE
-         |FROM ukept1 k
-         |LEFT JOIN cnt2 c2 ON c2.piece = k.piece
-         |JOIN uprobs1 p1 ON p1.piece = k.piece
+         |SELECT CAST(${n + 1} AS BIGINT), k.piece, k.len,
+         |  COALESCE(cf.cnt, 0) AS cnt, pn.p, TRUE
+         |FROM ukept$n k
+         |LEFT JOIN cnt${n + 1} cf ON cf.piece = k.piece
+         |JOIN uprobs$n pn ON pn.piece = k.piece
          |WHERE k.kept
-         |ORDER BY rnd, piece""".stripMargin,
+         |ORDER BY rnd, piece""".stripMargin
+    },
 
-    // the trained model's round-2 backtrack already carries every
+    // the trained model's final backtrack already carries every
     // word's best segmentation — per-word piece counts fall out of
-    // bt2 for free, then one doc-words join
-    "q_unigram_encode" ->
+    // the last bt for free, then one doc-words join
+    "q_unigram_encode" -> {
+      val n = uniKeepSchedule.length
       s"""WITH RECURSIVE $uniTrainDuck,
-         |${uniRoundDuck("2", "uprobs1")},
+         |${uniRoundDuck(s"${n + 1}", s"uprobs$n")},
          |wp AS (SELECT b.w, CAST(COUNT(b.piece) AS BIGINT) AS k
-         |       FROM bt2 b WHERE b.piece IS NOT NULL GROUP BY b.w),
+         |       FROM bt${n + 1} b WHERE b.piece IS NOT NULL GROUP BY b.w),
          |docw AS (SELECT doc_id, w FROM (
          |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
          |    FROM documents) t WHERE length(w) > 0),
@@ -2159,7 +2217,8 @@ object TextAnalytics extends graft.QueryPack {
          |    round(CAST(agg.n_p AS DOUBLE) / agg.n_ws, 9) END
          |    AS pieces_per_word
          |FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id
-         |ORDER BY doc.doc_id""".stripMargin,
+         |ORDER BY doc.doc_id""".stripMargin
+    },
 
     // same checkpoints, first-occurrence frame, grid OLS
     "q_heaps_law" ->

@@ -5,21 +5,31 @@ import org.apache.spark.sql.functions._
 import TestSpark.spark
 
 /** q_unigram_lm — the Viterbi-EM unigram tokenizer trainer (VERDICT
-  * r12 item 4). Pins the prune-round invariants the DuckDB oracle
-  * can't see as *properties*: required-character survival, vocab set
-  * algebra across the prune, probability normalization, and the exact
+  * r12 item 4; prune SCHEDULE r13 item 5). Pins the prune-round
+  * invariants the DuckDB oracle can't see as *properties*:
+  * required-character survival, vocab set algebra across every prune
+  * round of the schedule, probability normalization, the exact
   * char-conservation law of a Viterbi segmentation (every char of
   * every word is covered by exactly one piece, so Σ cnt·len over the
   * piece table equals the corpus' weighted char total — an integer
-  * identity, not an approximation).
+  * identity, not an approximation), and the schedule knob itself at a
+  * second setting.
   */
 class UnigramLmSpec extends AnyFunSuite {
 
-  private lazy val rows = graft.operators.TextAnalytics
-    .queries("q_unigram_lm")(spark, TestSpark.sf)
-    .collect()
-    .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
-      r.getDouble(4), r.getBoolean(5))) // (rnd, piece, len, cnt, p, kept)
+  // (rnd, piece, len, cnt, p, kept)
+  private def trainRows(): Array[(Long, String, Long, Long, Double, Boolean)] =
+    graft.operators.TextAnalytics
+      .queries("q_unigram_lm")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+
+  private lazy val rows = trainRows()
+
+  // default schedule 24 -> 16: prune rounds 1..2, final report round 3
+  private val SCHED = Seq(24L, 16L)
+  private val ROUNDS = (1L to (SCHED.length + 1L)).toSeq
 
   private lazy val weightedChars: Long = {
     val d = Tables(spark, TestSpark.sf, "documents")
@@ -29,29 +39,36 @@ class UnigramLmSpec extends AnyFunSuite {
     d.getLong(0)
   }
 
-  test("required chars survive the prune; kept 2-grams respect the grid width") {
-    val r1 = rows.filter(_._1 == 1L)
-    assert(r1.nonEmpty)
-    r1.filter(_._3 == 1L).foreach { r =>
-      assert(r._6, s"single-char piece '${r._2}' was pruned")
+  test("required chars survive every prune; kept 2-grams respect the schedule widths") {
+    SCHED.zipWithIndex.foreach { case (keep, i) =>
+      val r = rows.filter(_._1 == i + 1L)
+      assert(r.nonEmpty, s"round ${i + 1} empty")
+      r.filter(_._3 == 1L).foreach { x =>
+        assert(x._6, s"single-char piece '${x._2}' pruned in round ${i + 1}")
+      }
+      val keptGrams = r.count(x => x._3 == 2L && x._6)
+      assert(keptGrams <= keep,
+        s"round ${i + 1} kept $keptGrams 2-grams > schedule width $keep")
+      // non-degenerate: each round had real 2-grams to prune
+      assert(r.count(_._3 == 2L) > keptGrams,
+        s"round ${i + 1} had nothing to drop - fixture too small")
     }
-    val keptGrams = r1.count(r => r._3 == 2L && r._6)
-    assert(keptGrams <= 16, s"prune kept $keptGrams 2-grams")
-    // non-degenerate: the seed floor admitted real 2-grams to prune
-    assert(r1.count(_._3 == 2L) > keptGrams,
-      "prune had nothing to drop - fixture too small for the floor")
   }
 
-  test("round-2 vocabulary is exactly the kept round-1 set") {
-    val kept1 = rows.filter(r => r._1 == 1L && r._6).map(_._2).toSet
-    val vocab2 = rows.filter(_._1 == 2L).map(_._2).toSet
-    assert(vocab2 == kept1,
-      s"extra=${(vocab2 -- kept1).take(5)} missing=${(kept1 -- vocab2).take(5)}")
-    assert(rows.filter(_._1 == 2L).forall(_._6))
+  test("each round's vocabulary is exactly the previous round's kept set") {
+    ROUNDS.sliding(2).foreach { case Seq(a, b) =>
+      val keptA = rows.filter(r => r._1 == a && r._6).map(_._2).toSet
+      val vocabB = rows.filter(_._1 == b).map(_._2).toSet
+      assert(vocabB == keptA,
+        s"round $a->$b: extra=${(vocabB -- keptA).take(5)} " +
+          s"missing=${(keptA -- vocabB).take(5)}")
+    }
+    assert(rows.filter(_._1 == ROUNDS.last).forall(_._6),
+      "final report round must be all-kept")
   }
 
   test("probabilities normalize per round (round-9 ulp tolerance)") {
-    Seq(1L, 2L).foreach { rnd =>
+    ROUNDS.foreach { rnd =>
       val rs = rows.filter(_._1 == rnd)
       val tot = rs.map(_._5).sum
       assert(math.abs(tot - 1.0) <= 5e-10 * rs.length + 1e-9,
@@ -60,41 +77,70 @@ class UnigramLmSpec extends AnyFunSuite {
   }
 
   test("Viterbi char conservation: sum(cnt*len) per round equals the weighted corpus chars exactly") {
-    Seq(1L, 2L).foreach { rnd =>
+    ROUNDS.foreach { rnd =>
       val covered = rows.filter(_._1 == rnd).map(r => r._4 * r._3).sum
       assert(covered == weightedChars,
         s"round $rnd covers $covered of $weightedChars chars")
-    }
-    // and the piece totals respect the 1-or-2-char piece bound
-    Seq(1L, 2L).foreach { rnd =>
       val pieces = rows.filter(_._1 == rnd).map(_._4).sum
       assert(pieces >= (weightedChars + 1) / 2 && pieces <= weightedChars,
         s"round $rnd piece total $pieces outside [chars/2, chars]")
     }
-    // pruning 2-grams can only lengthen segmentations: the round-2
-    // piece total must not shrink (measured property on the fixture)
-    val p1 = rows.filter(_._1 == 1L).map(_._4).sum
-    val p2 = rows.filter(_._1 == 2L).map(_._4).sum
-    assert(p2 >= p1, s"piece total shrank across the prune: $p1 -> $p2")
+    // pruning 2-grams can only lengthen segmentations: piece totals
+    // must be non-decreasing down the schedule (measured property)
+    val totals = ROUNDS.map(r => rows.filter(_._1 == r).map(_._4).sum)
+    totals.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"piece total shrank across a prune: $totals")
+    }
     TestSpark.housekeeping()
   }
 
-  test("encode = train: q_unigram_encode piece totals equal the round-2 counts exactly") {
+  test("encode = train: q_unigram_encode piece totals equal the final round's counts exactly") {
     val enc = graft.operators.TextAnalytics
       .queries("q_unigram_encode")(spark, TestSpark.sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(enc.nonEmpty)
     // both count the SAME best segmentations (one definition, two
-    // grains): sum over docs of pieces == sum over pieces of round-2
-    // counts — an integer identity, not an approximation
+    // grains): sum over docs of pieces == sum over pieces of the
+    // final round's counts — an integer identity
     val encTotal = enc.map(_._3).sum
-    val r2Total = rows.filter(_._1 == 2L).map(_._4).sum
-    assert(encTotal == r2Total,
-      s"encode total $encTotal != round-2 count total $r2Total")
-    // per-doc bounds: pieces within [ws-token chars / 2, chars]
+    val rFTotal = rows.filter(_._1 == ROUNDS.last).map(_._4).sum
+    assert(encTotal == rFTotal,
+      s"encode total $encTotal != final round count total $rFTotal")
     enc.filter(_._2 > 0).foreach { case (id, ws, np) =>
       assert(np >= ws, s"doc $id: fewer pieces than words")
+    }
+    TestSpark.housekeeping()
+  }
+
+  test("graft.unigram.keep: a second schedule retrains in lockstep on both engines (VERDICT r13 item 5)") {
+    val old = sys.props.get("graft.unigram.keep")
+    try {
+      sys.props("graft.unigram.keep") = "16"
+      val alt = trainRows()
+      // single-cut legacy schedule: rounds 1 (prune at 16) + 2 (final)
+      assert(alt.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L),
+        s"rounds under schedule [16]: ${alt.map(_._1).distinct.toSeq}")
+      assert(alt.count(r => r._1 == 1L && r._3 == 2L && r._6) <= 16)
+      // the conservation law is schedule-independent
+      Seq(1L, 2L).foreach { rnd =>
+        val covered = alt.filter(_._1 == rnd).map(r => r._4 * r._3).sum
+        assert(covered == weightedChars,
+          s"schedule [16] round $rnd covers $covered of $weightedChars")
+      }
+      // and the generated oracle re-reads the schedule: exactly one
+      // prune round (ukept1, no ukept2) at width 16
+      val sql = graft.operators.TextAnalytics.oracles("q_unigram_lm")
+      assert(sql.contains("rk <= 16") && sql.contains("ukept1") &&
+        !sql.contains("ukept2"), "oracle SQL not in lockstep with the schedule")
+      // invalid schedules fail loudly
+      sys.props("graft.unigram.keep") = "16,24"
+      intercept[IllegalArgumentException] { trainRows() }
+    } finally {
+      old match {
+        case Some(v) => sys.props("graft.unigram.keep") = v
+        case None => sys.props -= "graft.unigram.keep"
+      }
     }
     TestSpark.housekeeping()
   }
