@@ -47,24 +47,24 @@ object HtmlDom {
 
   /** HTML5 implied end tags on SIBLING OPENS, with the spec's SCOPED
     * SEARCH (r13 — closes the long-documented top-of-stack-only gap):
-    * an opening tag in this map scans the open-element stack downward
-    * for a tag in its `targets` set, STOPPING at its scope-boundary
-    * set, and closes everything above and including the match; the
-    * loop form handles cascades (`<tr>` closes an open `td` AND the
-    * `tr` above it — each iteration pops at least one element). So
-    * `<ul><li>a<li>b</ul>` yields sibling `li`s ('a','b' like jsdom),
-    * `<ul><li>a<div>b<li>c` closes the first li THROUGH the open div
-    * (div is not a list-scope boundary), `<p><b>x<div>` closes the p
-    * through the open inline wrapper (button scope), and
-    * `<p>a<button><p>b` does NOT close the outer p (button IS its
-    * scope boundary) — all as jsdom parses them. Includes the HTML5
-    * p-closing block set ([[closesP]], r12) plus `li`/`dt`/`dd`,
-    * which HTML5 also defines as p-closing (ADVICE r12).
-    * `boundaries = None` means top-of-stack only (`option`, per
-    * spec). Formatting elements popped en route to the target are
-    * RECONSTRUCTED inside the triggering element — see
-    * [[formattingTags]] for the rule and its one documented
-    * simplification. */
+    * an opening tag in this map runs its close rules IN ORDER; each
+    * scans the open-element stack downward for a tag in its `targets`
+    * set, STOPPING at its scope-boundary set, and closes everything
+    * above and including the match; the loop form handles cascades
+    * (`<tr>` closes an open `td` AND the `tr` above it — each
+    * iteration pops at least one element). So `<ul><li>a<li>b</ul>`
+    * yields sibling `li`s ('a','b' like jsdom), `<ul><li>a<div>b<li>c`
+    * closes the first li THROUGH the open div (div is exempt from the
+    * li abort set), `<p><b>x<div>` closes the p through the open
+    * inline wrapper (button scope), and `<p>a<button><p>b` does NOT
+    * close the outer p (button IS its scope boundary) — all as jsdom
+    * parses them. li/dt/dd carry TWO rules, per spec (ADVICE r13):
+    * the sibling-item search aborts at any SPECIAL element except
+    * address/div/p ([[liAbort]] — so `<ul><li>a<section><li>b` nests
+    * the second li inside the section, and button, being special,
+    * blocks the item search too), while their p-closing step runs
+    * separately under button scope. `boundaries = None` means
+    * top-of-stack only (`option`, per spec). */
   private val closesP = Set("address", "article", "aside", "blockquote",
     "details", "div", "dl", "fieldset", "figcaption", "figure", "footer",
     "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hgroup", "hr",
@@ -78,35 +78,75 @@ object HtmlDom {
   private val inScopeBase = Set("html", "table", "template", "caption",
     "td", "th", "applet", "object", "marquee")
 
+  /** HTML5 §13.2 "special" category — the abort set of the li/dt/dd
+    * sibling-item search is this minus the spec's address/div/p
+    * exceptions ([[liAbort]]). */
+  private val specialTags = Set("address", "applet", "area", "article",
+    "aside", "base", "basefont", "bgsound", "blockquote", "body", "br",
+    "button", "caption", "center", "col", "colgroup", "dd", "details",
+    "dir", "div", "dl", "dt", "embed", "fieldset", "figcaption",
+    "figure", "footer", "form", "frame", "frameset", "h1", "h2", "h3",
+    "h4", "h5", "h6", "head", "header", "hgroup", "hr", "html",
+    "iframe", "img", "input", "keygen", "li", "link", "listing", "main",
+    "marquee", "menu", "meta", "nav", "noembed", "noframes", "noscript",
+    "object", "ol", "p", "param", "plaintext", "pre", "script",
+    "section", "select", "source", "style", "summary", "table", "tbody",
+    "td", "template", "textarea", "tfoot", "th", "thead", "title", "tr",
+    "track", "ul", "wbr", "xmp")
+
+  private val liAbort = specialTags -- Set("address", "div", "p")
+
   private final case class CloseRule(targets: Set[String],
       boundaries: Option[Set[String]])
 
-  /** HTML5 active-formatting elements (§13.2.4.3): when a scoped
-    * implied close pops one of these on its way to the target, the
-    * treebuilder RECONSTRUCTS it inside the element that triggered
-    * the close — `<p><b>x<div>d` reopens the `<b>` around 'd', as
-    * jsdom parses it (r13; closes the adoption-agency divergence the
-    * scoped-search change documented). Reconstruction here is
-    * open-tag-triggered: the lazy text-triggered variant (`<p><b>x
-    * </p>y` reopening b around bare trailing text) is the remaining
-    * documented simplification — fixture markup never leaves
-    * formatting elements open across an explicit block close. */
+  /** HTML5 active-formatting elements (§13.2.4.3), kept as a real
+    * ACTIVE LIST (r14 — replaces r13's reopen-at-implied-close buffer
+    * and closes both of its documented gaps): a formatting element
+    * popped by ANY close that is not its own end tag — an implied
+    * close, an ancestor's explicit close (`<p><b>x</p>y`), a cascade —
+    * stays on the list and is RECONSTRUCTED, in list (= document)
+    * order so nesting can never invert, the next time content is
+    * inserted: any text character, or any start tag outside
+    * [[noReconstructOpens]] (the spec's block/table/metadata rules
+    * that insert without reconstructing — their inner text triggers
+    * the rebuild instead, which lands the clones in the same places).
+    * Its own end tag removes the entry even when the element is no
+    * longer on the stack (`<p><b>x</p></b>y` leaves 'y' bare, per the
+    * adoption agency's simple case). Remaining simplifications, by
+    * choice: no Noah's-ark duplicate cap and no mid-tree adoption-
+    * agency reparenting of the FIRST instance — both need markup that
+    * interleaves misnested formatting the reference's pages never
+    * produce. */
   private val formattingTags = Set("a", "b", "big", "code", "em",
     "font", "i", "nobr", "s", "small", "strike", "strong", "tt", "u")
 
-  private val impliedClosedBy: Map[String, CloseRule] = {
+  /** Start tags that do NOT reconstruct active formatting before
+    * inserting (HTML5 "in body": the block/list/table/metadata rules
+    * that insert directly; everything else — phrasing content, voids
+    * like img/br/input, and the "any other start tag" rule —
+    * reconstructs first). */
+  private val noReconstructOpens: Set[String] = closesP ++ Set("li",
+    "dt", "dd", "tr", "td", "th", "tbody", "thead", "tfoot", "caption",
+    "colgroup", "col", "html", "head", "body", "script", "style",
+    "title", "meta", "link", "base", "option", "optgroup", "frameset",
+    "frame", "param", "source", "track")
+
+  private val impliedClosedBy: Map[String, Seq[CloseRule]] = {
     val button = inScopeBase + "button" // button scope (p), ~"special"
     val sibling = Map(
-      "li" -> CloseRule(Set("li", "p"), Some(button ++ Set("ol", "ul"))),
-      "dt" -> CloseRule(Set("dt", "dd", "p"), Some(button)),
-      "dd" -> CloseRule(Set("dt", "dd", "p"), Some(button)),
-      "option" -> CloseRule(Set("option"), None),
-      "tr" -> CloseRule(Set("td", "th", "tr"), Some(inScopeBase)),
-      "td" -> CloseRule(Set("td", "th"), Some(inScopeBase)),
-      "th" -> CloseRule(Set("td", "th"), Some(inScopeBase)))
+      "li" -> Seq(CloseRule(Set("li"), Some(liAbort)),
+        CloseRule(Set("p"), Some(button))),
+      "dt" -> Seq(CloseRule(Set("dt", "dd"), Some(liAbort)),
+        CloseRule(Set("p"), Some(button))),
+      "dd" -> Seq(CloseRule(Set("dt", "dd"), Some(liAbort)),
+        CloseRule(Set("p"), Some(button))),
+      "option" -> Seq(CloseRule(Set("option"), None)),
+      "tr" -> Seq(CloseRule(Set("td", "th", "tr"), Some(inScopeBase))),
+      "td" -> Seq(CloseRule(Set("td", "th"), Some(inScopeBase))),
+      "th" -> Seq(CloseRule(Set("td", "th"), Some(inScopeBase))))
     closesP.foldLeft(sibling) { (m, t) =>
       if (m.contains(t)) m
-      else m.updated(t, CloseRule(Set("p"), Some(button)))
+      else m.updated(t, Seq(CloseRule(Set("p"), Some(button))))
     }
   }
 
@@ -150,13 +190,62 @@ object HtmlDom {
     out.toString
   }
 
+  /** An active-formatting-list entry: `open` is the index in the
+    * node list of the currently-open instance (original or latest
+    * clone), or -1 while the element is popped and awaiting
+    * reconstruction. */
+  private final class ActiveFmt(val tag: String,
+      val attrs: Map[String, String], var open: Int)
+
   /** Tokenize into an element list in document order, each with its
     * attribute map, parent link, and inner-content span. */
   def parse(html: String): IndexedSeq[Node] = {
     val lower = html.toLowerCase
     val nodes = ArrayBuffer.empty[Node]
     val stack = ArrayBuffer.empty[Int]
+    val active = ArrayBuffer.empty[ActiveFmt]
+    var pending = 0 // active entries with open == -1 (awaiting rebuild)
     val n = html.length
+
+    // pop the stack down to and including index k; formatting
+    // elements leaving the stack this way stay on the active list
+    // (they reconstruct at the next insertion) — only their own end
+    // tag removes them (handled at the close-tag site)
+    def popTo(k: Int, endPos: Int): Unit = {
+      var t = stack.length - 1
+      while (t >= k) {
+        val ix = stack(t)
+        nodes(ix).innerEnd = endPos
+        var a = 0
+        while (a < active.length) {
+          if (active(a).open == ix) { active(a).open = -1; pending += 1 }
+          a += 1
+        }
+        stack.remove(t)
+        t -= 1
+      }
+    }
+
+    // reopen every popped active entry, in LIST (= document) order —
+    // outermost first by construction, so nesting can never invert
+    def reconstruct(pos: Int): Unit = {
+      var a = 0
+      while (a < active.length) {
+        val e = active(a)
+        if (e.open == -1) {
+          val clone = new Node(e.tag, e.attrs,
+            if (stack.isEmpty) -1 else stack.last)
+          clone.innerStart = pos
+          clone.innerEnd = -1
+          nodes += clone
+          stack += nodes.length - 1
+          e.open = nodes.length - 1
+        }
+        a += 1
+      }
+      pending = 0
+    }
+
     var i = 0
     while (i < n) {
       if (html.charAt(i) == '<') {
@@ -172,64 +261,65 @@ object HtmlDom {
           val after = if (gt < 0) n else gt + 1
           val k = stack.lastIndexWhere(ix => nodes(ix).tag == tag)
           if (k >= 0) {
-            // implied-close everything opened inside the match
-            var t = stack.length - 1
-            while (t >= k) {
-              nodes(stack(t)).innerEnd = i
-              stack.remove(t)
-              t -= 1
+            // the element's OWN end tag: drop its active entry first
+            // so it does not reconstruct (everything popped above it
+            // stays active — the <p><b>x</p>y case reopens b at y)
+            if (formattingTags(tag)) {
+              val tgtIx = stack(k)
+              val ai = active.lastIndexWhere(_.open == tgtIx)
+              if (ai >= 0) active.remove(ai)
             }
-          } // stray closer with no open partner: ignored
+            popTo(k, i)
+          } else if (formattingTags(tag)) {
+            // end tag for a formatting element that is no longer on
+            // the stack (</p></b>y): remove the pending entry so the
+            // following text stays bare — the adoption agency's
+            // simple case
+            val ai = active.lastIndexWhere(_.tag == tag)
+            if (ai >= 0) {
+              if (active(ai).open == -1) pending -= 1
+              active.remove(ai)
+            }
+          } // other stray closers: ignored
           i = after
         } else if (i + 1 < n && html.charAt(i + 1).isLetter) {
           var j = i + 1
           val ts = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
           val tag = lower.substring(ts, j)
-          val reformat = ArrayBuffer.empty[(String, Map[String, String])]
-          impliedClosedBy.get(tag).foreach { rule =>
-            var repeat = true
-            while (repeat) {
-              repeat = false
-              rule.boundaries match {
-                case None => // top-of-stack only (option)
-                  if (stack.nonEmpty && rule.targets(nodes(stack.last).tag)) {
-                    nodes(stack.last).innerEnd = i
-                    stack.remove(stack.length - 1)
-                    repeat = true
-                  }
-                case Some(bounds) =>
-                  var k = stack.length - 1
-                  var found = -1
-                  var stop = false
-                  while (k >= 0 && !stop && found < 0) {
-                    val t = nodes(stack(k)).tag
-                    if (rule.targets(t)) found = k
-                    else if (bounds(t)) stop = true
-                    else k -= 1
-                  }
-                  if (found >= 0) {
-                    // formatting elements popped en route to the
-                    // target reopen inside the triggering element
-                    // (outermost first, preserving nesting order)
-                    var f = found
-                    while (f < stack.length) {
-                      val nd = nodes(stack(f))
-                      if (formattingTags(nd.tag))
-                        reformat += ((nd.tag, nd.attrs))
-                      f += 1
+          impliedClosedBy.get(tag).foreach { rules =>
+            rules.foreach { rule =>
+              var repeat = true
+              while (repeat) {
+                repeat = false
+                rule.boundaries match {
+                  case None => // top-of-stack only (option)
+                    if (stack.nonEmpty &&
+                        rule.targets(nodes(stack.last).tag)) {
+                      popTo(stack.length - 1, i)
+                      repeat = true
                     }
-                    var t2 = stack.length - 1
-                    while (t2 >= found) {
-                      nodes(stack(t2)).innerEnd = i
-                      stack.remove(t2)
-                      t2 -= 1
+                  case Some(bounds) =>
+                    var k = stack.length - 1
+                    var found = -1
+                    var stop = false
+                    while (k >= 0 && !stop && found < 0) {
+                      val t = nodes(stack(k)).tag
+                      if (rule.targets(t)) found = k
+                      else if (bounds(t)) stop = true
+                      else k -= 1
                     }
-                    repeat = true
-                  }
+                    if (found >= 0) {
+                      popTo(found, i)
+                      repeat = true
+                    }
+                }
               }
             }
           }
+          // spec insertion order: reconstruct active formatting THEN
+          // insert, so the clones become the new element's ancestors
+          if (pending > 0 && !noReconstructOpens(tag)) reconstruct(i)
           val attrs = Map.newBuilder[String, String]
           var selfClose = false
           var done = false
@@ -284,23 +374,22 @@ object HtmlDom {
             } else {
               node.innerEnd = -1 // open until its close tag / EOF
               stack += nodes.length - 1
+              if (formattingTags(tag))
+                active += new ActiveFmt(tag, node.attrs, nodes.length - 1)
             }
           }
-          // reopen the formatting elements the implied close popped:
-          // inside the trigger if it is a container, as following
-          // siblings if it was void/self-closing (the <hr> case);
-          // their own close tags (or EOF) end the clones normally
-          reformat.foreach { case (ftag, fattrs) =>
-            val clone = new Node(ftag, fattrs,
-              if (stack.isEmpty) -1 else stack.last)
-            clone.innerStart = j
-            clone.innerEnd = -1
-            nodes += clone
-            stack += nodes.length - 1
-          }
           i = j
-        } else i += 1 // stray '<' is text
-      } else i += 1
+        } else {
+          // stray '<' is text — a character token reconstructs
+          if (pending > 0) reconstruct(i)
+          i += 1
+        }
+      } else {
+        // character token: reconstruct popped formatting before the
+        // text lands (the <p><b>x</p>y case — VERDICT r13 item 6)
+        if (pending > 0) reconstruct(i)
+        i += 1
+      }
     }
     stack.foreach(ix => nodes(ix).innerEnd = n) // unclosed at EOF
     nodes.toIndexedSeq

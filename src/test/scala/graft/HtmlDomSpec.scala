@@ -182,6 +182,45 @@ class HtmlDomSpec extends AnyFunSuite {
       "td td") == Seq("y"))
   }
 
+  test("text-triggered formatting reconstruction after an explicit block close (VERDICT r13 item 6)") {
+    // </p> pops the open <b>; the bare trailing text reopens it —
+    // the active-formatting list survives closes that are not the
+    // element's own end tag
+    assert(HtmlDom.selectTexts("<p><b>x</p>y", "b") == Seq("x", "y"))
+    // the clone persists across a following block: jsdom nests the
+    // next <p> inside the reopened <b>
+    assert(HtmlDom.selectTexts("<p><b>x</p>y<p>z", "b") == Seq("x", "yz"))
+    assert(HtmlDom.selectTexts("<p><b>x</p>y<p>z", "b p") == Seq("z"))
+    // the element's OWN end tag removes the entry even off-stack:
+    // </b> after </p> leaves the trailing text bare
+    assert(HtmlDom.selectTexts("<p><b>x</p></b>y", "b") == Seq("x"))
+    // reconstruction before a phrasing start tag (spec order:
+    // reconstruct THEN insert — the clone is the span's ancestor)
+    assert(HtmlDom.selectTexts("<p><b>x</p><span>y</span>", "b span")
+      == Seq("y"))
+  }
+
+  test("cascaded implied closes reconstruct formatting outermost-first (ADVICE r13)") {
+    // <tr> cascades through td AND tr, popping two formatting
+    // elements from different segments; the clones must reopen in
+    // document order (o outside i), never inverted
+    val html = "<table><tr><b class=o>u<td>v<b class=i>w<tr>z</table>"
+    assert(HtmlDom.selectTexts(html, "b.o b.i") == Seq("w", "z"))
+    assert(HtmlDom.selectTexts(html, "b.i b.o") == Seq())
+  }
+
+  test("li sibling search aborts at special elements except address/div/p (ADVICE r13)") {
+    // section is HTML5-special: the second li must NOT close the
+    // first through it — it nests inside the section, as jsdom does
+    assert(HtmlDom.selectTexts("<ul><li>a<section><li>b</section></ul>",
+      "section li") == Seq("b"))
+    assert(HtmlDom.selectTexts("<ul><li>a<section><li>b</section></ul>",
+      "li") == Seq("ab", "b"))
+    // address and div stay transparent to the search
+    assert(HtmlDom.selectTexts("<ul><li>a<address>w<li>b</ul>", "li")
+      == Seq("aw", "b"))
+  }
+
   test("li/dt/dd also close an open <p> (ADVICE r12)") {
     // the li is the p's sibling under the ul, as jsdom parses it
     assert(HtmlDom.selectTexts("<ul><p>a<li>b</ul>", "p") == Seq("a"))
