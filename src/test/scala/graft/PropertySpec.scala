@@ -185,4 +185,41 @@ class PropertySpec extends AnyFunSuite {
     }
     TestSpark.housekeeping()
   }
+
+  test("HtmlDom.parse is total and structurally valid on arbitrary tag soup (r14)") {
+    import graft.functions.HtmlDom
+    // fragments biased toward the parser's hard paths: implied
+    // closes, formatting reconstruction, stray closers, malformed
+    // attributes, comments, raw-text elements
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.oneOf("<p>", "</p>", "<b>", "</b>", "<i>", "</i>", "<div>",
+        "</div>", "<li>", "<ul>", "</ul>", "<tr>", "<td>", "<table>",
+        "</table>", "<section>", "</section>", "<hr>", "<br/>",
+        "<option>", "<dt>", "<dd>", "<dl>", "</dl>", "<button>",
+        "</button>", "<!--x-->", "<!--", "<script>a<b</script>",
+        "<style>", "< ", "<", ">", "</", "<x"),
+      Gen.alphaStr.map(_.take(6)),
+      Gen.oneOf("<a href=x>", "<a href='y z'>", "<img src=\"q\"/>",
+        "<em class=k id=m>", "<u data-v = 'w'>", "<b class>"))
+    val htmlGen: Gen[String] =
+      Gen.listOfN(40, frag).map(_.mkString)
+    cases(htmlGen, 60).foreach { html =>
+      val nodes = HtmlDom.parse(html) // must never throw
+      nodes.zipWithIndex.foreach { case (nd, ix) =>
+        // spans resolved and inside the document
+        assert(nd.innerStart >= 0 && nd.innerEnd >= nd.innerStart &&
+          nd.innerEnd <= html.length,
+          s"bad span [${nd.innerStart},${nd.innerEnd}] for ${nd.tag} in: $html")
+        // parents are earlier elements whose span contains the child's
+        assert(nd.parent < ix, s"forward parent link at $ix in: $html")
+        if (nd.parent >= 0) {
+          val p = nodes(nd.parent)
+          assert(nd.innerStart >= p.innerStart && nd.innerEnd <= p.innerEnd,
+            s"child span escapes parent for ${nd.tag} in: $html")
+        }
+        // innerText never throws and stays in bounds
+        HtmlDom.innerText(html, nd.innerStart, nd.innerEnd)
+      }
+    }
+  }
 }
