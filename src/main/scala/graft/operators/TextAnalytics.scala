@@ -1541,6 +1541,14 @@ object TextAnalytics extends graft.QueryPack {
   private val uniCache = new java.util.concurrent.ConcurrentHashMap[
     String, Map[String, Double]]()
 
+  /** Inert marker stamped into every TRAINED cost map: the encode
+    * kernel looks costs up by 1- and 2-char pieces only, so an 8-char
+    * key can never win a lookup — it exists so a model trained on an
+    * EMPTY corpus (legitimately zero pieces) is distinguishable from
+    * a map that was never trained at all, which [[unigramEncodeFrame]]
+    * rejects loudly. */
+  private[graft] val UNI_TRAINED = " trained"
+
   private[operators] def trainedUnigramModelFor(s: SparkSession,
       d: String): Map[String, Double] =
     trainedUnigramCosts(s, d)
@@ -1561,7 +1569,10 @@ object TextAnalytics extends graft.QueryPack {
     * cost literal, not a trained word list). */
   private[graft] def unigramEncodeFrame(
       costs: Map[String, Double])(docs: DataFrame): DataFrame = {
-    require(costs.nonEmpty,
+    // an untrained map fails loudly; a model trained on an EMPTY
+    // corpus passes (it carries the [[UNI_TRAINED]] marker), so the
+    // empty-input contract holds: encoding zero docs returns zero rows
+    require(costs.contains(UNI_TRAINED),
       "unigramEncodeFrame needs a trained cost map — call " +
         "trainedUnigramModelFor(s, d) and pass its result")
     val dw = docs.select(col("doc_id"),
@@ -1594,7 +1605,8 @@ object TextAnalytics extends graft.QueryPack {
     uniCache.computeIfAbsent(key, _ =>
       uniTrainFrames(s, d).probsFinal
         .select(col("piece"), round(-log(col("p")), 9).as("cost"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap +
+        (UNI_TRAINED -> 0.0))
   }
 
   /** Viterbi piece count of one word column under a LITERAL cost
