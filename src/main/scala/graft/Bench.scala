@@ -3,6 +3,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // tenancy evidence must be read BEFORE the bench generates its own
+    // load: the END-of-run loadavg of a local[32] leg is dominated by
+    // the leg itself (measured 7.9 on an idle host), so the idle-host
+    // claim a round archive makes is carried by the START reading
+    val loadStart: String = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ").take(3).mkString(",")
+    } catch { case _: Exception => "" }
     val spark = Harness.session(warm = true)
     def housekeeping(): Unit = Harness.housekeeping(spark)
 
@@ -78,8 +87,9 @@ object Bench {
         .linesIterator.find(_.startsWith("cpu "))
         .map(_.trim.split("\\s+")).filter(_.length > 8)
         .map(_(8)).getOrElse("0")
-      s""""loadavg":[$la],"steal_ticks":$steal"""
-    } catch { case _: Exception => s""""loadavg":[],"steal_ticks":-1""" }
+      s""""loadavg_start":[$loadStart],"loadavg":[$la],"steal_ticks":$steal"""
+    } catch { case _: Exception =>
+      s""""loadavg_start":[$loadStart],"loadavg":[],"steal_ticks":-1""" }
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$hostLoad,"queries":${qsJson(good)},"failed":$failedJson,"sf":"$sfDir"}"""
     // The harness stores only the LAST ~2000 chars of stdout: the full
