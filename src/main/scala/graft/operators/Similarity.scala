@@ -2620,7 +2620,17 @@ object Similarity extends graft.QueryPack {
     * incremental job, never an index rebuild. */
   private[graft] def deleteRepair(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+    val (nodes, delIds, gPre) = deleteGraphParts(s, d)
+    (nodes, delIds, gPre, repairStep(nodes, gPre, delIds))
+  }
+
+  /** The q_ann_delete fixture: planted-corpus node frame, the
+    * tombstone list (vec_id % 9 = 4 among non-query nodes) and the
+    * pre-delete search graph — shared by the one-shot query and
+    * streaming drain #31 (which replays the SAME tombstones as an
+    * ordered delete feed). */
+  private[graft] def deleteGraphParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val nodes = nnNodes(plantedCorpus(s, d)
       .withColumn("bucket", bucketCol(col("embedding"))))
     val gPre = nnSearchGraph(nnDescentEdges(nodes, rounds = 2).last)
@@ -2628,17 +2638,31 @@ object Similarity extends graft.QueryPack {
       .filter(col("vec_id") % 9 === 4 && col("vec_id") >= 10)
       .select(col("vec_id").as("did"))
       .localCheckpoint() // tombstone list: |D| rows, reused by 4 joins
-    val gAlive = gPre
+    (nodes, delIds, gPre)
+  }
+
+  /** ONE tombstone + NSW 2-hop repair application against an
+    * ARBITRARY current edge frame — the kernel of q_ann_delete
+    * (one application over the full tombstone set) and streaming
+    * drain #31 (per-batch application whose state is the evolving
+    * graph; order matters — a bridge routed through a node deleted in
+    * a LATER batch is re-repaired then, so the incremental chain is
+    * its own semantics and its oracle unrolls the chain). `delIds` =
+    * (did). */
+  private[graft] def repairStep(nodes: DataFrame, g: DataFrame,
+      delIds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gAlive = g
       .join(delIds.select(col("did").as("src")), Seq("src"), "left_anti")
       .join(delIds.select(col("did").as("dst")), Seq("dst"), "left_anti")
       .select(col("src"), col("dst"))
     // (u → x) links into a tombstone x from an alive u, bridged to
     // x's alive out-neighbors y — the NSW 2-hop repair
-    val cands = gPre
+    val cands = g
       .join(delIds.select(col("did").as("dst")), Seq("dst"))
       .join(delIds.select(col("did").as("src")), Seq("src"), "left_anti")
       .select(col("src").as("u"), col("dst").as("x"))
-      .join(gPre.select(col("src").as("x"), col("dst").as("y")), Seq("x"))
+      .join(g.select(col("src").as("x"), col("dst").as("y")), Seq("x"))
       .join(delIds.select(col("did").as("y")), Seq("y"), "left_anti")
       .filter(col("y") =!= col("u"))
       .select(col("u").as("src"), col("y").as("dst"))
@@ -2649,9 +2673,66 @@ object Similarity extends graft.QueryPack {
       .withColumn("rk", row_number().over(wR))
       .filter(col("rk") <= NN_K)
       .select(col("src"), col("dst"))
-    val gPost = nnSearchGraph(gAlive.union(rrTop).distinct())
-    (nodes, delIds, gPre, gPost)
+    nnSearchGraph(gAlive.union(rrTop).distinct())
   }
+
+  /** One repair application as DuckDB CTEs (suffix-parameterized like
+    * descentStepsDuck): tombstones `$delCte(did)` applied to `$gIn`,
+    * repaired graph emitted as `$out` — mirrors [[repairStep]].
+    * Shared by the q_ann_delete oracle (one application) and the
+    * drain-#31 oracle (the chain unrolled per delete batch). */
+  private[operators] def repairDuck(pfx: String, gIn: String,
+      delCte: String, out: String): String =
+    s"""galive$pfx AS (SELECT src, dst FROM $gIn
+       |  WHERE src NOT IN (SELECT did FROM $delCte)
+       |    AND dst NOT IN (SELECT did FROM $delCte)),
+       |rcand$pfx AS (SELECT DISTINCT g.src AS src, h.dst AS dst
+       |  FROM $gIn g JOIN $gIn h ON h.src = g.dst
+       |  WHERE g.dst IN (SELECT did FROM $delCte)
+       |    AND g.src NOT IN (SELECT did FROM $delCte)
+       |    AND h.dst NOT IN (SELECT did FROM $delCte)
+       |    AND h.dst <> g.src),
+       |rr$pfx AS (SELECT src, dst FROM (
+       |  SELECT c.src, c.dst,
+       |    ROW_NUMBER() OVER (PARTITION BY c.src ORDER BY
+       |      round(${dotDuck("a.embedding", "b.embedding")} /
+       |        (a.nrm * b.nrm), 9) DESC, c.dst) AS rk
+       |  FROM rcand$pfx c JOIN nodes a ON a.vec_id = c.src
+       |                   JOIN nodes b ON b.vec_id = c.dst) t
+       | WHERE rk <= $NN_K),
+       |rru$pfx AS (SELECT src, dst FROM galive$pfx
+       |        UNION SELECT src, dst FROM rr$pfx),
+       |${symGraphDuck(out, s"rru$pfx")}""".stripMargin
+
+  /** Streaming drain #31's oracle (lives here because it is pure
+    * graph-ANN machinery): the planted prefix + pre-delete graph, the
+    * tombstone feed split into its two staged batches (did % 18 = 4
+    * first, the rest second — the drain's file order), and the repair
+    * chain unrolled in arrival order. Final edge set, sorted. */
+  private[operators] def streamDeleteOracleSql: String =
+    s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+       |            FROM embeddings WHERE vec_id < 10),
+       |planted AS (
+       |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+       |    list_transform(range(1, ${DIM + 1}), i ->
+       |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+       |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+       |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+       |aug AS (
+       |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+       |      CAST(embedding[i] AS DOUBLE)) AS embedding
+       |  FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM planted),
+       |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
+       |${nnDescentDuck(2)},
+       |${symGraphDuck("pg", "e2")},
+       |del1 AS MATERIALIZED (SELECT vec_id AS did FROM nodes
+       |  WHERE vec_id % 9 = 4 AND vec_id >= 10 AND vec_id % 18 = 4),
+       |del2 AS MATERIALIZED (SELECT vec_id AS did FROM nodes
+       |  WHERE vec_id % 9 = 4 AND vec_id >= 10 AND vec_id % 18 <> 4),
+       |${repairDuck("s1", "pg", "del1", "qg1")},
+       |${repairDuck("s2", "qg1", "del2", "qg2")}
+       |SELECT src, dst FROM qg2 ORDER BY src, dst""".stripMargin
 
   /** Planted-truth recall report over a SCORED visited set — the
     * shared tail of q_ann_beam and q_ann_layered: rank visited per
@@ -3312,26 +3393,7 @@ object Similarity extends graft.QueryPack {
          |${symGraphDuck("pg", "e2")},
          |del AS MATERIALIZED (SELECT vec_id AS did FROM nodes
          |  WHERE vec_id % 9 = 4 AND vec_id >= 10),
-         |galive AS (SELECT src, dst FROM pg
-         |  WHERE src NOT IN (SELECT did FROM del)
-         |    AND dst NOT IN (SELECT did FROM del)),
-         |rcand AS (SELECT DISTINCT g.src AS src, h.dst AS dst
-         |  FROM pg g JOIN pg h ON h.src = g.dst
-         |  WHERE g.dst IN (SELECT did FROM del)
-         |    AND g.src NOT IN (SELECT did FROM del)
-         |    AND h.dst NOT IN (SELECT did FROM del)
-         |    AND h.dst <> g.src),
-         |rr AS (SELECT src, dst FROM (
-         |  SELECT c.src, c.dst,
-         |    ROW_NUMBER() OVER (PARTITION BY c.src ORDER BY
-         |      round(${dotDuck("a.embedding", "b.embedding")} /
-         |        (a.nrm * b.nrm), 9) DESC, c.dst) AS rk
-         |  FROM rcand c JOIN nodes a ON a.vec_id = c.src
-         |               JOIN nodes b ON b.vec_id = c.dst) t
-         | WHERE rk <= $NN_K),
-         |rru AS (SELECT src, dst FROM galive
-         |        UNION SELECT src, dst FROM rr),
-         |${symGraphDuck("qg", "rru")},
+         |${repairDuck("d", "pg", "del", "qg")},
          |qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv,
          |  nrm AS qnrm, blk AS qblk FROM nodes WHERE vec_id < 10),
          |an AS MATERIALIZED (SELECT * FROM nodes

@@ -1312,6 +1312,48 @@ object StreamingGate extends graft.QueryPack {
       s.read.parquet(out + "/b*").orderBy(col("doc_id"))
     }),
 
+    // STREAMING INDEX DELETION — the THIRTY-FIRST oracle-gated drain
+    // and the maintenance TWIN of q_stream_ann_admission: where that
+    // drain grows a stored index from an arriving vector feed, this
+    // one SHRINKS it from an arriving tombstone feed — the GDPR-
+    // erasure / retention-expiry path a 100 TB index serves without
+    // rebuilds. ORDER-DEPENDENT state (the q_stream_seq_pack family):
+    // the state IS the evolving edge set, kept in batchId-keyed
+    // parquet (state/b{-1,0,1}; batch i reads b{i-1}, writes b{i} —
+    // exactly-once under replay because a re-run batch rewrites its
+    // own output from its own input). Each batch applies the SAME
+    // Similarity.repairStep kernel as the one-shot q_ann_delete
+    // (tombstone + cosine-capped 2-hop re-route + md5-capped
+    // re-symmetrization); order matters — a bridge routed through a
+    // node deleted in a LATER batch is re-repaired then — so the
+    // incremental chain is its own semantics and the oracle unrolls
+    // the chain in arrival order (repairDuck per staged batch), not
+    // the one-shot repair. Per-batch work touches only the batch's
+    // tombstone neighborhoods; state is edge-set-sized (k·N at any
+    // corpus), never visited-set- or history-sized.
+    "q_stream_ann_delete" -> ((s, d) => {
+      val root = freshDir("q_stream_ann_delete")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val state = root + "/g"
+      val (nodes, delIds, gPre) = Similarity.deleteGraphParts(s, d)
+      gPre.write.mode("overwrite").parquet(s"$state/b-1")
+      val t0 = System.currentTimeMillis() - 60000
+      stageFile(root, src, delIds.filter(col("did") % 18 === 4), "f1", t0)
+      stageFile(root, src, delIds.filter(col("did") % 18 =!= 4), "f2",
+        t0 + 2000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      drain(s, stream, "append") { (batch, id) =>
+        val cur = s.read.parquet(s"$state/b${id - 1}")
+        Similarity.repairStep(nodes, cur, batch.select(col("did")))
+          .write.mode("overwrite").parquet(s"$state/b$id")
+        ()
+      }
+      s.read.parquet(s"$state/b1").orderBy(col("src"), col("dst"))
+    }),
+
     // STREAMING SEQUENCE PACKING — the TWENTY-NINTH oracle-gated
     // drain and the first ORDER-DEPENDENT state fold (see
     // [[foldSeqPack]]): the concat-and-cut training layout built
@@ -1894,6 +1936,11 @@ object StreamingGate extends graft.QueryPack {
     // the drained monitor must hash-equal the batch detector — the
     // q_burst_detect oracle VERBATIM (one definition, two paths)
     "q_stream_burst" -> Analytic.oracles("q_burst_detect"),
+
+    // the tombstone-feed repair CHAIN unrolled in arrival order (NOT
+    // the one-shot repair — incremental maintenance is its own
+    // semantics); built by the graph-ANN machinery next to its kernel
+    "q_stream_ann_delete" -> Similarity.streamDeleteOracleSql,
 
     // the streamed two-grain health check restates the batch q_srm
     "q_stream_srm" -> Inference.oracles("q_srm"),

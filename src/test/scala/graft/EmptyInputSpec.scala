@@ -238,7 +238,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "q_entropy_gate",
     // streamed SRM of an empty exposure log: both grain folds drain
     // to empty state → no grain rows
-    "q_stream_srm")
+    "q_stream_srm",
+    // r14 graph-ANN lifecycle on an empty corpus: no nodes → no
+    // graph, no tombstones, no queries, no truth — every arm of the
+    // delete/filtered A/Bs and the drained repair chain is empty
+    "q_ann_delete", "q_ann_filtered", "q_stream_ann_delete")
 
   emptyTotal.foreach { name =>
     test(s"$name returns empty (not an exception) on empty tables") {

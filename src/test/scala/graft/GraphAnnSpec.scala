@@ -212,6 +212,44 @@ class GraphAnnSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("q_stream_ann_delete: the incremental tombstone chain is safe, order-dependent for real, and equals the drained state") {
+    import org.apache.spark.sql.functions._
+    val (nodes, delIds, gPre) =
+      graft.operators.Similarity.deleteGraphParts(spark, TestSpark.sf)
+    val del = delIds.collect().map(_.getLong(0)).toSet
+    val edgeSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d1 = delIds.filter(col("did") % 18 === 4)
+    val d2 = delIds.filter(col("did") % 18 =!= 4)
+    assert(d1.count() > 0 && d2.count() > 0, "fixture needs two real batches")
+    val inc = edgeSet(graft.operators.Similarity.repairStep(nodes,
+      graft.operators.Similarity.repairStep(nodes, gPre, d1), d2))
+    // safety: no tombstoned endpoint survives the chain, and no edge
+    // between two alive nodes is ever lost
+    inc.foreach { case (s0, t) =>
+      assert(!del(s0) && !del(t), s"tombstoned endpoint survived: ($s0,$t)")
+    }
+    val alivePre = edgeSet(gPre)
+      .filter { case (s0, t) => !del(s0) && !del(t) }
+    assert(alivePre.subsetOf(inc),
+      s"alive pre-edges lost: ${alivePre.diff(inc).take(5)}")
+    // order-dependence is REAL, not theoretical: an early-batch bridge
+    // routed through a node deleted in a later batch is re-repaired,
+    // creating 2-hop-of-2-hop edges the one-shot repair never builds
+    // (measured: 112/104 chain-only edges at sf0.001/sf0.01)
+    val one = edgeSet(graft.operators.Similarity.repairStep(nodes, gPre, delIds))
+    assert(inc != one, "chain collapsed to the one-shot repair - fixture degenerate")
+    assert((inc -- one).nonEmpty, "chain built no re-repair bridges")
+    // and the drained query is exactly this chain (one definition,
+    // two paths — the same kernel runs per micro-batch)
+    val drained = graft.operators.StreamingGate
+      .queries("q_stream_ann_delete")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drained == inc,
+      s"drained state diverged from the chain: ${(drained diff inc).take(3)} / ${(inc diff drained).take(3)}")
+    TestSpark.housekeeping()
+  }
+
   test("graft.nndescent.init.width knob: fine blocks seed high, coarse blocks recover by descent (both engines read it per call)") {
     val dflt = recallRows().groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val old = sys.props.get("graft.nndescent.init.width")
