@@ -1930,6 +1930,49 @@ object TextAnalytics extends graft.QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // TOKENIZER BAKE-OFF — the decision query the two trainer families
+    // exist to feed (q_tokenizer_fertility's comment promises "choose
+    // between merge-based and probabilistic vocabularies from measured
+    // output"; this is that choice, measured): per source, the SAME
+    // corpus encoded under BOTH trained tokenizers — the 3-merge BPE
+    // table and the schedule-pruned unigram LM — with each family's
+    // fertility (pieces per whitespace word) and the per-source winner
+    // (fewer pieces = more content per token budget; ties explicit).
+    // Both models are memoized corpus-pass trainers; the encode is one
+    // pass over DISTINCT words (the q_unigram_encode device — both
+    // count kernels are interpreted folds, so per-occurrence
+    // evaluation pays vocabulary×occurrence instead of vocabulary)
+    // joined back to occurrences. At 100 TB both models broadcast as
+    // literals and the per-word frame is vocabulary-shaped —
+    // tokenizer selection costs one corpus pass regardless of corpus.
+    "q_tokenizer_compare" -> ((s, d) => {
+      val merges = learnBpeMerges(s, d)
+      val uni = trainedUnigramModelFor(s, d)
+      val dw = Tables(s, d, "documents")
+        .select(col("source"),
+          explode(filter(tokens(col("text")), w => length(w) > 0)).as("w"))
+      val wp = dw.select(col("w")).distinct()
+        .withColumn("kb", bpeCountCol(merges)(col("w")).cast("long"))
+        .withColumn("ku", uniPieceCountCol(uni)(col("w")))
+      dw.join(wp, Seq("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_ws_tokens"),
+          sum(col("kb")).as("n_bpe_tokens"),
+          sum(col("ku")).as("n_uni_pieces"))
+        .select(col("source"), col("n_ws_tokens"), col("n_bpe_tokens"),
+          col("n_uni_pieces"),
+          round(col("n_bpe_tokens").cast("double") /
+            nullif(col("n_ws_tokens"), lit(0L)).cast("double"), 9)
+            .as("bpe_fertility"),
+          round(col("n_uni_pieces").cast("double") /
+            nullif(col("n_ws_tokens"), lit(0L)).cast("double"), 9)
+            .as("uni_fertility"),
+          when(col("n_uni_pieces") < col("n_bpe_tokens"), lit("unigram"))
+            .when(col("n_bpe_tokens") < col("n_uni_pieces"), lit("bpe"))
+            .otherwise(lit("tie")).as("winner"))
+        .orderBy(col("source"))
+    }),
+
     // Winnowing fingerprints (SIGMOD 2003 / MOSS): rolling K-gram
     // Rabin-Karp hash + sliding-window minima through the codegen'd
     // graft.functions.Winnow expression — O(n) per document inside
@@ -2959,6 +3002,48 @@ object TextAnalytics extends graft.QueryPack {
         |  round(CAST(n_chars AS DOUBLE) /
         |    CAST(nullif(n_bpe_tokens, 0) AS DOUBLE), 9) AS chars_per_token
         |FROM g ORDER BY source""".stripMargin,
+
+    // both training prefixes in one WITH RECURSIVE (the unigram chain
+    // + the BPE unroll share no CTE names), per-word counts from each
+    // family's own machinery (bt backtrack / merge-replace lambda)
+    // over the distinct-word frame, one source-grain join-back
+    "q_tokenizer_compare" -> {
+      val n = uniKeepSchedule.length
+      s"""WITH RECURSIVE $uniTrainDuck,
+         |${uniRoundDuck(s"${n + 1}", s"uprobs$n")},
+         |wpu AS (SELECT b.w, CAST(COUNT(b.piece) AS BIGINT) AS ku
+         |        FROM bt${n + 1} b WHERE b.piece IS NOT NULL GROUP BY b.w),
+         |$bpeLearnSqlDuck,
+         |mm AS (SELECT
+         |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b1) AS t1,
+         |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b1) AS m1,
+         |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b2) AS t2,
+         |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b2) AS m2,
+         |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b3) AS t3,
+         |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b3) AS m3),
+         |docw AS (SELECT source, w FROM (
+         |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+         |    FROM documents) t WHERE length(w) > 0),
+         |wpb AS (SELECT w, CAST(len(string_split(trim(replace(replace(replace(
+         |      '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|',
+         |      mm.t1, mm.m1), mm.t2, mm.m2), mm.t3, mm.m3), '|'), '|'))
+         |    AS BIGINT) AS kb
+         |  FROM (SELECT DISTINCT w FROM docw) x, mm),
+         |g AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+         |    CAST(SUM(wpb.kb) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(SUM(wpu.ku) AS BIGINT) AS n_uni_pieces
+         |  FROM docw d JOIN wpb ON wpb.w = d.w JOIN wpu ON wpu.w = d.w
+         |  GROUP BY d.source)
+         |SELECT source, n_ws_tokens, n_bpe_tokens, n_uni_pieces,
+         |  round(CAST(n_bpe_tokens AS DOUBLE) /
+         |    CAST(nullif(n_ws_tokens, 0) AS DOUBLE), 9) AS bpe_fertility,
+         |  round(CAST(n_uni_pieces AS DOUBLE) /
+         |    CAST(nullif(n_ws_tokens, 0) AS DOUBLE), 9) AS uni_fertility,
+         |  CASE WHEN n_uni_pieces < n_bpe_tokens THEN 'unigram'
+         |       WHEN n_bpe_tokens < n_uni_pieces THEN 'bpe'
+         |       ELSE 'tie' END AS winner
+         |FROM g ORDER BY source""".stripMargin
+    },
 
     "q_pmi_bigrams" ->
       """WITH docs AS (

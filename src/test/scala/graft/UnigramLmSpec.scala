@@ -145,6 +145,33 @@ class UnigramLmSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("q_tokenizer_compare: bake-off totals are the encode identity; winner non-degenerate (r14)") {
+    val cmp = graft.operators.TextAnalytics
+      .queries("q_tokenizer_compare")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(6))) // (source, ws, bpe, uni, winner)
+    assert(cmp.nonEmpty)
+    // the unigram column counts the SAME Viterbi segmentations as
+    // q_unigram_encode — their corpus totals are an integer identity
+    val encTotal = graft.operators.TextAnalytics
+      .queries("q_unigram_encode")(spark, TestSpark.sf)
+      .collect().map(_.getLong(2)).sum
+    assert(cmp.map(_._4).sum == encTotal,
+      s"bake-off unigram total ${cmp.map(_._4).sum} != encode total $encTotal")
+    // fertility sanity: every family needs at least one piece per word
+    cmp.foreach { case (src, ws, bpe, uni, _) =>
+      assert(bpe >= ws && uni >= ws, s"$src: fewer pieces than words")
+    }
+    // measured on the fixture: the schedule-pruned unigram's optimal
+    // Viterbi segmentation beats 3 greedy BPE merges on every source
+    // (3.53 vs 4.14 pieces/word at sf0.1) — the decision column is
+    // non-degenerate in a direction the fixture pins
+    assert(cmp.forall(_._5 == "unigram"),
+      s"winners: ${cmp.map(c => c._1 -> c._5).take(5)}")
+    TestSpark.housekeeping()
+  }
+
   test("encode kernel refuses an untrained (empty) cost map") {
     // the model is threaded explicitly (no process-global handoff);
     // an empty map means the caller skipped training — fail loudly
