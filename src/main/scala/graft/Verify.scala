@@ -45,19 +45,63 @@ object Verify {
 
     val nOk = new java.util.concurrent.atomic.AtomicInteger(0)
     val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    // KILL-PROOF PROGRESS ARTIFACT (VERDICT r14 item 1): the driver's
+    // CORRECTNESS artifact blanked to {} in 4 of 5 rounds; the last
+    // repo-side hypothesis is a driver-side time-budget kill landing
+    // BEFORE any end-of-run report exists. So Verify itself maintains
+    // outDir/verify_progress.json in the driver's CORRECTNESS schema
+    // (rows_match/schema_match/hash_match are null — only the DuckDB
+    // compare can fill them; spark_rows + err are ground truth here),
+    // rewritten write-temp + ATOMIC_MOVE after EVERY query: kill -9
+    // at any instant leaves a valid JSON holding every completed row.
+    val report = new java.util.concurrent.ConcurrentHashMap[
+      String, (Option[Long], Option[String])]()
+    def flushProgress(): Unit = report.synchronized {
+      def js(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val body = {
+        import scala.jdk.CollectionConverters._
+        report.asScala.toSeq.sortBy(_._1).map { case (k, (rows, err)) =>
+          js(k) + ": {\"rows_match\": null, \"schema_match\": null, " +
+            "\"hash_match\": null, " +
+            "\"spark_rows\": " + rows.map(_.toString).getOrElse("null") +
+            ", \"oracle_rows\": null, \"err\": " +
+            err.map(js).getOrElse("null") + "}"
+        }.mkString("{", ",\n", "}")
+      }
+      val tmp = Paths.get(s"$outDir/.verify_progress.json.tmp")
+      Files.writeString(tmp, body)
+      Files.move(tmp, Paths.get(s"$outDir/verify_progress.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
     def runQuery(name: String, fn: (SparkSession, String)
         => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // parquet count() is footer-metadata-only — ~0.1 s warm, no
+        // data scan — and gives the progress artifact a real
+        // spark_rows instead of a bare done-marker
+        val n = spark.read.parquet(s"$outDir/$name").count()
         nOk.incrementAndGet()
+        report.put(name, (Some(n), None))
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
       } catch { case e: Throwable =>
         failed.add(name)
+        report.put(name,
+          (None, Some(Option(e.getMessage).getOrElse(e.toString))))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      flushProgress()
     }
 
     val selected = SparkEntry.queries

@@ -124,11 +124,19 @@ object HtmlDom {
     * inserting (HTML5 "in body": the block/list/table/metadata rules
     * that insert directly; everything else — phrasing content, voids
     * like img/br/input, and the "any other start tag" rule —
-    * reconstructs first). */
+    * reconstructs first). ADVICE r14: option/optgroup are NOT here —
+    * the spec's "in body" option rule pops a current option, THEN
+    * reconstructs, then inserts (matching this parser's implied-close
+    * → reconstruct → insert order). Note on clone spans: a
+    * tag-triggered reconstruct opens the clone at the trigger's '<',
+    * which is innerHTML-correct — the triggering element is the
+    * clone's CHILD, so its markup belongs inside the clone's span
+    * (innerText strips it; raw-span consumers see the child markup
+    * exactly as a never-popped parent would show it). */
   private val noReconstructOpens: Set[String] = closesP ++ Set("li",
     "dt", "dd", "tr", "td", "th", "tbody", "thead", "tfoot", "caption",
     "colgroup", "col", "html", "head", "body", "script", "style",
-    "title", "meta", "link", "base", "option", "optgroup", "frameset",
+    "title", "meta", "link", "base", "frameset",
     "frame", "param", "source", "track")
 
   private val impliedClosedBy: Map[String, Seq[CloseRule]] = {

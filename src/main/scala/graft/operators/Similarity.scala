@@ -928,7 +928,7 @@ object Similarity extends graft.QueryPack {
     // post arm serves 0 structurally.
     "q_ann_delete" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val OFF = 2000000L
+      val OFF = ID_SHIFT_OFF
       val (nodes, delIds, gPre, gPost) = deleteRepair(s, d)
       val aliveN = nodes.join(delIds.select(col("did").as("vec_id")),
         Seq("vec_id"), "left_anti")
@@ -1042,10 +1042,10 @@ object Similarity extends graft.QueryPack {
     // genuinely selective.
     "q_ann_filtered" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val OFF = 2000000L
+      val OFF = ID_SHIFT_OFF
       val all = loadEmbeddings(s, d)
         .withColumn("bucket", bucketCol(col("embedding")))
-      val nodes = nnNodes(all)
+      val nodes = guardIdsBelow(nnNodes(all), "vec_id")
       val labels = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("label"))
       val g = nnSearchGraph(nnDescentEdges(nodes, rounds = 2).last)
@@ -2629,10 +2629,37 @@ object Similarity extends graft.QueryPack {
     * pre-delete search graph — shared by the one-shot query and
     * streaming drain #31 (which replays the SAME tombstones as an
     * ordered delete feed). */
+  /** Id-shift arm offset shared by q_ann_delete (pre/post at +OFF)
+    * and q_ann_filtered (arms at +i·OFF, i ≤ 3). Non-overlap of the
+    * shifted ranges [i·OFF, i·OFF+maxId] requires every corpus +
+    * planted id to stay strictly below OFF — an out-of-range id
+    * would silently alias arms (e.g. a shifted post id matching a
+    * delId and corrupting the n_del_top3 join). ADVICE r14: guarded
+    * at zero job cost by [[guardIdsBelow]] riding the existing scan. */
+  private[graft] val ID_SHIFT_OFF = 2000000L
+
+  /** Explicit bound check: one max() job over the (localCheckpointed)
+    * node frame, then require. NOT an inline assert_true filter — that
+    * was tried first and REFUTED: Catalyst constant-propagates sibling
+    * equi-join conjuncts pushed into the same Filter into the guard's
+    * predicate (e.g. vec_id = <literal> folds `vec_id < OFF` to
+    * false), leaving an unconditional raise_error that fires on rows
+    * the guard was never meant to test. The agg is a bounded metadata-
+    * cheap job against materialized checkpoint rows, paid once per
+    * id-shift query. */
+  private def guardIdsBelow(df: DataFrame, idCol: String): DataFrame = {
+    val mx = df.agg(max(col(idCol))).first()
+    if (!mx.isNullAt(0))
+      require(mx.getLong(0) < ID_SHIFT_OFF,
+        s"id-shift guard: max($idCol) = ${mx.getLong(0)} reaches the " +
+          s"arm offset $ID_SHIFT_OFF — shifted arms would alias")
+    df
+  }
+
   private[graft] def deleteGraphParts(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val nodes = nnNodes(plantedCorpus(s, d)
-      .withColumn("bucket", bucketCol(col("embedding"))))
+    val nodes = guardIdsBelow(nnNodes(plantedCorpus(s, d)
+      .withColumn("bucket", bucketCol(col("embedding")))), "vec_id")
     val gPre = nnSearchGraph(nnDescentEdges(nodes, rounds = 2).last)
     val delIds = nodes
       .filter(col("vec_id") % 9 === 4 && col("vec_id") >= 10)
@@ -2734,6 +2761,84 @@ object Similarity extends graft.QueryPack {
        |${repairDuck("s2", "qg1", "del2", "qg2")}
        |SELECT src, dst FROM qg2 ORDER BY src, dst""".stripMargin
 
+  // ---- graph-ANN serving (drain #32, q_stream_ann_search) --------------
+
+  /** The SERVING separation (VERDICT r14 item 2): the index is built
+    * offline once and STORED; queries arrive later, in micro-batches,
+    * and walk the stored graph statelessly. This returns the build
+    * side: (nodes, searchGraph, queryFrame) — the q_ann_beam build
+    * verbatim, factored so the drain stores nodes+graph as parquet
+    * and GraphAnnSpec runs the batch-parity reference on the same
+    * frames. */
+  private[graft] def serveIndexParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val nodes = nnNodes(plantedCorpus(s, d)
+      .withColumn("bucket", bucketCol(col("embedding"))))
+    val g = nnSearchGraph(nnDescentEdges(nodes, rounds = 2).last)
+    val qs = nodes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("blk").as("qblk"))
+    (nodes, g, qs)
+  }
+
+  /** Serve one query frame against a stored index: routed entry +
+    * beam-4/7-hop NSW walk (the q_ann_beam kernel at its best
+    * measured width), top-3 per query. Stateless and per-query
+    * independent, so ANY micro-batching of the query stream drains
+    * to exactly the batch walk's rows — the parity the drain's
+    * oracle and GraphAnnSpec pin. Per-batch work is
+    * |batch|·beam·degree(≤2k) rows per hop through equi-joins on the
+    * edge key; the index frames are read per batch, never rebuilt.
+    * Returns (qid, rk, nid, sim). */
+  private[graft] def serveTopK(nodes: DataFrame, g: DataFrame,
+      qs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val visited = beamWalkFrom(nodes, g, qs, routedEntry(nodes, qs),
+      Seq(4), hops = 7)
+    val wB = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("node"))
+    visited
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("node").as("nid"), col("sim"))
+  }
+
+  /** Drain #32's oracle (pure graph-ANN machinery, so it lives by
+    * its kernel): the one-shot batch walk at beam 4 over all queries
+    * — statelessness makes the streamed union equal it exactly,
+    * whatever the file batching. */
+  private[operators] def streamServeOracleSql: String =
+    s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+       |            FROM embeddings WHERE vec_id < 10),
+       |planted AS (
+       |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+       |    list_transform(range(1, ${DIM + 1}), i ->
+       |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+       |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+       |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+       |aug AS (
+       |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+       |      CAST(embedding[i] AS DOUBLE)) AS embedding
+       |  FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM planted),
+       |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
+       |${nnDescentDuck(2)},
+       |${nnBeamDuck(7, Seq(4),
+          "SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm, " +
+            "blk AS qblk FROM nodes WHERE vec_id < 10")},
+       |ranked AS (SELECT qid, rk, nid, sim FROM (
+       |  SELECT v.qid, v.node AS nid,
+       |    round(${dotDuck("q.qv", "n.embedding")} /
+       |      (q.qnrm * n.nrm), 9) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY v.qid ORDER BY
+       |      round(${dotDuck("q.qv", "n.embedding")} /
+       |        (q.qnrm * n.nrm), 9) DESC, v.node) AS rk
+       |  FROM v7 v JOIN nodes n ON n.vec_id = v.node
+       |            JOIN qs q ON q.qid = v.qid) t WHERE rk <= 3)
+       |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, sim
+       |FROM ranked ORDER BY qid, rk""".stripMargin
+
   /** Planted-truth recall report over a SCORED visited set — the
     * shared tail of q_ann_beam and q_ann_layered: rank visited per
     * (beam, qid), hit-join the planted truth, emit per-query recall
@@ -2806,6 +2911,17 @@ object Similarity extends graft.QueryPack {
       .select(col("qid"), col("node"))
   }
 
+  /** Walk-family lineage-cut cadence (VERDICT r14 item 4): cut every
+    * N hops (1 = every hop, >= hops = final only). Read per call so
+    * the A/B runs under sysprop sweeps; results are cadence-invariant
+    * (localCheckpoint is pure lineage surgery), only cost moves. */
+  private def walkCkptEvery: Int = {
+    val n = sys.props.get("graft.walk.ckpt.every")
+      .map(_.trim.toInt).getOrElse(3)
+    require(n >= 1, s"graft.walk.ckpt.every must be >= 1, got $n")
+    n
+  }
+
   /** [[beamWalk]] with the entry frame SUPPLIED — the hook
     * q_ann_layered uses to feed hierarchy-routed entries into the
     * same walk. `entry` = (qid, node), one or more rows per query. */
@@ -2840,11 +2956,16 @@ object Similarity extends graft.QueryPack {
           col("dst") =!= (-col("qid") - 1L))
         .select(col("beam"), col("qid"), col("dst").as("node"))
       visited = visited.union(cand).distinct()
-      // cut lineage every 3rd hop only: the visited frames are
+      // cut lineage every CADENCE hops only: the visited frames are
       // query-grid-sized (≤ |q|·beam·hops·2k rows), so the plan-tree
-      // growth is what needs bounding, not recompute — per-hop
-      // eager checkpoints were measured pure overhead here
-      if (h % 3 == 0 || h == hops) visited = visited.localCheckpoint()
+      // growth is what needs bounding, not recompute — per-hop eager
+      // checkpoints were measured pure overhead here. The cadence is
+      // a sysprop (VERDICT r14 item 4): each uncut hop doubles the
+      // plan tree (union+distinct+join per hop) while each cut pays
+      // the ~0.8 s/job localCheckpoint floor; the crossover is
+      // measured in BASELINE.md's walk-cadence A/B and 3 won.
+      if (h % walkCkptEvery == 0 || h == hops)
+        visited = visited.localCheckpoint()
     }
     score(visited)
   }

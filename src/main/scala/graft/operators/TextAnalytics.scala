@@ -1361,9 +1361,11 @@ object TextAnalytics extends graft.QueryPack {
       per.reduce(_ unionByName _).orderBy(col("qid"))
     }),
 
-    // BPE tokenizer-training merges: the first 3 rounds of byte-pair
-    // encoding over the corpus vocabulary (words weighted by frequency,
-    // symbols = characters). Each round is ONE distributed weighted
+    // BPE tokenizer-training merges: the first graft.bpe.rounds
+    // (default 3) rounds of byte-pair encoding over the corpus
+    // vocabulary (words weighted by frequency, symbols = characters)
+    // — round count a per-call sysprop since r15 (VERDICT r14 item 3)
+    // so the bake-off runs un-toyed depths. Each round is ONE distributed weighted
     // pair-count aggregation — the part that scales with the corpus —
     // plus a 1-row argmax collected driver-side (a scalar per round,
     // the q_dedup_clusters coordination pattern); the merge then
@@ -1547,7 +1549,7 @@ object TextAnalytics extends graft.QueryPack {
     * EMPTY corpus (legitimately zero pieces) is distinguishable from
     * a map that was never trained at all, which [[unigramEncodeFrame]]
     * rejects loudly. */
-  private[graft] val UNI_TRAINED = " trained"
+  private[graft] val UNI_TRAINED = "\u0000trained"
 
   private[operators] def trainedUnigramModelFor(s: SparkSession,
       d: String): Map[String, Double] =
@@ -1778,13 +1780,25 @@ object TextAnalytics extends graft.QueryPack {
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
           .map(p => s"${p.getName}{${fp(p)}}").mkString(",")
       else s"${f.length()}:${f.lastModified()}"
-    val key = s"$d|${fp(new java.io.File(d, "documents.parquet"))}"
+    val key = s"$d|r=$bpeRounds|${fp(new java.io.File(d, "documents.parquet"))}"
     bpeCache.computeIfAbsent(key, _ => learnBpeMergesUncached(s, d))
+  }
+
+  /** BPE merge-round count (VERDICT r14 item 3 — un-toy the bake-off
+    * side): read PER CALL like graft.unigram.keep, embedded into the
+    * generated oracle SQL from the same read so both engines train
+    * the identical merge table under any setting. Default 3 keeps
+    * the per-round sweep cost (each round = one corpus agg + a 1-row
+    * argmax); the bake-off row in BASELINE.md runs at 12. */
+  private def bpeRounds: Int = {
+    val r = sys.props.get("graft.bpe.rounds").map(_.trim.toInt).getOrElse(3)
+    require(r >= 1 && r <= 64, s"graft.bpe.rounds must be in [1,64], got $r")
+    r
   }
 
   private def learnBpeMergesUncached(s: SparkSession, d: String)
       : Seq[(Long, String, String, Long)] = {
-    val ROUNDS = 3
+    val ROUNDS = bpeRounds
     def syms = split(trim(col("seq"), "|"), "\\|")
     val words0 = Tables(s, d, "documents")
         .select(explode(tokens(col("text"))).as("w"))
@@ -1934,8 +1948,9 @@ object TextAnalytics extends graft.QueryPack {
     // exist to feed (q_tokenizer_fertility's comment promises "choose
     // between merge-based and probabilistic vocabularies from measured
     // output"; this is that choice, measured): per source, the SAME
-    // corpus encoded under BOTH trained tokenizers — the 3-merge BPE
-    // table and the schedule-pruned unigram LM — with each family's
+    // corpus encoded under BOTH trained tokenizers — the
+    // graft.bpe.rounds-merge BPE table and the schedule-pruned
+    // unigram LM — with each family's
     // fertility (pieces per whitespace word) and the per-source winner
     // (fewer pieces = more content per token budget; ties explicit).
     // Both models are memoized corpus-pass trainers; the encode is one
@@ -2079,9 +2094,6 @@ object TextAnalytics extends graft.QueryPack {
     })
   )
 
-  /** The BPE learn CTE prefix (w0..b3) shared by the q_bpe_merges and
-    * q_tokenize_bpe oracles — the same 3 unrolled rounds the Spark
-    * driver loop runs. */
   /** The q_unigram_lm TRAINING prefix (seed vocab, then per schedule
     * round r: Viterbi counts under uprobs{r-1} → prune at the round's
     * keep width → smoothed post-prune probs uprobs{r}) — shared by
@@ -2182,49 +2194,62 @@ object TextAnalytics extends graft.QueryPack {
        |  FROM bt$sfx b JOIN uwords ww ON ww.w = b.w
        |  WHERE b.piece IS NOT NULL GROUP BY b.piece)""".stripMargin
 
-  private val bpeLearnSqlDuck: String =
-    """w0 AS (
+  /** The BPE learn CTE prefix (w0, then p{r}/b{r}[/w{r}] per round)
+    * — GENERATED for [[bpeRounds]] rounds from the same per-call
+    * sysprop read the Spark trainer uses (the graft.unigram.keep
+    * recipe), so both engines unroll the identical merge chain under
+    * any setting. The last round emits no w{R}: nothing reads the
+    * applied table after the final argmax. A def, not a val: the
+    * round count is re-read per oracle generation. */
+  private def bpeLearnSqlDuck: String = {
+    val head =
+      """w0 AS MATERIALIZED (
         |  SELECT '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'
         |      AS seq, cnt
         |  FROM (SELECT w, COUNT(*) AS cnt FROM (
         |          SELECT unnest(string_split(lower(text), ' ')) AS w
         |          FROM documents) t
-        |        WHERE length(w) > 0 GROUP BY w) v),
-        |p1 AS (
-        |  SELECT pair, SUM(cnt) AS c FROM (
-        |    SELECT unnest(list_transform(range(1, len(ss)),
-        |      i -> ss[CAST(i AS INTEGER)] || ' ' ||
-        |           ss[CAST(i + 1 AS INTEGER)])) AS pair, cnt
-        |    FROM (SELECT string_split(trim(seq, '|'), '|') AS ss, cnt FROM w0) x
-        |    WHERE len(ss) >= 2) t
-        |  GROUP BY pair),
-        |b1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
-        |w1 AS (SELECT replace(seq,
-        |         (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b1),
-        |         (SELECT '|' || replace(pair, ' ', '') || '|' FROM b1))
-        |         AS seq, cnt FROM w0),
-        |p2 AS (
-        |  SELECT pair, SUM(cnt) AS c FROM (
-        |    SELECT unnest(list_transform(range(1, len(ss)),
-        |      i -> ss[CAST(i AS INTEGER)] || ' ' ||
-        |           ss[CAST(i + 1 AS INTEGER)])) AS pair, cnt
-        |    FROM (SELECT string_split(trim(seq, '|'), '|') AS ss, cnt FROM w1) x
-        |    WHERE len(ss) >= 2) t
-        |  GROUP BY pair),
-        |b2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
-        |w2 AS (SELECT replace(seq,
-        |         (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b2),
-        |         (SELECT '|' || replace(pair, ' ', '') || '|' FROM b2))
-        |         AS seq, cnt FROM w1),
-        |p3 AS (
-        |  SELECT pair, SUM(cnt) AS c FROM (
-        |    SELECT unnest(list_transform(range(1, len(ss)),
-        |      i -> ss[CAST(i AS INTEGER)] || ' ' ||
-        |           ss[CAST(i + 1 AS INTEGER)])) AS pair, cnt
-        |    FROM (SELECT string_split(trim(seq, '|'), '|') AS ss, cnt FROM w2) x
-        |    WHERE len(ss) >= 2) t
-        |  GROUP BY pair),
-        |b3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)""".stripMargin
+        |        WHERE length(w) > 0 GROUP BY w) v)""".stripMargin
+    val rounds = (1 to bpeRounds).map { r =>
+      val core =
+        s"""p$r AS (
+           |  SELECT pair, SUM(cnt) AS c FROM (
+           |    SELECT unnest(list_transform(range(1, len(ss)),
+           |      i -> ss[CAST(i AS INTEGER)] || ' ' ||
+           |           ss[CAST(i + 1 AS INTEGER)])) AS pair, cnt
+           |    FROM (SELECT string_split(trim(seq, '|'), '|') AS ss, cnt
+           |          FROM w${r - 1}) x
+           |    WHERE len(ss) >= 2) t
+           |  GROUP BY pair),
+           |b$r AS (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1)""".stripMargin
+      if (r == bpeRounds) core
+      else core +
+        s""",
+           |w$r AS MATERIALIZED (SELECT replace(seq,
+           |         (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b$r),
+           |         (SELECT '|' || replace(pair, ' ', '') || '|' FROM b$r))
+           |         AS seq, cnt FROM w${r - 1})""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** The merge-scalar CTE (t{r} = '|l|r|' target, m{r} = '|lr|'
+    * replacement per round) the encode lambdas cross-join so the
+    * merge table rides as columns — generated for [[bpeRounds]]. */
+  private def bpeMmDuck: String = {
+    val cols = (1 to bpeRounds).map { r =>
+      s"""  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b$r) AS t$r,
+         |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b$r) AS m$r""".stripMargin
+    }.mkString(",\n")
+    s"mm AS (SELECT\n$cols)"
+  }
+
+  /** The encode replace chain over a sentineled symbol string —
+    * round r's replace wraps round r-1's, exactly the Spark
+    * [[bpeCountCol]] foldLeft. */
+  private def bpeReplDuck(inner: String): String =
+    (1 to bpeRounds).foldLeft(inner)((acc, r) =>
+      s"replace($acc, mm.t$r, mm.m$r)")
 
   def oracles: Map[String, String] = Map(
     // the Viterbi EM restated: recursive-CTE min-plus DP + backtrack
@@ -2922,31 +2947,23 @@ object TextAnalytics extends graft.QueryPack {
 
     // the 3 rounds unrolled; each b_k is the 1-row argmax the Spark
     // driver collects, applied via the same sentinel-guarded replace.
-    "q_bpe_merges" ->
+    "q_bpe_merges" -> {
+      val arms = (1 to bpeRounds).map { r =>
+        s"""  SELECT CAST($r AS BIGINT) AS round, pair,
+           |         replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS cnt FROM b$r""".stripMargin
+      }.mkString("\n  UNION ALL\n")
       s"""WITH $bpeLearnSqlDuck
         |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS round, pair,
-        |         replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS cnt FROM b1
-        |  UNION ALL
-        |  SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''),
-        |         CAST(c AS BIGINT) FROM b2
-        |  UNION ALL
-        |  SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''),
-        |         CAST(c AS BIGINT) FROM b3) m
-        |ORDER BY round""".stripMargin,
+        |$arms) m
+        |ORDER BY round""".stripMargin
+    },
 
-    // learn prefix shared with q_bpe_merges; the encode applies the 3
-    // merge scalars (cross-joined as columns so the lambda can see
-    // them) to every word of every document.
+    // learn prefix shared with q_bpe_merges; the encode applies the
+    // learned merge scalars (cross-joined as columns so the lambda
+    // can see them) to every word of every document.
     "q_tokenize_bpe" ->
       s"""WITH $bpeLearnSqlDuck,
-        |mm AS (SELECT
-        |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b1) AS t1,
-        |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b1) AS m1,
-        |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b2) AS t2,
-        |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b2) AS m2,
-        |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b3) AS t3,
-        |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b3) AS m3),
+        |$bpeMmDuck,
         |docs AS (
         |  SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), w -> length(w) > 0)
@@ -2955,9 +2972,9 @@ object TextAnalytics extends graft.QueryPack {
         |enc AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens,
         |    CAST(COALESCE(list_sum(list_transform(toks, w ->
-        |      len(string_split(trim(replace(replace(replace(
-        |        '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|',
-        |        mm.t1, mm.m1), mm.t2, mm.m2), mm.t3, mm.m3), '|'), '|')))), 0)
+        |      len(string_split(trim(${bpeReplDuck(
+               "'|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'")},
+        |        '|'), '|')))), 0)
         |      AS BIGINT) AS n_bpe_tokens
         |  FROM docs, mm)
         |SELECT doc_id, n_ws_tokens, n_bpe_tokens,
@@ -2970,13 +2987,7 @@ object TextAnalytics extends graft.QueryPack {
     // two ratios restated with the same nullif guards
     "q_tokenizer_fertility" ->
       s"""WITH $bpeLearnSqlDuck,
-        |mm AS (SELECT
-        |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b1) AS t1,
-        |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b1) AS m1,
-        |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b2) AS t2,
-        |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b2) AS m2,
-        |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b3) AS t3,
-        |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b3) AS m3),
+        |$bpeMmDuck,
         |docs AS (
         |  SELECT source, text,
         |    list_filter(string_split(lower(text), ' '), w -> length(w) > 0)
@@ -2985,9 +2996,9 @@ object TextAnalytics extends graft.QueryPack {
         |enc AS (
         |  SELECT source, CAST(len(toks) AS BIGINT) AS ws,
         |    CAST(COALESCE(list_sum(list_transform(toks, w ->
-        |      len(string_split(trim(replace(replace(replace(
-        |        '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|',
-        |        mm.t1, mm.m1), mm.t2, mm.m2), mm.t3, mm.m3), '|'), '|')))), 0)
+        |      len(string_split(trim(${bpeReplDuck(
+               "'|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'")},
+        |        '|'), '|')))), 0)
         |      AS BIGINT) AS bpe,
         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS ch
         |  FROM docs, mm),
@@ -3014,19 +3025,13 @@ object TextAnalytics extends graft.QueryPack {
          |wpu AS (SELECT b.w, CAST(COUNT(b.piece) AS BIGINT) AS ku
          |        FROM bt${n + 1} b WHERE b.piece IS NOT NULL GROUP BY b.w),
          |$bpeLearnSqlDuck,
-         |mm AS (SELECT
-         |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b1) AS t1,
-         |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b1) AS m1,
-         |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b2) AS t2,
-         |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b2) AS m2,
-         |  (SELECT '|' || replace(pair, ' ', '|') || '|' FROM b3) AS t3,
-         |  (SELECT '|' || replace(pair, ' ', '') || '|' FROM b3) AS m3),
+         |$bpeMmDuck,
          |docw AS (SELECT source, w FROM (
          |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
          |    FROM documents) t WHERE length(w) > 0),
-         |wpb AS (SELECT w, CAST(len(string_split(trim(replace(replace(replace(
-         |      '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|',
-         |      mm.t1, mm.m1), mm.t2, mm.m2), mm.t3, mm.m3), '|'), '|'))
+         |wpb AS (SELECT w, CAST(len(string_split(trim(${bpeReplDuck(
+                "'|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'")},
+         |      '|'), '|'))
          |    AS BIGINT) AS kb
          |  FROM (SELECT DISTINCT w FROM docw) x, mm),
          |g AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,

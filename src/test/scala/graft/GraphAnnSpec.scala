@@ -250,6 +250,31 @@ class GraphAnnSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("q_stream_ann_search: drained top-k equals the one-shot batch walk (serving is stateless — VERDICT r14 item 2)") {
+    import org.apache.spark.sql.functions._
+    val (nodes, g, qs) =
+      graft.operators.Similarity.serveIndexParts(spark, TestSpark.sf)
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // the batch-parity reference: ONE walk over all queries
+    val batch = rows(
+      graft.operators.Similarity.serveTopK(nodes, g, qs))
+    assert(batch.nonEmpty, "batch walk returned nothing")
+    // each query gets exactly 3 ranked results
+    assert(batch.groupBy(_._1).forall(_._2.size == 3),
+      "a query is missing top-3 rows")
+    // the drain splits the same queries across two staged files and
+    // walks the STORED index per micro-batch — per-query
+    // independence makes the union identical, row for row
+    val drained = rows(graft.operators.StreamingGate
+      .queries("q_stream_ann_search")(spark, TestSpark.sf))
+    assert(drained == batch,
+      s"drained serve diverged from the batch walk: " +
+        s"${(drained diff batch).take(3)} / ${(batch diff drained).take(3)}")
+    TestSpark.housekeeping()
+  }
+
   test("graft.nndescent.init.width knob: fine blocks seed high, coarse blocks recover by descent (both engines read it per call)") {
     val dflt = recallRows().groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val old = sys.props.get("graft.nndescent.init.width")

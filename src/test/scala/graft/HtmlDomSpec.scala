@@ -200,6 +200,21 @@ class HtmlDomSpec extends AnyFunSuite {
       == Seq("y"))
   }
 
+  test("option/optgroup reconstruct active formatting before inserting (ADVICE r14)") {
+    // the "in body" option rule pops a current option, reconstructs,
+    // THEN inserts — so a formatting element popped by the preceding
+    // </p> reopens around the option (jsdom parity)
+    assert(HtmlDom.selectTexts("<p><b>x</p><option>y</option>",
+      "b option") == Seq("y"))
+    assert(HtmlDom.selectTexts("<p><b>x</p><optgroup><option>y",
+      "b option") == Seq("y"))
+    // sibling-option implied close still fires first: pop option,
+    // reconstruct, insert — the second option stays b-wrapped and a
+    // SIBLING of the first, never nested
+    assert(HtmlDom.selectTexts("<p><b>x</p><option>u<option>v",
+      "b option") == Seq("u", "v"))
+  }
+
   test("cascaded implied closes reconstruct formatting outermost-first (ADVICE r13)") {
     // <tr> cascades through td AND tr, popping two formatting
     // elements from different segments; the clones must reopen in

@@ -172,6 +172,50 @@ class UnigramLmSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("graft.bpe.rounds: a deeper merge table trains in lockstep on both engines (VERDICT r14 item 3)") {
+    val old = sys.props.get("graft.bpe.rounds")
+    def merges(): Array[(Long, String, String, Long)] =
+      graft.operators.TextAnalytics
+        .queries("q_bpe_merges")(spark, TestSpark.sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def bpeTotal(): Long = graft.operators.TextAnalytics
+      .queries("q_tokenizer_fertility")(spark, TestSpark.sf)
+      .collect().map(_.getLong(2)).sum
+    try {
+      val base = bpeTotal() // default 3 merges
+      sys.props("graft.bpe.rounds") = "6"
+      val m = merges()
+      assert(m.map(_._1).toSeq == (1L to 6L),
+        s"rounds under graft.bpe.rounds=6: ${m.map(_._1).toSeq}")
+      m.foreach { case (_, pair, merged, _) =>
+        assert(merged == pair.replace(" ", ""))
+      }
+      // max pair count is weakly non-increasing across merge rounds:
+      // a new pair (x, lr) can only occur where (l r) just merged, so
+      // its count is bounded by the merged pair's; old pairs only
+      // lose occurrences
+      m.map(_._4).toSeq.sliding(2).foreach { case Seq(a, b) =>
+        assert(b <= a, s"pair counts increased: ${m.map(_._4).toSeq}")
+      }
+      // more merges can only shrink (or hold) the encoded token total
+      assert(bpeTotal() <= base,
+        "6-merge encode produced more tokens than 3-merge")
+      // the generated oracle re-reads the knob: 6 argmax CTEs, not 7
+      val sql = graft.operators.TextAnalytics.oracles("q_bpe_merges")
+      assert(sql.contains("b6 ") && !sql.contains("b7"),
+        "oracle SQL not in lockstep with graft.bpe.rounds")
+      sys.props("graft.bpe.rounds") = "0"
+      intercept[IllegalArgumentException] { merges() }
+    } finally {
+      old match {
+        case Some(v) => sys.props("graft.bpe.rounds") = v
+        case None => sys.props -= "graft.bpe.rounds"
+      }
+    }
+    TestSpark.housekeeping()
+  }
+
   test("encode kernel refuses an untrained (empty) cost map") {
     // the model is threaded explicitly (no process-global handoff);
     // an empty map means the caller skipped training — fail loudly

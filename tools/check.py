@@ -34,11 +34,25 @@ fails = []
 report = {}
 
 
+def flush_report():
+    """Write-temp + atomic rename after EVERY query (VERDICT r14
+    item 1): a kill at any instant leaves CHECK_JSON a valid partial
+    artifact holding all completed rows, never an empty {}."""
+    path = os.environ.get("CHECK_JSON")
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(report, f, indent=0, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def record(name, **kw):
     e = {"rows_match": None, "schema_match": None, "hash_match": None,
          "spark_rows": None, "oracle_rows": None, "err": None}
     e.update(kw)
     report[name] = e
+    flush_report()
 
 def canon(df):
     df = df[sorted(df.columns)].copy()
@@ -138,8 +152,7 @@ if os.environ.get("CHECK_JSON"):
         except Exception:
             nr = None
         record(name, spark_rows=nr, err="no_oracle")
-    with open(os.environ["CHECK_JSON"], "w") as f:
-        json.dump(report, f, indent=0, sort_keys=True)
+    flush_report()
     print(f"report -> {os.environ['CHECK_JSON']}")
 
 sys.exit(1 if fails else 0)

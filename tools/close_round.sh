@@ -50,12 +50,22 @@ import json, sys
 d = json.load(open(sys.argv[1]))
 # triple-green = oracle-compared and all three gates match; the two
 # terminally-declared rows-only queries (err == "no_oracle", nonzero
-# spark rows) are counted separately, never as failures
+# spark rows) are counted separately, never as failures.
+# ADVICE r14: the rows-only set is a PINNED allowlist — a new query
+# whose oracle was accidentally omitted must FAIL the gate, not slip
+# through as an undeclared no_oracle "pass".
+ROWS_ONLY = {"q_lda_topics", "q_stem_topk"}
 ok = sum(1 for v in d.values()
          if v.get("err") is None and v.get("rows_match")
          and v.get("schema_match") and v.get("hash_match"))
-declared = sum(1 for v in d.values()
-               if v.get("err") == "no_oracle" and (v.get("spark_rows") or 0) > 0)
+declared = sum(1 for k, v in d.items()
+               if k in ROWS_ONLY and v.get("err") == "no_oracle"
+               and (v.get("spark_rows") or 0) > 0)
+undeclared = [k for k, v in d.items()
+              if v.get("err") == "no_oracle" and k not in ROWS_ONLY]
+if undeclared:
+    print(f"UNDECLARED no_oracle queries (missing oracleSql?): {sorted(undeclared)}")
+    sys.exit(1)
 print(f"{ok}/{len(d) - declared} oracle PASS, {declared} declared rows-only, {len(d)} total")
 sys.exit(0 if ok + declared == len(d) and ok > 0 else 1)
 EOF
@@ -68,6 +78,23 @@ echo "CLOSE-GATE: STRICT $GATE PASS ($VOK)"
 # the driver's type+repr hash diverges on any trailing-zero value even
 # when tools/check.py's value canonicalization passes (the q_rfm class).
 python3 tools/dtype_audit.py /tmp/close_verify
+
+# ADVICE freshness (VERDICT r14 item 7): the r14 verdict found
+# ADVICE.md still presenting four CLOSED r13 items as open. Every
+# item must carry an explicit disposition marker — `CLOSED(rN: ...)`
+# or `DEFERRED(rN: ...)` — before the round closes, so the next
+# round's inbox is accurate.
+python3 - <<'EOF'
+import re, sys
+blocks = re.split(r'^(?=- \*\*)',
+                  open("ADVICE.md").read(), flags=re.M)[1:]
+bad = [b.splitlines()[0][:70] for b in blocks
+       if "CLOSED(r" not in b and "DEFERRED(r" not in b]
+if bad:
+    sys.exit("CLOSE-GATE FAIL: ADVICE.md items without a "
+             "CLOSED(rN)/DEFERRED(rN) marker:\n  " + "\n  ".join(bad))
+print(f"ADVICE.md: {len(blocks)} items, all dispositioned")
+EOF
 
 echo "=== 4/6 scalatest"
 sbt -batch test 2>&1 | tail -4 | tee /tmp/close_test.out
