@@ -21,7 +21,7 @@ import java.nio.file.{Files, Paths}
   * between WAVES of queries (an unpersist landing mid-flight on a
   * sibling's cached frame is correctness-safe — Spark recomputes — so
   * the barrier is about reclaiming state often enough, not about
-  * safety). The 22 q_stream_* drains keep the sequential lane +
+  * safety). The q_stream_* drains keep the sequential lane +
   * per-query housekeeping: each stages files, drains a real stream
   * and (restart gates) plants a mid-drain death — semantics that are
   * exactly today's under one-at-a-time execution.

@@ -2914,10 +2914,20 @@ object Similarity extends graft.QueryPack {
   /** Walk-family lineage-cut cadence (VERDICT r14 item 4): cut every
     * N hops (1 = every hop, >= hops = final only). Read per call so
     * the A/B runs under sysprop sweeps; results are cadence-invariant
-    * (localCheckpoint is pure lineage surgery), only cost moves. */
+    * (localCheckpoint is pure lineage surgery), only cost moves.
+    * DEFAULT 1 — MEASURED (graft.CadenceAB, in-session sysprop flips,
+    * min over 3 interleaved reps, cpus=32): family min-sums
+    * sf0.01 cadence 1/2/3/7 = 21.2/23.4/26.7/99.2 s,
+    * sf0.1 cadence 1/2/3 = 27.4/28.3/31.4 s — cutting EVERY hop beats
+    * the old every-3rd default by 20.3%/12.7%, refuting the r13 note
+    * that per-hop checkpoints were pure overhead: with 4 walk
+    * queries' grown frames, the doubled plan tree per uncut hop
+    * (union+distinct+2 joins re-analyzed) costs more than the
+    * per-cut job floor, and final-only (7) is catastrophic (the
+    * q_ann_filtered 4-arm plan alone reaches 48 s). */
   private def walkCkptEvery: Int = {
     val n = sys.props.get("graft.walk.ckpt.every")
-      .map(_.trim.toInt).getOrElse(3)
+      .map(_.trim.toInt).getOrElse(1)
     require(n >= 1, s"graft.walk.ckpt.every must be >= 1, got $n")
     n
   }
@@ -2956,14 +2966,13 @@ object Similarity extends graft.QueryPack {
           col("dst") =!= (-col("qid") - 1L))
         .select(col("beam"), col("qid"), col("dst").as("node"))
       visited = visited.union(cand).distinct()
-      // cut lineage every CADENCE hops only: the visited frames are
-      // query-grid-sized (≤ |q|·beam·hops·2k rows), so the plan-tree
-      // growth is what needs bounding, not recompute — per-hop eager
-      // checkpoints were measured pure overhead here. The cadence is
-      // a sysprop (VERDICT r14 item 4): each uncut hop doubles the
-      // plan tree (union+distinct+join per hop) while each cut pays
-      // the ~0.8 s/job localCheckpoint floor; the crossover is
-      // measured in BASELINE.md's walk-cadence A/B and 3 won.
+      // cut lineage every [[walkCkptEvery]] hops (default 1 = every
+      // hop — see the measured A/B at the cadence sysprop): the
+      // visited frames are query-grid-sized (≤ |q|·beam·hops·2k
+      // rows), so recompute is cheap but the PLAN TREE doubles per
+      // uncut hop (union+distinct+2 joins re-analyzed per later hop),
+      // and at the current 4-query family that analyzer cost
+      // dominates the per-cut job floor.
       if (h % walkCkptEvery == 0 || h == hops)
         visited = visited.localCheckpoint()
     }

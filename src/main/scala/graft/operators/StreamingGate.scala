@@ -1312,6 +1312,41 @@ object StreamingGate extends graft.QueryPack {
       s.read.parquet(out + "/b*").orderBy(col("doc_id"))
     }),
 
+    // STREAMING BPE TOKENIZE — the THIRTY-THIRD oracle-gated drain and
+    // drain #30's family twin: the OTHER trained tokenizer (the
+    // graft.bpe.rounds merge table) served as a stored model to a
+    // document stream, so BOTH families the q_tokenizer_compare
+    // bake-off adjudicates have a live-ingest serving path. Model
+    // trains (memoized) before the drain and is threaded explicitly
+    // into the foreachBatch closure (the r13 no-process-global
+    // discipline); per-doc counts depend only on doc + static merge
+    // table ⇒ union over batches ≡ the batch q_tokenize_bpe, whose
+    // oracle gates it VERBATIM. Sixth served-model modality.
+    "q_stream_bpe_encode" -> ((s, d) => {
+      val root = freshDir("q_stream_bpe_encode")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val out = root + "/out"
+      val merges = TextAnalytics.trainedBpeMergesFor(s, d)
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val t0 = System.currentTimeMillis() - 60000
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 0), "f1", t0)
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 1), "f2",
+        t0 + 2000)
+      stageFile(root, src, docs.filter(col("doc_id") % 3 === 2), "f3",
+        t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      drain(s, stream, "append") { (batch, id) =>
+        TextAnalytics.bpeEncodeFrame(merges)(batch)
+          .write.mode("overwrite").parquet(s"$out/b$id")
+        ()
+      }
+      s.read.parquet(out + "/b*").orderBy(col("doc_id"))
+    }),
+
     // STREAMING INDEX DELETION — the THIRTY-FIRST oracle-gated drain
     // and the maintenance TWIN of q_stream_ann_admission: where that
     // drain grows a stored index from an arriving vector feed, this
@@ -2055,6 +2090,8 @@ object StreamingGate extends graft.QueryPack {
     "q_stream_phash_admission" -> Multimodal.oracles("q_phash_admission"),
     "q_stream_unigram_encode" ->
       TextAnalytics.oracles("q_unigram_encode"),
+    // the served BPE model is definitionally the batch tokenizer
+    "q_stream_bpe_encode" -> TextAnalytics.oracles("q_tokenize_bpe"),
     "q_stream_seq_pack" -> Extras.oracles("q_seq_pack"),
 
     // fully analytic: the truncation plant from the image key, the

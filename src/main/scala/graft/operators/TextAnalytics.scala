@@ -1387,19 +1387,10 @@ object TextAnalytics extends graft.QueryPack {
     // per-round corpus aggregation (above); apply is a pure narrow map
     // with the merge table inlined as literals (at 100 TB the learned
     // vocab broadcasts; rows never shuffle to tokenize).
-    "q_tokenize_bpe" -> ((s, d) => {
-      val merges = learnBpeMerges(s, d)
-      val toksF = filter(tokens(col("text")), w => length(w) > 0)
-      Tables(s, d, "documents")
-        .select(col("doc_id"),
-          size(toksF).cast("long").as("n_ws_tokens"),
-          aggregate(toksF, lit(0), (acc, w) => acc + bpeCountCol(merges)(w))
-            .cast("long").as("n_bpe_tokens"))
-        .withColumn("bpe_per_word",
-          when(col("n_ws_tokens") > 0,
-            round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 9)))
-        .orderBy(col("doc_id"))
-    }),
+    "q_tokenize_bpe" -> ((s, d) =>
+      bpeEncodeFrame(learnBpeMerges(s, d))(
+        Tables(s, d, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))),
 
     // Tokenizer-quality report (r9) — fertility (BPE tokens per word)
     // and compression (non-space chars per BPE token) PER SOURCE under
@@ -1434,6 +1425,39 @@ object TextAnalytics extends graft.QueryPack {
             nullif(col("n_bpe_tokens"), lit(0L)).cast("double"), 9)
             .as("chars_per_token"))
         .orderBy(col("source"))
+    }),
+
+    // BPE vocabulary-size curve (r15, with VERDICT r14 item 3's
+    // un-toyed depth knob): corpus fertility under every merge-table
+    // PREFIX 0..graft.bpe.rounds — merge 0 is the character baseline
+    // (fertility = mean word length), each further row prices one
+    // more merge. The "how many merges do I actually need" question a
+    // tokenizer-training pipeline answers before committing a vocab
+    // budget; fertility is non-increasing in depth by construction
+    // (a merge can only shrink a segmentation) and the curve shows
+    // where it flattens. ONE distinct-word pass: per-depth counts are
+    // sibling columns over the word-frequency table (vocabulary-
+    // sized), then a 1-row aggregate unpivoted — corpus cost is the
+    // single tokenize pass regardless of depth.
+    "q_bpe_vocab_curve" -> ((s, d) => {
+      val merges = learnBpeMerges(s, d)
+      val depths = 0 to merges.length
+      val toksF = filter(tokens(col("text")), w => length(w) > 0)
+      val wc = Tables(s, d, "documents")
+        .select(explode(toksF).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val withCounts = depths.foldLeft(wc) { (df, k) =>
+        df.withColumn(s"k$k",
+          bpeCountCol(merges.take(k))(col("w")).cast("long") * col("cw"))
+      }
+      val aggd = withCounts.agg(sum(col("cw")).as("ws"),
+        depths.map(k => sum(col(s"k$k")).as(s"s$k")): _*)
+      depths.map { k =>
+        aggd.select(lit(k.toLong).as("n_merges"),
+          col(s"s$k").as("n_bpe_tokens"),
+          round(col(s"s$k").cast("double") /
+            nullif(col("ws"), lit(0L)).cast("double"), 9).as("fertility"))
+      }.reduce(_ unionByName _).orderBy(col("n_merges"))
     })
   ) ++ extraQueries
 
@@ -1733,6 +1757,35 @@ object TextAnalytics extends graft.QueryPack {
       .groupBy(col("piece"))
       .agg(sum(col("cw")).as("cnt"))
   }
+
+  /** The q_tokenize_bpe projection over a SUPPLIED (doc_id, text)
+    * frame under an explicitly-threaded merge table — the BPE analog
+    * of [[unigramEncodeFrame]] (the r13 no-process-global
+    * discipline), shared by the batch query and streaming drain #33
+    * so the served model and the batch tokenizer are one
+    * definition. Requires a real (non-empty) merge table: the learn
+    * cannot train on an empty corpus (documented EmptyInputSpec
+    * exclusion), so an empty list here means the caller skipped
+    * training. */
+  private[graft] def bpeEncodeFrame(
+      merges: Seq[(Long, String, String, Long)])(
+      docs: DataFrame): DataFrame = {
+    require(merges.nonEmpty,
+      "bpeEncodeFrame needs a trained merge table (learnBpeMerges)")
+    val toksF = filter(tokens(col("text")), w => length(w) > 0)
+    docs.select(col("doc_id"),
+        size(toksF).cast("long").as("n_ws_tokens"),
+        aggregate(toksF, lit(0), (acc, w) => acc + bpeCountCol(merges)(w))
+          .cast("long").as("n_bpe_tokens"))
+      .withColumn("bpe_per_word",
+        when(col("n_ws_tokens") > 0,
+          round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 9)))
+  }
+
+  /** Memoized merge-table access for callers OUTSIDE the pack (the
+    * streaming drain) — the unigram trainedUnigramModelFor analog. */
+  private[graft] def trainedBpeMergesFor(s: SparkSession, d: String)
+      : Seq[(Long, String, String, Long)] = learnBpeMerges(s, d)
 
   /** BPE token count of one word column under the learned merge
     * table — the ENCODE kernel, shared by q_tokenize_bpe (per-doc) and
@@ -2246,10 +2299,14 @@ object TextAnalytics extends graft.QueryPack {
 
   /** The encode replace chain over a sentineled symbol string —
     * round r's replace wraps round r-1's, exactly the Spark
-    * [[bpeCountCol]] foldLeft. */
-  private def bpeReplDuck(inner: String): String =
-    (1 to bpeRounds).foldLeft(inner)((acc, r) =>
+    * [[bpeCountCol]] foldLeft. `depth` < bpeRounds gives the
+    * merge-table PREFIX chain (q_bpe_vocab_curve's per-depth
+    * encodes). */
+  private def bpeReplDuck(inner: String, depth: Int = -1): String = {
+    val d = if (depth < 0) bpeRounds else depth
+    (1 to d).foldLeft(inner)((acc, r) =>
       s"replace($acc, mm.t$r, mm.m$r)")
+  }
 
   def oracles: Map[String, String] = Map(
     // the Viterbi EM restated: recursive-CTE min-plus DP + backtrack
@@ -3048,6 +3105,38 @@ object TextAnalytics extends graft.QueryPack {
          |       WHEN n_bpe_tokens < n_uni_pieces THEN 'bpe'
          |       ELSE 'tie' END AS winner
          |FROM g ORDER BY source""".stripMargin
+    },
+
+    // the curve restated: one distinct-word table, per-depth encode
+    // columns from the same mm scalars (prefix chains), 1-row sums
+    // unpivoted — fertility per merge-table prefix 0..R
+    "q_bpe_vocab_curve" -> {
+      val depths = 0 to bpeRounds
+      val inner =
+        "'|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'"
+      val encCols = depths.map { k =>
+        s"""    CAST(len(string_split(trim(${bpeReplDuck(inner, k)},
+           |      '|'), '|')) AS BIGINT) * cw AS k$k""".stripMargin
+      }.mkString(",\n")
+      val sumCols = depths.map(k =>
+        s"CAST(SUM(k$k) AS BIGINT) AS s$k").mkString(", ")
+      val arms = depths.map { k =>
+        s"""  SELECT CAST($k AS BIGINT) AS n_merges, s$k AS n_bpe_tokens,
+           |    round(CAST(s$k AS DOUBLE) /
+           |      CAST(nullif(ws, 0) AS DOUBLE), 9) AS fertility FROM tot""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $bpeLearnSqlDuck,
+         |$bpeMmDuck,
+         |dw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS w
+         |    FROM documents) t WHERE length(w) > 0 GROUP BY w),
+         |enc AS (SELECT cw,
+         |$encCols
+         |  FROM dw, mm),
+         |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS ws, $sumCols FROM enc)
+         |SELECT * FROM (
+         |$arms) c
+         |ORDER BY n_merges""".stripMargin
     },
 
     "q_pmi_bigrams" ->

@@ -216,6 +216,31 @@ class UnigramLmSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("q_bpe_vocab_curve: char baseline at depth 0, non-increasing fertility, full depth = the fertility report total (r15)") {
+    val curve = graft.operators.TextAnalytics
+      .queries("q_bpe_vocab_curve")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(curve.map(_._1).toSeq == (0L to 3L), // default 3 merges
+      s"depths: ${curve.map(_._1).toSeq}")
+    // merge 0 = every char its own symbol: the token total IS the
+    // weighted corpus char count — an integer identity
+    assert(curve.head._2 == weightedChars,
+      s"depth-0 total ${curve.head._2} != corpus chars $weightedChars")
+    // a merge can only shrink (or hold) segmentations
+    curve.map(_._2).toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"token total grew with depth: ${curve.map(_._2).toSeq}")
+    }
+    // the full-depth point is exactly the fertility report's corpus
+    // total (one encode kernel, two groupings)
+    val fert = graft.operators.TextAnalytics
+      .queries("q_tokenizer_fertility")(spark, TestSpark.sf)
+      .collect().map(_.getLong(2)).sum
+    assert(curve.last._2 == fert,
+      s"curve full-depth ${curve.last._2} != fertility total $fert")
+    TestSpark.housekeeping()
+  }
+
   test("encode kernel refuses an untrained (empty) cost map") {
     // the model is threaded explicitly (no process-global handoff);
     // an empty map means the caller skipped training — fail loudly
