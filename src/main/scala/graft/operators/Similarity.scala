@@ -997,6 +997,91 @@ object Similarity extends graft.QueryPack {
         .orderBy(col("arm"), col("beam"), col("qid"))
     }),
 
+    // INCREMENTAL-MAINTENANCE DRIFT AUDIT (r15) — the "when do I
+    // rebuild?" question every incrementally-maintained index faces:
+    // after the full tombstone delete, compare the INCREMENTALLY
+    // repaired graph (q_ann_delete's one-shot repairStep — bounded
+    // 2-hop re-route, never a rebuild) against a FRESH from-scratch
+    // rebuild on the surviving corpus (same descent, same md5 seed
+    // blocks — the alive nodes keep their stored bucket signatures,
+    // exactly what a production rebuild over stored vectors does).
+    // Two answers, both exact: (a) edge-set algebra — sizes,
+    // intersection, Jaccard — how far the repaired TOPOLOGY drifted
+    // from what a rebuild would choose; (b) recall against the
+    // surviving planted truth per beam — whether the drift COSTS
+    // anything at query time. Both arms walk through ONE merged
+    // beamWalkFrom (rebuild arm id-shifted at +OFF; entries routed on
+    // original ids over the SAME alive node set, so the arms differ
+    // ONLY in graph). At 100 TB this query prices the rebuild
+    // trigger: run it on a sample after N maintenance batches and
+    // rebuild when the recall gap (not the Jaccard — topology drift
+    // with equal recall is free) crosses budget.
+    "q_ann_rebuild_compare" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val OFF = ID_SHIFT_OFF
+      val (nodes, delIds, gPre) = deleteGraphParts(s, d)
+      val aliveN = nodes.join(delIds.select(col("did").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+        .localCheckpoint() // reused: rebuild descent + 2 arms + entry
+      val gInc = repairStep(nodes, gPre, delIds)
+      val gReb = nnSearchGraph(nnDescentEdges(aliveN, rounds = 2).last)
+      val stats = gInc.agg(count(lit(1)).as("n_inc"))
+        .crossJoin(gReb.agg(count(lit(1)).as("n_reb")))
+        .crossJoin(gInc.intersect(gReb).agg(count(lit(1)).as("n_common")))
+      val qs = nodes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), col("blk").as("qblk"))
+      val ent = routedEntry(aliveN, qs)
+      val nodesAll = aliveN.unionByName(aliveN.select(
+        (col("vec_id") + OFF).as("vec_id"), col("embedding"), col("nrm"),
+        col("blk")))
+      val gAll = gInc.unionByName(gReb.select(
+        (col("src") + OFF).as("src"), (col("dst") + OFF).as("dst")))
+      val qsAll = qs.unionByName(qs.select((col("qid") + OFF).as("qid"),
+        col("qv"), col("qnrm"), col("qblk")))
+      val entAll = ent.unionByName(ent.select(
+        (col("qid") + OFF).as("qid"), (col("node") + OFF).as("node")))
+      val visited = beamWalkFrom(nodesAll, gAll, qsAll, entAll,
+        Seq(2, 4), hops = 7)
+      val wB = Window.partitionBy(col("beam"), col("qid"))
+        .orderBy(col("sim").desc, col("node"))
+      val ranked = visited.withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= 3)
+        .select(col("beam").as("abeam"), col("qid").as("aqid"),
+          col("node").as("anid"))
+      val struth = qs
+        .select(col("qid"), explode(typedlit(Seq(1, 2, 3))).as("c"))
+        .select(col("qid"),
+          (lit(1000000L) + col("qid") * 10 + col("c")).as("nid"))
+        .filter(col("nid") % 9 =!= 4)
+      val truthAll = struth
+        .unionByName(struth.select((col("qid") + OFF).as("qid"),
+          (col("nid") + OFF).as("nid")))
+        .withColumn("beam", explode(typedlit(Seq(2, 4))))
+      truthAll
+        .join(ranked,
+          col("beam") === col("abeam") && col("qid") === col("aqid") &&
+            col("nid") === col("anid"),
+          "left_outer")
+        .withColumn("arm",
+          when(col("qid") >= OFF, lit("rebuild"))
+            .otherwise(lit("incremental")))
+        .groupBy(col("arm"), col("beam"))
+        .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hits"))
+        .crossJoin(broadcast(stats))
+        .select(col("arm"), col("beam").cast("long").as("beam"),
+          col("n_exact"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_exact"), 6)
+            .as("macro_recall"),
+          when(col("arm") === "incremental", col("n_inc"))
+            .otherwise(col("n_reb")).as("n_edges"),
+          col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("n_inc") + col("n_reb") - col("n_common")), 9)
+            .as("jaccard"))
+        .orderBy(col("arm"), col("beam"))
+    }),
+
     // FILTERED (attribute-constrained) ANN — the most common
     // production vector-search need: top-k under a metadata predicate
     // (here the embeddings' class label at three selectivities:
@@ -3595,6 +3680,101 @@ object Similarity extends graft.QueryPack {
          |  round(CAST(SUM(n_hits) OVER (PARTITION BY arm, beam) AS DOUBLE) /
          |    SUM(n_exact) OVER (PARTITION BY arm, beam), 6) AS macro_recall
          |FROM allq ORDER BY arm, beam, qid""".stripMargin,
+
+    // the drift audit restated: the q_ann_delete prefix (pre graph +
+    // tombstones + one-shot repairDuck -> ig), a SECOND full descent
+    // over the alive node frame (r0 seed + descentStepsDuck at
+    // prefix r -> rebuilt rg), scalar edge algebra, and both arms
+    // through walkDuck over the same alive-routed entries
+    "q_ann_rebuild_compare" ->
+      s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+         |            FROM embeddings WHERE vec_id < 10),
+         |planted AS (
+         |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+         |    list_transform(range(1, ${DIM + 1}), i ->
+         |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+         |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+         |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+         |aug AS (
+         |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+         |      CAST(embedding[i] AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM planted),
+         |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
+         |${nnDescentDuck(2)},
+         |${symGraphDuck("pg", "e2")},
+         |del AS MATERIALIZED (SELECT vec_id AS did FROM nodes
+         |  WHERE vec_id % 9 = 4 AND vec_id >= 10),
+         |${repairDuck("d", "pg", "del", "ig")},
+         |an AS MATERIALIZED (SELECT * FROM nodes
+         |  WHERE vec_id NOT IN (SELECT did FROM del)),
+         |r0 AS MATERIALIZED (SELECT src, dst FROM (
+         |  SELECT l.vec_id AS src, r.vec_id AS dst,
+         |    ROW_NUMBER() OVER (PARTITION BY l.vec_id ORDER BY
+         |      md5(CAST(l.vec_id AS VARCHAR) || '|' || CAST(r.vec_id AS VARCHAR)),
+         |      r.vec_id) AS rk
+         |  FROM an l JOIN an r ON l.blk = r.blk AND l.vec_id <> r.vec_id) t
+         | WHERE rk <= $NN_K),
+         |${descentStepsDuck("an", "r", 2)},
+         |${symGraphDuck("rg", "r2")},
+         |est AS (SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ig) AS n_inc,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rg) AS n_reb,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |    (SELECT src, dst FROM ig INTERSECT
+         |     SELECT src, dst FROM rg) t) AS n_common),
+         |qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv,
+         |  nrm AS qnrm, blk AS qblk FROM nodes WHERE vec_id < 10),
+         |bent AS (SELECT qid, node FROM (
+         |  SELECT q.qid, n.vec_id AS node,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |      md5(CAST(q.qid AS VARCHAR) || '|' || CAST(n.vec_id AS VARCHAR)),
+         |      n.vec_id) AS rk
+         |  FROM qs q JOIN an n ON n.blk = q.qblk AND n.vec_id <> q.qid) t
+         | WHERE rk = 1),
+         |rcb AS (SELECT * FROM (VALUES (2), (4)) b(beam)),
+         |${walkDuck("ia", "an", "ig", "bent", "rcb", 7)},
+         |${walkDuck("ra", "an", "rg", "bent", "rcb", 7)},
+         |iarank AS (SELECT beam, qid, nid FROM (
+         |  SELECT v.beam, v.qid, v.node AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.beam, v.qid ORDER BY
+         |      round(${dotDuck("q.qv", "n.embedding")} /
+         |        (q.qnrm * n.nrm), 9) DESC, v.node) AS rk
+         |  FROM iav7 v JOIN an n ON n.vec_id = v.node
+         |              JOIN qs q ON q.qid = v.qid) t WHERE rk <= 3),
+         |rarank AS (SELECT beam, qid, nid FROM (
+         |  SELECT v.beam, v.qid, v.node AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.beam, v.qid ORDER BY
+         |      round(${dotDuck("q.qv", "n.embedding")} /
+         |        (q.qnrm * n.nrm), 9) DESC, v.node) AS rk
+         |  FROM rav7 v JOIN an n ON n.vec_id = v.node
+         |              JOIN qs q ON q.qid = v.qid) t WHERE rk <= 3),
+         |struth AS (SELECT q0.vec_id AS qid,
+         |    1000000 + q0.vec_id * 10 + c AS nid
+         |  FROM q0, (VALUES (1), (2), (3)) t(c)
+         |  WHERE (1000000 + q0.vec_id * 10 + c) % 9 <> 4),
+         |tb AS (SELECT qid, nid, beam FROM struth, rcb),
+         |iag AS (SELECT 'incremental' AS arm, t.beam,
+         |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(r.nid) AS BIGINT) AS n_hits
+         |  FROM tb t LEFT JOIN iarank r ON r.beam = t.beam
+         |    AND r.qid = t.qid AND r.nid = t.nid
+         |  GROUP BY t.beam),
+         |rag AS (SELECT 'rebuild' AS arm, t.beam,
+         |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(r.nid) AS BIGINT) AS n_hits
+         |  FROM tb t LEFT JOIN rarank r ON r.beam = t.beam
+         |    AND r.qid = t.qid AND r.nid = t.nid
+         |  GROUP BY t.beam),
+         |u AS (SELECT * FROM iag UNION ALL SELECT * FROM rag)
+         |SELECT arm, CAST(beam AS BIGINT) AS beam, n_exact, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS macro_recall,
+         |  CASE WHEN arm = 'incremental' THEN n_inc ELSE n_reb END
+         |    AS n_edges,
+         |  n_common,
+         |  round(CAST(n_common AS DOUBLE) / (n_inc + n_reb - n_common), 9)
+         |    AS jaccard
+         |FROM u CROSS JOIN est ORDER BY arm, beam""".stripMargin,
 
     // the descent unroll over the raw corpus + label table, ONE full
     // walk chain (pf) and one induced-subgraph chain per predicate

@@ -275,6 +275,46 @@ class GraphAnnSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("q_ann_rebuild_compare: edge algebra consistent, arms share truth, recall monotone in beam (r15)") {
+    val rows = graft.operators.Similarity
+      .queries("q_ann_rebuild_compare")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    // 2 arms x 2 beams
+    assert(rows.length == 4, s"expected 4 rows, got ${rows.length}")
+    assert(rows.map(_._1).toSet == Set("incremental", "rebuild"))
+    // both arms rank against the SAME surviving planted truth
+    rows.groupBy(_._2).foreach { case (beam, rs) =>
+      assert(rs.map(_._3).distinct.length == 1,
+        s"beam $beam: truth denominators differ across arms")
+    }
+    // edge algebra: counts positive, intersection bounded, jaccard
+    // recomputes from the counts exactly
+    rows.foreach { case (arm, _, _, _, _, nE, nC, jac) =>
+      assert(nE > 0 && nC > 0 && nC <= nE, s"$arm: bad edge counts")
+    }
+    val nInc = rows.filter(_._1 == "incremental").head._6
+    val nReb = rows.filter(_._1 == "rebuild").head._6
+    val nCom = rows.head._7
+    assert(nCom <= math.min(nInc, nReb))
+    val jac = rows.head._8
+    assert(math.abs(jac -
+      BigDecimal(nCom.toDouble / (nInc + nReb - nCom))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    // the graphs genuinely differ (the audit is non-degenerate) but
+    // overlap substantially (both are k-NN graphs of the same corpus)
+    assert(jac > 0.2 && jac < 1.0, s"degenerate jaccard $jac")
+    // cumulative-visited walk: recall non-decreasing in beam per arm
+    Seq("incremental", "rebuild").foreach { arm =>
+      val byBeam = rows.filter(_._1 == arm).sortBy(_._2).map(_._5)
+      byBeam.toSeq.sliding(2).foreach { case Seq(a, b) =>
+        assert(b >= a, s"$arm recall not monotone in beam: $byBeam")
+      }
+    }
+    TestSpark.housekeeping()
+  }
+
   test("graft.nndescent.init.width knob: fine blocks seed high, coarse blocks recover by descent (both engines read it per call)") {
     val dflt = recallRows().groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val old = sys.props.get("graft.nndescent.init.width")
