@@ -2924,6 +2924,76 @@ object Similarity extends graft.QueryPack {
        |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, sim
        |FROM ranked ORDER BY qid, rk""".stripMargin
 
+  /** Drain #34's oracle: the SAME query set served before and after
+    * the maintenance batch — pre phase walks the full stored index,
+    * post phase walks the tombstone-repaired one with entries routed
+    * over the alive set. The staged order (queries, deletes,
+    * queries) is the semantics; the oracle unrolls it. */
+  private[operators] def streamServeMaintainOracleSql: String =
+    s"""WITH q0 AS (SELECT vec_id, embedding, $normDuck AS nrm
+       |            FROM embeddings WHERE vec_id < 10),
+       |planted AS (
+       |  SELECT 1000000 + vec_id * 10 + c AS vec_id,
+       |    list_transform(range(1, ${DIM + 1}), i ->
+       |      CASE WHEN i = c THEN CAST(embedding[i] AS DOUBLE) + 0.1 * nrm
+       |           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+       |  FROM q0, (VALUES (1), (2), (3)) t(c)),
+       |aug AS (
+       |  SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+       |      CAST(embedding[i] AS DOUBLE)) AS embedding
+       |  FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM planted),
+       |e AS (SELECT vec_id, embedding, $normDuck AS nrm FROM aug),
+       |${nnDescentDuck(2)},
+       |${symGraphDuck("pg", "e2")},
+       |del AS MATERIALIZED (SELECT vec_id AS did FROM nodes
+       |  WHERE vec_id % 9 = 4 AND vec_id >= 10),
+       |${repairDuck("d", "pg", "del", "qg")},
+       |qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv,
+       |  nrm AS qnrm, blk AS qblk FROM nodes WHERE vec_id < 10),
+       |an AS MATERIALIZED (SELECT * FROM nodes
+       |  WHERE vec_id NOT IN (SELECT did FROM del)),
+       |pent AS (SELECT qid, node FROM (
+       |  SELECT q.qid, n.vec_id AS node,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |      md5(CAST(q.qid AS VARCHAR) || '|' || CAST(n.vec_id AS VARCHAR)),
+       |      n.vec_id) AS rk
+       |  FROM qs q JOIN nodes n ON n.blk = q.qblk AND n.vec_id <> q.qid) t
+       | WHERE rk = 1),
+       |bent AS (SELECT qid, node FROM (
+       |  SELECT q.qid, n.vec_id AS node,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |      md5(CAST(q.qid AS VARCHAR) || '|' || CAST(n.vec_id AS VARCHAR)),
+       |      n.vec_id) AS rk
+       |  FROM qs q JOIN an n ON n.blk = q.qblk AND n.vec_id <> q.qid) t
+       | WHERE rk = 1),
+       |svb AS (SELECT * FROM (VALUES (4)) b(beam)),
+       |${walkDuck("pa", "nodes", "pg", "pent", "svb", 7)},
+       |${walkDuck("pb", "an", "qg", "bent", "svb", 7)},
+       |parank AS (SELECT qid, rk, nid, sim FROM (
+       |  SELECT v.qid, v.node AS nid,
+       |    round(${dotDuck("q.qv", "n.embedding")} /
+       |      (q.qnrm * n.nrm), 9) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY v.qid ORDER BY
+       |      round(${dotDuck("q.qv", "n.embedding")} /
+       |        (q.qnrm * n.nrm), 9) DESC, v.node) AS rk
+       |  FROM pav7 v JOIN nodes n ON n.vec_id = v.node
+       |              JOIN qs q ON q.qid = v.qid) t WHERE rk <= 3),
+       |pbrank AS (SELECT qid, rk, nid, sim FROM (
+       |  SELECT v.qid, v.node AS nid,
+       |    round(${dotDuck("q.qv", "n.embedding")} /
+       |      (q.qnrm * n.nrm), 9) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY v.qid ORDER BY
+       |      round(${dotDuck("q.qv", "n.embedding")} /
+       |        (q.qnrm * n.nrm), 9) DESC, v.node) AS rk
+       |  FROM pbv7 v JOIN an n ON n.vec_id = v.node
+       |              JOIN qs q ON q.qid = v.qid) t WHERE rk <= 3)
+       |SELECT phase, qid, CAST(rk AS BIGINT) AS rk, nid, sim FROM (
+       |  SELECT 'pre' AS phase, * FROM parank
+       |  UNION ALL
+       |  SELECT 'post', * FROM pbrank) u
+       |ORDER BY phase, qid, rk""".stripMargin
+
   /** Planted-truth recall report over a SCORED visited set — the
     * shared tail of q_ann_beam and q_ann_layered: rank visited per
     * (beam, qid), hit-join the planted truth, emit per-query recall

@@ -1437,6 +1437,82 @@ object StreamingGate extends graft.QueryPack {
       s.read.parquet(s"$out/b*").orderBy(col("qid"), col("rk"))
     }),
 
+    // SERVE + MAINTAIN INTERLEAVED — the THIRTY-FOURTH oracle-gated
+    // drain and the COMPOSITION the lifecycle pieces exist for: one
+    // mixed feed carries query batches AND tombstone batches against
+    // ONE evolving stored index, and serving is read-your-writes —
+    // the SAME query set runs before and after the maintenance batch
+    // and the answers legitimately differ (pre-phase top-3 still
+    // serves tombstoned ids; post-phase walks the repaired graph
+    // with alive-routed entries). State = (node frame, edge frame)
+    // in batchId-keyed parquet (the drain-#31 exactly-once
+    // convention); a delete batch applies repairStep and shrinks the
+    // node state, a query batch serves against the CURRENT state and
+    // copies state forward. Arrival order is the semantics (staged
+    // mtime order: queries, deletes, queries) and the oracle unrolls
+    // exactly that order. Feed rows are a unified schema
+    // (kind q/d + the union of both payloads) — the one-stream
+    // control-plane shape a serving tier actually receives.
+    "q_stream_ann_serve_maintain" -> ((s, d) => {
+      val root = freshDir("q_stream_ann_serve_maintain")
+      val src = new java.io.File(root, "src")
+      src.mkdirs()
+      val out = root + "/out"
+      val state = root + "/st"
+      val (nodes, delIds, gPre) = Similarity.deleteGraphParts(s, d)
+      nodes.write.mode("overwrite").parquet(s"$state/n-1")
+      gPre.write.mode("overwrite").parquet(s"$state/g-1")
+      val qs = nodes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"), col("blk").as("qblk"))
+      def qFile(phase: String) = qs.select(lit("q").as("kind"),
+        lit(phase).as("phase"), col("qid"), col("qv"), col("qnrm"),
+        col("qblk"), lit(null).cast("long").as("did"))
+      val dFile = delIds.select(lit("d").as("kind"),
+        lit(null).cast("string").as("phase"),
+        lit(null).cast("long").as("qid"),
+        lit(null).cast("array<double>").as("qv"),
+        lit(null).cast("double").as("qnrm"),
+        lit(null).cast("string").as("qblk"), col("did"))
+      val t0 = System.currentTimeMillis() - 60000
+      stageFile(root, src, qFile("pre"), "f1", t0)
+      stageFile(root, src, dFile, "f2", t0 + 2000)
+      stageFile(root, src, qFile("post"), "f3", t0 + 4000)
+      val sch = s.read.parquet(src.getPath + "/f1.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+      drain(s, stream, "append") { (batch, id) =>
+        val curN = s.read.parquet(s"$state/n${id - 1}")
+        val curG = s.read.parquet(s"$state/g${id - 1}")
+        val dels = batch.filter(col("kind") === "d").select(col("did"))
+        // deletes apply BEFORE serving within a batch (documented
+        // order; under maxFilesPerTrigger=1 a batch is pure anyway)
+        val (newN, newG) =
+          if (dels.isEmpty) (curN, curG)
+          else (curN.join(dels.select(col("did").as("vec_id")),
+              Seq("vec_id"), "left_anti"),
+            Similarity.repairStep(curN, curG, dels))
+        newN.write.mode("overwrite").parquet(s"$state/n$id")
+        newG.write.mode("overwrite").parquet(s"$state/g$id")
+        val qrows = batch.filter(col("kind") === "q")
+          .select(col("phase"), col("qid"), col("qv"), col("qnrm"),
+            col("qblk")).localCheckpoint()
+        if (!qrows.isEmpty) {
+          val ph = qrows.select(col("phase")).first().getString(0)
+          Similarity.serveTopK(
+              s.read.parquet(s"$state/n$id"),
+              s.read.parquet(s"$state/g$id"),
+              qrows.drop("phase"))
+            .select(lit(ph).as("phase"), col("qid"), col("rk"),
+              col("nid"), col("sim"))
+            .write.mode("overwrite").parquet(s"$out/b$id")
+        }
+        ()
+      }
+      s.read.parquet(s"$out/b*")
+        .orderBy(col("phase"), col("qid"), col("rk"))
+    }),
+
     // STREAMING SEQUENCE PACKING — the TWENTY-NINTH oracle-gated
     // drain and the first ORDER-DEPENDENT state fold (see
     // [[foldSeqPack]]): the concat-and-cut training layout built
@@ -2028,6 +2104,12 @@ object StreamingGate extends graft.QueryPack {
     // serving is stateless: the drained union across query batches
     // must equal the one-shot batch walk verbatim
     "q_stream_ann_search" -> Similarity.streamServeOracleSql,
+
+    // interleaved serve+maintain: the staged (queries, deletes,
+    // queries) order unrolled — pre walks the full index, post walks
+    // the repaired one
+    "q_stream_ann_serve_maintain" ->
+      Similarity.streamServeMaintainOracleSql,
 
     // the streamed two-grain health check restates the batch q_srm
     "q_stream_srm" -> Inference.oracles("q_srm"),

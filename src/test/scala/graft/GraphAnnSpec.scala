@@ -315,6 +315,28 @@ class GraphAnnSpec extends AnyFunSuite {
     TestSpark.housekeeping()
   }
 
+  test("q_stream_ann_serve_maintain: read-your-writes — post-phase serves no tombstones, pre-phase does, answers differ (r15)") {
+    val rows = graft.operators.StreamingGate
+      .queries("q_stream_ann_serve_maintain")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pre = rows.filter(_._1 == "pre").map(t => (t._2, t._3, t._4)).toSet
+    val post = rows.filter(_._1 == "post").map(t => (t._2, t._3, t._4)).toSet
+    // both phases serve the SAME query set, top-3 each
+    assert(pre.map(_._1) == post.map(_._1), "phases query different sets")
+    assert(pre.groupBy(_._1).forall(_._2.size == 3) &&
+      post.groupBy(_._1).forall(_._2.size == 3), "missing top-3 rows")
+    val isTomb = (nid: Long) => nid % 9 == 4 && nid >= 10
+    // the maintenance batch is VISIBLE to later serving: the pre
+    // phase still surfaces tombstoned ids, the post phase cannot
+    assert(pre.exists(t => isTomb(t._3)),
+      "pre phase served no tombstones - fixture degenerate")
+    assert(!post.exists(t => isTomb(t._3)),
+      s"post phase served a tombstone: ${post.filter(t => isTomb(t._3))}")
+    assert(pre != post, "serve results did not change across maintenance")
+    TestSpark.housekeeping()
+  }
+
   test("graft.nndescent.init.width knob: fine blocks seed high, coarse blocks recover by descent (both engines read it per call)") {
     val dflt = recallRows().groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val old = sys.props.get("graft.nndescent.init.width")
