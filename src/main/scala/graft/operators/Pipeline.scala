@@ -51,6 +51,16 @@ object Pipeline extends graft.QueryPack {
       .select(col("doc_id"), substring(col("text"), 1, 160).as("o_comment"))
     val ndocs = docs.agg((max(col("doc_id")) + 1).as("nd"))
     val o = Tables(s, d, "orders")
+      // CPU-heavy narrow pipeline (to_json → from_json → in-row topic
+      // DP) rides scan parallelism, and a row-group-limited parquet
+      // file caps that far below the cores (measured: 4 tasks on 32
+      // cores, stages of 3.4-7.2 s — guide §2.5 "repartition
+      // immediately after the read"). Deterministic hash exchange on
+      // the key (150k distinct values ≫ partitions), sized by
+      // defaultParallelism so it scales with the cluster instead of a
+      // constant; at scale a properly-sized scan already has ≥ this
+      // many splits and the exchange is one cheap pass of narrow rows.
+      .repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
       .crossJoin(broadcast(ndocs))
       .withColumn("dkey", col("o_orderkey") % col("nd"))
       // documents grows with SF — no broadcast hint (same rule as

@@ -1521,18 +1521,41 @@ object TextAnalytics extends graft.QueryPack {
       .filter(col("sc") >= UNI_FLOOR)
     val vocab0 = singles.unionByName(grams)
     val s0 = vocab0.agg(sum(col("sc")).as("tot"))
-    var probs = vocab0.crossJoin(broadcast(s0))
-      .select(col("piece"),
-        round(col("sc").cast("double") / col("tot"), 9).as("p"))
-      .localCheckpoint()
-    var vocab = vocab0.select(col("piece"))
+    // The model state (probs) is VOCABULARY-sized by construction —
+    // |alphabet| singles + |2-grams with weighted count >= UNI_FLOOR|
+    // <= alphabet² — a scale-INDEPENDENT bound (the same bound the
+    // long-standing trainedUnigramCosts collect already relies on).
+    // r15 optimization (guide §2.3/§2.4, measured in
+    // OPTIMIZATION_r15.md): hold it as collected LOCAL rows instead
+    // of a checkpointed distributed frame, so each EM round's costs
+    // ride into the Viterbi DP as ONE map literal (element_at on a
+    // broadcast-literal map ≡ the old left-outer cost joins, value
+    // for value) and the per-round char-position explode + two
+    // shuffle joins + collect_list regroup disappear outright. Rows
+    // are sorted by piece so the LocalRelation is deterministic.
+    var probsRows: Array[org.apache.spark.sql.Row] =
+      vocab0.crossJoin(broadcast(s0))
+        .select(col("piece"),
+          round(col("sc").cast("double") / col("tot"), 9).as("p"))
+        .collect().sortBy(_.getString(0))
+    val probsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("piece",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.DoubleType)))
+    def localProbs(rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, probsSchema)
+    }
+    var vocab = localProbs(probsRows).select(col("piece"))
     val rounds = scala.collection.mutable.ArrayBuffer
       .empty[(DataFrame, DataFrame)]
     schedule.foreach { keep =>
+      val pin = localProbs(probsRows)
       // each round reports its FULL incoming vocabulary: a piece the
       // Viterbi paths never used reads cnt = 0 — it competes in the
       // prune and its mass stays visible
-      val c = uniViterbiCounts(words, probs)
+      val c = uniViterbiCountsLit(words, uniCostMap(pin))
       val kept = vocab
         .join(c, Seq("piece"), "left_outer")
         .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
@@ -1544,19 +1567,31 @@ object TextAnalytics extends graft.QueryPack {
         .withColumn("kept", col("len") === 1L ||
           coalesce(col("grk") <= keep, lit(false)))
         .localCheckpoint()
-      rounds += ((kept, probs))
+      rounds += ((kept, pin))
       val keptAgg = kept.filter(col("kept"))
         .agg(sum(col("cnt")).as("ktot"), count(lit(1)).as("nk"))
-      probs = kept.filter(col("kept"))
+      probsRows = kept.filter(col("kept"))
         .crossJoin(broadcast(keptAgg))
         .select(col("piece"),
           round((col("cnt") + 1L).cast("double") /
             (col("ktot") + col("nk")).cast("double"), 9).as("p"))
-        .localCheckpoint()
-      vocab = kept.filter(col("kept")).select(col("piece"))
+        .collect().sortBy(_.getString(0))
+      // == kept.filter(kept).select(piece): probs and the surviving
+      // vocabulary are 1:1 by construction
+      vocab = localProbs(probsRows).select(col("piece"))
     }
-    UniTrain(words, rounds.toSeq, probs)
+    UniTrain(words, rounds.toSeq, localProbs(probsRows))
   }
+
+  /** The round-9 −ln cost table of a (vocabulary-sized, LOCAL) probs
+    * frame as a Scala map. The select runs over a LocalRelation, so
+    * Catalyst's ConvertToLocalRelation evaluates round(−log(p)) with
+    * the engine's own expressions at plan time — zero jobs, and
+    * bit-identical to what the old distributed cost projection
+    * computed. */
+  private def uniCostMap(probs: DataFrame): Map[String, Double] =
+    probs.select(col("piece"), round(-log(col("p")), 9).as("cost"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
   /** The trained unigram COST table (piece → round9(−ln p) under the
     * final post-prune smoothed model) as a collected map —
@@ -1687,29 +1722,32 @@ object TextAnalytics extends graft.QueryPack {
     * < for the 2-gram). Returns (piece, cnt BIGINT) — exact integers,
     * bit-stable under any partitioning. */
   private def uniViterbiCounts(words: DataFrame, probs: DataFrame)
-      : DataFrame = {
+      : DataFrame = uniViterbiCountsLit(words, uniCostMap(probs))
+
+  /** [[uniViterbiCounts]] with the cost table delivered as ONE map
+    * literal instead of two left-outer joins (r15 optimization,
+    * guide §2.3/§2.4): the per-position k1/k2 lookups become
+    * element_at on the broadcast literal — value-identical to the
+    * join+coalesce (missing key → null → BIG) — so the
+    * char-position explode, both cost-join exchanges and the
+    * collect_list/array_sort regroup that rebuilt per-word arrays
+    * all disappear; the k1s/k2s arrays are computed directly on the
+    * word row. The map is vocabulary-sized (≤ alphabet + alphabet²
+    * pieces — scale-independent), the same bound the memoized encode
+    * model already ships as a literal. */
+  private def uniViterbiCountsLit(words: DataFrame,
+      costs: Map[String, Double]): DataFrame = {
     val BIG = 1e15d
-    val pos = words
-      .select(col("w"), col("cw"), col("cs"), col("n"),
-        explode(sequence(lit(1), col("n"))).as("i"))
-      .withColumn("c1", element_at(col("cs"), col("i")))
-      .withColumn("g2", when(col("i") >= 2,
-        concat(element_at(col("cs"), col("i") - 1),
-          element_at(col("cs"), col("i")))))
-    val costs = probs.select(col("piece"),
-      round(-log(col("p")), 9).as("cost"))
-    val withC = pos
-      .join(costs.select(col("piece").as("c1"), col("cost").as("k1")),
-        Seq("c1"), "left_outer")
-      .join(costs.select(col("piece").as("g2"), col("cost").as("k2")),
-        Seq("g2"), "left_outer")
-      .groupBy(col("w"), col("cw"), col("cs"), col("n"))
-      .agg(array_sort(collect_list(struct(col("i"),
-        coalesce(col("k1"), lit(BIG)).as("k1"),
-        coalesce(col("k2"), lit(BIG)).as("k2")))).as("ks"))
-      .withColumn("k1s", transform(col("ks"), x => x.getField("k1")))
-      .withColumn("k2s", transform(col("ks"), x => x.getField("k2")))
-      .drop("ks")
+    val cm = typedlit(costs)
+    val withC = words
+      .select(col("cw"), col("cs"), col("n"),
+        transform(col("cs"), c =>
+          coalesce(element_at(cm, c), lit(BIG))).as("k1s"),
+        transform(sequence(lit(1), col("n")), i =>
+          when(i >= 2, coalesce(element_at(cm,
+            concat(element_at(col("cs"), i - 1),
+              element_at(col("cs"), i))), lit(BIG)))
+            .otherwise(lit(BIG))).as("k2s"))
     // forward min-plus: vs = [v0 .. vn];
     // v_i = least(v_{i-1} + k1_i, v_{i-2} + k2_i)
     val withV = withC.withColumn("vs",

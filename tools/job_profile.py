@@ -18,11 +18,23 @@ path = sys.argv[1]
 if os.path.isdir(path):
     files = sorted(glob.glob(path + "/*"), key=os.path.getmtime)
     path = files[-1]
+if os.path.isdir(path):  # Spark 4 rolling (v2) layout: a dir per app
+    path = sorted(glob.glob(path + "/events_*"))[-1]
+
+
+def lines(p):
+    if p.endswith(".zstd"):
+        import subprocess
+        out = subprocess.run(["zstd", "-dc", p], capture_output=True)
+        for ln in out.stdout.decode(errors="replace").splitlines():
+            yield ln
+    else:
+        yield from open(p, errors="replace")
 
 jobs = {}      # id -> dict(site, submit, end)
 order = []
 stages = {}    # stageId -> dict(name, submit, complete, tasks, taskTime)
-for line in open(path, errors="replace"):
+for line in lines(path):
     try:
         e = json.loads(line)
     except json.JSONDecodeError:
@@ -32,6 +44,10 @@ for line in open(path, errors="replace"):
         jid = e["Job ID"]
         props = e.get("Properties") or {}
         site = props.get("callSite.short") or ""
+        if not site:
+            infos = e.get("Stage Infos") or []
+            if infos:
+                site = max(infos, key=lambda si: si["Stage ID"])["Stage Name"]
         jobs[jid] = {"site": site, "submit": e["Submission Time"], "end": None}
         order.append(jid)
     elif ev == "SparkListenerJobEnd":
