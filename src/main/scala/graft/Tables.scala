@@ -12,6 +12,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * roots; nothing downstream assumes single-file inputs.
   */
 object Tables {
+
+  /** Deterministic hash repartition sized by the session's
+    * defaultParallelism, for CPU-HEAVY narrow work whose input frame
+    * arrives with fewer partitions than cores — a row-group-capped
+    * small parquet scan, or an AQE-coalesced tiny-bytes exchange
+    * (AQE sizes partitions by bytes; it cannot see that each row
+    * carries an expensive fold/decode). Guide §2.5: "repartition
+    * immediately after the read". The key must be high-cardinality
+    * (≫ partitions) and the computation per-row, so results are
+    * partition-invariant (DeterminismSpec's standing gate). At
+    * cluster scale the input usually already has ≥ parallelism
+    * partitions and this is one cheap narrow-row exchange before the
+    * expensive per-row work — never a payload reshuffle. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

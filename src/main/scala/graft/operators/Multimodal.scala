@@ -281,7 +281,9 @@ object Multimodal extends graft.QueryPack {
     * (id, hash) rows move on). */
   def phash64Corpus(spark: SparkSession, docIds: DataFrame): DataFrame = {
     import spark.implicits._
-    docIds.select(col("doc_id")).as[Long]
+    // spread: generate+decode+DCT is heavy per row and docIds usually
+    // arrives as a 1-split scan (r15; guide §2.5)
+    graft.Tables.spread(docIds.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.grouped(64).flatMap(_.flatMap { id =>
         val rows = scala.collection.mutable.ArrayBuffer(
           PhashRow(id, imagePhash64(genPng(id))))
@@ -299,7 +301,9 @@ object Multimodal extends graft.QueryPack {
     * binaryFile read path). */
   def imageFixtures(spark: SparkSession, docIds: DataFrame): DataFrame = {
     import spark.implicits._
-    docIds.select(col("doc_id")).as[Long]
+    // spread: PNG generation (and the decode that follows it in every
+    // consumer) is heavy per row; the docIds scan is 1-split (r15)
+    graft.Tables.spread(docIds.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, genPng(id))))
       .toDF()
   }
@@ -408,8 +412,8 @@ object Multimodal extends graft.QueryPack {
     // are the classic VAD screening features.
     "q_audio_features" -> ((s, d) => {
       import s.implicits._
-      Tables(s, d, "documents")
-        .select(col("doc_id")).as[Long]
+      graft.Tables.spread(Tables(s, d, "documents")
+        .select(col("doc_id")), col("doc_id")).as[Long]
         .mapPartitions(_.map(id => MediaRow(id, genPcm(id))))
         .mapPartitions(_.grouped(64).flatMap(_.flatMap(m =>
           audioFrames(m.doc_id, m.content))))

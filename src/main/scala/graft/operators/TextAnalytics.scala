@@ -1503,10 +1503,15 @@ object TextAnalytics extends graft.QueryPack {
 
   private def uniTrainFrames(s: SparkSession, d: String): UniTrain = {
     val schedule = uniKeepSchedule
-    val words = Tables(s, d, "documents")
+    // spread: the tokens explode otherwise runs at the 1-split scan's
+    // parallelism, and the per-word char split + every round's DP
+    // fold inherit the AQE-coalesced single partition (measured
+    // 1-task 1.9 s stages at sf0.1)
+    val words = Tables.spread(Tables(s, d, "documents"), col("doc_id"))
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .transform(Tables.spread(_, col("w")))
       .withColumn("cs", regexp_extract_all(col("w"), lit("."), lit(0)))
       .withColumn("n", size(col("cs")))
       .persist()
@@ -1638,7 +1643,10 @@ object TextAnalytics extends graft.QueryPack {
         "trainedUnigramModelFor(s, d) and pass its result")
     val dw = docs.select(col("doc_id"),
       explode(filter(tokens(col("text")), w => length(w) > 0)).as("w"))
-    val wp = dw.select(col("w")).distinct()
+    // spread: the distinct's output is byte-tiny so AQE coalesces it
+    // to ~1 partition, serializing the interpreted Viterbi fold —
+    // the expensive step this distinct exists to bound
+    val wp = Tables.spread(dw.select(col("w")).distinct(), col("w"))
       .withColumn("k", uniPieceCountCol(costs)(col("w")))
     val agg = dw.join(wp, Seq("w"))
       .groupBy(col("doc_id"))
@@ -1811,7 +1819,9 @@ object TextAnalytics extends graft.QueryPack {
     require(merges.nonEmpty,
       "bpeEncodeFrame needs a trained merge table (learnBpeMerges)")
     val toksF = filter(tokens(col("text")), w => length(w) > 0)
-    docs.select(col("doc_id"),
+    // spread: the per-doc encode fold is interpreted and otherwise
+    // runs at the (1-split) scan's parallelism
+    Tables.spread(docs, col("doc_id")).select(col("doc_id"),
         size(toksF).cast("long").as("n_ws_tokens"),
         aggregate(toksF, lit(0), (acc, w) => acc + bpeCountCol(merges)(w))
           .cast("long").as("n_bpe_tokens"))
@@ -1891,13 +1901,18 @@ object TextAnalytics extends graft.QueryPack {
       : Seq[(Long, String, String, Long)] = {
     val ROUNDS = bpeRounds
     def syms = split(trim(col("seq"), "|"), "\\|")
-    val words0 = Tables(s, d, "documents")
+    val words0 = Tables.spread(Tables(s, d, "documents"), col("doc_id"))
         .select(explode(tokens(col("text"))).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         .select(concat(lit("|"),
           array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "|"),
           lit("|")).as("seq"), col("cnt"))
+        // spread: AQE coalesces the vocabulary frame to ~1 partition
+        // by bytes; every merge round's pair explode + agg then runs
+        // single-task. High-cardinality key, per-row work — the
+        // global argmax (orderBy + limit 1) is partition-invariant.
+        .transform(Tables.spread(_, col("seq")))
         .persist()
       var words = words0
       val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
@@ -2054,10 +2069,13 @@ object TextAnalytics extends graft.QueryPack {
     "q_tokenizer_compare" -> ((s, d) => {
       val merges = learnBpeMerges(s, d)
       val uni = trainedUnigramModelFor(s, d)
-      val dw = Tables(s, d, "documents")
+      val dw = Tables.spread(Tables(s, d, "documents"), col("doc_id"))
         .select(col("source"),
           explode(filter(tokens(col("text")), w => length(w) > 0)).as("w"))
-      val wp = dw.select(col("w")).distinct()
+      // spread: both count kernels are interpreted folds and the
+      // distinct's byte-tiny output AQE-coalesces to ~1 partition
+      // (measured 1-task ~1 s stages) — parallelize the fold pass
+      val wp = Tables.spread(dw.select(col("w")).distinct(), col("w"))
         .withColumn("kb", bpeCountCol(merges)(col("w")).cast("long"))
         .withColumn("ku", uniPieceCountCol(uni)(col("w")))
       dw.join(wp, Seq("w"))
