@@ -46,6 +46,9 @@ object Analytic extends graft.QueryPack {
         when(ou < ov, col("u")).otherwise(col("v")).as("s"),
         when(ou < ov, col("v")).otherwise(col("u")).as("t"),
         greatest(ou, ov).as("ot"))
+      // spread (r15): pre-align the persisted oriented-edge frame on
+      // the wedge join key s instead of the ~1-partition AQE coalesce
+      .transform(graft.Tables.spread(_, col("s")))
       .persist()
     val tri = ori.as("e1")
       .join(ori.as("e2"),
@@ -99,11 +102,15 @@ object Analytic extends graft.QueryPack {
       .filter(col("l_orderkey") % 8 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    li.as("a")
-      .join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
+    // spread (r15): consumers persist this frame and run wedge/round
+    // joins over it; the final distinct otherwise leaves ~1
+    // AQE-coalesced partition at this byte size
+    graft.Tables.spread(
+      li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct(), col("u"))
   }
 
   /** The symmetric customer↔supplier trade graph on packed-long node
@@ -118,7 +125,13 @@ object Analytic extends graft.QueryPack {
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    // spread (r15, guide §2.4/§2.5): the distinct's byte-tiny output
+    // AQE-coalesces to ~1 partition, serializing every iterative
+    // round's edge join; hash-partitioning on src ALSO pre-aligns the
+    // frame with the rounds' join key
+    graft.Tables.spread(
+      e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"))),
+      col("src")).persist()
   }
 
   /** Three synchronous smallest-label-tie LPA rounds over a symmetric
@@ -226,9 +239,10 @@ object Analytic extends graft.QueryPack {
     "q_hits" -> ((s, d) => {
       val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct().persist()
+      val edges = graft.Tables.spread(
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct(), col("c")).persist()
       val SCALE = 1000000000L
       var hub: DataFrame = edges.select(col("c")).distinct()
         .withColumn("h", lit(SCALE).cast(DecimalType(38, 0)))
@@ -1004,7 +1018,8 @@ object Analytic extends graft.QueryPack {
       // cluster scale these two frames are the checkpointed adjacency
       // lists every Pregel-style engine keeps resident. The harness
       // clears the cache between queries.
-      val edgesDeg = edges.join(deg, Seq("src")).persist()
+      val edgesDeg = graft.Tables.spread(
+        edges.join(deg, Seq("src")), col("src")).persist()
       val nodes = edgesDeg.select(col("src").as("node")).distinct().persist()
       var pr: DataFrame = nodes.withColumn("p", lit(1000000000L))
       for (_ <- 1 to 2) {
@@ -1140,9 +1155,9 @@ object Analytic extends graft.QueryPack {
     // fixed-point lesson: a single final division is safe, per-step
     // rounding is not).
     "q_assoc_rules" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem")
+      val li = graft.Tables.spread(Tables(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct().persist()
+        .distinct(), col("ok")).persist()
       val nOrders = li.agg(countDistinct(col("ok")).as("n_orders"))
       val itemSupp = li.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
       val pairSupp = li.as("a")
@@ -1787,9 +1802,10 @@ object Analytic extends graft.QueryPack {
         .unionAll(raw.select(col("v").as("src"), col("u").as("dst")))
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .persist()
-      val inc = sym.select(col("dst").as("m"), col("src").as("e"))
-        .join(deg.select(col("src").as("m"), col("deg").as("dm")), Seq("m"))
-        .filter(col("dm") <= LP_MID_CAP)
+      val inc = graft.Tables.spread(
+        sym.select(col("dst").as("m"), col("src").as("e"))
+          .join(deg.select(col("src").as("m"), col("deg").as("dm")), Seq("m"))
+          .filter(col("dm") <= LP_MID_CAP), col("m"))
         .persist()
       val scored = inc.select(col("m"), col("dm"), col("e").as("a"))
         .join(inc.select(col("m"), col("e").as("b")), Seq("m"))

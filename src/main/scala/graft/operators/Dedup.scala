@@ -136,10 +136,14 @@ object Dedup extends graft.QueryPack {
 
   /** corpus: documents ∪ exact dups ∪ near dups (see object doc). */
   private[operators] def corpus(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("source"), col("text"))
-    val exactCopies = docs.filter(col("doc_id") % 10 === 0)
+    // spread (r15, guide §2.5): every dedup consumer runs heavy
+    // per-row work (shingle/minhash UDFs, n-gram sets) directly over
+    // this frame, and the small documents parquet is a 1-split scan
+    val spreadDocs = graft.Tables.spread(docs, col("doc_id"))
+    val base = spreadDocs.select(col("doc_id"), col("source"), col("text"))
+    val exactCopies = spreadDocs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text"))
-    val nearCopies = docs.filter(col("doc_id") % 10 === 1)
+    val nearCopies = spreadDocs.filter(col("doc_id") % 10 === 1)
       .select((col("doc_id") + 200000).as("doc_id"), col("source"),
         array_join(slice(split(lower(col("text")), " "), lit(2),
           greatest(size(split(col("text"), " ")) - 1, lit(0))), " ").as("text"))

@@ -151,7 +151,10 @@ object Similarity extends graft.QueryPack {
 
   /** embeddings with vectors widened to array<double> + precomputed norm. */
   private[operators] def loadEmbeddings(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "embeddings")
+    // spread (r15, guide §2.5): every downstream corpus prep (norms,
+    // hyperplane signatures, kernel distances) is CPU-heavy per row
+    // and the small embeddings parquet is a 1-split scan
+    graft.Tables.spread(Tables(s, d, "embeddings"), col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       .withColumn("nrm", norm(col("embedding")))
 
