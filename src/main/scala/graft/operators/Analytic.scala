@@ -102,15 +102,19 @@ object Analytic extends graft.QueryPack {
       .filter(col("l_orderkey") % 8 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    // spread (r15): consumers persist this frame and run wedge/round
-    // joins over it; the final distinct otherwise leaves ~1
-    // AQE-coalesced partition at this byte size
-    graft.Tables.spread(
-      li.as("a")
-        .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct(), col("u"))
+    // NOT spread (r15, measured A/B and REVERTED): forcing this frame
+    // to defaultParallelism partitions made all four consumers SLOWER
+    // (sssp 3.9→5.6, kcore 2.5→3.4, bfs 2.2→4.1, triangles 1.4→2.1 s
+    // TimeQuery minima) — the iterative rounds carry tiny frontiers,
+    // so 32 tasks per round is pure scheduling overhead against the
+    // AQE-coalesced few-partition layout. Contrast tradeEdges/q_hits
+    // below, whose round joins stream the FULL edge frame each round
+    // and did win from the spread.
+    li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
   }
 
   /** The symmetric customer↔supplier trade graph on packed-long node

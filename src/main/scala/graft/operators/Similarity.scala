@@ -150,11 +150,14 @@ object Similarity extends graft.QueryPack {
       .orderBy(col("dim"))
 
   /** embeddings with vectors widened to array<double> + precomputed norm. */
+  // NOT spread (r15, measured): a spread was tried here and REVERTED —
+  // the 2k-row corpus prep is cheap (one norm per row), and the extra
+  // exchange ahead of every walk/descent query cost the ANN family
+  // +7.5 s in the full leg (101.4 → 108.9 s) with no stage it could
+  // parallelize. The spread belongs where per-row work is measured
+  // heavy (dedup shingles, image decode, tokenizer folds), not here.
   private[operators] def loadEmbeddings(s: SparkSession, d: String): DataFrame =
-    // spread (r15, guide §2.5): every downstream corpus prep (norms,
-    // hyperplane signatures, kernel distances) is CPU-heavy per row
-    // and the small embeddings parquet is a 1-split scan
-    graft.Tables.spread(Tables(s, d, "embeddings"), col("vec_id"))
+    Tables(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       .withColumn("nrm", norm(col("embedding")))
 
