@@ -1524,7 +1524,11 @@ object Analytic extends graft.QueryPack {
         countDistinct(col(c)).as(s"ndv_$c"),
         min(col(c).cast("double")).as(s"mn_$c"),
         max(col(c).cast("double")).as(s"mx_$c")) }
-      val one = Tables(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+      // spread (r15): 4 countDistinct partials over 600k rows at the
+      // 3-row-group scan parallelism dominated the query (1.8 s 3-task
+      // stage); one narrow-row exchange parallelizes them 32-way
+      val one = graft.Tables.spread(Tables(s, d, "lineitem"),
+        col("l_orderkey")).agg(aggs.head, aggs.tail: _*)
       val stacked = cols
         .map(c => s"'$c', nn_$c, ndv_$c, mn_$c, mx_$c").mkString(", ")
       one.selectExpr(s"stack(${cols.size}, $stacked)" +

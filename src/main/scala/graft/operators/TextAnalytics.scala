@@ -713,7 +713,10 @@ object TextAnalytics extends graft.QueryPack {
     // phrases are bounded by document length — nothing corpus².
     "q_rake_keywords" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val tok = Tables(s, d, "documents")
+      // spread (r15): tokenize+posexplode is the heavy narrow step
+      // and rides the 1-split scan; the key doubles as the island
+      // window's partition key
+      val tok = Tables.spread(Tables(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), posexplode(tokens(col("text"))))
         .toDF("doc_id", "pos", "word")
         .filter(length(col("word")) > 0)
