@@ -223,7 +223,10 @@ object Similarity extends graft.QueryPack {
       val q = e.filter(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("nrm").as("qnrm"), col("label").as("qlabel"))
-      val t = e.filter(col("vec_id") % 2 === 0)
+      // spread (r15): the broadcast cross join computes |t|·|q| 64-dim
+      // dots (~1M sims) on the streamed side, which otherwise rides
+      // the 1-split embeddings scan (measured 2.6 s 1-task stage)
+      val t = graft.Tables.spread(e.filter(col("vec_id") % 2 === 0), col("vec_id"))
         .select(col("vec_id").as("nid"), col("embedding").as("nv"),
           col("nrm").as("nnrm"), col("label").as("nlabel"))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))

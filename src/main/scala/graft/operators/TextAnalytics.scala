@@ -646,7 +646,9 @@ object TextAnalytics extends graft.QueryPack {
     // gone, and the arithmetic is exact integers so the DuckDB oracle
     // keeps the straightforward quadratic formulation.
     "q_source_overlap" -> ((s, d) => {
-      val vocab = Tables(s, d, "documents")
+      // spread (r15): tokenize+explode rides the 1-split scan
+      // (measured 2.1 s 1-task stage)
+      val vocab = Tables.spread(Tables(s, d, "documents"), col("doc_id"))
         .select(col("source"), explode(tokens(col("text"))).as("w"))
         .filter(length(col("w")) > 0)
         .distinct()
