@@ -135,15 +135,17 @@ object Dedup extends graft.QueryPack {
   }
 
   /** corpus: documents ∪ exact dups ∪ near dups (see object doc). */
+  // NOT spread here (r15, measured and REVERTED): a blanket spread of
+  // this shared corpus won isolated TimeQuery A/Bs on the heavy
+  // consumers but lost the full-leg suite comparison (+3.6 s across
+  // the 20 consumers — the funnel/curve/prefix queries run many TINY
+  // downstream stages that inherit the 32 partitions). The spread
+  // belongs at the measured-heavy kernel (candPairsOf) only.
   private[operators] def corpus(docs: DataFrame): DataFrame = {
-    // spread (r15, guide §2.5): every dedup consumer runs heavy
-    // per-row work (shingle/minhash UDFs, n-gram sets) directly over
-    // this frame, and the small documents parquet is a 1-split scan
-    val spreadDocs = graft.Tables.spread(docs, col("doc_id"))
-    val base = spreadDocs.select(col("doc_id"), col("source"), col("text"))
-    val exactCopies = spreadDocs.filter(col("doc_id") % 10 === 0)
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+    val exactCopies = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text"))
-    val nearCopies = spreadDocs.filter(col("doc_id") % 10 === 1)
+    val nearCopies = docs.filter(col("doc_id") % 10 === 1)
       .select((col("doc_id") + 200000).as("doc_id"), col("source"),
         array_join(slice(split(lower(col("text")), " "), lit(2),
           greatest(size(split(col("text"), " ")) - 1, lit(0))), " ").as("text"))
@@ -1204,7 +1206,9 @@ object Dedup extends graft.QueryPack {
     * frame, so their candidate generation cannot drift. */
   private def candPairsOf(docs: DataFrame,
       cap: Int = SHINGLE_DF_CAP): DataFrame = {
-    val c = docs
+    // spread (r15): the shingle UDF is the kernel's heavy narrow step
+    // and docs usually arrives at 1-split scan parallelism
+    val c = graft.Tables.spread(docs, col("doc_id"))
       .withColumn("sh", shingles(col("text")))
       .withColumn("n", size(col("sh")))
     val ex = c.select(col("source"), col("doc_id"), col("n"),
